@@ -1,0 +1,76 @@
+"""Vectorized deterministic hashing primitives (numpy, no Ray).
+
+Used for: synthetic pixel generation, phash, content fingerprints, minhash
+permutations, salted shuffle keys. All functions are pure and seed-stable so
+pipeline outputs are byte-reproducible across runs/retries (the reference's
+whole test suite relies on byte-stable outputs; see
+/root/reference/cmake/run_test_compare_output.cmake).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+
+# splitmix64 constants (public domain, Sebastiano Vigna)
+_SM_GAMMA = _U64(0x9E3779B97F4A7C15)
+_SM_M1 = _U64(0xBF58476D1CE4E5B9)
+_SM_M2 = _U64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer. x: uint64 array -> uint64 array."""
+    z = (x.astype(_U64) + _SM_GAMMA)
+    z = (z ^ (z >> _U64(30))) * _SM_M1
+    z = (z ^ (z >> _U64(27))) * _SM_M2
+    return z ^ (z >> _U64(31))
+
+
+def hash64(x: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Seeded 64-bit mix of an integer array."""
+    with np.errstate(over="ignore"):
+        return splitmix64(x.astype(_U64) ^ (_U64(seed & 0xFFFFFFFFFFFFFFFF) * _SM_GAMMA))
+
+
+def hash_str_u64(values, seed: int = 0) -> np.ndarray:
+    """FNV-1a 64-bit over utf-8 bytes of each string, then splitmix finalize.
+
+    Vectorized over the concatenated byte buffer: O(total_bytes) numpy work,
+    no per-row Python hashing. `values` is any sequence of str (or a pyarrow
+    StringArray via .to_numpy(zero_copy_only=False)).
+    """
+    import pyarrow as pa
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        arr = values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
+    else:
+        arr = pa.array(list(values), type=pa.string())
+    if arr.null_count:
+        arr = arr.fill_null("")
+    arr = arr.cast(pa.large_string())
+    buf = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset:arr.offset + len(arr) + 1]
+    # polynomial rolling hash via segmented evaluation: h_i = sum b_j * P^(end-1-j)
+    # computed with cumulative products is numerically messy in uint64; instead do
+    # a chunked FNV loop over the max string length (loop length = max_len, each
+    # iteration vectorized over all rows).
+    n = len(arr)
+    h = np.full(n, _U64(0xCBF29CE484222325), dtype=_U64)
+    prime = _U64(0x100000001B3)
+    starts = offs[:-1].copy()
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    max_len = int(lens.max()) if n else 0
+    with np.errstate(over="ignore"):
+        for i in range(max_len):
+            active = lens > i
+            if not active.any():
+                break
+            idx = starts[active] + i
+            h[active] = (h[active] ^ buf[idx].astype(_U64)) * prime
+        return splitmix64(h ^ (_U64(seed & 0xFFFFFFFFFFFFFFFF) * _SM_GAMMA))
+
+
+def to_int64(u: np.ndarray) -> np.ndarray:
+    """Reinterpret uint64 as signed int64 (for Arrow int64 columns)."""
+    return u.view(np.int64)

@@ -1,0 +1,113 @@
+"""Deterministic synthetic geo-tagged image corpus.
+
+The sandbox testdata is TPC-H-shaped; the engine's input per
+BASELINE.json input_hint is a Lance/Arrow table of image+caption rows.
+This module derives that table deterministically, either
+
+  * from the `events` parquet table of a testdata sf directory (each
+    event_id becomes one image row) — every derived column is exact
+    integer/string arithmetic so the DuckDB oracle can reproduce it
+    bit-for-bit (see IMAGES_SQL_CTE), or
+  * from a plain index range (bench-scale corpora of arbitrary size).
+
+Columns (input_hint shape + lon/lat):
+  image_id = 'img' + zero-padded id
+  bytes    = fake-codec-encoded deterministic pixels (functions/imagecodec)
+  w = h = 16, fmt = png for even ids / jpeg for odd ids
+  caption  = 'caption <id> <event_type>'   (range corpus: 'caption <id> e<id%7>')
+  phash    = (id * 2654435761) % 2^40
+  lon      = ((id * 7919) % 36000) / 100 - 180     in [-180, 179.99]
+  lat      = ((id * 104729) % 17000) / 100 - 85    in [-85, 84.99]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.imagecodec import encode_batch, gen_pixels
+
+PHASH_MOD = 1 << 40
+
+
+def _derive_columns(ids: np.ndarray, event_type: np.ndarray | None,
+                    with_bytes: bool) -> pa.Table:
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    lon = ((ids * 7919) % 36000) / 100.0 - 180.0
+    lat = ((ids * 104729) % 17000) / 100.0 - 85.0
+    phash = (ids * 2654435761) % PHASH_MOD
+    fmt = np.where(ids % 2 == 0, "png", "jpeg")
+    if event_type is None:
+        event_type = np.char.add("e", (ids % 7).astype(str))
+    id_str = np.char.zfill(ids.astype(str), 10)
+    image_id = np.char.add("img", id_str)
+    caption = np.char.add(np.char.add(np.char.add("caption ", ids.astype(str)), " "),
+                          event_type.astype(str))
+    cols = {
+        "image_id": pa.array(image_id, type=pa.string()),
+        "w": pa.array(np.full(n, 16, dtype=np.int32)),
+        "h": pa.array(np.full(n, 16, dtype=np.int32)),
+        "fmt": pa.array(fmt, type=pa.string()),
+        "caption": pa.array(caption, type=pa.string()),
+        "phash": pa.array(phash, type=pa.int64()),
+        "lon": pa.array(lon, type=pa.float64()),
+        "lat": pa.array(lat, type=pa.float64()),
+    }
+    if with_bytes:
+        pix = gen_pixels(ids)
+        cols = {"image_id": cols["image_id"], "bytes": encode_batch(pix, fmt), **{
+            k: v for k, v in cols.items() if k != "image_id"}}
+    return pa.table(cols)
+
+
+def images_from_events_batch(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
+    """map_batches kernel: events rows -> images rows (vectorized)."""
+    ids = batch["event_id"].to_numpy(zero_copy_only=False)
+    etype = batch["event_type"].to_numpy(zero_copy_only=False)
+    return _derive_columns(ids, etype, with_bytes)
+
+
+def images_from_range_batch(batch, with_bytes: bool = True) -> pa.Table:
+    """map_batches kernel over ray.data.range(n) ({'id': int64})."""
+    if isinstance(batch, dict):
+        ids = np.asarray(batch["id"], dtype=np.int64)
+    else:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+    return _derive_columns(ids, None, with_bytes)
+
+
+def images_dataset(sf_dir: str, with_bytes: bool = False):
+    """Ray Dataset of the corpus derived from `events` in sf_dir. Column-pruned
+    read (only event_id/event_type leave the parquet scan)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+    return ds.map_batches(lambda b: images_from_events_batch(b, with_bytes),
+                          batch_format="pyarrow")
+
+
+def images_range_dataset(n: int, with_bytes: bool = True, override_num_blocks: int | None = None):
+    import ray.data as rd
+
+    ds = rd.range(n, override_num_blocks=override_num_blocks)
+    return ds.map_batches(lambda b: images_from_range_batch(b, with_bytes),
+                          batch_format="pyarrow")
+
+
+# The exact-SQL twin of _derive_columns for the DuckDB oracle (no bytes —
+# binary payloads are never part of oracle comparisons).
+IMAGES_SQL_CTE = """
+images AS (
+    SELECT
+        'img' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS image_id,
+        CAST(16 AS INTEGER) AS w,
+        CAST(16 AS INTEGER) AS h,
+        CASE WHEN event_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+        'caption ' || CAST(event_id AS VARCHAR) || ' ' || event_type AS caption,
+        (event_id * 2654435761) % 1099511627776 AS phash,
+        ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+        ((event_id * 104729) % 17000) / 100.0 - 85.0 AS lat
+    FROM events
+)
+"""
