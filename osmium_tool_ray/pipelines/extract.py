@@ -1,0 +1,393 @@
+"""Extract strategies (simple / complete_ways / smart) over the image corpus
++ group adjacency tables — the Ray Data restatement of
+/root/reference/src/extract/strategy_{simple,complete_ways,smart}.cpp.
+
+Data model (SURVEY.md §1.3): `images` rows are the "nodes" (point + payload);
+`groups(group_id, kind, tags)` + `group_members(group_id, seq, mtype, ref)`
+re-express ways/relations. Semantics ported per strategy:
+
+simple (strategy_simple.cpp:64-106, one pass):
+  * node inside region -> emit, record id
+  * way with >=1 member node recorded -> emit, record id
+  * relation: decided by its FIRST node/way-type member only (the loop
+    `return`s inside the node/way switch arms, :89-106) — emitted iff that
+    member's id was recorded; relation-type members are skipped.
+
+complete_ways (strategy_complete_ways.cpp:83-162 + parent closure :36-43):
+  * pass 1 records node_ids inside; ways with >=1 recorded node -> way_ids +
+    ALL their refs as extra_node_ids; relations with ANY node/way member
+    recorded -> relation_ids; then the recursive member->parent relation
+    closure; pass 2 emits nodes in node|extra, ways in way_ids, relations in
+    relation_ids.
+
+smart (strategy_smart.cpp:203-241 + passes :257-296):
+  * like complete_ways for nodes/ways; a relation with >=1 wanted member is
+    recorded, and if it passes the type filter (default types={multipolygon},
+    `-S types=`) AND the tag filter (default: has >=1 tag) ALL its node/way
+    members become extra ids; a relation whose wanted-member percentage
+    reaches `complete-partial-relations` likewise (post-loop, :235-237);
+    pass 2 pulls node refs of way_ids|extra_way_ids; pass 3 emits the union.
+
+Distribution notes (scale path, SURVEY.md §4.3): the spatial join over
+`images` is the 100TB-scale pass — it runs as a RegionMatcher actor pool,
+single pass, all extracts at once. Member/relation closure passes run as
+broadcast semi-joins (`ray.put` id sets, `map_batches` isin) over the
+adjacency datasets; matched group ids are reduced to the driver (narrow
+2-column results — the distributed analogue of the reference's in-RAM
+IdSetDense bitsets, man/osmium-extract.md:382-387). The rel->rel parent
+closure collects only the relation->relation edge list (tiny in practice;
+for adversarial graphs swap in the bucketed-join fixpoint documented in
+SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from ..stages.extract import RegionMatcher
+from ..state.regions import Region
+
+
+def _np_str(col) -> np.ndarray:
+    return np.asarray(col.to_pylist() if hasattr(col, "to_pylist") else col, dtype=object)
+
+
+def _isin(values: np.ndarray, idset: np.ndarray) -> np.ndarray:
+    if idset is None or len(idset) == 0:
+        return np.zeros(len(values), dtype=bool)
+    return np.isin(values, idset)
+
+
+@dataclass
+class ExtractSets:
+    """Per-extract id sets (the IdSetDense analogue)."""
+
+    n_extracts: int
+    node_ids: list[np.ndarray] = field(default_factory=list)
+    extra_node_ids: list[np.ndarray] = field(default_factory=list)
+    way_ids: list[np.ndarray] = field(default_factory=list)
+    extra_way_ids: list[np.ndarray] = field(default_factory=list)
+    relation_ids: list[np.ndarray] = field(default_factory=list)
+
+    def __post_init__(self):
+        empty = lambda: [np.empty(0, dtype=object) for _ in range(self.n_extracts)]
+        for f in ("node_ids", "extra_node_ids", "way_ids", "extra_way_ids", "relation_ids"):
+            if not getattr(self, f):
+                setattr(self, f, empty())
+
+
+def _matched_node_ids(images, regions, level: int, concurrency) -> list[np.ndarray]:
+    """Distributed pass 1: ids of images inside each region (single pass,
+    all extracts — replaces E sequential scans)."""
+    import ray
+
+    narrow = images.select_columns(["image_id", "lon", "lat"])
+    regions_ref = ray.put(regions)
+    matched = narrow.map_batches(
+        RegionMatcher, fn_constructor_args=(regions_ref, level),
+        batch_format="pyarrow", concurrency=concurrency,
+    ).select_columns(["image_id", "extract_id"])
+    rows = matched.take_all()
+    ids = np.asarray([r["image_id"] for r in rows], dtype=object)
+    eids = np.asarray([r["extract_id"] for r in rows], dtype=np.int32)
+    return [np.unique(ids[eids == e]) for e in range(len(regions))]
+
+
+def _member_hits(members, idsets: list[np.ndarray], mtype: str,
+                 kind_of: dict[str, str], want_kind: str) -> list[np.ndarray]:
+    """Distributed semi-join: group ids (of kind `want_kind`) having >=1
+    member of `mtype` whose ref is in idsets[e]. Broadcast id sets, scan the
+    members dataset once, reduce distinct (group_id, e) pairs."""
+    import ray
+
+    refs = ray.put(idsets)
+    kinds = ray.put(kind_of)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        sets = ray.get(refs)
+        kmap = ray.get(kinds)
+        mt = _np_str(batch["mtype"])
+        gid = _np_str(batch["group_id"])
+        ref = _np_str(batch["ref"])
+        sel = mt == mtype
+        out_g, out_e = [], []
+        for e, s in enumerate(sets):
+            hit = sel & _isin(ref, s)
+            if hit.any():
+                g = gid[hit]
+                gk = np.asarray([kmap.get(x) == want_kind for x in g])
+                g = np.unique(g[gk])
+                out_g.append(g)
+                out_e.append(np.full(len(g), e, dtype=np.int32))
+        if not out_g:
+            return pa.table({"group_id": pa.array([], type=pa.string()),
+                             "extract_id": pa.array([], type=pa.int32())})
+        return pa.table({"group_id": pa.array(np.concatenate(out_g), type=pa.string()),
+                         "extract_id": pa.array(np.concatenate(out_e))})
+
+    rows = members.map_batches(scan, batch_format="pyarrow").take_all()
+    gids = np.asarray([r["group_id"] for r in rows], dtype=object)
+    eids = np.asarray([r["extract_id"] for r in rows], dtype=np.int32)
+    return [np.unique(gids[eids == e]) for e in range(len(idsets))]
+
+
+def _member_refs_of(members, groupsets: list[np.ndarray],
+                    mtypes: tuple[str, ...] = ("node",)) -> list[np.ndarray]:
+    """Distributed: refs (of the given member types) of all groups in
+    groupsets[e]."""
+    import ray
+
+    gref = ray.put(groupsets)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        sets = ray.get(gref)
+        mt = _np_str(batch["mtype"])
+        gid = _np_str(batch["group_id"])
+        ref = _np_str(batch["ref"])
+        sel = np.isin(mt, np.asarray(mtypes, dtype=object))
+        out_r, out_e = [], []
+        for e, s in enumerate(sets):
+            hit = sel & _isin(gid, s)
+            if hit.any():
+                r = np.unique(ref[hit])
+                out_r.append(r)
+                out_e.append(np.full(len(r), e, dtype=np.int32))
+        if not out_r:
+            return pa.table({"ref": pa.array([], type=pa.string()),
+                             "extract_id": pa.array([], type=pa.int32())})
+        return pa.table({"ref": pa.array(np.concatenate(out_r), type=pa.string()),
+                         "extract_id": pa.array(np.concatenate(out_e))})
+
+    rows = members.map_batches(scan, batch_format="pyarrow").take_all()
+    rr = np.asarray([r["ref"] for r in rows], dtype=object)
+    ee = np.asarray([r["extract_id"] for r in rows], dtype=np.int32)
+    return [np.unique(rr[ee == e]) for e in range(len(groupsets))]
+
+
+def _collect_small(ds, columns):
+    """Collect a narrow projection of a (small, metadata-class) dataset."""
+    if ds is None:
+        return {c: np.empty(0, dtype=object) for c in columns}
+    rows = ds.select_columns(columns).take_all()
+    return {c: np.asarray([r[c] for r in rows], dtype=object) for c in columns}
+
+
+def _parent_closure(rel_edges_child: np.ndarray, rel_edges_parent: np.ndarray,
+                    seed: np.ndarray, skip: np.ndarray | None = None) -> np.ndarray:
+    """Recursive member->parent closure over relation->relation edges
+    (strategy_complete_ways.cpp:36-43): returns seed ∪ all ancestors."""
+    have = set(seed.tolist())
+    if skip is not None:
+        blocked = set(skip.tolist())
+    else:
+        blocked = set()
+    frontier = set(seed.tolist())
+    while frontier:
+        hit = np.isin(rel_edges_child, np.asarray(list(frontier), dtype=object))
+        parents = set(rel_edges_parent[hit].tolist()) - have - blocked
+        have |= parents
+        frontier = parents
+    return np.asarray(sorted(have), dtype=object)
+
+
+def run_extract(images, regions: list[Region], groups=None, members=None,
+                strategy: str = "complete_ways", options: dict | None = None,
+                level: int = 8, concurrency=4):
+    """Run an extract strategy. Returns dict with:
+       images_out: Dataset of matched image rows + extract_id (fan-out)
+       group_rows: pa.Table (group_id, kind, extract_id)
+       sets: ExtractSets (the id sets, for tests/inspection)
+    """
+    options = options or {}
+    E = len(regions)
+    sets = ExtractSets(E)
+    sets.node_ids = _matched_node_ids(images, regions, level, concurrency)
+
+    do_relations = not (strategy == "complete_ways"
+                        and str(options.get("relations", "")).lower() == "false")
+
+    g = _collect_small(groups, ["group_id", "kind"]) if groups is not None else None
+    kind_of = dict(zip(g["group_id"], g["kind"])) if g else {}
+
+    mem = None
+    if members is not None:
+        mem = _collect_small(members, ["group_id", "seq", "mtype", "ref"])
+
+    if groups is not None and members is not None:
+        if strategy == "simple":
+            _run_simple(sets, members, mem, kind_of, do_relations)
+        elif strategy == "complete_ways":
+            _run_complete_ways(sets, members, mem, kind_of, do_relations)
+        elif strategy == "smart":
+            _run_smart(sets, groups, members, mem, kind_of, options)
+        else:
+            raise ValueError(f"Unknown strategy '{strategy}'")
+
+    # final image selection: node_ids ∪ extra_node_ids, emitted with extract_id
+    import ray
+
+    final_nodes = [np.unique(np.concatenate([sets.node_ids[e], sets.extra_node_ids[e]]))
+                   for e in range(E)]
+    fref = ray.put(final_nodes)
+
+    def select_images(batch: pa.Table) -> pa.Table:
+        idsets = ray.get(fref)
+        ids = _np_str(batch["image_id"])
+        parts = []
+        for e, s in enumerate(idsets):
+            m = _isin(ids, s)
+            if m.any():
+                part = batch.filter(pa.array(m))
+                parts.append(part.append_column(
+                    "extract_id", pa.array(np.full(part.num_rows, e, dtype=np.int32))))
+        if not parts:
+            empty = batch.slice(0, 0)
+            return empty.append_column("extract_id", pa.array([], type=pa.int32()))
+        return pa.concat_tables(parts)
+
+    images_out = images.map_batches(select_images, batch_format="pyarrow")
+
+    group_rows = []
+    for e in range(E):
+        ways = np.unique(np.concatenate([sets.way_ids[e], sets.extra_way_ids[e]]))
+        for gid in ways:
+            group_rows.append((gid, "way", e))
+        for gid in sets.relation_ids[e]:
+            group_rows.append((gid, "relation", e))
+    group_tbl = pa.table({
+        "group_id": pa.array([r[0] for r in group_rows], type=pa.string()),
+        "kind": pa.array([r[1] for r in group_rows], type=pa.string()),
+        "extract_id": pa.array([r[2] for r in group_rows], type=pa.int32()),
+    })
+    return {"images_out": images_out, "group_rows": group_tbl, "sets": sets}
+
+
+def _rel_edges(mem, kind_of):
+    """relation->relation edges (parent=group_id, child=ref)."""
+    is_rel_member = mem["mtype"] == "relation"
+    owner_is_rel = np.asarray([kind_of.get(x) == "relation" for x in mem["group_id"]])
+    m = is_rel_member & owner_is_rel
+    return mem["ref"][m], mem["group_id"][m]
+
+
+def _run_simple(sets, members_ds, mem, kind_of, do_relations):
+    E = sets.n_extracts
+    sets.way_ids = _member_hits(members_ds, sets.node_ids, "node", kind_of, "way")
+    if not do_relations:
+        return
+    # relation fate decided by its first node/way-type member (strategy_simple.cpp:89-106)
+    owner_rel = np.asarray([kind_of.get(x) == "relation" for x in mem["group_id"]])
+    nonrel = mem["mtype"] != "relation"
+    cand = owner_rel & nonrel
+    order = np.lexsort((mem["seq"][cand].astype(np.int64),
+                        mem["group_id"][cand].astype(str)))
+    gids = mem["group_id"][cand][order]
+    mts = mem["mtype"][cand][order]
+    refs = mem["ref"][cand][order]
+    first = np.ones(len(gids), dtype=bool)
+    first[1:] = gids[1:] != gids[:-1]
+    f_gid, f_mt, f_ref = gids[first], mts[first], refs[first]
+    for e in range(E):
+        ok = ((f_mt == "node") & _isin(f_ref, sets.node_ids[e])) | \
+             ((f_mt == "way") & _isin(f_ref, sets.way_ids[e]))
+        sets.relation_ids[e] = np.unique(f_gid[ok])
+
+
+def _run_complete_ways(sets, members_ds, mem, kind_of, do_relations):
+    E = sets.n_extracts
+    sets.way_ids = _member_hits(members_ds, sets.node_ids, "node", kind_of, "way")
+    sets.extra_node_ids = _member_refs_of(members_ds, sets.way_ids, ("node",))
+    if not do_relations:
+        return
+    rel_by_node = _member_hits(members_ds, sets.node_ids, "node", kind_of, "relation")
+    rel_by_way = _member_hits(members_ds, sets.way_ids, "way", kind_of, "relation")
+    child, parent = _rel_edges(mem, kind_of)
+    for e in range(E):
+        seed = np.union1d(rel_by_node[e], rel_by_way[e])
+        sets.relation_ids[e] = _parent_closure(child, parent, seed)
+
+
+def _smart_check_type(tags: list, types: list[str]) -> bool:
+    if not types:
+        return True
+    tv = {t["key"]: t["value"] for t in (tags or [])}
+    return tv.get("type") in types
+
+
+def _smart_check_tags(tags: list, filter_tags: list[str]) -> bool:
+    tags = tags or []
+    if not filter_tags:
+        return len(tags) > 0  # default TagsFilter{true}: any tag matches
+    for t in tags:
+        for ft in filter_tags:
+            if "=" in ft:
+                k, v = ft.split("=", 1)
+                if t["key"] == k and t["value"] == v:
+                    return True
+            elif t["key"] == ft:
+                return True
+    return False
+
+
+def _run_smart(sets, groups_ds, members_ds, mem, kind_of, options):
+    E = sets.n_extracts
+    sets.way_ids = _member_hits(members_ds, sets.node_ids, "node", kind_of, "way")
+
+    types = ["multipolygon"]
+    tval = options.get("types")
+    if tval is not None:
+        types = [] if tval in ("", "any", "true", True) else str(tval).split(",")
+    pct = int(options.get("complete-partial-relations", 100) or 100)
+    if pct <= 0 or pct > 100:
+        pct = 100
+    filter_tags = [t for t in str(options.get("tags", "")).split(",") if t]
+
+    gt = _collect_small(groups_ds, ["group_id", "tags"])
+    tags_of = dict(zip(gt["group_id"], gt["tags"]))
+
+    # per-relation member lists (driver-side on collected adjacency; the
+    # wanted-member counting is a grouped aggregate — SURVEY.md §7.4)
+    owner_rel = np.asarray([kind_of.get(x) == "relation" for x in mem["group_id"]])
+    rel_gid = mem["group_id"][owner_rel]
+    rel_mt = mem["mtype"][owner_rel]
+    rel_ref = mem["ref"][owner_rel]
+    all_sizes: dict[str, int] = {}
+    for gid in rel_gid:
+        all_sizes[gid] = all_sizes.get(gid, 0) + 1
+
+    for e in range(E):
+        node_hit = (rel_mt == "node") & _isin(rel_ref, sets.node_ids[e])
+        way_hit = (rel_mt == "way") & _isin(rel_ref, sets.way_ids[e])
+        hit = node_hit | way_hit
+        wanted: dict[str, int] = {}
+        for gid in rel_gid[hit]:
+            wanted[gid] = wanted.get(gid, 0) + 1
+        rel_ids = np.unique(rel_gid[hit])
+        sets.relation_ids[e] = rel_ids
+        add_members = []
+        for gid, n_sz in all_sizes.items():
+            w = wanted.get(gid, 0)
+            tags = tags_of.get(gid)
+            if w > 0 and _smart_check_type(tags, types) and _smart_check_tags(tags, filter_tags):
+                add_members.append(gid)
+            elif w * 100 >= n_sz * pct and _smart_check_tags(tags, filter_tags):
+                add_members.append(gid)  # complete-partial-relations (smart:235-237)
+        if add_members:
+            am = np.asarray(add_members, dtype=object)
+            sel = _isin(rel_gid, am)
+            sets.extra_node_ids[e] = np.unique(rel_ref[sel & (rel_mt == "node")])
+            sets.extra_way_ids[e] = np.unique(rel_ref[sel & (rel_mt == "way")])
+
+    # parent closure (skips extra_relation_ids, never set here — smart.cpp:56-63)
+    child, parent = _rel_edges(mem, kind_of)
+    for e in range(E):
+        sets.relation_ids[e] = _parent_closure(child, parent, sets.relation_ids[e])
+
+    # pass 2: node refs of way_ids | extra_way_ids -> extra_node_ids (smart:257-265)
+    all_ways = [np.union1d(sets.way_ids[e], sets.extra_way_ids[e]) for e in range(E)]
+    way_nodes = _member_refs_of(members_ds, all_ways, ("node",))
+    for e in range(E):
+        sets.extra_node_ids[e] = np.union1d(sets.extra_node_ids[e], way_nodes[e])

@@ -76,6 +76,75 @@ class Region:
         return d  # the index is numpy arrays; pickling it into actors is intended
 
 
+def region_cover(region: Region, level: int,
+                 start_level: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Classify the cells covering a region at `level` into
+    (interior_cells, boundary_cells) — both uint64 arrays.
+
+    interior: the whole cell rectangle is inside the region (rows accepted
+    without an exact PIP test); boundary: the region's edge may cross the
+    cell (rows need the exact kernel). Cells not returned are fully outside.
+
+    Method: quadtree refinement from `start_level`. A cell with no segment
+    bounding box overlapping it cannot be crossed by the boundary, so its
+    center's PIP result classifies it whole; overlapping cells are split
+    until `level`, where they become boundary cells. Conservative (segment
+    bboxes padded by one fixed-point unit), so exactness is preserved — the
+    prefilter only routes rows, never decides membership on boundary cells.
+    """
+    from ..functions.cells import cell_bounds, cover_bbox, cell_to_xy, xy_to_cell
+
+    if region.kind == "bbox":
+        lon0, lat0, lon1, lat1 = region.bbox
+        cells = cover_bbox(lon0, lat0, lon1, lat1, level)
+        clon0, clat0, clon1, clat1 = cell_bounds(cells)
+        x0, y0 = to_fix(lon0), to_fix(lat0)
+        x1, y1 = to_fix(lon1), to_fix(lat1)
+        inside = ((to_fix(clon0) >= x0) & (to_fix(clat0) >= y0)
+                  & (to_fix(clon1) <= x1) & (to_fix(clat1) <= y1))
+        return cells[inside], cells[~inside]
+
+    ix = region._index
+    segs = ix._seg_by_band  # includes duplicates across bands; fine for bbox tests
+    sx0 = np.minimum(segs[:, 0], segs[:, 2]) - 1
+    sx1 = np.maximum(segs[:, 0], segs[:, 2]) + 1
+    sy0 = np.minimum(segs[:, 1], segs[:, 3]) - 1
+    sy1 = np.maximum(segs[:, 1], segs[:, 3]) + 1
+
+    env = region.envelope()
+    lvl = min(start_level, level)
+    cells = cover_bbox(env[0], env[1], env[2], env[3], lvl)
+    interior: list[np.ndarray] = []
+    boundary: list[np.ndarray] = []
+    while len(cells):
+        clon0, clat0, clon1, clat1 = cell_bounds(cells)
+        cx0, cy0 = to_fix(clon0), to_fix(clat0)
+        cx1, cy1 = to_fix(clon1), to_fix(clat1)
+        # does any segment bbox overlap each cell rect?
+        overlap = ~((sx1[None, :] < cx0[:, None]) | (sx0[None, :] > cx1[:, None])
+                    | (sy1[None, :] < cy0[:, None]) | (sy0[None, :] > cy1[:, None]))
+        touched = overlap.any(axis=1)
+        clean = ~touched
+        if clean.any():
+            cen_in = ix.contains_fix(((cx0[clean] + cx1[clean]) // 2),
+                                     ((cy0[clean] + cy1[clean]) // 2))
+            keep = cells[clean][cen_in]
+            if keep.size:
+                interior.append(keep)  # kept at whatever level the quadtree resolved
+        if lvl == level:
+            boundary.append(cells[touched])
+            break
+        # refine touched cells one level down
+        x, y = cell_to_xy(cells[touched])
+        nx = np.repeat(x * 2, 4) + np.tile([0, 1, 0, 1], len(x))
+        ny = np.repeat(y * 2, 4) + np.tile([0, 0, 1, 1], len(y))
+        lvl += 1
+        cells = xy_to_cell(nx, ny, lvl)
+    interior_cells = np.concatenate(interior) if interior else np.empty(0, np.uint64)
+    boundary_cells = np.concatenate(boundary) if boundary else np.empty(0, np.uint64)
+    return interior_cells, boundary_cells
+
+
 def _check_lon(v: float) -> float:
     if not isinstance(v, (int, float)) or isinstance(v, bool):
         raise ConfigError("'bbox' array elements must be numbers.")
