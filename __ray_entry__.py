@@ -1,44 +1,713 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native spatial engine (osmium_tool_ray).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray itself; nothing below calls ray.init/shutdown.
+Each queries() entry re-expresses one operator family from SURVEY.md §2 over
+the sandbox parquet tables; the geo-tagged image corpus of
+BASELINE.json.input_hint is synthesised deterministically from the `events`
+table with exact integer arithmetic so the DuckDB oracles reproduce it
+bit-for-bit (osmium_tool_ray/sources/corpus.py, IMAGES_SQL_CTE).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
-"""
+Column names match the oracle SQL exactly (the driver hashes values after
+sorting columns by name)."""
 
 from __future__ import annotations
 
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from osmium_tool_ray.sources.corpus import IMAGES_SQL_CTE, images_dataset
+from osmium_tool_ray.state.regions import Region, parse_extract_config
+
+# -- shared fixtures -----------------------------------------------------------
+
+BBOX = (-60.0, -40.0, 60.0, 40.0)
+# strictly convex CCW quad whose edges avoid the 0.01-degree corpus grid
+POLY = [[0.0, -40.005], [60.005, 0.0], [0.0, 40.005], [-60.005, 0.0], [0.0, -40.005]]
+TS_CUT = "2024-01-15 00:00:00"
+CELL_LEVEL = 10
+TILE_LEVEL = 6
+
+
+def _events(sf_dir: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _cell_xy(batch: pa.Table, level: int) -> tuple[np.ndarray, np.ndarray]:
+    n = np.int64(1) << np.int64(level)
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+    y = np.floor((lat + 90.0) / 180.0 * n).astype(np.int64)
+    np.clip(x, 0, n - 1, out=x)
+    np.clip(y, 0, n - 1, out=y)
+    return x, y
+
+
+_CELL_XY_SQL = ("LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {m}) AS cell_x, "
+                "LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * {n}) AS BIGINT), 0), {m}) AS cell_y")
+
+
+# -- geo queries ---------------------------------------------------------------
+
+def q_extract_bbox(sf_dir: str):
+    reg = Region(name="b", kind="bbox", bbox=BBOX)
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = reg.contains(batch["lon"].to_numpy(zero_copy_only=False),
+                         batch["lat"].to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(m)).select(["image_id", "lon", "lat", "caption"])
+
+    return images_dataset(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_extract_polygon(sf_dir: str):
+    reg = Region(name="p", kind="polygon", rings=[np.asarray(POLY)])
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = reg.contains(batch["lon"].to_numpy(zero_copy_only=False),
+                         batch["lat"].to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(m)).select(["image_id", "lon", "lat"])
+
+    return images_dataset(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_extract_multi_fanout(sf_dir: str):
+    import ray
+    from osmium_tool_ray.stages.extract import RegionMatcher
+
+    regions = parse_extract_config({"extracts": [
+        {"output": "west", "bbox": [-150, -60, -30, 60]},
+        {"output": "east", "bbox": [30, -60, 150, 60]},
+    ]})
+    ds = images_dataset(sf_dir).select_columns(["image_id", "lon", "lat"])
+    matched = ds.map_batches(RegionMatcher, fn_constructor_args=(ray.put(regions),),
+                             batch_format="pyarrow", concurrency=2)
+    return matched.select_columns(["extract_id", "image_id"])
+
+
+def q_cell_grid_counts(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x, y = _cell_xy(batch, CELL_LEVEL)
+        import pandas as pd
+        g = pd.DataFrame({"cell_x": x, "cell_y": y}).groupby(
+            ["cell_x", "cell_y"], sort=False).size().reset_index(name="n")
+        return pa.table({"cell_x": pa.array(g["cell_x"], type=pa.int64()),
+                         "cell_y": pa.array(g["cell_y"], type=pa.int64()),
+                         "n": pa.array(g["n"], type=pa.int64())})
+
+    return images_dataset(sf_dir).map_batches(partial, batch_format="pyarrow") \
+        .groupby(["cell_x", "cell_y"]).aggregate(Sum("n", alias_name="n_images"))
+
+
+def q_tile_counts_salted(sf_dir: str):
+    import pandas as pd
+    from osmium_tool_ray.functions.cells import cell_to_xy
+    from osmium_tool_ray.stages.tiles import assign_tiles_salted
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cell": [g["cell"].iloc[0]], "salt": [g["salt"].iloc[0]],
+                             "n_images": [len(g)]})
+
+    out = assign_tiles_salted(images_dataset(sf_dir), level=TILE_LEVEL, agg_fn=agg,
+                              hot_threshold=1000, salts=8)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        x, y = cell_to_xy(batch["cell"].to_numpy(zero_copy_only=False).view(np.uint64))
+        return pa.table({"cell_x": pa.array(x), "cell_y": pa.array(y),
+                         "n_images": batch["n_images"].cast(pa.int64())})
+
+    return out.map_batches(decode, batch_format="pyarrow")
+
+
+def q_fileinfo(sf_dir: str):
+    from osmium_tool_ray.pipelines.stats import fileinfo
+
+    info = fileinfo(images_dataset(sf_dir), id_col="phash",
+                    lon_col="lon", lat_col="lat")
+    return pa.table({"n_rows": pa.array([info["count"]], type=pa.int64()),
+                     "min_phash": pa.array([info["min_id"]], type=pa.int64()),
+                     "max_phash": pa.array([info["max_id"]], type=pa.int64()),
+                     "min_lon": pa.array([info["min_lon"]]),
+                     "max_lon": pa.array([info["max_lon"]]),
+                     "min_lat": pa.array([info["min_lat"]]),
+                     "max_lat": pa.array([info["max_lat"]])})
+
+
+def q_caption_tags_count(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.extract_regex(batch["caption"], pattern=r"(?P<w>[^ ]+)$")
+        w = words.field("w") if hasattr(words, "field") else words.combine_chunks().field("w")
+        uw, cnt = np.unique(np.asarray(w.to_pylist(), dtype=object).astype(str),
+                            return_counts=True)
+        return pa.table({"key": pa.array(uw, type=pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = images_dataset(sf_dir).map_batches(partial, batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("n", alias_name="cnt"))
+    return agg.sort(["cnt", "key"], descending=[True, False])
+
+
+# -- id ops --------------------------------------------------------------------
+
+def _click_ids(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+    m = pc.and_(pc.equal(t["event_type"], "click"), pc.greater(t["value"], 400.0))
+    ids = t.filter(m)["event_id"].to_numpy(zero_copy_only=False)
+    return np.asarray([f"img{i:010d}" for i in ids], dtype=object)
+
+
+def q_getid_semi(sf_dir: str):
+    from osmium_tool_ray.pipelines.idops import semi_join
+    ds = semi_join(images_dataset(sf_dir), "image_id", _click_ids(sf_dir))
+    return ds.select_columns(["image_id", "phash", "caption"])
+
+
+def q_removeid_anti(sf_dir: str):
+    from osmium_tool_ray.pipelines.idops import removeid
+    ds = removeid(images_dataset(sf_dir), _click_ids(sf_dir))
+    return ds.select_columns(["image_id", "phash"])
+
+
+def q_getparents_orders(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from osmium_tool_ray.pipelines.idops import getparents
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"])
+    wanted = part.filter(pc.equal(part["p_size"], 1))["p_partkey"].to_pylist()
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+
+    def as_members(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "group_id": batch["l_orderkey"].cast(pa.string()),
+            "mtype": pa.array(["node"] * batch.num_rows, type=pa.string()),
+            "ref": batch["l_partkey"].cast(pa.string()),
+        })
+
+    members = li.map_batches(as_members, batch_format="pyarrow")
+    return getparents(members, {"node": np.asarray([str(x) for x in wanted], dtype=object)})
+
+
+def q_check_refs_missing(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    keep = orders.filter(pc.less_equal(orders["o_totalprice"], 200000.0))["o_orderkey"] \
+        .to_numpy(zero_copy_only=False)
+    ref = ray.put(np.sort(keep))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, ok)
+        pos[pos == len(ks)] = len(ks) - 1
+        missing = ks[pos] != ok
+        return pa.table({"n": pa.array([int(missing.sum())], type=pa.int64())})
+
+    parts = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]) \
+        .map_batches(scan, batch_format="pyarrow").take_all()
+    return pa.table({"missing_refs": pa.array([sum(r["n"] for r in parts)], type=pa.int64())})
+
+
+def q_renumber_users(sf_dir: str):
+    from osmium_tool_ray.pipelines.idops import renumber
+
+    ds = _events(sf_dir, ["user_id"])
+    uniq = ds.groupby("user_id").count().select_columns(["user_id"])
+    out, _ = renumber(uniq, "user_id", out_col="new_id")
+    return out.select_columns(["user_id", "new_id"])
+
+
+# -- merges / versions ---------------------------------------------------------
+
+def q_merge_dedup(sf_dir: str):
+    from osmium_tool_ray.pipelines.merge import merge
+
+    ev = _events(sf_dir, ["event_id", "event_type"])
+
+    def mod_filter(k):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["event_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % k == 0))
+        return f
+
+    a = ev.map_batches(mod_filter(2), batch_format="pyarrow")
+    b = ev.map_batches(mod_filter(3), batch_format="pyarrow")
+    return merge([a, b], ["event_id"]).select_columns(["event_id", "event_type"])
+
+
+def q_sort_topk(sf_dir: str):
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+    return ds.sort(["value", "event_id"], descending=[True, False]).limit(50)
+
+
+def q_latest_version(sf_dir: str):
+    import pandas as pd
+    from osmium_tool_ray.pipelines.merge import dedup_exact
+
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value", "ts"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=False, kind="stable").head(1)
+        return g[["user_id", "event_id", "event_type", "value"]]
+
+    return ds.groupby("user_id").map_groups(pick, batch_format="pandas")
+
+
+def q_time_filter_snapshot(sf_dir: str):
+    import datetime as dt
+    import pandas as pd
+    from osmium_tool_ray.pipelines.merge import time_filter
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+    out = time_filter(ds, dt.datetime.fromisoformat(TS_CUT), ["user_id"],
+                      ts_col="ts", visible_col=None)
+    # tie-break parity with the SQL window: highest event_id at equal ts
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("event_id", ascending=False, kind="stable").head(1)
+
+    return out.groupby("user_id").map_groups(pick, batch_format="pandas") \
+        .select_columns(["user_id", "event_id"])
+
+
+def q_derive_changes_counts(sf_dir: str):
+    from osmium_tool_ray.pipelines.merge import derive_changes
+    from ray.data.aggregate import Count
+
+    ev = _events(sf_dir, ["event_id", "event_type"])
+
+    def mod_not(k):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["event_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 4 != k))
+        return f
+
+    old = ev.map_batches(mod_not(0), batch_format="pyarrow")
+    new = ev.map_batches(mod_not(1), batch_format="pyarrow")
+    tagged = derive_changes(old, new, ["event_id"], ["event_type"])
+    return tagged.groupby("change").aggregate(Count(alias_name="n"))
+
+
+def q_changeset_filter(sf_dir: str):
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value", "ts"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        import datetime as dt
+        t0 = dt.datetime(2024, 1, 5)
+        t1 = dt.datetime(2024, 1, 20)
+        m = (pc.greater_equal(batch["ts"], pa.scalar(t0)).to_numpy(zero_copy_only=False)
+             & pc.less(batch["ts"], pa.scalar(t1)).to_numpy(zero_copy_only=False)
+             & pc.is_in(batch["event_type"],
+                        value_set=pa.array(["click", "purchase"])).to_numpy(zero_copy_only=False)
+             & pc.greater(batch["value"], 100.0).to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(m)).select(["event_id", "user_id", "value"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# -- extract strategies over synthesized adjacency -----------------------------
+
+def _user_adjacency(sf_dir: str):
+    import ray.data as rd
+
+    ev = _events(sf_dir, ["event_id", "user_id"])
+
+    def as_members(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "group_id": pc.binary_join_element_wise(
+                pa.array(["u"] * batch.num_rows), batch["user_id"].cast(pa.string()), ""),
+            "seq": batch["event_id"].cast(pa.int32()),
+            "mtype": pa.array(["node"] * batch.num_rows, type=pa.string()),
+            "ref": pa.array([f"img{i:010d}" for i in ids], type=pa.string()),
+        })
+
+    members = ev.map_batches(as_members, batch_format="pyarrow")
+    users = ev.groupby("user_id").count()
+
+    def as_groups(batch: pa.Table) -> pa.Table:
+        from osmium_tool_ray.schema import TAGS_TYPE
+        n = batch.num_rows
+        return pa.table({
+            "group_id": pc.binary_join_element_wise(
+                pa.array(["u"] * n), batch["user_id"].cast(pa.string()), ""),
+            "kind": pa.array(["way"] * n, type=pa.string()),
+            "tags": pa.array([[]] * n, type=TAGS_TYPE),
+        })
+
+    groups = users.map_batches(as_groups, batch_format="pyarrow")
+    return groups, members
+
+
+def q_extract_ways_simple(sf_dir: str):
+    from osmium_tool_ray.pipelines.extract import run_extract
+
+    regions = [Region(name="b", kind="bbox", bbox=BBOX)]
+    groups, members = _user_adjacency(sf_dir)
+    res = run_extract(images_dataset(sf_dir), regions, groups=groups,
+                      members=members, strategy="simple", concurrency=2)
+    gr = res["group_rows"]
+    return gr.filter(pc.equal(gr["kind"], "way")).select(["group_id"])
+
+
+def q_extract_cw_nodes(sf_dir: str):
+    from osmium_tool_ray.pipelines.extract import run_extract
+
+    regions = [Region(name="b", kind="bbox", bbox=BBOX)]
+    groups, members = _user_adjacency(sf_dir)
+    res = run_extract(images_dataset(sf_dir), regions, groups=groups,
+                      members=members, strategy="complete_ways", concurrency=2)
+    return res["images_out"].select_columns(["image_id"])
+
+
+# -- documents / text ----------------------------------------------------------
+
+def q_dedup_exact_docs(sf_dir: str):
+    import pandas as pd
+    from osmium_tool_ray.stages.text import Fingerprint
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Fingerprint, fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pyarrow", concurrency=2)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": [g["doc_id"].min()], "n": [len(g)]})
+
+    return ds.groupby("fp").map_groups(pick, batch_format="pandas") \
+        .select_columns(["doc_id", "n"])
+
+
+def q_token_count_docs(sf_dir: str):
+    from osmium_tool_ray.stages.text import TokenCount
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(TokenCount, fn_constructor_kwargs={"text_col": "text"},
+                     batch_format="pyarrow", concurrency=2) \
+        .select_columns(["doc_id", "n_tokens"])
+
+
+def q_quality_docs(sf_dir: str):
+    from osmium_tool_ray.stages.text import QualityScore
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(QualityScore, fn_constructor_kwargs={"text_col": "text"},
+                     batch_format="pyarrow", concurrency=2) \
+        .select_columns(["doc_id", "punct_ratio", "space_ratio"])
+
+
+# -- kNN -----------------------------------------------------------------------
+
+def q_knn_points(sf_dir: str):
+    """Exact 3-NN (squared-euclidean in degree space) of every 997th corpus
+    point against the full corpus — brute force per batch + tiny top-k merge
+    (the ann_topk pattern with lon/lat as the embedding)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+    qids = t["event_id"].to_numpy(zero_copy_only=False)
+    qids = qids[qids % 997 == 0]
+    qlon = ((qids * 7919) % 36000) / 100.0 - 180.0
+    qlat = ((qids * 104729) % 17000) / 100.0 - 85.0
+    qref = ray.put((qids, qlon, qlat))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qi, qx, qy = ray.get(qref)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(batch["image_id"].to_pylist(), dtype=object)
+        d = (qx[:, None] - lon[None, :]) ** 2 + (qy[:, None] - lat[None, :]) ** 2
+        k = min(4, d.shape[1])
+        rows = []
+        for i in range(len(qi)):
+            order = np.lexsort((ids.astype(str), d[i]))[:k]
+            for j in order:
+                rows.append((int(qi[i]), ids[j], float(d[i, j])))
+        return pa.table({"query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                         "neighbor_id": pa.array([r[1] for r in rows], type=pa.string()),
+                         "dist2": pa.array([r[2] for r in rows], type=pa.float64())})
+
+    partials = images_dataset(sf_dir).map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        self_id = f"img{int(g['query_id'].iloc[0]):010d}"
+        g = g[g["neighbor_id"] != self_id]
+        g = g.sort_values(["dist2", "neighbor_id"], kind="stable").head(3)
+        g = g.copy()
+        g["rank"] = range(1, len(g) + 1)
+        return g[["query_id", "rank", "neighbor_id", "dist2"]]
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# -- rows-only (non-SQL-expressible) ------------------------------------------
+
+def q_langid_docs(sf_dir: str):
+    from osmium_tool_ray.stages.text import LangId
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(LangId, fn_constructor_kwargs={"text_col": "text"},
+                     batch_format="pandas", concurrency=2) \
+        .select_columns(["doc_id", "lang_pred"])
+
+
+def q_simhash_docs(sf_dir: str):
+    from osmium_tool_ray.stages.dedup import SimHash
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(SimHash, fn_constructor_kwargs={"text_col": "text"},
+                     batch_format="pandas", concurrency=2) \
+        .select_columns(["doc_id", "simhash"])
+
+
+def q_minhash_dup_pairs(sf_dir: str):
+    from osmium_tool_ray.stages.dedup import minhash_dedup
+
+    return minhash_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.6,
+                         concurrency=2)
+
+
+def q_ann_embeddings(sf_dir: str):
+    import ray.data as rd
+    from osmium_tool_ray.stages.knn import ann_topk
+
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy(zero_copy_only=False)
+    qsel = t.filter(pa.array(vid % 100 == 0))
+    qm = np.asarray(qsel["embedding"].to_pylist(), dtype=np.float64)
+    qids = qsel["vec_id"].to_numpy(zero_copy_only=False)
+    corpus = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    return ann_topk(corpus, qm, qids, k=5, concurrency=2)
+
+
+def q_psnr_verify(sf_dir: str):
+    from osmium_tool_ray.stages.media import DecodeVerify
+
+    ds = images_dataset(sf_dir, with_bytes=True)
+    out = ds.map_batches(DecodeVerify, batch_format="pyarrow", batch_size=256,
+                         concurrency=2)
+    return out.select_columns(["image_id", "fmt", "pix_ok"])
+
+
+# -- driver contract -----------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: corpus synth -> decode/PSNR-verify -> multi-region extract
+    fan-out -> matched rows (narrow projection)."""
+    import ray
+    from osmium_tool_ray.stages.extract import RegionMatcher
+    from osmium_tool_ray.stages.media import DecodeVerify
+
+    sf_dir = "/root/testdata/sf0.001"
+    regions = parse_extract_config({"extracts": [
+        {"output": "west", "bbox": [-150, -60, -30, 60]},
+        {"output": "east", "bbox": [30, -60, 150, 60]},
+        {"output": "diamond", "polygon": [POLY]},
+    ]})
+    ds = images_dataset(sf_dir, with_bytes=True)
+    ds = ds.map_batches(DecodeVerify, batch_format="pyarrow", batch_size=256,
+                        concurrency=2)
+    matched = ds.map_batches(RegionMatcher, fn_constructor_args=(ray.put(regions),),
+                             batch_format="pyarrow", concurrency=2)
+    return matched.select_columns(["extract_id", "image_id", "lon", "lat",
+                                   "caption", "pix_ok"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_bbox": q_extract_bbox,
+        "extract_polygon": q_extract_polygon,
+        "extract_multi_fanout": q_extract_multi_fanout,
+        "cell_grid_counts": q_cell_grid_counts,
+        "tile_counts_salted": q_tile_counts_salted,
+        "fileinfo": q_fileinfo,
+        "caption_tags_count": q_caption_tags_count,
+        "getid_semi": q_getid_semi,
+        "removeid_anti": q_removeid_anti,
+        "getparents_orders": q_getparents_orders,
+        "check_refs_missing": q_check_refs_missing,
+        "renumber_users": q_renumber_users,
+        "merge_dedup": q_merge_dedup,
+        "sort_topk": q_sort_topk,
+        "latest_version": q_latest_version,
+        "time_filter_snapshot": q_time_filter_snapshot,
+        "derive_changes_counts": q_derive_changes_counts,
+        "changeset_filter": q_changeset_filter,
+        "extract_ways_simple": q_extract_ways_simple,
+        "extract_cw_nodes": q_extract_cw_nodes,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "token_count_docs": q_token_count_docs,
+        "quality_docs": q_quality_docs,
+        "knn_points": q_knn_points,
+        "langid_docs": q_langid_docs,
+        "simhash_docs": q_simhash_docs,
+        "minhash_dup_pairs": q_minhash_dup_pairs,
+        "ann_embeddings": q_ann_embeddings,
+        "psnr_verify": q_psnr_verify,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cte = "WITH " + IMAGES_SQL_CTE.strip()
+    n10 = 1 << CELL_LEVEL
+    n6 = 1 << TILE_LEVEL
+    cells10 = _CELL_XY_SQL.format(n=n10, m=n10 - 1)
+    cells6 = _CELL_XY_SQL.format(n=n6, m=n6 - 1)
+    # convex CCW quad: inside-or-boundary = every cross product >= 0
+    edges = []
+    for (x1, y1), (x2, y2) in zip(POLY[:-1], POLY[1:]):
+        edges.append(f"(({x2} - {x1}) * (lat - {y1}) - (lon - {x1}) * ({y2} - {y1})) >= 0")
+    poly_pred = " AND ".join(edges)
+    return {
+        "extract_bbox": f"""{cte}
+            SELECT image_id, lon, lat, caption FROM images
+            WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]}
+              AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}""",
+        "extract_polygon": f"""{cte}
+            SELECT image_id, lon, lat FROM images WHERE {poly_pred}""",
+        "extract_multi_fanout": f"""{cte}
+            SELECT CAST(0 AS INTEGER) AS extract_id, image_id FROM images
+            WHERE lon >= -150 AND lon <= -30 AND lat >= -60 AND lat <= 60
+            UNION ALL
+            SELECT CAST(1 AS INTEGER) AS extract_id, image_id FROM images
+            WHERE lon >= 30 AND lon <= 150 AND lat >= -60 AND lat <= 60""",
+        "cell_grid_counts": f"""{cte}
+            SELECT cell_x, cell_y, COUNT(*) AS n_images
+            FROM (SELECT {cells10} FROM images) GROUP BY cell_x, cell_y""",
+        "tile_counts_salted": f"""{cte}
+            SELECT cell_x, cell_y, COUNT(*) AS n_images
+            FROM (SELECT {cells6} FROM images) GROUP BY cell_x, cell_y""",
+        "fileinfo": f"""{cte}
+            SELECT COUNT(*) AS n_rows, MIN(phash) AS min_phash,
+                   MAX(phash) AS max_phash, MIN(lon) AS min_lon,
+                   MAX(lon) AS max_lon, MIN(lat) AS min_lat,
+                   MAX(lat) AS max_lat FROM images""",
+        "caption_tags_count": f"""{cte}
+            SELECT regexp_extract(caption, '[^ ]+$') AS key, COUNT(*) AS cnt
+            FROM images GROUP BY 1 ORDER BY cnt DESC, key""",
+        "getid_semi": f"""{cte}
+            SELECT image_id, phash, caption FROM images
+            WHERE image_id IN (
+                SELECT 'img' || lpad(CAST(event_id AS VARCHAR), 10, '0')
+                FROM events WHERE event_type = 'click' AND value > 400.0)""",
+        "removeid_anti": f"""{cte}
+            SELECT image_id, phash FROM images
+            WHERE image_id NOT IN (
+                SELECT 'img' || lpad(CAST(event_id AS VARCHAR), 10, '0')
+                FROM events WHERE event_type = 'click' AND value > 400.0)""",
+        "getparents_orders": """
+            SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS group_id
+            FROM lineitem WHERE l_partkey IN
+                (SELECT p_partkey FROM part WHERE p_size = 1)""",
+        "check_refs_missing": """
+            SELECT COUNT(*) AS missing_refs FROM lineitem
+            WHERE l_orderkey NOT IN
+                (SELECT o_orderkey FROM orders WHERE o_totalprice <= 200000.0)""",
+        "renumber_users": """
+            SELECT user_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY user_id) AS BIGINT) AS new_id
+            FROM (SELECT DISTINCT user_id FROM events)""",
+        "merge_dedup": """
+            SELECT event_id, event_type FROM events
+            WHERE event_id % 2 = 0 OR event_id % 3 = 0""",
+        "sort_topk": """
+            SELECT event_id, event_type, value FROM events
+            ORDER BY value DESC, event_id LIMIT 50""",
+        "latest_version": """
+            SELECT user_id, event_id, event_type, value FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1""",
+        "time_filter_snapshot": f"""
+            SELECT user_id, event_id FROM (
+                SELECT user_id, event_id, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts <= TIMESTAMP '{TS_CUT}') WHERE rn = 1""",
+        "derive_changes_counts": """
+            SELECT change, COUNT(*) AS n FROM (
+                SELECT CASE WHEN event_id % 4 = 1 THEN 'deleted'
+                            WHEN event_id % 4 = 0 THEN 'created'
+                            ELSE 'same' END AS change
+                FROM events WHERE event_id % 4 IN (0, 1, 2, 3)) GROUP BY change""",
+        "changeset_filter": """
+            SELECT event_id, user_id, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+              AND ts < TIMESTAMP '2024-01-20 00:00:00'
+              AND event_type IN ('click', 'purchase') AND value > 100.0""",
+        "extract_ways_simple": f"""{cte}
+            SELECT DISTINCT 'u' || CAST(e.user_id AS VARCHAR) AS group_id
+            FROM events e JOIN images i
+              ON i.image_id = 'img' || lpad(CAST(e.event_id AS VARCHAR), 10, '0')
+            WHERE i.lon >= {BBOX[0]} AND i.lon <= {BBOX[2]}
+              AND i.lat >= {BBOX[1]} AND i.lat <= {BBOX[3]}""",
+        "extract_cw_nodes": f"""{cte}
+            SELECT image_id FROM images
+            WHERE image_id IN (
+              SELECT 'img' || lpad(CAST(e2.event_id AS VARCHAR), 10, '0')
+              FROM events e2 WHERE e2.user_id IN (
+                SELECT e.user_id FROM events e JOIN images i
+                  ON i.image_id = 'img' || lpad(CAST(e.event_id AS VARCHAR), 10, '0')
+                WHERE i.lon >= {BBOX[0]} AND i.lon <= {BBOX[2]}
+                  AND i.lat >= {BBOX[1]} AND i.lat <= {BBOX[3]}))
+            OR image_id IN (
+              SELECT 'img' || lpad(CAST(e.event_id AS VARCHAR), 10, '0')
+              FROM events e JOIN images i
+                ON i.image_id = 'img' || lpad(CAST(e.event_id AS VARCHAR), 10, '0')
+              WHERE i.lon >= {BBOX[0]} AND i.lon <= {BBOX[2]}
+                AND i.lat >= {BBOX[1]} AND i.lat <= {BBOX[3]})""",
+        "dedup_exact_docs": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n
+            FROM documents GROUP BY text""",
+        "token_count_docs": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents""",
+        "quality_docs": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                       / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+                   CAST(len(regexp_extract_all(text, ' ')) AS DOUBLE)
+                       / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS space_ratio
+            FROM documents""",
+        "knn_points": f"""{cte},
+            q AS (SELECT event_id AS query_id,
+                         ((event_id * 7919) % 36000) / 100.0 - 180.0 AS qlon,
+                         ((event_id * 104729) % 17000) / 100.0 - 85.0 AS qlat
+                  FROM events WHERE event_id % 997 = 0)
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, dist2 FROM (
+                SELECT q.query_id, i.image_id AS neighbor_id,
+                       (q.qlon - i.lon) * (q.qlon - i.lon)
+                         + (q.qlat - i.lat) * (q.qlat - i.lat) AS dist2,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY (q.qlon - i.lon) * (q.qlon - i.lon)
+                                  + (q.qlat - i.lat) * (q.qlat - i.lat),
+                                    i.image_id) AS rank
+                FROM q CROSS JOIN images i
+                WHERE i.image_id <> 'img' || lpad(CAST(q.query_id AS VARCHAR), 10, '0'))
+            WHERE rank <= 3""",
+        # langid_docs / simhash_docs / minhash_dup_pairs / ann_embeddings /
+        # psnr_verify: intentionally no oracle (model-style scoring, sketches,
+        # binary decoding) -> driver records the rows-only check.
+    }

@@ -20,11 +20,19 @@ _SM_M2 = _U64(0x94D049BB133111EB)
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer. x: uint64 array -> uint64 array."""
-    z = (x.astype(_U64) + _SM_GAMMA)
-    z = (z ^ (z >> _U64(30))) * _SM_M1
-    z = (z ^ (z >> _U64(27))) * _SM_M2
-    return z ^ (z >> _U64(31))
+    """Vectorized splitmix64 finalizer. x: uint64 array -> uint64 array.
+    In-place ops on one scratch buffer — two allocations total instead of
+    eight (this runs over every pixel word of the corpus)."""
+    z = np.add(x, _SM_GAMMA, dtype=_U64)
+    t = np.right_shift(z, _U64(30))
+    z ^= t
+    z *= _SM_M1
+    np.right_shift(z, _U64(27), out=t)
+    z ^= t
+    z *= _SM_M2
+    np.right_shift(z, _U64(31), out=t)
+    z ^= t
+    return z
 
 
 def hash64(x: np.ndarray, seed: int = 0) -> np.ndarray:

@@ -92,8 +92,11 @@ def decode_batch(bin_arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def psnr(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Per-row PSNR in dB between two (n, k) uint8 pixel matrices; inf for
-    identical rows."""
-    d = a.astype(np.float64) - b.astype(np.float64)
-    mse = np.mean(d * d, axis=1)
+    identical rows. Squared error accumulates in int64 via einsum — no
+    float64 temporaries the size of the pixel matrix."""
+    d = a.astype(np.int16)
+    d -= b
+    sq = np.einsum("ij,ij->i", d, d, dtype=np.int64)
+    mse = sq / a.shape[1]
     with np.errstate(divide="ignore"):
         return 10.0 * np.log10(255.0 * 255.0 / mse)

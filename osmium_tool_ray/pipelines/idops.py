@@ -1,0 +1,227 @@
+"""ID-set operators: getid / removeid / getparents / check-refs / renumber.
+
+Reference semantics (SURVEY.md §2.2, §2.4):
+
+  * getid (/root/reference/src/command_getid.cpp:311-397): copy objects whose
+    id is in the requested set; with -r (--add-referenced-objects) first run
+    3 closure sub-passes: requested relations pull member relations
+    recursively (mark_rel_ids :235-241), then relations pull node/way
+    members (:277-295), then ways pull nodes (:297-309). --remove-tags
+    strips tags of rows that were only added as references (:360-368).
+  * removeid (/root/reference/src/command_removeid.cpp:143-177): anti
+    semi-join against the id set.
+  * getparents (/root/reference/src/command_getparents.cpp:192-244):
+    reverse-reference join — ways containing requested nodes, relations
+    containing requested members; --add-self unions the input set.
+  * check-refs (/root/reference/src/command_check_refs.cpp:100-324):
+    referential-integrity counts — refs whose target id does not exist.
+  * renumber (/root/reference/src/command_renumber.cpp:61-131): dense
+    order-preserving id remap; refs remapped with the same table.
+
+Shapes: the object stream is the big side (Ray map_batches semi/anti joins
+with broadcast id sets); closures are bounded driver loops over the members
+adjacency (the reference's own 3-sub-pass structure)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .extract import _collect_small, _isin, _np_str
+
+
+def parse_id_list(tokens) -> dict[str, np.ndarray]:
+    """Parse 'n123 w12 r7'-style id tokens (default type node without
+    prefix; /root/reference/src/id_file.cpp:31-50 — comment/whitespace
+    stripping, n/w/r prefixes)."""
+    out: dict[str, list] = {"node": [], "way": [], "relation": []}
+    for tok in tokens:
+        tok = tok.strip()
+        if not tok or tok.startswith("#"):
+            continue
+        tok = tok.split()[0]
+        kind = {"n": "node", "w": "way", "r": "relation"}.get(tok[0])
+        if kind:
+            out[kind].append(tok)
+        else:
+            out["node"].append(tok)
+    return {k: np.asarray(sorted(set(v)), dtype=object) for k, v in out.items()}
+
+
+def semi_join(ds, id_col: str, ids: np.ndarray, invert: bool = False):
+    """Distributed (anti-)semi-join of a dataset against a broadcast id set."""
+    import ray
+
+    ref = ray.put(np.asarray(ids, dtype=object))
+
+    def f(batch: pa.Table) -> pa.Table:
+        idset = ray.get(ref)
+        m = _isin(_np_str(batch[id_col]), idset)
+        if invert:
+            m = ~m
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def getid(images, ids: dict[str, np.ndarray], groups=None, members=None,
+          recursive: bool = False):
+    """Returns {"images_out": Dataset, "group_rows": pa.Table(group_id, kind,
+    referenced_only)}. `ids` maps node/way/relation -> requested id arrays."""
+    node_ids = np.asarray(ids.get("node", []), dtype=object)
+    way_ids = np.asarray(ids.get("way", []), dtype=object)
+    rel_ids = np.asarray(ids.get("relation", []), dtype=object)
+    ref_nodes = np.empty(0, dtype=object)
+    ref_ways = np.empty(0, dtype=object)
+    ref_rels = np.empty(0, dtype=object)
+
+    if recursive and members is not None:
+        mem = _collect_small(members, ["group_id", "mtype", "ref"])
+        # sub-pass 1: relations in requested relations, recursive
+        frontier = set(rel_ids.tolist())
+        seen: set = set()
+        while frontier:
+            fsel = _isin(mem["group_id"], np.asarray(list(frontier), dtype=object)) \
+                & (mem["mtype"] == "relation")
+            children = set(mem["ref"][fsel].tolist()) - seen - set(rel_ids.tolist())
+            seen |= children
+            frontier = children
+        ref_rels = np.asarray(sorted(seen), dtype=object)
+        # sub-pass 2: node/way members of requested+referenced relations
+        all_rels = np.union1d(rel_ids, ref_rels)
+        rsel = _isin(mem["group_id"], all_rels)
+        ref_nodes = np.unique(mem["ref"][rsel & (mem["mtype"] == "node")])
+        ref_ways = np.unique(mem["ref"][rsel & (mem["mtype"] == "way")])
+        # sub-pass 3: nodes of requested+referenced ways
+        all_ways = np.union1d(way_ids, ref_ways)
+        wsel = _isin(mem["group_id"], all_ways) & (mem["mtype"] == "node")
+        ref_nodes = np.union1d(ref_nodes, np.unique(mem["ref"][wsel]))
+        ref_nodes = np.setdiff1d(ref_nodes, node_ids)
+        ref_ways = np.setdiff1d(ref_ways, way_ids)
+
+    images_out = semi_join(images, "image_id", np.union1d(node_ids, ref_nodes))
+
+    rows = []
+    if groups is not None:
+        for gid in way_ids:
+            rows.append((gid, "way", False))
+        for gid in ref_ways:
+            rows.append((gid, "way", True))
+        for gid in rel_ids:
+            rows.append((gid, "relation", False))
+        for gid in ref_rels:
+            rows.append((gid, "relation", True))
+    group_rows = pa.table({
+        "group_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "kind": pa.array([r[1] for r in rows], type=pa.string()),
+        "referenced_only": pa.array([r[2] for r in rows], type=pa.bool_()),
+    })
+    return {"images_out": images_out, "group_rows": group_rows}
+
+
+def removeid(images, ids: np.ndarray, id_col: str = "image_id"):
+    return semi_join(images, id_col, ids, invert=True)
+
+
+def getparents(members, ids: dict[str, np.ndarray], groups=None,
+               add_self: bool = False) -> pa.Table:
+    """Groups (ways/relations) containing any requested member
+    (command_getparents.cpp:192-244). Distributed scan of members with
+    broadcast id sets, distinct parent reduce."""
+    import ray
+
+    sets_ref = ray.put({k: np.asarray(v, dtype=object) for k, v in ids.items()})
+
+    def scan(batch: pa.Table) -> pa.Table:
+        sets = ray.get(sets_ref)
+        mt = _np_str(batch["mtype"])
+        ref = _np_str(batch["ref"])
+        gid = _np_str(batch["group_id"])
+        hit = np.zeros(len(mt), dtype=bool)
+        for kind, s in sets.items():
+            hit |= (mt == kind) & _isin(ref, s)
+        parents = np.unique(gid[hit])
+        return pa.table({"group_id": pa.array(parents, type=pa.string())})
+
+    rows = members.map_batches(scan, batch_format="pyarrow").take_all()
+    parents = np.unique(np.asarray([r["group_id"] for r in rows], dtype=object))
+    if add_self:
+        extra = np.union1d(np.asarray(ids.get("way", []), dtype=object),
+                           np.asarray(ids.get("relation", []), dtype=object))
+        parents = np.union1d(parents, extra)
+    return pa.table({"group_id": pa.array(parents, type=pa.string())})
+
+
+def check_refs(images, members, groups=None, check_relations: bool = False) -> dict:
+    """Counts of dangling references: member refs whose target does not
+    exist (command_check_refs.cpp:100-324). Distributed anti-join counts
+    with the referenced-id side reduced per batch before the compare."""
+    import ray
+
+    node_rows = images.select_columns(["image_id"]).take_all()
+    node_set = np.asarray(sorted({r["image_id"] for r in node_rows}), dtype=object)
+    group_set = np.empty(0, dtype=object)
+    kind_of = {}
+    if groups is not None:
+        g = _collect_small(groups, ["group_id", "kind"])
+        group_set = np.unique(g["group_id"])
+        kind_of = dict(zip(g["group_id"], g["kind"]))
+
+    nref = ray.put(node_set)
+    gref = ray.put(group_set)
+    kref = ray.put(kind_of)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        nodes = ray.get(nref)
+        grps = ray.get(gref)
+        kmap = ray.get(kref)
+        mt = _np_str(batch["mtype"])
+        ref = _np_str(batch["ref"])
+        gid = _np_str(batch["group_id"])
+        owner_rel = np.asarray([kmap.get(x) == "relation" for x in gid]) \
+            if kmap else np.zeros(len(gid), dtype=bool)
+        miss_nw = (mt == "node") & ~owner_rel & ~_isin(ref, nodes)
+        miss_nr = (mt == "node") & owner_rel & ~_isin(ref, nodes)
+        miss_wr = (mt == "way") & owner_rel & ~_isin(ref, grps)
+        miss_rr = (mt == "relation") & owner_rel & ~_isin(ref, grps)
+        return pa.table({
+            "nodes_in_ways": pa.array([int(miss_nw.sum())], type=pa.int64()),
+            "nodes_in_relations": pa.array([int(miss_nr.sum())], type=pa.int64()),
+            "ways_in_relations": pa.array([int(miss_wr.sum())], type=pa.int64()),
+            "relations_in_relations": pa.array([int(miss_rr.sum())], type=pa.int64()),
+        })
+
+    parts = members.map_batches(scan, batch_format="pyarrow").take_all()
+    out = {k: int(sum(r[k] for r in parts)) for k in
+           ("nodes_in_ways", "nodes_in_relations", "ways_in_relations",
+            "relations_in_relations")}
+    if not check_relations:
+        out["ways_in_relations"] = out["relations_in_relations"] = 0
+    out["ok"] = all(v == 0 for k, v in out.items() if k != "ok")
+    return out
+
+
+def renumber(ds, id_col: str, start: int = 1, out_col: str | None = None):
+    """Dense order-preserving remap: sorted distinct old ids -> start..N
+    (command_renumber.cpp:61-131). The mapping table is built from a
+    distributed distinct then broadcast; refs in other tables can be
+    remapped with `remap_refs` using the same table. Scale path: replace
+    the broadcast dict with a range-partitioned rank join when the id
+    universe exceeds driver memory (SURVEY.md §7.3)."""
+    import ray
+
+    uniq = np.unique(np.asarray(ds.select_columns([id_col]).unique(id_col),
+                                dtype=object))
+    mapping = {v: i + start for i, v in enumerate(uniq.tolist())}
+    mref = ray.put(mapping)
+    col = out_col or id_col
+
+    def remap(batch: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        vals = _np_str(batch[id_col])
+        new = pa.array([m[v] for v in vals.tolist()], type=pa.int64())
+        if col in batch.schema.names:
+            return batch.set_column(batch.schema.get_field_index(col), col, new)
+        return batch.append_column(col, new)
+
+    return ds.map_batches(remap, batch_format="pyarrow"), mapping

@@ -1,0 +1,104 @@
+"""fileinfo / tags-count — aggregate operators.
+
+  * fileinfo (/root/reference/src/command_fileinfo.cpp:73-160 InfoHandler):
+    one-pass profile — counts, min/max id, first/last timestamp, bbox
+    extent, content CRC. Ray: one multi-aggregate pass; the CRC becomes an
+    order-insensitive content hash (xor of row hashes) so it is stable
+    under Ray's unordered execution.
+  * tags-count (/root/reference/src/command_tags_count.cpp:270-315): grouped
+    count of tag keys (or key=value pairs) with optional TagMatcher
+    prefilter, min/max-count HAVING, count/name sort. Ray: per-batch partial
+    counts (combine) -> small groupby sum -> filter -> sort, the classic
+    partial+final pattern replacing the reference's single 16-GB hash map
+    (man/osmium-tags-count.md:130)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash_str_u64
+from ..functions.matchers import StringMatcher, flatten_tags
+
+
+def fileinfo(ds, id_col: str | None = None, ts_col: str | None = None,
+             lon_col: str | None = None, lat_col: str | None = None,
+             hash_col: str | None = None) -> dict:
+    """Single-pass stream profile. Any column argument may be None."""
+    from ray.data.aggregate import Count, Max, Min
+
+    aggs = [Count(alias_name="count")]
+    for c, mn, mx in ((id_col, "min_id", "max_id"), (ts_col, "first_ts", "last_ts"),
+                      (lon_col, "min_lon", "max_lon"), (lat_col, "min_lat", "max_lat")):
+        if c is not None:
+            aggs += [Min(c, alias_name=mn), Max(c, alias_name=mx)]
+    row = ds.aggregate(*aggs)
+    out = dict(row)
+    if hash_col is not None:
+        def h(batch: pa.Table) -> pa.Table:
+            v = hash_str_u64(batch[hash_col].cast(pa.string()))
+            agg = np.bitwise_xor.reduce(v) if len(v) else np.uint64(0)
+            return pa.table({"h": pa.array([int(agg)], type=pa.uint64())})
+
+        parts = ds.map_batches(h, batch_format="pyarrow").take_all()
+        acc = 0
+        for r in parts:
+            acc ^= int(r["h"])
+        out["content_hash"] = acc
+    return out
+
+
+def tags_count(ds, tags_col: str = "tags", count_values: bool = False,
+               key_filter: StringMatcher | None = None,
+               min_count: int = 0, max_count: int | None = None,
+               sort: str = "count-desc"):
+    """Returns a Dataset of (count, key[, value]) rows.
+
+    Partial counts are computed inside each map_batches call (one row per
+    distinct key per batch), so the global shuffle only moves pre-reduced
+    rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, values, _ = flatten_tags(batch[tags_col])
+        kn = np.asarray(keys.to_pylist(), dtype=object)
+        if key_filter is not None and len(kn):
+            m = key_filter(keys)
+            kn = kn[m]
+            values = values.filter(pa.array(m))
+        if count_values and len(kn):
+            vn = np.asarray(values.to_pylist(), dtype=object)
+            pairs = pd.DataFrame({"key": kn, "value": vn})
+            g = pairs.groupby(["key", "value"], sort=False).size().reset_index(name="n")
+            return pa.table({"key": pa.array(g["key"], type=pa.string()),
+                             "value": pa.array(g["value"], type=pa.string()),
+                             "n": pa.array(g["n"], type=pa.int64())})
+        uk, cnt = np.unique(kn.astype(str), return_counts=True) if len(kn) else \
+            (np.empty(0, dtype=str), np.empty(0, dtype=np.int64))
+        return pa.table({"key": pa.array(uk, type=pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    group_cols = ["key", "value"] if count_values else ["key"]
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_cols).aggregate(Sum("n", alias_name="count"))
+
+    if min_count > 0 or max_count is not None:
+        lo, hi = min_count, max_count
+
+        def having(batch: pa.Table) -> pa.Table:
+            c = batch["count"].to_numpy(zero_copy_only=False)
+            m = c >= lo
+            if hi is not None:
+                m &= c <= hi
+            return batch.filter(pa.array(m))
+
+        agg = agg.map_batches(having, batch_format="pyarrow")
+
+    if sort == "count-desc":
+        agg = agg.sort(["count"] + group_cols, descending=[True] + [False] * len(group_cols))
+    elif sort == "count-asc":
+        agg = agg.sort(["count"] + group_cols)
+    elif sort == "name":
+        agg = agg.sort(group_cols)
+    return agg

@@ -1,0 +1,181 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Shapes (per the Ray guide's sketch-merge pattern):
+  * exact: vectorized content hash in map_batches -> groupby(hash) ->
+    keep lowest id. Only the (hash, id) projection shuffles.
+  * MinHash+LSH: per-batch shingle->minhash (numpy, all rows at once) ->
+    explode to (band_id, band_hash, doc_id) rows -> groupby bands ->
+    candidate pairs -> exact Jaccard verify -> min-label connected
+    components (bounded label-propagation rounds).
+  * SimHash: 64-bit sign-aggregated token-hash fingerprint; near-dup =
+    Hamming distance <= k (verified per candidate bucket).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash64, hash_str_u64, splitmix64
+
+
+def _shingle_hashes(texts: list[str], k: int = 5) -> list[np.ndarray]:
+    """Character k-shingle hash sets per doc (vectorized per doc over a
+    byte rolling window)."""
+    out = []
+    for t in texts:
+        b = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) < k:
+            out.append(np.asarray([0], dtype=np.uint64))
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+        weights = (np.uint64(257) ** np.arange(k, dtype=np.uint64))
+        with np.errstate(over="ignore"):
+            h = splitmix64((win * weights).sum(axis=1))
+        out.append(np.unique(h))
+    return out
+
+
+def minhash_signature(texts: list[str], num_perm: int = 64, k: int = 5,
+                      seed: int = 7) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signatures. Permutations are the
+    universal-hash family h_i(x) = splitmix64(x ^ salt_i)."""
+    salts = hash64(np.arange(num_perm, dtype=np.uint64), seed=seed)
+    sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
+    for i, sh in enumerate(_shingle_hashes(texts, k)):
+        with np.errstate(over="ignore"):
+            m = splitmix64(sh[:, None] ^ salts[None, :])
+        sigs[i] = m.min(axis=0)
+    return sigs
+
+
+class MinHashBands:
+    """map_batches stage: emit (doc_id, band_id, band_hash) rows — the LSH
+    banding explode. groupby(band_id, band_hash) downstream buckets
+    candidates."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 num_perm: int = 64, bands: int = 16, k: int = 5, seed: int = 7):
+        assert num_perm % bands == 0
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.bands, self.k, self.seed = num_perm, bands, k, seed
+        self.rows_per_band = num_perm // bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sigs = minhash_signature(texts, self.num_perm, self.k, self.seed)
+        n = len(texts)
+        bh = np.empty((n, self.bands), dtype=np.uint64)
+        for b in range(self.bands):
+            seg = sigs[:, b * self.rows_per_band:(b + 1) * self.rows_per_band]
+            acc = seg[:, 0].copy()
+            with np.errstate(over="ignore"):
+                for j in range(1, self.rows_per_band):
+                    acc = splitmix64(acc ^ seg[:, j])
+            bh[:, b] = acc
+        return pa.table({
+            self.id_col: pa.array(np.repeat(ids, self.bands)),
+            "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
+        })
+
+
+def jaccard(a: str, b: str, k: int = 5) -> float:
+    sa = _shingle_hashes([a], k)[0]
+    sb = _shingle_hashes([b], k)[0]
+    inter = np.intersect1d(sa, sb).size
+    union = np.union1d(sa, sb).size
+    return inter / union if union else 1.0
+
+
+def minhash_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
+                  num_perm: int = 64, bands: int = 16, k: int = 5,
+                  threshold: float = 0.7, concurrency=4):
+    """Full MinHash-LSH dedup: returns a Dataset of (doc_id, dup_of) pairs
+    where dup_of is the smallest doc id of the near-dup cluster.
+
+    Candidate pairs come from LSH band buckets (groupby shuffle on the
+    banded projection only); each candidate pair is verified with exact
+    shingle Jaccard against the threshold; clusters are resolved by
+    min-label union on the verified pair list (candidate sets are tiny
+    relative to the corpus — for adversarial corpora run label-propagation
+    rounds as a groupby loop instead)."""
+    import ray
+
+    band_rows = docs.map_batches(
+        MinHashBands, fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k),
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        base = ids[0]
+        return pd.DataFrame({"a": [base] * (len(ids) - 1), "b": ids[1:]})
+
+    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas").take_all()
+    cand = {(min(p["a"], p["b"]), max(p["a"], p["b"])) for p in pairs}
+
+    # verify candidates with exact Jaccard (fetch texts of candidate ids only)
+    cand_ids = sorted({x for p in cand for x in p})
+    if cand_ids:
+        from ..pipelines.idops import semi_join
+        rows = semi_join(docs.select_columns([id_col, text_col]), id_col,
+                         np.asarray(cand_ids, dtype=object)).take_all()
+        text_of = {r[id_col]: r[text_col] for r in rows}
+        verified = [(a, b) for a, b in cand
+                    if jaccard(text_of[a], text_of[b], k) >= threshold]
+    else:
+        verified = []
+
+    # min-label union-find over verified pairs
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in verified:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            parent[hi] = lo
+    out = [(x, find(x)) for x in sorted({i for p in verified for i in p})]
+    return pa.table({"doc_id": pa.array([o[0] for o in out]),
+                     "dup_of": pa.array([o[1] for o in out])})
+
+
+class SimHash:
+    """map_batches stage: 64-bit SimHash of the token multiset."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "simhash"):
+        import re
+        self.text_col, self.out_col = text_col, out_col
+        self.token_re = re.compile(r"[A-Za-z0-9_]+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        token_re = self.token_re
+        out = np.zeros(len(batch), dtype=np.uint64)
+        for i, t in enumerate(batch[self.text_col].astype(str)):
+            words = token_re.findall(t.lower())
+            if not words:
+                continue
+            hs = hash_str_u64(words)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            vote = (2 * bits - 1).sum(axis=0)
+            out[i] = np.bitwise_or.reduce(
+                (vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
+        batch[self.out_col] = out.view(np.int64)
+        return batch
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (np.asarray(a).view(np.uint64) ^ np.asarray(b).view(np.uint64))
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)

@@ -1,0 +1,133 @@
+"""Similarity search: brute-force cosine top-k (baseline) and cell-bucketed
+spatial kNN.
+
+  * BruteForceTopK: the query matrix is broadcast once (ray.put), each actor
+    normalizes it in __init__, and every batch is one numpy matmul —
+    batched model-inference shape. Scale path: IVF — cluster the corpus by
+    a coarse cell/centroid key, groupby(cell) and search only matching
+    buckets.
+  * spatial_knn: k nearest corpus points per query point via the cell
+    k-ring candidate gather (SURVEY.md §4.3): candidates are duplicated
+    into neighbor cells (bounded fan-out), grouped by cell, and reduced to
+    exact top-k per query in each group."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+class BruteForceTopK:
+    """map_batches actor: for each corpus row's embedding, cosine scores
+    against Q broadcast query vectors; emits (query_id, vec_id, score) for
+    the per-batch top-k (global top-k = groupby(query_id) -> top-k merge)."""
+
+    def __init__(self, queries_ref, k: int = 10, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        import ray
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = np.asarray(q["query_id"])
+        qm = np.asarray(q["matrix"], dtype=np.float64)
+        self.qnorm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+        self.k = k
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        if emb.size == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             self.id_col: pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        norm = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-30)
+        scores = self.qnorm @ norm.T  # (Q, n)
+        k = min(self.k, scores.shape[1])
+        top = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        rows_q, rows_v, rows_s = [], [], []
+        for qi in range(scores.shape[0]):
+            rows_q.append(np.full(k, self.qids[qi]))
+            rows_v.append(ids[top[qi]])
+            rows_s.append(scores[qi, top[qi]])
+        return pa.table({"query_id": pa.array(np.concatenate(rows_q)),
+                         self.id_col: pa.array(np.concatenate(rows_v)),
+                         "score": pa.array(np.concatenate(rows_s))})
+
+
+def ann_topk(corpus, query_matrix: np.ndarray, query_ids: np.ndarray, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id", concurrency=4):
+    """Global cosine top-k: per-batch partial top-k in the actor pool, then a
+    tiny groupby(query_id) merge. Ties broken by id for determinism."""
+    import ray
+
+    qref = ray.put({"query_id": query_ids, "matrix": query_matrix})
+    partial = corpus.map_batches(
+        BruteForceTopK, fn_constructor_args=(qref, k, vec_col, id_col),
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True], kind="stable")
+        return g.head(k)
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def spatial_knn(images, k: int = 5, level: int = 10, lon_col: str = "lon",
+                lat_col: str = "lat", id_col: str = "image_id", ring: int = 1):
+    """k nearest neighbors (euclidean in degree space) among the corpus
+    itself: each point is replicated into its cell's (2r+1)^2 k-ring as a
+    CANDIDATE and kept once as a QUERY in its own cell; one groupby(cell)
+    then exact per-cell top-k. Points near cell edges find cross-cell
+    neighbors via the replicated candidates."""
+    from ..functions.cells import cell_encode, cell_neighbors
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=object)
+        cells = cell_encode(lon, lat, level)
+        nb = cell_neighbors(cells, ring=ring)  # (n, m) incl. own cell
+        m = nb.shape[1]
+        rep_ids = np.repeat(ids, m)
+        rep_lon = np.repeat(lon, m)
+        rep_lat = np.repeat(lat, m)
+        rep_cell = nb.reshape(-1).view(np.int64)
+        own = np.tile(np.arange(m) == (m // 2), len(ids))  # center offset = own cell
+        is_query = np.repeat(cells, m) == rep_cell.view(np.uint64)
+        # query flag: only in its own cell (dedup multiple identical entries)
+        return pa.table({
+            id_col: pa.array(rep_ids, type=pa.string()),
+            "lon": pa.array(rep_lon), "lat": pa.array(rep_lat),
+            "cell": pa.array(rep_cell),
+            "is_query": pa.array(own & is_query),
+        })
+
+    exploded = images.map_batches(explode, batch_format="pyarrow")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        # keep the query copy of an id over its replicated candidate copies
+        g = g.sort_values("is_query", ascending=False, kind="stable") \
+             .drop_duplicates(subset=[id_col])
+        q = g[g["is_query"]]
+        if q.empty:
+            return pd.DataFrame({id_col: [], "rank": [], "neighbor_id": [], "dist": []})
+        cx = g["lon"].to_numpy()
+        cy = g["lat"].to_numpy()
+        out_id, out_rank, out_nb, out_d = [], [], [], []
+        qx = q["lon"].to_numpy()
+        qy = q["lat"].to_numpy()
+        qid = q[id_col].to_numpy()
+        cid = g[id_col].to_numpy()
+        d2 = (qx[:, None] - cx[None, :]) ** 2 + (qy[:, None] - cy[None, :]) ** 2
+        for i in range(len(q)):
+            d = d2[i]
+            order = np.lexsort((cid.astype(str), d))
+            order = order[cid[order] != qid[i]][:k]
+            out_id.extend([qid[i]] * len(order))
+            out_rank.extend(range(len(order)))
+            out_nb.extend(cid[order])
+            out_d.extend(np.sqrt(d[order]))
+        return pd.DataFrame({id_col: out_id, "rank": out_rank,
+                             "neighbor_id": out_nb, "dist": out_d})
+
+    return exploded.groupby("cell").map_groups(topk, batch_format="pandas")

@@ -1,0 +1,82 @@
+"""Tile assignment with salted-skew handling — the groupby-on-cell shuffle
+of the north rule ("skewed cells split by salted sub-cell keys before
+aggregation").
+
+Pattern: a cheap pre-aggregation pass counts rows per cell (partial counts
+per batch -> tiny groupby); cells above `hot_threshold` get their rows
+salted into `cell#salt` sub-keys so no single reducer receives a whole
+urban cell; per-salt partial aggregates are then re-merged in a second,
+tiny groupby. Aggregates here must be commutative-mergeable (counts, sums,
+min/max, mergeable sketches)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.cells import cell_encode
+from ..functions.hashing import hash_str_u64
+
+
+def cell_counts(ds, level: int, lon_col: str = "lon", lat_col: str = "lat"):
+    """Per-cell row counts with per-batch partial combine before the shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cells = cell_encode(batch[lon_col].to_numpy(zero_copy_only=False),
+                            batch[lat_col].to_numpy(zero_copy_only=False), level)
+        uc, cnt = np.unique(cells, return_counts=True)
+        return pa.table({"cell": pa.array(uc.view(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("cell").aggregate(Sum("n", alias_name="n_images"))
+
+
+def assign_tiles_salted(ds, level: int, agg_fn, hot_threshold: int = 100_000,
+                        salts: int = 16, lon_col: str = "lon", lat_col: str = "lat",
+                        id_col: str = "image_id"):
+    """Grouped per-tile aggregation that never funnels a hot cell through
+    one reducer.
+
+    agg_fn: pandas per-group function returning ONE partial-aggregate row
+    per (possibly salted) group; partials for the same cell are merged by
+    `merge_fn` columns — agg_fn output must therefore be mergeable rows
+    (counts/sums/min/max columns). Returns the per-cell merged Dataset.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    hot = cell_counts(ds, level, lon_col, lat_col)
+    hot_rows = hot.filter(expr=f"n_images > {hot_threshold}").take_all()
+    hot_cells = np.asarray([r["cell"] for r in hot_rows], dtype=np.int64)
+    hot_ref = ray.put(np.sort(hot_cells))
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        hotset = ray.get(hot_ref)
+        cells = cell_encode(batch[lon_col].to_numpy(zero_copy_only=False),
+                            batch[lat_col].to_numpy(zero_copy_only=False), level) \
+            .view(np.int64)
+        salt = np.zeros(len(cells), dtype=np.int32)
+        if hotset.size:
+            pos = np.searchsorted(hotset, cells)
+            pos[pos == len(hotset)] = len(hotset) - 1
+            is_hot = hotset[pos] == cells
+            if is_hot.any():
+                ids = batch[id_col]
+                h = hash_str_u64(ids.cast(pa.string()))
+                salt[is_hot] = (h[is_hot] % np.uint64(salts)).astype(np.int32)
+        batch = batch.append_column("cell", pa.array(cells))
+        return batch.append_column("salt", pa.array(salt))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    partials = keyed.groupby(["cell", "salt"]).map_groups(agg_fn, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        num = g.select_dtypes("number").drop(columns=["salt"], errors="ignore")
+        out = num.sum(numeric_only=True).to_frame().T
+        out["cell"] = g["cell"].iloc[0]
+        return out
+
+    return partials.groupby("cell").map_groups(merge, batch_format="pandas")

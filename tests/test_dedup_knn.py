@@ -1,0 +1,96 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osmium_tool_ray.stages.dedup import (
+    SimHash, hamming64, jaccard, minhash_dedup, minhash_signature,
+)
+from osmium_tool_ray.stages.knn import ann_topk, spatial_knn
+
+
+def test_minhash_similarity_tracks_jaccard():
+    a = "the quick brown fox jumps over the lazy dog " * 3
+    b = a.replace("lazy", "sleepy")
+    c = "completely different text with nothing shared at all whatsoever"
+    sigs = minhash_signature([a, b, c], num_perm=128)
+    sim_ab = (sigs[0] == sigs[1]).mean()
+    sim_ac = (sigs[0] == sigs[2]).mean()
+    assert sim_ab > 0.6
+    assert sim_ac < 0.2
+    assert jaccard(a, b) > 0.6 > jaccard(a, c)
+
+
+def test_minhash_dedup_pipeline(ray_session):
+    import ray.data as rd
+
+    base = "some long document text that repeats a lot " * 4
+    docs = rd.from_items(
+        [{"doc_id": 1, "text": base},
+         {"doc_id": 2, "text": base + " tail"},        # near-dup of 1
+         {"doc_id": 3, "text": "unrelated content entirely different " * 4},
+         {"doc_id": 4, "text": base}])                  # exact dup of 1
+    out = minhash_dedup(docs, threshold=0.7, concurrency=2)
+    pairs = dict(zip(out["doc_id"].to_pylist(), out["dup_of"].to_pylist()))
+    assert pairs.get(2) == 1 and pairs.get(4) == 1
+    assert 3 not in pairs
+
+
+def test_simhash_hamming():
+    import pandas as pd
+
+    df = pd.DataFrame({"text": ["the quick brown fox jumps over the lazy dog",
+                                "the quick brown fox jumps over the lazy cat",
+                                "entirely unrelated words appear here now"]})
+    out = SimHash("text")(df)
+    h = out["simhash"].to_numpy()
+    d_near = hamming64(np.array([h[0]]), np.array([h[1]]))[0]
+    d_far = hamming64(np.array([h[0]]), np.array([h[2]]))[0]
+    assert d_near < d_far
+
+
+def test_ann_topk(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(200, 16)).astype(np.float64)
+    corpus = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                            for i in range(200)])
+    q = vecs[[3, 77]]
+    out = ann_topk(corpus, q, np.array([0, 1]), k=5, concurrency=2).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["score"], r["vec_id"]))
+    # each query's own vector is its top hit with score ~1
+    top0 = max(by_q[0])
+    top1 = max(by_q[1])
+    assert top0[1] == 3 and abs(top0[0] - 1.0) < 1e-12
+    assert top1[1] == 77 and abs(top1[0] - 1.0) < 1e-12
+    assert len(by_q[0]) == 5
+    # verify against exact numpy top-k
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    exact = np.argsort(-(qn @ vn.T), axis=1)[:, :5]
+    got0 = [v for _, v in sorted(by_q[0], reverse=True)]
+    assert got0 == exact[0].tolist()
+
+
+def test_spatial_knn(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(10, 11, 150)
+    lat = rng.uniform(45, 46, 150)
+    images = rd.from_items([{"image_id": f"p{i:03d}", "lon": float(lon[i]),
+                             "lat": float(lat[i])} for i in range(150)])
+    out = spatial_knn(images, k=3, level=10).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["image_id"], []).append((r["rank"], r["neighbor_id"], r["dist"]))
+    # exact check for a handful of points
+    for i in (0, 50, 149):
+        d2 = (lon - lon[i]) ** 2 + (lat - lat[i]) ** 2
+        order = np.lexsort((np.array([f"p{j:03d}" for j in range(150)]), d2))
+        order = [j for j in order if j != i][:3]
+        expect = [f"p{j:03d}" for j in order]
+        mine = [n for _, n, _ in sorted(got[f"p{i:03d}"])]
+        assert mine == expect, f"point {i}: {mine} != {expect}"
