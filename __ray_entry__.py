@@ -260,32 +260,21 @@ def q_sort_topk(sf_dir: str):
 
 
 def q_latest_version(sf_dir: str):
-    import pandas as pd
-    from osmium_tool_ray.pipelines.merge import dedup_exact
+    from osmium_tool_ray.pipelines.merge import argmax_rows
 
     ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value", "ts"])
-
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], ascending=False, kind="stable").head(1)
-        return g[["user_id", "event_id", "event_type", "value"]]
-
-    return ds.groupby("user_id").map_groups(pick, batch_format="pandas")
+    win = argmax_rows(ds, ["user_id"], ["ts", "event_id"])
+    return win.select_columns(["user_id", "event_id", "event_type", "value"])
 
 
 def q_time_filter_snapshot(sf_dir: str):
     import datetime as dt
-    import pandas as pd
     from osmium_tool_ray.pipelines.merge import time_filter
 
     ds = _events(sf_dir, ["event_id", "user_id", "ts"])
     out = time_filter(ds, dt.datetime.fromisoformat(TS_CUT), ["user_id"],
-                      ts_col="ts", visible_col=None)
-    # tie-break parity with the SQL window: highest event_id at equal ts
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("event_id", ascending=False, kind="stable").head(1)
-
-    return out.groupby("user_id").map_groups(pick, batch_format="pandas") \
-        .select_columns(["user_id", "event_id"])
+                      ts_col="ts", visible_col=None, tiebreak_cols=["event_id"])
+    return out.select_columns(["user_id", "event_id"])
 
 
 def q_derive_changes_counts(sf_dir: str):
@@ -459,7 +448,75 @@ def q_knn_points(sf_dir: str):
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def q_cat_clean(sf_dir: str):
+    from osmium_tool_ray.pipelines.cat import cat
+    from osmium_tool_ray.state.regions import Region
+
+    west = Region(name="w", kind="bbox", bbox=(-150.0, -60.0, -30.0, 60.0))
+    east = Region(name="e", kind="bbox", bbox=(30.0, -60.0, 150.0, 60.0))
+
+    def inside(reg):
+        def f(batch: pa.Table) -> pa.Table:
+            m = reg.contains(batch["lon"].to_numpy(zero_copy_only=False),
+                             batch["lat"].to_numpy(zero_copy_only=False))
+            return batch.filter(pa.array(m))
+        return f
+
+    a = images_dataset(sf_dir).map_batches(inside(west), batch_format="pyarrow")
+    b = images_dataset(sf_dir).map_batches(inside(east), batch_format="pyarrow")
+    out = cat([a, b], clean=["caption", "phash"])
+    return out.select_columns(["image_id", "caption", "phash"])
+
+
+def q_add_locations(sf_dir: str):
+    from osmium_tool_ray.pipelines.locations import add_locations_to_members
+
+    groups, members = _user_adjacency(sf_dir)
+    out = add_locations_to_members(members, images_dataset(sf_dir))
+    return out.select_columns(["group_id", "seq", "lon", "lat"])
+
+
 # -- rows-only (non-SQL-expressible) ------------------------------------------
+
+
+def q_export_geojsonseq(sf_dir: str):
+    from osmium_tool_ray.pipelines.export import render_geojson_points
+
+    ds = images_dataset(sf_dir)
+    sub = ds.map_batches(
+        lambda b: b.filter(pa.array(
+            (np.char.find(np.asarray(b["image_id"].to_pylist(), dtype=str), "00") >= 0)
+            if b.num_rows else np.zeros(0, dtype=bool))),
+        batch_format="pyarrow").limit(2000)
+    return sub.map_batches(lambda b: render_geojson_points(b, props=["caption"]),
+                           batch_format="pyarrow")
+
+
+def q_embedding_neardup(sf_dir: str):
+    import ray.data as rd
+    from osmium_tool_ray.stages.dedup import embedding_neardup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    dim = len(emb.take(1)[0]["embedding"])
+    return embedding_neardup(emb, dim=dim, threshold=0.95, bits=14, concurrency=2)
+
+
+def q_ivf_ann(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from osmium_tool_ray.stages.knn import ivf_ann_topk, train_ivf_centroids
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy(zero_copy_only=False)
+    qsel = t.filter(pa.array(vid % 100 == 0))
+    qm = np.asarray(qsel["embedding"].to_pylist(), dtype=np.float64)
+    qids = qsel["vec_id"].to_numpy(zero_copy_only=False)
+    corpus = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    cents = train_ivf_centroids(corpus, dim=qm.shape[1], nlist=8, iters=2)
+    return ivf_ann_topk(corpus, qm, qids, cents, k=5, nprobe=3, concurrency=2)
+
 
 def q_langid_docs(sf_dir: str):
     from osmium_tool_ray.stages.text import LangId
@@ -556,6 +613,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changeset_filter": q_changeset_filter,
         "extract_ways_simple": q_extract_ways_simple,
         "extract_cw_nodes": q_extract_cw_nodes,
+        "cat_clean": q_cat_clean,
+        "add_locations": q_add_locations,
+        "export_geojsonseq": q_export_geojsonseq,
+        "embedding_neardup": q_embedding_neardup,
+        "ivf_ann": q_ivf_ann,
         "dedup_exact_docs": q_dedup_exact_docs,
         "token_count_docs": q_token_count_docs,
         "quality_docs": q_quality_docs,
@@ -676,6 +738,17 @@ def oracle_sql() -> dict[str, str]:
                 ON i.image_id = 'img' || lpad(CAST(e.event_id AS VARCHAR), 10, '0')
               WHERE i.lon >= {BBOX[0]} AND i.lon <= {BBOX[2]}
                 AND i.lat >= {BBOX[1]} AND i.lat <= {BBOX[3]})""",
+        "cat_clean": f"""{cte}
+            SELECT image_id, '' AS caption, CAST(0 AS BIGINT) AS phash FROM images
+            WHERE (lon >= -150 AND lon <= -30 AND lat >= -60 AND lat <= 60)
+            UNION ALL
+            SELECT image_id, '' AS caption, CAST(0 AS BIGINT) AS phash FROM images
+            WHERE (lon >= 30 AND lon <= 150 AND lat >= -60 AND lat <= 60)""",
+        "add_locations": f"""{cte}
+            SELECT 'u' || CAST(e.user_id AS VARCHAR) AS group_id,
+                   CAST(e.event_id AS INTEGER) AS seq, i.lon, i.lat
+            FROM events e JOIN images i
+              ON i.image_id = 'img' || lpad(CAST(e.event_id AS VARCHAR), 10, '0')""",
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n
             FROM documents GROUP BY text""",

@@ -1,0 +1,78 @@
+"""Node-location index operators:
+
+  * add_locations_to_members — the add-locations-to-ways equivalent
+    (/root/reference/src/command_add_locations_to_ways.cpp:178-236): enrich
+    each way member ref with its node's lon/lat (N:1 lookup join).
+  * create_locations_index / lookup_locations — the
+    create-locations-index / query-locations-index pair
+    (/root/reference/src/command_create_locations_index.cpp:102-141 on-disk
+    dense array; command_query_locations_index.cpp:119-161 point lookup):
+    here a sorted parquet lookup table + filter-pushdown point reads.
+
+Join shape: the location table ships once per worker as sorted arrays
+(ray.put broadcast + searchsorted per batch). Scale path: when the node
+table exceeds worker memory, switch to the bucketed hash join (partition
+both sides by hash(node_id) % B and join per bucket — SURVEY.md §7.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _location_arrays(images, id_col="image_id", lon_col="lon", lat_col="lat"):
+    rows = images.select_columns([id_col, lon_col, lat_col]).take_all()
+    ids = np.asarray([r[id_col] for r in rows], dtype=object).astype(str)
+    lon = np.asarray([r[lon_col] for r in rows], dtype=np.float64)
+    lat = np.asarray([r[lat_col] for r in rows], dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], lon[order], lat[order]
+
+
+def add_locations_to_members(members, images, keep_missing: bool = False):
+    """members(group_id, seq, mtype, ref) x images(image_id, lon, lat) ->
+    members + (lon, lat); node-type members only. Missing refs are dropped
+    (or kept as nulls with keep_missing)."""
+    import ray
+
+    ids, lon, lat = _location_arrays(images)
+    ref = ray.put((ids, lon, lat))
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        sids, slon, slat = ray.get(ref)
+        mt = np.asarray(batch["mtype"].to_pylist(), dtype=object)
+        refs = np.asarray(batch["ref"].to_pylist(), dtype=object).astype(str)
+        is_node = mt == "node"
+        pos = np.searchsorted(sids, refs)
+        pos_c = np.minimum(pos, len(sids) - 1) if len(sids) else pos
+        found = is_node & (len(sids) > 0) & (sids[pos_c] == refs)
+        out_lon = np.where(found, slon[pos_c] if len(sids) else 0.0, np.nan)
+        out_lat = np.where(found, slat[pos_c] if len(sids) else 0.0, np.nan)
+        batch = batch.append_column("lon", pa.array(out_lon))
+        batch = batch.append_column("lat", pa.array(out_lat))
+        if not keep_missing:
+            batch = batch.filter(pa.array(found))
+        return batch
+
+    return members.map_batches(enrich, batch_format="pyarrow")
+
+
+def create_locations_index(images, out_path: str,
+                           id_col="image_id", lon_col="lon", lat_col="lat") -> str:
+    """Materialize a sorted (id -> lon, lat) parquet lookup table — the
+    dense_file_array analogue; sorted layout gives row-group pruning on
+    point lookups."""
+    images.select_columns([id_col, lon_col, lat_col]).sort(id_col) \
+        .write_parquet(out_path)
+    return out_path
+
+
+def lookup_locations(index_path: str, ids: list[str],
+                     id_col: str = "image_id") -> pa.Table:
+    """Point lookups against the on-disk index with predicate pushdown
+    (query-locations-index equivalent)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(index_path, format="parquet")
+    return dset.to_table(filter=pc.field(id_col).isin(list(ids)))

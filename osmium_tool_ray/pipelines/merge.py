@@ -34,16 +34,38 @@ import pyarrow as pa
 
 
 def merge(datasets: list, key_cols: list[str]):
-    """Union N datasets, emit each distinct key once (first copy wins —
-    duplicates are byte-identical by the merge contract)."""
+    """Union N datasets, emit each distinct key once. The merge contract
+    (command_merge.cpp:256-275) guarantees equal-key copies are identical,
+    so a native Min aggregate per non-key column reconstructs the row —
+    fully vectorized, no per-group Python."""
+    from ray.data.aggregate import Min
+
     ds = datasets[0]
     for other in datasets[1:]:
         ds = ds.union(other)
+    other_cols = [c for c in ds.schema().names if c not in key_cols]
+    return ds.groupby(key_cols).aggregate(
+        *[Min(c, alias_name=c) for c in other_cols])
 
-    def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
 
-    return ds.groupby(key_cols).map_groups(first_per_key, batch_format="pandas")
+def argmax_rows(ds, key_cols: list[str], order_cols: list[str]):
+    """Per key, the single row maximizing the order_cols tuple.
+
+    Map-side combiner first: each batch reduces to one candidate row per key
+    (vectorized pandas sort + drop_duplicates), so the shuffle and the final
+    per-group pick see at most one row per key per input batch instead of
+    the full table."""
+    asc = [True] * len(key_cols) + [False] * len(order_cols)
+    cols = key_cols + order_cols
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df.sort_values(cols, ascending=asc, kind="stable") \
+            .drop_duplicates(subset=key_cols, keep="first")
+
+    reduced = ds.map_batches(local, batch_format="pandas")
+    return reduced.groupby(key_cols).map_groups(local, batch_format="pandas")
 
 
 def dedup_exact(ds, key_cols: list[str], order_col: str | None = None):
@@ -80,21 +102,9 @@ def apply_changes(base, changes, id_cols: list[str], version_col: str = "version
 
     u = base.map_batches(tag(0), batch_format="pyarrow").union(
         changes.map_batches(tag(1), batch_format="pyarrow"))
-
-    if history:
-        keys = id_cols + [version_col]
-
-        def pick_hist(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values("_src", ascending=False, kind="stable")
-            return g.head(1).drop(columns=["_src"])
-
-        return u.groupby(keys).map_groups(pick_hist, batch_format="pandas")
-
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([version_col, "_src"], ascending=False, kind="stable")
-        return g.head(1).drop(columns=["_src"])
-
-    return u.groupby(id_cols).map_groups(pick, batch_format="pandas")
+    keys = id_cols + [version_col] if history else id_cols
+    win = argmax_rows(u, keys, [version_col, "_src"] if not history else ["_src"])
+    return win.drop_columns(["_src"])
 
 
 def merge_changes_simplify(datasets: list, id_cols: list[str], version_col: str = "version"):
@@ -102,57 +112,78 @@ def merge_changes_simplify(datasets: list, id_cols: list[str], version_col: str 
     ds = datasets[0]
     for other in datasets[1:]:
         ds = ds.union(other)
-
-    def last(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(version_col, ascending=False, kind="stable").head(1)
-
-    return ds.groupby(id_cols).map_groups(last, batch_format="pandas")
+    return argmax_rows(ds, id_cols, [version_col])
 
 
 def time_filter(ds, t, id_cols: list[str], ts_col: str = "ts",
-                visible_col: str | None = "visible"):
+                visible_col: str | None = "visible",
+                tiebreak_cols: list[str] | None = None):
     """Snapshot visible at time `t`: per id the latest version with ts <= t,
-    dropped when that version is not visible (deleted)."""
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g[ts_col] <= t]
-        if g.empty:
-            return g
-        g = g.sort_values(ts_col, kind="stable").tail(1)
-        if visible_col is not None and visible_col in g.columns:
-            g = g[g[visible_col]]
-        return g
+    dropped when that version is not visible (deleted). Vectorized filter +
+    combiner argmax; pass tiebreak_cols for determinism at equal ts."""
+    import pyarrow.compute as pc
 
-    return ds.groupby(id_cols).map_groups(pick, batch_format="pandas")
+    def cut(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less_equal(b[ts_col], pa.scalar(t)))
+
+    win = argmax_rows(ds.map_batches(cut, batch_format="pyarrow"),
+                      id_cols, [ts_col] + list(tiebreak_cols or []))
+    if visible_col is None:
+        return win
+
+    def vis(b: pa.Table) -> pa.Table:
+        if visible_col not in b.schema.names:
+            return b
+        return b.filter(b[visible_col])
+
+    return win.map_batches(vis, batch_format="pyarrow")
 
 
 def derive_changes(old, new, id_cols: list[str], value_cols: list[str]):
-    """Full-outer comparison -> rows tagged change='created'|'modified'|
-    'deleted'|'same' (diff keeps 'same'; derive-changes drops it)."""
+    """Full-outer comparison -> (id_cols..., change) rows with
+    change='created'|'modified'|'deleted'|'same' (diff keeps 'same';
+    derive-changes drops it).
+
+    Vectorized: each side contributes (id, side, row-content-hash); a single
+    native groupby aggregate (count / side-sum / hash-min / hash-max) then a
+    vectorized classify — no per-group Python (the reference's two-cursor
+    walk, command_derive_changes.cpp:153-203, becomes one shuffle of narrow
+    rows)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..functions.hashing import hash_str_u64
+
     def tag(src):
         def f(b: pa.Table) -> pa.Table:
-            return b.append_column("_side", pa.array(np.full(b.num_rows, src, dtype=np.int8)))
+            cols = [b[c].cast(pa.string()).combine_chunks() for c in value_cols]
+            joined = pc.binary_join_element_wise(*cols, "\x1f") if len(cols) > 1 \
+                else cols[0]
+            h = hash_str_u64(joined)
+            out = {c: b[c] for c in id_cols}
+            out["_side"] = pa.array(np.full(b.num_rows, src, dtype=np.int64))
+            out["_h"] = pa.array(h.view(np.int64))
+            return pa.table(out)
         return f
 
     u = old.map_batches(tag(0), batch_format="pyarrow").union(
         new.map_batches(tag(1), batch_format="pyarrow"))
+    agg = u.groupby(id_cols).aggregate(
+        Count(alias_name="_n"), Sum("_side", alias_name="_s"),
+        Min("_h", alias_name="_hmin"), Max("_h", alias_name="_hmax"))
 
-    def classify(g: pd.DataFrame) -> pd.DataFrame:
-        sides = set(g["_side"])
-        if sides == {0}:
-            out = g.head(1).drop(columns=["_side"]).copy()
-            out["change"] = "deleted"
-        elif sides == {1}:
-            out = g.head(1).drop(columns=["_side"]).copy()
-            out["change"] = "created"
-        else:
-            o = g[g["_side"] == 0].head(1)[value_cols].reset_index(drop=True)
-            n = g[g["_side"] == 1].head(1)
-            same = bool((o == n[value_cols].reset_index(drop=True)).all(axis=None))
-            out = n.drop(columns=["_side"]).copy()
-            out["change"] = "same" if same else "modified"
-        return out
+    def classify(b: pa.Table) -> pa.Table:
+        n = b["_n"].to_numpy(zero_copy_only=False)
+        s = b["_s"].to_numpy(zero_copy_only=False)
+        hmin = b["_hmin"].to_numpy(zero_copy_only=False)
+        hmax = b["_hmax"].to_numpy(zero_copy_only=False)
+        change = np.where(n == 1, np.where(s == 0, "deleted", "created"),
+                          np.where(hmin == hmax, "same", "modified"))
+        out = {c: b[c] for c in id_cols}
+        out["change"] = pa.array(change, type=pa.string())
+        return pa.table(out)
 
-    return u.groupby(id_cols).map_groups(classify, batch_format="pandas")
+    return agg.map_batches(classify, batch_format="pyarrow")
 
 
 def diff_summary(old, new, id_cols: list[str], value_cols: list[str]) -> dict:

@@ -109,16 +109,39 @@ def minhash_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
             text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k),
         batch_format="pyarrow", concurrency=concurrency)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        base = ids[0]
-        return pd.DataFrame({"a": [base] * (len(ids) - 1), "b": ids[1:]})
+    # bucket sizes via a native aggregate (vectorized; most buckets are
+    # singletons and never reach Python), then only multi-member buckets'
+    # rows are gathered — candidate volume is tiny relative to the corpus
+    from ray.data.aggregate import Count
 
-    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas").take_all()
-    cand = {(min(p["a"], p["b"]), max(p["a"], p["b"])) for p in pairs}
+    sizes = band_rows.groupby(["band_id", "band_hash"]) \
+        .aggregate(Count(alias_name="n"))
+    hot = sizes.filter(expr="n > 1").take_all()
+    hot_keys = {(r["band_id"], r["band_hash"]) for r in hot}
+    if hot_keys:
+        import ray
+        href = ray.put(hot_keys)
+
+        def in_hot(batch: pa.Table) -> pa.Table:
+            keys = ray.get(href)
+            bid = batch["band_id"].to_numpy(zero_copy_only=False)
+            bh = batch["band_hash"].to_numpy(zero_copy_only=False)
+            m = np.fromiter(((int(b), int(h)) in keys for b, h in zip(bid, bh)),
+                            dtype=bool, count=len(bid))
+            return batch.filter(pa.array(m))
+
+        rows = band_rows.map_batches(in_hot, batch_format="pyarrow").take_all()
+        buckets: dict = {}
+        for r in rows:
+            buckets.setdefault((r["band_id"], r["band_hash"]), set()).add(r[id_col])
+        cand = set()
+        for ids_in_bucket in buckets.values():
+            ids_sorted = sorted(ids_in_bucket)
+            base = ids_sorted[0]
+            for other in ids_sorted[1:]:
+                cand.add((base, other))
+    else:
+        cand = set()
 
     # verify candidates with exact Jaccard (fetch texts of candidate ids only)
     cand_ids = sorted({x for p in cand for x in p})
@@ -174,6 +197,94 @@ class SimHash:
                 (vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
         batch[self.out_col] = out.view(np.int64)
         return batch
+
+
+def ngram_jaccard_pairs(docs, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.5, concurrency=4):
+    """Word n-gram Jaccard near-dup: same LSH-banding pipeline as MinHash
+    but shingling on word n-grams (token-level, order-sensitive)."""
+    return minhash_dedup(docs, text_col=text_col, id_col=id_col,
+                         num_perm=64, bands=16, k=4 * n,  # char-window ~ n words
+                         threshold=threshold, concurrency=concurrency)
+
+
+class HyperplaneSig:
+    """map_batches actor: b-bit random-hyperplane signature of an embedding
+    column (cosine LSH). Hyperplanes are a seeded deterministic matrix
+    built once per actor."""
+
+    def __init__(self, dim: int, bits: int = 16, seed: int = 11,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        rng = np.random.default_rng(seed)
+        self.h = rng.normal(size=(dim, bits))
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        if emb.size == 0:
+            sig = np.empty(0, dtype=np.int64)
+        else:
+            bits = (emb @ self.h) > 0
+            sig = np.zeros(len(emb), dtype=np.uint64)
+            for j in range(bits.shape[1]):
+                sig |= bits[:, j].astype(np.uint64) << np.uint64(j)
+            sig = sig.view(np.int64)
+        return pa.table({self.id_col: batch[self.id_col],
+                         "sig": pa.array(sig)})
+
+
+def embedding_neardup(embeddings, dim: int, threshold: float = 0.95,
+                      bits: int = 16, vec_col: str = "embedding",
+                      id_col: str = "vec_id", concurrency=4) -> pa.Table:
+    """Embedding-cosine near-dup: bucket by the full b-bit hyperplane
+    signature (vectors with cosine >= threshold collide with high
+    probability at small b), verify exact cosine per candidate pair.
+    Returns (id, dup_of) pairs."""
+    import ray
+
+    sigs = embeddings.map_batches(
+        HyperplaneSig, fn_constructor_args=(dim, bits),
+        fn_constructor_kwargs=dict(vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=concurrency)
+    from ray.data.aggregate import Count
+
+    sizes = sigs.groupby("sig").aggregate(Count(alias_name="n"))
+    hot = {r["sig"] for r in sizes.filter(expr="n > 1").take_all()}
+    if not hot:
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "dup_of": pa.array([], type=pa.int64())})
+    href = ray.put(np.sort(np.asarray(list(hot), dtype=np.int64)))
+
+    def in_hot(batch: pa.Table) -> pa.Table:
+        hs = ray.get(href)
+        s = batch["sig"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(hs, s)
+        pos[pos == len(hs)] = len(hs) - 1
+        return batch.filter(pa.array(hs[pos] == s))
+
+    cand_rows = sigs.map_batches(in_hot, batch_format="pyarrow").take_all()
+    buckets: dict = {}
+    for r in cand_rows:
+        buckets.setdefault(r["sig"], []).append(r[id_col])
+    cand_ids = sorted({i for ids in buckets.values() for i in ids})
+    from ..pipelines.idops import semi_join
+    vec_rows = semi_join(embeddings.select_columns([id_col, vec_col]), id_col,
+                         np.asarray(cand_ids, dtype=object)).take_all()
+    vec_of = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64) for r in vec_rows}
+
+    out_a, out_b = [], []
+    for ids in buckets.values():
+        ids = sorted(ids)
+        base = ids[0]
+        vb = vec_of[base]
+        vb = vb / max(np.linalg.norm(vb), 1e-30)
+        for other in ids[1:]:
+            vo = vec_of[other]
+            cos = float(vb @ (vo / max(np.linalg.norm(vo), 1e-30)))
+            if cos >= threshold:
+                out_a.append(other)
+                out_b.append(base)
+    return pa.table({id_col: pa.array(out_a), "dup_of": pa.array(out_b)})
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -72,6 +72,99 @@ def ann_topk(corpus, query_matrix: np.ndarray, query_ids: np.ndarray, k: int = 1
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def train_ivf_centroids(corpus, dim: int, nlist: int = 16, iters: int = 3,
+                        vec_col: str = "embedding", seed: int = 13) -> np.ndarray:
+    """Mini k-means for IVF coarse quantization: deterministic seeded init,
+    each Lloyd iteration one distributed pass emitting per-batch partial
+    (cluster-sum, cluster-count) — the mergeable-sketch pattern."""
+    import ray
+
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(size=(nlist, dim))
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            emb = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            if emb.size == 0:
+                return pa.table({"cluster": pa.array([], type=pa.int64()),
+                                 "vsum": pa.array([], type=pa.list_(pa.float64())),
+                                 "n": pa.array([], type=pa.int64())})
+            en = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-30)
+            assign = np.argmax(en @ c.T, axis=1)
+            rows_c, rows_s, rows_n = [], [], []
+            for cl in np.unique(assign):
+                m = assign == cl
+                rows_c.append(int(cl))
+                rows_s.append(en[m].sum(axis=0).tolist())
+                rows_n.append(int(m.sum()))
+            return pa.table({"cluster": pa.array(rows_c, type=pa.int64()),
+                             "vsum": pa.array(rows_s, type=pa.list_(pa.float64())),
+                             "n": pa.array(rows_n, type=pa.int64())})
+
+        parts = corpus.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros((nlist, dim))
+        counts = np.zeros(nlist)
+        for r in parts:
+            sums[r["cluster"]] += np.asarray(r["vsum"])
+            counts[r["cluster"]] += r["n"]
+        nonzero = counts > 0
+        cents[nonzero] = sums[nonzero] / counts[nonzero, None]
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+    return cents
+
+
+def ivf_ann_topk(corpus, query_matrix: np.ndarray, query_ids: np.ndarray,
+                 centroids: np.ndarray, k: int = 10, nprobe: int = 4,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 concurrency=4):
+    """IVF-pruned cosine top-k (the scale path for ann_topk): each batch
+    only scores corpus rows whose coarse cluster is among the query set's
+    top-`nprobe` probed clusters; recall < 1 by construction, tunable via
+    nprobe/nlist."""
+    import ray
+
+    qn = query_matrix / np.maximum(
+        np.linalg.norm(query_matrix, axis=1, keepdims=True), 1e-30)
+    probe = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+    probed = np.unique(probe.reshape(-1))
+    state = ray.put({"query_id": query_ids, "matrix": query_matrix,
+                     "centroids": centroids, "probed": probed})
+
+    class IVFScorer(BruteForceTopK):
+        def __init__(self, state_ref, k, vec_col, id_col):
+            s = ray.get(state_ref)
+            super().__init__({"query_id": s["query_id"], "matrix": s["matrix"]},
+                             k, vec_col, id_col)
+            self.centroids = s["centroids"]
+            self.probed = s["probed"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+            if emb.size:
+                en = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
+                                      1e-30)
+                assign = np.argmax(en @ self.centroids.T, axis=1)
+                keep = np.isin(assign, self.probed)
+                batch = batch.filter(pa.array(keep))
+            return super().__call__(batch)
+
+    partial = corpus.map_batches(
+        IVFScorer, fn_constructor_args=(state, k, vec_col, id_col),
+        batch_format="pyarrow", concurrency=concurrency)
+
+    import pandas as pd
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True], kind="stable")
+        return g.head(k)
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def spatial_knn(images, k: int = 5, level: int = 10, lon_col: str = "lon",
                 lat_col: str = "lat", id_col: str = "image_id", ring: int = 1):
     """k nearest neighbors (euclidean in degree space) among the corpus
