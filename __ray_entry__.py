@@ -166,7 +166,7 @@ def q_caption_tags_count(sf_dir: str):
 def _click_ids(sf_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
     t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
-    m = pc.and_(pc.equal(t["event_type"], "click"), pc.greater(t["value"], 400.0))
+    m = pc.and_(pc.equal(t["event_type"], "click"), pc.greater(t["value"], 300.0))
     ids = t.filter(m)["event_id"].to_numpy(zero_copy_only=False)
     return np.asarray([f"img{i:010d}" for i in ids], dtype=object)
 
@@ -672,12 +672,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, phash, caption FROM images
             WHERE image_id IN (
                 SELECT 'img' || lpad(CAST(event_id AS VARCHAR), 10, '0')
-                FROM events WHERE event_type = 'click' AND value > 400.0)""",
+                FROM events WHERE event_type = 'click' AND value > 300.0)""",
         "removeid_anti": f"""{cte}
             SELECT image_id, phash FROM images
             WHERE image_id NOT IN (
                 SELECT 'img' || lpad(CAST(event_id AS VARCHAR), 10, '0')
-                FROM events WHERE event_type = 'click' AND value > 400.0)""",
+                FROM events WHERE event_type = 'click' AND value > 300.0)""",
         "getparents_orders": """
             SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS group_id
             FROM lineitem WHERE l_partkey IN
