@@ -177,6 +177,18 @@ def q_getid_semi(sf_dir: str):
     return ds.select_columns(["image_id", "phash", "caption"])
 
 
+def q_getid_bucketed(sf_dir: str):
+    """Same semi-join as getid_semi but through the bucketed hash-join path
+    (the no-broadcast scale variant)."""
+    import ray.data as rd
+    from osmium_tool_ray.pipelines.idops import semi_join_bucketed
+
+    ids = _click_ids(sf_dir)
+    ids_ds = rd.from_arrow(pa.table({"image_id": pa.array(ids, type=pa.string())}))
+    out = semi_join_bucketed(images_dataset(sf_dir), "image_id", ids_ds, buckets=16)
+    return out.select_columns(["image_id", "phash", "caption"])
+
+
 def q_removeid_anti(sf_dir: str):
     from osmium_tool_ray.pipelines.idops import removeid
     ds = removeid(images_dataset(sf_dir), _click_ids(sf_dir))
@@ -601,6 +613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fileinfo": q_fileinfo,
         "caption_tags_count": q_caption_tags_count,
         "getid_semi": q_getid_semi,
+        "getid_bucketed": q_getid_bucketed,
         "removeid_anti": q_removeid_anti,
         "getparents_orders": q_getparents_orders,
         "check_refs_missing": q_check_refs_missing,
@@ -669,6 +682,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT regexp_extract(caption, '[^ ]+$') AS key, COUNT(*) AS cnt
             FROM images GROUP BY 1 ORDER BY cnt DESC, key""",
         "getid_semi": f"""{cte}
+            SELECT image_id, phash, caption FROM images
+            WHERE image_id IN (
+                SELECT 'img' || lpad(CAST(event_id AS VARCHAR), 10, '0')
+                FROM events WHERE event_type = 'click' AND value > 300.0)""",
+        "getid_bucketed": f"""{cte}
             SELECT image_id, phash, caption FROM images
             WHERE image_id IN (
                 SELECT 'img' || lpad(CAST(event_id AS VARCHAR), 10, '0')

@@ -66,6 +66,78 @@ def render_pg_copy(batch: pa.Table, columns: list[str]) -> pa.Table:
     return pa.table({"line": line})
 
 
+def render_geojson_ways(members_with_locations, closed_as_polygon: bool = False):
+    """Way geometry assembly: group located members by way, order by seq,
+    emit LineString features (>=2 located points, matching the reference's
+    way->linestring rule, export_handler.cpp:112-134) or Polygon when the
+    ring closes and closed_as_polygon is set.
+
+    Input: the add_locations_to_members output (group_id, seq, lon, lat).
+    The per-way assembly is a groupby(group_id).map_groups — the Ray
+    restatement of the NodeLocationsForWays + ExportHandler pass
+    (command_export.cpp:620-632)."""
+    import json
+
+    import pandas as pd
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("seq", kind="stable")
+        coords = [[lo, la] for lo, la in zip(g["lon"], g["lat"])
+                  if not (np.isnan(lo) or np.isnan(la))]
+        if len(coords) < 2:
+            return pd.DataFrame({"line": []})
+        closed = coords[0] == coords[-1] and len(coords) >= 4
+        if closed and closed_as_polygon:
+            geom = {"type": "Polygon", "coordinates": [coords]}
+        else:
+            geom = {"type": "LineString", "coordinates": coords}
+        feat = {"type": "Feature", "id": str(g["group_id"].iloc[0]),
+                "geometry": geom, "properties": {}}
+        return pd.DataFrame({"line": [json.dumps(feat, separators=(",", ":"))]})
+
+    return members_with_locations.groupby("group_id").map_groups(
+        assemble, batch_format="pandas")
+
+
+def render_geojson_multipolygons(rel_members, way_members_with_locations):
+    """Relation -> MultiPolygon assembly (simplified vs the full osmium
+    area assembler: each member way must itself be a closed ring; outer
+    rings normalized CCW, inner CW by their winding; no ring merging).
+    rel_members: (group_id, seq, mtype='way', ref); way locations from
+    add_locations_to_members."""
+    import json
+
+    import pandas as pd
+
+    from ..functions.geometry import ensure_closed, is_ccw
+    from .extract import _collect_small, _np_str
+
+    wm = _collect_small(way_members_with_locations, ["group_id", "seq", "lon", "lat"])
+    rings_of: dict[str, list] = {}
+    order = np.lexsort((wm["seq"].astype(np.int64), wm["group_id"].astype(str)))
+    for gid, lo, la in zip(wm["group_id"][order], wm["lon"][order], wm["lat"][order]):
+        rings_of.setdefault(gid, []).append([float(lo), float(la)])
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["mtype"] == "way"].sort_values("seq", kind="stable")
+        outers, inners = [], []
+        for ref in g["ref"]:
+            pts = rings_of.get(ref)
+            if not pts or len(pts) < 3:
+                continue
+            ring = ensure_closed(np.asarray(pts, dtype=np.float64))
+            (outers if is_ccw(ring) else inners).append(ring.tolist())
+        if not outers:
+            return pd.DataFrame({"line": []})
+        polys = [[o] + inners for o in outers[:1]] + [[o] for o in outers[1:]]
+        feat = {"type": "Feature", "id": str(g["group_id"].iloc[0]),
+                "geometry": {"type": "MultiPolygon", "coordinates": polys},
+                "properties": {}}
+        return pd.DataFrame({"line": [json.dumps(feat, separators=(",", ":"))]})
+
+    return rel_members.groupby("group_id").map_groups(assemble, batch_format="pandas")
+
+
 def export_lines(ds, out_dir: str, renderer, **renderer_kwargs) -> str:
     """Render each batch to a `line` column and write one text file per
     block under out_dir (streaming, no shuffle)."""

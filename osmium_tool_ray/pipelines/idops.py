@@ -201,6 +201,53 @@ def check_refs(images, members, groups=None, check_relations: bool = False) -> d
     return out
 
 
+def semi_join_bucketed(ds, id_col: str, ids_ds, ids_col: str | None = None,
+                       buckets: int = 64, invert: bool = False):
+    """(Anti-)semi-join for id sets too large to broadcast: both sides are
+    hash-bucketed on the key and joined per bucket inside map_groups — the
+    explicit partitioned hash join (no driver materialization of either
+    side). `ids_ds` is a Dataset holding the key set.
+
+    This is the scale path for semi_join/getid/removeid when the id
+    universe exceeds worker memory (SURVEY.md §7.3/§8.3)."""
+    import pandas as pd
+
+    from ..functions.hashing import hash_str_u64
+
+    ids_col = ids_col or id_col
+
+    payload_schema = ds.schema()
+    payload_fields = list(zip(payload_schema.names, payload_schema.types))
+
+    def tag(side, col):
+        def f(batch: pa.Table) -> pa.Table:
+            vals = batch[col].cast(pa.string())
+            b = (hash_str_u64(vals) % np.uint64(buckets)).astype(np.int32)
+            out = pa.table({"_key": vals, "_bucket": pa.array(b),
+                            "_side": pa.array(np.full(batch.num_rows, side,
+                                                      dtype=np.int8))})
+            # both sides carry the full payload schema so union() block
+            # schemas line up (key-side rows are all-null payloads)
+            for name, typ in payload_fields:
+                col_arr = batch[name] if side == 0 else pa.nulls(batch.num_rows, typ)
+                out = out.append_column(name, col_arr)
+            return out
+        return f
+
+    big = ds.map_batches(tag(0, id_col), batch_format="pyarrow")
+    keys = ids_ds.map_batches(tag(1, ids_col), batch_format="pyarrow")
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keyset = set(g.loc[g["_side"] == 1, "_key"])
+        rows = g[g["_side"] == 0]
+        hit = rows["_key"].isin(keyset)
+        kept = rows[~hit] if invert else rows[hit]
+        return kept.drop(columns=["_key", "_bucket", "_side"])
+
+    return big.union(keys).groupby("_bucket").map_groups(
+        join_bucket, batch_format="pandas")
+
+
 def renumber(ds, id_col: str, start: int = 1, out_col: str | None = None):
     """Dense order-preserving remap: sorted distinct old ids -> start..N
     (command_renumber.cpp:61-131). The mapping table is built from a
@@ -225,3 +272,45 @@ def renumber(ds, id_col: str, start: int = 1, out_col: str | None = None):
         return batch.append_column(col, new)
 
     return ds.map_batches(remap, batch_format="pyarrow"), mapping
+
+
+def renumber_with_refs(images, groups, members, start: int = 1):
+    """Full renumber: images (nodes), ways, relations each get an
+    independent dense id space starting at `start` (the reference numbers
+    each type separately, command_renumber.cpp:61-66), and group_members
+    refs/owners are rewritten with the same mappings.
+
+    Returns (images_out, groups_out, members_out, mappings) where mappings
+    maps kind -> {old_id: new_int}."""
+    import ray
+
+    images_out, node_map = renumber(images, "image_id", start, out_col="new_id")
+    g = _collect_small(groups, ["group_id", "kind"])
+    way_ids = np.unique(g["group_id"][g["kind"] == "way"])
+    rel_ids = np.unique(g["group_id"][g["kind"] == "relation"])
+    way_map = {v: i + start for i, v in enumerate(way_ids.tolist())}
+    rel_map = {v: i + start for i, v in enumerate(rel_ids.tolist())}
+    mappings = {"node": node_map, "way": way_map, "relation": rel_map}
+    mref = ray.put(mappings)
+
+    def remap_groups(batch: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        gid = _np_str(batch["group_id"])
+        kind = _np_str(batch["kind"])
+        new = [m[k][i] for k, i in zip(kind.tolist(), gid.tolist())]
+        return batch.append_column("new_id", pa.array(new, type=pa.int64()))
+
+    def remap_members(batch: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        gid = _np_str(batch["group_id"]).tolist()
+        mt = _np_str(batch["mtype"]).tolist()
+        ref = _np_str(batch["ref"]).tolist()
+        owner_kind = ["way" if x.startswith("w") else "relation" for x in gid]
+        new_owner = [m[k].get(i) for k, i in zip(owner_kind, gid)]
+        new_ref = [m[k].get(i) for k, i in zip(mt, ref)]
+        batch = batch.append_column("new_group_id", pa.array(new_owner, type=pa.int64()))
+        return batch.append_column("new_ref", pa.array(new_ref, type=pa.int64()))
+
+    groups_out = groups.map_batches(remap_groups, batch_format="pyarrow")
+    members_out = members.map_batches(remap_members, batch_format="pyarrow")
+    return images_out, groups_out, members_out, mappings

@@ -193,6 +193,7 @@ def run_tags_filter(images, expressions: list[str], groups=None, members=None,
 
     rows = []
     if g is not None:
+        tags_of = dict(zip(g["group_id"], g["tags"]))
         for kind, match_set in (("way", matching_ways), ("relation", matching_rels)):
             for gid in match_set:
                 rows.append((gid, kind, False))
@@ -203,9 +204,16 @@ def run_tags_filter(images, expressions: list[str], groups=None, members=None,
                 if kind == "relation" and gid in set(matching_rels.tolist()):
                     continue
                 rows.append((gid, kind, True))
+    else:
+        tags_of = {}
+    from ..schema import TAGS_TYPE
+    # referenced-only groups are tag-stripped under -t, like nodes (:360-366)
+    out_tags = [[] if (r[2] and remove_tags) else list(tags_of.get(r[0]) or [])
+                for r in rows]
     group_rows = pa.table({
         "group_id": pa.array([r[0] for r in rows], type=pa.string()),
         "kind": pa.array([r[1] for r in rows], type=pa.string()),
         "referenced_only": pa.array([r[2] for r in rows], type=pa.bool_()),
+        "tags": pa.array(out_tags, type=TAGS_TYPE),
     })
     return {"images_out": images_out, "group_rows": group_rows}
