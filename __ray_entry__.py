@@ -112,16 +112,11 @@ def q_cell_grid_counts(sf_dir: str):
 
 
 def q_tile_counts_salted(sf_dir: str):
-    import pandas as pd
     from osmium_tool_ray.functions.cells import cell_to_xy
-    from osmium_tool_ray.stages.tiles import assign_tiles_salted
+    from osmium_tool_ray.stages.tiles import salted_counts
 
-    def agg(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"cell": [g["cell"].iloc[0]], "salt": [g["salt"].iloc[0]],
-                             "n_images": [len(g)]})
-
-    out = assign_tiles_salted(images_dataset(sf_dir), level=TILE_LEVEL, agg_fn=agg,
-                              hot_threshold=1000, salts=8)
+    out = salted_counts(images_dataset(sf_dir), level=TILE_LEVEL,
+                        hot_threshold=1000, salts=8)
 
     def decode(batch: pa.Table) -> pa.Table:
         x, y = cell_to_xy(batch["cell"].to_numpy(zero_copy_only=False).view(np.uint64))

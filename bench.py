@@ -33,7 +33,7 @@ QUERY_NAMES = [
     "cell_grid_counts", "tile_counts_salted", "caption_tags_count",
     "merge_dedup", "sort_topk", "latest_version", "dedup_exact_docs",
     "token_count_docs", "knn_points", "minhash_dup_pairs", "ann_embeddings",
-    "psnr_verify",
+    "psnr_verify", "add_locations", "extract_cw_nodes", "getid_bucketed",
 ]
 
 

@@ -55,10 +55,30 @@ def _np_str(col) -> np.ndarray:
     return np.asarray(col.to_pylist() if hasattr(col, "to_pylist") else col, dtype=object)
 
 
+def _collect_table(ds) -> pa.Table:
+    """Materialize a (narrow) Dataset as one Arrow table — no per-row dict
+    conversion (take_all builds Python dicts; this stays columnar)."""
+    import ray
+
+    refs = ds.to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows > 0]
+    if not tables:
+        return pa.Table.from_batches([], schema=pa.schema(
+            [(n, t) for n, t in zip(ds.schema().names, ds.schema().types)]))
+    return pa.concat_tables(tables, promote_options="default")
+
+
 def _isin(values: np.ndarray, idset: np.ndarray) -> np.ndarray:
+    """String-set membership via fixed-width-unicode searchsorted — ~1000x
+    faster than np.isin on object arrays (which falls back to per-element
+    Python compares)."""
     if idset is None or len(idset) == 0:
         return np.zeros(len(values), dtype=bool)
-    return np.isin(values, idset)
+    a = np.asarray(values).astype(str)
+    b = np.sort(np.asarray(idset).astype(str))
+    pos = np.searchsorted(b, a)
+    pos[pos == len(b)] = len(b) - 1
+    return b[pos] == a
 
 
 @dataclass
@@ -90,10 +110,10 @@ def _matched_node_ids(images, regions, level: int, concurrency) -> list[np.ndarr
         RegionMatcher, fn_constructor_args=(regions_ref, level),
         batch_format="pyarrow", concurrency=concurrency,
     ).select_columns(["image_id", "extract_id"])
-    rows = matched.take_all()
-    ids = np.asarray([r["image_id"] for r in rows], dtype=object)
-    eids = np.asarray([r["extract_id"] for r in rows], dtype=np.int32)
-    return [np.unique(ids[eids == e]) for e in range(len(regions))]
+    tbl = _collect_table(matched)
+    ids = _np_str(tbl["image_id"])
+    eids = tbl["extract_id"].to_numpy(zero_copy_only=False)
+    return [np.unique(ids[eids == e]).astype(object) for e in range(len(regions))]
 
 
 def _member_hits(members, idsets: list[np.ndarray], mtype: str,
@@ -128,10 +148,10 @@ def _member_hits(members, idsets: list[np.ndarray], mtype: str,
         return pa.table({"group_id": pa.array(np.concatenate(out_g), type=pa.string()),
                          "extract_id": pa.array(np.concatenate(out_e))})
 
-    rows = members.map_batches(scan, batch_format="pyarrow").take_all()
-    gids = np.asarray([r["group_id"] for r in rows], dtype=object)
-    eids = np.asarray([r["extract_id"] for r in rows], dtype=np.int32)
-    return [np.unique(gids[eids == e]) for e in range(len(idsets))]
+    tbl = _collect_table(members.map_batches(scan, batch_format="pyarrow"))
+    gids = _np_str(tbl["group_id"])
+    eids = tbl["extract_id"].to_numpy(zero_copy_only=False)
+    return [np.unique(gids[eids == e]).astype(object) for e in range(len(idsets))]
 
 
 def _member_refs_of(members, groupsets: list[np.ndarray],
@@ -147,7 +167,7 @@ def _member_refs_of(members, groupsets: list[np.ndarray],
         mt = _np_str(batch["mtype"])
         gid = _np_str(batch["group_id"])
         ref = _np_str(batch["ref"])
-        sel = np.isin(mt, np.asarray(mtypes, dtype=object))
+        sel = _isin(mt, np.asarray(mtypes, dtype=object))
         out_r, out_e = [], []
         for e, s in enumerate(sets):
             hit = sel & _isin(gid, s)
@@ -161,18 +181,18 @@ def _member_refs_of(members, groupsets: list[np.ndarray],
         return pa.table({"ref": pa.array(np.concatenate(out_r), type=pa.string()),
                          "extract_id": pa.array(np.concatenate(out_e))})
 
-    rows = members.map_batches(scan, batch_format="pyarrow").take_all()
-    rr = np.asarray([r["ref"] for r in rows], dtype=object)
-    ee = np.asarray([r["extract_id"] for r in rows], dtype=np.int32)
-    return [np.unique(rr[ee == e]) for e in range(len(groupsets))]
+    tbl = _collect_table(members.map_batches(scan, batch_format="pyarrow"))
+    rr = _np_str(tbl["ref"])
+    ee = tbl["extract_id"].to_numpy(zero_copy_only=False)
+    return [np.unique(rr[ee == e]).astype(object) for e in range(len(groupsets))]
 
 
 def _collect_small(ds, columns):
     """Collect a narrow projection of a (small, metadata-class) dataset."""
     if ds is None:
         return {c: np.empty(0, dtype=object) for c in columns}
-    rows = ds.select_columns(columns).take_all()
-    return {c: np.asarray([r[c] for r in rows], dtype=object) for c in columns}
+    tbl = _collect_table(ds.select_columns(columns))
+    return {c: np.asarray(tbl[c].to_pylist(), dtype=object) for c in columns}
 
 
 def _parent_closure(rel_edges_child: np.ndarray, rel_edges_parent: np.ndarray,
@@ -186,7 +206,7 @@ def _parent_closure(rel_edges_child: np.ndarray, rel_edges_parent: np.ndarray,
         blocked = set()
     frontier = set(seed.tolist())
     while frontier:
-        hit = np.isin(rel_edges_child, np.asarray(list(frontier), dtype=object))
+        hit = _isin(rel_edges_child, np.asarray(list(frontier), dtype=object))
         parents = set(rel_edges_parent[hit].tolist()) - have - blocked
         have |= parents
         frontier = parents

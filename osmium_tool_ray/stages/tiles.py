@@ -34,6 +34,42 @@ def cell_counts(ds, level: int, lon_col: str = "lon", lat_col: str = "lat"):
         .groupby("cell").aggregate(Sum("n", alias_name="n_images"))
 
 
+def salted_counts(ds, level: int, hot_threshold: int = 100_000, salts: int = 16,
+                  lon_col: str = "lon", lat_col: str = "lat",
+                  id_col: str = "image_id"):
+    """Per-cell counts through the salted two-stage shuffle using NATIVE
+    aggregates end-to-end (no per-group Python): hot cells split into
+    cell#salt sub-keys, per-(cell,salt) Count, then per-cell Sum re-merge.
+    Same result as cell_counts; this is the skew-safe path for aggregates
+    that must see raw rows grouped (counts here stand in for them)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    hot = cell_counts(ds, level, lon_col, lat_col)
+    hot_rows = hot.filter(expr=f"n_images > {hot_threshold}").take_all()
+    hot_ref = ray.put(np.sort(np.asarray([r["cell"] for r in hot_rows],
+                                         dtype=np.int64)))
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        hotset = ray.get(hot_ref)
+        cells = cell_encode(batch[lon_col].to_numpy(zero_copy_only=False),
+                            batch[lat_col].to_numpy(zero_copy_only=False),
+                            level).view(np.int64)
+        salt = np.zeros(len(cells), dtype=np.int32)
+        if hotset.size:
+            pos = np.searchsorted(hotset, cells)
+            pos[pos == len(hotset)] = len(hotset) - 1
+            is_hot = hotset[pos] == cells
+            if is_hot.any():
+                h = hash_str_u64(batch[id_col].cast(pa.string()))
+                salt[is_hot] = (h[is_hot] % np.uint64(salts)).astype(np.int32)
+        return pa.table({"cell": pa.array(cells), "salt": pa.array(salt)})
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    partials = keyed.groupby(["cell", "salt"]).aggregate(Count(alias_name="n"))
+    return partials.groupby("cell").aggregate(Sum("n", alias_name="n_images"))
+
+
 def assign_tiles_salted(ds, level: int, agg_fn, hot_threshold: int = 100_000,
                         salts: int = 16, lon_col: str = "lon", lat_col: str = "lat",
                         id_col: str = "image_id"):
