@@ -157,44 +157,53 @@ def main():
 def scaling():
     """N vs 4N CPU evidence run (fresh ray.init per level, same input).
 
-    Default pairing is 2 vs 8: this sandbox exposes 32 logical CPUs over
+    Default pairing is 4 vs 16: this sandbox exposes 32 logical CPUs over
     ~16 physical cores (SMT) — a raw numpy-hash multiprocessing probe
-    scales 1->4->8->16->32 procs at 94/85/72/50% efficiency, so any
-    pairing whose upper level crosses the physical-core/SMT boundary
-    measures the hardware ceiling, not the engine. Override with
-    BENCH_SCALE_LO / BENCH_SCALE_HI."""
+    scales 1->4->8->16->32 procs at 94/85/72/50% efficiency, so a pairing
+    whose upper level crosses the SMT boundary measures the hardware
+    ceiling, not the engine; and levels below ~4 overstate throughput
+    because Ray's auxiliary threads borrow idle physical cores beyond the
+    CPU tokens. Override with BENCH_SCALE_LO / BENCH_SCALE_HI."""
 
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
-                   BENCH_ROWS=os.environ.get("BENCH_ROWS", "2000000"))
+                   BENCH_ROWS=os.environ.get("BENCH_ROWS", "4000000"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        # best-of-R: the sandbox is shared/noisy; min wall is the machine's
-        # actual capability at this parallelism
-        best = None
-        for _ in range(int(os.environ.get("BENCH_SCALE_REPEATS", "3"))):
-            r = run_once(ncpu)
-            if best is None or r["headline_wall_s"] < best["headline_wall_s"]:
-                best = r
-            time.sleep(3)  # let the previous Ray session's shm drain
-        return best
+    lo = int(os.environ.get("BENCH_SCALE_LO", "4"))
+    hi = int(os.environ.get("BENCH_SCALE_HI", "16"))
+    repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "3"))
 
-    lo = int(os.environ.get("BENCH_SCALE_LO", "2"))
-    hi = int(os.environ.get("BENCH_SCALE_HI", "8"))
-    r_lo = run(lo)
-    r_hi = run(hi)
-    eff = (r_lo["headline_wall_s"] / r_hi["headline_wall_s"]) / (hi / lo)
+    # Interleaved lo/hi PAIRS: sandbox noise is machine-wide and hits both
+    # runs of a pair, so the per-pair speedup ratio is far more stable than
+    # independent best-of-N walls (observed pair ratios 3.0-3.6 while raw
+    # walls swing 30-45 s). Report the median pair efficiency + best walls.
+    pairs = []
+    best_lo = best_hi = None
+    for _ in range(repeats):
+        r_lo = run_once(lo)
+        time.sleep(2)
+        r_hi = run_once(hi)
+        time.sleep(2)
+        pairs.append(r_lo["headline_wall_s"] / r_hi["headline_wall_s"])
+        if best_lo is None or r_lo["headline_wall_s"] < best_lo["headline_wall_s"]:
+            best_lo = r_lo
+        if best_hi is None or r_hi["headline_wall_s"] < best_hi["headline_wall_s"]:
+            best_hi = r_hi
+    pairs.sort()
+    median_ratio = pairs[len(pairs) // 2] if len(pairs) % 2 else \
+        (pairs[len(pairs) // 2 - 1] + pairs[len(pairs) // 2]) / 2
     print(json.dumps({
-        "rows": r_lo["headline_rows"],
-        f"sec_{lo}": r_lo["headline_wall_s"],
-        f"sec_{hi}": r_hi["headline_wall_s"],
-        f"images_per_sec_{lo}": r_lo["value"],
-        f"images_per_sec_{hi}": r_hi["value"],
-        "scaling_efficiency": round(eff, 3),
+        "rows": best_lo["headline_rows"],
+        f"sec_{lo}": best_lo["headline_wall_s"],
+        f"sec_{hi}": best_hi["headline_wall_s"],
+        f"images_per_sec_{lo}": best_lo["value"],
+        f"images_per_sec_{hi}": best_hi["value"],
+        "pair_ratios": [round(p, 3) for p in pairs],
+        "scaling_efficiency": round(median_ratio / (hi / lo), 3),
     }))
 
 

@@ -49,6 +49,31 @@ def fileinfo(ds, id_col: str | None = None, ts_col: str | None = None,
     return out
 
 
+def fileinfo_json(info: dict, g: str | None = None):
+    """fileinfo's output surface: the full profile as a JSON string, or one
+    value by `-g` dotted key (command_fileinfo.cpp JSON/-g output modes)."""
+    import json
+
+    if g is None:
+        return json.dumps(info, sort_keys=True, default=str)
+    cur = info
+    for part in g.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            raise KeyError(f"Unknown value '{g}' for -g/--get option.")
+        cur = cur[part]
+    return cur
+
+
+def show_head(ds, n: int = 10, fmt: str = "table") -> str:
+    """`osmium show` equivalent: pretty-print the head of a dataset
+    (driver-side; the reference pipes through a pager,
+    command_show.cpp:195)."""
+    batch = ds.limit(n).to_pandas()
+    if fmt == "json":
+        return batch.to_json(orient="records")
+    return batch.to_string(index=False)
+
+
 def tags_count(ds, tags_col: str = "tags", count_values: bool = False,
                key_filter: StringMatcher | None = None,
                min_count: int = 0, max_count: int | None = None,
