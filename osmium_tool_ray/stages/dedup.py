@@ -20,33 +20,56 @@ import pyarrow as pa
 from ..functions.hashing import hash64, hash_str_u64, splitmix64
 
 
+def _flat_shingle_hashes(texts: list[str], k: int = 5):
+    """All docs' char-k-shingle hashes in ONE flat uint64 array + per-doc
+    segment offsets — a single rolling-window pass over the concatenated
+    byte buffer (no per-doc Python loop). Cross-document windows are
+    dropped via offset arithmetic; docs shorter than k get one sentinel
+    hash 0."""
+    bufs = [t.encode("utf-8", "ignore") for t in texts]
+    lens = np.asarray([len(b) for b in bufs], dtype=np.int64)
+    buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    if len(buf) < k:
+        flat = np.zeros(len(texts), dtype=np.uint64)
+        offs = np.arange(len(texts) + 1, dtype=np.int64)
+        return flat, offs
+    win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(np.uint64)
+    weights = (np.uint64(257) ** np.arange(k, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        h = splitmix64(win @ weights)
+    doc_starts = np.concatenate([[0], np.cumsum(lens)])
+    counts = np.maximum(lens - k + 1, 1)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    flat = np.empty(offs[-1], dtype=np.uint64)
+    for i in range(len(texts)):  # cheap per-doc slice copy (memcpy, no hashing)
+        if lens[i] < k:
+            flat[offs[i]] = 0
+        else:
+            flat[offs[i]:offs[i + 1]] = h[doc_starts[i]:doc_starts[i] + counts[i]]
+    return flat, offs
+
+
 def _shingle_hashes(texts: list[str], k: int = 5) -> list[np.ndarray]:
-    """Character k-shingle hash sets per doc (vectorized per doc over a
-    byte rolling window)."""
-    out = []
-    for t in texts:
-        b = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
-        if len(b) < k:
-            out.append(np.asarray([0], dtype=np.uint64))
-            continue
-        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-        weights = (np.uint64(257) ** np.arange(k, dtype=np.uint64))
-        with np.errstate(over="ignore"):
-            h = splitmix64((win * weights).sum(axis=1))
-        out.append(np.unique(h))
-    return out
+    """Per-doc unique shingle-hash sets (used by the exact Jaccard verify)."""
+    flat, offs = _flat_shingle_hashes(texts, k)
+    return [np.unique(flat[offs[i]:offs[i + 1]]) for i in range(len(texts))]
 
 
 def minhash_signature(texts: list[str], num_perm: int = 64, k: int = 5,
                       seed: int = 7) -> np.ndarray:
     """(n_docs, num_perm) uint64 MinHash signatures. Permutations are the
-    universal-hash family h_i(x) = splitmix64(x ^ salt_i)."""
+    universal-hash family h_i(x) = splitmix64(x ^ salt_i); per-doc minima
+    via segmented minimum.reduceat over the flat shingle buffer — fully
+    vectorized across all docs of the batch."""
     salts = hash64(np.arange(num_perm, dtype=np.uint64), seed=seed)
-    sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
-    for i, sh in enumerate(_shingle_hashes(texts, k)):
-        with np.errstate(over="ignore"):
-            m = splitmix64(sh[:, None] ^ salts[None, :])
-        sigs[i] = m.min(axis=0)
+    flat, offs = _flat_shingle_hashes(texts, k)
+    n = len(texts)
+    sigs = np.empty((n, num_perm), dtype=np.uint64)
+    starts = offs[:-1]
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            m = splitmix64(flat ^ salts[p])
+            sigs[:, p] = np.minimum.reduceat(m, starts)
     return sigs
 
 
@@ -149,9 +172,17 @@ def minhash_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
         from ..pipelines.idops import semi_join
         rows = semi_join(docs.select_columns([id_col, text_col]), id_col,
                          np.asarray(cand_ids, dtype=object)).take_all()
-        text_of = {r[id_col]: r[text_col] for r in rows}
-        verified = [(a, b) for a, b in cand
-                    if jaccard(text_of[a], text_of[b], k) >= threshold]
+        # shingle each candidate doc ONCE (a doc may appear in many pairs)
+        ids_in_order = [r[id_col] for r in rows]
+        sets = _shingle_hashes([r[text_col] for r in rows], k)
+        set_of = dict(zip(ids_in_order, sets))
+        verified = []
+        for a, b in cand:
+            sa, sb = set_of[a], set_of[b]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            if union == 0 or inter / union >= threshold:
+                verified.append((a, b))
     else:
         verified = []
 
