@@ -251,7 +251,8 @@ class HyperplaneSig:
         self.vec_col, self.id_col = vec_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        from ..stages.knn import embedding_matrix
+        emb = embedding_matrix(batch[self.vec_col])
         if emb.size == 0:
             sig = np.empty(0, dtype=np.int64)
         else:

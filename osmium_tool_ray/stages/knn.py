@@ -18,6 +18,25 @@ import pandas as pd
 import pyarrow as pa
 
 
+def embedding_matrix(col) -> "np.ndarray":
+    """list<float> column -> (n, dim) float64 matrix, zero-copy from the
+    Arrow child buffer (no per-row Python lists). Requires equal-length
+    lists (fixed-dim embeddings)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offs)
+    if not (widths == widths[0]).all():
+        raise ValueError("embedding column has ragged list lengths")
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return flat[offs[0]:offs[-1]].reshape(len(col), widths[0])
+
+
 class BruteForceTopK:
     """map_batches actor: for each corpus row's embedding, cosine scores
     against Q broadcast query vectors; emits (query_id, vec_id, score) for
@@ -34,7 +53,7 @@ class BruteForceTopK:
         self.vec_col, self.id_col = vec_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        emb = embedding_matrix(batch[self.vec_col])
         if emb.size == 0:
             return pa.table({"query_id": pa.array([], type=pa.int64()),
                              self.id_col: pa.array([], type=pa.int64()),
@@ -88,7 +107,7 @@ def train_ivf_centroids(corpus, dim: int, nlist: int = 16, iters: int = 3,
 
         def partial(batch: pa.Table) -> pa.Table:
             c = ray.get(cref)
-            emb = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            emb = embedding_matrix(batch[vec_col])
             if emb.size == 0:
                 return pa.table({"cluster": pa.array([], type=pa.int64()),
                                  "vsum": pa.array([], type=pa.list_(pa.float64())),
@@ -143,7 +162,7 @@ def ivf_ann_topk(corpus, query_matrix: np.ndarray, query_ids: np.ndarray,
             self.probed = s["probed"]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+            emb = embedding_matrix(batch[self.vec_col])
             if emb.size:
                 en = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
                                       1e-30)
