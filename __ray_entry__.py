@@ -483,7 +483,34 @@ def q_add_locations(sf_dir: str):
     return out.select_columns(["group_id", "seq", "lon", "lat"])
 
 
+def q_tile_mosaic(sf_dir: str):
+    """Per-tile mosaic assembly (raster side of raster<->vector); the
+    comparable projection is the member count per tile (capped by
+    max_members), the binary mosaic itself is checked in pytest."""
+    from osmium_tool_ray.functions.cells import cell_to_xy
+    from osmium_tool_ray.stages.raster import tile_mosaic
+
+    out = tile_mosaic(images_dataset(sf_dir, with_bytes=True), level=3,
+                      tile_px=2, max_members=64)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        x, y = cell_to_xy(batch["cell"].to_numpy(zero_copy_only=False).view(np.uint64))
+        return pa.table({"cell_x": pa.array(x), "cell_y": pa.array(y),
+                         "n_members": batch["n_members"].cast(pa.int64())})
+
+    return out.map_batches(decode, batch_format="pyarrow")
+
+
 # -- rows-only (non-SQL-expressible) ------------------------------------------
+
+
+def q_rasterize_coverage(sf_dir: str):
+    """Vector->raster: polygon rasterized to per-cell coverage (rows-only:
+    the subsampled boundary-coverage estimate has no SQL twin)."""
+    from osmium_tool_ray.stages.raster import rasterize_region
+
+    reg = Region(name="p", kind="polygon", rings=[np.asarray(POLY)])
+    return rasterize_region(reg, level=7)
 
 
 def q_export_geojsonseq(sf_dir: str):
@@ -623,6 +650,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_cw_nodes": q_extract_cw_nodes,
         "cat_clean": q_cat_clean,
         "add_locations": q_add_locations,
+        "tile_mosaic": q_tile_mosaic,
+        "rasterize_coverage": q_rasterize_coverage,
         "export_geojsonseq": q_export_geojsonseq,
         "embedding_neardup": q_embedding_neardup,
         "ivf_ann": q_ivf_ann,
@@ -762,6 +791,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(e.event_id AS INTEGER) AS seq, i.lon, i.lat
             FROM events e JOIN images i
               ON i.image_id = 'img' || lpad(CAST(e.event_id AS VARCHAR), 10, '0')""",
+        "tile_mosaic": f"""{cte}
+            SELECT cell_x, cell_y, LEAST(COUNT(*), 64) AS n_members
+            FROM (SELECT {_CELL_XY_SQL.format(n=8, m=7)} FROM images)
+            GROUP BY cell_x, cell_y""",
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n
             FROM documents GROUP BY text""",
