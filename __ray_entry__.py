@@ -397,7 +397,7 @@ def q_token_count_docs(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(TokenCount, fn_constructor_kwargs={"text_col": "text"},
                      batch_format="pyarrow", concurrency=2) \
-        .select_columns(["doc_id", "n_tokens"])
+        .select_columns(["doc_id", "n_tokens", "n_bpe_tokens"])
 
 
 def q_quality_docs(sf_dir: str):
@@ -801,7 +801,9 @@ def oracle_sql() -> dict[str, str]:
         "token_count_docs": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
-                       AS n_tokens
+                       AS n_tokens,
+                   CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS BIGINT)
+                       AS n_bpe_tokens
             FROM documents""",
         "quality_docs": """
             SELECT doc_id,

@@ -17,6 +17,10 @@ import pyarrow.compute as pc
 from ..functions.hashing import hash_str_u64
 
 TOKEN_PATTERN = r"[A-Za-z0-9_]+"
+# BPE-ish pre-tokenizer (GPT-2-style split classes, lookahead-free so RE2 /
+# DuckDB count identically): space-prefixed letter runs, digit runs,
+# punctuation runs
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
 _LANG_STOPWORDS = {
@@ -36,8 +40,10 @@ class TokenCount:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         toks = pc.count_substring_regex(batch[self.text_col], pattern=TOKEN_PATTERN)
+        bpe = pc.count_substring_regex(batch[self.text_col], pattern=BPE_PATTERN)
         n_chars = pc.utf8_length(batch[self.text_col])
         return batch.append_column("n_tokens", toks.cast(pa.int64())) \
+                    .append_column("n_bpe_tokens", bpe.cast(pa.int64())) \
                     .append_column("n_chars_calc", n_chars.cast(pa.int64()))
 
 
