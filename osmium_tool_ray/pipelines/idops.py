@@ -48,6 +48,13 @@ def parse_id_list(tokens) -> dict[str, np.ndarray]:
     return {k: np.asarray(sorted(set(v)), dtype=object) for k, v in out.items()}
 
 
+def ids_from_dataset(ds, id_col: str = "image_id") -> np.ndarray:
+    """getid's --id-osm-file form: the requested id set is every id present
+    in another dataset (command_getid.cpp id sources)."""
+    return np.asarray(sorted(set(ds.select_columns([id_col]).unique(id_col))),
+                      dtype=object)
+
+
 def semi_join(ds, id_col: str, ids: np.ndarray, invert: bool = False):
     """Distributed (anti-)semi-join of a dataset against a broadcast id set."""
     import ray
