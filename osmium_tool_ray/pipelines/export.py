@@ -110,7 +110,7 @@ def render_geojson_multipolygons(rel_members, way_members_with_locations):
     import pandas as pd
 
     from ..functions.geometry import ensure_closed, is_ccw
-    from .extract import _collect_small, _np_str
+    from .extract import _collect_small
 
     wm = _collect_small(way_members_with_locations, ["group_id", "seq", "lon", "lat"])
     rings_of: dict[str, list] = {}

@@ -15,7 +15,6 @@ distributed across read blocks."""
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from ..schema import TAGS_TYPE
