@@ -107,15 +107,14 @@ def run_tags_filter(images, expressions: list[str], groups=None, members=None,
         is_way = g["kind"] == "way"
         is_rel = g["kind"] == "relation"
         way_ids_all = g["group_id"][is_way]
-        # closed-ring test per way: >=4 member refs and first == last (by seq)
-        closed = np.zeros(len(way_ids_all), dtype=bool)
-        for i, wid in enumerate(way_ids_all):
-            sel = mem["group_id"] == wid
-            if sel.sum() >= 4:
-                seqs = mem["seq"][sel].astype(np.int64)
-                refs = mem["ref"][sel]
-                order = np.argsort(seqs)
-                closed[i] = refs[order][0] == refs[order][-1]
+        # closed-ring test per way: >=4 member refs and first == last (by
+        # seq) — one grouped pass over the members, not a per-way scan
+        import pandas as pd
+        mdf = pd.DataFrame({"gid": mem["group_id"], "seq": mem["seq"].astype(np.int64),
+                            "ref": mem["ref"]}).sort_values(["gid", "seq"], kind="stable")
+        grp = mdf.groupby("gid", sort=False)["ref"]
+        closed_of = ((grp.size() >= 4) & (grp.first() == grp.last())).to_dict()
+        closed = np.asarray([bool(closed_of.get(w, False)) for w in way_ids_all])
         way_tags = _tags_array(list(g["tags"][is_way]))
         rel_tags = _tags_array(list(g["tags"][is_rel]))
         rel_ids_all = g["group_id"][is_rel]

@@ -153,3 +153,22 @@ def test_site_R(site):
     assert (nodes, ways, rels) == ([], [], ["r32"])
     nodes, ways, rels, _ = _run(site, ["r/site"], add_referenced=False)
     assert (nodes, ways, rels) == ([], [], ["r31", "r32"])
+
+
+def test_area_filter_closed_way(ray_session):
+    # a/-prefixed expressions match closed ways (>=4 refs, first==last) and
+    # type=multipolygon/boundary relations (command_tags_filter.cpp:203-230)
+    nodes = [("n1", []), ("n2", []), ("n3", [])]
+    groups = [("w_closed", "way", [_t("landuse", "forest")]),
+              ("w_open", "way", [_t("landuse", "forest")]),
+              ("r_mp", "relation", [_t("landuse", "forest"), _t("type", "multipolygon")]),
+              ("r_plain", "relation", [_t("landuse", "forest")])]
+    members = [("w_closed", 0, "node", "n1"), ("w_closed", 1, "node", "n2"),
+               ("w_closed", 2, "node", "n3"), ("w_closed", 3, "node", "n1"),
+               ("w_open", 0, "node", "n1"), ("w_open", 1, "node", "n2"),
+               ("r_mp", 0, "way", "w_closed"), ("r_plain", 0, "way", "w_open")]
+    ds3 = _mk(None, nodes, groups, members)
+    nodes_out, ways, rels, _ = _run(ds3, ["a/landuse=forest"], add_referenced=False)
+    assert ways == ["w_closed"]          # open way fails the area rule
+    assert rels == ["r_mp"]              # non-multipolygon relation fails
+    assert nodes_out == []
