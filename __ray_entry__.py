@@ -302,6 +302,42 @@ def q_derive_changes_counts(sf_dir: str):
     return tagged.groupby("change").aggregate(Count(alias_name="n"))
 
 
+def q_changeset_bbox(sf_dir: str):
+    """changeset-filter's bbox-overlap predicate
+    (/root/reference/src/command_changeset_filter.cpp:239-250): synthesize a
+    "changeset" per user (bounds = min/max lon/lat of their images,
+    num_changes = count) and keep those whose bounds box OVERLAPS the query
+    bbox — 4-column interval logic after a grouped aggregate."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    ev = _events(sf_dir, ["event_id", "user_id"])
+
+    def join_coords(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = ((ids * 7919) % 36000) / 100.0 - 180.0
+        lat = ((ids * 104729) % 17000) / 100.0 - 85.0
+        return pa.table({"user_id": batch["user_id"],
+                         "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    bounds = ev.map_batches(join_coords, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Min("lon", alias_name="min_lon"), Max("lon", alias_name="max_lon"),
+            Min("lat", alias_name="min_lat"), Max("lat", alias_name="max_lat"),
+            Count(alias_name="num_changes"))
+    L, B, R, T = -60.0, -40.0, 60.0, 40.0
+
+    def overlap(batch: pa.Table) -> pa.Table:
+        m = ~((batch["max_lon"].to_numpy(zero_copy_only=False) < L)
+              | (batch["min_lon"].to_numpy(zero_copy_only=False) > R)
+              | (batch["max_lat"].to_numpy(zero_copy_only=False) < B)
+              | (batch["min_lat"].to_numpy(zero_copy_only=False) > T))
+        return batch.filter(pa.array(m))
+
+    return bounds.map_batches(overlap, batch_format="pyarrow") \
+        .select_columns(["user_id", "num_changes"])
+
+
 def q_changeset_filter(sf_dir: str):
     ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value", "ts"])
 
@@ -646,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_filter_snapshot": q_time_filter_snapshot,
         "derive_changes_counts": q_derive_changes_counts,
         "changeset_filter": q_changeset_filter,
+        "changeset_bbox": q_changeset_bbox,
         "extract_ways_simple": q_extract_ways_simple,
         "extract_cw_nodes": q_extract_cw_nodes,
         "cat_clean": q_cat_clean,
@@ -759,6 +796,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
               AND ts < TIMESTAMP '2024-01-20 00:00:00'
               AND event_type IN ('click', 'purchase') AND value > 100.0""",
+        "changeset_bbox": """
+            SELECT user_id, num_changes FROM (
+                SELECT user_id,
+                       MIN(((event_id * 7919) % 36000) / 100.0 - 180.0) AS min_lon,
+                       MAX(((event_id * 7919) % 36000) / 100.0 - 180.0) AS max_lon,
+                       MIN(((event_id * 104729) % 17000) / 100.0 - 85.0) AS min_lat,
+                       MAX(((event_id * 104729) % 17000) / 100.0 - 85.0) AS max_lat,
+                       COUNT(*) AS num_changes
+                FROM events GROUP BY user_id)
+            WHERE NOT (max_lon < -60.0 OR min_lon > 60.0
+                       OR max_lat < -40.0 OR min_lat > 40.0)""",
         "extract_ways_simple": f"""{cte}
             SELECT DISTINCT 'u' || CAST(e.user_id AS VARCHAR) AS group_id
             FROM events e JOIN images i
