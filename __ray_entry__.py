@@ -519,6 +519,17 @@ def q_add_locations(sf_dir: str):
     return out.select_columns(["group_id", "seq", "lon", "lat"])
 
 
+def q_add_locations_join(sf_dir: str):
+    """Same enrichment through Ray's native hash-partitioned Dataset.join
+    (the no-broadcast scale path); identical oracle."""
+    from osmium_tool_ray.pipelines.locations import add_locations_native_join
+
+    groups, members = _user_adjacency(sf_dir)
+    out = add_locations_native_join(members, images_dataset(sf_dir),
+                                    num_partitions=8)
+    return out.select_columns(["group_id", "seq", "lon", "lat"])
+
+
 def q_tile_mosaic(sf_dir: str):
     """Per-tile mosaic assembly (raster side of raster<->vector); the
     comparable projection is the member count per tile (capped by
@@ -687,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_cw_nodes": q_extract_cw_nodes,
         "cat_clean": q_cat_clean,
         "add_locations": q_add_locations,
+        "add_locations_join": q_add_locations_join,
         "tile_mosaic": q_tile_mosaic,
         "rasterize_coverage": q_rasterize_coverage,
         "export_geojsonseq": q_export_geojsonseq,
@@ -835,6 +847,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, '' AS caption, CAST(0 AS BIGINT) AS phash FROM images
             WHERE (lon >= 30 AND lon <= 150 AND lat >= -60 AND lat <= 60)""",
         "add_locations": f"""{cte}
+            SELECT 'u' || CAST(e.user_id AS VARCHAR) AS group_id,
+                   CAST(e.event_id AS INTEGER) AS seq, i.lon, i.lat
+            FROM events e JOIN images i
+              ON i.image_id = 'img' || lpad(CAST(e.event_id AS VARCHAR), 10, '0')""",
+        "add_locations_join": f"""{cte}
             SELECT 'u' || CAST(e.user_id AS VARCHAR) AS group_id,
                    CAST(e.event_id AS INTEGER) AS seq, i.lon, i.lat
             FROM events e JOIN images i

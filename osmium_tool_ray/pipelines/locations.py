@@ -57,6 +57,24 @@ def add_locations_to_members(members, images, keep_missing: bool = False):
     return members.map_batches(enrich, batch_format="pyarrow")
 
 
+def add_locations_native_join(members, images, num_partitions: int = 16):
+    """The no-broadcast variant of add_locations_to_members: Ray's native
+    hash-partitioned Dataset.join (inner, on ref == image_id) — use when
+    the node table exceeds worker memory. Node-type members only; column
+    set matches the broadcast variant."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    nodes_only = members.map_batches(
+        lambda b: b.filter(pc.equal(b["mtype"], "node")), batch_format="pyarrow")
+    locs = images.select_columns(["image_id", "lon", "lat"])
+    joined = nodes_only.join(locs, join_type="inner",
+                             num_partitions=num_partitions,
+                             on=("ref",), right_on=("image_id",))
+    keep = [c for c in ("group_id", "seq", "mtype", "ref", "lon", "lat")]
+    return joined.select_columns(keep)
+
+
 def create_locations_index(images, out_path: str,
                            id_col="image_id", lon_col="lon", lat_col="lat") -> str:
     """Materialize a sorted (id -> lon, lat) parquet lookup table — the
