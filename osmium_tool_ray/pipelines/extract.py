@@ -234,7 +234,24 @@ def run_extract(images, regions: list[Region], groups=None, members=None,
 
     mem = None
     if members is not None:
-        mem = _collect_small(members, ["group_id", "seq", "mtype", "ref"])
+        # only relation-owned member rows are needed driver-side (simple's
+        # first-member rule, smart's member lists, the rel->rel edges);
+        # way members — the big side — stay distributed
+        rel_ids_all = np.unique(g["group_id"][g["kind"] == "relation"]) \
+            if g else np.empty(0, dtype=object)
+        if len(rel_ids_all):
+            import ray as _ray
+            rref = _ray.put(rel_ids_all)
+
+            def owner_is_rel(batch: pa.Table) -> pa.Table:
+                rel_set = _ray.get(rref)
+                return batch.filter(pa.array(_isin(_np_str(batch["group_id"]),
+                                                   rel_set)))
+
+            rel_members = members.map_batches(owner_is_rel, batch_format="pyarrow")
+            mem = _collect_small(rel_members, ["group_id", "seq", "mtype", "ref"])
+        else:
+            mem = _collect_small(None, ["group_id", "seq", "mtype", "ref"])
 
     if groups is not None and members is not None:
         if strategy == "simple":
@@ -288,7 +305,8 @@ def run_extract(images, regions: list[Region], groups=None, members=None,
 def _rel_edges(mem, kind_of):
     """relation->relation edges (parent=group_id, child=ref)."""
     is_rel_member = mem["mtype"] == "relation"
-    owner_is_rel = np.asarray([kind_of.get(x) == "relation" for x in mem["group_id"]])
+    owner_is_rel = np.asarray([kind_of.get(x) == "relation" for x in mem["group_id"]],
+                              dtype=bool)
     m = is_rel_member & owner_is_rel
     return mem["ref"][m], mem["group_id"][m]
 
@@ -299,7 +317,8 @@ def _run_simple(sets, members_ds, mem, kind_of, do_relations):
     if not do_relations:
         return
     # relation fate decided by its first node/way-type member (strategy_simple.cpp:89-106)
-    owner_rel = np.asarray([kind_of.get(x) == "relation" for x in mem["group_id"]])
+    owner_rel = np.asarray([kind_of.get(x) == "relation" for x in mem["group_id"]],
+                           dtype=bool)
     nonrel = mem["mtype"] != "relation"
     cand = owner_rel & nonrel
     order = np.lexsort((mem["seq"][cand].astype(np.int64),
@@ -370,7 +389,8 @@ def _run_smart(sets, groups_ds, members_ds, mem, kind_of, options):
 
     # per-relation member lists (driver-side on collected adjacency; the
     # wanted-member counting is a grouped aggregate — SURVEY.md §7.4)
-    owner_rel = np.asarray([kind_of.get(x) == "relation" for x in mem["group_id"]])
+    owner_rel = np.asarray([kind_of.get(x) == "relation" for x in mem["group_id"]],
+                           dtype=bool)
     rel_gid = mem["group_id"][owner_rel]
     rel_mt = mem["mtype"][owner_rel]
     rel_ref = mem["ref"][owner_rel]
