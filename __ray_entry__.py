@@ -338,6 +338,31 @@ def q_changeset_bbox(sf_dir: str):
         .select_columns(["user_id", "num_changes"])
 
 
+def q_diff_counts(sf_dir: str):
+    """`osmium diff` summary surface: left/right/same/different class counts
+    between two event snapshots (old: value unchanged; new: value doubled
+    for purchases) + the identical flag (exit-code analogue)."""
+    from osmium_tool_ray.pipelines.merge import diff_summary
+
+    def halve(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        v2 = np.where(et == "purchase", v * 2.0, v)
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "value": pa.array(v2)})
+
+    old = _events(sf_dir, ["event_id", "event_type", "value"])
+    new = _events(sf_dir, ["event_id", "event_type", "value"]) \
+        .map_batches(halve, batch_format="pyarrow")
+    s = diff_summary(old, new, ["event_id"], ["event_type", "value"])
+    return pa.table({"created": pa.array([s["created"]], type=pa.int64()),
+                     "deleted": pa.array([s["deleted"]], type=pa.int64()),
+                     "modified": pa.array([s["modified"]], type=pa.int64()),
+                     "same": pa.array([s["same"]], type=pa.int64()),
+                     "identical": pa.array([s["identical"]], type=pa.bool_())})
+
+
 def q_changeset_filter(sf_dir: str):
     ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value", "ts"])
 
@@ -693,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_filter_snapshot": q_time_filter_snapshot,
         "derive_changes_counts": q_derive_changes_counts,
         "changeset_filter": q_changeset_filter,
+        "diff_counts": q_diff_counts,
         "changeset_bbox": q_changeset_bbox,
         "extract_ways_simple": q_extract_ways_simple,
         "extract_cw_nodes": q_extract_cw_nodes,
@@ -808,6 +834,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
               AND ts < TIMESTAMP '2024-01-20 00:00:00'
               AND event_type IN ('click', 'purchase') AND value > 100.0""",
+        "diff_counts": """
+            SELECT CAST(0 AS BIGINT) AS created, CAST(0 AS BIGINT) AS deleted,
+                   (SELECT COUNT(*) FROM events WHERE event_type = 'purchase'
+                        AND value <> value * 2.0) AS modified,
+                   (SELECT COUNT(*) FROM events WHERE event_type <> 'purchase'
+                        OR value = value * 2.0) AS same,
+                   FALSE AS identical""",
         "changeset_bbox": """
             SELECT user_id, num_changes FROM (
                 SELECT user_id,

@@ -70,3 +70,20 @@ def test_checkpointed_writer_resume(tmp_path):
     # partition dir is final (no .tmp left behind)
     assert os.path.isdir(tmp_path / "run" / "part=k1")
     assert not any(d.endswith(".tmp") for d in os.listdir(tmp_path / "run"))
+
+
+def test_writer_cleans_stale_tmp(tmp_path):
+    """A crash mid-write leaves part=<k>.tmp behind; the next run must
+    discard it and write a fresh atomic partition."""
+    import pyarrow as pa
+
+    w = CheckpointedWriter(str(tmp_path / "r2"), run_fingerprint="fp")
+    stale = tmp_path / "r2" / "part=k.tmp"
+    stale.mkdir(parents=True)
+    (stale / "garbage.parquet").write_bytes(b"not parquet")
+    assert not w.is_done("k", "in")
+    w.write(pa.table({"a": [1]}), "k", "in")
+    assert w.is_done("k", "in")
+    assert not stale.exists()
+    import pyarrow.parquet as pq
+    assert pq.read_table(tmp_path / "r2" / "part=k" / "data.parquet").num_rows == 1
