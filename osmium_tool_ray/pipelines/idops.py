@@ -215,10 +215,14 @@ def semi_join_bucketed(ds, id_col: str, ids_ds, ids_col: str | None = None,
     explicit partitioned hash join (no driver materialization of either
     side). `ids_ds` is a Dataset holding the key set.
 
+    Arrow end-to-end: the per-bucket join runs with batch_format="pyarrow"
+    so payload columns never round-trip through pandas (a null-bearing
+    int64 would come back float64/object and break bit-exactness). Key-side
+    rows carry all-null payload columns only to make the union schemas
+    line up; they are dropped before any value leaves the bucket.
+
     This is the scale path for semi_join/getid/removeid when the id
     universe exceeds worker memory (SURVEY.md §7.3/§8.3)."""
-    import pandas as pd
-
     from ..functions.hashing import hash_str_u64
 
     ids_col = ids_col or id_col
@@ -244,15 +248,19 @@ def semi_join_bucketed(ds, id_col: str, ids_ds, ids_col: str | None = None,
     big = ds.map_batches(tag(0, id_col), batch_format="pyarrow")
     keys = ids_ds.map_batches(tag(1, ids_col), batch_format="pyarrow")
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        keyset = set(g.loc[g["_side"] == 1, "_key"])
-        rows = g[g["_side"] == 0]
-        hit = rows["_key"].isin(keyset)
-        kept = rows[~hit] if invert else rows[hit]
-        return kept.drop(columns=["_key", "_bucket", "_side"])
+    drop = ("_key", "_bucket", "_side")
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        key = _np_str(g["_key"])
+        keyset = np.unique(key[side == 1])
+        rows = g.filter(pa.array(side == 0))
+        hit = _isin(_np_str(rows["_key"]), keyset)
+        kept = rows.filter(pa.array(~hit if invert else hit))
+        return kept.drop_columns(list(drop))
 
     return big.union(keys).groupby("_bucket").map_groups(
-        join_bucket, batch_format="pandas")
+        join_bucket, batch_format="pyarrow")
 
 
 def renumber(ds, id_col: str, start: int = 1, out_col: str | None = None):
