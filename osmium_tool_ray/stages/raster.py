@@ -16,7 +16,6 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..functions.cells import cell_bounds, cell_encode
@@ -61,29 +60,75 @@ def tile_mosaic(images, level: int, tile_px: int = 4, max_members: int = 64,
     square grid, re-encode as one png-coded mosaic per tile.
 
     Returns a Dataset of (cell:int64, n_members:int64, mosaic:binary,
-    mosaic_w:int32, mosaic_h:int32). Blobs stay inside the group task; only
-    the grouped rows shuffle (keyed by cell — salt hot cells upstream with
-    stages.tiles when member counts are skewed)."""
+    mosaic_w:int32, mosaic_h:int32).
+
+    Scale shape (blobs NEVER enter a shuffle):
+      1. only the narrow (cell, image_id) projection shuffles to pick the
+         per-cell winner set (id-sorted head(max_members));
+      2. the winner id set — bounded by max_members * 4^level, a
+         metadata-class table at mosaic zoom levels — is broadcast and the
+         blob side is filtered map-side;
+      3. winners are decoded + downsampled map-side to tile_px*tile_px
+         thumbnails (3*tile_px^2 bytes each) and only those thumbnails
+         shuffle into the per-cell assemble."""
     from ..functions.imagecodec import decode_batch, encode_batch
 
-    def add_cell(batch: pa.Table) -> pa.Table:
+    def add_cell_narrow(batch: pa.Table) -> pa.Table:
         cells = cell_encode(batch[lon_col].to_numpy(zero_copy_only=False),
                             batch[lat_col].to_numpy(zero_copy_only=False),
                             level).view(np.int64)
-        return batch.append_column("cell", pa.array(cells))
+        return pa.table({"cell": pa.array(cells), id_col: batch[id_col]})
 
-    keyed = images.map_batches(add_cell, batch_format="pyarrow")
+    narrow = images.select_columns([id_col, lon_col, lat_col]) \
+        .map_batches(add_cell_narrow, batch_format="pyarrow")
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="stable").head(max_members)
-        blobs = pa.array(list(g[bytes_col]), type=pa.large_binary())
-        pix, w, h = decode_batch(blobs)
-        n = len(g)
+    def pick_winners(g: pa.Table) -> pa.Table:
+        order = np.argsort(_np_obj(g[id_col]), kind="stable")[:max_members]
+        return g.take(pa.array(order))
+
+    winners = narrow.groupby("cell").map_groups(pick_winners,
+                                                batch_format="pyarrow")
+    import ray
+    wtbls = [t for t in ray.get(winners.to_arrow_refs()) if t.num_rows]
+    wtbl = pa.concat_tables(wtbls) if wtbls else pa.table(
+        {"cell": pa.array([], type=pa.int64()),
+         id_col: pa.array([], type=pa.string())})
+    wref = ray.put(np.sort(_np_obj(wtbl[id_col]).astype(str)))
+
+    def thumb(batch: pa.Table) -> pa.Table:
+        wins = ray.get(wref)
+        ids = _np_obj(batch[id_col]).astype(str)
+        pos = np.searchsorted(wins, ids)
+        pos[pos == len(wins)] = max(len(wins) - 1, 0)
+        m = wins[pos] == ids if len(wins) else np.zeros(len(ids), dtype=bool)
+        batch = batch.filter(pa.array(m))
+        if batch.num_rows == 0:
+            return pa.table({"cell": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.string()),
+                             "thumb": pa.array([], type=pa.binary())})
+        pix, w, h = decode_batch(batch[bytes_col])
+        n = batch.num_rows
         W, H = int(w[0]), int(h[0])
         imgs = pix.reshape(n, H, W, 3)
         ys = np.arange(tile_px) * H // tile_px
         xs = np.arange(tile_px) * W // tile_px
         small = imgs[:, ys][:, :, xs]  # (n, tile_px, tile_px, 3)
+        cells = cell_encode(batch[lon_col].to_numpy(zero_copy_only=False),
+                            batch[lat_col].to_numpy(zero_copy_only=False),
+                            level).view(np.int64)
+        flat = small.reshape(n, -1)
+        return pa.table({"cell": pa.array(cells), id_col: batch[id_col],
+                         "thumb": pa.array([flat[i].tobytes() for i in range(n)],
+                                           type=pa.binary())})
+
+    thumbs = images.map_batches(thumb, batch_format="pyarrow")
+
+    def assemble(g: pa.Table) -> pa.Table:
+        order = np.argsort(_np_obj(g[id_col]), kind="stable")
+        g = g.take(pa.array(order))
+        n = g.num_rows
+        small = np.stack([np.frombuffer(b, dtype=np.uint8).reshape(
+            tile_px, tile_px, 3) for b in g["thumb"].to_pylist()])
         side = int(np.ceil(np.sqrt(n)))
         canvas = np.zeros((side * tile_px, side * tile_px, 3), dtype=np.uint8)
         for i in range(n):
@@ -92,12 +137,16 @@ def tile_mosaic(images, level: int, tile_px: int = 4, max_members: int = 64,
                    c * tile_px:(c + 1) * tile_px] = small[i]
         enc = encode_batch(canvas.reshape(1, -1), np.array(["png"]),
                            side * tile_px, side * tile_px)
-        return pd.DataFrame({
-            "cell": [int(g["cell"].iloc[0])],
-            "n_members": [n],
-            "mosaic": [enc[0].as_py()],
-            "mosaic_w": [side * tile_px],
-            "mosaic_h": [side * tile_px],
+        return pa.table({
+            "cell": pa.array([int(g["cell"][0].as_py())], type=pa.int64()),
+            "n_members": pa.array([n], type=pa.int64()),
+            "mosaic": pa.array([enc[0].as_py()], type=pa.binary()),
+            "mosaic_w": pa.array([side * tile_px], type=pa.int32()),
+            "mosaic_h": pa.array([side * tile_px], type=pa.int32()),
         })
 
-    return keyed.groupby("cell").map_groups(assemble, batch_format="pandas")
+    return thumbs.groupby("cell").map_groups(assemble, batch_format="pyarrow")
+
+
+def _np_obj(col) -> np.ndarray:
+    return np.asarray(col.to_pylist(), dtype=object)

@@ -51,3 +51,38 @@ def test_tile_mosaic(ray_session):
     m1 = {r["cell"]: r["mosaic"] for r in out}
     m2 = {r["cell"]: r["mosaic"] for r in out2}
     assert m1 == m2
+
+
+def test_tile_mosaic_max_members_and_no_blob_shuffle(ray_session):
+    import ray.data as rd
+    from osmium_tool_ray.sources.corpus import images_from_range_batch
+
+    tbl = images_from_range_batch({"id": np.arange(300)}, with_bytes=True)
+    ds = rd.from_arrow(tbl)
+    out = tile_mosaic(ds, level=0, tile_px=2, max_members=10).take_all()
+    assert len(out) == 1 and out[0]["n_members"] == 10
+    # winners are the 10 smallest ids — mosaic must be byte-identical to
+    # assembling from just those rows (losers' blobs never participate)
+    sub = rd.from_arrow(tbl.slice(0, 10))
+    out_sub = tile_mosaic(sub, level=0, tile_px=2, max_members=10).take_all()
+    assert out[0]["mosaic"] == out_sub[0]["mosaic"]
+
+
+def test_tile_mosaic_grouped_schema_excludes_bytes(ray_session, monkeypatch):
+    """Hard rule: the full `bytes` blob column never enters the
+    groupby(cell) shuffle — only fixed-size thumbnails do."""
+    import ray.data as rd
+    import ray.data.grouped_data as gd
+    from osmium_tool_ray.sources.corpus import images_from_range_batch
+
+    seen_schemas = []
+    orig = gd.GroupedData.map_groups
+
+    def spy(self, *a, **kw):
+        seen_schemas.append(set(self._dataset.schema().names))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(gd.GroupedData, "map_groups", spy)
+    tbl = images_from_range_batch({"id": np.arange(50)}, with_bytes=True)
+    tile_mosaic(rd.from_arrow(tbl), level=1, tile_px=2).take_all()
+    assert seen_schemas and all("bytes" not in s for s in seen_schemas)
