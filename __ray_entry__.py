@@ -599,13 +599,34 @@ def q_export_geojsonseq(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
+    """Near-dup detection needs near-dups to find: the raw fixture vectors
+    are random (no pair reaches cosine 0.95), so every 20th vector is
+    augmented with a deterministically rescaled copy (id + 10^7; same
+    direction, cosine exactly 1.0) — the pipeline must recover exactly
+    those pairs through the LSH buckets + distributed verify."""
     import ray.data as rd
     from osmium_tool_ray.stages.dedup import embedding_neardup
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     dim = len(emb.take(1)[0]["embedding"])
-    return embedding_neardup(emb, dim=dim, threshold=0.95, bits=14, concurrency=2)
+
+    def augment(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sel = vid % 20 == 0
+        dup = batch.filter(pa.array(sel))
+        if dup.num_rows == 0:
+            return batch
+        new_ids = dup["vec_id"].to_numpy(zero_copy_only=False) + 10_000_000
+        vecs = [[x * 1.5 for x in v] for v in dup["embedding"].to_pylist()]
+        dup_tbl = pa.table({"vec_id": pa.array(new_ids),
+                            "embedding": pa.array(vecs,
+                                                  type=batch.schema.field("embedding").type)})
+        return pa.concat_tables([batch, dup_tbl])
+
+    aug = emb.map_batches(augment, batch_format="pyarrow")
+    return embedding_neardup(aug, dim=dim, threshold=0.95, bits=14, tables=2,
+                             concurrency=2)
 
 
 def q_ivf_ann(sf_dir: str):

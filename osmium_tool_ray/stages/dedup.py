@@ -113,80 +113,141 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
     return inter / union if union else 1.0
 
 
+def _bucket_pairs(rows, bucket_keys: list[str], id_col: str, id_type,
+                  all_pairs_cap: int = 32):
+    """Distributed candidate-pair emission: groupby(bucket).map_groups emits
+    (a, b) id pairs (a < b) per multi-member bucket — all pairs for buckets
+    up to `all_pairs_cap` members, star-shaped (min-id hub) above the cap
+    so a degenerate hot bucket stays linear, never quadratic. Then a native
+    distinct over (a, b). No bucket row ever reaches the driver.
+
+    `id_type` pins the pair schema: Ray's map_groups emits zero-column
+    blocks for group-less input blocks, and those would otherwise reach
+    the downstream hash join as schema-less partitions (Acero then fails
+    with 'no match for FieldRef(a)')."""
+    from ray.data.aggregate import Count
+
+    schema = pa.schema([("a", id_type), ("b", id_type)])
+
+    def emit(g: pa.Table) -> pa.Table:
+        ids = np.unique(np.asarray(g[id_col].to_pylist()))
+        n = len(ids)
+        if n < 2:
+            return schema.empty_table()
+        if n <= all_pairs_cap:
+            ai, bi = np.triu_indices(n, k=1)
+            return pa.table({"a": pa.array(ids[ai]),
+                             "b": pa.array(ids[bi])}).cast(schema)
+        return pa.table({"a": pa.array(np.repeat(ids[0], n - 1)),
+                         "b": pa.array(ids[1:])}).cast(schema)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return schema.empty_table()
+        return batch.select(["a", "b"]).cast(schema)
+
+    pairs = rows.groupby(bucket_keys).map_groups(emit, batch_format="pyarrow") \
+        .map_batches(norm, batch_format="pyarrow")
+    distinct = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")) \
+        .select_columns(["a", "b"]) \
+        .map_batches(norm, batch_format="pyarrow")
+    return _drop_empty_blocks(distinct)
+
+
+def _drop_empty_blocks(ds):
+    """Rebuild a Dataset without its zero-row blocks. Ray's groupby /
+    map_groups chain emits zero-ROW zero-COLUMN blocks for group-less
+    inputs, map_batches short-circuits empty blocks (so a normalizing UDF
+    never sees them), and Dataset.join's per-partition ArrowBlockBuilder
+    then builds a schema-less table that crashes Acero. Only block refs
+    and row counts touch the driver — the data stays in the object
+    store. Returns None when every block is empty."""
+    import ray
+
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return None
+    nrows = ray.get([_remote_num_rows.remote(r) for r in refs])
+    keep = [r for r, n in zip(refs, nrows) if n]
+    if not keep:
+        return None
+    import ray.data as rd
+    return rd.from_arrow_refs(keep)
+
+
+import ray as _ray_mod
+
+_remote_num_rows = _ray_mod.remote(num_cpus=0)(lambda t: t.num_rows)
+
+
+def _attach_pair_payload(pairs, source, id_col: str, payload_col: str,
+                         num_partitions: int | None = None):
+    """pairs(a, b) -> pairs + (payload_a, payload_b) via two native
+    hash-partitioned joins (Dataset.join) — the no-driver candidate
+    gather.
+
+    num_partitions defaults to a fraction of the cluster CPUs: each join
+    holds `num_partitions` aggregator actors alive for its lifetime, and
+    two chained joins sized past the CPU count deadlock the actor pool
+    (observed: 2x16 partitions on 4 CPUs never schedules). Callers on a
+    real cluster pass an explicit value sized to data volume."""
+    if num_partitions is None:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 4)
+    payload = source.select_columns([id_col, payload_col])
+    j = pairs.join(payload, join_type="inner", num_partitions=num_partitions,
+                   on=("a",), right_on=(id_col,))
+    j = j.select_columns(["a", "b", payload_col]) \
+        .rename_columns({payload_col: f"{payload_col}_a"})
+    j = j.join(payload, join_type="inner", num_partitions=num_partitions,
+               on=("b",), right_on=(id_col,))
+    return j.select_columns(["a", "b", f"{payload_col}_a", payload_col]) \
+        .rename_columns({payload_col: f"{payload_col}_b"})
+
+
 def minhash_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
                   num_perm: int = 64, bands: int = 16, k: int = 5,
                   threshold: float = 0.7, concurrency=4):
-    """Full MinHash-LSH dedup: returns a Dataset of (doc_id, dup_of) pairs
+    """Full MinHash-LSH dedup: returns a pa.Table of (doc_id, dup_of) pairs
     where dup_of is the smallest doc id of the near-dup cluster.
 
-    Candidate pairs come from LSH band buckets (groupby shuffle on the
-    banded projection only); each candidate pair is verified with exact
-    shingle Jaccard against the threshold; clusters are resolved by
-    min-label union on the verified pair list (candidate sets are tiny
-    relative to the corpus — for adversarial corpora run label-propagation
-    rounds as a groupby loop instead)."""
-    import ray
-
+    Every stage is distributed: band explode (map_batches), candidate-pair
+    emission (groupby(band).map_groups — only the banded (id, band, hash)
+    projection shuffles), candidate texts (two hash-partitioned
+    Dataset.joins), exact-Jaccard verification (vectorized map_batches).
+    Only the VERIFIED pair table — proportional to the true dup rate, not
+    the corpus — is collected for the min-label union-find."""
     band_rows = docs.map_batches(
         MinHashBands, fn_constructor_kwargs=dict(
             text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k),
         batch_format="pyarrow", concurrency=concurrency)
 
-    # bucket sizes via a native aggregate (vectorized; most buckets are
-    # singletons and never reach Python), then only multi-member buckets'
-    # rows are gathered — candidate volume is tiny relative to the corpus
-    from ray.data.aggregate import Count
+    s = docs.schema()
+    id_type = dict(zip(s.names, s.types))[id_col]
+    pairs = _bucket_pairs(band_rows, ["band_id", "band_hash"], id_col, id_type)
+    if pairs is None:
+        return pa.table({"doc_id": pa.array([], type=id_type),
+                         "dup_of": pa.array([], type=id_type)})
+    with_texts = _attach_pair_payload(pairs, docs, id_col, text_col)
 
-    sizes = band_rows.groupby(["band_id", "band_hash"]) \
-        .aggregate(Count(alias_name="n"))
-    hot = sizes.filter(expr="n > 1").take_all()
-    hot_keys = {(r["band_id"], r["band_hash"]) for r in hot}
-    if hot_keys:
-        import ray
-        href = ray.put(hot_keys)
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = batch[f"{text_col}_a"].to_pylist()
+        tb = batch[f"{text_col}_b"].to_pylist()
+        sa = _shingle_hashes(ta, k)
+        sb = _shingle_hashes(tb, k)
+        keep = np.zeros(batch.num_rows, dtype=bool)
+        for i in range(batch.num_rows):
+            inter = np.intersect1d(sa[i], sb[i], assume_unique=True).size
+            union = sa[i].size + sb[i].size - inter
+            keep[i] = union == 0 or inter / union >= threshold
+        return batch.select(["a", "b"]).filter(pa.array(keep))
 
-        def in_hot(batch: pa.Table) -> pa.Table:
-            keys = ray.get(href)
-            bid = batch["band_id"].to_numpy(zero_copy_only=False)
-            bh = batch["band_hash"].to_numpy(zero_copy_only=False)
-            m = np.fromiter(((int(b), int(h)) in keys for b, h in zip(bid, bh)),
-                            dtype=bool, count=len(bid))
-            return batch.filter(pa.array(m))
+    vtbls = _pair_tables(with_texts.map_batches(verify, batch_format="pyarrow"))
+    verified = [(a, b) for t in vtbls
+                for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist())]
 
-        rows = band_rows.map_batches(in_hot, batch_format="pyarrow").take_all()
-        buckets: dict = {}
-        for r in rows:
-            buckets.setdefault((r["band_id"], r["band_hash"]), set()).add(r[id_col])
-        cand = set()
-        for ids_in_bucket in buckets.values():
-            ids_sorted = sorted(ids_in_bucket)
-            base = ids_sorted[0]
-            for other in ids_sorted[1:]:
-                cand.add((base, other))
-    else:
-        cand = set()
-
-    # verify candidates with exact Jaccard (fetch texts of candidate ids only)
-    cand_ids = sorted({x for p in cand for x in p})
-    if cand_ids:
-        from ..pipelines.idops import semi_join
-        rows = semi_join(docs.select_columns([id_col, text_col]), id_col,
-                         np.asarray(cand_ids, dtype=object)).take_all()
-        # shingle each candidate doc ONCE (a doc may appear in many pairs)
-        ids_in_order = [r[id_col] for r in rows]
-        sets = _shingle_hashes([r[text_col] for r in rows], k)
-        set_of = dict(zip(ids_in_order, sets))
-        verified = []
-        for a, b in cand:
-            sa, sb = set_of[a], set_of[b]
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            if union == 0 or inter / union >= threshold:
-                verified.append((a, b))
-    else:
-        verified = []
-
-    # min-label union-find over verified pairs
+    # min-label union-find over verified pairs (small: true dups only)
     parent: dict = {}
 
     def find(x):
@@ -195,37 +256,57 @@ def minhash_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
             x = parent[x]
         return x
 
-    for a, b in verified:
+    for a, b in sorted(verified, key=lambda p: (str(p[0]), str(p[1]))):
         ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
             parent[hi] = lo
-    out = [(x, find(x)) for x in sorted({i for p in verified for i in p})]
+    members = sorted({i for p in verified for i in p})
+    out = [(x, find(x)) for x in members if find(x) != x]
     return pa.table({"doc_id": pa.array([o[0] for o in out]),
                      "dup_of": pa.array([o[1] for o in out])})
 
 
+def _pair_tables(ds) -> list[pa.Table]:
+    """Materialize a (small) pair Dataset as Arrow tables, skipping the
+    empty no-schema blocks Ray emits for group-less input blocks."""
+    import ray
+
+    return [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+
+
 class SimHash:
-    """map_batches stage: 64-bit SimHash of the token multiset."""
+    """map_batches stage: 64-bit SimHash of the token multiset. Fully
+    vectorized: tokenization via the Arrow regex-split kernel, one
+    hash_str_u64 call over every token of the batch, per-doc bit votes via
+    64 weighted bincounts — no per-row Python loop."""
 
     def __init__(self, text_col: str = "text", out_col: str = "simhash"):
-        import re
         self.text_col, self.out_col = text_col, out_col
-        self.token_re = re.compile(r"[A-Za-z0-9_]+")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        token_re = self.token_re
-        out = np.zeros(len(batch), dtype=np.uint64)
-        for i, t in enumerate(batch[self.text_col].astype(str)):
-            words = token_re.findall(t.lower())
-            if not words:
-                continue
-            hs = hash_str_u64(words)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            vote = (2 * bits - 1).sum(axis=0)
-            out[i] = np.bitwise_or.reduce(
-                (vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
+        import pyarrow.compute as pc
+
+        n = len(batch)
+        arr = pc.utf8_lower(pa.array(batch[self.text_col].astype(str),
+                                     type=pa.string()))
+        toks = pc.split_pattern_regex(arr, pattern="[^a-z0-9_]+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n), counts)
+        valid = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        out = np.zeros(n, dtype=np.uint64)
+        if valid.any():
+            hs = hash_str_u64(flat)[valid]
+            di = doc_idx[valid]
+            total = np.bincount(di, minlength=n)
+            for j in range(64):
+                ones = np.bincount(di, weights=((hs >> np.uint64(j))
+                                                & np.uint64(1)).astype(np.float64),
+                                   minlength=n)
+                vote = 2 * ones - total
+                out |= (vote > 0).astype(np.uint64) << np.uint64(j)
         batch[self.out_col] = out.view(np.int64)
         return batch
 
@@ -240,83 +321,105 @@ def ngram_jaccard_pairs(docs, text_col: str = "text", id_col: str = "doc_id",
 
 
 class HyperplaneSig:
-    """map_batches actor: b-bit random-hyperplane signature of an embedding
-    column (cosine LSH). Hyperplanes are a seeded deterministic matrix
-    built once per actor."""
+    """map_batches actor: b-bit random-hyperplane signatures of an embedding
+    column (cosine LSH), `tables` independent hash tables (multi-probe
+    recall: a near-dup pair missed by one table is caught by another).
+    Emits the narrow (id, table, sig) projection — one row per (row,
+    table); vectors themselves never ride the signature shuffle.
+    Hyperplanes are a seeded deterministic matrix built once per actor."""
 
     def __init__(self, dim: int, bits: int = 16, seed: int = 11,
-                 vec_col: str = "embedding", id_col: str = "vec_id"):
+                 tables: int = 1, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
         rng = np.random.default_rng(seed)
-        self.h = rng.normal(size=(dim, bits))
+        self.h = rng.normal(size=(dim, tables * bits))
+        self.bits, self.tables = bits, tables
         self.vec_col, self.id_col = vec_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..stages.knn import embedding_matrix
         emb = embedding_matrix(batch[self.vec_col])
+        n = len(batch)
         if emb.size == 0:
-            sig = np.empty(0, dtype=np.int64)
+            sig = np.empty((n, self.tables), dtype=np.int64)
+            sig.fill(0)
         else:
-            bits = (emb @ self.h) > 0
-            sig = np.zeros(len(emb), dtype=np.uint64)
-            for j in range(bits.shape[1]):
-                sig |= bits[:, j].astype(np.uint64) << np.uint64(j)
+            proj = (emb @ self.h) > 0
+            sig = np.zeros((n, self.tables), dtype=np.uint64)
+            for t in range(self.tables):
+                seg = proj[:, t * self.bits:(t + 1) * self.bits]
+                for j in range(self.bits):
+                    sig[:, t] |= seg[:, j].astype(np.uint64) << np.uint64(j)
             sig = sig.view(np.int64)
-        return pa.table({self.id_col: batch[self.id_col],
-                         "sig": pa.array(sig)})
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            self.id_col: pa.array(np.repeat(ids, self.tables)),
+            "table": pa.array(np.tile(np.arange(self.tables, dtype=np.int32), n)),
+            "sig": pa.array(sig.reshape(-1)),
+        })
 
 
 def embedding_neardup(embeddings, dim: int, threshold: float = 0.95,
-                      bits: int = 16, vec_col: str = "embedding",
-                      id_col: str = "vec_id", concurrency=4) -> pa.Table:
-    """Embedding-cosine near-dup: bucket by the full b-bit hyperplane
-    signature (vectors with cosine >= threshold collide with high
-    probability at small b), verify exact cosine per candidate pair.
-    Returns (id, dup_of) pairs."""
-    import ray
-
+                      bits: int = 16, tables: int = 2,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      concurrency=4) -> pa.Table:
+    """Embedding-cosine near-dup, distributed end-to-end: multi-table
+    hyperplane-LSH bucketing on the narrow (id, table, sig) projection,
+    candidate pairs emitted inside groupby(table, sig).map_groups,
+    candidate vectors attached via two hash-partitioned Dataset.joins, and
+    exact cosine verified in a vectorized map_batches stage. Only the
+    verified pairs reach the driver. Returns (id, dup_of) pairs with
+    dup_of = the smaller id."""
     sigs = embeddings.map_batches(
         HyperplaneSig, fn_constructor_args=(dim, bits),
-        fn_constructor_kwargs=dict(vec_col=vec_col, id_col=id_col),
+        fn_constructor_kwargs=dict(tables=tables, vec_col=vec_col,
+                                   id_col=id_col),
         batch_format="pyarrow", concurrency=concurrency)
-    from ray.data.aggregate import Count
 
-    sizes = sigs.groupby("sig").aggregate(Count(alias_name="n"))
-    hot = {r["sig"] for r in sizes.filter(expr="n > 1").take_all()}
-    if not hot:
+    s = embeddings.schema()
+    id_type = dict(zip(s.names, s.types))[id_col]
+    pairs = _bucket_pairs(sigs, ["table", "sig"], id_col, id_type)
+    if pairs is None:
+        return pa.table({id_col: pa.array([], type=id_type),
+                         "dup_of": pa.array([], type=id_type)})
+
+    # Acero (the join kernel under Dataset.join) rejects list-typed non-key
+    # payloads — ship vectors as packed float64 bytes and decode in verify
+    def pack(batch: pa.Table) -> pa.Table:
+        from ..stages.knn import embedding_matrix
+        m = embedding_matrix(batch[vec_col]).astype(np.float64)
+        blobs = [m[i].tobytes() for i in range(len(m))]
+        return pa.table({id_col: batch[id_col],
+                         vec_col: pa.array(blobs, type=pa.binary())})
+
+    packed = embeddings.map_batches(pack, batch_format="pyarrow")
+    with_vecs = _attach_pair_payload(pairs, packed, id_col, vec_col)
+
+    def _unpack(col) -> np.ndarray:
+        rows = [np.frombuffer(b, dtype=np.float64) for b in col.to_pylist()]
+        return np.stack(rows) if rows else np.empty((0, 0))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        va = _unpack(batch[f"{vec_col}_a"])
+        vb = _unpack(batch[f"{vec_col}_b"])
+        if len(va) == 0:
+            keep = np.zeros(0, dtype=bool)
+        else:
+            na = np.maximum(np.linalg.norm(va, axis=1), 1e-30)
+            nb = np.maximum(np.linalg.norm(vb, axis=1), 1e-30)
+            cos = np.einsum("ij,ij->i", va, vb) / (na * nb)
+            keep = cos >= threshold
+        return batch.select(["a", "b"]).filter(pa.array(keep))
+
+    vtbls = _pair_tables(with_vecs.map_batches(verify, batch_format="pyarrow"))
+    if not vtbls:
         return pa.table({id_col: pa.array([], type=pa.int64()),
                          "dup_of": pa.array([], type=pa.int64())})
-    href = ray.put(np.sort(np.asarray(list(hot), dtype=np.int64)))
-
-    def in_hot(batch: pa.Table) -> pa.Table:
-        hs = ray.get(href)
-        s = batch["sig"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(hs, s)
-        pos[pos == len(hs)] = len(hs) - 1
-        return batch.filter(pa.array(hs[pos] == s))
-
-    cand_rows = sigs.map_batches(in_hot, batch_format="pyarrow").take_all()
-    buckets: dict = {}
-    for r in cand_rows:
-        buckets.setdefault(r["sig"], []).append(r[id_col])
-    cand_ids = sorted({i for ids in buckets.values() for i in ids})
-    from ..pipelines.idops import semi_join
-    vec_rows = semi_join(embeddings.select_columns([id_col, vec_col]), id_col,
-                         np.asarray(cand_ids, dtype=object)).take_all()
-    vec_of = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64) for r in vec_rows}
-
-    out_a, out_b = [], []
-    for ids in buckets.values():
-        ids = sorted(ids)
-        base = ids[0]
-        vb = vec_of[base]
-        vb = vb / max(np.linalg.norm(vb), 1e-30)
-        for other in ids[1:]:
-            vo = vec_of[other]
-            cos = float(vb @ (vo / max(np.linalg.norm(vo), 1e-30)))
-            if cos >= threshold:
-                out_a.append(other)
-                out_b.append(base)
-    return pa.table({id_col: pa.array(out_a), "dup_of": pa.array(out_b)})
+    v = pa.concat_tables(vtbls)
+    a = v["a"].to_numpy(zero_copy_only=False)
+    b = v["b"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    return pa.table({id_col: pa.array(b[order]), "dup_of": pa.array(a[order])})
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
