@@ -235,12 +235,12 @@ def q_check_refs_missing(sf_dir: str):
 
 
 def q_renumber_users(sf_dir: str):
-    from osmium_tool_ray.pipelines.idops import renumber
+    """Dense renumber through the distributed-rank scale path (the mapping
+    never exists as a driver dict; see idops.renumber_ranked)."""
+    from osmium_tool_ray.pipelines.idops import renumber_ranked
 
     ds = _events(sf_dir, ["user_id"])
-    uniq = ds.groupby("user_id").count().select_columns(["user_id"])
-    out, _ = renumber(uniq, "user_id", out_col="new_id")
-    return out.select_columns(["user_id", "new_id"])
+    return renumber_ranked(ds, "user_id").select_columns(["user_id", "new_id"])
 
 
 # -- merges / versions ---------------------------------------------------------

@@ -159,49 +159,93 @@ def getparents(members, ids: dict[str, np.ndarray], groups=None,
     return pa.table({"group_id": pa.array(parents, type=pa.string())})
 
 
+_CHECK_REF_CATS = ("nodes_in_ways", "nodes_in_relations",
+                   "ways_in_relations", "relations_in_relations")
+
+
 def check_refs(images, members, groups=None, check_relations: bool = False) -> dict:
     """Counts of dangling references: member refs whose target does not
-    exist (command_check_refs.cpp:100-324). Distributed anti-join counts
-    with the referenced-id side reduced per batch before the compare."""
+    exist (command_check_refs.cpp:100-324).
+
+    Scale shape: a bucketed anti-join — member refs (tagged with their
+    category) and the existing-id universe (images + groups) are hash-
+    bucketed on the key and compared per bucket inside map_groups; only
+    4 partial counters per bucket reach the driver. The node-id universe
+    is never materialized (the reference warns its in-RAM set needs >32 GB
+    at planet scale, man/osmium-check-refs.md; here it stays sharded)."""
     import ray
 
-    node_rows = images.select_columns(["image_id"]).take_all()
-    node_set = np.asarray(sorted({r["image_id"] for r in node_rows}), dtype=object)
-    group_set = np.empty(0, dtype=object)
+    from ..functions.hashing import hash_str_u64
+
+    buckets = 64
     kind_of = {}
     if groups is not None:
         g = _collect_small(groups, ["group_id", "kind"])
-        group_set = np.unique(g["group_id"])
         kind_of = dict(zip(g["group_id"], g["kind"]))
-
-    nref = ray.put(node_set)
-    gref = ray.put(group_set)
     kref = ray.put(kind_of)
 
-    def scan(batch: pa.Table) -> pa.Table:
-        nodes = ray.get(nref)
-        grps = ray.get(gref)
+    def bucket_of(vals: pa.ChunkedArray) -> pa.Array:
+        b = (hash_str_u64(vals.cast(pa.string()))
+             % np.uint64(buckets)).astype(np.int32)
+        return pa.array(b)
+
+    def tag_refs(batch: pa.Table) -> pa.Table:
         kmap = ray.get(kref)
         mt = _np_str(batch["mtype"])
-        ref = _np_str(batch["ref"])
         gid = _np_str(batch["group_id"])
         owner_rel = np.asarray([kmap.get(x) == "relation" for x in gid]) \
             if kmap else np.zeros(len(gid), dtype=bool)
-        miss_nw = (mt == "node") & ~owner_rel & ~_isin(ref, nodes)
-        miss_nr = (mt == "node") & owner_rel & ~_isin(ref, nodes)
-        miss_wr = (mt == "way") & owner_rel & ~_isin(ref, grps)
-        miss_rr = (mt == "relation") & owner_rel & ~_isin(ref, grps)
-        return pa.table({
-            "nodes_in_ways": pa.array([int(miss_nw.sum())], type=pa.int64()),
-            "nodes_in_relations": pa.array([int(miss_nr.sum())], type=pa.int64()),
-            "ways_in_relations": pa.array([int(miss_wr.sum())], type=pa.int64()),
-            "relations_in_relations": pa.array([int(miss_rr.sum())], type=pa.int64()),
-        })
+        cat = np.full(len(mt), -9, dtype=np.int8)
+        cat[(mt == "node") & ~owner_rel] = 0
+        cat[(mt == "node") & owner_rel] = 1
+        cat[(mt == "way") & owner_rel] = 2
+        cat[(mt == "relation") & owner_rel] = 3
+        keep = cat >= 0
+        out = batch.select(["ref"]).filter(pa.array(keep))
+        return pa.table({"_key": out["ref"].cast(pa.string()),
+                         "_bucket": bucket_of(out["ref"]),
+                         "_cat": pa.array(cat[keep])})
 
-    parts = members.map_batches(scan, batch_format="pyarrow").take_all()
-    out = {k: int(sum(r[k] for r in parts)) for k in
-           ("nodes_in_ways", "nodes_in_relations", "ways_in_relations",
-            "relations_in_relations")}
+    def tag_ids(cat_code):
+        def f(batch: pa.Table) -> pa.Table:
+            col = batch.column(0)
+            return pa.table({"_key": col.cast(pa.string()),
+                             "_bucket": bucket_of(col),
+                             "_cat": pa.array(np.full(batch.num_rows, cat_code,
+                                                      dtype=np.int8))})
+        return f
+
+    sides = [members.map_batches(tag_refs, batch_format="pyarrow"),
+             images.select_columns(["image_id"]).map_batches(
+                 tag_ids(-1), batch_format="pyarrow")]
+    if groups is not None:
+        sides.append(groups.select_columns(["group_id"]).map_batches(
+            tag_ids(-2), batch_format="pyarrow"))
+    unioned = sides[0].union(*sides[1:])
+
+    def count_missing(g: pa.Table) -> pa.Table:
+        key = _np_str(g["_key"]).astype(str)
+        cat = g["_cat"].to_numpy(zero_copy_only=False)
+        node_targets = np.sort(key[cat == -1])
+        group_targets = np.sort(key[cat == -2])
+        out = {}
+        for code, name in enumerate(_CHECK_REF_CATS):
+            refs = key[cat == code]
+            targets = node_targets if code <= 1 else group_targets
+            if len(refs) == 0:
+                out[name] = 0
+                continue
+            if len(targets) == 0:
+                out[name] = len(refs)
+                continue
+            pos = np.searchsorted(targets, refs)
+            pos[pos == len(targets)] = len(targets) - 1
+            out[name] = int((targets[pos] != refs).sum())
+        return pa.table({k: pa.array([v], type=pa.int64()) for k, v in out.items()})
+
+    parts = unioned.groupby("_bucket").map_groups(
+        count_missing, batch_format="pyarrow").take_all()
+    out = {k: int(sum(r.get(k, 0) for r in parts)) for k in _CHECK_REF_CATS}
     if not check_relations:
         out["ways_in_relations"] = out["relations_in_relations"] = 0
     out["ok"] = all(v == 0 for k, v in out.items() if k != "ok")
@@ -263,13 +307,48 @@ def semi_join_bucketed(ds, id_col: str, ids_ds, ids_col: str | None = None,
         join_bucket, batch_format="pyarrow")
 
 
+def renumber_ranked(ds, id_col: str, start: int = 1, out_col: str = "new_id"):
+    """Distributed dense order-preserving rank (command_renumber.cpp:61-131
+    at scale): distinct ids via a native groupby, global sort, then
+    per-block rank = block offset + arange. Only per-block ROW COUNTS
+    touch the driver — the mapping stays sharded in the object store as a
+    Dataset(id_col, out_col), ready for a bucketed/native join back onto
+    any refs table (the range-partitioned rank join from SURVEY.md §7.3)."""
+    import ray
+    import ray.data as rd
+
+    uniq = ds.select_columns([id_col]).groupby(id_col).count() \
+        .select_columns([id_col]).sort(id_col)
+    refs = uniq.to_arrow_refs()   # block order == sort order
+    counts = np.asarray(ray.get([_remote_num_rows.remote(r) for r in refs]),
+                        dtype=np.int64)
+    offsets = start + np.concatenate([[0], np.cumsum(counts)[:-1]]) \
+        if len(counts) else []
+
+    @ray.remote(num_cpus=0)
+    def rank_block(tbl: pa.Table, off: int) -> pa.Table:
+        ranks = np.arange(off, off + tbl.num_rows, dtype=np.int64)
+        return tbl.append_column(out_col, pa.array(ranks))
+
+    ranked = [rank_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    if not ranked:
+        return rd.from_arrow(pa.table({id_col: pa.array([], type=pa.string()),
+                                       out_col: pa.array([], type=pa.int64())}))
+    return rd.from_arrow_refs(ranked)
+
+
+import ray as _ray_mod
+
+_remote_num_rows = _ray_mod.remote(num_cpus=0)(lambda t: t.num_rows)
+
+
 def renumber(ds, id_col: str, start: int = 1, out_col: str | None = None):
     """Dense order-preserving remap: sorted distinct old ids -> start..N
     (command_renumber.cpp:61-131). The mapping table is built from a
     distributed distinct then broadcast; refs in other tables can be
-    remapped with `remap_refs` using the same table. Scale path: replace
-    the broadcast dict with a range-partitioned rank join when the id
-    universe exceeds driver memory (SURVEY.md §7.3)."""
+    remapped with `remap_refs` using the same table. Scale path:
+    `renumber_ranked` keeps the mapping sharded (no driver dict) for id
+    universes past driver memory."""
     import ray
 
     uniq = np.unique(np.asarray(ds.select_columns([id_col]).unique(id_col),
@@ -306,7 +385,11 @@ def renumber_with_refs(images, groups, members, start: int = 1):
     way_map = {v: i + start for i, v in enumerate(way_ids.tolist())}
     rel_map = {v: i + start for i, v in enumerate(rel_ids.tolist())}
     mappings = {"node": node_map, "way": way_map, "relation": rel_map}
+    # owner kind comes from the groups table, not an id-prefix heuristic
+    # (group ids need not follow the w/r naming convention)
+    kind_of = dict(zip(g["group_id"], g["kind"]))
     mref = ray.put(mappings)
+    kind_ref = ray.put(kind_of)
 
     def remap_groups(batch: pa.Table) -> pa.Table:
         m = ray.get(mref)
@@ -317,10 +400,11 @@ def renumber_with_refs(images, groups, members, start: int = 1):
 
     def remap_members(batch: pa.Table) -> pa.Table:
         m = ray.get(mref)
+        kmap = ray.get(kind_ref)
         gid = _np_str(batch["group_id"]).tolist()
         mt = _np_str(batch["mtype"]).tolist()
         ref = _np_str(batch["ref"]).tolist()
-        owner_kind = ["way" if x.startswith("w") else "relation" for x in gid]
+        owner_kind = [kmap.get(x, "way") for x in gid]
         new_owner = [m[k].get(i) for k, i in zip(owner_kind, gid)]
         new_ref = [m[k].get(i) for k, i in zip(mt, ref)]
         batch = batch.append_column("new_group_id", pa.array(new_owner, type=pa.int64()))

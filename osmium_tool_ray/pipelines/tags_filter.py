@@ -31,7 +31,62 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.matchers import TagsFilter, get_filter_expression, get_tag_matcher
-from .extract import _collect_small, _isin, _np_str
+from .extract import _collect_small, _collect_table, _isin, _member_refs_of, _np_str
+
+
+def _closed_way_flags(members, way_ids: np.ndarray) -> np.ndarray:
+    """Distributed closed-ring test per way: >=4 member refs AND first ref
+    (min seq) == last ref (max seq) — command_tags_filter.cpp:212-217.
+
+    One vectorized pass over the members dataset emits per-(way, batch)
+    partials (min/max seq + their refs + count); partials merge driver-side
+    (one narrow row per way per batch — metadata-class, the ways table is
+    already driver-resident). Returns a bool mask aligned with way_ids."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gid = _np_str(batch["group_id"])
+        seq = batch["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ref = _np_str(batch["ref"])
+        order = np.lexsort((seq, gid.astype(str)))
+        g, s, r = gid[order], seq[order], ref[order]
+        first = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            first[1:] = g[1:] != g[:-1]
+        fi = np.nonzero(first)[0]
+        li = np.append(fi[1:], len(g)) - 1
+        return pa.table({
+            "gid": pa.array(g[fi], type=pa.string()),
+            "min_seq": pa.array(s[fi]), "first_ref": pa.array(r[fi], type=pa.string()),
+            "max_seq": pa.array(s[li]), "last_ref": pa.array(r[li], type=pa.string()),
+            "n": pa.array(li - fi + 1),
+        })
+
+    t = _collect_table(members.map_batches(partial, batch_format="pyarrow"))
+    if t.num_rows == 0 or len(way_ids) == 0:
+        return np.zeros(len(way_ids), dtype=bool)
+    g = _np_str(t["gid"]).astype(str)
+    mins = t["min_seq"].to_numpy(zero_copy_only=False)
+    maxs = t["max_seq"].to_numpy(zero_copy_only=False)
+    fr = _np_str(t["first_ref"])
+    lr = _np_str(t["last_ref"])
+    cnt = t["n"].to_numpy(zero_copy_only=False)
+    o1 = np.lexsort((mins, g))
+    first = np.ones(len(g), dtype=bool)
+    g1 = g[o1]
+    if len(g) > 1:
+        first[1:] = g1[1:] != g1[:-1]
+    starts = np.nonzero(first)[0]
+    keys = g1[starts]                       # sorted distinct way ids
+    f = fr[o1][starts]                      # ref at global min seq per way
+    o2 = np.lexsort((maxs, g))
+    ends = np.append(starts[1:], len(g)) - 1
+    l = lr[o2][ends]                        # ref at global max seq per way
+    total = np.add.reduceat(cnt[o1], starts)
+    closed = (total >= 4) & (f == l)
+    w = np.asarray(way_ids).astype(str)
+    pos = np.searchsorted(keys, w)
+    pos_c = np.minimum(pos, len(keys) - 1)
+    return (keys[pos_c] == w) & closed[pos_c]
 
 
 class TagsFilterBanks:
@@ -96,7 +151,26 @@ def run_tags_filter(images, expressions: list[str], groups=None, members=None,
     banks = TagsFilterBanks(expressions)
 
     g = _collect_small(groups, ["group_id", "kind", "tags"]) if groups is not None else None
-    mem = _collect_small(members, ["group_id", "seq", "mtype", "ref"]) if members is not None else None
+    # only relation-owned member rows come to the driver (the rel->rel
+    # descent and relation member lists); way members — the big side —
+    # stay distributed (same shape as extract.py, commit c13d61c)
+    mem = None
+    if members is not None and g is not None:
+        rel_ids_all0 = np.unique(g["group_id"][g["kind"] == "relation"])
+        if len(rel_ids_all0):
+            rref = ray.put(rel_ids_all0)
+
+            def owner_is_rel(batch: pa.Table) -> pa.Table:
+                rel_set = ray.get(rref)
+                return batch.filter(pa.array(_isin(_np_str(batch["group_id"]),
+                                                   rel_set)))
+
+            mem = _collect_small(members.map_batches(owner_is_rel,
+                                                     batch_format="pyarrow"),
+                                 ["group_id", "seq", "mtype", "ref"])
+        else:
+            mem = {c: np.empty(0, dtype=object)
+                   for c in ("group_id", "seq", "mtype", "ref")}
 
     matching_ways = np.empty(0, dtype=object)
     matching_rels = np.empty(0, dtype=object)
@@ -107,14 +181,11 @@ def run_tags_filter(images, expressions: list[str], groups=None, members=None,
         is_way = g["kind"] == "way"
         is_rel = g["kind"] == "relation"
         way_ids_all = g["group_id"][is_way]
-        # closed-ring test per way: >=4 member refs and first == last (by
-        # seq) — one grouped pass over the members, not a per-way scan
-        import pandas as pd
-        mdf = pd.DataFrame({"gid": mem["group_id"], "seq": mem["seq"].astype(np.int64),
-                            "ref": mem["ref"]}).sort_values(["gid", "seq"], kind="stable")
-        grp = mdf.groupby("gid", sort=False)["ref"]
-        closed_of = ((grp.size() >= 4) & (grp.first() == grp.last())).to_dict()
-        closed = np.asarray([bool(closed_of.get(w, False)) for w in way_ids_all])
+        # closed-ring test per way (distributed pass over members; only
+        # needed when an area-bank matcher can consult it)
+        closed = _closed_way_flags(members, way_ids_all) \
+            if banks.banks["area"] and len(way_ids_all) \
+            else np.zeros(len(way_ids_all), dtype=bool)
         way_tags = _tags_array(list(g["tags"][is_way]))
         rel_tags = _tags_array(list(g["tags"][is_rel]))
         rel_ids_all = g["group_id"][is_rel]
@@ -152,8 +223,10 @@ def run_tags_filter(images, expressions: list[str], groups=None, members=None,
             if banks.banks["way"] or banks.banks["area"] or len(referenced["way"]):
                 matching_ways = way_ids_all[way_match]
                 take = np.union1d(matching_ways, referenced["way"])
-                wsel = _isin(mem["group_id"], take) & (mem["mtype"] == "node")
-                referenced["node"] = np.union1d(referenced["node"], np.unique(mem["ref"][wsel]))
+                # way->node refs gathered distributed (way members never
+                # reach the driver)
+                way_nodes = _member_refs_of(members, [take], ("node",))[0]
+                referenced["node"] = np.union1d(referenced["node"], way_nodes)
         else:
             matching_ways = way_ids_all[way_match]
             matching_rels = rel_ids_all[rel_match]

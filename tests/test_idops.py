@@ -117,3 +117,12 @@ def test_renumber(datasets):
     # order-preserving dense ids 1..7 (command_renumber.cpp:61-66)
     assert [r["new_id"] for r in rows] == [1, 2, 3, 4, 5, 6, 7]
     assert mapping["n10"] == 1 and mapping["n16"] == 7
+
+
+def test_renumber_ranked_matches_broadcast(datasets):
+    from osmium_tool_ray.pipelines.idops import renumber_ranked
+
+    images, _, _ = datasets
+    _, mapping = renumber(images, "image_id", out_col="new_id")
+    ranked = renumber_ranked(images, "image_id").take_all()
+    assert {r["image_id"]: r["new_id"] for r in ranked} == mapping
