@@ -19,7 +19,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from osmium_tool_ray.sources.corpus import IMAGES_SQL_CTE, images_dataset
+from osmium_tool_ray.sources.corpus import (
+    IMAGES_SQL_CTE, VERSIONED_SQL_CTE, images_dataset,
+)
 from osmium_tool_ray.state.regions import Region, parse_extract_config
 
 # -- shared fixtures -----------------------------------------------------------
@@ -28,6 +30,7 @@ BBOX = (-60.0, -40.0, 60.0, 40.0)
 # strictly convex CCW quad whose edges avoid the 0.01-degree corpus grid
 POLY = [[0.0, -40.005], [60.005, 0.0], [0.0, 40.005], [-60.005, 0.0], [0.0, -40.005]]
 TS_CUT = "2024-01-15 00:00:00"
+HIST_BBOX = (-10.0, -7.0, 10.0, 7.0)
 CELL_LEVEL = 10
 TILE_LEVEL = 6
 
@@ -435,6 +438,49 @@ def q_extract_cw_nodes(sf_dir: str):
     return res["images_out"].select_columns(["image_id"])
 
 
+def q_extract_cw_history(sf_dir: str):
+    """extract -s complete_ways_with_history over the versioned corpus:
+    any version of an object inside the bbox marks its id; member closure
+    through per-user ways; ALL versions of marked ids are emitted
+    (reference strategy_complete_ways_with_history.cpp)."""
+    from osmium_tool_ray.pipelines.extract import run_extract
+    from osmium_tool_ray.sources.corpus import versioned_images_dataset
+
+    regions = [Region(name="b", kind="bbox", bbox=HIST_BBOX)]
+    ev = _events(sf_dir, ["event_id", "user_id"])
+
+    def as_members(batch: pa.Table) -> pa.Table:
+        eids = batch["event_id"].to_numpy(zero_copy_only=False)
+        vids = (eids // 4).astype(np.int64)
+        return pa.table({
+            "group_id": pc.binary_join_element_wise(
+                pa.array(["u"] * batch.num_rows),
+                batch["user_id"].cast(pa.string()), ""),
+            "seq": batch["event_id"].cast(pa.int32()),
+            "mtype": pa.array(["node"] * batch.num_rows, type=pa.string()),
+            "ref": pa.array([f"img{v:010d}" for v in vids], type=pa.string()),
+        })
+
+    members = ev.map_batches(as_members, batch_format="pyarrow")
+
+    def as_groups(batch: pa.Table) -> pa.Table:
+        from osmium_tool_ray.schema import TAGS_TYPE
+        n = batch.num_rows
+        return pa.table({
+            "group_id": pc.binary_join_element_wise(
+                pa.array(["u"] * n), batch["user_id"].cast(pa.string()), ""),
+            "kind": pa.array(["way"] * n, type=pa.string()),
+            "tags": pa.array([[]] * n, type=TAGS_TYPE),
+        })
+
+    groups = ev.groupby("user_id").count().map_batches(as_groups,
+                                                       batch_format="pyarrow")
+    res = run_extract(versioned_images_dataset(sf_dir), regions,
+                      groups=groups, members=members,
+                      strategy="complete_ways_with_history", concurrency=2)
+    return res["images_out"].select_columns(["image_id", "version"])
+
+
 # -- documents / text ----------------------------------------------------------
 
 def q_dedup_exact_docs(sf_dir: str):
@@ -743,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changeset_bbox": q_changeset_bbox,
         "extract_ways_simple": q_extract_ways_simple,
         "extract_cw_nodes": q_extract_cw_nodes,
+        "extract_cw_history": q_extract_cw_history,
         "cat_clean": q_cat_clean,
         "add_locations": q_add_locations,
         "add_locations_join": q_add_locations_join,
@@ -894,6 +941,22 @@ def oracle_sql() -> dict[str, str]:
                 ON i.image_id = 'img' || lpad(CAST(e.event_id AS VARCHAR), 10, '0')
               WHERE i.lon >= {BBOX[0]} AND i.lon <= {BBOX[2]}
                 AND i.lat >= {BBOX[1]} AND i.lat <= {BBOX[3]})""",
+        "extract_cw_history": f"""
+            WITH {VERSIONED_SQL_CTE.strip()},
+            member_refs AS (
+                SELECT user_id,
+                       'img' || lpad(CAST(event_id // 4 AS VARCHAR), 10, '0') AS ref
+                FROM events),
+            inside AS (
+                SELECT DISTINCT image_id FROM versioned
+                WHERE lon >= {HIST_BBOX[0]} AND lon <= {HIST_BBOX[2]}
+                  AND lat >= {HIST_BBOX[1]} AND lat <= {HIST_BBOX[3]})
+            SELECT image_id, version FROM versioned
+            WHERE image_id IN (SELECT image_id FROM inside)
+               OR image_id IN (
+                   SELECT ref FROM member_refs WHERE user_id IN (
+                       SELECT DISTINCT user_id FROM member_refs
+                       WHERE ref IN (SELECT image_id FROM inside)))""",
         "cat_clean": f"""{cte}
             SELECT image_id, '' AS caption, CAST(0 AS BIGINT) AS phash FROM images
             WHERE (lon >= -150 AND lon <= -30 AND lat >= -60 AND lat <= 60)

@@ -256,7 +256,14 @@ def run_extract(images, regions: list[Region], groups=None, members=None,
     if groups is not None and members is not None:
         if strategy == "simple":
             _run_simple(sets, members, mem, kind_of, do_relations)
-        elif strategy == "complete_ways":
+        elif strategy in ("complete_ways", "complete_ways_with_history"):
+            # complete_ways_with_history
+            # (strategy_complete_ways_with_history.cpp): identical id-set
+            # construction, but run over a versioned object stream — a row
+            # of ANY version inside the region marks its id, and the final
+            # id-based selection emits ALL versions of marked objects
+            # (the reference forbids history input to plain complete_ways;
+            # here the id sets are version-agnostic by construction).
             _run_complete_ways(sets, members, mem, kind_of, do_relations)
         elif strategy == "smart":
             _run_smart(sets, groups, members, mem, kind_of, options)

@@ -95,6 +95,44 @@ def images_range_dataset(n: int, with_bytes: bool = True, override_num_blocks: i
                           batch_format="pyarrow")
 
 
+def versioned_images_dataset(sf_dir: str):
+    """History-file corpus: each event becomes one VERSION of an image
+    object — image_id = 'img' + zfill(event_id // 4), version =
+    event_id % 4 + 1, position derived from the EVENT id (so different
+    versions of one object sit at different coordinates; an extract with
+    history must keep all versions of an object once any version
+    matches). Exact integer arithmetic; SQL twin in VERSIONED_SQL_CTE."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        eids = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vids = eids // 4
+        lon = ((eids * 7919) % 36000) / 100.0 - 180.0
+        lat = ((eids * 104729) % 17000) / 100.0 - 85.0
+        image_id = np.char.add("img", np.char.zfill(vids.astype(str), 10))
+        return pa.table({
+            "image_id": pa.array(image_id, type=pa.string()),
+            "version": pa.array((eids % 4 + 1).astype(np.int32)),
+            "lon": pa.array(lon), "lat": pa.array(lat),
+        })
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+VERSIONED_SQL_CTE = """
+versioned AS (
+    SELECT
+        'img' || lpad(CAST(event_id // 4 AS VARCHAR), 10, '0') AS image_id,
+        CAST(event_id % 4 + 1 AS INTEGER) AS version,
+        ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+        ((event_id * 104729) % 17000) / 100.0 - 85.0 AS lat
+    FROM events
+)
+"""
+
+
 # The exact-SQL twin of _derive_columns for the DuckDB oracle (no bytes —
 # binary payloads are never part of oracle comparisons).
 IMAGES_SQL_CTE = """

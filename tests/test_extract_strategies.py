@@ -112,3 +112,42 @@ def test_smart_types_any(datasets):
     # must still include w21 via r34 and remain a superset of smart default
     nodes, ways, rels = _run(datasets, "smart", {"types": "any"})
     assert "w21" in ways and "n14" in nodes
+
+
+def test_complete_ways_with_history(ray_session):
+    """strategy_complete_ways_with_history.cpp semantics: any version of a
+    node inside the extract marks its id; the way closure pulls member
+    node ids; ALL versions of every marked id are emitted — including
+    versions whose own coordinates lie outside the region."""
+    import ray.data as rd
+
+    from osmium_tool_ray.state.regions import parse_extract_config
+
+    # n1 v1 inside, v2 outside; n2 both versions outside but referenced by
+    # w1 (which also holds n1); n3 outside and unreferenced
+    images = rd.from_arrow(pa.table({
+        "image_id": pa.array(["n1", "n1", "n2", "n2", "n3"]),
+        "version": pa.array([1, 2, 1, 2, 1], type=pa.int32()),
+        "lon": pa.array([1.0, 50.0, 60.0, 61.0, 70.0]),
+        "lat": pa.array([1.0, 50.0, 60.0, 61.0, 70.0]),
+    }))
+    groups = rd.from_arrow(pa.table({
+        "group_id": pa.array(["w1"]), "kind": pa.array(["way"]),
+        "tags": pa.array([[]], type=pa.list_(pa.struct(
+            [("key", pa.string()), ("value", pa.string())]))),
+    }))
+    members = rd.from_arrow(pa.table({
+        "group_id": pa.array(["w1", "w1"]),
+        "seq": pa.array([0, 1], type=pa.int32()),
+        "mtype": pa.array(["node", "node"]),
+        "ref": pa.array(["n1", "n2"]),
+    }))
+    regions = parse_extract_config({"extracts": [{"output": "x",
+                                                  "bbox": [0, 0, 2, 2]}]})
+    res = run_extract(images, regions, groups=groups, members=members,
+                      strategy="complete_ways_with_history", concurrency=2)
+    rows = sorted((r["image_id"], r["version"])
+                  for r in res["images_out"].take_all())
+    assert rows == [("n1", 1), ("n1", 2), ("n2", 1), ("n2", 2)]
+    gids = sorted(res["group_rows"]["group_id"].to_pylist())
+    assert gids == ["w1"]
