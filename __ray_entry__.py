@@ -601,6 +601,94 @@ def q_add_locations_join(sf_dir: str):
     return out.select_columns(["group_id", "seq", "lon", "lat"])
 
 
+def q_apply_changes_locations(sf_dir: str):
+    """apply-changes --locations-on-ways: change-file nodes patch the
+    lon/lat embedded in located way members (clicks modify coordinates via
+    a second exact integer formula, errors delete the node -> member rows
+    dropped). Reference command_apply_changes.cpp:200-277."""
+    from osmium_tool_ray.pipelines.locations import (
+        add_locations_to_members, apply_location_changes,
+    )
+
+    groups, members = _user_adjacency(sf_dir)
+    located = add_locations_to_members(members, images_dataset(sf_dir))
+
+    ev = _events(sf_dir, ["event_id", "event_type"])
+
+    def as_changes(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "error")
+        sub = batch.filter(pa.array(keep))
+        eids = sub["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "image_id": pa.array([f"img{i:010d}" for i in eids], type=pa.string()),
+            "lon": pa.array(((eids * 104729) % 36000) / 100.0 - 180.0),
+            "lat": pa.array(((eids * 7919) % 17000) / 100.0 - 85.0),
+            "op": pa.array(np.where(et[keep] == "click", "modify", "delete")),
+        })
+
+    changes = ev.map_batches(as_changes, batch_format="pyarrow")
+    out = apply_location_changes(located, changes)
+    return out.select_columns(["group_id", "seq", "lon", "lat"])
+
+
+def q_getid_remove_tags(sf_dir: str):
+    """getid -r --remove-tags: requested click nodes keep their payload;
+    nodes pulled in only as way references get caption stripped and a
+    referenced_only marker (command_getid.cpp:360-368)."""
+    from osmium_tool_ray.pipelines.idops import getid
+
+    groups, members = _user_adjacency(sf_dir)
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    uids = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
+    way_ids = np.asarray([f"u{u}" for u in uids if u % 7 == 0], dtype=object)
+    res = getid(images_dataset(sf_dir),
+                {"node": _click_ids(sf_dir), "way": way_ids},
+                groups=groups, members=members, recursive=True,
+                remove_tags=True)
+    return res["images_out"].select_columns(
+        ["image_id", "caption", "referenced_only"])
+
+
+def q_changeset_flags(sf_dir: str):
+    """changeset-filter's open/closed, discussion and num-changes
+    predicates (command_changeset_filter.cpp:215-238): synthesize one
+    changeset per user (closed_at = max ts, discussion = any purchase
+    event) and emit the flag surface for changesets above a change-count
+    bound."""
+    import datetime as dt
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": batch["user_id"], "ts": batch["ts"],
+                         "disc": pa.array((et == "purchase").astype(np.int64))})
+
+    agg = ev.map_batches(part, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Count(alias_name="num_changes"), Max("ts", alias_name="closed_at"),
+            Sum("disc", alias_name="n_disc"))
+    t_open = dt.datetime(2024, 1, 25)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        n = batch["num_changes"].to_numpy(zero_copy_only=False)
+        keep = n > 60
+        sub = batch.filter(pa.array(keep))
+        is_open = pc.greater_equal(sub["closed_at"], pa.scalar(t_open))
+        return pa.table({
+            "user_id": sub["user_id"],
+            "num_changes": sub["num_changes"].cast(pa.int64()),
+            "is_open": is_open,
+            "has_discussion": pc.greater(sub["n_disc"], 0),
+        })
+
+    return agg.map_batches(flags, batch_format="pyarrow")
+
+
 def q_tile_mosaic(sf_dir: str):
     """Per-tile mosaic assembly (raster side of raster<->vector); the
     comparable projection is the member count per tile (capped by
@@ -793,6 +881,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cat_clean": q_cat_clean,
         "add_locations": q_add_locations,
         "add_locations_join": q_add_locations_join,
+        "apply_changes_locations": q_apply_changes_locations,
+        "getid_remove_tags": q_getid_remove_tags,
+        "changeset_flags": q_changeset_flags,
         "tile_mosaic": q_tile_mosaic,
         "rasterize_coverage": q_rasterize_coverage,
         "export_geojsonseq": q_export_geojsonseq,
@@ -973,6 +1064,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(e.event_id AS INTEGER) AS seq, i.lon, i.lat
             FROM events e JOIN images i
               ON i.image_id = 'img' || lpad(CAST(e.event_id AS VARCHAR), 10, '0')""",
+        "apply_changes_locations": f"""{cte}
+            SELECT 'u' || CAST(e.user_id AS VARCHAR) AS group_id,
+                   CAST(e.event_id AS INTEGER) AS seq,
+                   CASE WHEN e.event_type = 'click'
+                        THEN ((e.event_id * 104729) % 36000) / 100.0 - 180.0
+                        ELSE i.lon END AS lon,
+                   CASE WHEN e.event_type = 'click'
+                        THEN ((e.event_id * 7919) % 17000) / 100.0 - 85.0
+                        ELSE i.lat END AS lat
+            FROM events e JOIN images i
+              ON i.image_id = 'img' || lpad(CAST(e.event_id AS VARCHAR), 10, '0')
+            WHERE e.event_type <> 'error'""",
+        "getid_remove_tags": f"""{cte},
+            req AS (SELECT 'img' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS id
+                    FROM events WHERE event_type = 'click' AND value > 300.0),
+            refd AS (SELECT 'img' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS id
+                     FROM events WHERE user_id % 7 = 0)
+            SELECT image_id,
+                   CASE WHEN image_id IN (SELECT id FROM req)
+                        THEN caption ELSE '' END AS caption,
+                   image_id NOT IN (SELECT id FROM req) AS referenced_only
+            FROM images
+            WHERE image_id IN (SELECT id FROM req)
+               OR image_id IN (SELECT id FROM refd)""",
+        "changeset_flags": """
+            SELECT user_id, num_changes,
+                   closed_at >= TIMESTAMP '2024-01-25 00:00:00' AS is_open,
+                   n_disc > 0 AS has_discussion
+            FROM (SELECT user_id, COUNT(*) AS num_changes, MAX(ts) AS closed_at,
+                         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_disc
+                  FROM events GROUP BY user_id)
+            WHERE num_changes > 60""",
         "tile_mosaic": f"""{cte}
             SELECT cell_x, cell_y, LEAST(COUNT(*), 64) AS n_members
             FROM (SELECT {_CELL_XY_SQL.format(n=8, m=7)} FROM images)

@@ -72,9 +72,15 @@ def semi_join(ds, id_col: str, ids: np.ndarray, invert: bool = False):
 
 
 def getid(images, ids: dict[str, np.ndarray], groups=None, members=None,
-          recursive: bool = False):
+          recursive: bool = False, remove_tags: bool = False,
+          tag_cols: tuple[str, ...] = ("caption",)):
     """Returns {"images_out": Dataset, "group_rows": pa.Table(group_id, kind,
-    referenced_only)}. `ids` maps node/way/relation -> requested id arrays."""
+    referenced_only)}. `ids` maps node/way/relation -> requested id arrays.
+
+    remove_tags (--remove-tags, command_getid.cpp:360-368): rows that are
+    only in the output because something references them get their tag
+    payload stripped (here: `tag_cols` string columns cleared) and a
+    `referenced_only` marker column."""
     node_ids = np.asarray(ids.get("node", []), dtype=object)
     way_ids = np.asarray(ids.get("way", []), dtype=object)
     rel_ids = np.asarray(ids.get("relation", []), dtype=object)
@@ -106,7 +112,31 @@ def getid(images, ids: dict[str, np.ndarray], groups=None, members=None,
         ref_nodes = np.setdiff1d(ref_nodes, node_ids)
         ref_ways = np.setdiff1d(ref_ways, way_ids)
 
-    images_out = semi_join(images, "image_id", np.union1d(node_ids, ref_nodes))
+    if not remove_tags:
+        images_out = semi_join(images, "image_id",
+                               np.union1d(node_ids, ref_nodes))
+    else:
+        import ray
+
+        sets_ref = ray.put((node_ids, ref_nodes))
+
+        def strip(batch: pa.Table) -> pa.Table:
+            req, refd = ray.get(sets_ref)
+            bids = _np_str(batch["image_id"])
+            m_req = _isin(bids, req)
+            m_ref = _isin(bids, refd)
+            keep = m_req | m_ref
+            out = batch.filter(pa.array(keep))
+            ref_only = (m_ref & ~m_req)[keep]
+            for c in tag_cols:
+                if c in out.schema.names and ref_only.any():
+                    vals = np.asarray(out[c].to_pylist(), dtype=object)
+                    vals[ref_only] = ""
+                    out = out.set_column(out.schema.get_field_index(c), c,
+                                         pa.array(vals, type=pa.string()))
+            return out.append_column("referenced_only", pa.array(ref_only))
+
+        images_out = images.map_batches(strip, batch_format="pyarrow")
 
     rows = []
     if groups is not None:

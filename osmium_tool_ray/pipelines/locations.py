@@ -75,6 +75,53 @@ def add_locations_native_join(members, images, num_partitions: int = 16):
     return joined.select_columns(keep)
 
 
+def apply_location_changes(located_members, change_nodes,
+                           id_col: str = "image_id", op_col: str = "op"):
+    """apply-changes --locations-on-ways
+    (/root/reference/src/command_apply_changes.cpp:200-277): way-member
+    rows that carry node locations get those locations patched from the
+    change file's nodes — modified nodes overwrite lon/lat in place,
+    members referencing deleted nodes are dropped (their location becomes
+    undefined). `change_nodes` is a Dataset of (id_col, lon, lat, op)
+    with op in {'modify', 'delete'}.
+
+    Join shape: the change set is the small side (a change file vs the
+    full located stream) — broadcast as sorted arrays, searchsorted per
+    batch; swap in the bucketed hash join for TB-scale change sets
+    (SURVEY.md §7.3)."""
+    import ray
+
+    rows = change_nodes.select_columns([id_col, "lon", "lat", op_col]).take_all()
+    ids = np.asarray([r[id_col] for r in rows], dtype=object).astype(str)
+    lon = np.asarray([r["lon"] for r in rows], dtype=np.float64)
+    lat = np.asarray([r["lat"] for r in rows], dtype=np.float64)
+    deleted = np.asarray([r[op_col] == "delete" for r in rows], dtype=bool)
+    order = np.argsort(ids, kind="stable")
+    ref = ray.put((ids[order], lon[order], lat[order], deleted[order]))
+
+    def patch(batch: pa.Table) -> pa.Table:
+        sids, slon, slat, sdel = ray.get(ref)
+        refs = np.asarray(batch["ref"].to_pylist(), dtype=object).astype(str)
+        if len(sids) == 0:
+            return batch
+        pos = np.searchsorted(sids, refs)
+        pos_c = np.minimum(pos, len(sids) - 1)
+        found = sids[pos_c] == refs
+        drop = found & sdel[pos_c]
+        modify = found & ~sdel[pos_c]
+        out_lon = np.where(modify, slon[pos_c],
+                           batch["lon"].to_numpy(zero_copy_only=False))
+        out_lat = np.where(modify, slat[pos_c],
+                           batch["lat"].to_numpy(zero_copy_only=False))
+        batch = batch.set_column(batch.schema.get_field_index("lon"), "lon",
+                                 pa.array(out_lon))
+        batch = batch.set_column(batch.schema.get_field_index("lat"), "lat",
+                                 pa.array(out_lat))
+        return batch.filter(pa.array(~drop))
+
+    return located_members.map_batches(patch, batch_format="pyarrow")
+
+
 def create_locations_index(images, out_path: str,
                            id_col="image_id", lon_col="lon", lat_col="lat") -> str:
     """Materialize a sorted (id -> lon, lat) parquet lookup table — the

@@ -128,3 +128,29 @@ def test_opl_roundtrip(tmp_path, ray_session):
 def test_opl_bad_type():
     with pytest.raises(ValueError, match="Unknown OPL object type"):
         parse_opl_lines(["z1 v1"])
+
+
+def test_apply_location_changes(ray_session):
+    """--locations-on-ways: modify patches lon/lat in place, delete drops
+    the member row (command_apply_changes.cpp:200-277)."""
+    import ray.data as rd
+
+    from osmium_tool_ray.pipelines.locations import apply_location_changes
+
+    located = rd.from_arrow(pa.table({
+        "group_id": pa.array(["w1"] * 3),
+        "seq": pa.array([0, 1, 2], type=pa.int32()),
+        "ref": pa.array(["n1", "n2", "n3"]),
+        "lon": pa.array([1.0, 2.0, 3.0]),
+        "lat": pa.array([1.0, 2.0, 3.0]),
+    }))
+    changes = rd.from_arrow(pa.table({
+        "image_id": pa.array(["n1", "n3"]),
+        "lon": pa.array([9.0, 0.0]),
+        "lat": pa.array([9.5, 0.0]),
+        "op": pa.array(["modify", "delete"]),
+    }))
+    out = sorted(apply_location_changes(located, changes).take_all(),
+                 key=lambda r: r["seq"])
+    assert [(r["ref"], r["lon"], r["lat"]) for r in out] == \
+        [("n1", 9.0, 9.5), ("n2", 2.0, 2.0)]
