@@ -63,3 +63,82 @@ def normalize_ring(ring: np.ndarray, outer: bool) -> np.ndarray:
     if is_ccw(r) != outer:
         r = r[::-1].copy()
     return r
+
+
+def assemble_rings(fragments: list) -> tuple[list, list]:
+    """Stitch open way fragments end-to-end into closed rings — the osmium
+    area-assembler core (semantics of the reference's segment joining,
+    /root/reference/src/extract/osm_file_parser.cpp:48-92, and the
+    multipolygon assembly feeding export, command_export.cpp:599-617):
+    a fragment extends the open chain when one of its endpoints equals the
+    chain's current end (EXACT equality in osmium fixed-point
+    coordinates); a fragment may join reversed; a chain that returns to
+    its starting vertex becomes a ring.
+
+    Deterministic: chains start at the lexicographically-smallest unused
+    fragment and always extend with the smallest matching candidate.
+
+    Returns (rings, leftover): closed rings as (k, 2) float64 arrays
+    (first vertex == last vertex), and the indices of fragments that could
+    not be placed in any closed ring."""
+    frs = [np.asarray(f, dtype=np.float64) for f in fragments]
+    fixed = [to_fix(f) for f in frs]
+
+    def key(i):
+        return (tuple(fixed[i][0]), tuple(fixed[i][-1]), i)
+
+    unused = set(range(len(frs)))
+    rings: list = []
+    leftover: list = []
+    while unused:
+        start = min(unused, key=key)
+        unused.remove(start)
+        if len(frs[start]) >= 3 and (fixed[start][0] == fixed[start][-1]).all():
+            rings.append(frs[start])
+            continue
+        chain = [frs[start]]
+        used_here = [start]
+        chain_start = fixed[start][0]
+        cur_end = fixed[start][-1]
+        closed = False
+        while True:
+            cands = []
+            for j in unused:
+                if (fixed[j][0] == cur_end).all():
+                    cands.append((key(j), j, False))
+                elif (fixed[j][-1] == cur_end).all():
+                    cands.append((key(j), j, True))
+            if not cands:
+                break
+            _, j, rev = min(cands)
+            unused.remove(j)
+            used_here.append(j)
+            seg = frs[j][::-1] if rev else frs[j]
+            chain.append(seg[1:])          # junction vertex already present
+            cur_end = to_fix(seg[-1])
+            if (cur_end == chain_start).all():
+                closed = True
+                break
+        if closed:
+            ring = np.vstack(chain)
+            if len(ring) >= 4:
+                rings.append(ring)
+            else:
+                leftover.extend(used_here)
+        else:
+            leftover.extend(used_here)
+    return rings, sorted(leftover)
+
+
+def point_in_ring(pt: np.ndarray, ring: np.ndarray) -> bool:
+    """Even-odd crossing test of one point against a closed ring (float
+    degrees) — used only for outer/inner nesting classification during
+    area assembly (boundary points are don't-care there)."""
+    x, y = float(pt[0]), float(pt[1])
+    r = np.asarray(ring, dtype=np.float64)
+    x1, y1 = r[:-1, 0], r[:-1, 1]
+    x2, y2 = r[1:, 0], r[1:, 1]
+    straddle = (y1 > y) != (y2 > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+    return bool(np.count_nonzero(straddle & (xs > x)) % 2)

@@ -138,6 +138,70 @@ def render_geojson_multipolygons(rel_members, way_members_with_locations):
     return rel_members.groupby("group_id").map_groups(assemble, batch_format="pandas")
 
 
+def render_geojson_areas(rel_members, way_members_with_locations):
+    """Relation -> MultiPolygon through the FULL osmium-style area
+    assembler: member ways may be OPEN fragments; fragments are stitched
+    end-to-end into closed rings (functions.geometry.assemble_rings,
+    matching the reference's exact fixed-point endpoint equality), rings
+    are classified outer/inner by even-odd containment nesting, inners
+    are attached to their containing outer, and orientations are
+    normalized (outer CCW, inner CW — geometry_util.cpp:22-34).
+
+    rel_members: (group_id, seq, mtype, ref); way geometry from
+    add_locations_to_members output. The per-relation assembly runs in
+    groupby(group_id).map_groups; way fragments are keyed driver-side only
+    for the member ways of the exported relations (narrow projection)."""
+    import json
+
+    import pandas as pd
+
+    from ..functions.geometry import (
+        assemble_rings, normalize_ring, point_in_ring,
+    )
+    from .extract import _collect_small
+
+    wm = _collect_small(way_members_with_locations,
+                        ["group_id", "seq", "lon", "lat"])
+    frags_of: dict[str, list] = {}
+    order = np.lexsort((wm["seq"].astype(np.int64), wm["group_id"].astype(str)))
+    for gid, lo, la in zip(wm["group_id"][order], wm["lon"][order],
+                           wm["lat"][order]):
+        frags_of.setdefault(gid, []).append([float(lo), float(la)])
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["mtype"] == "way"].sort_values("seq", kind="stable")
+        fragments = [np.asarray(frags_of[ref], dtype=np.float64)
+                     for ref in g["ref"]
+                     if len(frags_of.get(ref) or []) >= 2]
+        if not fragments:
+            return pd.DataFrame({"line": []})
+        rings, _leftover = assemble_rings(fragments)
+        if not rings:
+            return pd.DataFrame({"line": []})
+        # nesting depth via even-odd containment of a representative vertex
+        depth = np.zeros(len(rings), dtype=np.int64)
+        for i, r in enumerate(rings):
+            for j, other in enumerate(rings):
+                if i != j and point_in_ring(r[0], other):
+                    depth[i] += 1
+        outers = [i for i in range(len(rings)) if depth[i] % 2 == 0]
+        polys = []
+        for oi in outers:
+            shell = normalize_ring(rings[oi], outer=True)
+            holes = [normalize_ring(rings[ii], outer=False)
+                     for ii in range(len(rings))
+                     if depth[ii] == depth[oi] + 1
+                     and point_in_ring(rings[ii][0], rings[oi])]
+            polys.append([shell.tolist()] + [h.tolist() for h in holes])
+        feat = {"type": "Feature", "id": str(g["group_id"].iloc[0]),
+                "geometry": {"type": "MultiPolygon", "coordinates": polys},
+                "properties": {}}
+        return pd.DataFrame({"line": [json.dumps(feat, separators=(",", ":"))]})
+
+    return rel_members.groupby("group_id").map_groups(assemble,
+                                                      batch_format="pandas")
+
+
 def export_lines(ds, out_dir: str, renderer, **renderer_kwargs) -> str:
     """Render each batch to a `line` column and write one text file per
     block under out_dir (streaming, no shuffle)."""

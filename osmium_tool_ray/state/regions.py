@@ -113,7 +113,13 @@ def region_cover(region: Region, level: int,
 
     env = region.envelope()
     lvl = min(start_level, level)
-    cells = cover_bbox(env[0], env[1], env[2], env[3], lvl)
+    # pad by one fixed-point unit (1e-7 deg): a float lon/lat up to half a
+    # unit outside the unpadded envelope can still to_fix() onto a boundary
+    # vertex and be inside per the exact kernel's endpoint-inclusion rule —
+    # mirrors the +-1 padding already applied to segment bboxes above
+    pad = 1e-7
+    cells = cover_bbox(env[0] - pad, env[1] - pad, env[2] + pad, env[3] + pad,
+                       lvl)
     interior: list[np.ndarray] = []
     boundary: list[np.ndarray] = []
     while len(cells):

@@ -154,3 +154,65 @@ def test_apply_location_changes(ray_session):
                  key=lambda r: r["seq"])
     assert [(r["ref"], r["lon"], r["lat"]) for r in out] == \
         [("n1", 9.0, 9.5), ("n2", 2.0, 2.0)]
+
+
+def test_assemble_rings_from_open_fragments():
+    """Ring merging: three open fragments (one reversed) close into one
+    square ring; a dangling fragment is reported as leftover."""
+    from osmium_tool_ray.functions.geometry import assemble_rings, is_ccw
+
+    f1 = [[0.0, 0.0], [2.0, 0.0]]
+    f2 = [[2.0, 0.0], [2.0, 2.0], [0.0, 2.0]]
+    f3 = [[0.0, 0.0], [0.0, 2.0]]          # joins reversed
+    dangling = [[9.0, 9.0], [9.5, 9.5]]
+    rings, leftover = assemble_rings([f1, f2, f3, dangling])
+    assert len(rings) == 1 and leftover == [3]
+    r = rings[0]
+    assert np.array_equal(r[0], r[-1]) and len(r) == 5
+    assert {tuple(p) for p in r.tolist()} == \
+        {(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)}
+
+
+def test_assemble_rings_two_rings_and_closed_input():
+    from osmium_tool_ray.functions.geometry import assemble_rings
+
+    closed = [[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 5.0]]
+    a1 = [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]
+    a2 = [[1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]
+    rings, leftover = assemble_rings([closed, a1, a2])
+    assert len(rings) == 2 and leftover == []
+
+
+def test_render_geojson_areas_multipolygon_with_hole(ray_session):
+    """Full area assembly: outer square from 3 OPEN fragments + a closed
+    inner hole; outer must come out CCW, hole CW (geometry_util rules)."""
+    import json
+
+    import ray.data as rd
+
+    from osmium_tool_ray.functions.geometry import double_area
+    from osmium_tool_ray.pipelines.export import render_geojson_areas
+
+    way_pts = {
+        "w1": [[0.0, 0.0], [4.0, 0.0]],
+        "w2": [[4.0, 0.0], [4.0, 4.0], [0.0, 4.0]],
+        "w3": [[0.0, 4.0], [0.0, 0.0]],
+        "w4": [[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]],
+    }
+    rows = []
+    for wid, pts in way_pts.items():
+        for s, (lo, la) in enumerate(pts):
+            rows.append({"group_id": wid, "seq": s, "lon": lo, "lat": la})
+    wm = rd.from_items(rows)
+    rel = rd.from_items([
+        {"group_id": "r1", "seq": i, "mtype": "way", "ref": w}
+        for i, w in enumerate(["w1", "w2", "w3", "w4"])])
+    out = render_geojson_areas(rel, wm).take_all()
+    assert len(out) == 1
+    feat = json.loads(out[0]["line"])
+    polys = feat["geometry"]["coordinates"]
+    assert feat["id"] == "r1" and len(polys) == 1
+    shell, hole = polys[0]
+    assert double_area(np.asarray(shell)) > 0      # outer CCW
+    assert double_area(np.asarray(hole)) < 0       # inner CW
+    assert len(shell) == 5 and len(hole) == 5
