@@ -187,6 +187,113 @@ def _member_refs_of(members, groupsets: list[np.ndarray],
     return [np.unique(rr[ee == e]).astype(object) for e in range(len(groupsets))]
 
 
+def _member_hits_by_kind(members, idsets: list[np.ndarray], mtype: str,
+                         kind_of: dict[str, str],
+                         want_kinds=("way", "relation")) -> dict:
+    """Fused variant of _member_hits: ONE distributed scan of the members
+    dataset yields the matched group ids for EVERY owner kind at once
+    (complete_ways needs node->way and node->relation hits over the same
+    id sets — scanning twice doubles the most expensive pass)."""
+    import ray
+
+    refs = ray.put(idsets)
+    kinds = ray.put(kind_of)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        sets = ray.get(refs)
+        kmap = ray.get(kinds)
+        mt = _np_str(batch["mtype"])
+        gid = _np_str(batch["group_id"])
+        ref = _np_str(batch["ref"])
+        sel = mt == mtype
+        out_k, out_g, out_e = [], [], []
+        for e, s in enumerate(sets):
+            hit = sel & _isin(ref, s)
+            if not hit.any():
+                continue
+            g = np.unique(gid[hit])
+            gk = np.asarray([kmap.get(x, "") for x in g], dtype=object)
+            for k in want_kinds:
+                gsel = g[gk == k]
+                if len(gsel):
+                    out_k.append(np.full(len(gsel), k, dtype=object))
+                    out_g.append(gsel)
+                    out_e.append(np.full(len(gsel), e, dtype=np.int32))
+        if not out_g:
+            return pa.table({"kind": pa.array([], type=pa.string()),
+                             "group_id": pa.array([], type=pa.string()),
+                             "extract_id": pa.array([], type=pa.int32())})
+        return pa.table({
+            "kind": pa.array(np.concatenate(out_k), type=pa.string()),
+            "group_id": pa.array(np.concatenate(out_g), type=pa.string()),
+            "extract_id": pa.array(np.concatenate(out_e))})
+
+    tbl = _collect_table(members.map_batches(scan, batch_format="pyarrow"))
+    kk = _np_str(tbl["kind"])
+    gg = _np_str(tbl["group_id"])
+    ee = tbl["extract_id"].to_numpy(zero_copy_only=False)
+    return {k: [np.unique(gg[(kk == k) & (ee == e)]).astype(object)
+                for e in range(len(idsets))]
+            for k in want_kinds}
+
+
+def _refs_and_parent_hits(members, way_sets: list[np.ndarray],
+                          kind_of: dict[str, str],
+                          ref_mtypes=("node",)) -> tuple[list, list]:
+    """Fused variant of (_member_refs_of + _member_hits): ONE scan yields
+    (a) refs of the given member types owned by groups in way_sets[e] and
+    (b) relation ids having a way-type member in way_sets[e]."""
+    import ray
+
+    gref = ray.put(way_sets)
+    kinds = ray.put(kind_of)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        sets = ray.get(gref)
+        kmap = ray.get(kinds)
+        mt = _np_str(batch["mtype"])
+        gid = _np_str(batch["group_id"])
+        ref = _np_str(batch["ref"])
+        ref_sel = _isin(mt, np.asarray(ref_mtypes, dtype=object))
+        way_member = mt == "way"
+        out_t, out_v, out_e = [], [], []
+        for e, s in enumerate(sets):
+            hit_refs = ref_sel & _isin(gid, s)
+            if hit_refs.any():
+                r = np.unique(ref[hit_refs])
+                out_t.append(np.full(len(r), "ref", dtype=object))
+                out_v.append(r)
+                out_e.append(np.full(len(r), e, dtype=np.int32))
+            hit_par = way_member & _isin(ref, s)
+            if hit_par.any():
+                p = np.unique(gid[hit_par])
+                pk = np.asarray([kmap.get(x) == "relation" for x in p])
+                p = p[pk]
+                if len(p):
+                    out_t.append(np.full(len(p), "rel", dtype=object))
+                    out_v.append(p)
+                    out_e.append(np.full(len(p), e, dtype=np.int32))
+        if not out_v:
+            return pa.table({"tag": pa.array([], type=pa.string()),
+                             "value": pa.array([], type=pa.string()),
+                             "extract_id": pa.array([], type=pa.int32())})
+        return pa.table({
+            "tag": pa.array(np.concatenate(out_t), type=pa.string()),
+            "value": pa.array(np.concatenate(out_v), type=pa.string()),
+            "extract_id": pa.array(np.concatenate(out_e))})
+
+    tbl = _collect_table(members.map_batches(scan, batch_format="pyarrow"))
+    tt = _np_str(tbl["tag"])
+    vv = _np_str(tbl["value"])
+    ee = tbl["extract_id"].to_numpy(zero_copy_only=False)
+    E = len(way_sets)
+    refs_out = [np.unique(vv[(tt == "ref") & (ee == e)]).astype(object)
+                for e in range(E)]
+    rels_out = [np.unique(vv[(tt == "rel") & (ee == e)]).astype(object)
+                for e in range(E)]
+    return refs_out, rels_out
+
+
 def _collect_small(ds, columns):
     """Collect a narrow projection of a (small, metadata-class) dataset."""
     if ds is None:
@@ -343,13 +450,19 @@ def _run_simple(sets, members_ds, mem, kind_of, do_relations):
 
 
 def _run_complete_ways(sets, members_ds, mem, kind_of, do_relations):
+    """Two fused member scans instead of four: pass A gets node->way and
+    node->relation hits together; pass B gets way->node refs and
+    way->relation parent hits together (strategy_complete_ways.cpp runs
+    one streaming pass per concern; fusing halves the dominant distributed
+    scans at no semantic cost)."""
     E = sets.n_extracts
-    sets.way_ids = _member_hits(members_ds, sets.node_ids, "node", kind_of, "way")
-    sets.extra_node_ids = _member_refs_of(members_ds, sets.way_ids, ("node",))
+    hits = _member_hits_by_kind(members_ds, sets.node_ids, "node", kind_of)
+    sets.way_ids = hits["way"]
+    sets.extra_node_ids, rel_by_way = _refs_and_parent_hits(
+        members_ds, sets.way_ids, kind_of)
     if not do_relations:
         return
-    rel_by_node = _member_hits(members_ds, sets.node_ids, "node", kind_of, "relation")
-    rel_by_way = _member_hits(members_ds, sets.way_ids, "way", kind_of, "relation")
+    rel_by_node = hits["relation"]
     child, parent = _rel_edges(mem, kind_of)
     for e in range(E):
         seed = np.union1d(rel_by_node[e], rel_by_way[e])
