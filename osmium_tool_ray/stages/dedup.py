@@ -114,7 +114,7 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
 
 
 def _bucket_pairs(rows, bucket_keys: list[str], id_col: str, id_type,
-                  all_pairs_cap: int = 32):
+                  all_pairs_cap: int = 8):
     """Distributed candidate-pair emission: groupby(bucket).map_groups emits
     (a, b) id pairs (a < b) per multi-member bucket — all pairs for buckets
     up to `all_pairs_cap` members, star-shaped (min-id hub) above the cap
@@ -232,14 +232,31 @@ def minhash_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
     with_texts = _attach_pair_payload(pairs, docs, id_col, text_col)
 
     def verify(batch: pa.Table) -> pa.Table:
+        ids_a = batch["a"].to_pylist()
+        ids_b = batch["b"].to_pylist()
         ta = batch[f"{text_col}_a"].to_pylist()
         tb = batch[f"{text_col}_b"].to_pylist()
-        sa = _shingle_hashes(ta, k)
-        sb = _shingle_hashes(tb, k)
+        # shingle each distinct doc of the batch ONCE (star-shaped pair
+        # lists repeat the hub doc in most rows)
+        text_of: dict = {}
+        for i, t in zip(ids_a, ta):
+            text_of.setdefault(i, t)
+        for i, t in zip(ids_b, tb):
+            text_of.setdefault(i, t)
+        uniq_ids = list(text_of)
+        sets = _shingle_hashes([text_of[i] for i in uniq_ids], k)
+        set_of = dict(zip(uniq_ids, sets))
+        sizes = {i: s.size for i, s in set_of.items()}
         keep = np.zeros(batch.num_rows, dtype=bool)
         for i in range(batch.num_rows):
-            inter = np.intersect1d(sa[i], sb[i], assume_unique=True).size
-            union = sa[i].size + sb[i].size - inter
+            na, nb = sizes[ids_a[i]], sizes[ids_b[i]]
+            # J <= min/max — skip the intersect when the size bound alone
+            # already rules the pair out
+            if max(na, nb) > 0 and min(na, nb) / max(na, nb) < threshold:
+                continue
+            sa, sb = set_of[ids_a[i]], set_of[ids_b[i]]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = na + nb - inter
             keep[i] = union == 0 or inter / union >= threshold
         return batch.select(["a", "b"]).filter(pa.array(keep))
 
