@@ -438,6 +438,21 @@ def q_extract_cw_nodes(sf_dir: str):
     return res["images_out"].select_columns(["image_id"])
 
 
+def q_extract_cw_dataset(sf_dir: str):
+    """Same complete_ways extract as extract_cw_nodes but through the
+    Dataset-id-set scale path (run_extract_cw_dataset): no matched-id
+    array ever lands on the driver — every closure step is a
+    hash-partitioned join. Identical oracle."""
+    from osmium_tool_ray.pipelines.extract import run_extract_cw_dataset
+
+    regions = [Region(name="b", kind="bbox", bbox=BBOX)]
+    groups, members = _user_adjacency(sf_dir)
+    res = run_extract_cw_dataset(images_dataset(sf_dir), regions,
+                                 groups=groups, members=members,
+                                 concurrency=2)
+    return res["images_out"].select_columns(["image_id"])
+
+
 def q_extract_cw_history(sf_dir: str):
     """extract -s complete_ways_with_history over the versioned corpus:
     any version of an object inside the bbox marks its id; member closure
@@ -877,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changeset_bbox": q_changeset_bbox,
         "extract_ways_simple": q_extract_ways_simple,
         "extract_cw_nodes": q_extract_cw_nodes,
+        "extract_cw_dataset": q_extract_cw_dataset,
         "extract_cw_history": q_extract_cw_history,
         "cat_clean": q_cat_clean,
         "add_locations": q_add_locations,
@@ -912,7 +928,7 @@ def oracle_sql() -> dict[str, str]:
     for (x1, y1), (x2, y2) in zip(POLY[:-1], POLY[1:]):
         edges.append(f"(({x2} - {x1}) * (lat - {y1}) - (lon - {x1}) * ({y2} - {y1})) >= 0")
     poly_pred = " AND ".join(edges)
-    return {
+    out = {
         "extract_bbox": f"""{cte}
             SELECT image_id, lon, lat, caption FROM images
             WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]}
@@ -1137,3 +1153,6 @@ def oracle_sql() -> dict[str, str]:
         # psnr_verify: intentionally no oracle (model-style scoring, sketches,
         # binary decoding) -> driver records the rows-only check.
     }
+    # the Dataset-id-set scale path computes the identical extract
+    out["extract_cw_dataset"] = out["extract_cw_nodes"]
+    return out

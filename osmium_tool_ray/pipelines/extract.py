@@ -416,6 +416,164 @@ def run_extract(images, regions: list[Region], groups=None, members=None,
     return {"images_out": images_out, "group_rows": group_tbl, "sets": sets}
 
 
+def run_extract_cw_dataset(images, regions: list[Region], groups, members,
+                           level: int = 8, concurrency=4,
+                           num_partitions: int | None = None,
+                           do_relations: bool = True):
+    """complete_ways with the id sets kept as DATASETS — the 10^12-row
+    scale path the broadcast form (run_extract) cannot reach: no matched-id
+    array ever lands on the driver; every closure step is a
+    hash-partitioned Dataset.join over narrow (id, extract_id)
+    projections. The driver touches only group metadata (way/relation ids
+    + kinds — the reference also holds those in RAM) and block refs.
+
+    Same semantics as strategy_complete_ways.cpp: nodes inside -> ways
+    with >=1 recorded node -> ALL their node refs; relations with any
+    recorded node/way member, closed over rel->rel parent edges.
+
+    Returns the same dict shape as run_extract (images_out, group_rows),
+    without the `sets` driver arrays (that is the point)."""
+    import ray
+
+    E = len(regions)
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 4)
+
+    def _distinct(ds, cols):
+        from ray.data.aggregate import Count
+        return ds.groupby(cols).aggregate(Count(alias_name="_n")) \
+            .select_columns(cols)
+
+    def _mat(ds, id_name="image_id"):
+        """Materialize between joins (each Dataset.join pins
+        num_partitions aggregator actors for the DAG's lifetime, and a
+        chain of joins in one DAG can outsize the CPU count — see
+        stages/dedup._attach_pair_payload) AND drop the zero-column empty
+        blocks Ray's groupby chains emit, which would otherwise reach a
+        downstream join as schema-less partitions. Only block refs and
+        row counts touch the driver; the id tables stay sharded."""
+        from ..stages.dedup import _drop_empty_blocks
+
+        out = _drop_empty_blocks(ds)
+        if out is None:
+            import ray.data as rd
+            return rd.from_arrow(pa.schema(
+                [(id_name, pa.string()), ("extract_id", pa.int32())])
+                .empty_table())
+        return out
+
+    # pass 1 — distributed spatial match: (image_id, extract_id)
+    regions_ref = ray.put(regions)
+    matched = images.select_columns(["image_id", "lon", "lat"]).map_batches(
+        RegionMatcher, fn_constructor_args=(regions_ref, level),
+        batch_format="pyarrow", concurrency=concurrency,
+    ).select_columns(["image_id", "extract_id"])
+    node_ids = _mat(_distinct(matched, ["image_id", "extract_id"]))
+
+    # narrow member projections
+    import pyarrow.compute as _pc
+
+    def _members_of(mtype):
+        def f(b: pa.Table) -> pa.Table:
+            sel = b.filter(_pc.equal(b["mtype"], mtype))
+            return pa.table({"group_id": sel["group_id"], "ref": sel["ref"]})
+        # materialized: Ray 2.49's join builds schema-less (crashing) empty
+        # partitions when an input's schema is not known up front; a
+        # materialized narrow projection pins the schema and is reused by
+        # both closure joins without recomputing
+        return members.map_batches(f, batch_format="pyarrow").materialize()
+
+    node_members = _members_of("node")
+
+    # way hits: node members whose ref is a recorded node
+    wj = node_members.join(node_ids, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("ref",), right_on=("image_id",))
+    group_hits = _mat(_distinct(wj.select_columns(["group_id", "extract_id"]),
+                                ["group_id", "extract_id"]), "group_id")
+
+    # owner kinds (group metadata — broadcast, as the reference does in RAM)
+    g = _collect_small(groups, ["group_id", "kind"])
+    kind_of = dict(zip(g["group_id"], g["kind"]))
+    kref = ray.put(kind_of)
+
+    def _kind_filter(kind):
+        def f(b: pa.Table) -> pa.Table:
+            kmap = ray.get(kref)
+            gid = _np_str(b["group_id"])
+            return b.filter(pa.array(
+                np.asarray([kmap.get(x) == kind for x in gid], dtype=bool)))
+        return f
+
+    way_ids = _mat(group_hits.map_batches(_kind_filter("way"),
+                                          batch_format="pyarrow"), "group_id")
+
+    # extra node refs: ALL node refs of recorded ways
+    ej = node_members.join(
+        way_ids.select_columns(["group_id", "extract_id"]), join_type="inner",
+        num_partitions=num_partitions, on=("group_id",))
+    extra = ej.map_batches(
+        lambda b: pa.table({"image_id": b["ref"], "extract_id": b["extract_id"]}),
+        batch_format="pyarrow")
+
+    final_ids = _mat(_distinct(node_ids.union(extra),
+                               ["image_id", "extract_id"]))
+
+    # id set (schema-known) on the LEFT — see _members_of note
+    images_out = final_ids.join(images, join_type="inner",
+                                num_partitions=num_partitions,
+                                on=("image_id",))
+
+    # relations (id lists are metadata-class; parent closure driver-side
+    # over the rel->rel edge list, like run_extract)
+    rel_rows = []
+    if do_relations:
+        rel_hits = group_hits.map_batches(_kind_filter("relation"),
+                                          batch_format="pyarrow")
+        way_members = _members_of("way")
+        # a COMPLETELY empty join side crashes Ray 2.49's aggregator
+        # (schema-less empty partitions) — and an empty side means an
+        # empty join anyway, so short-circuit it
+        if way_members.count() > 0 and way_ids.count() > 0:
+            rj = way_members.join(
+                way_ids.select_columns(["group_id", "extract_id"])
+                .rename_columns({"group_id": "way_gid"}), join_type="inner",
+                num_partitions=num_partitions, on=("ref",),
+                right_on=("way_gid",))
+            rel_by_way = rj.select_columns(["group_id", "extract_id"])                 .map_batches(_kind_filter("relation"), batch_format="pyarrow")
+            rel_tbl = _collect_table(rel_hits.union(rel_by_way))
+        else:
+            rel_tbl = _collect_table(rel_hits)
+        rel_gids = _np_str(rel_tbl["group_id"])
+        rel_eids = rel_tbl["extract_id"].to_numpy(zero_copy_only=False)
+        # rel->rel edges from relation-owned relation members (tiny)
+        rel_all = np.unique(g["group_id"][g["kind"] == "relation"])
+        edges = _collect_table(members.map_batches(
+            lambda b: b.filter(_pc.equal(b["mtype"], "relation"))
+            .select(["group_id", "ref"]), batch_format="pyarrow"))
+        echild = _np_str(edges["ref"])
+        eparent = _np_str(edges["group_id"])
+        owner_rel = _isin(eparent, rel_all)
+        echild, eparent = echild[owner_rel], eparent[owner_rel]
+        for e in range(E):
+            seed = np.unique(rel_gids[rel_eids == e])
+            closed = _parent_closure(echild, eparent, seed)
+            for gid in closed:
+                rel_rows.append((gid, "relation", e))
+
+    way_tbl = _collect_table(way_ids)
+    wg = _np_str(way_tbl["group_id"])
+    we = way_tbl["extract_id"].to_numpy(zero_copy_only=False)
+    group_rows = [(gid, "way", int(e)) for gid, e in zip(wg, we)] + rel_rows
+    group_tbl = pa.table({
+        "group_id": pa.array([r[0] for r in group_rows], type=pa.string()),
+        "kind": pa.array([r[1] for r in group_rows], type=pa.string()),
+        "extract_id": pa.array([int(r[2]) for r in group_rows], type=pa.int32()),
+    })
+    return {"images_out": images_out, "group_rows": group_tbl}
+
+
 def _rel_edges(mem, kind_of):
     """relation->relation edges (parent=group_id, child=ref)."""
     is_rel_member = mem["mtype"] == "relation"

@@ -151,3 +151,23 @@ def test_complete_ways_with_history(ray_session):
     assert rows == [("n1", 1), ("n1", 2), ("n2", 1), ("n2", 2)]
     gids = sorted(res["group_rows"]["group_id"].to_pylist())
     assert gids == ["w1"]
+
+
+def test_complete_ways_dataset_path_parity(datasets):
+    """run_extract_cw_dataset (id sets as Datasets, hash-join closure)
+    must reproduce the broadcast path bit-for-bit on the golden fixture,
+    relations included."""
+    from osmium_tool_ray.pipelines.extract import run_extract_cw_dataset
+
+    images, groups, members = datasets
+    a = run_extract(images, REGIONS, groups=groups, members=members,
+                    strategy="complete_ways", concurrency=2)
+    b = run_extract_cw_dataset(images, REGIONS, groups=groups,
+                               members=members, concurrency=2)
+    assert sorted(r["image_id"] for r in a["images_out"].take_all()) == \
+        sorted(r["image_id"] for r in b["images_out"].take_all())
+    ga = sorted(zip(a["group_rows"]["group_id"].to_pylist(),
+                    a["group_rows"]["kind"].to_pylist()))
+    gb = sorted(zip(b["group_rows"]["group_id"].to_pylist(),
+                    b["group_rows"]["kind"].to_pylist()))
+    assert ga == gb
