@@ -819,6 +819,15 @@ def q_minhash_dup_pairs(sf_dir: str):
                          concurrency=2)
 
 
+def q_ngram_dup_pairs(sf_dir: str):
+    """True word-n-gram Jaccard near-dup (order-sensitive token shingles)
+    through the distributed LSH pipeline."""
+    from osmium_tool_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), n=3,
+                               threshold=0.35, concurrency=2)
+
+
 def q_ann_embeddings(sf_dir: str):
     import ray.data as rd
     from osmium_tool_ray.stages.knn import ann_topk
@@ -912,6 +921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": q_langid_docs,
         "simhash_docs": q_simhash_docs,
         "minhash_dup_pairs": q_minhash_dup_pairs,
+        "ngram_dup_pairs": q_ngram_dup_pairs,
         "ann_embeddings": q_ann_embeddings,
         "psnr_verify": q_psnr_verify,
     }

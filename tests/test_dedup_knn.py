@@ -94,3 +94,34 @@ def test_spatial_knn(ray_session):
         expect = [f"p{j:03d}" for j in order]
         mine = [n for _, n, _ in sorted(got[f"p{i:03d}"])]
         assert mine == expect, f"point {i}: {mine} != {expect}"
+
+
+def test_word_ngram_jaccard_pairs(ray_session):
+    """True token-level n-gram near-dup: word-order-sensitive shingles
+    (doc 2 shares most 3-grams with doc 1; doc 3 shares the vocabulary
+    but in scrambled order and must NOT pair at a high threshold)."""
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.dedup import ngram_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    words = base.split()
+    scrambled = " ".join(words[::2] + words[1::2])
+    docs = rd.from_items([
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " extra tail words here"},
+        {"doc_id": 3, "text": scrambled},
+    ])
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.6, concurrency=2)
+    pairs = set(zip(out["doc_id"].to_pylist(), out["dup_of"].to_pylist()))
+    assert (2, 1) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_word_ngram_sets_order_sensitivity():
+    from osmium_tool_ray.stages.dedup import _word_ngram_sets
+
+    a, b, c = _word_ngram_sets(
+        ["one two three four", "one two three four", "four three two one"], n=2)
+    assert np.array_equal(a, b)
+    assert np.intersect1d(a, c).size == 0
