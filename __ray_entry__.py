@@ -528,7 +528,8 @@ def q_quality_docs(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(QualityScore, fn_constructor_kwargs={"text_col": "text"},
                      batch_format="pyarrow", concurrency=2) \
-        .select_columns(["doc_id", "punct_ratio", "space_ratio"])
+        .select_columns(["doc_id", "punct_ratio", "space_ratio",
+                         "stopword_ratio"])
 
 
 # -- kNN -----------------------------------------------------------------------
@@ -664,6 +665,23 @@ def q_getid_remove_tags(sf_dir: str):
                 remove_tags=True)
     return res["images_out"].select_columns(
         ["image_id", "caption", "referenced_only"])
+
+
+def q_getid_missing(sf_dir: str):
+    """getid --verbose-ids missing-id report: requested set = click ids
+    (all present) + a shifted id range (none present); the result is the
+    sorted missing ids (command_getid.cpp:379-396 print_missing_ids)."""
+    import pyarrow.parquet as pq
+    from osmium_tool_ray.pipelines.idops import getid
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+    eids = t["event_id"].to_numpy(zero_copy_only=False)
+    ghost = np.asarray([f"img{i + 5_000_000_000:010d}" for i in eids
+                        if i % 50 == 0], dtype=object)
+    req = np.union1d(_click_ids(sf_dir), ghost)
+    res = getid(images_dataset(sf_dir), {"node": req}, track_missing=True)
+    return pa.table({"image_id": pa.array(sorted(res["missing"]["node"]),
+                                          type=pa.string())})
 
 
 def q_changeset_flags(sf_dir: str):
@@ -908,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "add_locations_join": q_add_locations_join,
         "apply_changes_locations": q_apply_changes_locations,
         "getid_remove_tags": q_getid_remove_tags,
+        "getid_missing": q_getid_missing,
         "changeset_flags": q_changeset_flags,
         "tile_mosaic": q_tile_mosaic,
         "rasterize_coverage": q_rasterize_coverage,
@@ -1114,6 +1133,11 @@ def oracle_sql() -> dict[str, str]:
             FROM images
             WHERE image_id IN (SELECT id FROM req)
                OR image_id IN (SELECT id FROM refd)""",
+        "getid_missing": """
+            SELECT 'img' || lpad(CAST(event_id + 5000000000 AS VARCHAR), 10, '0')
+                       AS image_id
+            FROM events WHERE event_id % 50 = 0
+            ORDER BY image_id""",
         "changeset_flags": """
             SELECT user_id, num_changes,
                    closed_at >= TIMESTAMP '2024-01-25 00:00:00' AS is_open,
@@ -1141,7 +1165,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
                        / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
                    CAST(len(regexp_extract_all(text, ' ')) AS DOUBLE)
-                       / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS space_ratio
+                       / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS space_ratio,
+                   CAST(len(regexp_extract_all(lower(text),
+                            '\\b(?:the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE)
+                       / GREATEST(CAST(len(regexp_extract_all(lower(text),
+                            '[a-z0-9_]+')) AS DOUBLE), 1.0) AS stopword_ratio
             FROM documents""",
         "knn_points": f"""{cte},
             q AS (SELECT event_id AS query_id,

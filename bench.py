@@ -35,6 +35,7 @@ QUERY_NAMES = [
     "merge_dedup", "sort_topk", "latest_version", "dedup_exact_docs",
     "token_count_docs", "knn_points", "minhash_dup_pairs", "ann_embeddings",
     "psnr_verify", "add_locations", "extract_cw_nodes", "getid_bucketed",
+    "extract_cw_history", "apply_changes_locations", "changeset_flags",
 ]
 
 

@@ -73,14 +73,22 @@ def semi_join(ds, id_col: str, ids: np.ndarray, invert: bool = False):
 
 def getid(images, ids: dict[str, np.ndarray], groups=None, members=None,
           recursive: bool = False, remove_tags: bool = False,
-          tag_cols: tuple[str, ...] = ("caption",)):
+          tag_cols: tuple[str, ...] = ("caption",),
+          track_missing: bool = False):
     """Returns {"images_out": Dataset, "group_rows": pa.Table(group_id, kind,
     referenced_only)}. `ids` maps node/way/relation -> requested id arrays.
 
     remove_tags (--remove-tags, command_getid.cpp:360-368): rows that are
     only in the output because something references them get their tag
     payload stripped (here: `tag_cols` string columns cleared) and a
-    `referenced_only` marker column."""
+    `referenced_only` marker column.
+
+    track_missing (--verbose-ids + the found-all exit code,
+    command_getid.cpp:119-121, 379-396): additionally report which
+    requested ids were NOT found — result keys "missing" (kind ->
+    sorted id array) and "found_all" (bool; the reference's exit
+    status). The found-id sets come back from distributed scans of the
+    requested (small, broadcast) sets only."""
     node_ids = np.asarray(ids.get("node", []), dtype=object)
     way_ids = np.asarray(ids.get("way", []), dtype=object)
     rel_ids = np.asarray(ids.get("relation", []), dtype=object)
@@ -153,7 +161,27 @@ def getid(images, ids: dict[str, np.ndarray], groups=None, members=None,
         "kind": pa.array([r[1] for r in rows], type=pa.string()),
         "referenced_only": pa.array([r[2] for r in rows], type=pa.bool_()),
     })
-    return {"images_out": images_out, "group_rows": group_rows}
+    out = {"images_out": images_out, "group_rows": group_rows}
+    if track_missing:
+        from .extract import _collect_table
+
+        found_nodes = _collect_table(
+            semi_join(images.select_columns(["image_id"]), "image_id",
+                      node_ids))
+        missing = {"node": np.setdiff1d(
+            node_ids, np.unique(_np_str(found_nodes["image_id"])))}
+        for kind, req in (("way", way_ids), ("relation", rel_ids)):
+            if groups is not None and len(req):
+                found = _collect_table(
+                    semi_join(groups.select_columns(["group_id"]), "group_id",
+                              req))
+                missing[kind] = np.setdiff1d(
+                    req, np.unique(_np_str(found["group_id"])))
+            else:
+                missing[kind] = np.asarray(sorted(req), dtype=object)
+        out["missing"] = missing
+        out["found_all"] = all(len(v) == 0 for v in missing.values())
+    return out
 
 
 def removeid(images, ids: np.ndarray, id_col: str = "image_id"):

@@ -47,6 +47,9 @@ class TokenCount:
                     .append_column("n_chars_calc", n_chars.cast(pa.int64()))
 
 
+STOPWORD_PATTERN = r"\b(?:the|a|an|and|or|of|to|in|is|it)\b"
+
+
 class QualityScore:
     """Length / punctuation / whitespace / uppercase ratios + a combined
     quality score. Per-row float ops are single IEEE operations on identical
@@ -65,6 +68,13 @@ class QualityScore:
         batch = batch.append_column("punct_ratio", pc.divide(punct, n_safe))
         batch = batch.append_column("space_ratio", pc.divide(spaces, n_safe))
         batch = batch.append_column("upper_ratio", pc.divide(upper, n_safe))
+        lower = pc.utf8_lower(t)
+        stops = pc.count_substring_regex(
+            lower, pattern=STOPWORD_PATTERN).cast(pa.float64())
+        toks = pc.count_substring_regex(
+            lower, pattern=r"[a-z0-9_]+").cast(pa.float64())
+        batch = batch.append_column(
+            "stopword_ratio", pc.divide(stops, pc.max_element_wise(toks, 1.0)))
         return batch
 
 
