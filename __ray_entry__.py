@@ -861,6 +861,29 @@ def q_ann_embeddings(sf_dir: str):
     return ann_topk(corpus, qm, qids, k=5, concurrency=2)
 
 
+def q_frame_sample(sf_dir: str):
+    """Video frame sampling: every 100th event becomes a 6-frame fake
+    video; FrameSample explodes every 2nd frame into its own row (blobs
+    stay map-side; the comparable projection is the frame metadata)."""
+    from osmium_tool_ray.stages.media import FrameSample, make_fake_videos
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def as_videos(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        sel = ids[ids % 100 == 0]
+        return pa.table({
+            "video_id": pa.array([f"v{i:010d}" for i in sel], type=pa.string()),
+            "video": make_fake_videos(sel, n_frames=6, w=8, h=8),
+        })
+
+    videos = ev.map_batches(as_videos, batch_format="pyarrow")
+    out = videos.map_batches(FrameSample, fn_constructor_kwargs={"stride": 2},
+                             batch_format="pyarrow", batch_size=64,
+                             concurrency=2)
+    return out.select_columns(["video_id", "frame_no", "w", "h"])
+
+
 def q_psnr_verify(sf_dir: str):
     from osmium_tool_ray.stages.media import DecodeVerify
 
@@ -943,6 +966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dup_pairs": q_ngram_dup_pairs,
         "ann_embeddings": q_ann_embeddings,
         "psnr_verify": q_psnr_verify,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -1133,6 +1157,12 @@ def oracle_sql() -> dict[str, str]:
             FROM images
             WHERE image_id IN (SELECT id FROM req)
                OR image_id IN (SELECT id FROM refd)""",
+        "frame_sample": """
+            SELECT 'v' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS video_id,
+                   CAST(f AS INTEGER) AS frame_no,
+                   CAST(8 AS INTEGER) AS w, CAST(8 AS INTEGER) AS h
+            FROM events, (VALUES (0), (2), (4)) AS frames(f)
+            WHERE event_id % 100 = 0""",
         "getid_missing": """
             SELECT 'img' || lpad(CAST(event_id + 5000000000 AS VARCHAR), 10, '0')
                        AS image_id

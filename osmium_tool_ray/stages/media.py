@@ -79,6 +79,77 @@ class ExtractFeatures:
                     .append_column("pix_std", pa.array(std))
 
 
+def make_fake_videos(idx: np.ndarray, n_frames: int = 6, w: int = 8,
+                     h: int = 8) -> pa.Array:
+    """Deterministic fake video container: `n_frames` equal-size encoded
+    frames (fake-png records) back-to-back per video. Frame f of video i
+    holds gen_pixels(i * 1000 + f) — byte-stable, so frame-sampling
+    pipelines can verify content."""
+    from ..functions import imagecodec
+
+    idx = np.asarray(idx, dtype=np.int64)
+    frames = []
+    for f in range(n_frames):
+        pix = imagecodec.gen_pixels(idx * 1000 + f, w, h)
+        frames.append(imagecodec.encode_batch(
+            pix, np.full(len(idx), "png"), w, h))
+    recs = [b"".join(frames[f][i].as_py() for f in range(n_frames))
+            for i in range(len(idx))]
+    return pa.array(recs, type=pa.large_binary())
+
+
+class FrameSample:
+    """Actor stage: sample every `stride`-th frame from a video byte stream
+    (equal-size encoded frame records back-to-back, the fake container
+    above) — one OUTPUT ROW PER SAMPLED FRAME, the video->frames explode
+    of a real training pipeline. A real deployment swaps the record
+    slicing for an ffmpeg keyframe decode inside the same actor method;
+    the Ray-side shape (binary in, exploded rows out, small batch_size)
+    is the real thing. Frame bytes are sliced, not re-encoded — memcpy
+    only."""
+
+    def __init__(self, stride: int = 2, bytes_col: str = "video",
+                 id_col: str = "video_id"):
+        from ..functions import imagecodec
+        self.codec = imagecodec
+        self.stride = stride
+        self.bytes_col, self.id_col = bytes_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.imagecodec import HEADER_LEN
+
+        arr = batch[self.bytes_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        arr = arr.cast(pa.large_binary())
+        ids = batch[self.id_col].to_pylist()
+        out_id, out_frame, out_bytes, out_w, out_h = [], [], [], [], []
+        buf = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset:arr.offset + len(arr) + 1]
+        for i in range(len(arr)):
+            start, end = int(offs[i]), int(offs[i + 1])
+            if end - start < HEADER_LEN:
+                continue
+            w = int(buf[start + 4] | (buf[start + 5] << 8))
+            h = int(buf[start + 6] | (buf[start + 7] << 8))
+            rec_len = HEADER_LEN + w * h * 3
+            n_frames = (end - start) // rec_len
+            for f in range(0, n_frames, self.stride):
+                s = start + f * rec_len
+                out_id.append(ids[i])
+                out_frame.append(f)
+                out_bytes.append(buf[s:s + rec_len].tobytes())
+                out_w.append(w)
+                out_h.append(h)
+        return pa.table({
+            self.id_col: pa.array(out_id),
+            "frame_no": pa.array(out_frame, type=pa.int32()),
+            "bytes": pa.array(out_bytes, type=pa.large_binary()),
+            "w": pa.array(out_w, type=pa.int32()),
+            "h": pa.array(out_h, type=pa.int32()),
+        })
+
+
 class Resize:
     """Actor stage: nearest-neighbor resize of the fake-codec pixel grid —
     stands in for a real resize kernel; output re-encoded with the same
