@@ -103,12 +103,11 @@ def q_cell_grid_counts(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         x, y = _cell_xy(batch, CELL_LEVEL)
-        import pandas as pd
-        g = pd.DataFrame({"cell_x": x, "cell_y": y}).groupby(
-            ["cell_x", "cell_y"], sort=False).size().reset_index(name="n")
-        return pa.table({"cell_x": pa.array(g["cell_x"], type=pa.int64()),
-                         "cell_y": pa.array(g["cell_y"], type=pa.int64()),
-                         "n": pa.array(g["n"], type=pa.int64())})
+        key = (x << 32) | y          # pack: one np.unique instead of pandas
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"cell_x": pa.array(uk >> 32, type=pa.int64()),
+                         "cell_y": pa.array(uk & 0xFFFFFFFF, type=pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
 
     return images_dataset(sf_dir).map_batches(partial, batch_format="pyarrow") \
         .groupby(["cell_x", "cell_y"]).aggregate(Sum("n", alias_name="n_images"))
@@ -149,10 +148,9 @@ def q_caption_tags_count(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         words = pc.extract_regex(batch["caption"], pattern=r"(?P<w>[^ ]+)$")
         w = words.field("w") if hasattr(words, "field") else words.combine_chunks().field("w")
-        uw, cnt = np.unique(np.asarray(w.to_pylist(), dtype=object).astype(str),
-                            return_counts=True)
-        return pa.table({"key": pa.array(uw, type=pa.string()),
-                         "n": pa.array(cnt.astype(np.int64))})
+        vc = pc.value_counts(w)       # C++ hash count, no Python strings
+        return pa.table({"key": vc.field("values").cast(pa.string()),
+                         "n": vc.field("counts").cast(pa.int64())})
 
     agg = images_dataset(sf_dir).map_batches(partial, batch_format="pyarrow") \
         .groupby("key").aggregate(Sum("n", alias_name="cnt"))
