@@ -268,6 +268,10 @@ def q_sort_topk(sf_dir: str):
 
 
 def q_latest_version(sf_dir: str):
+    """Last version per key (argmax_rows: map-side combiner + per-group
+    pick — fastest at this key count; argmax_rows_native is the
+    zero-per-group-Python packed-Max alternative for millions of keys,
+    oracle- and parity-tested)."""
     from osmium_tool_ray.pipelines.merge import argmax_rows
 
     ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value", "ts"])

@@ -68,6 +68,75 @@ def argmax_rows(ds, key_cols: list[str], order_cols: list[str]):
     return reduced.groupby(key_cols).map_groups(local, batch_format="pandas")
 
 
+def _pack_order(batch: pa.Table, order_cols: list[str]) -> pa.Array:
+    """Fixed-width big-endian packing of an integer/timestamp order tuple:
+    lexicographic byte order == tuple order, so a native Max aggregate
+    computes argmax without per-group Python. int64 values are offset to
+    unsigned; timestamps use their epoch representation."""
+    import pyarrow.compute as pc
+
+    parts = []
+    for c in order_cols:
+        col = batch[c]
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.int64())
+        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = (v.view(np.uint64) + np.uint64(1 << 63)).byteswap()  # BE unsigned
+        parts.append(u.view(np.uint8).reshape(-1, 8))
+    flat = np.concatenate(parts, axis=1)
+    n, w = flat.shape
+    offsets = np.arange(0, (n + 1) * w, w, dtype=np.int32)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()),
+                         pa.py_buffer(flat.tobytes())])
+
+
+def argmax_rows_native(ds, key_cols: list[str], order_cols: list[str],
+                       num_partitions: int | None = None):
+    """Zero-per-group-Python argmax for integer/timestamp order columns
+    whose tuple is UNIQUE per key (pass a unique tiebreaker last): pack
+    the order tuple into one fixed-width sortable binary, reduce with the
+    NATIVE Max aggregate, then join the winners back and keep rows whose
+    packed key equals their group's max. Two native shuffles; the
+    map-side combiner from argmax_rows still applies first so the join
+    sees at most one row per key per input block."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    if num_partitions is None:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 4)
+
+    asc = [True] * len(key_cols) + [False] * len(order_cols)
+    cols = key_cols + order_cols
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df.sort_values(cols, ascending=asc, kind="stable") \
+            .drop_duplicates(subset=key_cols, keep="first")
+
+    def add_ord(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_ord", _pack_order(batch, order_cols))
+
+    reduced = ds.map_batches(local, batch_format="pandas") \
+        .map_batches(add_ord, batch_format="pyarrow").materialize()
+    maxes = reduced.groupby(key_cols).aggregate(Max("_ord", alias_name="_max"))
+    from ..stages.dedup import _drop_empty_blocks
+    maxes = _drop_empty_blocks(maxes)
+    if maxes is None:
+        return reduced.drop_columns(["_ord"]).limit(0)
+    joined = maxes.join(reduced, join_type="inner",
+                        num_partitions=num_partitions, on=tuple(key_cols))
+
+    def keep_max(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["_ord"], batch["_max"])) \
+            .drop_columns(["_ord", "_max"])
+
+    return joined.map_batches(keep_max, batch_format="pyarrow")
+
+
 def dedup_exact(ds, key_cols: list[str], order_col: str | None = None):
     """Exact dedup: one row per key (lowest order_col wins when given)."""
     def pick(g: pd.DataFrame) -> pd.DataFrame:

@@ -135,3 +135,26 @@ def test_derive_changes_and_diff(ray_session):
     assert not s["identical"]
     s2 = diff_summary(old, old, ["image_id"], ["caption"])
     assert s2["identical"]
+
+
+def test_argmax_rows_native_parity(ray_session):
+    """The native-Max packed-order argmax must match the map_groups form
+    on a versioned stream (ts + unique tiebreaker)."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from osmium_tool_ray.pipelines.merge import argmax_rows, argmax_rows_native
+
+    rows = []
+    for uid in range(20):
+        for k in range(15):
+            rows.append({"user_id": uid, "event_id": uid * 100 + k,
+                         "ts": dt.datetime(2024, 1, 1 + (k * 7) % 28),
+                         "value": float(uid * k)})
+    ds = rd.from_items(rows)
+    a = sorted((r["user_id"], r["event_id"], r["value"]) for r in
+               argmax_rows(ds, ["user_id"], ["ts", "event_id"]).take_all())
+    b = sorted((r["user_id"], r["event_id"], r["value"]) for r in
+               argmax_rows_native(ds, ["user_id"], ["ts", "event_id"]).take_all())
+    assert a == b and len(a) == 20
