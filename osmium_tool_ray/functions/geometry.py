@@ -122,6 +122,12 @@ def assemble_rings(fragments: list) -> tuple[list, list]:
         if closed:
             ring = np.vstack(chain)
             if len(ring) >= 4:
+                # closure was decided in fixed-point; snap the float tail
+                # onto the head so the returned ring honours the
+                # first-vertex == last-vertex contract exactly
+                if not np.array_equal(ring[0], ring[-1]):
+                    ring = ring.copy()
+                    ring[-1] = ring[0]
                 rings.append(ring)
             else:
                 leftover.extend(used_here)

@@ -99,6 +99,39 @@ def render_geojson_ways(members_with_locations, closed_as_polygon: bool = False)
         assemble, batch_format="pandas")
 
 
+def _member_way_fragments(rel_members, way_members_with_locations):
+    """Collect located geometry ONLY for ways that are members of the
+    exported relations (the relation member lists are metadata-class; the
+    located way stream is not): broadcast the wanted-way set, filter the
+    member stream distributed, collect the narrow survivor projection,
+    and return {way_id: [[lon, lat], ...]} plus its ray.put handle so the
+    per-relation group tasks fetch it from the object store instead of
+    re-serializing it into every task closure."""
+    import ray
+
+    from .extract import _collect_small, _isin, _np_str
+
+    rm = _collect_small(rel_members, ["mtype", "ref"])
+    wanted = np.unique(rm["ref"][rm["mtype"] == "way"]) \
+        if len(rm["ref"]) else np.empty(0, dtype=object)
+    wref = ray.put(wanted)
+
+    def keep_wanted(batch: pa.Table) -> pa.Table:
+        ids = ray.get(wref)
+        return batch.filter(pa.array(_isin(_np_str(batch["group_id"]), ids)))
+
+    wm = _collect_small(
+        way_members_with_locations.map_batches(keep_wanted,
+                                               batch_format="pyarrow"),
+        ["group_id", "seq", "lon", "lat"])
+    frags_of: dict[str, list] = {}
+    order = np.lexsort((wm["seq"].astype(np.int64), wm["group_id"].astype(str)))
+    for gid, lo, la in zip(wm["group_id"][order], wm["lon"][order],
+                           wm["lat"][order]):
+        frags_of.setdefault(gid, []).append([float(lo), float(la)])
+    return frags_of, ray.put(frags_of)
+
+
 def render_geojson_multipolygons(rel_members, way_members_with_locations):
     """Relation -> MultiPolygon assembly (simplified vs the full osmium
     area assembler: each member way must itself be a closed ring; outer
@@ -109,16 +142,15 @@ def render_geojson_multipolygons(rel_members, way_members_with_locations):
 
     import pandas as pd
 
-    from ..functions.geometry import ensure_closed, is_ccw
-    from .extract import _collect_small
+    import ray
 
-    wm = _collect_small(way_members_with_locations, ["group_id", "seq", "lon", "lat"])
-    rings_of: dict[str, list] = {}
-    order = np.lexsort((wm["seq"].astype(np.int64), wm["group_id"].astype(str)))
-    for gid, lo, la in zip(wm["group_id"][order], wm["lon"][order], wm["lat"][order]):
-        rings_of.setdefault(gid, []).append([float(lo), float(la)])
+    from ..functions.geometry import ensure_closed, is_ccw
+
+    _, frags_ref = _member_way_fragments(rel_members,
+                                         way_members_with_locations)
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        rings_of = ray.get(frags_ref)
         g = g[g["mtype"] == "way"].sort_values("seq", kind="stable")
         outers, inners = [], []
         for ref in g["ref"]:
@@ -150,25 +182,23 @@ def render_geojson_areas(rel_members, way_members_with_locations):
     rel_members: (group_id, seq, mtype, ref); way geometry from
     add_locations_to_members output. The per-relation assembly runs in
     groupby(group_id).map_groups; way fragments are keyed driver-side only
-    for the member ways of the exported relations (narrow projection)."""
+    for the member ways of the exported relations (narrow projection,
+    filtered distributed; shipped to group tasks via the object store)."""
     import json
 
     import pandas as pd
 
+    import ray
+
     from ..functions.geometry import (
         assemble_rings, normalize_ring, point_in_ring,
     )
-    from .extract import _collect_small
 
-    wm = _collect_small(way_members_with_locations,
-                        ["group_id", "seq", "lon", "lat"])
-    frags_of: dict[str, list] = {}
-    order = np.lexsort((wm["seq"].astype(np.int64), wm["group_id"].astype(str)))
-    for gid, lo, la in zip(wm["group_id"][order], wm["lon"][order],
-                           wm["lat"][order]):
-        frags_of.setdefault(gid, []).append([float(lo), float(la)])
+    _, frags_ref = _member_way_fragments(rel_members,
+                                         way_members_with_locations)
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        frags_of = ray.get(frags_ref)
         g = g[g["mtype"] == "way"].sort_values("seq", kind="stable")
         fragments = [np.asarray(frags_of[ref], dtype=np.float64)
                      for ref in g["ref"]

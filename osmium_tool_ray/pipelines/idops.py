@@ -172,9 +172,12 @@ def getid(images, ids: dict[str, np.ndarray], groups=None, members=None,
             node_ids, np.unique(_np_str(found_nodes["image_id"])))}
         for kind, req in (("way", way_ids), ("relation", rel_ids)):
             if groups is not None and len(req):
-                found = _collect_table(
-                    semi_join(groups.select_columns(["group_id"]), "group_id",
-                              req))
+                import pyarrow.compute as _pc
+
+                of_kind = groups.map_batches(
+                    lambda b, kk=kind: b.filter(_pc.equal(b["kind"], kk))
+                    .select(["group_id"]), batch_format="pyarrow")
+                found = _collect_table(semi_join(of_kind, "group_id", req))
                 missing[kind] = np.setdiff1d(
                     req, np.unique(_np_str(found["group_id"])))
             else:
@@ -395,9 +398,7 @@ def renumber_ranked(ds, id_col: str, start: int = 1, out_col: str = "new_id"):
     return rd.from_arrow_refs(ranked)
 
 
-import ray as _ray_mod
-
-_remote_num_rows = _ray_mod.remote(num_cpus=0)(lambda t: t.num_rows)
+from ..stages.dedup import _remote_num_rows  # shared zero-CPU row counter
 
 
 def renumber(ds, id_col: str, start: int = 1, out_col: str | None = None):

@@ -24,13 +24,17 @@ def _flat_shingle_hashes(texts: list[str], k: int = 5):
     """All docs' char-k-shingle hashes in ONE flat uint64 array + per-doc
     segment offsets — a single rolling-window pass over the concatenated
     byte buffer (no per-doc Python loop). Cross-document windows are
-    dropped via offset arithmetic; docs shorter than k get one sentinel
-    hash 0."""
+    dropped via offset arithmetic; a doc shorter than k gets ONE shingle:
+    the hash of its full text (a shared constant sentinel would make every
+    pair of short docs Jaccard-1.0 false duplicates)."""
     bufs = [t.encode("utf-8", "ignore") for t in texts]
     lens = np.asarray([len(b) for b in bufs], dtype=np.int64)
     buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    short = lens < k
+    full_hash = hash_str_u64(texts) if short.any() else None
     if len(buf) < k:
-        flat = np.zeros(len(texts), dtype=np.uint64)
+        flat = (full_hash if full_hash is not None
+                else np.zeros(len(texts), dtype=np.uint64)).copy()
         offs = np.arange(len(texts) + 1, dtype=np.int64)
         return flat, offs
     win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(np.uint64)
@@ -43,7 +47,7 @@ def _flat_shingle_hashes(texts: list[str], k: int = 5):
     flat = np.empty(offs[-1], dtype=np.uint64)
     for i in range(len(texts)):  # cheap per-doc slice copy (memcpy, no hashing)
         if lens[i] < k:
-            flat[offs[i]] = 0
+            flat[offs[i]] = full_hash[i]
         else:
             flat[offs[i]:offs[i + 1]] = h[doc_starts[i]:doc_starts[i] + counts[i]]
     return flat, offs
@@ -181,7 +185,8 @@ _remote_num_rows = _ray_mod.remote(num_cpus=0)(lambda t: t.num_rows)
 
 
 def _attach_pair_payload(pairs, source, id_col: str, payload_col: str,
-                         num_partitions: int | None = None):
+                         num_partitions: int | None = None,
+                         broadcast_cap: int = 1_000_000):
     """pairs(a, b) -> pairs + (payload_a, payload_b) via two native
     hash-partitioned joins (Dataset.join) — the no-driver candidate
     gather.
@@ -191,11 +196,38 @@ def _attach_pair_payload(pairs, source, id_col: str, payload_col: str,
     two chained joins sized past the CPU count deadlock the actor pool
     (observed: 2x16 partitions on 4 CPUs never schedules). Callers on a
     real cluster pass an explicit value sized to data volume."""
+    import ray
+
     if num_partitions is None:
-        import ray
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, cpus // 4)
     payload = source.select_columns([id_col, payload_col])
+    # filter the payload side down to candidate ids before the joins when
+    # the candidate set is broadcastable — the joins then shuffle
+    # O(candidates) payload rows instead of the whole corpus (above the
+    # cap, fall back to the full hash join, which needs no driver state)
+    cand_ids: set = set()
+    for t in _pair_tables(pairs):
+        cand_ids.update(t["a"].to_pylist())
+        cand_ids.update(t["b"].to_pylist())
+        if len(cand_ids) > broadcast_cap:
+            cand_ids = None
+            break
+    if cand_ids is not None:
+        sorted_ids = np.sort(np.asarray(list(cand_ids)).astype(str))
+        cref = ray.put(sorted_ids)
+
+        def keep_candidates(batch: pa.Table) -> pa.Table:
+            ids = ray.get(cref)
+            vals = np.asarray(batch[id_col].to_pylist()).astype(str)
+            if len(ids) == 0 or len(vals) == 0:
+                return batch.slice(0, 0)
+            pos = np.searchsorted(ids, vals)
+            pos[pos == len(ids)] = len(ids) - 1
+            return batch.filter(pa.array(ids[pos] == vals))
+
+        payload = payload.map_batches(keep_candidates,
+                                      batch_format="pyarrow").materialize()
     j = pairs.join(payload, join_type="inner", num_partitions=num_partitions,
                    on=("a",), right_on=(id_col,))
     j = j.select_columns(["a", "b", payload_col]) \
@@ -263,8 +295,21 @@ def minhash_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
     vtbls = _pair_tables(with_texts.map_batches(verify, batch_format="pyarrow"))
     verified = [(a, b) for t in vtbls
                 for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist())]
+    out = _minlabel_union(verified)
+    if not out:
+        return pa.table({"doc_id": pa.array([], type=id_type),
+                         "dup_of": pa.array([], type=id_type)})
+    return pa.table({"doc_id": pa.array([o[0] for o in out]),
+                     "dup_of": pa.array([o[1] for o in out])})
 
-    # min-label union-find over verified pairs (small: true dups only)
+
+def _minlabel_union(verified: list) -> list:
+    """Min-label union-find over a (small) verified-pair list: returns
+    (member, cluster_root) rows, roots excluded — each doc maps to ONE
+    canonical id, consistent across chains. Labels compare in their
+    NATURAL order (int ids numerically — a string comparison would make
+    9 > 59 and flip cluster roots), falling back to str for mixed
+    types."""
     parent: dict = {}
 
     def find(x):
@@ -273,15 +318,26 @@ def minhash_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
             x = parent[x]
         return x
 
-    for a, b in sorted(verified, key=lambda p: (str(p[0]), str(p[1]))):
+    def le(x, y):
+        try:
+            return x <= y
+        except TypeError:
+            return str(x) <= str(y)
+
+    try:
+        ordered = sorted(verified)
+    except TypeError:
+        ordered = sorted(verified, key=lambda p: (str(p[0]), str(p[1])))
+    for a, b in ordered:
         ra, rb = find(a), find(b)
         if ra != rb:
-            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            lo, hi = (ra, rb) if le(ra, rb) else (rb, ra)
             parent[hi] = lo
-    members = sorted({i for p in verified for i in p})
-    out = [(x, find(x)) for x in members if find(x) != x]
-    return pa.table({"doc_id": pa.array([o[0] for o in out]),
-                     "dup_of": pa.array([o[1] for o in out])})
+    try:
+        members = sorted({i for p in verified for i in p})
+    except TypeError:
+        members = sorted({i for p in verified for i in p}, key=str)
+    return [(x, find(x)) for x in members if find(x) != x]
 
 
 def _pair_tables(ds) -> list[pa.Table]:
@@ -360,9 +416,14 @@ def _flat_word_ngram_hashes(texts: list[str], n: int = 3):
     out_counts = np.maximum(vcounts - n + 1, 1)
     offs = np.concatenate([[0], np.cumsum(out_counts)])
     flat = np.empty(offs[-1], dtype=np.uint64)
+    # a doc with fewer than n tokens gets one shingle: the hash of its
+    # lowercased full text (never a shared sentinel — that would pair
+    # every two short docs as Jaccard-1.0 false duplicates)
+    short = vcounts < n
+    full_hash = hash_str_u64([t.lower() for t in texts]) if short.any() else None
     for i in range(len(texts)):   # per-doc memcpy only, no hashing
         if vcounts[i] < n:
-            flat[offs[i]] = 0
+            flat[offs[i]] = full_hash[i]
         else:
             flat[offs[i]:offs[i + 1]] = acc[starts[i]:starts[i] + out_counts[i]]
     return flat, offs
@@ -451,16 +512,14 @@ def ngram_jaccard_pairs(docs, text_col: str = "text", id_col: str = "doc_id",
         return batch.select(["a", "b"]).filter(pa.array(keep))
 
     vtbls = _pair_tables(with_texts.map_batches(verify, batch_format="pyarrow"))
-    out_a, out_b = [], []
-    for t in vtbls:
-        out_b.extend(t["b"].to_pylist())
-        out_a.extend(t["a"].to_pylist())
-    if not out_a:
+    verified = [(a, b) for t in vtbls
+                for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist())]
+    out = _minlabel_union(verified)
+    if not out:
         return pa.table({"doc_id": pa.array([], type=id_type),
                          "dup_of": pa.array([], type=id_type)})
-    order = np.argsort(np.asarray(out_b, dtype=object).astype(str), kind="stable")
-    return pa.table({"doc_id": pa.array([out_b[i] for i in order]),
-                     "dup_of": pa.array([out_a[i] for i in order])})
+    return pa.table({"doc_id": pa.array([o[0] for o in out]),
+                     "dup_of": pa.array([o[1] for o in out])})
 
 
 class HyperplaneSig:
@@ -555,14 +614,14 @@ def embedding_neardup(embeddings, dim: int, threshold: float = 0.95,
         return batch.select(["a", "b"]).filter(pa.array(keep))
 
     vtbls = _pair_tables(with_vecs.map_batches(verify, batch_format="pyarrow"))
-    if not vtbls:
-        return pa.table({id_col: pa.array([], type=pa.int64()),
-                         "dup_of": pa.array([], type=pa.int64())})
-    v = pa.concat_tables(vtbls)
-    a = v["a"].to_numpy(zero_copy_only=False)
-    b = v["b"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((b, a))
-    return pa.table({id_col: pa.array(b[order]), "dup_of": pa.array(a[order])})
+    verified = [(a, b) for t in vtbls
+                for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist())]
+    out = _minlabel_union(verified)
+    if not out:
+        return pa.table({id_col: pa.array([], type=id_type),
+                         "dup_of": pa.array([], type=id_type)})
+    return pa.table({id_col: pa.array([o[0] for o in out]),
+                     "dup_of": pa.array([o[1] for o in out])})
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -125,3 +125,28 @@ def test_word_ngram_sets_order_sensitivity():
         ["one two three four", "one two three four", "four three two one"], n=2)
     assert np.array_equal(a, b)
     assert np.intersect1d(a, c).size == 0
+
+
+def test_short_docs_are_not_false_duplicates(ray_session):
+    """Docs below the shingle size must NOT all collapse into one
+    near-dup cluster (each short doc shingles to the hash of its own
+    full text, not a shared sentinel)."""
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.dedup import (
+        jaccard, minhash_dedup, ngram_jaccard_pairs,
+    )
+
+    assert jaccard("hi", "yo", k=5) == 0.0
+    assert jaccard("hi", "hi", k=5) == 1.0
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "hi"},
+        {"doc_id": 2, "text": "yo"},
+        {"doc_id": 3, "text": "hi"},          # exact dup of 1
+    ])
+    out = minhash_dedup(docs, threshold=0.7, concurrency=2)
+    pairs = dict(zip(out["doc_id"].to_pylist(), out["dup_of"].to_pylist()))
+    assert pairs == {3: 1}
+    out2 = ngram_jaccard_pairs(docs, n=3, threshold=0.6, concurrency=2)
+    pairs2 = dict(zip(out2["doc_id"].to_pylist(), out2["dup_of"].to_pylist()))
+    assert pairs2 == {3: 1}
