@@ -307,6 +307,33 @@ def q_derive_changes_counts(sf_dir: str):
     return tagged.groupby("change").aggregate(Count(alias_name="n"))
 
 
+def q_merge_changes_simplify(sf_dir: str):
+    """merge-changes --simplify: union two change files, keep only the
+    last version of each object (command_merge_changes.cpp:123-144).
+    Change file 1 = every event at version 1; change file 2 = clicks
+    re-issued at version 2 with doubled value."""
+    from osmium_tool_ray.pipelines.merge import merge_changes_simplify
+
+    ev = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def v1(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "version", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+    def v2(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(batch["event_type"], "click"))
+        return pa.table({
+            "event_id": sel["event_id"], "event_type": sel["event_type"],
+            "value": pc.multiply(sel["value"], pa.scalar(2.0)),
+            "version": pa.array(np.full(sel.num_rows, 2, dtype=np.int64)),
+        })
+
+    a = ev.map_batches(v1, batch_format="pyarrow")
+    b = ev.map_batches(v2, batch_format="pyarrow")
+    out = merge_changes_simplify([a, b], ["event_id"])
+    return out.select_columns(["event_id", "version", "value"])
+
+
 def q_changeset_bbox(sf_dir: str):
     """changeset-filter's bbox-overlap predicate
     (/root/reference/src/command_changeset_filter.cpp:239-250): synthesize a
@@ -452,6 +479,45 @@ def q_extract_cw_dataset(sf_dir: str):
     res = run_extract_cw_dataset(images_dataset(sf_dir), regions,
                                  groups=groups, members=members,
                                  concurrency=2)
+    return res["images_out"].select_columns(["image_id"])
+
+
+def q_extract_smart_mp(sf_dir: str):
+    """extract -s smart with the default multipolygon rule
+    (strategy_smart.cpp:203-241): users are ways; user classes
+    (user_id % 10) are relations holding those ways as members, tagged
+    type=multipolygon for EVEN classes only. A recorded multipolygon
+    relation with tags pulls ALL its member ways (and their nodes) into
+    the extract; odd classes pull nothing extra."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from osmium_tool_ray.pipelines.extract import run_extract
+    from osmium_tool_ray.schema import TAGS_TYPE
+
+    regions = [Region(name="b", kind="bbox", bbox=HIST_BBOX)]
+    groups_w, members_n = _user_adjacency(sf_dir)
+
+    uids = np.unique(pq.read_table(f"{sf_dir}/events.parquet",
+                                   columns=["user_id"])["user_id"]
+                     .to_numpy(zero_copy_only=False))
+    classes = np.unique(uids % 10)
+    rel_groups = rd.from_arrow(pa.table({
+        "group_id": pa.array([f"c{k}" for k in classes], type=pa.string()),
+        "kind": pa.array(["relation"] * len(classes)),
+        "tags": pa.array(
+            [[{"key": "type", "value": "multipolygon"}] if k % 2 == 0 else []
+             for k in classes], type=TAGS_TYPE),
+    }))
+    rel_members = rd.from_arrow(pa.table({
+        "group_id": pa.array([f"c{u % 10}" for u in uids], type=pa.string()),
+        "seq": pa.array(uids.astype(np.int32)),
+        "mtype": pa.array(["way"] * len(uids)),
+        "ref": pa.array([f"u{u}" for u in uids], type=pa.string()),
+    }))
+    groups = groups_w.union(rel_groups)
+    members = members_n.union(rel_members)
+    res = run_extract(images_dataset(sf_dir), regions, groups=groups,
+                      members=members, strategy="smart", concurrency=2)
     return res["images_out"].select_columns(["image_id"])
 
 
@@ -935,6 +1001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "check_refs_missing": q_check_refs_missing,
         "renumber_users": q_renumber_users,
         "merge_dedup": q_merge_dedup,
+        "merge_changes_simplify": q_merge_changes_simplify,
         "sort_topk": q_sort_topk,
         "latest_version": q_latest_version,
         "time_filter_snapshot": q_time_filter_snapshot,
@@ -945,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_ways_simple": q_extract_ways_simple,
         "extract_cw_nodes": q_extract_cw_nodes,
         "extract_cw_dataset": q_extract_cw_dataset,
+        "extract_smart_mp": q_extract_smart_mp,
         "extract_cw_history": q_extract_cw_history,
         "cat_clean": q_cat_clean,
         "add_locations": q_add_locations,
@@ -1043,6 +1111,13 @@ def oracle_sql() -> dict[str, str]:
         "sort_topk": """
             SELECT event_id, event_type, value FROM events
             ORDER BY value DESC, event_id LIMIT 50""",
+        "merge_changes_simplify": """
+            SELECT event_id,
+                   CASE WHEN event_type = 'click' THEN CAST(2 AS BIGINT)
+                        ELSE CAST(1 AS BIGINT) END AS version,
+                   CASE WHEN event_type = 'click' THEN value * 2.0
+                        ELSE value END AS value
+            FROM events""",
         "latest_version": """
             SELECT user_id, event_id, event_type, value FROM (
                 SELECT *, ROW_NUMBER() OVER (
@@ -1103,6 +1178,27 @@ def oracle_sql() -> dict[str, str]:
                 ON i.image_id = 'img' || lpad(CAST(e.event_id AS VARCHAR), 10, '0')
               WHERE i.lon >= {BBOX[0]} AND i.lon <= {BBOX[2]}
                 AND i.lat >= {BBOX[1]} AND i.lat <= {BBOX[3]})""",
+        "extract_smart_mp": f"""{cte},
+            refs AS (SELECT user_id,
+                            'img' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS img_id
+                     FROM events),
+            inside AS (SELECT r.img_id FROM refs r JOIN images i
+                         ON i.image_id = r.img_id
+                       WHERE i.lon >= {HIST_BBOX[0]} AND i.lon <= {HIST_BBOX[2]}
+                         AND i.lat >= {HIST_BBOX[1]} AND i.lat <= {HIST_BBOX[3]}),
+            hit_users AS (SELECT DISTINCT user_id FROM refs
+                          WHERE img_id IN (SELECT img_id FROM inside)),
+            final_users AS (
+                SELECT user_id FROM hit_users
+                UNION
+                SELECT DISTINCT r.user_id FROM refs r
+                WHERE (r.user_id % 10) % 2 = 0
+                  AND r.user_id % 10 IN (SELECT user_id % 10 FROM hit_users))
+            SELECT image_id FROM images
+            WHERE image_id IN (
+                SELECT img_id FROM refs
+                WHERE user_id IN (SELECT user_id FROM final_users))
+               OR image_id IN (SELECT img_id FROM inside)""",
         "extract_cw_history": f"""
             WITH {VERSIONED_SQL_CTE.strip()},
             member_refs AS (
