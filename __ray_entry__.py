@@ -482,6 +482,47 @@ def q_extract_cw_dataset(sf_dir: str):
     return res["images_out"].select_columns(["image_id"])
 
 
+def q_tags_filter_closure(sf_dir: str):
+    """tags-filter with the reference-following closure
+    (command_tags_filter.cpp:368-396): images carry a kind=<event_type>
+    tag, user-ways carry a parity tag; expressions
+    ['n/kind=click', 'w/parity=even'] keep matching nodes plus ALL nodes
+    of matching ways, the latter marked referenced_only unless they match
+    themselves."""
+    from osmium_tool_ray.pipelines.tags_filter import run_tags_filter
+    from osmium_tool_ray.schema import TAGS_TYPE
+    from osmium_tool_ray.sources.corpus import images_from_events_batch
+
+    ev = _events(sf_dir, ["event_id", "event_type", "user_id"])
+
+    def tagged(batch: pa.Table) -> pa.Table:
+        t = images_from_events_batch(batch)
+        tags = pa.array(
+            [[{"key": "kind", "value": et}]
+             for et in batch["event_type"].to_pylist()], type=TAGS_TYPE)
+        return t.append_column("tags", tags)
+
+    images = ev.map_batches(tagged, batch_format="pyarrow")
+    _, members = _user_adjacency(sf_dir)
+
+    def as_groups(batch: pa.Table) -> pa.Table:
+        uids = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "group_id": pa.array([f"u{u}" for u in uids], type=pa.string()),
+            "kind": pa.array(["way"] * len(uids), type=pa.string()),
+            "tags": pa.array(
+                [[{"key": "parity",
+                   "value": "even" if u % 2 == 0 else "odd"}] for u in uids],
+                type=TAGS_TYPE),
+        })
+
+    groups = ev.groupby("user_id").count().map_batches(as_groups,
+                                                       batch_format="pyarrow")
+    res = run_tags_filter(images, ["n/kind=click", "w/parity=even"],
+                          groups=groups, members=members)
+    return res["images_out"].select_columns(["image_id", "referenced_only"])
+
+
 def q_extract_smart_mp(sf_dir: str):
     """extract -s smart with the default multipolygon rule
     (strategy_smart.cpp:203-241): users are ways; user classes
@@ -1013,6 +1054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_cw_nodes": q_extract_cw_nodes,
         "extract_cw_dataset": q_extract_cw_dataset,
         "extract_smart_mp": q_extract_smart_mp,
+        "tags_filter_closure": q_tags_filter_closure,
         "extract_cw_history": q_extract_cw_history,
         "cat_clean": q_cat_clean,
         "add_locations": q_add_locations,
@@ -1178,6 +1220,11 @@ def oracle_sql() -> dict[str, str]:
                 ON i.image_id = 'img' || lpad(CAST(e.event_id AS VARCHAR), 10, '0')
               WHERE i.lon >= {BBOX[0]} AND i.lon <= {BBOX[2]}
                 AND i.lat >= {BBOX[1]} AND i.lat <= {BBOX[3]})""",
+        "tags_filter_closure": f"""{cte}
+            SELECT i.image_id, (e.event_type <> 'click') AS referenced_only
+            FROM events e JOIN images i
+              ON i.image_id = 'img' || lpad(CAST(e.event_id AS VARCHAR), 10, '0')
+            WHERE e.event_type = 'click' OR e.user_id % 2 = 0""",
         "extract_smart_mp": f"""{cte},
             refs AS (SELECT user_id,
                             'img' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS img_id
