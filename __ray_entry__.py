@@ -956,6 +956,11 @@ def q_ngram_dup_pairs(sf_dir: str):
 
 
 def q_ann_embeddings(sf_dir: str):
+    """Brute-force cosine top-5 in RANK form (query_id, rank, vec_id):
+    the float score stays internal to the sort so the DuckDB twin — whose
+    double-summation order differs from numpy matmul in the last bits —
+    compares on the ordering, which both sides agree on (score margins on
+    this corpus are >> 1 ulp)."""
     import ray.data as rd
     from osmium_tool_ray.stages.knn import ann_topk
 
@@ -967,7 +972,19 @@ def q_ann_embeddings(sf_dir: str):
     qids = qsel["vec_id"].to_numpy(zero_copy_only=False)
     corpus = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])
-    return ann_topk(corpus, qm, qids, k=5, concurrency=2)
+    out = ann_topk(corpus, qm, qids, k=5, concurrency=2)
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        qid = batch["query_id"].to_numpy(zero_copy_only=False)
+        rank = np.ones(len(qid), dtype=np.int64)
+        for i in range(1, len(qid)):
+            rank[i] = rank[i - 1] + 1 if qid[i] == qid[i - 1] else 1
+        return pa.table({"query_id": batch["query_id"],
+                         "rank": pa.array(rank),
+                         "vec_id": batch["vec_id"]})
+
+    # each map_groups output block holds one query's sorted top-k rows
+    return out.map_batches(add_rank, batch_format="pyarrow", batch_size=None)
 
 
 def q_frame_sample(sf_dir: str):
@@ -1362,10 +1379,50 @@ def oracle_sql() -> dict[str, str]:
                 FROM q CROSS JOIN images i
                 WHERE i.image_id <> 'img' || lpad(CAST(q.query_id AS VARCHAR), 10, '0'))
             WHERE rank <= 3""",
-        # langid_docs / simhash_docs / minhash_dup_pairs / ann_embeddings /
-        # psnr_verify: intentionally no oracle (model-style scoring, sketches,
-        # binary decoding) -> driver records the rows-only check.
+        # ivf_ann: intentionally no oracle (k-means centroids are not
+        # SQL-expressible) -> rows-only; its parity with brute force at
+        # nprobe=nlist is pytest-gated instead (tests/test_ann_variants.py).
     }
+    from osmium_tool_ray.oracles import (
+        char_shingle_pairs_sql, langid_sql, simhash_sql, word_ngram_pairs_sql,
+    )
+
+    # sketch/model queries: exact SQL twins generated from the engine's own
+    # hash definitions (functions/sqlhash reproduces FNV-1a+splitmix64 in
+    # HUGEINT arithmetic) or from the ground-truth similarity definition.
+    out["simhash_docs"] = simhash_sql()
+    out["langid_docs"] = langid_sql()
+    # LSH banding recall is complete on this corpus (verified: pipeline
+    # output == all-pairs ground truth) and the exact verify stage makes
+    # precision exact, so the definitional oracle is the true twin.
+    out["minhash_dup_pairs"] = char_shingle_pairs_sql(threshold=0.6, k=5)
+    out["ngram_dup_pairs"] = word_ngram_pairs_sql(threshold=0.35, n=3)
+    # the planted near-dups (q_embedding_neardup augment) are the provable
+    # full recall set: an exact-scaled copy shares every hyperplane-LSH
+    # bucket (signs of dot products are scale-invariant), and no random
+    # 64-dim pair reaches cosine 0.95 — so output == the planted pairs.
+    out["embedding_neardup"] = """
+        SELECT vec_id + 10000000 AS vec_id, vec_id AS dup_of
+        FROM embeddings WHERE vec_id % 20 = 0"""
+    # per-row invariant surface: the fake codec round-trips every corpus
+    # image at PSNR >= 40 dB (png lossless, fake-jpeg quantization within
+    # bound) — pix_ok TRUE for every row IS the oracle assertion; the
+    # pixel-level PSNR math itself is pytest-gated (tests/test_codec.py).
+    out["psnr_verify"] = f"""{cte}
+        SELECT image_id, fmt, TRUE AS pix_ok FROM images"""
+    out["ann_embeddings"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id % 100 = 0),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       list_dot_product(q.qe, e.embedding) /
+                       (sqrt(list_dot_product(q.qe, q.qe)) *
+                        sqrt(list_dot_product(e.embedding, e.embedding))) DESC,
+                       e.vec_id) AS rank
+            FROM q CROSS JOIN embeddings e)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
+        FROM scored WHERE rank <= 5"""
     # the Dataset-id-set scale path computes the identical extract
     out["extract_cw_dataset"] = out["extract_cw_nodes"]
     return out
