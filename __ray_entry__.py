@@ -849,12 +849,11 @@ def q_tile_mosaic(sf_dir: str):
     return out.map_batches(decode, batch_format="pyarrow")
 
 
-# -- rows-only (non-SQL-expressible) ------------------------------------------
-
-
 def q_rasterize_coverage(sf_dir: str):
-    """Vector->raster: polygon rasterized to per-cell coverage (rows-only:
-    the subsampled boundary-coverage estimate has no SQL twin)."""
+    """Vector->raster: polygon rasterized to per-cell coverage. Exact
+    oracle: the midpoint-lattice coordinates are dyadic rationals, so the
+    SQL twin reproduces the fixed-point PIP fraction in pure integer
+    arithmetic (oracles.rasterize_convex_sql)."""
     from osmium_tool_ray.stages.raster import rasterize_region
 
     reg = Region(name="p", kind="polygon", rings=[np.asarray(POLY)])
@@ -862,6 +861,9 @@ def q_rasterize_coverage(sf_dir: str):
 
 
 def q_export_geojsonseq(sf_dir: str):
+    """GeoJSONSeq Feature lines for the ids containing '00' (a
+    deterministic subset — a streaming limit() would pick rows by block
+    completion order and break the oracle compare)."""
     from osmium_tool_ray.pipelines.export import render_geojson_points
 
     ds = images_dataset(sf_dir)
@@ -869,7 +871,7 @@ def q_export_geojsonseq(sf_dir: str):
         lambda b: b.filter(pa.array(
             (np.char.find(np.asarray(b["image_id"].to_pylist(), dtype=str), "00") >= 0)
             if b.num_rows else np.zeros(0, dtype=bool))),
-        batch_format="pyarrow").limit(2000)
+        batch_format="pyarrow")
     return sub.map_batches(lambda b: render_geojson_points(b, props=["caption"]),
                            batch_format="pyarrow")
 
@@ -1384,7 +1386,8 @@ def oracle_sql() -> dict[str, str]:
         # nprobe=nlist is pytest-gated instead (tests/test_ann_variants.py).
     }
     from osmium_tool_ray.oracles import (
-        char_shingle_pairs_sql, langid_sql, simhash_sql, word_ngram_pairs_sql,
+        char_shingle_pairs_sql, langid_sql, rasterize_convex_sql, simhash_sql,
+        word_ngram_pairs_sql,
     )
 
     # sketch/model queries: exact SQL twins generated from the engine's own
@@ -1410,6 +1413,27 @@ def oracle_sql() -> dict[str, str]:
     # pixel-level PSNR math itself is pytest-gated (tests/test_codec.py).
     out["psnr_verify"] = f"""{cte}
         SELECT image_id, fmt, TRUE AS pix_ok FROM images"""
+    # integer-exact lattice-PIP twin of the vector->raster op
+    out["rasterize_coverage"] = rasterize_convex_sql(POLY, level=7)
+    # GeoJSONSeq lines: same string assembly; the only float-format
+    # divergence is DuckDB's trailing '.0' on integral doubles, stripped
+    # here (Arrow's cast emits shortest round-trip, e.g. '-180')
+    _num = "regexp_replace(CAST({} AS VARCHAR), '\\.0$', '')"
+    _lon_s = _num.format("((event_id * 7919) % 36000) / 100.0 - 180.0")
+    _lat_s = _num.format("((event_id * 104729) % 17000) / 100.0 - 85.0")
+    out["export_geojsonseq"] = f"""
+        WITH sel AS (
+            SELECT event_id,
+                   'img' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS image_id,
+                   'caption ' || CAST(event_id AS VARCHAR) || ' ' || event_type AS caption
+            FROM events
+            WHERE contains('img' || lpad(CAST(event_id AS VARCHAR), 10, '0'), '00')
+        )
+        SELECT '{{"type":"Feature","id":"' || image_id ||
+               '","geometry":{{"type":"Point","coordinates":[' || {_lon_s} ||
+               ',' || {_lat_s} ||
+               ']}},"properties":{{"caption":"' || caption || '"}}}}' AS line
+        FROM sel"""
     out["ann_embeddings"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                    FROM embeddings WHERE vec_id % 100 = 0),

@@ -87,6 +87,74 @@ def langid_sql(table: str = "documents", id_col: str = "doc_id",
     FROM {table} d LEFT JOIN pick p USING ({id_col})"""
 
 
+def rasterize_convex_sql(poly: list, level: int = 7, supersample: int = 8) -> str:
+    """Exact twin of stages/raster.rasterize_region for a CONVEX CCW
+    polygon: per-cell s x s midpoint-lattice PIP fraction in PURE INTEGER
+    arithmetic.
+
+    The lattice coordinates are exact binary rationals (cell width
+    360/2^level and the (k+0.5)/s offsets are dyadic), so
+    4 * lat * 1e7 and 2 * lon * 1e7 are exact BIGINTs:
+        V = -3600000000 + g*56250000 + (2k+1)*3515625   (g = x or y)
+    and to_fix's round-half-away reduces to integer adjust-and-divide.
+    Inside-or-boundary for the convex CCW ring = every edge cross product
+    >= 0 on the to_fix'd coordinates — identical to the exact kernel
+    (functions/pip.py) boundary-inclusion semantics. Coverage =
+    hit_count / s^2, a single exact division. Cell ids are the Morton
+    interleave of functions/cells.xy_to_cell, built bit-by-bit.
+
+    Only supports level=7, supersample=8 geometry constants (the query
+    fixture); generalize the literals if other configs need oracles."""
+    if level != 7 or supersample != 8:
+        raise ValueError("oracle constants are specialized to level=7, s=8")
+    from .functions.geometry import to_fix
+
+    fixpoly = [(int(to_fix(p[0])), int(to_fix(p[1]))) for p in poly]
+    edges = " AND ".join(
+        f"(({x2} - {x1}) * (py - {y1}) - (px - {x1}) * ({y2} - {y1})) >= 0"
+        for (x1, y1), (x2, y2) in zip(fixpoly[:-1], fixpoly[1:]))
+    morton = " + ".join(
+        [f"((x // {1 << j}) % 2) * {1 << (2 * j)}" for j in range(level)]
+        + [f"((y // {1 << j}) % 2) * {1 << (2 * j + 1)}" for j in range(level)])
+    # bbox cover of the polygon envelope at level 7 (extra rim cells get
+    # zero lattice hits and drop out via cnt > 0)
+    import math
+    n = 1 << level
+    lons = [p[0] for p in poly]
+    lats = [p[1] for p in poly]
+    x0 = max(0, min(n - 1, math.floor((min(lons) + 180.0) / 360.0 * n)))
+    x1 = max(0, min(n - 1, math.floor((max(lons) + 180.0) / 360.0 * n)))
+    y0 = max(0, min(n - 1, math.floor((min(lats) + 90.0) / 180.0 * n)))
+    y1 = max(0, min(n - 1, math.floor((max(lats) + 90.0) / 180.0 * n)))
+    return f"""
+    WITH cells AS (
+        SELECT x, y
+        FROM (SELECT unnest(range({x0}, {x1 + 1})) AS x),
+             (SELECT unnest(range({y0}, {y1 + 1})) AS y)
+    ),
+    pts AS (
+        SELECT x, y,
+            (-3600000000 + x*56250000 + (2*kx+1)*3515625) AS VL,
+            (-3600000000 + y*56250000 + (2*ky+1)*3515625) AS VA
+        FROM cells, (SELECT unnest(range(0, 8)) AS kx),
+                    (SELECT unnest(range(0, 8)) AS ky)
+    ),
+    fixpts AS (
+        SELECT x, y,
+            CAST(CASE WHEN VL >= 0 THEN (VL+1)/2 ELSE (VL-1)/2 END AS BIGINT) AS px,
+            CAST(CASE WHEN VA >= 0 THEN FLOOR((VA+2)/4.0)
+                 ELSE CEIL((VA-2)/4.0) END AS BIGINT) AS py
+        FROM pts
+    ),
+    cnts AS (
+        SELECT x, y, SUM(CASE WHEN {edges} THEN 1 ELSE 0 END) AS cnt
+        FROM fixpts GROUP BY x, y
+    )
+    SELECT CAST(({morton}) * 32 + {level} AS BIGINT) AS cell,
+           CAST(cnt AS DOUBLE) / 64 AS coverage
+    FROM cnts WHERE cnt > 0"""
+
+
 def char_shingle_pairs_sql(threshold: float, k: int = 5,
                            table: str = "documents", id_col: str = "doc_id",
                            text_col: str = "text") -> str:
