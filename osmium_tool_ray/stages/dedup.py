@@ -118,44 +118,92 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
 
 
 def _bucket_pairs(rows, bucket_keys: list[str], id_col: str, id_type,
-                  all_pairs_cap: int = 8):
-    """Distributed candidate-pair emission: groupby(bucket).map_groups emits
-    (a, b) id pairs (a < b) per multi-member bucket — all pairs for buckets
-    up to `all_pairs_cap` members, star-shaped (min-id hub) above the cap
-    so a degenerate hot bucket stays linear, never quadratic. Then a native
+                  all_pairs_cap: int = 8, coarse: int | None = None):
+    """Distributed candidate-pair emission, vectorized: rows are shuffled
+    by a COARSE hash of the bucket key (O(CPUs) groups, so map_groups pays
+    Python overhead per partition, not per LSH bucket — millions of tiny
+    buckets made the per-group form the slowest dedup stage), then each
+    coarse group lexsorts its rows and emits (a, b) id pairs (a < b) per
+    multi-member fine bucket — all pairs for buckets up to
+    `all_pairs_cap` members, star-shaped (min-id hub) above the cap so a
+    degenerate hot bucket stays linear, never quadratic. Then a native
     distinct over (a, b). No bucket row ever reaches the driver.
 
     `id_type` pins the pair schema: Ray's map_groups emits zero-column
     blocks for group-less input blocks, and those would otherwise reach
     the downstream hash join as schema-less partitions (Acero then fails
     with 'no match for FieldRef(a)')."""
-    from ray.data.aggregate import Count
+    import ray
 
+    if coarse is None:
+        coarse = max(8, int(ray.cluster_resources().get("CPU", 8)))
     schema = pa.schema([("a", id_type), ("b", id_type)])
 
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for k in bucket_keys:
+                v = batch[k].to_numpy(zero_copy_only=False)
+                h = splitmix64(h ^ v.astype(np.int64).view(np.uint64))
+        return batch.append_column(
+            "_cb", pa.array((h % np.uint64(coarse)).astype(np.int32)))
+
     def emit(g: pa.Table) -> pa.Table:
-        ids = np.unique(np.asarray(g[id_col].to_pylist()))
-        n = len(ids)
-        if n < 2:
+        if g.num_rows == 0:
             return schema.empty_table()
-        if n <= all_pairs_cap:
-            ai, bi = np.triu_indices(n, k=1)
-            return pa.table({"a": pa.array(ids[ai]),
-                             "b": pa.array(ids[bi])}).cast(schema)
-        return pa.table({"a": pa.array(np.repeat(ids[0], n - 1)),
-                         "b": pa.array(ids[1:])}).cast(schema)
+        ids = np.asarray(g[id_col].to_pylist())
+        cols = [g[k].to_numpy(zero_copy_only=False) for k in bucket_keys]
+        order = np.lexsort((ids,) + tuple(cols[::-1]))
+        ids = ids[order]
+        cols = [c[order] for c in cols]
+        change = np.zeros(len(ids), dtype=bool)
+        change[0] = True
+        for c in cols:
+            change[1:] |= c[1:] != c[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(ids))
+        outa: list = []
+        outb: list = []
+        for s, e in zip(starts, ends):   # multi-member fine buckets only
+            if e - s < 2:
+                continue
+            uid = ids[s:e]
+            uid = uid[np.concatenate([[True], uid[1:] != uid[:-1]])]
+            n = len(uid)
+            if n < 2:
+                continue
+            if n <= all_pairs_cap:
+                ai, bi = np.triu_indices(n, k=1)
+                outa.append(uid[ai])
+                outb.append(uid[bi])
+            else:
+                outa.append(np.repeat(uid[0], n - 1))
+                outb.append(uid[1:])
+        if not outa:
+            return schema.empty_table()
+        pa_, pb_ = np.concatenate(outa), np.concatenate(outb)
+        # in-group distinct (same pair found via several bands routed to
+        # this coarse group); cross-group duplicates — a pair colliding in
+        # bands that hash to different coarse groups — survive to the
+        # verify stage, which is idempotent, and the (tiny) verified-pair
+        # union-find dedups them for free. That trade removes what was a
+        # whole extra groupby shuffle just for global distinct.
+        order = np.lexsort((pb_, pa_))
+        pa_, pb_ = pa_[order], pb_[order]
+        first = np.ones(len(pa_), dtype=bool)
+        first[1:] = (pa_[1:] != pa_[:-1]) | (pb_[1:] != pb_[:-1])
+        return pa.table({"a": pa.array(pa_[first]),
+                         "b": pa.array(pb_[first])}).cast(schema)
 
     def norm(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
             return schema.empty_table()
         return batch.select(["a", "b"]).cast(schema)
 
-    pairs = rows.groupby(bucket_keys).map_groups(emit, batch_format="pyarrow") \
+    tagged = rows.map_batches(add_coarse, batch_format="pyarrow")
+    pairs = tagged.groupby("_cb").map_groups(emit, batch_format="pyarrow") \
         .map_batches(norm, batch_format="pyarrow")
-    distinct = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")) \
-        .select_columns(["a", "b"]) \
-        .map_batches(norm, batch_format="pyarrow")
-    return _drop_empty_blocks(distinct)
+    return _drop_empty_blocks(pairs)
 
 
 def _drop_empty_blocks(ds):
@@ -182,6 +230,10 @@ def _drop_empty_blocks(ds):
 import ray as _ray_mod
 
 _remote_num_rows = _ray_mod.remote(num_cpus=0)(lambda t: t.num_rows)
+
+# per-worker-process cache for the broadcast pair-payload lookup (stateless
+# tasks fuse with upstream; the sorted payload is built once per worker)
+_ATTACH_CACHE: dict = {}
 
 
 def _attach_pair_payload(pairs, source, id_col: str, payload_col: str,
@@ -228,6 +280,58 @@ def _attach_pair_payload(pairs, source, id_col: str, payload_col: str,
 
         payload = payload.map_batches(keep_candidates,
                                       batch_format="pyarrow").materialize()
+        # candidate payload fits the broadcast cap: attach it map-side —
+        # workers ray.get the payload BLOCKS straight from the object
+        # store (the driver only ever holds refs), build one sorted
+        # lookup per worker, and searchsorted-take both pair sides. Two
+        # hash joins cost ~2 aggregator-pool spinups; this is one map.
+        prefs = tuple(payload.to_arrow_refs())
+        pschema = payload.schema()
+        ptype = dict(zip(pschema.names, pschema.types))[payload_col]
+
+        def attach(batch: pa.Table) -> pa.Table:
+            key = ("pair_payload", tuple(r.hex() for r in prefs))
+            state = _ATTACH_CACHE.get(key)
+            if state is None:
+                tbls = [t for t in ray.get(list(prefs)) if t.num_rows]
+                tbl = pa.concat_tables(tbls) if tbls else None
+                if tbl is None:
+                    state = (np.empty(0, dtype=str), None)
+                else:
+                    pids = np.asarray(tbl[id_col].to_pylist()).astype(str)
+                    order = np.argsort(pids, kind="stable")
+                    state = (pids[order], tbl[payload_col].take(pa.array(order)))
+                _ATTACH_CACHE.clear()   # one live payload per worker
+                _ATTACH_CACHE[key] = state
+            pids, pcol = state
+
+            def gather(col):
+                vals = np.asarray(col.to_pylist()).astype(str)
+                pos = np.searchsorted(pids, vals)
+                if len(pids):
+                    pos[pos == len(pids)] = len(pids) - 1
+                    ok = pids[pos] == vals
+                else:
+                    ok = np.zeros(len(vals), dtype=bool)
+                return pos, ok
+
+            pos_a, ok_a = gather(batch["a"])
+            pos_b, ok_b = gather(batch["b"])
+            keep = ok_a & ok_b
+            sub = batch.filter(pa.array(keep))
+            if sub.num_rows == 0 or pcol is None:
+                return pa.table({
+                    "a": sub["a"], "b": sub["b"],
+                    f"{payload_col}_a": pa.array([], type=ptype),
+                    f"{payload_col}_b": pa.array([], type=ptype),
+                }) if sub.num_rows == 0 else sub
+            return pa.table({
+                "a": sub["a"], "b": sub["b"],
+                f"{payload_col}_a": pcol.take(pa.array(pos_a[keep])),
+                f"{payload_col}_b": pcol.take(pa.array(pos_b[keep])),
+            })
+
+        return pairs.map_batches(attach, batch_format="pyarrow")
     j = pairs.join(payload, join_type="inner", num_partitions=num_partitions,
                    on=("a",), right_on=(id_col,))
     j = j.select_columns(["a", "b", payload_col]) \
@@ -246,14 +350,19 @@ def minhash_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
 
     Every stage is distributed: band explode (map_batches), candidate-pair
     emission (groupby(band).map_groups — only the banded (id, band, hash)
-    projection shuffles), candidate texts (two hash-partitioned
-    Dataset.joins), exact-Jaccard verification (vectorized map_batches).
-    Only the VERIFIED pair table — proportional to the true dup rate, not
-    the corpus — is collected for the min-label union-find."""
-    band_rows = docs.map_batches(
-        MinHashBands, fn_constructor_kwargs=dict(
-            text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k),
-        batch_format="pyarrow", concurrency=concurrency)
+    projection shuffles), candidate texts (broadcast block-ref lookup or
+    hash-partitioned Dataset.joins past the cap), exact-Jaccard
+    verification (vectorized map_batches). Only the VERIFIED pair table —
+    proportional to the true dup rate, not the corpus — is collected for
+    the min-label union-find.
+
+    The banding stage holds only config (no model/index), so it runs as
+    STATELESS TASKS (a closure over the tiny config object) that Ray
+    fuses with the parquet read — an actor pool here would pay pool
+    spin-up for no state benefit."""
+    bander = MinHashBands(text_col=text_col, id_col=id_col,
+                          num_perm=num_perm, bands=bands, k=k)
+    band_rows = docs.map_batches(lambda b: bander(b), batch_format="pyarrow")
 
     s = docs.schema()
     id_type = dict(zip(s.names, s.types))[id_col]
@@ -479,10 +588,8 @@ def ngram_jaccard_pairs(docs, text_col: str = "text", id_col: str = "doc_id",
     (pair emission in map_groups, join-attached texts, vectorized verify,
     union-find on verified pairs) with TRUE token-level n-gram shingles
     for both the signatures and the exact verification."""
-    band_rows = docs.map_batches(
-        WordNgramBands, fn_constructor_kwargs=dict(
-            text_col=text_col, id_col=id_col, n=n),
-        batch_format="pyarrow", concurrency=concurrency)
+    bander = WordNgramBands(text_col=text_col, id_col=id_col, n=n)
+    band_rows = docs.map_batches(lambda b: bander(b), batch_format="pyarrow")
 
     s = docs.schema()
     id_type = dict(zip(s.names, s.types))[id_col]
@@ -572,11 +679,11 @@ def embedding_neardup(embeddings, dim: int, threshold: float = 0.95,
     exact cosine verified in a vectorized map_batches stage. Only the
     verified pairs reach the driver. Returns (id, dup_of) pairs with
     dup_of = the smaller id."""
-    sigs = embeddings.map_batches(
-        HyperplaneSig, fn_constructor_args=(dim, bits),
-        fn_constructor_kwargs=dict(tables=tables, vec_col=vec_col,
-                                   id_col=id_col),
-        batch_format="pyarrow", concurrency=concurrency)
+    # the hyperplane matrix is a few KB of seeded state — ship it in a
+    # closure and run stateless (fuses with the read; no pool spin-up)
+    sig_fn = HyperplaneSig(dim, bits, tables=tables, vec_col=vec_col,
+                           id_col=id_col)
+    sigs = embeddings.map_batches(lambda b: sig_fn(b), batch_format="pyarrow")
 
     s = embeddings.schema()
     id_type = dict(zip(s.names, s.types))[id_col]
