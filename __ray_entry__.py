@@ -414,6 +414,22 @@ def q_changeset_filter(sf_dir: str):
 
 # -- extract strategies over synthesized adjacency -----------------------------
 
+def _distinct_users(sf_dir: str) -> np.ndarray:
+    """Distinct user_ids via map-side partial unique + tiny driver merge —
+    the user universe is group METADATA (a few hundred ids), so a full
+    groupby shuffle just to enumerate it cost more than every other
+    extract pass combined."""
+    import ray
+
+    parts = _events(sf_dir, ["user_id"]).map_batches(
+        lambda b: pa.table({"user_id": pc.unique(b["user_id"])}),
+        batch_format="pyarrow")
+    tbls = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(pa.concat_tables(tbls)["user_id"].to_numpy(zero_copy_only=False))
+
+
 def _user_adjacency(sf_dir: str):
     import ray.data as rd
 
@@ -430,19 +446,14 @@ def _user_adjacency(sf_dir: str):
         })
 
     members = ev.map_batches(as_members, batch_format="pyarrow")
-    users = ev.groupby("user_id").count()
 
-    def as_groups(batch: pa.Table) -> pa.Table:
-        from osmium_tool_ray.schema import TAGS_TYPE
-        n = batch.num_rows
-        return pa.table({
-            "group_id": pc.binary_join_element_wise(
-                pa.array(["u"] * n), batch["user_id"].cast(pa.string()), ""),
-            "kind": pa.array(["way"] * n, type=pa.string()),
-            "tags": pa.array([[]] * n, type=TAGS_TYPE),
-        })
-
-    groups = users.map_batches(as_groups, batch_format="pyarrow")
+    from osmium_tool_ray.schema import TAGS_TYPE
+    uids = _distinct_users(sf_dir)
+    groups = rd.from_arrow(pa.table({
+        "group_id": pa.array([f"u{u}" for u in uids], type=pa.string()),
+        "kind": pa.array(["way"] * len(uids), type=pa.string()),
+        "tags": pa.array([[]] * len(uids), type=TAGS_TYPE),
+    }))
     return groups, members
 
 
@@ -505,19 +516,16 @@ def q_tags_filter_closure(sf_dir: str):
     images = ev.map_batches(tagged, batch_format="pyarrow")
     _, members = _user_adjacency(sf_dir)
 
-    def as_groups(batch: pa.Table) -> pa.Table:
-        uids = batch["user_id"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "group_id": pa.array([f"u{u}" for u in uids], type=pa.string()),
-            "kind": pa.array(["way"] * len(uids), type=pa.string()),
-            "tags": pa.array(
-                [[{"key": "parity",
-                   "value": "even" if u % 2 == 0 else "odd"}] for u in uids],
-                type=TAGS_TYPE),
-        })
-
-    groups = ev.groupby("user_id").count().map_batches(as_groups,
-                                                       batch_format="pyarrow")
+    import ray.data as rd
+    uids = _distinct_users(sf_dir)
+    groups = rd.from_arrow(pa.table({
+        "group_id": pa.array([f"u{u}" for u in uids], type=pa.string()),
+        "kind": pa.array(["way"] * len(uids), type=pa.string()),
+        "tags": pa.array(
+            [[{"key": "parity",
+               "value": "even" if u % 2 == 0 else "odd"}] for u in uids],
+            type=TAGS_TYPE),
+    }))
     res = run_tags_filter(images, ["n/kind=click", "w/parity=even"],
                           groups=groups, members=members)
     return res["images_out"].select_columns(["image_id", "referenced_only"])
@@ -587,18 +595,14 @@ def q_extract_cw_history(sf_dir: str):
 
     members = ev.map_batches(as_members, batch_format="pyarrow")
 
-    def as_groups(batch: pa.Table) -> pa.Table:
-        from osmium_tool_ray.schema import TAGS_TYPE
-        n = batch.num_rows
-        return pa.table({
-            "group_id": pc.binary_join_element_wise(
-                pa.array(["u"] * n), batch["user_id"].cast(pa.string()), ""),
-            "kind": pa.array(["way"] * n, type=pa.string()),
-            "tags": pa.array([[]] * n, type=TAGS_TYPE),
-        })
-
-    groups = ev.groupby("user_id").count().map_batches(as_groups,
-                                                       batch_format="pyarrow")
+    import ray.data as rd
+    from osmium_tool_ray.schema import TAGS_TYPE
+    uids = _distinct_users(sf_dir)
+    groups = rd.from_arrow(pa.table({
+        "group_id": pa.array([f"u{u}" for u in uids], type=pa.string()),
+        "kind": pa.array(["way"] * len(uids), type=pa.string()),
+        "tags": pa.array([[]] * len(uids), type=TAGS_TYPE),
+    }))
     res = run_extract(versioned_images_dataset(sf_dir), regions,
                       groups=groups, members=members,
                       strategy="complete_ways_with_history", concurrency=2)

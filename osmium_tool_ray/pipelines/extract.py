@@ -104,12 +104,12 @@ def _matched_node_ids(images, regions, level: int, concurrency) -> list[np.ndarr
     all extracts — replaces E sequential scans)."""
     import ray
 
+    from ..stages.extract import region_match_batches
+
     narrow = images.select_columns(["image_id", "lon", "lat"])
     regions_ref = ray.put(regions)
-    matched = narrow.map_batches(
-        RegionMatcher, fn_constructor_args=(regions_ref, level),
-        batch_format="pyarrow", concurrency=concurrency,
-    ).select_columns(["image_id", "extract_id"])
+    matched = region_match_batches(narrow, regions_ref, level) \
+        .select_columns(["image_id", "extract_id"])
     tbl = _collect_table(matched)
     ids = _np_str(tbl["image_id"])
     eids = tbl["extract_id"].to_numpy(zero_copy_only=False)
@@ -464,11 +464,12 @@ def run_extract_cw_dataset(images, regions: list[Region], groups, members,
         return out
 
     # pass 1 — distributed spatial match: (image_id, extract_id)
+    from ..stages.extract import region_match_batches
+
     regions_ref = ray.put(regions)
-    matched = images.select_columns(["image_id", "lon", "lat"]).map_batches(
-        RegionMatcher, fn_constructor_args=(regions_ref, level),
-        batch_format="pyarrow", concurrency=concurrency,
-    ).select_columns(["image_id", "extract_id"])
+    matched = region_match_batches(
+        images.select_columns(["image_id", "lon", "lat"]), regions_ref,
+        level).select_columns(["image_id", "extract_id"])
     node_ids = _mat(_distinct(matched, ["image_id", "extract_id"]))
 
     # narrow member projections

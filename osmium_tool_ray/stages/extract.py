@@ -131,6 +131,35 @@ class RegionMatcher:
         return pa.concat_tables(parts)
 
 
+# per-worker-process matcher cache for the stateless-task form (keyed by
+# the broadcast ref so a new region set replaces the old matcher)
+_MATCHER_CACHE: dict = {}
+
+
+def region_match_batches(ds, regions_ref, level: int = 8, mode: str = "fanout",
+                         lon_col: str = "lon", lat_col: str = "lat"):
+    """RegionMatcher as STATELESS TASKS with a module-level worker cache:
+    the matcher (PIP indexes + cell covers) builds once per worker process
+    from the broadcast regions ref, and the map fuses with upstream stages
+    — no actor-pool spin-up and no fixed pool size competing with other
+    stages for CPU tokens (the bench `_fused_stage` pattern). Use the
+    actor-pool class directly when the region set is too large to build
+    on every worker."""
+    key = (regions_ref.hex() if hasattr(regions_ref, "hex") else id(regions_ref),
+           level, mode, lon_col, lat_col)
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = _MATCHER_CACHE.get(key)
+        if m is None:
+            m = RegionMatcher(regions_ref, level, mode,
+                              lon_col=lon_col, lat_col=lat_col)
+            _MATCHER_CACHE.clear()
+            _MATCHER_CACHE[key] = m
+        return m(batch)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _isin_sorted(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
     """Membership of uint64 values in a sorted uint64 array (searchsorted —
     O(n log m), no hashing)."""
