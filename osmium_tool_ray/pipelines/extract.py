@@ -419,17 +419,27 @@ def run_extract(images, regions: list[Region], groups=None, members=None,
 def run_extract_cw_dataset(images, regions: list[Region], groups, members,
                            level: int = 8, concurrency=4,
                            num_partitions: int | None = None,
-                           do_relations: bool = True):
-    """complete_ways with the id sets kept as DATASETS — the 10^12-row
-    scale path the broadcast form (run_extract) cannot reach: no matched-id
-    array ever lands on the driver; every closure step is a
-    hash-partitioned Dataset.join over narrow (id, extract_id)
-    projections. The driver touches only group metadata (way/relation ids
-    + kinds — the reference also holds those in RAM) and block refs.
+                           do_relations: bool = True,
+                           assume_unique_ids: bool = True):
+    """complete_ways with the IMAGE-scale id sets kept as DATASETS — the
+    10^12-row scale path the broadcast form (run_extract) cannot reach:
+    no matched-IMAGE-id array ever lands on the driver; the node->way join
+    and the final selection are hash-partitioned Dataset.joins over narrow
+    (id, extract_id) projections. The driver touches only GROUP metadata
+    (way/relation ids + kinds — bounded by #groups, which the reference
+    also holds in RAM, and which this function must collect anyway to emit
+    group_rows) and block refs. Group-id sets therefore travel by
+    broadcast (`ray.put` once, searchsorted in every task), not by join —
+    two fewer aggregator-actor spin-ups per extract.
 
     Same semantics as strategy_complete_ways.cpp: nodes inside -> ways
     with >=1 recorded node -> ALL their node refs; relations with any
     recorded node/way member, closed over rel->rel parent edges.
+
+    assume_unique_ids: the fanout matcher emits each input row at most
+    once per region, so with unique image_ids the (image_id, extract_id)
+    pairs are distinct by construction and the first shuffle is skipped.
+    Pass False for versioned/duplicated inputs.
 
     Returns the same dict shape as run_extract (images_out, group_rows),
     without the `sets` driver arrays (that is the point)."""
@@ -470,58 +480,77 @@ def run_extract_cw_dataset(images, regions: list[Region], groups, members,
     matched = region_match_batches(
         images.select_columns(["image_id", "lon", "lat"]), regions_ref,
         level).select_columns(["image_id", "extract_id"])
-    node_ids = _mat(_distinct(matched, ["image_id", "extract_id"]))
+    if not assume_unique_ids:
+        matched = _distinct(matched, ["image_id", "extract_id"])
+    node_ids = _mat(matched)
 
-    # narrow member projections
+    # narrow node-member projection, materialized: Ray 2.49's join builds
+    # schema-less (crashing) empty partitions when an input's schema is
+    # not known up front; materializing pins the schema
     import pyarrow.compute as _pc
 
-    def _members_of(mtype):
-        def f(b: pa.Table) -> pa.Table:
-            sel = b.filter(_pc.equal(b["mtype"], mtype))
-            return pa.table({"group_id": sel["group_id"], "ref": sel["ref"]})
-        # materialized: Ray 2.49's join builds schema-less (crashing) empty
-        # partitions when an input's schema is not known up front; a
-        # materialized narrow projection pins the schema and is reused by
-        # both closure joins without recomputing
-        return members.map_batches(f, batch_format="pyarrow").materialize()
+    def _node_proj(b: pa.Table) -> pa.Table:
+        sel = b.filter(_pc.equal(b["mtype"], "node"))
+        return pa.table({"group_id": sel["group_id"], "ref": sel["ref"]})
 
-    node_members = _members_of("node")
+    node_members = members.map_batches(_node_proj,
+                                       batch_format="pyarrow").materialize()
 
-    # way hits: node members whose ref is a recorded node
+    # group hits: node members whose ref is a recorded node. The join
+    # output is image-scale, but its DISTINCT (group_id, extract_id)
+    # projection is group-metadata-class — partial-distinct map-side,
+    # merge the tiny per-block partials driver-side (no groupby shuffle).
     wj = node_members.join(node_ids, join_type="inner",
                            num_partitions=num_partitions,
                            on=("ref",), right_on=("image_id",))
-    group_hits = _mat(_distinct(wj.select_columns(["group_id", "extract_id"]),
-                                ["group_id", "extract_id"]), "group_id")
+
+    def _pair_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"group_id": b["group_id"], "extract_id": b["extract_id"]})
+        return t.group_by(["group_id", "extract_id"]).aggregate([])
+
+    hits = _collect_table(wj.map_batches(_pair_partial,
+                                         batch_format="pyarrow")) \
+        .group_by(["group_id", "extract_id"]).aggregate([])
+    hit_gids = _np_str(hits["group_id"])
+    hit_eids = hits["extract_id"].to_numpy(zero_copy_only=False).astype(np.int64)
 
     # owner kinds (group metadata — broadcast, as the reference does in RAM)
     g = _collect_small(groups, ["group_id", "kind"])
     kind_of = dict(zip(g["group_id"], g["kind"]))
-    kref = ray.put(kind_of)
+    hit_kinds = np.asarray([kind_of.get(x) for x in hit_gids], dtype=object)
+    way_mask = hit_kinds == "way"
+    way_sets = [np.unique(hit_gids[way_mask & (hit_eids == e)])
+                for e in range(E)]
+    wref = ray.put(way_sets)
 
-    def _kind_filter(kind):
-        def f(b: pa.Table) -> pa.Table:
-            kmap = ray.get(kref)
-            gid = _np_str(b["group_id"])
-            return b.filter(pa.array(
-                np.asarray([kmap.get(x) == kind for x in gid], dtype=bool)))
-        return f
+    # extra node refs: ALL node refs of recorded ways — broadcast
+    # way-id-set filter (group-metadata-class set; no join/shuffle).
+    # The OUTPUT is image-scale and stays a Dataset.
+    def _extra_refs(b: pa.Table) -> pa.Table:
+        wsets = ray.get(wref)
+        gid = _np_str(b["group_id"])
+        parts = []
+        for e, s in enumerate(wsets):
+            m = _isin(gid, s)
+            if m.any():
+                sel = b.filter(pa.array(m))
+                parts.append(pa.table({
+                    "image_id": sel["ref"],
+                    "extract_id": pa.array(
+                        np.full(sel.num_rows, e, dtype=np.int32))}))
+        if not parts:
+            return pa.table({"image_id": pa.array([], type=pa.string()),
+                             "extract_id": pa.array([], type=pa.int32())})
+        return pa.concat_tables(parts)
 
-    way_ids = _mat(group_hits.map_batches(_kind_filter("way"),
-                                          batch_format="pyarrow"), "group_id")
+    extra = node_members.map_batches(_extra_refs, batch_format="pyarrow")
 
-    # extra node refs: ALL node refs of recorded ways
-    ej = node_members.join(
-        way_ids.select_columns(["group_id", "extract_id"]), join_type="inner",
-        num_partitions=num_partitions, on=("group_id",))
-    extra = ej.map_batches(
-        lambda b: pa.table({"image_id": b["ref"], "extract_id": b["extract_id"]}),
-        batch_format="pyarrow")
-
+    # final node ids: inside ∪ referenced — the one genuinely-needed
+    # image-scale shuffle (a node can be both inside and referenced)
     final_ids = _mat(_distinct(node_ids.union(extra),
                                ["image_id", "extract_id"]))
 
-    # id set (schema-known) on the LEFT — see _members_of note
+    # id set (schema-known) on the LEFT — see node_members note
     images_out = final_ids.join(images, join_type="inner",
                                 num_partitions=num_partitions,
                                 on=("image_id",))
@@ -530,24 +559,42 @@ def run_extract_cw_dataset(images, regions: list[Region], groups, members,
     # over the rel->rel edge list, like run_extract)
     rel_rows = []
     if do_relations:
-        rel_hits = group_hits.map_batches(_kind_filter("relation"),
-                                          batch_format="pyarrow")
-        way_members = _members_of("way")
-        # a COMPLETELY empty join side crashes Ray 2.49's aggregator
-        # (schema-less empty partitions) — and an empty side means an
-        # empty join anyway, so short-circuit it
-        if way_members.count() > 0 and way_ids.count() > 0:
-            rj = way_members.join(
-                way_ids.select_columns(["group_id", "extract_id"])
-                .rename_columns({"group_id": "way_gid"}), join_type="inner",
-                num_partitions=num_partitions, on=("ref",),
-                right_on=("way_gid",))
-            rel_by_way = rj.select_columns(["group_id", "extract_id"])                 .map_batches(_kind_filter("relation"), batch_format="pyarrow")
-            rel_tbl = _collect_table(rel_hits.union(rel_by_way))
-        else:
-            rel_tbl = _collect_table(rel_hits)
-        rel_gids = _np_str(rel_tbl["group_id"])
-        rel_eids = rel_tbl["extract_id"].to_numpy(zero_copy_only=False)
+        rel_mask = hit_kinds == "relation"
+        rel_gids, rel_eids = hit_gids[rel_mask], hit_eids[rel_mask]
+
+        # relations owning a recorded way: broadcast way-set membership
+        # over way-type members, partial-distinct map-side
+        kref = ray.put(kind_of)
+
+        def _rel_by_way(b: pa.Table) -> pa.Table:
+            wsets = ray.get(wref)
+            kmap = ray.get(kref)
+            sel = b.filter(_pc.equal(b["mtype"], "way"))
+            gid = _np_str(sel["group_id"])
+            ref = _np_str(sel["ref"])
+            out_g, out_e = [], []
+            for e, s in enumerate(wsets):
+                hit = _isin(ref, s)
+                if hit.any():
+                    p = np.unique(gid[hit])
+                    p = p[np.asarray([kmap.get(x) == "relation" for x in p],
+                                     dtype=bool)]
+                    if len(p):
+                        out_g.append(p)
+                        out_e.append(np.full(len(p), e, dtype=np.int32))
+            if not out_g:
+                return pa.table({"group_id": pa.array([], type=pa.string()),
+                                 "extract_id": pa.array([], type=pa.int32())})
+            return pa.table({
+                "group_id": pa.array(np.concatenate(out_g), type=pa.string()),
+                "extract_id": pa.array(np.concatenate(out_e))})
+
+        rbw = _collect_table(members.map_batches(_rel_by_way,
+                                                 batch_format="pyarrow"))
+        rel_gids = np.concatenate([rel_gids, _np_str(rbw["group_id"])])
+        rel_eids = np.concatenate([
+            rel_eids,
+            rbw["extract_id"].to_numpy(zero_copy_only=False).astype(np.int64)])
         # rel->rel edges from relation-owned relation members (tiny)
         rel_all = np.unique(g["group_id"][g["kind"] == "relation"])
         edges = _collect_table(members.map_batches(
@@ -563,10 +610,9 @@ def run_extract_cw_dataset(images, regions: list[Region], groups, members,
             for gid in closed:
                 rel_rows.append((gid, "relation", e))
 
-    way_tbl = _collect_table(way_ids)
-    wg = _np_str(way_tbl["group_id"])
-    we = way_tbl["extract_id"].to_numpy(zero_copy_only=False)
-    group_rows = [(gid, "way", int(e)) for gid, e in zip(wg, we)] + rel_rows
+    group_rows = [(gid, "way", int(e))
+                  for gid, e in zip(hit_gids[way_mask], hit_eids[way_mask])] \
+        + rel_rows
     group_tbl = pa.table({
         "group_id": pa.array([r[0] for r in group_rows], type=pa.string()),
         "kind": pa.array([r[1] for r in group_rows], type=pa.string()),
