@@ -70,7 +70,8 @@ def q_extract_bbox(sf_dir: str):
                          batch["lat"].to_numpy(zero_copy_only=False))
         return batch.filter(pa.array(m)).select(["image_id", "lon", "lat", "caption"])
 
-    return images_dataset(sf_dir).map_batches(f, batch_format="pyarrow")
+    return images_dataset(sf_dir, columns=["image_id", "lon", "lat", "caption"]) \
+        .map_batches(f, batch_format="pyarrow")
 
 
 def q_extract_polygon(sf_dir: str):
@@ -81,7 +82,8 @@ def q_extract_polygon(sf_dir: str):
                          batch["lat"].to_numpy(zero_copy_only=False))
         return batch.filter(pa.array(m)).select(["image_id", "lon", "lat"])
 
-    return images_dataset(sf_dir).map_batches(f, batch_format="pyarrow")
+    return images_dataset(sf_dir, columns=["image_id", "lon", "lat"]) \
+        .map_batches(f, batch_format="pyarrow")
 
 
 def q_extract_multi_fanout(sf_dir: str):
@@ -92,7 +94,7 @@ def q_extract_multi_fanout(sf_dir: str):
         {"output": "west", "bbox": [-150, -60, -30, 60]},
         {"output": "east", "bbox": [30, -60, 150, 60]},
     ]})
-    ds = images_dataset(sf_dir).select_columns(["image_id", "lon", "lat"])
+    ds = images_dataset(sf_dir, columns=["image_id", "lon", "lat"])
     matched = ds.map_batches(RegionMatcher, fn_constructor_args=(ray.put(regions),),
                              batch_format="pyarrow", concurrency=2)
     return matched.select_columns(["extract_id", "image_id"])
@@ -109,7 +111,8 @@ def q_cell_grid_counts(sf_dir: str):
                          "cell_y": pa.array(uk & 0xFFFFFFFF, type=pa.int64()),
                          "n": pa.array(cnt.astype(np.int64))})
 
-    return images_dataset(sf_dir).map_batches(partial, batch_format="pyarrow") \
+    return images_dataset(sf_dir, columns=["lon", "lat"]) \
+        .map_batches(partial, batch_format="pyarrow") \
         .groupby(["cell_x", "cell_y"]).aggregate(Sum("n", alias_name="n_images"))
 
 
@@ -117,7 +120,7 @@ def q_tile_counts_salted(sf_dir: str):
     from osmium_tool_ray.functions.cells import cell_to_xy
     from osmium_tool_ray.stages.tiles import salted_counts
 
-    out = salted_counts(images_dataset(sf_dir), level=TILE_LEVEL,
+    out = salted_counts(images_dataset(sf_dir, columns=["image_id", "lon", "lat"]), level=TILE_LEVEL,
                         hot_threshold=1000, salts=8)
 
     def decode(batch: pa.Table) -> pa.Table:
@@ -131,7 +134,7 @@ def q_tile_counts_salted(sf_dir: str):
 def q_fileinfo(sf_dir: str):
     from osmium_tool_ray.pipelines.stats import fileinfo
 
-    info = fileinfo(images_dataset(sf_dir), id_col="phash",
+    info = fileinfo(images_dataset(sf_dir, columns=["phash", "lon", "lat"]), id_col="phash",
                     lon_col="lon", lat_col="lat")
     return pa.table({"n_rows": pa.array([info["count"]], type=pa.int64()),
                      "min_phash": pa.array([info["min_id"]], type=pa.int64()),
@@ -152,19 +155,27 @@ def q_caption_tags_count(sf_dir: str):
         return pa.table({"key": vc.field("values").cast(pa.string()),
                          "n": vc.field("counts").cast(pa.int64())})
 
-    agg = images_dataset(sf_dir).map_batches(partial, batch_format="pyarrow") \
+    agg = images_dataset(sf_dir, columns=["caption"]) \
+        .map_batches(partial, batch_format="pyarrow") \
         .groupby("key").aggregate(Sum("n", alias_name="cnt"))
     return agg.sort(["cnt", "key"], descending=[True, False])
 
 
 # -- id ops --------------------------------------------------------------------
 
+def _img_ids(ids) -> np.ndarray:
+    """Vectorized 'img' + zero-padded id (mirrors sources/corpus.py) — no
+    per-row Python f-string in batch UDFs."""
+    a = np.asarray(ids, dtype=np.int64)
+    return np.char.add("img", np.char.zfill(a.astype(str), 10)).astype(object)
+
+
 def _click_ids(sf_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
     t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
     m = pc.and_(pc.equal(t["event_type"], "click"), pc.greater(t["value"], 300.0))
     ids = t.filter(m)["event_id"].to_numpy(zero_copy_only=False)
-    return np.asarray([f"img{i:010d}" for i in ids], dtype=object)
+    return _img_ids(ids)
 
 
 def q_getid_semi(sf_dir: str):
@@ -430,7 +441,19 @@ def _distinct_users(sf_dir: str) -> np.ndarray:
     return np.unique(pa.concat_tables(tbls)["user_id"].to_numpy(zero_copy_only=False))
 
 
+_ADJ_CACHE: dict = {}
+
+
 def _user_adjacency(sf_dir: str):
+    """Synthetic way/member adjacency over the events table. Cached per
+    sf_dir with MATERIALIZED members: ~8 queries consume the same
+    adjacency, and rebuilding cost (a distinct-users scan + a members
+    projection) dominated several of them. The tables are narrow
+    (4 string/int cols) so pinning them in the object store is cheap.
+    Assumes one Ray session per process (true for the driver, bench,
+    check_contract and the pytest fixture)."""
+    if sf_dir in _ADJ_CACHE:
+        return _ADJ_CACHE[sf_dir]
     import ray.data as rd
 
     ev = _events(sf_dir, ["event_id", "user_id"])
@@ -442,10 +465,10 @@ def _user_adjacency(sf_dir: str):
                 pa.array(["u"] * batch.num_rows), batch["user_id"].cast(pa.string()), ""),
             "seq": batch["event_id"].cast(pa.int32()),
             "mtype": pa.array(["node"] * batch.num_rows, type=pa.string()),
-            "ref": pa.array([f"img{i:010d}" for i in ids], type=pa.string()),
+            "ref": pa.array(_img_ids(ids), type=pa.string()),
         })
 
-    members = ev.map_batches(as_members, batch_format="pyarrow")
+    members = ev.map_batches(as_members, batch_format="pyarrow").materialize()
 
     from osmium_tool_ray.schema import TAGS_TYPE
     uids = _distinct_users(sf_dir)
@@ -454,6 +477,7 @@ def _user_adjacency(sf_dir: str):
         "kind": pa.array(["way"] * len(uids), type=pa.string()),
         "tags": pa.array([[]] * len(uids), type=TAGS_TYPE),
     }))
+    _ADJ_CACHE[sf_dir] = (groups, members)
     return groups, members
 
 
@@ -462,7 +486,8 @@ def q_extract_ways_simple(sf_dir: str):
 
     regions = [Region(name="b", kind="bbox", bbox=BBOX)]
     groups, members = _user_adjacency(sf_dir)
-    res = run_extract(images_dataset(sf_dir), regions, groups=groups,
+    res = run_extract(images_dataset(sf_dir, columns=["image_id", "lon", "lat"]),
+                      regions, groups=groups,
                       members=members, strategy="simple", concurrency=2)
     gr = res["group_rows"]
     return gr.filter(pc.equal(gr["kind"], "way")).select(["group_id"])
@@ -473,7 +498,8 @@ def q_extract_cw_nodes(sf_dir: str):
 
     regions = [Region(name="b", kind="bbox", bbox=BBOX)]
     groups, members = _user_adjacency(sf_dir)
-    res = run_extract(images_dataset(sf_dir), regions, groups=groups,
+    res = run_extract(images_dataset(sf_dir, columns=["image_id", "lon", "lat"]),
+                      regions, groups=groups,
                       members=members, strategy="complete_ways", concurrency=2)
     return res["images_out"].select_columns(["image_id"])
 
@@ -487,9 +513,9 @@ def q_extract_cw_dataset(sf_dir: str):
 
     regions = [Region(name="b", kind="bbox", bbox=BBOX)]
     groups, members = _user_adjacency(sf_dir)
-    res = run_extract_cw_dataset(images_dataset(sf_dir), regions,
-                                 groups=groups, members=members,
-                                 concurrency=2)
+    res = run_extract_cw_dataset(
+        images_dataset(sf_dir, columns=["image_id", "lon", "lat"]), regions,
+        groups=groups, members=members, concurrency=2)
     return res["images_out"].select_columns(["image_id"])
 
 
@@ -565,7 +591,8 @@ def q_extract_smart_mp(sf_dir: str):
     }))
     groups = groups_w.union(rel_groups)
     members = members_n.union(rel_members)
-    res = run_extract(images_dataset(sf_dir), regions, groups=groups,
+    res = run_extract(images_dataset(sf_dir, columns=["image_id", "lon", "lat"]),
+                      regions, groups=groups,
                       members=members, strategy="smart", concurrency=2)
     return res["images_out"].select_columns(["image_id"])
 
@@ -590,7 +617,7 @@ def q_extract_cw_history(sf_dir: str):
                 batch["user_id"].cast(pa.string()), ""),
             "seq": batch["event_id"].cast(pa.int32()),
             "mtype": pa.array(["node"] * batch.num_rows, type=pa.string()),
-            "ref": pa.array([f"img{v:010d}" for v in vids], type=pa.string()),
+            "ref": pa.array(_img_ids(vids), type=pa.string()),
         })
 
     members = ev.map_batches(as_members, batch_format="pyarrow")
@@ -678,7 +705,8 @@ def q_knn_points(sf_dir: str):
                          "neighbor_id": pa.array([r[1] for r in rows], type=pa.string()),
                          "dist2": pa.array([r[2] for r in rows], type=pa.float64())})
 
-    partials = images_dataset(sf_dir).map_batches(partial, batch_format="pyarrow")
+    partials = images_dataset(sf_dir, columns=["image_id", "lon", "lat"]) \
+        .map_batches(partial, batch_format="pyarrow")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         self_id = f"img{int(g['query_id'].iloc[0]):010d}"
@@ -705,8 +733,9 @@ def q_cat_clean(sf_dir: str):
             return batch.filter(pa.array(m))
         return f
 
-    a = images_dataset(sf_dir).map_batches(inside(west), batch_format="pyarrow")
-    b = images_dataset(sf_dir).map_batches(inside(east), batch_format="pyarrow")
+    cols = ["image_id", "caption", "phash", "lon", "lat"]
+    a = images_dataset(sf_dir, columns=cols).map_batches(inside(west), batch_format="pyarrow")
+    b = images_dataset(sf_dir, columns=cols).map_batches(inside(east), batch_format="pyarrow")
     out = cat([a, b], clean=["caption", "phash"])
     return out.select_columns(["image_id", "caption", "phash"])
 
@@ -715,7 +744,7 @@ def q_add_locations(sf_dir: str):
     from osmium_tool_ray.pipelines.locations import add_locations_to_members
 
     groups, members = _user_adjacency(sf_dir)
-    out = add_locations_to_members(members, images_dataset(sf_dir))
+    out = add_locations_to_members(members, images_dataset(sf_dir, columns=["image_id", "lon", "lat"]))
     return out.select_columns(["group_id", "seq", "lon", "lat"])
 
 
@@ -725,8 +754,9 @@ def q_add_locations_join(sf_dir: str):
     from osmium_tool_ray.pipelines.locations import add_locations_native_join
 
     groups, members = _user_adjacency(sf_dir)
-    out = add_locations_native_join(members, images_dataset(sf_dir),
-                                    num_partitions=8)
+    out = add_locations_native_join(
+        members, images_dataset(sf_dir, columns=["image_id", "lon", "lat"]),
+        num_partitions=8)
     return out.select_columns(["group_id", "seq", "lon", "lat"])
 
 
@@ -740,7 +770,8 @@ def q_apply_changes_locations(sf_dir: str):
     )
 
     groups, members = _user_adjacency(sf_dir)
-    located = add_locations_to_members(members, images_dataset(sf_dir))
+    located = add_locations_to_members(
+        members, images_dataset(sf_dir, columns=["image_id", "lon", "lat"]))
 
     ev = _events(sf_dir, ["event_id", "event_type"])
 
@@ -750,7 +781,7 @@ def q_apply_changes_locations(sf_dir: str):
         sub = batch.filter(pa.array(keep))
         eids = sub["event_id"].to_numpy(zero_copy_only=False)
         return pa.table({
-            "image_id": pa.array([f"img{i:010d}" for i in eids], type=pa.string()),
+            "image_id": pa.array(_img_ids(eids), type=pa.string()),
             "lon": pa.array(((eids * 104729) % 36000) / 100.0 - 180.0),
             "lat": pa.array(((eids * 7919) % 17000) / 100.0 - 85.0),
             "op": pa.array(np.where(et[keep] == "click", "modify", "delete")),
@@ -789,8 +820,7 @@ def q_getid_missing(sf_dir: str):
 
     t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
     eids = t["event_id"].to_numpy(zero_copy_only=False)
-    ghost = np.asarray([f"img{i + 5_000_000_000:010d}" for i in eids
-                        if i % 50 == 0], dtype=object)
+    ghost = _img_ids(eids[eids % 50 == 0] + 5_000_000_000)
     req = np.union1d(_click_ids(sf_dir), ghost)
     res = getid(images_dataset(sf_dir), {"node": req}, track_missing=True)
     return pa.table({"image_id": pa.array(sorted(res["missing"]["node"]),

@@ -31,41 +31,58 @@ PHASH_MOD = 1 << 40
 
 
 def _derive_columns(ids: np.ndarray, event_type: np.ndarray | None,
-                    with_bytes: bool) -> pa.Table:
+                    with_bytes: bool, columns=None) -> pa.Table:
+    """columns=None derives everything; a list derives ONLY those columns
+    (derive-side projection pushdown — string building and pixel encoding
+    are the expensive parts, so a lon/lat-only consumer skips them)."""
     ids = np.asarray(ids, dtype=np.int64)
     n = len(ids)
-    lon = ((ids * 7919) % 36000) / 100.0 - 180.0
-    lat = ((ids * 104729) % 17000) / 100.0 - 85.0
-    phash = (ids * 2654435761) % PHASH_MOD
-    fmt = np.where(ids % 2 == 0, "png", "jpeg")
-    if event_type is None:
-        event_type = np.char.add("e", (ids % 7).astype(str))
-    id_str = np.char.zfill(ids.astype(str), 10)
-    image_id = np.char.add("img", id_str)
-    caption = np.char.add(np.char.add(np.char.add("caption ", ids.astype(str)), " "),
-                          event_type.astype(str))
-    cols = {
-        "image_id": pa.array(image_id, type=pa.string()),
-        "w": pa.array(np.full(n, 16, dtype=np.int32)),
-        "h": pa.array(np.full(n, 16, dtype=np.int32)),
-        "fmt": pa.array(fmt, type=pa.string()),
-        "caption": pa.array(caption, type=pa.string()),
-        "phash": pa.array(phash, type=pa.int64()),
-        "lon": pa.array(lon, type=pa.float64()),
-        "lat": pa.array(lat, type=pa.float64()),
-    }
-    if with_bytes:
-        pix = gen_pixels(ids)
-        cols = {"image_id": cols["image_id"], "bytes": encode_batch(pix, fmt), **{
-            k: v for k, v in cols.items() if k != "image_id"}}
+    want = None if columns is None else set(columns)
+
+    def _w(name):
+        return want is None or name in want
+
+    cols = {}
+    if _w("image_id"):
+        cols["image_id"] = pa.array(
+            np.char.add("img", np.char.zfill(ids.astype(str), 10)),
+            type=pa.string())
+    fmt = np.where(ids % 2 == 0, "png", "jpeg") \
+        if (with_bytes or _w("fmt")) else None
+    if with_bytes and _w("bytes"):
+        cols["bytes"] = encode_batch(gen_pixels(ids), fmt)
+    if _w("w"):
+        cols["w"] = pa.array(np.full(n, 16, dtype=np.int32))
+    if _w("h"):
+        cols["h"] = pa.array(np.full(n, 16, dtype=np.int32))
+    if _w("fmt"):
+        cols["fmt"] = pa.array(fmt, type=pa.string())
+    if _w("caption"):
+        if event_type is None:
+            event_type = np.char.add("e", (ids % 7).astype(str))
+        cols["caption"] = pa.array(
+            np.char.add(np.char.add(np.char.add("caption ", ids.astype(str)),
+                                    " "), event_type.astype(str)),
+            type=pa.string())
+    if _w("phash"):
+        cols["phash"] = pa.array((ids * 2654435761) % PHASH_MOD,
+                                 type=pa.int64())
+    if _w("lon"):
+        cols["lon"] = pa.array(((ids * 7919) % 36000) / 100.0 - 180.0,
+                               type=pa.float64())
+    if _w("lat"):
+        cols["lat"] = pa.array(((ids * 104729) % 17000) / 100.0 - 85.0,
+                               type=pa.float64())
     return pa.table(cols)
 
 
-def images_from_events_batch(batch: pa.Table, with_bytes: bool = False) -> pa.Table:
+def images_from_events_batch(batch: pa.Table, with_bytes: bool = False,
+                             columns=None) -> pa.Table:
     """map_batches kernel: events rows -> images rows (vectorized)."""
     ids = batch["event_id"].to_numpy(zero_copy_only=False)
-    etype = batch["event_type"].to_numpy(zero_copy_only=False)
-    return _derive_columns(ids, etype, with_bytes)
+    etype = batch["event_type"].to_numpy(zero_copy_only=False) \
+        if "event_type" in batch.column_names else None
+    return _derive_columns(ids, etype, with_bytes, columns)
 
 
 def images_from_range_batch(batch, with_bytes: bool = True) -> pa.Table:
@@ -77,14 +94,20 @@ def images_from_range_batch(batch, with_bytes: bool = True) -> pa.Table:
     return _derive_columns(ids, None, with_bytes)
 
 
-def images_dataset(sf_dir: str, with_bytes: bool = False):
-    """Ray Dataset of the corpus derived from `events` in sf_dir. Column-pruned
-    read (only event_id/event_type leave the parquet scan)."""
+def images_dataset(sf_dir: str, with_bytes: bool = False, columns=None):
+    """Ray Dataset of the corpus derived from `events` in sf_dir.
+    Column-pruned at BOTH levels: only the parquet columns the requested
+    derive needs leave the scan, and only requested columns are derived
+    (captions/pixels are the expensive parts)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
-    return ds.map_batches(lambda b: images_from_events_batch(b, with_bytes),
-                          batch_format="pyarrow")
+    read_cols = ["event_id"]
+    if columns is None or "caption" in columns:
+        read_cols.append("event_type")
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=read_cols)
+    return ds.map_batches(
+        lambda b: images_from_events_batch(b, with_bytes, columns),
+        batch_format="pyarrow")
 
 
 def images_range_dataset(n: int, with_bytes: bool = True, override_num_blocks: int | None = None):
