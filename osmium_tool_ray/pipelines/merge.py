@@ -176,11 +176,20 @@ def apply_changes(base, changes, id_cols: list[str], version_col: str = "version
     return win.drop_columns(["_src"])
 
 
-def merge_changes_simplify(datasets: list, id_cols: list[str], version_col: str = "version"):
-    """merge-changes --simplify: union change files, keep last version only."""
+def merge_changes_simplify(datasets: list, id_cols: list[str], version_col: str = "version",
+                           unique_versions: bool = True):
+    """merge-changes --simplify: union change files, keep last version only.
+
+    unique_versions=True (each (id, version) appears in at most one change
+    file — the normal case for sequential change files) takes the
+    zero-per-group-Python packed-Max path; pass False when the same
+    version of an object can recur across inputs (ties then need the
+    stable dedup of argmax_rows)."""
     ds = datasets[0]
     for other in datasets[1:]:
         ds = ds.union(other)
+    if unique_versions:
+        return argmax_rows_native(ds, id_cols, [version_col])
     return argmax_rows(ds, id_cols, [version_col])
 
 
