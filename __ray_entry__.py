@@ -341,7 +341,9 @@ def q_merge_changes_simplify(sf_dir: str):
 
     a = ev.map_batches(v1, batch_format="pyarrow")
     b = ev.map_batches(v2, batch_format="pyarrow")
-    out = merge_changes_simplify([a, b], ["event_id"])
+    # v1/v2 construction guarantees each (event_id, version) appears once
+    # across the two files, so the packed-Max path is valid here
+    out = merge_changes_simplify([a, b], ["event_id"], unique_versions=True)
     return out.select_columns(["event_id", "version", "value"])
 
 

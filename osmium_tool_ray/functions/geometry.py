@@ -93,8 +93,16 @@ def assemble_rings(fragments: list) -> tuple[list, list]:
     while unused:
         start = min(unused, key=key)
         unused.remove(start)
-        if len(frs[start]) >= 3 and (fixed[start][0] == fixed[start][-1]).all():
-            rings.append(frs[start])
+        if len(frs[start]) >= 4 and (fixed[start][0] == fixed[start][-1]).all():
+            # same contract as the stitched branch: >=4 points (a 3-point
+            # [A,B,A] "ring" is zero-area) and an EXACT float
+            # first-vertex == last-vertex (closure was decided in
+            # fixed-point; the float tail may differ by <1 unit)
+            ring = frs[start]
+            if not np.array_equal(ring[0], ring[-1]):
+                ring = ring.copy()
+                ring[-1] = ring[0]
+            rings.append(ring)
             continue
         chain = [frs[start]]
         used_here = [start]

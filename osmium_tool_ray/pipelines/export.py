@@ -99,6 +99,25 @@ def render_geojson_ways(members_with_locations, closed_as_polygon: bool = False)
         assemble, batch_format="pandas")
 
 
+# per-worker-process cache for the broadcast fragment dict: a nested
+# Python dict is RE-DESERIALIZED on every ray.get (unlike zero-copy
+# numpy), and the assemble fns run once per relation group — without the
+# cache the fetch cost is O(n_relations x total_fragment_bytes)
+_FRAGS_CACHE: dict = {}
+
+
+def _cached_frags(frags_ref):
+    import ray
+
+    key = frags_ref.hex()
+    f = _FRAGS_CACHE.get(key)
+    if f is None:
+        f = ray.get(frags_ref)
+        _FRAGS_CACHE.clear()
+        _FRAGS_CACHE[key] = f
+    return f
+
+
 def _member_way_fragments(rel_members, way_members_with_locations):
     """Collect located geometry ONLY for ways that are members of the
     exported relations (the relation member lists are metadata-class; the
@@ -150,7 +169,7 @@ def render_geojson_multipolygons(rel_members, way_members_with_locations):
                                          way_members_with_locations)
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        rings_of = ray.get(frags_ref)
+        rings_of = _cached_frags(frags_ref)
         g = g[g["mtype"] == "way"].sort_values("seq", kind="stable")
         outers, inners = [], []
         for ref in g["ref"]:
@@ -198,7 +217,7 @@ def render_geojson_areas(rel_members, way_members_with_locations):
                                          way_members_with_locations)
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        frags_of = ray.get(frags_ref)
+        frags_of = _cached_frags(frags_ref)
         g = g[g["mtype"] == "way"].sort_values("seq", kind="stable")
         fragments = [np.asarray(frags_of[ref], dtype=np.float64)
                      for ref in g["ref"]

@@ -463,7 +463,7 @@ def run_extract_cw_dataset(images, regions: list[Region], groups, members,
         blocks Ray's groupby chains emit, which would otherwise reach a
         downstream join as schema-less partitions. Only block refs and
         row counts touch the driver; the id tables stay sharded."""
-        from ..stages.dedup import _drop_empty_blocks
+        from ..blocks import _drop_empty_blocks
 
         out = _drop_empty_blocks(ds)
         if out is None:
@@ -500,17 +500,25 @@ def run_extract_cw_dataset(images, regions: list[Region], groups, members,
     # output is image-scale, but its DISTINCT (group_id, extract_id)
     # projection is group-metadata-class — partial-distinct map-side,
     # merge the tiny per-block partials driver-side (no groupby shuffle).
-    wj = node_members.join(node_ids, join_type="inner",
-                           num_partitions=num_partitions,
-                           on=("ref",), right_on=("image_id",))
+    # A fully-empty join side crashes Ray 2.49's aggregator (schema-less
+    # empty partitions) and means an empty join anyway — short-circuit.
+    empty_hits = pa.schema([("group_id", pa.string()),
+                            ("extract_id", pa.int32())]).empty_table()
+    if node_ids.count() == 0 or node_members.count() == 0:
+        hits = empty_hits
+    else:
+        wj = node_members.join(node_ids, join_type="inner",
+                               num_partitions=num_partitions,
+                               on=("ref",), right_on=("image_id",))
 
-    def _pair_partial(b: pa.Table) -> pa.Table:
-        t = pa.table({"group_id": b["group_id"], "extract_id": b["extract_id"]})
-        return t.group_by(["group_id", "extract_id"]).aggregate([])
+        def _pair_partial(b: pa.Table) -> pa.Table:
+            t = pa.table({"group_id": b["group_id"],
+                          "extract_id": b["extract_id"]})
+            return t.group_by(["group_id", "extract_id"]).aggregate([])
 
-    hits = _collect_table(wj.map_batches(_pair_partial,
-                                         batch_format="pyarrow")) \
-        .group_by(["group_id", "extract_id"]).aggregate([])
+        hits = _collect_table(wj.map_batches(_pair_partial,
+                                             batch_format="pyarrow")) \
+            .group_by(["group_id", "extract_id"]).aggregate([])
     hit_gids = _np_str(hits["group_id"])
     hit_eids = hits["extract_id"].to_numpy(zero_copy_only=False).astype(np.int64)
 
@@ -550,10 +558,19 @@ def run_extract_cw_dataset(images, regions: list[Region], groups, members,
     final_ids = _mat(_distinct(node_ids.union(extra),
                                ["image_id", "extract_id"]))
 
-    # id set (schema-known) on the LEFT — see node_members note
-    images_out = final_ids.join(images, join_type="inner",
-                                num_partitions=num_partitions,
-                                on=("image_id",))
+    # id set (schema-known) on the LEFT — see node_members note; empty
+    # side short-circuited (same Ray 2.49 empty-join crash as above)
+    if final_ids.count() == 0:
+        import ray.data as _rd
+        ischema = images.schema()
+        images_out = _rd.from_arrow(
+            pa.schema([("image_id", pa.string()), ("extract_id", pa.int32())]
+                      + [(n, t) for n, t in zip(ischema.names, ischema.types)
+                         if n != "image_id"]).empty_table())
+    else:
+        images_out = final_ids.join(images, join_type="inner",
+                                    num_partitions=num_partitions,
+                                    on=("image_id",))
 
     # relations (id lists are metadata-class; parent closure driver-side
     # over the rel->rel edge list, like run_extract)

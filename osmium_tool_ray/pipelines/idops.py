@@ -27,6 +27,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..blocks import _remote_num_rows  # zero-CPU block row counter
+
 from .extract import _collect_small, _isin, _np_str
 
 
@@ -397,8 +399,6 @@ def renumber_ranked(ds, id_col: str, start: int = 1, out_col: str = "new_id"):
                                        out_col: pa.array([], type=pa.int64())}))
     return rd.from_arrow_refs(ranked)
 
-
-from ..stages.dedup import _remote_num_rows  # shared zero-CPU row counter
 
 
 def renumber(ds, id_col: str, start: int = 1, out_col: str | None = None):

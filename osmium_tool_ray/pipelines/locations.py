@@ -97,7 +97,15 @@ def apply_location_changes(located_members, change_nodes,
     lat = np.asarray([r["lat"] for r in rows], dtype=np.float64)
     deleted = np.asarray([r[op_col] == "delete" for r in rows], dtype=bool)
     order = np.argsort(ids, kind="stable")
-    ref = ray.put((ids[order], lon[order], lat[order], deleted[order]))
+    # the reference applies change inputs in order, so a later change to
+    # the same node overrides an earlier one (modify-then-delete deletes):
+    # stable sort keeps input order within equal ids — keep each run's LAST
+    last = np.ones(len(order), dtype=bool)
+    if len(order):
+        sorted_ids = ids[order]
+        last[:-1] = sorted_ids[1:] != sorted_ids[:-1]
+    keep = order[last]
+    ref = ray.put((ids[keep], lon[keep], lat[keep], deleted[keep]))
 
     def patch(batch: pa.Table) -> pa.Table:
         sids, slon, slat, sdel = ray.get(ref)

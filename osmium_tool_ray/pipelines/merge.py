@@ -123,7 +123,7 @@ def argmax_rows_native(ds, key_cols: list[str], order_cols: list[str],
     reduced = ds.map_batches(local, batch_format="pandas") \
         .map_batches(add_ord, batch_format="pyarrow").materialize()
     maxes = reduced.groupby(key_cols).aggregate(Max("_ord", alias_name="_max"))
-    from ..stages.dedup import _drop_empty_blocks
+    from ..blocks import _drop_empty_blocks
     maxes = _drop_empty_blocks(maxes)
     if maxes is None:
         return reduced.drop_columns(["_ord"]).limit(0)
@@ -177,14 +177,15 @@ def apply_changes(base, changes, id_cols: list[str], version_col: str = "version
 
 
 def merge_changes_simplify(datasets: list, id_cols: list[str], version_col: str = "version",
-                           unique_versions: bool = True):
+                           unique_versions: bool = False):
     """merge-changes --simplify: union change files, keep last version only.
 
-    unique_versions=True (each (id, version) appears in at most one change
-    file — the normal case for sequential change files) takes the
-    zero-per-group-Python packed-Max path; pass False when the same
-    version of an object can recur across inputs (ties then need the
-    stable dedup of argmax_rows)."""
+    unique_versions=True opts into the zero-per-group-Python packed-Max
+    path, valid ONLY when each (id, version) appears in at most one
+    input (ties would be emitted twice by the max-equality filter). The
+    default handles the reference's normal case — overlapping change
+    files that can repeat the same version of an object — via the
+    stable dedup of argmax_rows."""
     ds = datasets[0]
     for other in datasets[1:]:
         ds = ds.union(other)

@@ -77,10 +77,25 @@ def minhash_signature(texts: list[str], num_perm: int = 64, k: int = 5,
     return sigs
 
 
+def _fold_sig64(sigs: np.ndarray) -> np.ndarray:
+    """Fold an (n, p) uint64 signature matrix into one 64-bit sketch per
+    row (sequential splitmix mixing). Equal full signatures -> equal
+    sketch, so sorting a hot LSH bucket by this column makes
+    (near-)identical members ADJACENT — the chain emission in
+    _bucket_pairs then pairs them even when the bucket's min-id star hub
+    is not a near-dup of either."""
+    acc = sigs[:, 0].copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, sigs.shape[1]):
+            acc = splitmix64(acc ^ sigs[:, j])
+    return acc.view(np.int64)
+
+
 class MinHashBands:
-    """map_batches stage: emit (doc_id, band_id, band_hash) rows — the LSH
-    banding explode. groupby(band_id, band_hash) downstream buckets
-    candidates."""
+    """map_batches stage: emit (doc_id, band_id, band_hash, sig64) rows —
+    the LSH banding explode. groupby(band_id, band_hash) downstream
+    buckets candidates; sig64 (full-signature sketch) orders hot buckets
+    for chain emission."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  num_perm: int = 64, bands: int = 16, k: int = 5, seed: int = 7):
@@ -106,6 +121,7 @@ class MinHashBands:
             self.id_col: pa.array(np.repeat(ids, self.bands)),
             "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
             "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
+            "sig64": pa.array(np.repeat(_fold_sig64(sigs), self.bands)),
         })
 
 
@@ -118,16 +134,23 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
 
 
 def _bucket_pairs(rows, bucket_keys: list[str], id_col: str, id_type,
-                  all_pairs_cap: int = 8, coarse: int | None = None):
+                  all_pairs_cap: int = 8, coarse: int | None = None,
+                  sig_col: str | None = None):
     """Distributed candidate-pair emission, vectorized: rows are shuffled
     by a COARSE hash of the bucket key (O(CPUs) groups, so map_groups pays
     Python overhead per partition, not per LSH bucket — millions of tiny
     buckets made the per-group form the slowest dedup stage), then each
     coarse group lexsorts its rows and emits (a, b) id pairs (a < b) per
     multi-member fine bucket — all pairs for buckets up to
-    `all_pairs_cap` members, star-shaped (min-id hub) above the cap so a
-    degenerate hot bucket stays linear, never quadratic. Then a native
-    distinct over (a, b). No bucket row ever reaches the driver.
+    `all_pairs_cap` members; above the cap, star-shaped from the min-id
+    hub PLUS (when `sig_col` names a full-signature sketch column) an
+    adjacent chain in (sig, id) order, so a hot bucket stays linear,
+    never quadratic. The chain is the recall guard the star alone lacks:
+    two (near-)identical members whose hub is NOT their near-dup share a
+    sketch value, sort adjacent, and get their pair emitted — the
+    union-find downstream then connects the full identical run through
+    its consecutive verified edges. Then a native distinct over (a, b).
+    No bucket row ever reaches the driver.
 
     `id_type` pins the pair schema: Ray's map_groups emits zero-column
     blocks for group-less input blocks, and those would otherwise reach
@@ -152,9 +175,13 @@ def _bucket_pairs(rows, bucket_keys: list[str], id_col: str, id_type,
         if g.num_rows == 0:
             return schema.empty_table()
         ids = np.asarray(g[id_col].to_pylist())
+        sigs = g[sig_col].to_numpy(zero_copy_only=False) \
+            if sig_col and sig_col in g.schema.names else None
         cols = [g[k].to_numpy(zero_copy_only=False) for k in bucket_keys]
         order = np.lexsort((ids,) + tuple(cols[::-1]))
         ids = ids[order]
+        if sigs is not None:
+            sigs = sigs[order]
         cols = [c[order] for c in cols]
         change = np.zeros(len(ids), dtype=bool)
         change[0] = True
@@ -168,7 +195,8 @@ def _bucket_pairs(rows, bucket_keys: list[str], id_col: str, id_type,
             if e - s < 2:
                 continue
             uid = ids[s:e]
-            uid = uid[np.concatenate([[True], uid[1:] != uid[:-1]])]
+            dedup = np.concatenate([[True], uid[1:] != uid[:-1]])
+            uid = uid[dedup]
             n = len(uid)
             if n < 2:
                 continue
@@ -179,6 +207,16 @@ def _bucket_pairs(rows, bucket_keys: list[str], id_col: str, id_type,
             else:
                 outa.append(np.repeat(uid[0], n - 1))
                 outb.append(uid[1:])
+                if sigs is not None:
+                    # chain in full-signature-sketch order (see docstring);
+                    # np.minimum has no ufunc loop for unicode ids — use
+                    # comparison + where (works for str and int alike)
+                    usig = sigs[s:e][dedup]
+                    so = np.lexsort((uid, usig))
+                    cu = uid[so]
+                    le = cu[:-1] <= cu[1:]
+                    outa.append(np.where(le, cu[:-1], cu[1:]))
+                    outb.append(np.where(le, cu[1:], cu[:-1]))
         if not outa:
             return schema.empty_table()
         pa_, pb_ = np.concatenate(outa), np.concatenate(outb)
@@ -206,30 +244,10 @@ def _bucket_pairs(rows, bucket_keys: list[str], id_col: str, id_type,
     return _drop_empty_blocks(pairs)
 
 
-def _drop_empty_blocks(ds):
-    """Rebuild a Dataset without its zero-row blocks. Ray's groupby /
-    map_groups chain emits zero-ROW zero-COLUMN blocks for group-less
-    inputs, map_batches short-circuits empty blocks (so a normalizing UDF
-    never sees them), and Dataset.join's per-partition ArrowBlockBuilder
-    then builds a schema-less table that crashes Acero. Only block refs
-    and row counts touch the driver — the data stays in the object
-    store. Returns None when every block is empty."""
-    import ray
-
-    refs = ds.to_arrow_refs()
-    if not refs:
-        return None
-    nrows = ray.get([_remote_num_rows.remote(r) for r in refs])
-    keep = [r for r, n in zip(refs, nrows) if n]
-    if not keep:
-        return None
-    import ray.data as rd
-    return rd.from_arrow_refs(keep)
-
-
-import ray as _ray_mod
-
-_remote_num_rows = _ray_mod.remote(num_cpus=0)(lambda t: t.num_rows)
+# canonical home is osmium_tool_ray.blocks; re-exported here because the
+# workaround was discovered in the dedup pipelines and older callers
+# import it from this module
+from ..blocks import _drop_empty_blocks, _remote_num_rows  # noqa: F401
 
 # per-worker-process cache for the broadcast pair-payload lookup (stateless
 # tasks fuse with upstream; the sorted payload is built once per worker)
@@ -362,14 +380,29 @@ def minhash_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
     spin-up for no state benefit."""
     bander = MinHashBands(text_col=text_col, id_col=id_col,
                           num_perm=num_perm, bands=bands, k=k)
+    return _text_lsh_clusters(docs, bander,
+                              lambda texts: _shingle_hashes(texts, k),
+                              text_col, id_col, threshold)
+
+
+def _text_lsh_clusters(docs, bander, sets_fn, text_col: str, id_col: str,
+                       threshold: float):
+    """Shared tail of the text near-dup pipelines (MinHash char-shingle
+    and word-n-gram): banding explode -> distributed candidate-pair
+    emission (_bucket_pairs, sig64 chain for hot buckets) -> pair payload
+    attach -> vectorized exact set-Jaccard verify -> min-label union-find
+    over the (tiny) verified pairs. `sets_fn(texts)` builds the exact
+    per-doc shingle-hash sets the verification compares."""
     band_rows = docs.map_batches(lambda b: bander(b), batch_format="pyarrow")
 
     s = docs.schema()
     id_type = dict(zip(s.names, s.types))[id_col]
-    pairs = _bucket_pairs(band_rows, ["band_id", "band_hash"], id_col, id_type)
+    empty = pa.table({"doc_id": pa.array([], type=id_type),
+                      "dup_of": pa.array([], type=id_type)})
+    pairs = _bucket_pairs(band_rows, ["band_id", "band_hash"], id_col,
+                          id_type, sig_col="sig64")
     if pairs is None:
-        return pa.table({"doc_id": pa.array([], type=id_type),
-                         "dup_of": pa.array([], type=id_type)})
+        return empty
     with_texts = _attach_pair_payload(pairs, docs, id_col, text_col)
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -385,7 +418,7 @@ def minhash_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
         for i, t in zip(ids_b, tb):
             text_of.setdefault(i, t)
         uniq_ids = list(text_of)
-        sets = _shingle_hashes([text_of[i] for i in uniq_ids], k)
+        sets = sets_fn([text_of[i] for i in uniq_ids])
         set_of = dict(zip(uniq_ids, sets))
         sizes = {i: s.size for i, s in set_of.items()}
         keep = np.zeros(batch.num_rows, dtype=bool)
@@ -406,8 +439,7 @@ def minhash_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
                 for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist())]
     out = _minlabel_union(verified)
     if not out:
-        return pa.table({"doc_id": pa.array([], type=id_type),
-                         "dup_of": pa.array([], type=id_type)})
+        return empty
     return pa.table({"doc_id": pa.array([o[0] for o in out]),
                      "dup_of": pa.array([o[1] for o in out])})
 
@@ -579,6 +611,7 @@ class WordNgramBands:
             self.id_col: pa.array(np.repeat(ids, self.bands)),
             "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), m)),
             "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
+            "sig64": pa.array(np.repeat(_fold_sig64(sigs), self.bands)),
         })
 
 
@@ -589,44 +622,9 @@ def ngram_jaccard_pairs(docs, text_col: str = "text", id_col: str = "doc_id",
     union-find on verified pairs) with TRUE token-level n-gram shingles
     for both the signatures and the exact verification."""
     bander = WordNgramBands(text_col=text_col, id_col=id_col, n=n)
-    band_rows = docs.map_batches(lambda b: bander(b), batch_format="pyarrow")
-
-    s = docs.schema()
-    id_type = dict(zip(s.names, s.types))[id_col]
-    pairs = _bucket_pairs(band_rows, ["band_id", "band_hash"], id_col, id_type)
-    if pairs is None:
-        return pa.table({"doc_id": pa.array([], type=id_type),
-                         "dup_of": pa.array([], type=id_type)})
-    with_texts = _attach_pair_payload(pairs, docs, id_col, text_col)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        ids_a = batch["a"].to_pylist()
-        ids_b = batch["b"].to_pylist()
-        text_of: dict = {}
-        for i, t in zip(ids_a, batch[f"{text_col}_a"].to_pylist()):
-            text_of.setdefault(i, t)
-        for i, t in zip(ids_b, batch[f"{text_col}_b"].to_pylist()):
-            text_of.setdefault(i, t)
-        uniq_ids = list(text_of)
-        sets = _word_ngram_sets([text_of[i] for i in uniq_ids], n)
-        set_of = dict(zip(uniq_ids, sets))
-        keep = np.zeros(batch.num_rows, dtype=bool)
-        for i in range(batch.num_rows):
-            sa, sb = set_of[ids_a[i]], set_of[ids_b[i]]
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            keep[i] = union == 0 or inter / union >= threshold
-        return batch.select(["a", "b"]).filter(pa.array(keep))
-
-    vtbls = _pair_tables(with_texts.map_batches(verify, batch_format="pyarrow"))
-    verified = [(a, b) for t in vtbls
-                for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist())]
-    out = _minlabel_union(verified)
-    if not out:
-        return pa.table({"doc_id": pa.array([], type=id_type),
-                         "dup_of": pa.array([], type=id_type)})
-    return pa.table({"doc_id": pa.array([o[0] for o in out]),
-                     "dup_of": pa.array([o[1] for o in out])})
+    return _text_lsh_clusters(docs, bander,
+                              lambda texts: _word_ngram_sets(texts, n),
+                              text_col, id_col, threshold)
 
 
 class HyperplaneSig:
@@ -665,6 +663,8 @@ class HyperplaneSig:
             self.id_col: pa.array(np.repeat(ids, self.tables)),
             "table": pa.array(np.tile(np.arange(self.tables, dtype=np.int32), n)),
             "sig": pa.array(sig.reshape(-1)),
+            "sig64": pa.array(np.repeat(_fold_sig64(sig.view(np.uint64)),
+                                        self.tables)),
         })
 
 
@@ -687,7 +687,8 @@ def embedding_neardup(embeddings, dim: int, threshold: float = 0.95,
 
     s = embeddings.schema()
     id_type = dict(zip(s.names, s.types))[id_col]
-    pairs = _bucket_pairs(sigs, ["table", "sig"], id_col, id_type)
+    pairs = _bucket_pairs(sigs, ["table", "sig"], id_col, id_type,
+                          sig_col="sig64")
     if pairs is None:
         return pa.table({id_col: pa.array([], type=id_type),
                          "dup_of": pa.array([], type=id_type)})
