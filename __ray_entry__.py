@@ -622,7 +622,10 @@ def q_extract_cw_history(sf_dir: str):
             "ref": pa.array(_img_ids(vids), type=pa.string()),
         })
 
-    members = ev.map_batches(as_members, batch_format="pyarrow")
+    # materialized: run_extract's fused complete_ways closure scans the
+    # members adjacency twice — lazy members would re-read + re-derive
+    # the events parquet on each pass
+    members = ev.map_batches(as_members, batch_format="pyarrow").materialize()
 
     import ray.data as rd
     from osmium_tool_ray.schema import TAGS_TYPE
@@ -632,7 +635,9 @@ def q_extract_cw_history(sf_dir: str):
         "kind": pa.array(["way"] * len(uids), type=pa.string()),
         "tags": pa.array([[]] * len(uids), type=TAGS_TYPE),
     }))
-    res = run_extract(versioned_images_dataset(sf_dir), regions,
+    # versioned corpus also scans twice (match + final select)
+    vimages = versioned_images_dataset(sf_dir).materialize()
+    res = run_extract(vimages, regions,
                       groups=groups, members=members,
                       strategy="complete_ways_with_history", concurrency=2)
     return res["images_out"].select_columns(["image_id", "version"])
