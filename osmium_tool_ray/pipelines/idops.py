@@ -29,7 +29,7 @@ import pyarrow as pa
 
 from ..blocks import _remote_num_rows  # zero-CPU block row counter
 
-from .extract import _collect_small, _isin, _np_str
+from .extract import _collect_small, _collect_table, _isin, _np_str
 
 
 def parse_id_list(tokens) -> dict[str, np.ndarray]:
@@ -380,17 +380,21 @@ def renumber_ranked(ds, id_col: str, start: int = 1, out_col: str = "new_id"):
     import ray
     import ray.data as rd
 
+    if start == 0:      # get_start_id: 0 means the default 1
+        start = 1
     uniq = ds.select_columns([id_col]).groupby(id_col).count() \
         .select_columns([id_col]).sort(id_col)
     refs = uniq.to_arrow_refs()   # block order == sort order
     counts = np.asarray(ray.get([_remote_num_rows.remote(r) for r in refs]),
                         dtype=np.int64)
-    offsets = start + np.concatenate([[0], np.cumsum(counts)[:-1]]) \
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) \
         if len(counts) else []
 
     @ray.remote(num_cpus=0)
-    def rank_block(tbl: pa.Table, off: int) -> pa.Table:
-        ranks = np.arange(off, off + tbl.num_rows, dtype=np.int64)
+    def rank_block(tbl: pa.Table, off0: int) -> pa.Table:
+        g0 = np.arange(off0, off0 + tbl.num_rows, dtype=np.int64)
+        # signed-start formula (_offset_rank): negative starts descend
+        ranks = (start - g0) if start < 0 else (g0 + start)
         return tbl.append_column(out_col, pa.array(ranks))
 
     ranked = [rank_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
@@ -401,18 +405,30 @@ def renumber_ranked(ds, id_col: str, start: int = 1, out_col: str = "new_id"):
 
 
 
+def _offset_rank(rank: int, start: int) -> int:
+    """1-based dense rank -> new id with the reference's signed-start
+    formula (command_renumber.cpp:61-66): positive starts count upward
+    from `start`, negative starts count DOWNWARD from `start`; start 0
+    means the default 1 (get_start_id, :139-146)."""
+    if start == 0:
+        start = 1
+    if start < 0:
+        return -rank + start + 1
+    return rank + start - 1
+
+
 def renumber(ds, id_col: str, start: int = 1, out_col: str | None = None):
     """Dense order-preserving remap: sorted distinct old ids -> start..N
-    (command_renumber.cpp:61-131). The mapping table is built from a
-    distributed distinct then broadcast; refs in other tables can be
-    remapped with `remap_refs` using the same table. Scale path:
-    `renumber_ranked` keeps the mapping sharded (no driver dict) for id
-    universes past driver memory."""
+    (command_renumber.cpp:61-131; signed/zero starts per _offset_rank).
+    The mapping table is built from a distributed distinct then
+    broadcast; refs in other tables can be remapped with `remap_refs`
+    using the same table. Scale path: `renumber_ranked` keeps the mapping
+    sharded (no driver dict) for id universes past driver memory."""
     import ray
 
     uniq = np.unique(np.asarray(ds.select_columns([id_col]).unique(id_col),
                                 dtype=object))
-    mapping = {v: i + start for i, v in enumerate(uniq.tolist())}
+    mapping = {v: _offset_rank(i + 1, start) for i, v in enumerate(uniq.tolist())}
     mref = ray.put(mapping)
     col = out_col or id_col
 
@@ -427,23 +443,64 @@ def renumber(ds, id_col: str, start: int = 1, out_col: str | None = None):
     return ds.map_batches(remap, batch_format="pyarrow"), mapping
 
 
-def renumber_with_refs(images, groups, members, start: int = 1):
+def renumber_with_refs(images, groups, members, start: int = 1,
+                       starts: dict | None = None,
+                       types: tuple = ("node", "way", "relation")):
     """Full renumber: images (nodes), ways, relations each get an
-    independent dense id space starting at `start` (the reference numbers
-    each type separately, command_renumber.cpp:61-66), and group_members
+    independent dense id space (the reference numbers each type
+    separately, command_renumber.cpp:61-66), and group_members
     refs/owners are rewritten with the same mappings.
+
+    starts: per-kind start ids (`--start-id n,w,r`; signed/zero per
+    _offset_rank), overriding `start`. types: kinds to renumber
+    (`--object-type`); refs to un-renumbered kinds keep their old ids
+    (new_* columns null). Refs to a renumbered kind whose target id was
+    never seen EXTEND that kind's mapping past its known universe
+    (command_renumber.cpp:68-86 m_extra_ids) — in sorted order of the
+    unknown ids, the deterministic stand-in for the reference's
+    file-encounter order, which an unordered Dataset cannot honour.
 
     Returns (images_out, groups_out, members_out, mappings) where mappings
     maps kind -> {old_id: new_int}."""
     import ray
 
-    images_out, node_map = renumber(images, "image_id", start, out_col="new_id")
+    st = {k: start for k in ("node", "way", "relation")}
+    st.update(starts or {})
+
     g = _collect_small(groups, ["group_id", "kind"])
-    way_ids = np.unique(g["group_id"][g["kind"] == "way"])
-    rel_ids = np.unique(g["group_id"][g["kind"] == "relation"])
-    way_map = {v: i + start for i, v in enumerate(way_ids.tolist())}
-    rel_map = {v: i + start for i, v in enumerate(rel_ids.tolist())}
-    mappings = {"node": node_map, "way": way_map, "relation": rel_map}
+    mappings: dict = {}
+    if "node" in types:
+        images_out, node_map = renumber(images, "image_id", st["node"],
+                                        out_col="new_id")
+        mappings["node"] = node_map
+    else:
+        images_out = images
+    for kind in ("way", "relation"):
+        if kind in types:
+            kind_ids = np.unique(g["group_id"][g["kind"] == kind])
+            mappings[kind] = {v: _offset_rank(i + 1, st[kind])
+                              for i, v in enumerate(kind_ids.tolist())}
+
+    # unknown refs of renumbered kinds extend that kind's map (sorted)
+    import pyarrow.compute as _pc
+
+    def _ref_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"mtype": b["mtype"], "ref": b["ref"]})
+        return t.group_by(["mtype", "ref"]).aggregate([])
+
+    seen = _collect_table(members.map_batches(_ref_partial,
+                                              batch_format="pyarrow")) \
+        .group_by(["mtype", "ref"]).aggregate([])
+    mt_all = _np_str(seen["mtype"])
+    ref_all = _np_str(seen["ref"])
+    for kind in types:
+        m = mappings[kind]
+        refs_k = ref_all[mt_all == kind]
+        unknown = sorted(set(refs_k.tolist()) - set(m))
+        for v in unknown:
+            m[v] = _offset_rank(len(m) + 1, st[kind])  # rank continues past
+            # the known universe, one fresh id per unseen ref
+
     # owner kind comes from the groups table, not an id-prefix heuristic
     # (group ids need not follow the w/r naming convention)
     kind_of = dict(zip(g["group_id"], g["kind"]))
@@ -454,7 +511,8 @@ def renumber_with_refs(images, groups, members, start: int = 1):
         m = ray.get(mref)
         gid = _np_str(batch["group_id"])
         kind = _np_str(batch["kind"])
-        new = [m[k][i] for k, i in zip(kind.tolist(), gid.tolist())]
+        new = [m[k][i] if k in m else None
+               for k, i in zip(kind.tolist(), gid.tolist())]
         return batch.append_column("new_id", pa.array(new, type=pa.int64()))
 
     def remap_members(batch: pa.Table) -> pa.Table:
@@ -464,8 +522,10 @@ def renumber_with_refs(images, groups, members, start: int = 1):
         mt = _np_str(batch["mtype"]).tolist()
         ref = _np_str(batch["ref"]).tolist()
         owner_kind = [kmap.get(x, "way") for x in gid]
-        new_owner = [m[k].get(i) for k, i in zip(owner_kind, gid)]
-        new_ref = [m[k].get(i) for k, i in zip(mt, ref)]
+        new_owner = [m[k].get(i) if k in m else None
+                     for k, i in zip(owner_kind, gid)]
+        new_ref = [m[k].get(i) if k in m else None
+                   for k, i in zip(mt, ref)]
         batch = batch.append_column("new_group_id", pa.array(new_owner, type=pa.int64()))
         return batch.append_column("new_ref", pa.array(new_ref, type=pa.int64()))
 
