@@ -300,6 +300,34 @@ def q_time_filter_snapshot(sf_dir: str):
     return out.select_columns(["user_id", "event_id"])
 
 
+def q_time_filter_range(sf_dir: str):
+    """time-filter FROM TO (range mode) over the versioned corpus with a
+    derived integer per-version timestamp: ts = version, except version 3
+    of every 5th object collapses onto version 2's timestamp — the
+    same-timestamp degenerate the reference goldens pin
+    (test/time-filter/output-range-2-3.osh keeps BOTH same-ts versions).
+    Distributed lead() window: sort + block-boundary successor exchange."""
+    from osmium_tool_ray.pipelines.merge import time_filter_range
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        eids = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vids = eids // 4
+        version = (eids % 4 + 1).astype(np.int64)
+        ts_i = np.where((vids % 5 == 0) & (version == 3), 2, version)
+        return pa.table({
+            "image_id": pa.array(_img_ids(vids), type=pa.string()),
+            "version": pa.array(version),
+            "ts_i": pa.array(ts_i.astype(np.int64)),
+        })
+
+    ds = ev.map_batches(derive, batch_format="pyarrow")
+    out = time_filter_range(ds, 2, 3, ["image_id"], ts_col="ts_i",
+                            order_cols=["version"])
+    return out.select_columns(["image_id", "version"])
+
+
 def q_derive_changes_counts(sf_dir: str):
     from osmium_tool_ray.pipelines.merge import derive_changes
     from ray.data.aggregate import Count
@@ -1106,6 +1134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_topk": q_sort_topk,
         "latest_version": q_latest_version,
         "time_filter_snapshot": q_time_filter_snapshot,
+        "time_filter_range": q_time_filter_range,
         "derive_changes_counts": q_derive_changes_counts,
         "changeset_filter": q_changeset_filter,
         "diff_counts": q_diff_counts,
@@ -1230,6 +1259,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, event_id, ROW_NUMBER() OVER (
                     PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                 FROM events WHERE ts <= TIMESTAMP '{TS_CUT}') WHERE rn = 1""",
+        "time_filter_range": """
+            WITH versioned_ts AS (
+                SELECT 'img' || lpad(CAST(event_id // 4 AS VARCHAR), 10, '0') AS image_id,
+                       CAST(event_id % 4 + 1 AS BIGINT) AS version,
+                       CASE WHEN (event_id // 4) % 5 = 0 AND event_id % 4 + 1 = 3
+                            THEN 2 ELSE event_id % 4 + 1 END AS ts_i
+                FROM events),
+            w AS (
+                SELECT image_id, version, ts_i,
+                       LEAD(ts_i) OVER (PARTITION BY image_id ORDER BY version) AS end_ts
+                FROM versioned_ts)
+            SELECT image_id, version FROM w
+            WHERE ts_i < 3 AND (end_ts IS NULL OR end_ts > 2
+                                OR (end_ts = ts_i AND ts_i >= 2))""",
         "derive_changes_counts": """
             SELECT change, COUNT(*) AS n FROM (
                 SELECT CASE WHEN event_id % 4 = 1 THEN 'deleted'

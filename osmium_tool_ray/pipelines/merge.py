@@ -218,6 +218,77 @@ def time_filter(ds, t, id_cols: list[str], ts_col: str = "ts",
     return win.map_batches(vis, batch_format="pyarrow")
 
 
+def time_filter_range(ds, t_from, t_to, id_cols: list[str],
+                      ts_col: str = "ts", order_cols: list[str] | None = None):
+    """osmium time-filter FROM TO (range mode): keep every version whose
+    validity interval [own ts, next version's ts) intersects [from, to) —
+    libosmium DiffObject::is_between semantics as pinned by the reference
+    golden suite (/root/reference/test/time-filter/output-range-*.osh and
+    command_time_filter.cpp:169-178):
+
+        start < to AND (no successor OR end > from
+                        OR (start == end AND start >= from))
+
+    Visibility is NOT consulted in range mode (deleted versions appear in
+    output-range-0-5.osh); point-in-time snapshots are `time_filter`.
+
+    Distributed as a lead() window: range-partitioned sort on
+    (id, order), then each block computes successor timestamps
+    vectorized; the one cross-block successor comes from a
+    driver-mediated boundary exchange of each block's FIRST row (narrow,
+    #blocks rows — no extra shuffle beyond the sort)."""
+    import ray
+    import ray.data as rd
+
+    order_cols = list(order_cols or [ts_col])
+    sorted_ds = ds.sort(list(id_cols) + order_cols)
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return sorted_ds
+
+    @ray.remote(num_cpus=0)
+    def first_row(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        return ({c: t[c][0].as_py() for c in id_cols}, t[ts_col][0].as_py())
+
+    firsts = ray.get([first_row.remote(r) for r in refs])
+    # block i's boundary successor = first row of the next non-empty block
+    nxt = [None] * len(refs)
+    carry = None
+    for i in range(len(refs) - 1, -1, -1):
+        nxt[i] = carry
+        if firsts[i] is not None:
+            carry = firsts[i]
+
+    @ray.remote(num_cpus=0)
+    def filt(t: pa.Table, nxt_first):
+        if t.num_rows == 0:
+            return t
+        n = t.num_rows
+        ts = t[ts_col].to_numpy(zero_copy_only=False)
+        same = np.ones(n - 1, dtype=bool)
+        for c in id_cols:
+            v = t[c].to_numpy(zero_copy_only=False)
+            same &= v[1:] == v[:-1]
+        succ = ts.copy()
+        succ_exists = np.zeros(n, dtype=bool)
+        succ_exists[:-1] = same
+        succ[:-1][same] = ts[1:][same]
+        if nxt_first is not None:
+            nid, nts = nxt_first
+            if all(t[c][-1].as_py() == nid[c] for c in id_cols):
+                succ[-1] = nts
+                succ_exists[-1] = True
+        keep = (ts < t_to) & (
+            ~succ_exists | (succ > t_from)
+            | ((succ == ts) & (ts >= t_from)))
+        return t.filter(pa.array(keep))
+
+    return rd.from_arrow_refs([filt.remote(r, nxt[i])
+                               for i, r in enumerate(refs)])
+
+
 def derive_changes(old, new, id_cols: list[str], value_cols: list[str]):
     """Full-outer comparison -> (id_cols..., change) rows with
     change='created'|'modified'|'deleted'|'same' (diff keeps 'same';
