@@ -14,6 +14,47 @@ import ray as _ray
 _remote_num_rows = _ray.remote(num_cpus=0)(lambda t: t.num_rows)
 
 
+def hash_distinct(ds, cols, coarse: int | None = None):
+    """Exact distinct over (possibly string) key columns via a COARSE
+    int32 hash-bucket shuffle + per-bucket Arrow C++ distinct — Ray's
+    native Aggregate shuffle sorts the raw key columns, which for
+    image-scale STRING keys costs ~10x more than shuffling an int32
+    bucket id (measured: 20M two-string-column rows, 177s native vs
+    hash-bucketed seconds). Same coarse-bucket shape as
+    stages/dedup._bucket_pairs: O(buckets) groups so map_groups pays
+    Python overhead per partition, not per key; collisions are harmless
+    (the in-bucket distinct compares the REAL column values)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .functions.hashing import hash_str_u64, splitmix64
+
+    if coarse is None:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        coarse = 4 * max(2, cpus)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = np.zeros(b.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in cols:
+                col = b[c]
+                if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                    h = splitmix64(h ^ hash_str_u64(col))
+                else:
+                    v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    h = splitmix64(h ^ v.view(np.uint64))
+        return b.append_column(
+            "_cb", pa.array((h % np.uint64(coarse)).astype(np.int32)))
+
+    def dedup(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return g
+        return g.select(cols).group_by(cols).aggregate([])
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_cb").map_groups(dedup, batch_format="pyarrow")
+
+
 def _drop_empty_blocks(ds):
     """Rebuild a Dataset without its zero-row blocks. Only block refs and
     row counts touch the driver — the data stays in the object store.

@@ -450,11 +450,6 @@ def run_extract_cw_dataset(images, regions: list[Region], groups, members,
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, cpus // 4)
 
-    def _distinct(ds, cols):
-        from ray.data.aggregate import Count
-        return ds.groupby(cols).aggregate(Count(alias_name="_n")) \
-            .select_columns(cols)
-
     def _mat(ds, id_name="image_id"):
         """Materialize between joins (each Dataset.join pins
         num_partitions aggregator actors for the DAG's lifetime, and a
@@ -481,7 +476,8 @@ def run_extract_cw_dataset(images, regions: list[Region], groups, members,
         images.select_columns(["image_id", "lon", "lat"]), regions_ref,
         level).select_columns(["image_id", "extract_id"])
     if not assume_unique_ids:
-        matched = _distinct(matched, ["image_id", "extract_id"])
+        from ..blocks import hash_distinct
+        matched = hash_distinct(matched, ["image_id", "extract_id"])
     node_ids = _mat(matched)
 
     # narrow node-member projection, materialized: Ray 2.49's join builds
@@ -554,9 +550,13 @@ def run_extract_cw_dataset(images, regions: list[Region], groups, members,
     extra = node_members.map_batches(_extra_refs, batch_format="pyarrow")
 
     # final node ids: inside ∪ referenced — the one genuinely-needed
-    # image-scale shuffle (a node can be both inside and referenced)
-    final_ids = _mat(_distinct(node_ids.union(extra),
-                               ["image_id", "extract_id"]))
+    # image-scale shuffle (a node can be both inside and referenced).
+    # hash_distinct shuffles an int32 bucket id instead of the raw string
+    # keys (native Aggregate sort-shuffles the strings: ~10x the wall at
+    # 10M rows)
+    from ..blocks import hash_distinct
+    final_ids = _mat(hash_distinct(node_ids.union(extra),
+                                   ["image_id", "extract_id"]))
 
     # id set (schema-known) on the LEFT — see node_members note; empty
     # side short-circuited (same Ray 2.49 empty-join crash as above)
