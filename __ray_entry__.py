@@ -900,6 +900,56 @@ def q_changeset_flags(sf_dir: str):
     return agg.map_batches(flags, batch_format="pyarrow")
 
 
+def q_changeset_predicates(sf_dir: str):
+    """The changeset-filter library stage (pipelines/changesets.py,
+    command_changeset_filter.cpp:234-250): synthesize a changeset table
+    (one per user: created_at = min ts, closed_at = max ts — null/open if
+    the user was still active at the open-cutoff) and apply the
+    conjunctive closed + with-changes + after + before predicate."""
+    import datetime as dt
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from osmium_tool_ray.pipelines.changesets import changeset_filter
+
+    ev = _events(sf_dir, ["user_id", "event_type", "ts"])
+    t_split = dt.datetime(2024, 1, 16)
+
+    def part(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        period = pc.if_else(pc.less(batch["ts"], pa.scalar(t_split)), 1, 2)
+        return pa.table({"user_id": batch["user_id"],
+                         "period": period.cast(pa.int64()),
+                         "ts": batch["ts"],
+                         "disc": pa.array((et == "purchase").astype(np.int64))})
+
+    agg = ev.map_batches(part, batch_format="pyarrow") \
+        .groupby(["user_id", "period"]).aggregate(
+            Count(alias_name="num_changes"), Min("ts", alias_name="created_at"),
+            Max("ts", alias_name="last_ts"), Sum("disc", alias_name="num_comments"))
+    t_open = dt.datetime(2024, 1, 25)
+
+    def as_changesets(batch: pa.Table) -> pa.Table:
+        is_open = pc.greater_equal(batch["last_ts"], pa.scalar(t_open))
+        return pa.table({
+            "user_id": batch["user_id"],
+            "period": batch["period"],
+            "created_at": batch["created_at"],
+            "closed_at": pc.if_else(is_open,
+                                    pa.scalar(None, type=pa.timestamp("us")),
+                                    batch["last_ts"].cast(pa.timestamp("us"))),
+            "num_changes": batch["num_changes"].cast(pa.int64()),
+            "num_comments": batch["num_comments"].cast(pa.int64()),
+        })
+
+    cs = agg.map_batches(as_changesets, batch_format="pyarrow")
+    out = changeset_filter(cs, closed=True, with_changes=True,
+                           after=dt.datetime(2024, 1, 14),
+                           before=dt.datetime(2024, 2, 1))
+    return out.select_columns(["user_id", "period", "num_changes",
+                               "num_comments"])
+
+
 def q_tile_mosaic(sf_dir: str):
     """Per-tile mosaic assembly (raster side of raster<->vector); the
     comparable projection is the member count per tile (capped by
@@ -1152,6 +1202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "getid_remove_tags": q_getid_remove_tags,
         "getid_missing": q_getid_missing,
         "changeset_flags": q_changeset_flags,
+        "changeset_predicates": q_changeset_predicates,
         "tile_mosaic": q_tile_mosaic,
         "rasterize_coverage": q_rasterize_coverage,
         "export_geojsonseq": q_export_geojsonseq,
@@ -1424,6 +1475,21 @@ def oracle_sql() -> dict[str, str]:
                          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_disc
                   FROM events GROUP BY user_id)
             WHERE num_changes > 60""",
+        "changeset_predicates": """
+            SELECT user_id, period, num_changes, num_comments
+            FROM (SELECT user_id,
+                         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                              THEN 1 ELSE 2 END AS period,
+                         COUNT(*) AS num_changes, MIN(ts) AS created_at,
+                         CASE WHEN MAX(ts) >= TIMESTAMP '2024-01-25 00:00:00'
+                              THEN NULL ELSE MAX(ts) END AS closed_at,
+                         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                             AS num_comments
+                  FROM events GROUP BY user_id, period)
+            WHERE closed_at IS NOT NULL
+              AND num_changes > 0
+              AND closed_at >= TIMESTAMP '2024-01-14 00:00:00'
+              AND created_at <= TIMESTAMP '2024-02-01 00:00:00'""",
         "tile_mosaic": f"""{cte}
             SELECT cell_x, cell_y, LEAST(COUNT(*), 64) AS n_members
             FROM (SELECT {_CELL_XY_SQL.format(n=8, m=7)} FROM images)
