@@ -24,8 +24,15 @@ from ..functions.matchers import StringMatcher, flatten_tags
 
 def fileinfo(ds, id_col: str | None = None, ts_col: str | None = None,
              lon_col: str | None = None, lat_col: str | None = None,
-             hash_col: str | None = None) -> dict:
-    """Single-pass stream profile. Any column argument may be None."""
+             hash_col: str | None = None,
+             version_col: str | None = None) -> dict:
+    """Single-pass stream profile. Any column argument may be None.
+
+    version_col additionally reports `multiple_versions` (fileinfo's
+    "Multiple object versions" flag, command_fileinfo.cpp:105,143 — the
+    reference detects consecutive equal ids in its ordered stream; the
+    unordered-distributed equivalent is a distinct (id, version) pair
+    count per id: map-side pair dedup, then a narrow groupby(id) count)."""
     from ray.data.aggregate import Count, Max, Min
 
     aggs = [Count(alias_name="count")]
@@ -46,6 +53,28 @@ def fileinfo(ds, id_col: str | None = None, ts_col: str | None = None,
         for r in parts:
             acc ^= int(r["h"])
         out["content_hash"] = acc
+    if version_col is not None and id_col is not None:
+        import pyarrow.compute as pc
+
+        # an id has >1 distinct versions iff min(version) != max(version):
+        # map-side pair dedup shrinks the shuffle, one native aggregate,
+        # then a tiny any() reduce over the per-id rows
+        def pair_dedup(batch: pa.Table) -> pa.Table:
+            return batch.select([id_col, version_col]) \
+                .group_by([id_col, version_col]).aggregate([])
+
+        per_id = ds.map_batches(pair_dedup, batch_format="pyarrow") \
+            .groupby(id_col).aggregate(Min(version_col, alias_name="_vmin"),
+                                       Max(version_col, alias_name="_vmax"))
+
+        def has_multi(batch: pa.Table) -> pa.Table:
+            m = bool(pc.any(pc.not_equal(batch["_vmin"],
+                                         batch["_vmax"])).as_py()) \
+                if batch.num_rows else False
+            return pa.table({"m": pa.array([m])})
+
+        flags = per_id.map_batches(has_multi, batch_format="pyarrow").take_all()
+        out["multiple_versions"] = any(r["m"] for r in flags)
     return out
 
 
