@@ -950,6 +950,56 @@ def q_changeset_predicates(sf_dir: str):
                                "num_comments"])
 
 
+def q_export_way_dispatch(sf_dir: str):
+    """The export linear/area ruleset dispatch (pipelines/export_rules.py,
+    export_handler.cpp:42-58,112-157): synthesize way rows from events
+    (closed = even id; tags = [event_type] plus an area=yes/no override
+    for high-value events) and run the LIST-ruleset way dispatch."""
+    from osmium_tool_ray.pipelines.export_rules import (
+        export_way_features, parse_rulesets,
+    )
+    from osmium_tool_ray.schema import TAGS_TYPE
+
+    ev = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def as_ways(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False).astype(object)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        has_area = val > 500
+        counts = 1 + has_area.astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        keys = np.empty(offsets[-1], dtype=object)
+        vals = np.empty(offsets[-1], dtype=object)
+        pos0 = offsets[:-1]
+        keys[pos0] = et
+        vals[pos0] = "x"
+        pos1 = pos0[has_area] + 1
+        keys[pos1] = "area"
+        vals[pos1] = np.where(val[has_area] > 900, "yes", "no")
+        flat = pa.StructArray.from_arrays(
+            [pa.array(keys, type=pa.string()), pa.array(vals, type=pa.string())],
+            ["key", "value"])
+        tags = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), flat).cast(TAGS_TYPE)
+        return pa.table({
+            "way_id": batch["event_id"],
+            "closed": pa.array(eid % 2 == 0),
+            "tags": tags,
+        })
+
+    ways = ev.map_batches(as_ways, batch_format="pyarrow")
+    lin, area = parse_rulesets({"linear_tags": ["click"],
+                                "area_tags": ["purchase"]})
+    out = export_way_features(ways, lin, area)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch["way_id"],
+                         "geom": batch["geom"]})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_tile_mosaic(sf_dir: str):
     """Per-tile mosaic assembly (raster side of raster<->vector); the
     comparable projection is the member count per tile (capped by
@@ -1203,6 +1253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "getid_missing": q_getid_missing,
         "changeset_flags": q_changeset_flags,
         "changeset_predicates": q_changeset_predicates,
+        "export_way_dispatch": q_export_way_dispatch,
         "tile_mosaic": q_tile_mosaic,
         "rasterize_coverage": q_rasterize_coverage,
         "export_geojsonseq": q_export_geojsonseq,
@@ -1490,6 +1541,23 @@ def oracle_sql() -> dict[str, str]:
               AND num_changes > 0
               AND closed_at >= TIMESTAMP '2024-01-14 00:00:00'
               AND created_at <= TIMESTAMP '2024-02-01 00:00:00'""",
+        "export_way_dispatch": """
+            WITH ways AS (
+                SELECT event_id, event_id % 2 = 0 AS closed, event_type,
+                       CASE WHEN value > 900 THEN 'yes'
+                            WHEN value > 500 THEN 'no' END AS area_tag
+                FROM events)
+            SELECT event_id, 'linestring' AS geom FROM ways
+            WHERE (NOT closed)
+               OR CASE WHEN area_tag = 'no' THEN TRUE
+                       WHEN area_tag = 'yes' THEN FALSE
+                       ELSE event_type = 'click' END
+            UNION ALL
+            SELECT event_id, 'area' AS geom FROM ways
+            WHERE closed
+              AND CASE WHEN area_tag = 'no' THEN FALSE
+                       WHEN area_tag = 'yes' THEN TRUE
+                       ELSE event_type = 'purchase' END""",
         "tile_mosaic": f"""{cte}
             SELECT cell_x, cell_y, LEAST(COUNT(*), 64) AS n_members
             FROM (SELECT {_CELL_XY_SQL.format(n=8, m=7)} FROM images)
