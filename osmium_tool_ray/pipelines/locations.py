@@ -57,6 +57,74 @@ def add_locations_to_members(members, images, keep_missing: bool = False):
     return members.map_batches(enrich, batch_format="pyarrow")
 
 
+def retained_nodes(images, tagged_col: str = "tagged",
+                   members=None, groups=None, keep_all: bool = False,
+                   id_col: str = "image_id"):
+    """Node retention after locations are embedded into ways
+    (command_add_locations_to_ways.cpp run/copy_data + find_member_nodes
+    :150-176): by default only TAGGED nodes stay in the output (their
+    locations now live on the way members); -n (keep_all) keeps every
+    node; --keep-member-nodes additionally keeps nodes referenced from
+    RELATIONS — pass members plus the groups table, whose `kind` column
+    identifies relation owners (never an id-prefix heuristic). The
+    relation id set is group metadata (small); member node refs are
+    gathered with a distributed per-batch unique, then broadcast."""
+    import ray
+
+    if keep_all:
+        return images
+    member_ids = np.empty(0, dtype=object)
+    if members is not None:
+        import pyarrow.compute as pc
+
+        rel_ids = np.empty(0, dtype=object)
+        if groups is not None:
+            rel_rows = [t for t in ray.get(
+                groups.map_batches(
+                    lambda b: b.filter(pc.equal(b["kind"], "relation"))
+                    .select(["group_id"]), batch_format="pyarrow")
+                .to_arrow_refs()) if t.num_rows]
+            if rel_rows:
+                rel_ids = np.unique(np.asarray(
+                    pa.concat_tables(rel_rows)["group_id"].to_pylist(),
+                    dtype=object).astype(str)).astype(object)
+        rel_ref = ray.put(rel_ids)
+
+        def node_refs(batch: pa.Table) -> pa.Table:
+            rids = ray.get(rel_ref)
+            sel = pc.equal(batch["mtype"], "node").to_numpy(
+                zero_copy_only=False)
+            if len(rids):
+                gid = np.asarray(batch["group_id"].to_pylist(),
+                                 dtype=object).astype(str)
+                pos = np.minimum(np.searchsorted(rids.astype(str), gid),
+                                 len(rids) - 1)
+                sel &= rids.astype(str)[pos] == gid
+            return pa.table({"ref": pc.unique(
+                batch.filter(pa.array(sel))["ref"])})
+
+        parts = [t for t in ray.get(
+            members.map_batches(node_refs, batch_format="pyarrow")
+            .to_arrow_refs()) if t.num_rows]
+        if parts:
+            member_ids = np.unique(np.asarray(
+                pa.concat_tables(parts)["ref"].to_pylist(), dtype=object)
+                .astype(str)).astype(object)
+    ref = ray.put(member_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mids = ray.get(ref)
+        tagged = batch[tagged_col].to_numpy(zero_copy_only=False).astype(bool)
+        if len(mids):
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=object).astype(str)
+            pos = np.minimum(np.searchsorted(mids.astype(str), ids),
+                             len(mids) - 1)
+            tagged = tagged | (mids.astype(str)[pos] == ids)
+        return batch.filter(pa.array(tagged))
+
+    return images.map_batches(keep, batch_format="pyarrow")
+
+
 def add_locations_native_join(members, images, num_partitions: int = 16):
     """The no-broadcast variant of add_locations_to_members: Ray's native
     hash-partitioned Dataset.join (inner, on ref == image_id) — use when
