@@ -51,6 +51,54 @@ def render_geojson_points(batch: pa.Table, id_col: str = "image_id",
     return pa.table({"line": line})
 
 
+def add_type_id(batch: pa.Table, kind_col: str = "kind",
+                id_col: str = "id", out_col: str = "feature_id") -> pa.Table:
+    """-u type_id (man/osmium-export.md ATTRIBUTES): feature id 'n<id>'
+    for nodes, 'w<id>' for way linestrings, and 'a<2*id>' / 'a<2*id+1>'
+    for areas from ways / relations (output-uid.geojsonseq: relation 30
+    -> a61). kind values: node / way / area_way / area_relation."""
+    kind = batch[kind_col].to_numpy(zero_copy_only=False).astype(object)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    num = np.select(
+        [kind == "area_way", kind == "area_relation"],
+        [ids * 2, ids * 2 + 1], ids)
+    prefix = np.select(
+        [kind == "node", kind == "way"], ["n", "w"], "a")
+    fid = np.char.add(prefix.astype(str), num.astype(str))
+    return batch.append_column(out_col, pa.array(fid.astype(object),
+                                                 type=pa.string()))
+
+
+def add_counter_ids(ds, order_cols: list[str], start: int = 1,
+                    out_col: str = "feature_id"):
+    """-u counter: dense 1..N feature ids. The reference numbers features
+    in stream order; Ray's execution is unordered, so the deterministic
+    equivalent numbers by an explicit sort key — global sort, per-block
+    offsets (only block ROW COUNTS touch the driver, same shape as
+    idops.renumber_ranked), arange per block."""
+    import ray
+    import ray.data as rd
+
+    from ..blocks import _remote_num_rows
+
+    refs = ds.sort(order_cols).to_arrow_refs()
+    counts = np.asarray(ray.get([_remote_num_rows.remote(r) for r in refs]),
+                        dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) \
+        if len(counts) else []
+
+    @ray.remote(num_cpus=0)
+    def rank_block(tbl: pa.Table, off0: int) -> pa.Table:
+        ranks = np.arange(off0 + start, off0 + start + tbl.num_rows,
+                          dtype=np.int64)
+        return tbl.append_column(out_col, pa.array(ranks))
+
+    ranked = [rank_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    if not ranked:
+        return ds
+    return rd.from_arrow_refs(ranked)
+
+
 def render_pg_copy(batch: pa.Table, columns: list[str]) -> pa.Table:
     """Postgres COPY text rows: tab-separated, nulls as \\N, tab/newline/
     backslash escaped (export_format_pg.cpp escaping rules)."""
