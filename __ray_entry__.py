@@ -1000,6 +1000,71 @@ def q_export_way_dispatch(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_window_aggregate(sf_dir: str):
+    """Tumbling windowed aggregate (pipelines/windows.py): per-day
+    per-event-type count + value sum over the events stream."""
+    from osmium_tool_ray.pipelines.windows import tumbling_window_aggregate
+
+    ev = _events(sf_dir, ["event_type", "ts", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        # exact-compare-safe: integer cents make the distributed sum
+        # order-insensitive (float sums are not associative)
+        return batch.append_column(
+            "value_c", pc.round(pc.multiply(batch["value"], 100.0))
+            .cast(pa.int64()))
+
+    out = tumbling_window_aggregate(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "ts", 86400, ["event_type"], "value_c")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window": batch["window"],
+            "event_type": batch["event_type"],
+            "n": batch["n"].cast(pa.int64()),
+            "total": batch["total"].cast(pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q_asof_join(sf_dir: str):
+    """Backward as-of join (pipelines/windows.py): each purchase event
+    picks up the user's latest prior-or-same-time click timestamp."""
+    from osmium_tool_ray.pipelines.windows import asof_join
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def split(kind):
+        def f(batch: pa.Table) -> pa.Table:
+            sel = pc.equal(batch["event_type"], kind)
+            return batch.filter(sel).drop_columns(["event_type"])
+        return f
+
+    left = ev.map_batches(split("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(split("click"), batch_format="pyarrow")
+
+    def as_mark(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "click_ts": batch["ts"],
+        })
+
+    right = right.map_batches(as_mark, batch_format="pyarrow")
+    out = asof_join(left, right, "user_id", "ts", ["click_ts"])
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "click_ts": batch["click_ts_r"],
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_tile_mosaic(sf_dir: str):
     """Per-tile mosaic assembly (raster side of raster<->vector); the
     comparable projection is the member count per tile (capped by
@@ -1254,6 +1319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changeset_flags": q_changeset_flags,
         "changeset_predicates": q_changeset_predicates,
         "export_way_dispatch": q_export_way_dispatch,
+        "window_aggregate": q_window_aggregate,
+        "asof_join_events": q_asof_join,
         "tile_mosaic": q_tile_mosaic,
         "rasterize_coverage": q_rasterize_coverage,
         "export_geojsonseq": q_export_geojsonseq,
@@ -1541,6 +1608,19 @@ def oracle_sql() -> dict[str, str]:
               AND num_changes > 0
               AND closed_at >= TIMESTAMP '2024-01-14 00:00:00'
               AND created_at <= TIMESTAMP '2024-02-01 00:00:00'""",
+        "window_aggregate": """
+            SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400
+                       AS "window",
+                   event_type, COUNT(*) AS n,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS total
+            FROM events GROUP BY "window", event_type""",
+        "asof_join_events": """
+            SELECT l.event_id, l.user_id, r.ts AS click_ts
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                            WHERE event_type = 'click') r
+            ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "export_way_dispatch": """
             WITH ways AS (
                 SELECT event_id, event_id % 2 = 0 AS closed, event_type,

@@ -1,0 +1,139 @@
+"""Windowed aggregates and as-of joins — temporal operators the reference
+lacks but a training-data pipeline needs (build brief: "as-of join, range
+join, windowed aggregate" as custom operators; closest reference
+relatives are time-filter's per-id version windows,
+/root/reference/src/command_time_filter.cpp:131-189, and apply-changes'
+last-wins merge).
+
+Scale shapes:
+  * tumbling_window: window assignment is a stateless vectorized
+    map_batches (integer floor on the epoch), then ONE native groupby
+    aggregate over (window, keys) — partial+final combine, no skew
+    beyond the keys themselves (salt hot keys upstream if needed).
+  * asof_join: hash-partition both sides by key (one groupby shuffle of
+    narrow projections), then a per-group vectorized searchsorted merge.
+    Partitioning assumption: one key's rows fit in a group task (the
+    same per-id assumption the reference's DiffIterator makes); for
+    giant keys, range-bucket the timestamps and replicate each bucket's
+    last right-side row into the next bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def tumbling_window(ds, ts_col: str, width_s: int,
+                    out_col: str = "window"):
+    """Assign each row the start (epoch seconds) of its tumbling window:
+    floor(epoch / width) * width. Stateless vectorized stage."""
+    def assign(batch: pa.Table) -> pa.Table:
+        # cast via microseconds (a direct us->s cast raises on non-zero
+        # sub-second parts); epoch_us stays exact in float64 up to 2^53
+        us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        sec = pc.divide(us.cast(pa.float64()), 1e6)
+        win = pc.multiply(
+            pc.floor(pc.divide(sec, float(width_s))).cast(pa.int64()),
+            width_s)
+        return batch.append_column(out_col, win)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def tumbling_window_aggregate(ds, ts_col: str, width_s: int,
+                              key_cols: list[str], value_col: str):
+    """Per-(window, keys) count + sum — the windowed-aggregate operator.
+    One native groupby (map-side combine happens inside Ray's hash
+    aggregate), never a per-row Python loop."""
+    from ray.data.aggregate import Count, Sum
+
+    win = tumbling_window(ds, ts_col, width_s)
+    return win.groupby(["window", *key_cols]).aggregate(
+        Count(alias_name="n"), Sum(value_col, alias_name="total"))
+
+
+def asof_join(left, right, key_col: str, ts_col: str,
+              right_cols: list[str], suffix: str = "_r"):
+    """Backward as-of join: for every left row, attach the right row with
+    the LARGEST right.ts <= left.ts for the same key (DuckDB `ASOF LEFT
+    JOIN ... ON l.k = r.k AND l.ts >= r.ts` semantics, inclusive).
+    Unmatched left rows keep nulls.
+
+    Both sides are tagged and unioned so ONE hash shuffle co-locates each
+    key; the per-group merge is a numpy searchsorted over the sorted
+    right timestamps (vectorized across all left rows of the group)."""
+    lschema = left.schema()
+    rschema = right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    lcols = list(lschema.names)
+    # unified wide schema: left columns (left types) + right payload
+    # columns (right types) + the side tag; either side fills the other's
+    # columns with typed nulls so the union schemas match exactly
+    wide_types = dict(ltypes)
+    for c in right_cols:
+        wide_types.setdefault(c, rtypes[c])
+    all_cols = list(wide_types) + ["_side"]
+    out_schema = pa.schema(
+        [(c, ltypes[c]) for c in lcols]
+        + [(c + suffix, rtypes[c]) for c in right_cols])
+
+    def widen(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for c in all_cols[:-1]:
+                cols[c] = batch[c] if c in batch.schema.names \
+                    else pa.nulls(batch.num_rows, type=wide_types[c])
+            cols["_side"] = pa.array([side] * batch.num_rows)
+            return pa.table(cols)
+        return f
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["_side"].to_pylist(), dtype=object)
+        lmask = side == "l"
+        lg = g.filter(pa.array(lmask))
+        rg = g.filter(pa.array(~lmask))
+        n = lg.num_rows
+        out_cols = {c: lg[c].combine_chunks() for c in lcols}
+        if rg.num_rows == 0 or n == 0:
+            for c in right_cols:
+                out_cols[c + suffix] = pa.nulls(n, type=rtypes[c])
+            return pa.table(out_cols, schema=out_schema)
+        lts = lg[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        rts = rg[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.argsort(rts, kind="stable")
+        idx = np.searchsorted(rts[order], lts, side="right") - 1
+        found = idx >= 0
+        take = order[np.maximum(idx, 0)]
+        for c in right_cols:
+            vals = rg[c].take(pa.array(take, type=pa.int64()))
+            vals = vals.combine_chunks() if isinstance(
+                vals, pa.ChunkedArray) else vals
+            out_cols[c + suffix] = pc.if_else(
+                pa.array(found), vals, pa.nulls(n, type=vals.type))
+        return pa.table(out_cols, schema=out_schema)
+
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        # grouped rows arrive key-contiguous; split on key boundaries and
+        # merge each key's run vectorized
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        keys = np.asarray(batch[key_col].to_pylist(), dtype=object)
+        bounds = np.flatnonzero(
+            np.concatenate([[True], keys[1:] != keys[:-1]]))
+        ends = np.concatenate([bounds[1:], [len(keys)]])
+        pieces = [merge_group(batch.slice(s, e - s))
+                  for s, e in zip(bounds, ends)]
+        return pa.concat_tables(pieces) if pieces \
+            else out_schema.empty_table()
+
+    lt = left.map_batches(widen("l"), batch_format="pyarrow")
+    rt = right.select_columns(
+        list(dict.fromkeys([key_col, ts_col, *right_cols]))) \
+        .map_batches(widen("r"), batch_format="pyarrow")
+    return lt.union(rt).groupby(key_col).map_groups(
+        merge_batch, batch_format="pyarrow")
