@@ -1065,6 +1065,23 @@ def q_asof_join(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_range_join(sf_dir: str):
+    """Range (band) join (pipelines/windows.range_join): events banded
+    into value tiers from a broadcast dimension table."""
+    import ray.data as rd
+
+    from osmium_tool_ray.pipelines.windows import range_join
+
+    bands = rd.from_arrow(pa.table({
+        "lo": pa.array([0.0, 100.0, 500.0]),
+        "hi": pa.array([100.0, 500.0, 1e12]),
+        "tier": pa.array(["low", "mid", "high"]),
+    }))
+    ev = _events(sf_dir, ["event_id", "value"])
+    return range_join(ev, bands, "value").select_columns(
+        ["event_id", "tier"])
+
+
 def q_tile_mosaic(sf_dir: str):
     """Per-tile mosaic assembly (raster side of raster<->vector); the
     comparable projection is the member count per tile (capped by
@@ -1321,6 +1338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_way_dispatch": q_export_way_dispatch,
         "window_aggregate": q_window_aggregate,
         "asof_join_events": q_asof_join,
+        "range_join_tiers": q_range_join,
         "tile_mosaic": q_tile_mosaic,
         "rasterize_coverage": q_rasterize_coverage,
         "export_geojsonseq": q_export_geojsonseq,
@@ -1621,6 +1639,11 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts FROM events
                             WHERE event_type = 'click') r
             ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "range_join_tiers": """
+            SELECT e.event_id, b.tier FROM events e
+            LEFT JOIN (VALUES (0.0, 100.0, 'low'), (100.0, 500.0, 'mid'),
+                              (500.0, 1e12, 'high')) b(lo, hi, tier)
+            ON e.value >= b.lo AND e.value < b.hi""",
         "export_way_dispatch": """
             WITH ways AS (
                 SELECT event_id, event_id % 2 = 0 AS closed, event_type,

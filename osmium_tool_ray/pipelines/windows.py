@@ -54,6 +54,43 @@ def tumbling_window_aggregate(ds, ts_col: str, width_s: int,
         Count(alias_name="n"), Sum(value_col, alias_name="total"))
 
 
+def range_join(left, bands, value_col: str, lo_col: str = "lo",
+               hi_col: str = "hi", band_cols: list[str] | None = None):
+    """Range (band) join: attach to each left row the band whose
+    [lo, hi) interval contains its value. The band table is broadcast
+    (ray.put once, read per worker) and probed with ONE searchsorted per
+    batch — no shuffle, no per-row Python. Assumes the bands are
+    non-overlapping (the dimension-table case); rows outside every band
+    get nulls."""
+    import ray
+
+    band_cols = band_cols or [c for c in bands.schema().names
+                              if c not in (lo_col, hi_col)]
+    rows = bands.take_all()
+    lo = np.asarray([r[lo_col] for r in rows], dtype=np.float64)
+    hi = np.asarray([r[hi_col] for r in rows], dtype=np.float64)
+    order = np.argsort(lo, kind="stable")
+    payload = {c: np.asarray([r[c] for r in rows], dtype=object)[order]
+               for c in band_cols}
+    ref = ray.put((lo[order], hi[order], payload))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        slo, shi, pay = ray.get(ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(slo, v, side="right") - 1
+        found = (idx >= 0) & (v < shi[np.maximum(idx, 0)]) if len(slo) \
+            else np.zeros(len(v), dtype=bool)
+        take = np.maximum(idx, 0)
+        for c, vals in pay.items():
+            col = np.where(found, vals[take], None) if len(slo) \
+                else np.full(len(v), None, dtype=object)
+            batch = batch.append_column(c, pa.array(col.tolist(),
+                                                    type=pa.string()))
+        return batch
+
+    return left.map_batches(probe, batch_format="pyarrow")
+
+
 def asof_join(left, right, key_col: str, ts_col: str,
               right_cols: list[str], suffix: str = "_r"):
     """Backward as-of join: for every left row, attach the right row with
