@@ -1082,6 +1082,23 @@ def q_range_join(sf_dir: str):
         ["event_id", "tier"])
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (pipelines/windows.sessionize): 30-minute
+    inactivity gap per user over the events stream."""
+    from osmium_tool_ray.pipelines.windows import sessionize
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+    out = sessionize(ev, "user_id", "ts", 1800)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "session": batch["session"].cast(pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_tile_mosaic(sf_dir: str):
     """Per-tile mosaic assembly (raster side of raster<->vector); the
     comparable projection is the member count per tile (capped by
@@ -1339,6 +1356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_aggregate": q_window_aggregate,
         "asof_join_events": q_asof_join,
         "range_join_tiers": q_range_join,
+        "sessionize_events": q_sessionize,
         "tile_mosaic": q_tile_mosaic,
         "rasterize_coverage": q_rasterize_coverage,
         "export_geojsonseq": q_export_geojsonseq,
@@ -1639,6 +1657,17 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts FROM events
                             WHERE event_type = 'click') r
             ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "sessionize_events": """
+            SELECT event_id,
+                   SUM(CASE WHEN prev_ts IS NOT NULL
+                            AND epoch(ts) - epoch(prev_ts) > 1800
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session
+            FROM (SELECT event_id, user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             AS prev_ts
+                  FROM events)""",
         "range_join_tiers": """
             SELECT e.event_id, b.tier FROM events e
             LEFT JOIN (VALUES (0.0, 100.0, 'low'), (100.0, 500.0, 'mid'),

@@ -54,6 +54,43 @@ def tumbling_window_aggregate(ds, ts_col: str, width_s: int,
         Count(alias_name="n"), Sum(value_col, alias_name="total"))
 
 
+def sessionize(ds, key_col: str, ts_col: str, gap_s: int,
+               out_col: str = "session"):
+    """Gap-based sessionization: within each key, a new session starts
+    whenever the time since the previous event exceeds `gap_s`. Session
+    ids are 0-based per key (deterministic given the data, independent
+    of partitioning).
+
+    One hash shuffle on the key, then a per-key vectorized pass: sort
+    timestamps, diff, cumsum — the standard lag()+running-sum window
+    translated to numpy. Same per-key-fits-a-task assumption as
+    asof_join; the output keeps the input columns plus the session id."""
+    def per_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.array([], type=pa.int64()))
+        keys = np.asarray(g[key_col].to_pylist(), dtype=object)
+        us = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        # stable sort by (key, ts) so ties keep input order
+        order = np.lexsort((us, keys.astype(str)))
+        ks = keys[order]
+        ts = us[order]
+        new_key = np.concatenate([[True], ks[1:] != ks[:-1]])
+        gap = np.concatenate([[False], (ts[1:] - ts[:-1]) >
+                              gap_s * 1_000_000])
+        breaks = (gap & ~new_key).astype(np.int64)
+        run = np.cumsum(breaks)
+        # 0-based per key: subtract the running count at the key's first
+        # row (forward-filled index of the last new_key position)
+        first_idx = np.maximum.accumulate(
+            np.where(new_key, np.arange(len(ks)), 0))
+        session = run - run[first_idx]
+        out = g.take(pa.array(order, type=pa.int64()))
+        return out.append_column(out_col, pa.array(session))
+
+    return ds.groupby(key_col).map_groups(per_group, batch_format="pyarrow")
+
+
 def range_join(left, bands, value_col: str, lo_col: str = "lo",
                hi_col: str = "hi", band_cols: list[str] | None = None):
     """Range (band) join: attach to each left row the band whose
