@@ -1099,6 +1099,30 @@ def q_sessionize(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct-count sketch (stages/sketches.py): estimate
+    vs exact distinct counts for two event columns. Rows-only (the
+    estimate is approximate by design; pytest asserts the <3% error
+    bound — test_sketches.py)."""
+    from osmium_tool_ray.stages.sketches import hll_distinct
+
+    rows = []
+    for col in ("user_id", "event_type"):
+        ds = _events(sf_dir, [col])
+        est = hll_distinct(
+            ds.map_batches(lambda b, c=col: pa.table(
+                {c: b[c].cast(pa.string())}), batch_format="pyarrow"),
+            col, p=14)
+        exact = len(_distinct_users(sf_dir)) if col == "user_id" else \
+            ds.select_columns([col]).unique(col).__len__()
+        rows.append((col, int(round(est)), int(exact)))
+    return pa.table({
+        "column": pa.array([r[0] for r in rows]),
+        "n_est": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_exact": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+
+
 def q_tile_mosaic(sf_dir: str):
     """Per-tile mosaic assembly (raster side of raster<->vector); the
     comparable projection is the member count per tile (capped by
@@ -1357,6 +1381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": q_asof_join,
         "range_join_tiers": q_range_join,
         "sessionize_events": q_sessionize,
+        "hll_distinct_counts": q_hll_distinct,
         "tile_mosaic": q_tile_mosaic,
         "rasterize_coverage": q_rasterize_coverage,
         "export_geojsonseq": q_export_geojsonseq,

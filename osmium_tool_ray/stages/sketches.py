@@ -1,0 +1,80 @@
+"""Mergeable sketches — approximate aggregates for 100-TB-scale profiling
+(build brief: "a novel sketch" as a custom operator; the reference keeps
+only exact counts, SURVEY.md §2.5, so these are graft additions).
+
+HyperLogLog distinct count: the canonical mergeable sketch. Each block
+folds its rows into 2^p max-registers map-side (one vectorized pass, no
+Python loop); the shuffle payload is ONE register row of 2^p bytes per
+block, merged by elementwise max — the same partial+final shape as
+tags-count, but with constant-size partials regardless of cardinality.
+At p=14 the standard error is 1.04/sqrt(2^14) ~ 0.8%.
+
+Estimator: Flajolet et al.'s HLL with the standard alpha_m bias constant
+and linear-counting fallback for the small range (the widely published
+formulation; no external library)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import hash_str_u64
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(values, p: int = 14, seed: int = 0) -> np.ndarray:
+    """Fold a string array into 2^p HLL max-registers (uint8)."""
+    m = 1 << p
+    h = hash_str_u64(values, seed=seed)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+    # rank = leading zeros of the remaining 64-p bits, +1 (<= 64-p+1)
+    # via bit_length: leading_zeros = 64 - bit_length
+    bl = np.zeros(len(h), dtype=np.int64)
+    v = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(shift))
+        bl[big] += shift
+        v[big] >>= np.uint64(shift)
+    bl += (v >= 1).astype(np.int64)
+    rank = (64 - bl + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Cardinality estimate from merged registers (alpha_m * m^2 / sum
+    2^-reg, with linear counting when E <= 2.5m and zeros exist)."""
+    m = len(regs)
+    est = _alpha(m) * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct(ds, col: str, p: int = 14, seed: int = 0) -> float:
+    """Approximate COUNT(DISTINCT col) over a Dataset. Map-side register
+    fold per block; only (n_blocks x 2^p) bytes reach the driver for the
+    final elementwise-max merge (same driver-merge shape as fileinfo's
+    content hash)."""
+    def fold(batch: pa.Table) -> pa.Table:
+        regs = hll_registers(batch[col].cast(pa.string()), p=p, seed=seed)
+        return pa.table({"regs": pa.array([regs.tobytes()],
+                                          type=pa.binary())})
+
+    parts = ds.map_batches(fold, batch_format="pyarrow").take_all()
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for r in parts:
+        merged = np.maximum(merged, np.frombuffer(r["regs"], dtype=np.uint8))
+    return hll_estimate(merged)
