@@ -1123,6 +1123,20 @@ def q_hll_distinct(sf_dir: str):
     })
 
 
+def q_topk_per_user(sf_dir: str):
+    """Group-wise top-k (pipelines/merge.topk_per_key): each user's top-3
+    events by value (event_id as the deterministic tiebreaker)."""
+    from osmium_tool_ray.pipelines.merge import topk_per_key
+
+    ev = _events(sf_dir, ["event_id", "user_id", "value"])
+    out = topk_per_key(ev, ["user_id"], ["value", "event_id"], 3)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return batch.select(["user_id", "event_id", "value"])
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_tile_mosaic(sf_dir: str):
     """Per-tile mosaic assembly (raster side of raster<->vector); the
     comparable projection is the member count per tile (capped by
@@ -1382,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_tiers": q_range_join,
         "sessionize_events": q_sessionize,
         "hll_distinct_counts": q_hll_distinct,
+        "topk_per_user": q_topk_per_user,
         "tile_mosaic": q_tile_mosaic,
         "rasterize_coverage": q_rasterize_coverage,
         "export_geojsonseq": q_export_geojsonseq,
@@ -1682,6 +1697,12 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts FROM events
                             WHERE event_type = 'click') r
             ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "topk_per_user": """
+            SELECT user_id, event_id, value FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY value DESC, event_id DESC) AS rn
+                FROM events) WHERE rn <= 3""",
         "sessionize_events": """
             SELECT event_id,
                    SUM(CASE WHEN prev_ts IS NOT NULL

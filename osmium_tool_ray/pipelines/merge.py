@@ -68,6 +68,30 @@ def argmax_rows(ds, key_cols: list[str], order_cols: list[str]):
     return reduced.groupby(key_cols).map_groups(local, batch_format="pandas")
 
 
+def topk_per_key(ds, key_cols: list[str], order_cols: list[str], k: int):
+    """Per key, the k rows maximizing the order_cols tuple (the
+    row_number() OVER (PARTITION BY key ORDER BY ... DESC) <= k window,
+    generalizing argmax_rows' k=1).
+
+    Same partial+final shape: each batch first prunes to at most k
+    candidate rows per key (one vectorized sort + grouped head), so the
+    shuffle carries <= k rows per key per input block; the final
+    per-group pick repeats the prune on the merged candidates. Ties
+    resolve by the full sort-key tuple, so add a unique tiebreaker
+    column to order_cols for byte-stable output."""
+    asc = [True] * len(key_cols) + [False] * len(order_cols)
+    cols = key_cols + order_cols
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        s = df.sort_values(cols, ascending=asc, kind="stable")
+        return s.groupby(key_cols, sort=False).head(k)
+
+    reduced = ds.map_batches(local, batch_format="pandas")
+    return reduced.groupby(key_cols).map_groups(local, batch_format="pandas")
+
+
 def _pack_order(batch: pa.Table, order_cols: list[str]) -> pa.Array:
     """Fixed-width big-endian packing of an integer/timestamp order tuple:
     lexicographic byte order == tuple order, so a native Max aggregate
