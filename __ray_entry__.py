@@ -1137,6 +1137,47 @@ def q_topk_per_user(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_embedding_moments(sf_dir: str):
+    """The per-dimension moment fold that feeds distributed PCA
+    (stages/projections.pca_partials shape): count + per-dim sum over the
+    embeddings table, in integer micro-units so the distributed sum is
+    order-insensitive and exactly comparable."""
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.knn import embedding_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        x = embedding_matrix(batch["embedding"])
+        if x.size == 0:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.binary())})
+        # floor(f32 * 2^20): the scale is a power of two, so the product
+        # is exact in float64 and floor is bit-deterministic — the same
+        # expression in SQL gives identical integers
+        micro = np.floor(x * 1048576.0).astype(np.int64)
+        return pa.table({
+            "n": pa.array([x.shape[0]], type=pa.int64()),
+            "s": pa.array([micro.sum(axis=0).tobytes()], type=pa.binary()),
+        })
+
+    parts = ds.map_batches(fold, batch_format="pyarrow").take_all()
+    n = 0
+    s = None
+    for r in parts:
+        n += int(r["n"])
+        bs = np.frombuffer(r["s"], dtype=np.int64)
+        s = bs if s is None else s + bs
+    d = 0 if s is None else len(s)
+    return pa.table({
+        "dim": pa.array(range(d), type=pa.int64()),
+        "n": pa.array([n] * d, type=pa.int64()),
+        "s_micro": pa.array(s if s is not None else [], type=pa.int64()),
+    })
+
+
 def q_tile_mosaic(sf_dir: str):
     """Per-tile mosaic assembly (raster side of raster<->vector); the
     comparable projection is the member count per tile (capped by
@@ -1397,6 +1438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": q_sessionize,
         "hll_distinct_counts": q_hll_distinct,
         "topk_per_user": q_topk_per_user,
+        "embedding_moments": q_embedding_moments,
         "tile_mosaic": q_tile_mosaic,
         "rasterize_coverage": q_rasterize_coverage,
         "export_geojsonseq": q_export_geojsonseq,
@@ -1697,6 +1739,12 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts FROM events
                             WHERE event_type = 'click') r
             ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "embedding_moments": """
+            SELECT d AS dim, COUNT(*) AS n,
+                   SUM(CAST(floor(CAST(embedding[d + 1] AS DOUBLE)
+                                  * 1048576) AS BIGINT)) AS s_micro
+            FROM embeddings, range(64) t(d)
+            GROUP BY d""",
         "topk_per_user": """
             SELECT user_id, event_id, value FROM (
                 SELECT user_id, event_id, value,

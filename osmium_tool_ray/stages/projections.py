@@ -1,0 +1,116 @@
+"""Dimensionality reduction over embedding columns — distributed PCA and
+seeded random projection (graft additions; the reference has no vector
+ops, SURVEY.md §2.5 — these feed the ANN/near-dup stages in
+stages/knn.py and stages/dedup.py with smaller vectors).
+
+Scale shapes:
+  * PCA training is the textbook mergeable-moments reduction: each block
+    contributes (n, sum x, sum x x^T) — a (d + d^2)-float partial
+    independent of block size — merged on the driver, where the d x d
+    eigendecomposition is trivial (d is the embedding dim, O(100)).
+    No shuffle; one streaming pass.
+  * Projection is a per-batch matmul against the broadcast component
+    matrix (ray.put once), emitting fixed-size list<float> columns.
+  * Random projection needs no training pass at all: every worker
+    regenerates the same Gaussian matrix from the seed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .knn import embedding_matrix
+
+
+def pca_partials(ds, vec_col: str = "embedding"):
+    """One streaming pass -> merged (n, sum, sum-outer) moments."""
+    def fold(batch: pa.Table) -> pa.Table:
+        x = embedding_matrix(batch[vec_col])
+        if x.size == 0:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.binary()),
+                             "ss": pa.array([], type=pa.binary())})
+        return pa.table({
+            "n": pa.array([x.shape[0]], type=pa.int64()),
+            "s": pa.array([x.sum(axis=0).tobytes()], type=pa.binary()),
+            "ss": pa.array([(x.T @ x).tobytes()], type=pa.binary()),
+        })
+
+    rows = ds.map_batches(fold, batch_format="pyarrow").take_all()
+    n = 0
+    s = ss = None
+    for r in rows:
+        bn = int(r["n"])
+        bs = np.frombuffer(r["s"], dtype=np.float64)
+        d = len(bs)
+        bss = np.frombuffer(r["ss"], dtype=np.float64).reshape(d, d)
+        n += bn
+        s = bs if s is None else s + bs
+        ss = bss if ss is None else ss + bss
+    return n, s, ss
+
+
+def train_pca(ds, d_out: int, vec_col: str = "embedding"):
+    """Fit PCA from the merged moments: mean + top-d_out eigenvectors of
+    the covariance (deterministic sign convention: largest-|.| entry of
+    each component is positive). Returns (mean, components[d_out, d])."""
+    n, s, ss = pca_partials(ds, vec_col)
+    if not n:
+        raise ValueError("empty dataset")
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:d_out]
+    comps = v[:, order].T
+    # sign-normalize so results are partitioning-independent
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps
+
+
+def project(ds, mean: np.ndarray, components: np.ndarray,
+            vec_col: str = "embedding", out_col: str = "projected"):
+    """Per-batch (x - mean) @ components^T against the broadcast matrix."""
+    import ray
+
+    ref = ray.put((mean, components))
+
+    def apply(batch: pa.Table) -> pa.Table:
+        mu, comps = ray.get(ref)
+        x = embedding_matrix(batch[vec_col])
+        y = (x - mu) @ comps.T if x.size else \
+            np.empty((0, comps.shape[0]))
+        flat = pa.array(y.ravel(), type=pa.float32())
+        offsets = pa.array(
+            np.arange(0, (len(y) + 1) * comps.shape[0], comps.shape[0],
+                      dtype=np.int32))
+        lists = pa.ListArray.from_arrays(offsets, flat)
+        return batch.drop_columns([vec_col]).append_column(out_col, lists)
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def random_projection_matrix(d_in: int, d_out: int,
+                             seed: int = 0) -> np.ndarray:
+    """Seeded Gaussian JL matrix (rows scaled by 1/sqrt(d_out)); every
+    worker regenerates it identically — nothing to broadcast."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((d_out, d_in)) / np.sqrt(d_out)
+
+
+def random_project(ds, d_in: int, d_out: int, seed: int = 0,
+                   vec_col: str = "embedding", out_col: str = "projected"):
+    def apply(batch: pa.Table) -> pa.Table:
+        comps = random_projection_matrix(d_in, d_out, seed)
+        x = embedding_matrix(batch[vec_col])
+        y = x @ comps.T if x.size else np.empty((0, d_out))
+        flat = pa.array(y.ravel(), type=pa.float32())
+        offsets = pa.array(
+            np.arange(0, (len(y) + 1) * d_out, d_out, dtype=np.int32))
+        lists = pa.ListArray.from_arrays(offsets, flat)
+        return batch.drop_columns([vec_col]).append_column(out_col, lists)
+
+    return ds.map_batches(apply, batch_format="pyarrow")
