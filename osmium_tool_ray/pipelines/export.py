@@ -51,6 +51,98 @@ def render_geojson_points(batch: pa.Table, id_col: str = "image_id",
     return pa.table({"line": line})
 
 
+def _fmt_coord(arr) -> pa.Array:
+    """Coordinate formatting for WKT text output: trailing-zero-free like
+    the reference's text writer ('1 1', not '1.0 1.0')."""
+    s = pc.cast(arr, pa.string())
+    s = pc.replace_substring_regex(s, pattern=r"\.0$", replacement="")
+    return s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+
+
+def render_text_points(batch: pa.Table, id_col: str = "image_id",
+                       lon_col: str = "lon", lat_col: str = "lat",
+                       tags_col: str | None = None) -> pa.Table:
+    """The export `-f text` point form (export_format_text.cpp):
+    `POINT(lon lat) @id=<id>[,k=v,...]` — one vectorized string build,
+    tags (sorted k=v) appended when a tags column is present."""
+    n = batch.num_rows
+    parts = [pa.array(["POINT("] * n), _fmt_coord(batch[lon_col]),
+             pa.array([" "] * n), _fmt_coord(batch[lat_col]),
+             pa.array([") @id="] * n),
+             batch[id_col].cast(pa.string()).combine_chunks()
+             if isinstance(batch[id_col], pa.ChunkedArray)
+             else batch[id_col].cast(pa.string())]
+    if tags_col is not None and tags_col in batch.schema.names:
+        from ..functions.matchers import flatten_tags
+
+        keys, vals, row_idx = flatten_tags(batch[tags_col])
+        karr = np.asarray(keys.to_pylist(), dtype=object)
+        varr = np.asarray(vals.to_pylist(), dtype=object)
+        suffix = np.full(n, "", dtype=object)
+        # order tags (k=v) alphabetically per row without a Python row
+        # loop: lexsort by (row, key), then join per key run
+        if len(karr):
+            order = np.lexsort((karr.astype(str), row_idx))
+            r = row_idx[order]
+            kv = np.char.add(np.char.add(karr[order].astype(str), "="),
+                             varr[order].astype(str))
+            starts = np.flatnonzero(
+                np.concatenate([[True], r[1:] != r[:-1]]))
+            joined = np.array(
+                [",".join(kv[s:e]) for s, e in
+                 zip(starts, np.concatenate([starts[1:], [len(kv)]]))],
+                dtype=object)
+            suffix[r[starts]] = np.char.add(
+                ",", joined.astype(str)).astype(object)
+        parts.append(pa.array(suffix, type=pa.string()))
+    line = pc.binary_join_element_wise(
+        *[p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+          for p in parts], "")
+    return pa.table({"line": line})
+
+
+def render_wkt_ways(members_with_locations, tags_by_way=None,
+                    closed_as_polygon: bool = False):
+    """The export `-f text` way form: `LINESTRING(x y,...) @id=<way>` (or
+    `MULTIPOLYGON(((...)))` for closed rings when closed_as_polygon).
+    Per-way assembly mirrors render_geojson_ways' groupby; tags_by_way is
+    an optional small broadcastable {way_id: 'k=v,...'} suffix map."""
+    import ray
+
+    tags_ref = ray.put(tags_by_way or {})
+
+    def assemble(g) -> "pa.Table":
+        import pandas as pd
+
+        g = g.sort_values("seq", kind="stable")
+        coords = [(lo, la) for lo, la in zip(g["lon"], g["lat"])
+                  if not (np.isnan(lo) or np.isnan(la))]
+        if len(coords) < 2:
+            return pd.DataFrame({"line": []})
+        wid = g["group_id"].iloc[0]
+
+        def fmt(v):
+            s = f"{v:g}"
+            return s
+        pts = ",".join(f"{fmt(lo)} {fmt(la)}" for lo, la in coords)
+        closed = coords[0] == coords[-1] and len(coords) >= 4
+        tags = ray.get(tags_ref).get(wid, "")
+        suffix = f" @id={wid}" + ("," + tags if tags else "")
+        if closed and closed_as_polygon:
+            from ..functions.geometry import is_ccw
+
+            ring_pts = coords if is_ccw(np.asarray(coords)) \
+                else coords[::-1]  # outer rings CCW (geometry_util.cpp:22-34)
+            ring = ",".join(f"{fmt(lo)} {fmt(la)}" for lo, la in ring_pts)
+            line = f"MULTIPOLYGON((({ring}))){suffix}"
+        else:
+            line = f"LINESTRING({pts}){suffix}"
+        return pd.DataFrame({"line": [line]})
+
+    return members_with_locations.groupby("group_id").map_groups(
+        assemble, batch_format="pandas")
+
+
 def add_type_id(batch: pa.Table, kind_col: str = "kind",
                 id_col: str = "id", out_col: str = "feature_id") -> pa.Table:
     """-u type_id (man/osmium-export.md ATTRIBUTES): feature id 'n<id>'
