@@ -155,6 +155,82 @@ def test_site_R(site):
     assert (nodes, ways, rels) == ([], [], ["r31", "r32"])
 
 
+def test_highway_inverted_remove_tags(base):
+    """output-highway-it.osm (-i -t w/highway): both highway ways drop;
+    w20 returns as a referenced-only member of kept r30 with its tags
+    stripped; every node keeps its tags (n15's highway too — the
+    expression is way-typed)."""
+    images, groups, members = base
+    res = run_tags_filter(images, ["w/highway"], groups=groups,
+                          members=members, invert=True, remove_tags=True)
+    nodes = sorted(r["image_id"] for r in res["images_out"].take_all())
+    assert nodes == ["n10", "n11", "n12", "n13", "n14", "n15"]
+    tags = {r["image_id"]: r["tags"] for r in res["images_out"].take_all()}
+    assert tags["n11"] and tags["n15"]  # node tags survive
+    gr = res["group_rows"]
+    by_id = {g: (k, ref, t) for g, k, ref, t in zip(
+        gr["group_id"].to_pylist(), gr["kind"].to_pylist(),
+        gr["referenced_only"].to_pylist(), gr["tags"].to_pylist())}
+    assert sorted(by_id) == ["r30", "w20"]
+    assert by_id["w20"][1] is True and by_id["w20"][2] == []  # stripped
+    assert by_id["r30"][1] is False and by_id["r30"][2]       # note kept
+
+
+def test_note_rel_remove_tags(base):
+    """output-note-rel-t.osm (r/note -t): r30 keeps note; referenced-only
+    w20 and nodes (incl. n11's barrier) are tag-stripped."""
+    images, groups, members = base
+    res = run_tags_filter(images, ["r/note"], groups=groups,
+                          members=members, remove_tags=True)
+    rows = res["images_out"].take_all()
+    assert sorted(r["image_id"] for r in rows) == ["n10", "n11", "n12"]
+    assert all(r["tags"] == [] for r in rows)  # all referenced-only
+    gr = res["group_rows"]
+    by_id = {g: t for g, t in zip(gr["group_id"].to_pylist(),
+                                  gr["tags"].to_pylist())}
+    assert by_id["w20"] == []
+    assert by_id["r30"] and by_id["r30"][0]["key"] == "note"
+
+
+def test_site_remove_tags(site):
+    """output-site-t.osm (r/site -t over input-site): matched r31/r32
+    keep site tags; the referenced chain r30 -> w20 -> nodes is
+    tag-stripped."""
+    images, groups, members = site
+    res = run_tags_filter(images, ["r/site"], groups=groups,
+                          members=members, remove_tags=True)
+    rows = res["images_out"].take_all()
+    assert sorted(r["image_id"] for r in rows) == ["n10", "n11", "n12"]
+    assert all(r["tags"] == [] for r in rows)
+    gr = res["group_rows"]
+    by_id = {g: t for g, t in zip(gr["group_id"].to_pylist(),
+                                  gr["tags"].to_pylist())}
+    assert sorted(by_id) == ["r30", "r31", "r32", "w20"]
+    assert by_id["r30"] == [] and by_id["w20"] == []
+    assert by_id["r31"][0]["key"] == "site"
+    assert by_id["r32"][0]["key"] == "site"
+
+
+def test_nodes_only_inverted(ray_session):
+    """output-nodes-highway-i.osm (-i w/highway over input-nodes): a
+    nodes-only stream is untouched by a way-typed inverted expression —
+    every node with its tags."""
+    import ray.data as rd
+
+    nodes = [("n10", []), ("n11", [_t("barrier", "gate")]), ("n12", []),
+             ("n13", []), ("n14", [_t("amenity", "post_box")]),
+             ("n15", [_t("highway", "traffic_signals")])]
+    images = rd.from_arrow(pa.table({
+        "image_id": pa.array([n[0] for n in nodes]),
+        "lon": pa.array([1.0] * 6), "lat": pa.array([1.0] * 6),
+        "tags": pa.array([n[1] for n in nodes], type=TAGS_TYPE),
+    }))
+    res = run_tags_filter(images, ["w/highway"], invert=True)
+    rows = {r["image_id"]: r["tags"] for r in res["images_out"].take_all()}
+    assert sorted(rows) == ["n10", "n11", "n12", "n13", "n14", "n15"]
+    assert rows["n15"][0]["key"] == "highway"
+
+
 def test_area_filter_closed_way(ray_session):
     # a/-prefixed expressions match closed ways (>=4 refs, first==last) and
     # type=multipolygon/boundary relations (command_tags_filter.cpp:203-230)
