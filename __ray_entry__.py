@@ -1178,6 +1178,17 @@ def q_embedding_moments(sf_dir: str):
     })
 
 
+def q_phash_neardup(sf_dir: str):
+    """Image near-dup pairs by perceptual-hash hamming LSH
+    (stages/dedup.phash_neardup): 16-bit bands, hot-bucket cap 500,
+    hamming <= 12 verify."""
+    from osmium_tool_ray.stages.dedup import phash_neardup
+
+    return phash_neardup(
+        images_dataset(sf_dir, columns=["image_id", "phash"]),
+        t=12, cap=500)
+
+
 def q_tile_mosaic(sf_dir: str):
     """Per-tile mosaic assembly (raster side of raster<->vector); the
     comparable projection is the member count per tile (capped by
@@ -1439,6 +1450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_counts": q_hll_distinct,
         "topk_per_user": q_topk_per_user,
         "embedding_moments": q_embedding_moments,
+        "phash_neardup": q_phash_neardup,
         "tile_mosaic": q_tile_mosaic,
         "rasterize_coverage": q_rasterize_coverage,
         "export_geojsonseq": q_export_geojsonseq,
@@ -1739,6 +1751,22 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts FROM events
                             WHERE event_type = 'click') r
             ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "phash_neardup": f"""{cte}
+            , bands AS (
+                SELECT image_id, phash, band,
+                       (phash >> (48 - band * 16)) & 65535 AS v
+                FROM images, range(4) t(band)),
+            ok AS (SELECT band, v FROM bands GROUP BY band, v
+                   HAVING count(*) BETWEEN 2 AND 500),
+            cand AS (SELECT DISTINCT a.image_id AS id_a,
+                            b.image_id AS id_b,
+                            a.phash AS pa, b.phash AS pb
+                     FROM bands a
+                     JOIN ok ON ok.band = a.band AND ok.v = a.v
+                     JOIN bands b ON a.band = b.band AND a.v = b.v
+                          AND a.image_id < b.image_id)
+            SELECT id_a, id_b FROM cand
+            WHERE bit_count(xor(pa, pb)) <= 12""",
         "embedding_moments": """
             SELECT d AS dim, COUNT(*) AS n,
                    SUM(CAST(floor(CAST(embedding[d + 1] AS DOUBLE)

@@ -735,3 +735,90 @@ def embedding_neardup(embeddings, dim: int, threshold: float = 0.95,
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = (np.asarray(a).view(np.uint64) ^ np.asarray(b).view(np.uint64))
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def phash_neardup(images, t: int = 12, cap: int = 500,
+                  id_col: str = "image_id", phash_col: str = "phash"):
+    """Image near-duplicate pairs by perceptual-hash hamming LSH: the
+    64-bit phash splits into four 16-bit bands; images sharing a band
+    value are candidates; candidates verify at hamming(phash) <= t.
+
+    Hot-bucket guard (the image-side analogue of the text LSH hot-bucket
+    handling above): a band bucket holding more than `cap` rows is
+    SKIPPED — in this corpus the top band is constant across all images
+    (one planet-sized bucket), and at 10^12 rows any such degenerate
+    band would otherwise emit O(n^2) candidate pairs. Cap semantics are
+    part of the operator contract and replicated by the SQL oracle
+    (HAVING count(*) BETWEEN 2 AND cap).
+
+    Shapes: band explode is a stateless vectorized map (narrow (band, v,
+    id, phash) rows — blobs never touched); ONE groupby(band, v) shuffle;
+    per-bucket pair emission via triu indices (buckets <= cap rows);
+    vectorized popcount verify; distinct pairs via a second narrow
+    groupby. Returns (id_a, id_b) with id_a < id_b."""
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ph = batch[phash_col].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        bands, vs, oid, oph = [], [], [], []
+        for b in range(4):
+            v = ((ph >> np.uint64(48 - b * 16)) & np.uint64(0xFFFF))
+            bands.append(np.full(n, b, dtype=np.int32))
+            vs.append(v.astype(np.int64))
+            oid.append(ids)
+            oph.append(ph.view(np.int64))
+        return pa.table({
+            "band": pa.array(np.concatenate(bands)),
+            "v": pa.array(np.concatenate(vs)),
+            id_col: pa.array(np.concatenate(oid)),
+            phash_col: pa.array(np.concatenate(oph)),
+        })
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.string()),
+                          "id_b": pa.array([], type=pa.string()),
+                          "pa_": pa.array([], type=pa.int64()),
+                          "pb_": pa.array([], type=pa.int64())})
+        # split runs on (band, v) in case several groups share a call
+        band = g["band"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        key_change = np.concatenate(
+            [[True], (band[1:] != band[:-1]) | (v[1:] != v[:-1])])
+        starts = np.flatnonzero(key_change)
+        ends = np.concatenate([starts[1:], [len(band)]])
+        outs = []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2 or n > cap:
+                continue
+            sub = g.slice(s, n)
+            ids = np.asarray(sub[id_col].to_pylist(), dtype=object)
+            ph = sub[phash_col].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids.astype(str), kind="stable")
+            ids, ph = ids[order], ph[order]
+            ia, ib = np.triu_indices(n, 1)
+            outs.append(pa.table({
+                "id_a": pa.array(ids[ia], type=pa.string()),
+                "id_b": pa.array(ids[ib], type=pa.string()),
+                "pa_": pa.array(ph[ia], type=pa.int64()),
+                "pb_": pa.array(ph[ib], type=pa.int64()),
+            }))
+        return pa.concat_tables(outs) if outs else empty
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(["id_a", "id_b"])
+        h = hamming64(batch["pa_"].to_numpy(zero_copy_only=False),
+                      batch["pb_"].to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(h <= t)).select(["id_a", "id_b"])
+
+    pairs = images.select_columns([id_col, phash_col]) \
+        .map_batches(explode, batch_format="pyarrow") \
+        .groupby(["band", "v"]) \
+        .map_groups(emit_pairs, batch_format="pyarrow") \
+        .map_batches(verify, batch_format="pyarrow")
+    # pairs found via multiple bands collapse to one row
+    return pairs.groupby(["id_a", "id_b"]).count() \
+        .select_columns(["id_a", "id_b"])
