@@ -751,24 +751,68 @@ def phash_neardup(images, t: int = 12, cap: int = 500,
     part of the operator contract and replicated by the SQL oracle
     (HAVING count(*) BETWEEN 2 AND cap).
 
-    Shapes: band explode is a stateless vectorized map (narrow (band, v,
-    id, phash) rows — blobs never touched); ONE groupby(band, v) shuffle;
-    per-bucket pair emission via triu indices (buckets <= cap rows);
-    vectorized popcount verify; distinct pairs via a second narrow
-    groupby. Returns (id_a, id_b) with id_a < id_b."""
+    Shapes: the (band, value) key space is bounded (4 x 2^16), so bucket
+    sizes are computed FIRST with map-side partial bincounts merged on
+    the driver (<= 512 KiB total) — hot buckets AND singleton buckets
+    (the vast majority) are then dropped map-side via a broadcast
+    searchsorted BEFORE the shuffle, so the groupby only ever moves rows
+    that can emit pairs. Band explode is a stateless vectorized map
+    (narrow (band, v, id, phash) rows — blobs never touched); per-bucket
+    pair emission via triu indices (buckets <= cap rows); vectorized
+    popcount verify; distinct pairs via a second narrow groupby.
+    Returns (id_a, id_b) with id_a < id_b."""
+    import ray
     import pyarrow.compute as pc
 
+    def _band_vals(ph: np.ndarray) -> np.ndarray:
+        # (4, n) band values of the uint64 hashes
+        return np.stack([((ph >> np.uint64(48 - b * 16))
+                          & np.uint64(0xFFFF)).astype(np.int64)
+                         for b in range(4)])
+
+    narrow = images.select_columns([id_col, phash_col])
+
+    # pass 1: global bucket sizes via per-block bincount partials
+    def count_buckets(batch: pa.Table) -> pa.Table:
+        ph = batch[phash_col].to_numpy(zero_copy_only=False).view(np.uint64)
+        bv = _band_vals(ph)
+        counts = np.zeros(4 * 65536, dtype=np.int64)
+        for b in range(4):
+            counts[b * 65536:(b + 1) * 65536] = np.bincount(
+                bv[b], minlength=65536)
+        return pa.table({"c": pa.array([counts.tobytes()],
+                                       type=pa.binary())})
+
+    total = np.zeros(4 * 65536, dtype=np.int64)
+    for r in narrow.map_batches(count_buckets,
+                                batch_format="pyarrow").take_all():
+        total = total + np.frombuffer(r["c"], dtype=np.int64)
+    keep_keys = np.flatnonzero((total >= 2) & (total <= cap))
+    keep_ref = ray.put(keep_keys)
+
     def explode(batch: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
         n = batch.num_rows
         ph = batch[phash_col].to_numpy(zero_copy_only=False).view(np.uint64)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if not len(keep):
+            return pa.table({
+                "band": pa.array([], type=pa.int32()),
+                "v": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.string()),
+                phash_col: pa.array([], type=pa.int64()),
+            })
+        bv = _band_vals(ph)
         bands, vs, oid, oph = [], [], [], []
         for b in range(4):
-            v = ((ph >> np.uint64(48 - b * 16)) & np.uint64(0xFFFF))
-            bands.append(np.full(n, b, dtype=np.int32))
-            vs.append(v.astype(np.int64))
-            oid.append(ids)
-            oph.append(ph.view(np.int64))
+            key = b * 65536 + bv[b]
+            pos = np.searchsorted(keep, key)
+            sel = (pos < len(keep)) & (keep[np.minimum(pos, len(keep) - 1)]
+                                       == key)
+            bands.append(np.full(int(sel.sum()), b, dtype=np.int32))
+            vs.append(bv[b][sel])
+            oid.append(ids[sel])
+            oph.append(ph.view(np.int64)[sel])
         return pa.table({
             "band": pa.array(np.concatenate(bands)),
             "v": pa.array(np.concatenate(vs)),
