@@ -360,6 +360,82 @@ def derive_changes(old, new, id_cols: list[str], value_cols: list[str]):
     return agg.map_batches(classify, batch_format="pyarrow")
 
 
+def derive_change_records(old, new, id_cols: list[str],
+                          value_cols: list[str],
+                          keep_details: bool = False,
+                          increment_version: bool = False,
+                          version_col: str | None = None):
+    """Full derive-changes output records, not just the classification
+    (command_derive_changes.cpp:153-203 + the option handling):
+
+      * created/modified rows carry the NEW side's payload;
+      * deleted rows carry only id/version by default (the reference
+        writes deletes "in the reduced form", payload columns nulled) —
+        --keep-details (:62-66) keeps the OLD side's full payload;
+      * --increment-version (:67-70) bumps the deleted row's version.
+
+    Shape: the classification (one narrow shuffle, derive_changes) joins
+    back to each side with Ray's hash-partitioned Dataset.join —
+    materialized inputs per the repo's join hygiene notes."""
+    import pyarrow.compute as pc
+
+    cls = derive_changes(old, new, id_cols, value_cols).map_batches(
+        lambda b: b.filter(pc.not_equal(b["change"], "same")),
+        batch_format="pyarrow").materialize()
+
+    def side_rows(side, wanted: list[str]):
+        # Acero rejects equal key names on both sides — suffix the
+        # classification's keys and drop them after the join
+        def pick(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_in(b["change"], value_set=pa.array(wanted)))
+            return b.rename_columns(
+                [c + "__r" if c in id_cols else c for c in b.schema.names])
+
+        from ..blocks import _drop_empty_blocks
+
+        sel = _drop_empty_blocks(
+            cls.map_batches(pick, batch_format="pyarrow"))
+        if sel is None or sel.count() == 0:
+            return None
+        joined = side.materialize().join(
+            sel, join_type="inner", num_partitions=8,
+            on=tuple(id_cols), right_on=tuple(c + "__r" for c in id_cols))
+        drop = [c + "__r" for c in id_cols]
+        return joined.map_batches(
+            lambda b: b.drop_columns([c for c in drop
+                                      if c in b.schema.names]),
+            batch_format="pyarrow")
+
+    out_parts = []
+    nm = side_rows(new, ["created", "modified"])
+    if nm is not None:
+        out_parts.append(nm)
+    dels = side_rows(old, ["deleted"])
+    if dels is not None:
+        def finish_deleted(b: pa.Table) -> pa.Table:
+            if increment_version and version_col is not None:
+                b = b.set_column(
+                    b.schema.get_field_index(version_col), version_col,
+                    pc.add(b[version_col], 1))
+            if not keep_details:
+                for c in value_cols:
+                    if c == version_col or c not in b.schema.names:
+                        continue
+                    b = b.set_column(
+                        b.schema.get_field_index(c), c,
+                        pa.nulls(b.num_rows, type=b.schema.field(c).type))
+            return b
+
+        out_parts.append(dels.map_batches(finish_deleted,
+                                          batch_format="pyarrow"))
+    if not out_parts:
+        return cls  # empty classification, nothing changed
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def diff_summary(old, new, id_cols: list[str], value_cols: list[str]) -> dict:
     """diff: counts per class + identical flag (exit code 0 iff identical,
     command_diff.cpp:293-396)."""
