@@ -196,6 +196,21 @@ def q_getid_bucketed(sf_dir: str):
     return out.select_columns(["image_id", "phash", "caption"])
 
 
+def q_getid_bloom(sf_dir: str):
+    """Same semi-join as getid_semi through the Bloom-pruned scale path:
+    the wanted-id set folds to one fixed-size bitmap (tree-reduced
+    partials), map tasks prune definite misses, and only the candidate
+    sliver goes through the bucketed exact join."""
+    import ray.data as rd
+    from osmium_tool_ray.pipelines.idops import semi_join_bloom
+
+    ids = _click_ids(sf_dir)
+    ids_ds = rd.from_arrow(pa.table({"image_id": pa.array(ids, type=pa.string())}))
+    out = semi_join_bloom(images_dataset(sf_dir), "image_id", ids_ds,
+                          n_bits=1 << 16, k=4, buckets=8)
+    return out.select_columns(["image_id", "phash", "caption"])
+
+
 def q_removeid_anti(sf_dir: str):
     from osmium_tool_ray.pipelines.idops import removeid
     ds = removeid(images_dataset(sf_dir), _click_ids(sf_dir))
@@ -1414,6 +1429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_tags_count": q_caption_tags_count,
         "getid_semi": q_getid_semi,
         "getid_bucketed": q_getid_bucketed,
+        "getid_bloom": q_getid_bloom,
         "removeid_anti": q_removeid_anti,
         "getparents_orders": q_getparents_orders,
         "check_refs_missing": q_check_refs_missing,
@@ -1514,6 +1530,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'img' || lpad(CAST(event_id AS VARCHAR), 10, '0')
                 FROM events WHERE event_type = 'click' AND value > 300.0)""",
         "getid_bucketed": f"""{cte}
+            SELECT image_id, phash, caption FROM images
+            WHERE image_id IN (
+                SELECT 'img' || lpad(CAST(event_id AS VARCHAR), 10, '0')
+                FROM events WHERE event_type = 'click' AND value > 300.0)""",
+        "getid_bloom": f"""{cte}
             SELECT image_id, phash, caption FROM images
             WHERE image_id IN (
                 SELECT 'img' || lpad(CAST(event_id AS VARCHAR), 10, '0')

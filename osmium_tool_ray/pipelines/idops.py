@@ -532,3 +532,53 @@ def renumber_with_refs(images, groups, members, start: int = 1,
     groups_out = groups.map_batches(remap_groups, batch_format="pyarrow")
     members_out = members.map_batches(remap_members, batch_format="pyarrow")
     return images_out, groups_out, members_out, mappings
+
+
+def semi_join_bloom(ds, id_col: str, ids_ds, ids_col: str | None = None,
+                    n_bits: int = 1 << 20, k: int = 4, seed: int = 0,
+                    buckets: int = 16, invert: bool = False,
+                    exact: bool = True):
+    """(Anti-)semi-join with a Bloom prefilter — the 10^12-row scale path
+    for getid/removeid when the wanted-id set is too large to broadcast
+    exactly (the reference's per-extract IdSetDense bitsets are the
+    single-process analogue, man/osmium-extract.md:382-387).
+
+    Shape: the id set folds into ONE fixed-size bitmap (tree-reduced
+    partials, stages/sketches.bloom_build) shipped once via ray.put; every
+    map task then prunes its batch with a vectorized k-probe — definite
+    misses never enter the exact join. Only the surviving candidates (true
+    hits + the ~(1-e^{-kn/m})^k false-positive sliver) go through the
+    bucketed hash join for exact verification, so the all-to-all exchange
+    runs over a small fraction of the input.
+
+    invert=True (removeid): Bloom definite-misses are KEPT outright
+    (no false negatives => they are provably not in the set); only
+    bloom-hits go through the exact anti-join, and the two streams union.
+
+    exact=False returns the pruned candidates without verification
+    (approximate contains-join; false positives possible, no misses)."""
+    from ..stages.sketches import bloom_build, bloom_might_contain
+    import ray
+
+    ids_col = ids_col or id_col
+    words = bloom_build(ids_ds, ids_col, n_bits=n_bits, k=k, seed=seed)
+    words_ref = ray.put(words)
+
+    def prune(keep_hits: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            w = ray.get(words_ref)
+            hit = bloom_might_contain(w, batch[id_col].cast(pa.string()),
+                                      n_bits, k=k, seed=seed)
+            return batch.filter(pa.array(hit if keep_hits else ~hit))
+        return f
+
+    candidates = ds.map_batches(prune(True), batch_format="pyarrow")
+    if not exact:
+        return candidates
+    verified = semi_join_bucketed(candidates, id_col, ids_ds,
+                                  ids_col=ids_col, buckets=buckets,
+                                  invert=invert)
+    if not invert:
+        return verified
+    definite_miss = ds.map_batches(prune(False), batch_format="pyarrow")
+    return definite_miss.union(verified)

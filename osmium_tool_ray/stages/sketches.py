@@ -78,3 +78,79 @@ def hll_distinct(ds, col: str, p: int = 14, seed: int = 0) -> float:
     for r in parts:
         merged = np.maximum(merged, np.frombuffer(r["regs"], dtype=np.uint8))
     return hll_estimate(merged)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the membership sketch. The reference's id sets are exact
+# in-RAM bitsets (IdSetDense, man/osmium-extract.md:382-387: n_extracts x
+# max_id/8 bytes); a Bloom filter is the distributed stand-in when the
+# wanted-id universe is too large to broadcast exactly but a fixed-size
+# bitmap is cheap to ship to every map task. Standard Bloom formulation
+# (Bloom 1970; k independent seeded hashes over n_bits).
+# ---------------------------------------------------------------------------
+
+
+def bloom_fold(values, n_bits: int, k: int = 4, seed: int = 0) -> np.ndarray:
+    """Fold a string array into a packed-uint64 Bloom bitmap (n_bits//64
+    words). One vectorized pass per hash seed; no per-row Python."""
+    words = np.zeros(n_bits >> 6, dtype=np.uint64)
+    for i in range(k):
+        h = hash_str_u64(values, seed=seed + i) % np.uint64(n_bits)
+        np.bitwise_or.at(words, (h >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (h & np.uint64(63)))
+    return words
+
+
+def bloom_might_contain(words: np.ndarray, values, n_bits: int, k: int = 4,
+                        seed: int = 0) -> np.ndarray:
+    """Vectorized membership probe: True = maybe present (FP possible),
+    False = DEFINITELY absent (no false negatives)."""
+    n = len(values) if hasattr(values, "__len__") else values.length()
+    hit = np.ones(n, dtype=bool)
+    for i in range(k):
+        h = hash_str_u64(values, seed=seed + i) % np.uint64(n_bits)
+        bit = (words[(h >> np.uint64(6)).astype(np.int64)]
+               >> (h & np.uint64(63))) & np.uint64(1)
+        hit &= bit.astype(bool)
+        if not hit.any():
+            break
+    return hit
+
+
+def bloom_build(ds, col: str, n_bits: int = 1 << 20, k: int = 4,
+                seed: int = 0) -> np.ndarray:
+    """Distributed Bloom build over a Dataset column: per-block bitmap
+    partials OR-merged through a tree of zero-copy Ray tasks, so the
+    driver receives ONE bitmap regardless of block count (the per-block
+    partial is constant-size like hll_distinct's registers, but at
+    n_bits=2^26 a flat driver collect would be blocks x 8 MB — the tree
+    keeps reduce fan-in bounded at 8)."""
+    import ray
+
+    def fold(batch: pa.Table) -> pa.Table:
+        w = bloom_fold(batch[col].cast(pa.string()), n_bits, k=k, seed=seed)
+        return pa.table({"words": pa.array([w.tobytes()], type=pa.binary())})
+
+    parts = ds.map_batches(fold, batch_format="pyarrow")
+
+    @ray.remote(num_cpus=0.5)
+    def or_merge(*tables) -> pa.Table:
+        acc = np.zeros(n_bits >> 6, dtype=np.uint64)
+        for t in tables:
+            # empty input datasets emit zero-column blocks (see CLAUDE.md)
+            if "words" not in t.schema.names:
+                continue
+            for row in t["words"].to_pylist():
+                acc |= np.frombuffer(row, dtype=np.uint64)
+        return pa.table({"words": pa.array([acc.tobytes()], type=pa.binary())})
+
+    refs = parts.to_arrow_refs()
+    if not refs:
+        return np.zeros(n_bits >> 6, dtype=np.uint64)
+    while len(refs) > 1:
+        refs = [or_merge.remote(*refs[i:i + 8])
+                for i in range(0, len(refs), 8)]
+    merged = ray.get(refs[0])
+    if "words" not in merged.schema.names or merged.num_rows == 0:
+        return np.zeros(n_bits >> 6, dtype=np.uint64)
+    return np.frombuffer(merged["words"][0].as_py(), dtype=np.uint64).copy()
