@@ -74,6 +74,37 @@ def q_extract_bbox(sf_dir: str):
         .map_batches(f, batch_format="pyarrow")
 
 
+def q_zorder_pruned_bbox(sf_dir: str):
+    """Same bbox extract as extract_bbox, served off a Morton z-order
+    layout: one-time z-sort, per-block key manifest, then the query
+    prunes whole blocks against the bbox's merged z-ranges before the
+    exact filter (the storage-layout answer to the reference's
+    full-scan-per-extract cost model)."""
+    from osmium_tool_ray.stages.layout import (
+        block_manifest, zorder_layout, zranges_for_bbox, zrange_scan,
+    )
+    level = 10
+    ds = zorder_layout(
+        images_dataset(sf_dir, columns=["image_id", "lon", "lat", "caption"]),
+        level=level).materialize()
+    refs, mins, maxs = block_manifest(ds)
+
+    def exact(batch: pa.Table):
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        return ((lon >= BBOX[0]) & (lon <= BBOX[2])
+                & (lat >= BBOX[1]) & (lat <= BBOX[3]))
+
+    out, _stats = zrange_scan(refs, mins, maxs,
+                              zranges_for_bbox(*BBOX, level), predicate=exact)
+    if out is None:
+        return pa.table({"image_id": pa.array([], type=pa.string()),
+                         "lon": pa.array([], type=pa.float64()),
+                         "lat": pa.array([], type=pa.float64()),
+                         "caption": pa.array([], type=pa.string())})
+    return out.select_columns(["image_id", "lon", "lat", "caption"])
+
+
 def q_extract_polygon(sf_dir: str):
     reg = Region(name="p", kind="polygon", rings=[np.asarray(POLY)])
 
@@ -1422,6 +1453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_bbox": q_extract_bbox,
         "extract_polygon": q_extract_polygon,
+        "zorder_pruned_bbox": q_zorder_pruned_bbox,
         "extract_multi_fanout": q_extract_multi_fanout,
         "cell_grid_counts": q_cell_grid_counts,
         "tile_counts_salted": q_tile_counts_salted,
@@ -1499,6 +1531,10 @@ def oracle_sql() -> dict[str, str]:
     poly_pred = " AND ".join(edges)
     out = {
         "extract_bbox": f"""{cte}
+            SELECT image_id, lon, lat, caption FROM images
+            WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]}
+              AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}""",
+        "zorder_pruned_bbox": f"""{cte}
             SELECT image_id, lon, lat, caption FROM images
             WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]}
               AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}""",
