@@ -1183,6 +1183,29 @@ def q_topk_per_user(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_heavy_words(sf_dir: str):
+    """Heavy-hitter words across the document corpus via the Misra-Gries
+    candidate pass + exact verify (stages/sketches.heavy_hitters): the
+    shuffle carries only per-block MG survivors and candidate partials,
+    never the full word-frequency key space."""
+    import ray.data as rd
+    import pyarrow.compute as pc2
+    from osmium_tool_ray.stages.sketches import heavy_hitters
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        words = pc2.split_pattern_regex(
+            pc2.utf8_lower(batch["text"].cast(pa.string())), r"\s+")
+        flat = pc2.list_flatten(words)
+        flat = flat.filter(pc2.not_equal(flat, ""))
+        return pa.table({"value": flat})
+
+    words = docs.map_batches(explode, batch_format="pyarrow")
+    return heavy_hitters(words, "value", min_frac=0.02)
+
+
 def q_embedding_moments(sf_dir: str):
     """The per-dimension moment fold that feeds distributed PCA
     (stages/projections.pca_partials shape): count + per-dim sum over the
@@ -1498,6 +1521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_counts": q_hll_distinct,
         "topk_per_user": q_topk_per_user,
         "embedding_moments": q_embedding_moments,
+        "heavy_words": q_heavy_words,
         "phash_neardup": q_phash_neardup,
         "tile_mosaic": q_tile_mosaic,
         "rasterize_coverage": q_rasterize_coverage,
@@ -1876,6 +1900,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n
             FROM documents GROUP BY text""",
+        "heavy_words": r"""
+            WITH words AS (
+                SELECT t.w AS value
+                FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(w)
+                WHERE t.w <> ''
+            )
+            SELECT value, count(*) AS cnt FROM words
+            GROUP BY value
+            HAVING count(*) >= ceil(0.02 * (SELECT count(*) FROM words))""",
         "token_count_docs": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)

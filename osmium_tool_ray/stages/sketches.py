@@ -154,3 +154,108 @@ def bloom_build(ds, col: str, n_bits: int = 1 << 20, k: int = 4,
     if "words" not in merged.schema.names or merged.num_rows == 0:
         return np.zeros(n_bits >> 6, dtype=np.uint64)
     return np.frombuffer(merged["words"][0].as_py(), dtype=np.uint64).copy()
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters — Misra-Gries candidate pass + exact verify. The reference
+# computes tag frequencies with one ~16 GB driver hash map
+# (man/osmium-tags-count.md:130); at 10^12 rows even the distributed
+# groupby shuffles every distinct key. For threshold queries ("values in
+# >= f of all rows") the MG summary bounds the shuffle to k values per
+# block with a no-miss guarantee (Misra & Gries 1982; mergeability per
+# Agarwal et al., "Mergeable Summaries", PODS 2012).
+# ---------------------------------------------------------------------------
+
+
+def mg_survivors(values, k: int):
+    """Per-block Misra-Gries survivor set: the values whose block count
+    exceeds the (k+1)-th largest count (all values when <= k distinct).
+
+    Guarantee used downstream: a value with block count > n_b/(k+1)
+    always survives, so any GLOBAL heavy hitter (total count >
+    N/(k+1)) survives in at least one block (pigeonhole)."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    vc = values.value_counts()
+    vals = vc.field("values")
+    counts = vc.field("counts").to_numpy(zero_copy_only=False)
+    if len(counts) <= k:
+        return vals, counts
+    t = np.partition(counts, len(counts) - 1 - k)[len(counts) - 1 - k]
+    keep = counts > t
+    return vals.filter(pa.array(keep)), counts[keep]
+
+
+def heavy_hitters(ds, col: str, min_frac: float = 0.01, k: int | None = None,
+                  count_col: str = "cnt"):
+    """Exact values occurring in >= ceil(min_frac * N) of the rows,
+    without a full-key shuffle.
+
+    Pass 1 (candidates): per-block MG survivors, <= k values/block,
+    unioned and dedup'd driver-side (bounded: k x blocks rows of keys,
+    no counts needed). k defaults to ceil(2/min_frac) so the MG no-miss
+    guarantee strictly covers the threshold.
+    Pass 2 (exact): candidate set broadcast via ray.put; each block
+    counts ONLY candidate values map-side; a native groupby-sum over
+    (candidate, partial) pairs — the shuffle is |candidates| x blocks
+    rows instead of |distinct keys| x rows.
+
+    Returns a Dataset(col, count_col) of the verified heavy hitters."""
+    import ray
+    import ray.data as rd
+
+    if k is None:
+        k = int(np.ceil(2.0 / min_frac))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        vals, _ = mg_survivors(batch[col].cast(pa.string()), k)
+        # one null-value row guarantees the block's row count ships even
+        # when the survivor set is empty (all-ties corner: >k distinct
+        # values sharing one count leaves no count strictly above t)
+        v = pa.concat_arrays([vals.cast(pa.string()).combine_chunks()
+                              if isinstance(vals, pa.ChunkedArray)
+                              else vals.cast(pa.string()),
+                              pa.nulls(1, pa.string())])
+        n = pa.array([0] * len(vals) + [batch.num_rows], type=pa.int64())
+        return pa.table({col: v, "_n": n})
+
+    parts = ds.map_batches(fold, batch_format="pyarrow").take_all()
+    cand = np.unique(np.asarray(
+        [r[col] for r in parts if r[col] is not None], dtype=object))
+    total = int(sum(r["_n"] for r in parts))
+    min_count = int(np.ceil(min_frac * total))
+    if len(cand) == 0:
+        return rd.from_arrow(pa.table({col: pa.array([], type=pa.string()),
+                                       count_col: pa.array([], type=pa.int64())}))
+    cand_ref = ray.put(np.sort(cand.astype(str)))   # U-dtype: fast searchsorted
+
+    def count_cand(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        v = batch[col].cast(pa.string())
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vc = v.value_counts()
+        vals = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cs, vals.astype(str))
+        pos_c = np.clip(pos, 0, len(cs) - 1)
+        m = cs[pos_c] == vals
+        return pa.table({col: pa.array(vals[m], type=pa.string()),
+                         "_c": pa.array(counts[m], type=pa.int64())})
+
+    import pyarrow.compute as pc
+
+    summed = ds.map_batches(count_cand, batch_format="pyarrow") \
+        .groupby(col).sum("_c")
+    sum_name = "sum(_c)"
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if sum_name not in batch.schema.names:      # empty-block hygiene
+            return pa.table({col: pa.array([], type=pa.string()),
+                             count_col: pa.array([], type=pa.int64())})
+        keep = pc.greater_equal(batch[sum_name], min_count)
+        out = batch.filter(keep)
+        return pa.table({col: out[col].cast(pa.string()),
+                         count_col: out[sum_name].cast(pa.int64())})
+
+    return summed.map_batches(finish, batch_format="pyarrow")
