@@ -1183,6 +1183,44 @@ def q_topk_per_user(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic 20-per-language sample of documents (hash-ordered
+    window, partial+final prune — pipelines/sampling.stratified_sample)."""
+    import ray.data as rd
+    from osmium_tool_ray.pipelines.sampling import stratified_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    return stratified_sample(docs, ["lang"], "doc_id", 20)
+
+
+def q_hash_split_val(sf_dir: str):
+    """The 10% validation slice of a deterministic 80/10/10 split
+    (pipelines/sampling.hash_split; pure map-side hash-range filter)."""
+    import ray.data as rd
+    from osmium_tool_ray.pipelines.sampling import hash_split
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    return hash_split(docs, "doc_id", (0.8, 0.1, 0.1))[1]
+
+
+def q_sorted_check(sf_dir: str):
+    """Distributed order validation (stats.check_sorted, the fileinfo
+    'objects ordered' check at scale): adjacent inversions of `value` in
+    event_id order — per-block summaries + driver boundary fold, no row
+    data movement after the sort."""
+    import ray.data as rd
+    from osmium_tool_ray.pipelines.stats import check_sorted
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"]).sort("event_id")
+    res = check_sorted(ds, ["value"])
+    return pa.table({"is_sorted": pa.array([res["sorted"]]),
+                     "violations": pa.array([res["violations"]],
+                                            type=pa.int64())})
+
+
 def q_heavy_words(sf_dir: str):
     """Heavy-hitter words across the document corpus via the Misra-Gries
     candidate pass + exact verify (stages/sketches.heavy_hitters): the
@@ -1522,6 +1560,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_user": q_topk_per_user,
         "embedding_moments": q_embedding_moments,
         "heavy_words": q_heavy_words,
+        "sorted_check": q_sorted_check,
+        "stratified_sample_docs": q_stratified_sample,
+        "hash_split_val": q_hash_split_val,
         "phash_neardup": q_phash_neardup,
         "tile_mosaic": q_tile_mosaic,
         "rasterize_coverage": q_rasterize_coverage,
@@ -1900,6 +1941,25 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n
             FROM documents GROUP BY text""",
+        "stratified_sample_docs": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 2147483648,
+                                    doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 20""",
+        "hash_split_val": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 2654435761) % 2147483648 >= 1717986918
+              AND (doc_id * 2654435761) % 2147483648 < 1932735283""",
+        "sorted_check": """
+            WITH d AS (SELECT value, lag(value) OVER (ORDER BY event_id) p
+                       FROM events)
+            SELECT count(*) FILTER (p > value) = 0 AS is_sorted,
+                   count(*) FILTER (p > value) AS violations
+            FROM d""",
         "heavy_words": r"""
             WITH words AS (
                 SELECT t.w AS value

@@ -1,0 +1,95 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Sampling at 100 TB must be (a) a single streaming pass, (b) reproducible
+across runs/retries/partitionings, and (c) oracle-checkable. All three
+rule out RNG state: every operator here derives its randomness from a
+fixed multiplicative hash of a row id (Knuth's 2654435761 multiplier),
+so the sample is a pure function of the data — the same rows come back
+no matter how blocks are split, retried, or reordered, and the exact
+same predicate is expressible in SQL for the DuckDB oracle.
+
+The reference has no sampling surface (closest is `getid` with an
+explicit id list); these are graft additions per the build brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+KNUTH = 2654435761
+MOD = np.int64(1) << np.int64(31)
+
+
+def det_hash(ids: np.ndarray, mult: int = KNUTH, mod: int = int(MOD)) -> np.ndarray:
+    """(id * mult) mod m over int64 — overflow-free for |id| < 2^63/mult,
+    and writable verbatim in ANSI SQL for the oracle."""
+    return (ids.astype(np.int64) * np.int64(mult)) % np.int64(mod)
+
+
+def uniform_sample(ds, id_col: str, frac: float, seed_mult: int = KNUTH):
+    """Deterministic Bernoulli sample: keep rows with hash < frac * m.
+    Pure map-side filter — no shuffle, no state, retry-stable."""
+    thresh = np.int64(int(frac * int(MOD)))
+
+    def f(batch: pa.Table) -> pa.Table:
+        h = det_hash(batch[id_col].to_numpy(zero_copy_only=False),
+                     mult=seed_mult)
+        return batch.filter(pa.array(h < thresh))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def hash_split(ds, id_col: str, weights: tuple[float, ...],
+               seed_mult: int = KNUTH):
+    """Deterministic train/val/test split: row -> bucket by hash range in
+    proportion to `weights`. Returns one lazily-filtered Dataset per
+    weight; the union of the splits is exactly the input and the splits
+    are disjoint (hash ranges partition [0, m))."""
+    w = np.asarray(weights, dtype=np.float64)
+    edges = np.concatenate([[0.0], np.cumsum(w) / w.sum()]) * int(MOD)
+    edges = edges.astype(np.int64)
+    edges[-1] = int(MOD)            # close the last range despite rounding
+
+    def cut(lo: int, hi: int):
+        def f(batch: pa.Table) -> pa.Table:
+            h = det_hash(batch[id_col].to_numpy(zero_copy_only=False),
+                         mult=seed_mult)
+            return batch.filter(pa.array((h >= lo) & (h < hi)))
+        return f
+
+    return [ds.map_batches(cut(int(lo), int(hi)), batch_format="pyarrow")
+            for lo, hi in zip(edges[:-1], edges[1:])]
+
+
+def stratified_sample(ds, key_cols: list[str], id_col: str, n_per_key: int,
+                      seed_mult: int = KNUTH):
+    """Exactly n rows per stratum (fewer when the stratum is smaller),
+    chosen as the n smallest (hash, id) pairs per key — the
+    row_number() OVER (PARTITION BY key ORDER BY hash, id) <= n window.
+
+    Same partial+final shape as topk_per_key (pipelines/merge.py:71):
+    each block prunes to <= n candidates per key map-side, so the
+    shuffle carries n x keys x blocks rows at most, then the per-group
+    final repeats the prune. Deterministic: the winning ids are a pure
+    function of the data."""
+    key_cols = list(key_cols)
+
+    def with_hash(batch: pa.Table) -> pa.Table:
+        h = det_hash(batch[id_col].to_numpy(zero_copy_only=False),
+                     mult=seed_mult)
+        return batch.append_column("_hsh", pa.array(h))
+
+    cols = key_cols + ["_hsh", id_col]
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        s = df.sort_values(cols, ascending=True, kind="stable")
+        return s.groupby(key_cols, sort=False).head(n_per_key)
+
+    tagged = ds.map_batches(with_hash, batch_format="pyarrow")
+    pruned = tagged.map_batches(local, batch_format="pandas")
+    final = pruned.groupby(key_cols).map_groups(local, batch_format="pandas")
+    return final.drop_columns(["_hsh"])

@@ -156,3 +156,57 @@ def tags_count(ds, tags_col: str = "tags", count_values: bool = False,
     elif sort == "name":
         agg = agg.sort(group_cols)
     return agg
+
+
+def check_sorted(ds, cols: list[str] | tuple[str, ...]) -> dict:
+    """Distributed sort-order validation — the `fileinfo` "Objects
+    ordered (by type and id)" check (command_fileinfo.cpp:104-151: a
+    stream is ordered iff the (type, id) key never decreases between
+    consecutive objects; the test/order/fail-order-* fixtures are the
+    golden negatives).
+
+    Scale shape: each block reports (first_key, last_key,
+    internal_inversions) from one zero-CPU task reading the block in
+    place; the driver folds block boundaries in dataset order. Only
+    3 tuples/block leave the workers — no row data moves.
+
+    `cols` is the lexicographic key (caller pre-maps categorical kinds
+    to rank ints, mirroring the reference's item_type comparison).
+    Returns {"sorted": bool, "violations": int} where violations counts
+    adjacent inversions (internal + block-boundary)."""
+    import ray
+
+    cols = list(cols)
+
+    def _np(col):
+        return col.to_numpy(zero_copy_only=False)
+
+    @ray.remote(num_cpus=0)
+    def summarize(tbl: pa.Table):
+        if tbl.num_rows == 0 or any(c not in tbl.schema.names for c in cols):
+            return None
+        arrs = [_np(tbl[c]) for c in cols]
+        # adjacent lexicographic "decreases": prev > cur
+        n = len(arrs[0])
+        if n > 1:
+            lt = np.zeros(n - 1, dtype=bool)      # cur < prev strictly
+            eq = np.ones(n - 1, dtype=bool)
+            for a in arrs:
+                prev, cur = a[:-1], a[1:]
+                lt |= eq & (cur < prev)
+                eq &= cur == prev
+            inv = int(lt.sum())
+        else:
+            inv = 0
+        first = tuple(a[0] for a in arrs)
+        last = tuple(a[-1] for a in arrs)
+        return first, last, inv
+
+    parts = [p for p in ray.get([summarize.remote(r)
+                                 for r in ds.to_arrow_refs()])
+             if p is not None]
+    violations = sum(p[2] for p in parts)
+    for prev, cur in zip(parts, parts[1:]):
+        if cur[0] < prev[1]:        # tuple compare == lexicographic
+            violations += 1
+    return {"sorted": violations == 0, "violations": int(violations)}

@@ -1,0 +1,79 @@
+"""Deterministic sampling (pipelines/sampling.py): partitioning
+invariance, split disjointness/coverage, stratified exactness vs a
+pandas window, and rate accuracy."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from osmium_tool_ray.pipelines.sampling import (
+    MOD, det_hash, hash_split, stratified_sample, uniform_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    rng = np.random.default_rng(23)
+    n = 20_000
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "lang": pa.array(rng.choice(["en", "de", "fr", "zh"], n,
+                                    p=[0.55, 0.2, 0.15, 0.1])),
+    })
+    return tbl
+
+
+def _ds(ray_session, tbl, parts):
+    import ray.data as rd
+    return rd.from_arrow(tbl).repartition(parts)
+
+
+def test_uniform_sample_rate_and_invariance(ray_session, docs):
+    a = sorted(r["doc_id"] for r in
+               uniform_sample(_ds(ray_session, docs, 4), "doc_id", 0.1).take_all())
+    b = sorted(r["doc_id"] for r in
+               uniform_sample(_ds(ray_session, docs, 13), "doc_id", 0.1).take_all())
+    assert a == b                                   # partitioning-invariant
+    assert abs(len(a) / docs.num_rows - 0.1) < 0.02
+    # matches the closed-form predicate
+    h = det_hash(docs["doc_id"].to_numpy())
+    want = sorted(docs["doc_id"].to_numpy()[h < int(0.1 * int(MOD))].tolist())
+    assert a == want
+
+
+def test_hash_split_partitions_exactly(ray_session, docs):
+    splits = hash_split(_ds(ray_session, docs, 6), "doc_id", (0.8, 0.1, 0.1))
+    ids = [sorted(r["doc_id"] for r in s.take_all()) for s in splits]
+    allids = sorted(sum(ids, []))
+    assert allids == docs["doc_id"].to_numpy().tolist()      # cover, disjoint
+    assert abs(len(ids[0]) / docs.num_rows - 0.8) < 0.02
+    # deterministic across partitionings
+    again = hash_split(_ds(ray_session, docs, 11), "doc_id", (0.8, 0.1, 0.1))
+    assert sorted(r["doc_id"] for r in again[1].take_all()) == ids[1]
+
+
+def test_stratified_sample_matches_window(ray_session, docs):
+    n_per = 25
+    out = stratified_sample(_ds(ray_session, docs, 7), ["lang"], "doc_id",
+                            n_per).take_all()
+    got = sorted((r["lang"], r["doc_id"]) for r in out)
+
+    df = docs.to_pandas()
+    df["_h"] = det_hash(df["doc_id"].to_numpy())
+    df = df.sort_values(["lang", "_h", "doc_id"], kind="stable")
+    want = sorted(df.groupby("lang", sort=False).head(n_per)
+                  [["lang", "doc_id"]].itertuples(index=False, name=None))
+    assert got == want
+    counts = pd.Series([lang for lang, _ in got]).value_counts()
+    assert (counts == n_per).all()
+
+
+def test_stratified_small_stratum_returns_all(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                    "lang": pa.array(["en", "en", "en", "rare", "rare"])})
+    out = stratified_sample(rd.from_arrow(tbl).repartition(2), ["lang"],
+                            "doc_id", 10).take_all()
+    assert len(out) == 5
