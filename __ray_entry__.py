@@ -1183,6 +1183,57 @@ def q_topk_per_user(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_running_total_global(sf_dir: str):
+    """Global distributed prefix scan (windows.running_total): integer
+    running sum in event_id order — strictly sequential addition, so it
+    is bit-exact vs a single-threaded engine."""
+    import ray.data as rd
+    from osmium_tool_ray.pipelines.windows import running_total
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        iv = np.floor(batch["value"].to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        return pa.table({"event_id": batch["event_id"],
+                         "ival": pa.array(iv)})
+
+    out = running_total(ds.map_batches(to_int, batch_format="pyarrow"),
+                        ["event_id"], "ival")
+    return out.select_columns(["event_id", "running_total"])
+
+
+def q_running_total_user(sf_dir: str):
+    """Per-key running sum (one key-hash shuffle + vectorized per-group
+    sort/cumsum), the PARTITION BY window form."""
+    import ray.data as rd
+    from osmium_tool_ray.pipelines.windows import running_total
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        iv = np.floor(batch["value"].to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        return batch.drop_columns(["value"]).append_column("ival", pa.array(iv))
+
+    out = running_total(ds.map_batches(to_int, batch_format="pyarrow"),
+                        ["ts", "event_id"], "ival", key_col="user_id")
+    return out.select_columns(["user_id", "event_id", "running_total"])
+
+
+def q_quantiles_value(sf_dir: str):
+    """Exact distributed order statistics (stats.exact_quantiles): one
+    single-column sort; only block counts + len(qs) scalars reach the
+    driver."""
+    import ray.data as rd
+    from osmium_tool_ray.pipelines.stats import exact_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return exact_quantiles(ds, "value", [0.1, 0.5, 0.9, 0.99])
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic 20-per-language sample of documents (hash-ordered
     window, partial+final prune — pipelines/sampling.stratified_sample)."""
@@ -1562,6 +1613,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_words": q_heavy_words,
         "sorted_check": q_sorted_check,
         "stratified_sample_docs": q_stratified_sample,
+        "running_total_global": q_running_total_global,
+        "running_total_user": q_running_total_user,
+        "quantiles_value": q_quantiles_value,
         "hash_split_val": q_hash_split_val,
         "phash_neardup": q_phash_neardup,
         "tile_mosaic": q_tile_mosaic,
@@ -1941,6 +1995,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n
             FROM documents GROUP BY text""",
+        "running_total_global": """
+            SELECT event_id,
+                   SUM(CAST(FLOOR(value) AS BIGINT)) OVER (
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS running_total
+            FROM events""",
+        "running_total_user": """
+            SELECT user_id, event_id,
+                   SUM(CAST(FLOOR(value) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS running_total
+            FROM events""",
+        "quantiles_value": """
+            SELECT 0.1 AS q, quantile_disc(value, 0.1) AS value FROM events
+            UNION ALL
+            SELECT 0.5, quantile_disc(value, 0.5) FROM events
+            UNION ALL
+            SELECT 0.9, quantile_disc(value, 0.9) FROM events
+            UNION ALL
+            SELECT 0.99, quantile_disc(value, 0.99) FROM events""",
         "stratified_sample_docs": """
             SELECT lang, doc_id FROM (
                 SELECT lang, doc_id,

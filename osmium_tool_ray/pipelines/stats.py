@@ -210,3 +210,45 @@ def check_sorted(ds, cols: list[str] | tuple[str, ...]) -> dict:
         if cur[0] < prev[1]:        # tuple compare == lexicographic
             violations += 1
     return {"sorted": violations == 0, "violations": int(violations)}
+
+
+def exact_quantiles(ds, col: str, qs: list[float]) -> pa.Table:
+    """EXACT order statistics over a Dataset column — quantile_disc
+    semantics (value at sorted index max(ceil(q*n)-1, 0)).
+
+    Scale shape: one distributed sort of the single projected column,
+    then only per-block ROW COUNTS reach the driver; each requested
+    quantile resolves to (block, local_offset) and a zero-CPU task reads
+    that one value in place. No approximation, no full collect — the
+    driver sees len(qs) scalars plus the count vector.
+
+    (The approximate counterpart for when even one sort is too much is
+    hll/MG-style sketching — see stages/sketches.py; this is the exact
+    path the oracle can check.)"""
+    import math
+
+    import ray
+
+    from ..blocks import _remote_num_rows
+
+    sorted_ds = ds.select_columns([col]).sort(col).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    counts = ray.get([_remote_num_rows.remote(r) for r in refs])
+    n = int(sum(counts))
+    if n == 0:
+        return pa.table({"q": pa.array([], type=pa.float64()),
+                         "value": pa.array([], type=pa.float64())})
+    starts = np.concatenate([[0], np.cumsum(counts)])
+
+    @ray.remote(num_cpus=0)
+    def value_at(tbl: pa.Table, local_idx: int):
+        return tbl[col][int(local_idx)].as_py()
+
+    fetches = []
+    for q in qs:
+        idx = max(math.ceil(q * n) - 1, 0)
+        b = int(np.searchsorted(starts, idx, side="right") - 1)
+        fetches.append(value_at.remote(refs[b], idx - starts[b]))
+    vals = ray.get(fetches)
+    return pa.table({"q": pa.array(list(qs), type=pa.float64()),
+                     "value": pa.array(vals)})

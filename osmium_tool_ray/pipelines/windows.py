@@ -211,3 +211,70 @@ def asof_join(left, right, key_col: str, ts_col: str,
         .map_batches(widen("r"), batch_format="pyarrow")
     return lt.union(rt).groupby(key_col).map_groups(
         merge_batch, batch_format="pyarrow")
+
+
+def running_total(ds, order_cols: list[str], value_col: str,
+                  out_col: str = "running_total", key_col: str | None = None):
+    """Distributed prefix scan: SUM(value) OVER ([PARTITION BY key]
+    ORDER BY order_cols ROWS UNBOUNDED PRECEDING).
+
+    key_col given — one key-hash shuffle, then each group sorts and
+    cumsums vectorized (group sizes are per-key bounded, the same
+    assumption sessionize documents).
+
+    key_col None — the GLOBAL scan: distributed sort by order_cols,
+    per-block sequential cumsum, then an exclusive scan of per-block
+    totals on the driver (scalars only — blocks x 8 bytes) is added
+    back as each block's offset. Strictly left-to-right addition order,
+    so integer totals match a sequential engine bit-for-bit.
+    """
+    import ray
+
+    order_cols = list(order_cols)
+
+    if key_col is not None:
+        def per_group(g: pa.Table) -> pa.Table:
+            idx = np.lexsort(tuple(
+                g[c].to_numpy(zero_copy_only=False)
+                for c in reversed(order_cols)))
+            g = g.take(pa.array(idx))
+            run = np.cumsum(g[value_col].to_numpy(zero_copy_only=False))
+            return g.append_column(out_col, pa.array(run))
+
+        return ds.groupby(key_col).map_groups(per_group,
+                                              batch_format="pyarrow")
+
+    from ..blocks import _remote_num_rows
+
+    sorted_ds = ds.sort(order_cols).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    nrows = ray.get([_remote_num_rows.remote(r) for r in refs])
+    refs = [r for r, n in zip(refs, nrows) if n]   # schema-less empty blocks
+
+    @ray.remote(num_cpus=0)
+    def block_total(tbl: pa.Table):
+        if value_col not in tbl.schema.names or tbl.num_rows == 0:
+            return 0
+        v = tbl[value_col].to_numpy(zero_copy_only=False)
+        return np.cumsum(v)[-1]          # sequential within-block order
+
+    totals = ray.get([block_total.remote(r) for r in refs])
+    offsets = []
+    acc = 0
+    for t in totals:                     # sequential across blocks too
+        offsets.append(acc)
+        acc = acc + t
+
+    @ray.remote(num_cpus=0)
+    def scan_block(tbl: pa.Table, off):
+        if tbl.num_rows == 0:
+            return tbl
+        run = np.cumsum(tbl[value_col].to_numpy(zero_copy_only=False)) + off
+        return tbl.append_column(out_col, pa.array(run))
+
+    import ray.data as rd
+
+    out_refs = [scan_block.remote(r, o) for r, o in zip(refs, offsets)]
+    if not out_refs:
+        return sorted_ds
+    return rd.from_arrow_refs(out_refs)

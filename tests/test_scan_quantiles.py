@@ -1,0 +1,88 @@
+"""Distributed prefix scan (windows.running_total) and exact
+distributed quantiles (stats.exact_quantiles): parity vs pandas/numpy
+windows, integer bit-exactness, and partitioning invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from osmium_tool_ray.pipelines.stats import exact_quantiles
+from osmium_tool_ray.pipelines.windows import running_total
+
+
+@pytest.fixture(scope="module")
+def events(ray_session):
+    rng = np.random.default_rng(31)
+    n = 12_000
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.integers(0, 200, n)),
+        "ts": pa.array(rng.integers(0, 10**6, n)),
+        "ival": pa.array(rng.integers(0, 1000, n)),
+    })
+
+
+def _ds(ray_session, tbl, parts):
+    import ray.data as rd
+    return rd.from_arrow(tbl).repartition(parts)
+
+
+def test_global_running_total_exact(ray_session, events):
+    out = running_total(_ds(ray_session, events, 9), ["event_id"], "ival") \
+        .take_all()
+    got = {r["event_id"]: r["running_total"] for r in out}
+    want = np.cumsum(events["ival"].to_numpy())   # already event_id order
+    assert len(got) == events.num_rows
+    assert all(got[i] == want[i] for i in range(events.num_rows))
+
+
+def test_global_running_total_partitioning_invariant(ray_session, events):
+    a = running_total(_ds(ray_session, events, 3), ["event_id"], "ival").take_all()
+    b = running_total(_ds(ray_session, events, 14), ["event_id"], "ival").take_all()
+    assert sorted((r["event_id"], r["running_total"]) for r in a) \
+        == sorted((r["event_id"], r["running_total"]) for r in b)
+
+
+def test_keyed_running_total_matches_pandas(ray_session, events):
+    out = running_total(_ds(ray_session, events, 7), ["ts", "event_id"],
+                        "ival", key_col="user_id").take_all()
+    got = sorted((r["user_id"], r["event_id"], r["running_total"]) for r in out)
+
+    df = events.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    df["rt"] = df.groupby("user_id")["ival"].cumsum()
+    want = sorted(df[["user_id", "event_id", "rt"]]
+                  .itertuples(index=False, name=None))
+    assert got == want
+
+
+def test_exact_quantiles_match_numpy(ray_session, events):
+    import math
+
+    qs = [0.0, 0.1, 0.5, 0.9, 0.99, 1.0]
+    out = exact_quantiles(_ds(ray_session, events, 11), "ival", qs)
+    v = np.sort(events["ival"].to_numpy())
+    n = len(v)
+    want = [v[max(math.ceil(q * n) - 1, 0)] for q in qs]
+    assert out["value"].to_pylist() == want
+    assert out["q"].to_pylist() == qs
+
+
+def test_exact_quantiles_duckdb_parity(ray_session, events):
+    import duckdb
+
+    qs = [0.25, 0.5, 0.75]
+    out = exact_quantiles(_ds(ray_session, events, 5), "ival", qs)
+    con = duckdb.connect()
+    con.register("t", events.to_pandas())
+    want = con.sql("SELECT quantile_disc(ival, [0.25, 0.5, 0.75]) FROM t") \
+        .fetchone()[0]
+    assert out["value"].to_pylist() == list(want)
+
+
+def test_exact_quantiles_empty(ray_session):
+    import ray.data as rd
+
+    empty = rd.from_arrow(pa.table({"x": pa.array([], type=pa.int64())}))
+    out = exact_quantiles(empty, "x", [0.5])
+    assert out.num_rows == 0
