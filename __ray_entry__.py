@@ -1347,6 +1347,18 @@ def q_phash_neardup(sf_dir: str):
         t=12, cap=500)
 
 
+def q_crossmodal_neardup(sf_dir: str):
+    """Cross-signal near-dup pairs (stages/dedup.crossmodal_neardup):
+    phash hamming LSH pairs unioned with same-grid-cell co-location
+    pairs, labeled via in {phash, colocated, both}; merge is one native
+    Sum groupby over narrow flag rows."""
+    from osmium_tool_ray.stages.dedup import crossmodal_neardup
+
+    return crossmodal_neardup(
+        images_dataset(sf_dir, columns=["image_id", "phash", "lon", "lat"]),
+        t=12, cap=500, level=6)
+
+
 def q_tile_mosaic(sf_dir: str):
     """Per-tile mosaic assembly (raster side of raster<->vector); the
     comparable projection is the member count per tile (capped by
@@ -1618,6 +1630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_value": q_quantiles_value,
         "hash_split_val": q_hash_split_val,
         "phash_neardup": q_phash_neardup,
+        "crossmodal_neardup": q_crossmodal_neardup,
         "tile_mosaic": q_tile_mosaic,
         "rasterize_coverage": q_rasterize_coverage,
         "export_geojsonseq": q_export_geojsonseq,
@@ -1943,6 +1956,41 @@ def oracle_sql() -> dict[str, str]:
                           AND a.image_id < b.image_id)
             SELECT id_a, id_b FROM cand
             WHERE bit_count(xor(pa, pb)) <= 12""",
+        "crossmodal_neardup": f"""{cte}
+            , bands AS (
+                SELECT image_id, phash, band,
+                       (phash >> (48 - band * 16)) & 65535 AS v
+                FROM images, range(4) t(band)),
+            ok AS (SELECT band, v FROM bands GROUP BY band, v
+                   HAVING count(*) BETWEEN 2 AND 500),
+            pcand AS (SELECT DISTINCT a.image_id AS id_a,
+                             b.image_id AS id_b,
+                             a.phash AS pa, b.phash AS pb
+                      FROM bands a
+                      JOIN ok ON ok.band = a.band AND ok.v = a.v
+                      JOIN bands b ON a.band = b.band AND a.v = b.v
+                           AND a.image_id < b.image_id),
+            pp AS (SELECT id_a, id_b FROM pcand
+                   WHERE bit_count(xor(pa, pb)) <= 12),
+            cells AS (SELECT image_id,
+                             CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT) AS x,
+                             CAST(floor((lat + 90.0) / 180.0 * 64) AS BIGINT) AS y
+                      FROM images),
+            cok AS (SELECT x, y FROM cells GROUP BY x, y
+                    HAVING count(*) BETWEEN 2 AND 500),
+            cp AS (SELECT a.image_id AS id_a, b.image_id AS id_b
+                   FROM cells a
+                   JOIN cok ON cok.x = a.x AND cok.y = a.y
+                   JOIN cells b ON a.x = b.x AND a.y = b.y
+                        AND a.image_id < b.image_id)
+            SELECT id_a, id_b,
+                   CASE WHEN bool_or(p) AND bool_or(c) THEN 'both'
+                        WHEN bool_or(p) THEN 'phash'
+                        ELSE 'colocated' END AS via
+            FROM (SELECT id_a, id_b, TRUE AS p, FALSE AS c FROM pp
+                  UNION ALL
+                  SELECT id_a, id_b, FALSE, TRUE FROM cp)
+            GROUP BY id_a, id_b""",
         "embedding_moments": """
             SELECT d AS dim, COUNT(*) AS n,
                    SUM(CAST(floor(CAST(embedding[d + 1] AS DOUBLE)

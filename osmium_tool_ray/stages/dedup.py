@@ -866,3 +866,128 @@ def phash_neardup(images, t: int = 12, cap: int = 500,
     # pairs found via multiple bands collapse to one row
     return pairs.groupby(["id_a", "id_b"]).count() \
         .select_columns(["id_a", "id_b"])
+
+
+def colocated_pairs(images, level: int = 6, cap: int = 500,
+                    id_col: str = "image_id",
+                    lon_col: str = "lon", lat_col: str = "lat"):
+    """Image pairs sharing a lon/lat grid cell at `level` — the spatial
+    co-location signal for cross-modal dedup (burst shots / re-uploads
+    of the same scene land in the same cell).
+
+    Same scale discipline as phash_neardup: cell-key bucket sizes are
+    pre-counted with mergeable per-block bincounts over the bounded
+    2^level x 2^level key space, hot (> cap) and singleton cells are
+    dropped map-side BEFORE the shuffle, and per-cell triu pair emission
+    is bounded by cap. Returns (id_a, id_b), id_a < id_b."""
+    import ray
+
+    from ..functions.cells import lonlat_to_xy
+
+    n_side = 1 << level
+    n_keys = n_side * n_side
+
+    def cell_key(batch: pa.Table) -> np.ndarray:
+        x, y = lonlat_to_xy(batch[lon_col].to_numpy(zero_copy_only=False),
+                            batch[lat_col].to_numpy(zero_copy_only=False),
+                            level)
+        return (y * n_side + x).astype(np.int64)
+
+    narrow = images.select_columns([id_col, lon_col, lat_col])
+
+    def count_cells(batch: pa.Table) -> pa.Table:
+        counts = np.bincount(cell_key(batch), minlength=n_keys)
+        return pa.table({"c": pa.array([counts.astype(np.int64).tobytes()],
+                                       type=pa.binary())})
+
+    total = np.zeros(n_keys, dtype=np.int64)
+    for r in narrow.map_batches(count_cells,
+                                batch_format="pyarrow").take_all():
+        total = total + np.frombuffer(r["c"], dtype=np.int64)
+    keep = np.flatnonzero((total >= 2) & (total <= cap))
+    keep_ref = ray.put(keep)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keep_ref)
+        if not len(ks):
+            return pa.table({"cell": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.string())})
+        key = cell_key(batch)
+        pos = np.searchsorted(ks, key)
+        sel = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == key)
+        return pa.table({
+            "cell": pa.array(key[sel]),
+            id_col: batch[id_col].filter(pa.array(sel)).cast(pa.string()),
+        })
+
+    def emit(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.string()),
+                          "id_b": pa.array([], type=pa.string())})
+        cell = g["cell"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate([[True], cell[1:] != cell[:-1]]))
+        ends = np.concatenate([starts[1:], [len(cell)]])
+        outs = []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2 or n > cap:
+                continue
+            ids = np.sort(np.asarray(
+                g.slice(s, n)[id_col].to_pylist(), dtype=object).astype(str))
+            ia, ib = np.triu_indices(n, 1)
+            outs.append(pa.table({"id_a": pa.array(ids[ia], type=pa.string()),
+                                  "id_b": pa.array(ids[ib], type=pa.string())}))
+        return pa.concat_tables(outs) if outs else empty
+
+    return narrow.map_batches(tag, batch_format="pyarrow") \
+        .groupby("cell").map_groups(emit, batch_format="pyarrow")
+
+
+def crossmodal_neardup(images, t: int = 12, cap: int = 500,
+                       level: int = 6):
+    """Cross-signal near-duplicate pairs: perceptual-hash LSH pairs
+    UNIONed with spatial co-location pairs, each pair labeled `via` in
+    {'phash', 'colocated', 'both'}.
+
+    The two pair streams are narrow (id_a, id_b[, flag]) tables; the
+    merge is one native Sum groupby over int flags (no pandas, no
+    driver collection). The blobs never appear anywhere in this
+    pipeline — both signals read only (phash | lon/lat) projections."""
+    import pyarrow.compute as pc
+
+    def flag(val_p: int, val_c: int):
+        def f(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "id_a" not in batch.schema.names:
+                return pa.table({"id_a": pa.array([], type=pa.string()),
+                                 "id_b": pa.array([], type=pa.string()),
+                                 "p": pa.array([], type=pa.int64()),
+                                 "c": pa.array([], type=pa.int64())})
+            n = batch.num_rows
+            return pa.table({
+                "id_a": batch["id_a"].cast(pa.string()),
+                "id_b": batch["id_b"].cast(pa.string()),
+                "p": pa.array(np.full(n, val_p, dtype=np.int64)),
+                "c": pa.array(np.full(n, val_c, dtype=np.int64)),
+            })
+        return f
+
+    pp = phash_neardup(images, t=t, cap=cap) \
+        .map_batches(flag(1, 0), batch_format="pyarrow")
+    cp = colocated_pairs(images, level=level, cap=cap) \
+        .map_batches(flag(0, 1), batch_format="pyarrow")
+
+    merged = pp.union(cp).groupby(["id_a", "id_b"]).sum(["p", "c"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        if "sum(p)" not in batch.schema.names:
+            return pa.table({"id_a": pa.array([], type=pa.string()),
+                             "id_b": pa.array([], type=pa.string()),
+                             "via": pa.array([], type=pa.string())})
+        p = batch["sum(p)"].to_numpy(zero_copy_only=False) > 0
+        c = batch["sum(c)"].to_numpy(zero_copy_only=False) > 0
+        via = np.where(p & c, "both", np.where(p, "phash", "colocated"))
+        return pa.table({"id_a": batch["id_a"].cast(pa.string()),
+                         "id_b": batch["id_b"].cast(pa.string()),
+                         "via": pa.array(via, type=pa.string())})
+
+    return merged.map_batches(classify, batch_format="pyarrow")
