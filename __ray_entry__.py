@@ -1347,6 +1347,31 @@ def q_phash_neardup(sf_dir: str):
         t=12, cap=500)
 
 
+def q_audio_features(sf_dir: str):
+    """Audio modality plumbing: every 50th event becomes a fake-PCM
+    audio record; AudioFeatures (actor pool) parses headers and computes
+    RMS/ZCR with segmented reduceat — blobs never leave the map task.
+    The comparable projection is the arithmetic header metadata; RMS/ZCR
+    are pytest-checked (tests/test_audio.py)."""
+    from osmium_tool_ray.stages.media import AudioFeatures, make_fake_audio
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def as_audio(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        sel = ids[ids % 50 == 0]
+        return pa.table({
+            "audio_id": pa.array([f"a{i:010d}" for i in sel],
+                                 type=pa.string()),
+            "audio": make_fake_audio(sel),
+        })
+
+    audio = ev.map_batches(as_audio, batch_format="pyarrow")
+    out = audio.map_batches(AudioFeatures, batch_format="pyarrow",
+                            batch_size=128, concurrency=2)
+    return out.select_columns(["audio_id", "sr", "n_samples", "duration_s"])
+
+
 def q_crossmodal_neardup(sf_dir: str):
     """Cross-signal near-dup pairs (stages/dedup.crossmodal_neardup):
     phash hamming LSH pairs unioned with same-grid-cell co-location
@@ -1631,6 +1656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_val": q_hash_split_val,
         "phash_neardup": q_phash_neardup,
         "crossmodal_neardup": q_crossmodal_neardup,
+        "audio_features": q_audio_features,
         "tile_mosaic": q_tile_mosaic,
         "rasterize_coverage": q_rasterize_coverage,
         "export_geojsonseq": q_export_geojsonseq,
@@ -1956,6 +1982,12 @@ def oracle_sql() -> dict[str, str]:
                           AND a.image_id < b.image_id)
             SELECT id_a, id_b FROM cand
             WHERE bit_count(xor(pa, pb)) <= 12""",
+        "audio_features": """
+            SELECT 'a' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS audio_id,
+                   CAST(16000 AS INTEGER) AS sr,
+                   CAST(8000 + (event_id % 5) * 1600 AS INTEGER) AS n_samples,
+                   (8000 + (event_id % 5) * 1600) / 16000.0 AS duration_s
+            FROM events WHERE event_id % 50 = 0""",
         "crossmodal_neardup": f"""{cte}
             , bands AS (
                 SELECT image_id, phash, band,

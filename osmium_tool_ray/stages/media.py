@@ -179,3 +179,94 @@ class Resize:
                                  pa.array(np.full(n, self.out_w, dtype=np.int32)))
         return batch.set_column(batch.schema.get_field_index("h"), "h",
                                 pa.array(np.full(n, self.out_h, dtype=np.int32)))
+
+
+_AUDIO_MAGIC = b"FAUD"
+
+
+def make_fake_audio(idx: np.ndarray, sr: int = 16_000,
+                    base_samples: int = 8_000, step: int = 1_600) -> pa.Array:
+    """Deterministic fake audio container (the ffmpeg/soundfile seam,
+    like the fake image/video codecs): header = magic + sr(int32) +
+    n_samples(int32), body = int16 PCM derived from splitmix64 of
+    (id, sample_block). n_samples = base + (id % 5) * step, so duration
+    is an arithmetic function of the id — SQL-oracle-checkable."""
+    from ..functions.hashing import hash64
+
+    idx = np.asarray(idx, dtype=np.int64)
+    out = []
+    for i in idx:
+        n = int(base_samples + (i % 5) * step)
+        nwords = (n + 3) // 4                   # 4 int16 per u64 word
+        words = hash64(np.int64(i) * np.int64(1_000_003)
+                       + np.arange(nwords, dtype=np.int64))
+        pcm = words.view(np.int16)[:n]
+        hdr = (_AUDIO_MAGIC
+               + np.array([sr, n], dtype=np.int32).tobytes())
+        out.append(hdr + pcm.tobytes())
+    return pa.array(out, type=pa.large_binary())
+
+
+class AudioFeatures:
+    """Actor stage: parse the audio container and append per-row
+    features — sample rate, sample count, duration_s, RMS amplitude and
+    zero-crossing rate. Header fields are metadata (SQL-checkable);
+    RMS/ZCR are computed from the PCM body (pytest-checked vs numpy).
+
+    Decode state (none for the fake codec; a resampler/filterbank for a
+    real one) lives in __init__ — once per actor, not per batch. Blobs
+    never leave the map task: output is the input minus the audio bytes
+    plus 5 scalar columns."""
+
+    def __init__(self, bytes_col: str = "audio"):
+        self.bytes_col = bytes_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.bytes_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.cast(pa.large_binary())
+        nrec = len(col)
+        if nrec == 0:
+            out = batch.drop_columns([self.bytes_col])
+            return out.append_column("sr", pa.array([], type=pa.int32())) \
+                .append_column("n_samples", pa.array([], type=pa.int32())) \
+                .append_column("duration_s", pa.array([], type=pa.float64())) \
+                .append_column("rms", pa.array([], type=pa.float64())) \
+                .append_column("zcr", pa.array([], type=pa.float64()))
+        # segmented decode over the flat value buffer — no per-row Python
+        buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+            col.offset:col.offset + nrec + 1]
+        starts = offs[:-1]
+        magic = buf[(starts[:, None] + np.arange(4)[None, :]).ravel()] \
+            .reshape(-1, 4)
+        if not (magic == np.frombuffer(_AUDIO_MAGIC, dtype=np.uint8)).all():
+            raise ValueError("bad audio magic")
+        hdr_idx = (starts[:, None] + 4 + np.arange(8)[None, :]).ravel()
+        hdr = buf[hdr_idx].reshape(-1, 8).copy().view(np.int32)
+        srs, ns = hdr[:, 0].copy(), hdr[:, 1].copy()
+        # gather all PCM segments into one flat float64 vector
+        seg_starts = starts + 12
+        seg_len_b = (ns.astype(np.int64)) * 2
+        flat_idx = np.concatenate(
+            [np.arange(s, s + l) for s, l in zip(seg_starts, seg_len_b)])
+        pcm = buf[flat_idx].copy().view(np.int16).astype(np.float64)
+        bounds = np.concatenate([[0], np.cumsum(ns.astype(np.int64))])
+        sq_sums = np.add.reduceat(pcm * pcm, bounds[:-1])
+        rms = np.sqrt(sq_sums / ns)
+        sb = np.signbit(pcm)
+        flips = (sb[1:] != sb[:-1]).astype(np.int64)
+        # zero out flips that straddle record boundaries
+        flips[bounds[1:-1] - 1] = 0
+        cum = np.concatenate([[0], np.cumsum(flips)])
+        per_rec = cum[np.minimum(bounds[1:] - 1, len(cum) - 1)] \
+            - cum[bounds[:-1]]
+        zcr = per_rec / np.maximum(ns - 1, 1)
+        out = batch.drop_columns([self.bytes_col])
+        return out.append_column("sr", pa.array(srs, type=pa.int32())) \
+            .append_column("n_samples", pa.array(ns, type=pa.int32())) \
+            .append_column("duration_s",
+                           pa.array(ns.astype(np.float64) / srs)) \
+            .append_column("rms", pa.array(rms)) \
+            .append_column("zcr", pa.array(zcr))
