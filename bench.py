@@ -36,6 +36,8 @@ QUERY_NAMES = [
     "token_count_docs", "knn_points", "minhash_dup_pairs", "ann_embeddings",
     "psnr_verify", "add_locations", "extract_cw_nodes", "getid_bucketed",
     "extract_cw_history", "apply_changes_locations", "changeset_flags",
+    "getid_bloom", "zorder_pruned_bbox", "heavy_words", "crossmodal_neardup",
+    "running_total_global", "stratified_sample_docs", "audio_features",
 ]
 
 

@@ -57,6 +57,37 @@ def ids_from_dataset(ds, id_col: str = "image_id") -> np.ndarray:
                       dtype=object)
 
 
+def _refs_of_groups(members, groupset: np.ndarray,
+                    mtypes: tuple[str, ...]) -> dict[str, np.ndarray]:
+    """Distributed: unique member refs of the given types whose owner is
+    in `groupset` (broadcast). ONE scan of the members table; only the
+    per-batch-unique matched (mtype, ref) pairs return to the driver —
+    bounded by the closure result size, never by the member-table size
+    (command_getid.cpp:277-309's member sub-passes at scale)."""
+    import ray
+
+    gref = ray.put(np.asarray(groupset, dtype=object))
+    mt_arr = np.asarray(list(mtypes), dtype=object)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        gs = ray.get(gref)
+        mt = _np_str(batch["mtype"])
+        hit = _isin(mt, mt_arr) if len(gs) else np.zeros(len(mt), bool)
+        if hit.any():
+            hit &= _isin(_np_str(batch["group_id"]), gs)
+        out = batch.select(["mtype", "ref"]).filter(pa.array(hit))
+        if out.num_rows:
+            dd = out.group_by(["mtype", "ref"]).aggregate([])
+            return dd
+        return pa.table({"mtype": pa.array([], type=pa.string()),
+                         "ref": pa.array([], type=pa.string())})
+
+    tbl = _collect_table(members.map_batches(scan, batch_format="pyarrow"))
+    mt = _np_str(tbl["mtype"])
+    ref = _np_str(tbl["ref"])
+    return {m: np.unique(ref[mt == m]).astype(object) for m in mtypes}
+
+
 def semi_join(ds, id_col: str, ids: np.ndarray, invert: bool = False):
     """Distributed (anti-)semi-join of a dataset against a broadcast id set."""
     import ray
@@ -99,26 +130,36 @@ def getid(images, ids: dict[str, np.ndarray], groups=None, members=None,
     ref_rels = np.empty(0, dtype=object)
 
     if recursive and members is not None:
-        mem = _collect_small(members, ["group_id", "mtype", "ref"])
-        # sub-pass 1: relations in requested relations, recursive
+        import pyarrow.compute as _pc
+
+        # sub-pass 1: relations in requested relations, recursive.
+        # Only RELATION-member edges reach the driver (relations are a
+        # sliver of the member table; way->node rows — the planet-scale
+        # bulk — stay distributed, the c13d61c extract.py pattern).
+        mem = _collect_small(
+            members.map_batches(
+                lambda b: b.filter(_pc.equal(b["mtype"], "relation"))
+                .select(["group_id", "ref"]), batch_format="pyarrow"),
+            ["group_id", "ref"])
         frontier = set(rel_ids.tolist())
         seen: set = set()
         while frontier:
-            fsel = _isin(mem["group_id"], np.asarray(list(frontier), dtype=object)) \
-                & (mem["mtype"] == "relation")
+            fsel = _isin(mem["group_id"],
+                         np.asarray(list(frontier), dtype=object))
             children = set(mem["ref"][fsel].tolist()) - seen - set(rel_ids.tolist())
             seen |= children
             frontier = children
         ref_rels = np.asarray(sorted(seen), dtype=object)
         # sub-pass 2: node/way members of requested+referenced relations
+        # (one distributed scan; only matched unique refs come back)
         all_rels = np.union1d(rel_ids, ref_rels)
-        rsel = _isin(mem["group_id"], all_rels)
-        ref_nodes = np.unique(mem["ref"][rsel & (mem["mtype"] == "node")])
-        ref_ways = np.unique(mem["ref"][rsel & (mem["mtype"] == "way")])
-        # sub-pass 3: nodes of requested+referenced ways
+        rel_refs = _refs_of_groups(members, all_rels, ("node", "way"))
+        ref_nodes = rel_refs["node"]
+        ref_ways = rel_refs["way"]
+        # sub-pass 3: nodes of requested+referenced ways (distributed)
         all_ways = np.union1d(way_ids, ref_ways)
-        wsel = _isin(mem["group_id"], all_ways) & (mem["mtype"] == "node")
-        ref_nodes = np.union1d(ref_nodes, np.unique(mem["ref"][wsel]))
+        way_refs = _refs_of_groups(members, all_ways, ("node",))
+        ref_nodes = np.union1d(ref_nodes, way_refs["node"])
         ref_nodes = np.setdiff1d(ref_nodes, node_ids)
         ref_ways = np.setdiff1d(ref_ways, way_ids)
 
