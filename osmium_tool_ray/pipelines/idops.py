@@ -282,11 +282,19 @@ def check_refs(images, members, groups=None, check_relations: bool = False) -> d
     from ..functions.hashing import hash_str_u64
 
     buckets = 64
-    kind_of = {}
+    # only RELATION ids reach the driver (relations are a sliver of the
+    # group universe; ways — the planet-scale bulk — stay distributed)
+    rel_gids = np.empty(0, dtype=object)
     if groups is not None:
-        g = _collect_small(groups, ["group_id", "kind"])
-        kind_of = dict(zip(g["group_id"], g["kind"]))
-    kref = ray.put(kind_of)
+        import pyarrow.compute as _pc
+
+        g = _collect_small(
+            groups.map_batches(
+                lambda b: b.filter(_pc.equal(b["kind"], "relation"))
+                .select(["group_id"]), batch_format="pyarrow"),
+            ["group_id"])
+        rel_gids = np.sort(np.asarray(g["group_id"], dtype=object))
+    kref = ray.put(rel_gids)
 
     def bucket_of(vals: pa.ChunkedArray) -> pa.Array:
         b = (hash_str_u64(vals.cast(pa.string()))
@@ -294,11 +302,11 @@ def check_refs(images, members, groups=None, check_relations: bool = False) -> d
         return pa.array(b)
 
     def tag_refs(batch: pa.Table) -> pa.Table:
-        kmap = ray.get(kref)
+        rels = ray.get(kref)
         mt = _np_str(batch["mtype"])
         gid = _np_str(batch["group_id"])
-        owner_rel = np.asarray([kmap.get(x) == "relation" for x in gid]) \
-            if kmap else np.zeros(len(gid), dtype=bool)
+        owner_rel = _isin(gid, rels) if len(rels) \
+            else np.zeros(len(gid), dtype=bool)
         cat = np.full(len(mt), -9, dtype=np.int8)
         cat[(mt == "node") & ~owner_rel] = 0
         cat[(mt == "node") & owner_rel] = 1

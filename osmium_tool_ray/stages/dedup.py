@@ -863,9 +863,34 @@ def phash_neardup(images, t: int = 12, cap: int = 500,
         .groupby(["band", "v"]) \
         .map_groups(emit_pairs, batch_format="pyarrow") \
         .map_batches(verify, batch_format="pyarrow")
-    # pairs found via multiple bands collapse to one row
-    return pairs.groupby(["id_a", "id_b"]).count() \
-        .select_columns(["id_a", "id_b"])
+
+    # pairs found via multiple bands collapse to one row. Native
+    # Aggregate would SORT the raw two-string key columns (~10x the
+    # cost at millions of pair rows — the hash_distinct lesson); a
+    # coarse int32 bucket shuffle + per-bucket Arrow C++ distinct is
+    # exact because every (id_a, id_b) lands in one bucket.
+    from ..functions.hashing import hash_str_u64
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "id_a" not in batch.schema.names:
+            return pa.table({"id_a": pa.array([], type=pa.string()),
+                             "id_b": pa.array([], type=pa.string()),
+                             "_b": pa.array([], type=pa.int32())})
+        key = pc.binary_join_element_wise(
+            batch["id_a"].cast(pa.string()),
+            batch["id_b"].cast(pa.string()), "|")
+        b = (hash_str_u64(key) % np.uint64(64)).astype(np.int32)
+        return batch.append_column("_b", pa.array(b))
+
+    def distinct_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "id_a" not in g.schema.names:
+            return pa.table({"id_a": pa.array([], type=pa.string()),
+                             "id_b": pa.array([], type=pa.string())})
+        return g.select(["id_a", "id_b"]).group_by(
+            ["id_a", "id_b"]).aggregate([])
+
+    return pairs.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(distinct_bucket, batch_format="pyarrow")
 
 
 def colocated_pairs(images, level: int = 6, cap: int = 500,
@@ -976,18 +1001,37 @@ def crossmodal_neardup(images, t: int = 12, cap: int = 500,
     cp = colocated_pairs(images, level=level, cap=cap) \
         .map_batches(flag(0, 1), batch_format="pyarrow")
 
-    merged = pp.union(cp).groupby(["id_a", "id_b"]).sum(["p", "c"])
+    # Ray's native Aggregate sorts the raw key columns; on millions of
+    # two-STRING-key pair rows that is ~10x a coarse int32 bucket
+    # shuffle (the hash_distinct lesson, blocks.py). Each (id_a, id_b)
+    # lands in exactly one bucket, so the per-bucket Arrow C++ hash
+    # aggregate is exact and classification happens in place.
+    from ..functions.hashing import hash_str_u64
 
-    def classify(batch: pa.Table) -> pa.Table:
-        if "sum(p)" not in batch.schema.names:
+    nbuckets = 64
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_b", pa.array([], type=pa.int32()))
+        key = pc.binary_join_element_wise(
+            batch["id_a"].cast(pa.string()),
+            batch["id_b"].cast(pa.string()), "|")
+        b = (hash_str_u64(key) % np.uint64(nbuckets)).astype(np.int32)
+        return batch.append_column("_b", pa.array(b))
+
+    def agg_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "id_a" not in g.schema.names:
             return pa.table({"id_a": pa.array([], type=pa.string()),
                              "id_b": pa.array([], type=pa.string()),
                              "via": pa.array([], type=pa.string())})
-        p = batch["sum(p)"].to_numpy(zero_copy_only=False) > 0
-        c = batch["sum(c)"].to_numpy(zero_copy_only=False) > 0
+        summed = g.group_by(["id_a", "id_b"]).aggregate(
+            [("p", "sum"), ("c", "sum")])
+        p = summed["p_sum"].to_numpy(zero_copy_only=False) > 0
+        c = summed["c_sum"].to_numpy(zero_copy_only=False) > 0
         via = np.where(p & c, "both", np.where(p, "phash", "colocated"))
-        return pa.table({"id_a": batch["id_a"].cast(pa.string()),
-                         "id_b": batch["id_b"].cast(pa.string()),
+        return pa.table({"id_a": summed["id_a"].cast(pa.string()),
+                         "id_b": summed["id_b"].cast(pa.string()),
                          "via": pa.array(via, type=pa.string())})
 
-    return merged.map_batches(classify, batch_format="pyarrow")
+    return pp.union(cp).map_batches(bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(agg_bucket, batch_format="pyarrow")
