@@ -1243,6 +1243,18 @@ def q_quantiles_value(sf_dir: str):
     return exact_quantiles(ds, "value", [0.1, 0.5, 0.9, 0.99])
 
 
+def q_user_quantiles(sf_dir: str):
+    """Per-key discrete quantiles (stats.grouped_quantiles): p50/p90 of
+    value per user — one key-hash shuffle, vectorized per-group order
+    statistics."""
+    import ray.data as rd
+    from osmium_tool_ray.pipelines.stats import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+    return grouped_quantiles(ds, "user_id", "value", [0.5, 0.9])
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic 20-per-language sample of documents (hash-ordered
     window, partial+final prune — pipelines/sampling.stratified_sample)."""
@@ -1279,6 +1291,19 @@ def q_sorted_check(sf_dir: str):
     return pa.table({"is_sorted": pa.array([res["sorted"]]),
                      "violations": pa.array([res["violations"]],
                                             type=pa.int64())})
+
+
+def q_tfidf_terms(sf_dir: str):
+    """Per-document top-3 TF-IDF terms (stages/text.tfidf_top_terms):
+    map-side tf (one doc per row), bucketed df fold, broadcast idf,
+    vectorized per-doc top-k; linear idf keeps scores bit-exact vs the
+    SQL oracle."""
+    import ray.data as rd
+    from osmium_tool_ray.stages.text import tfidf_top_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return tfidf_top_terms(docs, k=3)
 
 
 def q_heavy_words(sf_dir: str):
@@ -1657,11 +1682,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_user": q_topk_per_user,
         "embedding_moments": q_embedding_moments,
         "heavy_words": q_heavy_words,
+        "tfidf_terms": q_tfidf_terms,
         "sorted_check": q_sorted_check,
         "stratified_sample_docs": q_stratified_sample,
         "running_total_global": q_running_total_global,
         "running_total_user": q_running_total_user,
         "quantiles_value": q_quantiles_value,
+        "user_quantiles": q_user_quantiles,
         "hash_split_val": q_hash_split_val,
         "phash_neardup": q_phash_neardup,
         "crossmodal_neardup": q_crossmodal_neardup,
@@ -2106,6 +2133,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.9, quantile_disc(value, 0.9) FROM events
             UNION ALL
             SELECT 0.99, quantile_disc(value, 0.99) FROM events""",
+        "user_quantiles": """
+            SELECT user_id,
+                   quantile_disc(value, 0.5) AS q0_5,
+                   quantile_disc(value, 0.9) AS q0_9
+            FROM events GROUP BY user_id""",
         "stratified_sample_docs": """
             SELECT lang, doc_id FROM (
                 SELECT lang, doc_id,
@@ -2134,6 +2166,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT value, count(*) AS cnt FROM words
             GROUP BY value
             HAVING count(*) >= ceil(0.02 * (SELECT count(*) FROM words))""",
+        "tfidf_terms": r"""
+            WITH words AS (
+                SELECT doc_id, t.w AS word
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '\s+')) t(w)
+                WHERE t.w <> ''),
+            tf AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY 1, 2),
+            df AS (SELECT word, count(DISTINCT doc_id) AS d FROM words GROUP BY 1),
+            n AS (SELECT count(*) AS nn FROM documents)
+            SELECT doc_id, word, score FROM (
+                SELECT tf.doc_id, tf.word,
+                       tf.c * (CAST(nn AS DOUBLE) / df.d) AS score,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.c * (CAST(nn AS DOUBLE) / df.d) DESC,
+                                    tf.word) AS rn
+                FROM tf JOIN df USING (word), n)
+            WHERE rn <= 3""",
         "token_count_docs": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)

@@ -252,3 +252,35 @@ def exact_quantiles(ds, col: str, qs: list[float]) -> pa.Table:
     vals = ray.get(fetches)
     return pa.table({"q": pa.array(list(qs), type=pa.float64()),
                      "value": pa.array(vals)})
+
+
+def grouped_quantiles(ds, key_col: str, col: str, qs: list[float],
+                      out_prefix: str = "q") -> "object":
+    """Per-key discrete quantiles: quantile_disc(col, q) GROUP BY key.
+
+    One key-hash shuffle; each group sorts its own values vectorized and
+    indexes max(ceil(q*n)-1, 0) — per-key row counts are bounded (the
+    sessionize/topk assumption), so no global sort is needed. Returns a
+    Dataset(key_col, <out_prefix><q>, ...) with one row per key."""
+    import math
+
+    qs = list(qs)
+    names = [f"{out_prefix}{str(q).replace('.', '_')}" for q in qs]
+
+    def per_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or col not in g.schema.names:
+            ktype = g.schema.field(key_col).type \
+                if key_col in g.schema.names else pa.string()
+            cols = {key_col: pa.array([], type=ktype)}
+            for nm in names:
+                cols[nm] = pa.array([], type=pa.float64())
+            return pa.table(cols)
+        v = np.sort(g[col].to_numpy(zero_copy_only=False))
+        n = len(v)
+        out = {key_col: g[key_col].slice(0, 1)}
+        for q, nm in zip(qs, names):
+            out[nm] = pa.array([v[max(math.ceil(q * n) - 1, 0)]])
+        return pa.table(out)
+
+    return ds.select_columns([key_col, col]).groupby(key_col) \
+        .map_groups(per_group, batch_format="pyarrow")

@@ -117,3 +117,123 @@ class Fingerprint:
     def __call__(self, batch: pa.Table) -> pa.Table:
         h = hash_str_u64(batch[self.text_col])
         return batch.append_column(self.out_col, pa.array(h.view(np.int64)))
+
+
+def tfidf_top_terms(docs, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 3, n_docs: int | None = None):
+    """Per-document top-k TF-IDF terms over whitespace tokens.
+
+    Scoring uses the linear idf variant score = tf * (N / df) — a single
+    correctly-rounded IEEE division+multiply, so scores (and their
+    ordering) are bit-identical across engines, unlike ln() whose last
+    ulp is implementation-defined (the SQL oracle must reproduce scores
+    exactly).
+
+    Shapes: each document's text lives in ONE row, so term frequencies
+    are complete map-side (no shuffle). Document frequencies shuffle
+    only per-batch-unique (word, 1) partials through an int32 hash
+    bucket (the hash_distinct pattern — native Aggregate would sort raw
+    word strings); the folded df vector is broadcast back for the
+    map-side top-k. At open-web vocabulary sizes the broadcast df map
+    is the one non-sharded piece — swap it for a bucketed join
+    (idops.semi_join_bucketed shape) when |vocab| exceeds worker RAM.
+
+    Ties rank by (score DESC, word ASC); rows with fewer than k distinct
+    terms emit them all."""
+    import ray
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash_str_u64
+
+    if n_docs is None:
+        n_docs = docs.count()
+
+    def _words_of(batch: pa.Table):
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col].cast(pa.string())), r"\s+")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        return flat, lens
+
+    # pass 1: document frequencies (per-batch-unique words -> bucketed sum)
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat, lens = _words_of(batch)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        w = flat.to_numpy(zero_copy_only=False).astype(str)
+        keep = w != ""
+        w, doc_idx = w[keep], doc_idx[keep]
+        if len(w) == 0:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64()),
+                             "_b": pa.array([], type=pa.int32())})
+        # distinct (doc, word) via one lexsort, then count docs per word
+        o = np.lexsort((doc_idx, w))
+        w, doc_idx = w[o], doc_idx[o]
+        first = np.concatenate([[True], (w[1:] != w[:-1])
+                                | (doc_idx[1:] != doc_idx[:-1])])
+        uw = w[first]
+        new_word = np.concatenate([[True], uw[1:] != uw[:-1]])
+        vals = uw[new_word]
+        counts = np.diff(np.append(np.flatnonzero(new_word), len(uw)))
+        b = (hash_str_u64(pa.array(vals, type=pa.string()))
+             % np.uint64(32)).astype(np.int32)
+        return pa.table({"word": pa.array(vals, type=pa.string()),
+                         "df": pa.array(counts.astype(np.int64)),
+                         "_b": pa.array(b)})
+
+    def df_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "word" not in g.schema.names:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        agg = g.select(["word", "df"]).group_by("word") \
+            .aggregate([("df", "sum")])
+        return pa.table({"word": agg["word"].cast(pa.string()),
+                         "df": agg["df_sum"].cast(pa.int64())})
+
+    rows = docs.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(df_fold, batch_format="pyarrow").take_all()
+    dwords = np.asarray([r["word"] for r in rows], dtype=str)
+    dfs = np.asarray([r["df"] for r in rows], dtype=np.int64)
+    order = np.argsort(dwords)
+    dwords, dfs = dwords[order], dfs[order]
+    df_ref = ray.put((dwords, dfs))
+
+    # pass 2: map-side tf + score + per-doc top-k
+    def topk(batch: pa.Table) -> pa.Table:
+        vocab, dfv = ray.get(df_ref)
+        flat, lens = _words_of(batch)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        w = flat.to_numpy(zero_copy_only=False).astype(str)
+        keep = w != ""
+        w, doc_idx = w[keep], doc_idx[keep]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_doc, out_word, out_score = [], [], []
+        # per-doc tf via one lexsort over (doc, word)
+        if len(w) == 0:
+            return pa.table({id_col: pa.array([], type=batch[id_col].type),
+                             "word": pa.array([], type=pa.string()),
+                             "score": pa.array([], type=pa.float64())})
+        o = np.lexsort((w, doc_idx))
+        w, doc_idx = w[o], doc_idx[o]
+        new = np.concatenate([[True], (w[1:] != w[:-1])
+                              | (doc_idx[1:] != doc_idx[:-1])])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, len(w)))
+        gw = w[starts]
+        gd = doc_idx[starts]
+        pos = np.searchsorted(vocab, gw)
+        score = tf * (float(n_docs) / dfv[pos])
+        # top-k per doc: sort by (doc, -score, word)
+        o2 = np.lexsort((gw, -score, gd))
+        gd2, gw2, sc2 = gd[o2], gw[o2], score[o2]
+        newdoc = np.concatenate([[True], gd2[1:] != gd2[:-1]])
+        rank = np.arange(len(gd2)) - np.maximum.accumulate(
+            np.where(newdoc, np.arange(len(gd2)), -1))
+        sel = rank < k
+        return pa.table({
+            id_col: pa.array(ids[gd2[sel]]),
+            "word": pa.array(gw2[sel], type=pa.string()),
+            "score": pa.array(sc2[sel]),
+        })
+
+    return docs.map_batches(topk, batch_format="pyarrow")

@@ -80,6 +80,22 @@ def test_exact_quantiles_duckdb_parity(ray_session, events):
     assert out["value"].to_pylist() == list(want)
 
 
+def test_grouped_quantiles_match_duckdb(ray_session, events):
+    import duckdb
+
+    from osmium_tool_ray.pipelines.stats import grouped_quantiles
+
+    out = grouped_quantiles(_ds(ray_session, events, 6), "user_id",
+                            "ival", [0.5, 0.9]).take_all()
+    got = sorted((r["user_id"], r["q0_5"], r["q0_9"]) for r in out)
+    con = duckdb.connect()
+    con.register("t", events.to_pandas())
+    want = sorted(map(tuple, con.sql(
+        "SELECT user_id, quantile_disc(ival, 0.5), quantile_disc(ival, 0.9) "
+        "FROM t GROUP BY user_id").fetchall()))
+    assert got == want
+
+
 def test_exact_quantiles_empty(ray_session):
     import ray.data as rd
 
