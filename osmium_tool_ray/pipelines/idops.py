@@ -551,32 +551,62 @@ def renumber_with_refs(images, groups, members, start: int = 1,
             # the known universe, one fresh id per unseen ref
 
     # owner kind comes from the groups table, not an id-prefix heuristic
-    # (group ids need not follow the w/r naming convention)
-    kind_of = dict(zip(g["group_id"], g["kind"]))
-    mref = ray.put(mappings)
-    kind_ref = ray.put(kind_of)
+    # (group ids need not follow the w/r naming convention). Maps ship
+    # as (sorted-key array, aligned values) so lookups are vectorized
+    # searchsorted probes, not per-row dict.get loops.
+    packed = {}
+    for k, m in mappings.items():
+        keys = np.asarray(sorted(m), dtype=str)
+        vals = np.asarray([m[x] for x in keys], dtype=np.int64)
+        packed[k] = (keys, vals)
+    ow_keys = np.asarray(g["group_id"], dtype=str)
+    ow_order = np.argsort(ow_keys)
+    ow_keys = ow_keys[ow_order]
+    ow_kinds = np.asarray(g["kind"], dtype=str)[ow_order]
+    mref = ray.put(packed)
+    kind_ref = ray.put((ow_keys, ow_kinds))
+
+    def _probe(keys: np.ndarray, vals: np.ndarray, q: np.ndarray):
+        """(values, found_mask) of q against a sorted key array."""
+        if len(keys) == 0 or len(q) == 0:
+            return np.zeros(len(q), dtype=np.int64), np.zeros(len(q), bool)
+        pos = np.searchsorted(keys, q)
+        ok = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == q)
+        return vals[np.minimum(pos, len(keys) - 1)], ok
+
+    def _remap_by_kind(m: dict, kinds: np.ndarray, ids: np.ndarray):
+        out = np.zeros(len(ids), dtype=np.int64)
+        ok = np.zeros(len(ids), dtype=bool)
+        for k, (keys, vals) in m.items():
+            sel = kinds == k
+            if sel.any():
+                v, f = _probe(keys, vals, ids[sel])
+                out[sel] = np.where(f, v, 0)
+                ok[sel] = f
+        return pa.array(out, type=pa.int64(), mask=~ok)
 
     def remap_groups(batch: pa.Table) -> pa.Table:
         m = ray.get(mref)
-        gid = _np_str(batch["group_id"])
-        kind = _np_str(batch["kind"])
-        new = [m[k][i] if k in m else None
-               for k, i in zip(kind.tolist(), gid.tolist())]
-        return batch.append_column("new_id", pa.array(new, type=pa.int64()))
+        gid = _np_str(batch["group_id"]).astype(str)
+        kind = _np_str(batch["kind"]).astype(str)
+        return batch.append_column("new_id", _remap_by_kind(m, kind, gid))
 
     def remap_members(batch: pa.Table) -> pa.Table:
         m = ray.get(mref)
-        kmap = ray.get(kind_ref)
-        gid = _np_str(batch["group_id"]).tolist()
-        mt = _np_str(batch["mtype"]).tolist()
-        ref = _np_str(batch["ref"]).tolist()
-        owner_kind = [kmap.get(x, "way") for x in gid]
-        new_owner = [m[k].get(i) if k in m else None
-                     for k, i in zip(owner_kind, gid)]
-        new_ref = [m[k].get(i) if k in m else None
-                   for k, i in zip(mt, ref)]
-        batch = batch.append_column("new_group_id", pa.array(new_owner, type=pa.int64()))
-        return batch.append_column("new_ref", pa.array(new_ref, type=pa.int64()))
+        ow_k, ow_v = ray.get(kind_ref)
+        gid = _np_str(batch["group_id"]).astype(str)
+        mt = _np_str(batch["mtype"]).astype(str)
+        ref = _np_str(batch["ref"]).astype(str)
+        pos = np.searchsorted(ow_k, gid) if len(ow_k) else None
+        if pos is None:
+            owner_kind = np.full(len(gid), "way", dtype=object)
+        else:
+            pos_c = np.minimum(pos, max(len(ow_k) - 1, 0))
+            found = (pos < len(ow_k)) & (ow_k[pos_c] == gid)
+            owner_kind = np.where(found, ow_v[pos_c], "way").astype(str)
+        batch = batch.append_column(
+            "new_group_id", _remap_by_kind(m, owner_kind, gid))
+        return batch.append_column("new_ref", _remap_by_kind(m, mt, ref))
 
     groups_out = groups.map_batches(remap_groups, batch_format="pyarrow")
     members_out = members.map_batches(remap_members, batch_format="pyarrow")
