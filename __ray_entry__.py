@@ -1381,6 +1381,24 @@ def q_phash_neardup(sf_dir: str):
         t=12, cap=500)
 
 
+def q_dup_clusters(sf_dir: str):
+    """Duplicate CLUSTERS from the cross-modal pair table
+    (stages/dedup.connected_components): each image mapped to its
+    component-minimum representative. Driver union-find under the cap;
+    the forced distributed label-propagation + pointer-jumping path is
+    pytest-proven identical (tests/test_components.py). No SQL oracle:
+    transitive closure in a recursive CTE blows up on the fixture's
+    large co-location components (rows-only check)."""
+    from osmium_tool_ray.stages.dedup import (
+        connected_components, crossmodal_neardup,
+    )
+
+    pairs = crossmodal_neardup(
+        images_dataset(sf_dir, columns=["image_id", "phash", "lon", "lat"]),
+        t=12, cap=500, level=6)
+    return connected_components(pairs)
+
+
 def q_audio_features(sf_dir: str):
     """Audio modality plumbing: every 50th event becomes a fake-PCM
     audio record; AudioFeatures (actor pool) parses headers and computes
@@ -1692,6 +1710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_val": q_hash_split_val,
         "phash_neardup": q_phash_neardup,
         "crossmodal_neardup": q_crossmodal_neardup,
+        "dup_clusters": q_dup_clusters,
         "audio_features": q_audio_features,
         "tile_mosaic": q_tile_mosaic,
         "rasterize_coverage": q_rasterize_coverage,

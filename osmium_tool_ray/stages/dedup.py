@@ -1035,3 +1035,232 @@ def crossmodal_neardup(images, t: int = 12, cap: int = 500,
 
     return pp.union(cp).map_batches(bucket, batch_format="pyarrow") \
         .groupby("_b").map_groups(agg_bucket, batch_format="pyarrow")
+
+
+def _np_str(col) -> np.ndarray:
+    """Arrow string column -> numpy object array (no-copy-ish helper,
+    mirrors pipelines/extract._np_str without importing a pipeline)."""
+    return np.asarray(col.to_pylist(), dtype=object)
+
+
+def connected_components(pairs, a_col: str = "id_a", b_col: str = "id_b",
+                         max_iters: int = 50, driver_cap: int = 5_000_000):
+    """Connected components over a pair table -> one row per node
+    (image_id, rep) where rep is the smallest id in the component — the
+    canonical post-LSH step that turns verified duplicate PAIRS into
+    duplicate CLUSTERS (keep rep, drop the rest).
+
+    Two paths, chosen by pair count:
+      * <= driver_cap pairs: path-compressed union-find on the driver
+        (verified pair tables are a sliver of the corpus; this is the
+        same driver-side shape the minhash cluster step uses), labels
+        returned as a Dataset.
+      * above the cap (or driver_cap=0 to force): distributed min-label
+        propagation WITH pointer jumping — each iteration u takes
+        min(rep(u), rep of neighbors) then rep(rep(u)), so a
+        diameter-D component converges in O(log D) iterations
+        (Shiloach-Vishkin shortcut). One iteration = four coarse-bucket
+        shuffles; no driver-side graph. Convergence is detected by an
+        order-insensitive 64-bit label checksum (the fileinfo
+        content-hash trick; collision odds ~2^-40 per round).
+    """
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash_str_u64
+
+    if driver_cap and pairs.count() <= driver_cap:
+        tbl = pa.concat_tables(
+            [ray.get(r) for r in pairs.to_arrow_refs()],
+            promote_options="permissive")
+        if tbl.num_rows == 0 or a_col not in tbl.schema.names:
+            return rd.from_arrow(pa.table(
+                {"image_id": pa.array([], type=pa.string()),
+                 "rep": pa.array([], type=pa.string())}))
+        a = np.asarray(tbl[a_col].to_pylist(), dtype=object)
+        b = np.asarray(tbl[b_col].to_pylist(), dtype=object)
+        nodes, codes = np.unique(np.concatenate([a, b]).astype(str),
+                                 return_inverse=True)
+        ea, eb = codes[:len(a)], codes[len(a):]
+        parent = np.arange(len(nodes), dtype=np.int64)
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:        # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for x, y in zip(ea.tolist(), eb.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                # union by smaller node id keeps rep = component min
+                if rx < ry:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        reps = np.asarray([nodes[find(i)] for i in range(len(nodes))],
+                          dtype=object)
+        return rd.from_arrow(pa.table(
+            {"image_id": pa.array(nodes, type=pa.string()),
+             "rep": pa.array(reps, type=pa.string())}))
+
+    nbuckets = 32
+
+    def bucket_col(vals) -> pa.Array:
+        b = (hash_str_u64(vals) % np.uint64(nbuckets)).astype(np.int32)
+        return pa.array(b)
+
+    # symmetric edge list (u <- v influence flows both ways)
+    def sym(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or a_col not in batch.schema.names:
+            return pa.table({"u": pa.array([], type=pa.string()),
+                             "v": pa.array([], type=pa.string())})
+        a = batch[a_col].cast(pa.string())
+        b = batch[b_col].cast(pa.string())
+        return pa.table({
+            "u": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a,
+                                   b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b]),
+            "v": pa.concat_arrays([b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b,
+                                   a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a]),
+        })
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    # initial labels: rep(u) = u over the distinct node set
+    def init_labels(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.schema.names:
+            return pa.table({"u": pa.array([], type=pa.string()),
+                             "rep": pa.array([], type=pa.string()),
+                             "_b": pa.array([], type=pa.int32())})
+        u = batch["u"]
+        d = pa.table({"u": u}).group_by("u").aggregate([])
+        return pa.table({"u": d["u"], "rep": d["u"],
+                         "_b": bucket_col(d["u"])})
+
+    def dedup_labels(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "u" not in g.schema.names:
+            return pa.table({"u": pa.array([], type=pa.string()),
+                             "rep": pa.array([], type=pa.string())})
+        agg = g.select(["u", "rep"]).group_by("u").aggregate([("rep", "min")])
+        return pa.table({"u": agg["u"].cast(pa.string()),
+                         "rep": agg["rep_min"].cast(pa.string())})
+
+    labels = edges.map_batches(init_labels, batch_format="pyarrow") \
+        .groupby("_b").map_groups(dedup_labels, batch_format="pyarrow") \
+        .materialize()
+
+    def checksum(lab) -> int:
+        total = np.uint64(0)
+        for r in lab.map_batches(
+                lambda b: pa.table({"h": pa.array([int(
+                    np.bitwise_xor.reduce(hash_str_u64(
+                        pc.binary_join_element_wise(
+                            b["u"].cast(pa.string()),
+                            b["rep"].cast(pa.string()), "|")))
+                    if b.num_rows and "u" in b.schema.names else 0)],
+                    type=pa.uint64())}),
+                batch_format="pyarrow").take_all():
+            total ^= np.uint64(r["h"])
+        return int(total)
+
+    # --- one min-join round: new_rep(u) = min(rep(u), min rep(k) over
+    # query rows (u, k)). Queries side=0, labels side=1, joined per
+    # coarse bucket of the key.
+    _empty5 = pa.table({"k": pa.array([], type=pa.string()),
+                        "u": pa.array([], type=pa.string()),
+                        "rep": pa.array([], type=pa.string()),
+                        "_b": pa.array([], type=pa.int32()),
+                        "_s": pa.array([], type=pa.int8())})
+
+    def tag_queries(kcol: str):
+        def f(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or kcol not in batch.schema.names:
+                return _empty5
+            return pa.table({"k": batch[kcol].cast(pa.string()),
+                             "u": batch["u"].cast(pa.string()),
+                             "rep": pa.nulls(batch.num_rows, pa.string()),
+                             "_b": bucket_col(batch[kcol]),
+                             "_s": pa.array(np.zeros(batch.num_rows,
+                                                     dtype=np.int8))})
+        return f
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.schema.names:
+            return _empty5
+        return pa.table({"k": batch["u"].cast(pa.string()),
+                         "u": batch["u"].cast(pa.string()),
+                         "rep": batch["rep"].cast(pa.string()),
+                         "_b": bucket_col(batch["u"]),
+                         "_s": pa.array(np.ones(batch.num_rows,
+                                                dtype=np.int8))})
+
+    def join_bucket(gt: pa.Table) -> pa.Table:
+        if gt.num_rows == 0 or "k" not in gt.schema.names:
+            return pa.table({"u": pa.array([], type=pa.string()),
+                             "rep": pa.array([], type=pa.string()),
+                             "_b": pa.array([], type=pa.int32())})
+        s = gt["_s"].to_numpy(zero_copy_only=False)
+        k = _np_str(gt["k"]).astype(str)
+        lab_k = k[s == 1]
+        lab_rep = _np_str(gt["rep"]).astype(str)[s == 1]
+        o = np.argsort(lab_k)
+        lab_k, lab_rep = lab_k[o], lab_rep[o]
+        eu = _np_str(gt["u"]).astype(str)[s == 0]
+        ek = k[s == 0]
+        pos = np.searchsorted(lab_k, ek)
+        pos_c = np.minimum(pos, max(len(lab_k) - 1, 0))
+        found = (pos < len(lab_k)) & (lab_k[pos_c] == ek) \
+            if len(lab_k) else np.zeros(len(ek), bool)
+        # messages (u, rep(k)) plus the labels themselves pass through
+        out_u = np.concatenate([eu[found], lab_k])
+        out_r = np.concatenate([lab_rep[pos_c][found] if len(lab_k)
+                                else np.empty(0, dtype=str), lab_rep])
+        t = pa.table({"u": pa.array(out_u, type=pa.string()),
+                      "rep": pa.array(out_r, type=pa.string())})
+        return t.append_column("_b", bucket_col(t["u"]))
+
+    def min_join(query_ds, kcol: str, lab):
+        merged = query_ds.map_batches(tag_queries(kcol),
+                                      batch_format="pyarrow") \
+            .union(lab.map_batches(tag_labels, batch_format="pyarrow")) \
+            .groupby("_b").map_groups(join_bucket, batch_format="pyarrow")
+        # repartition pins the label block count: each groupby round
+        # otherwise emits ~(input blocks) output blocks, doubling per
+        # iteration until task-scheduling overhead dominates
+        return merged.groupby("_b") \
+            .map_groups(dedup_labels, batch_format="pyarrow") \
+            .repartition(nbuckets // 2).materialize()
+
+    import os as _os
+    import time as _time
+
+    _dbg = _os.environ.get("CC_DEBUG") == "1"
+    prev = checksum(labels)
+    for _it in range(max_iters):
+        _t0 = _time.time()
+        # neighbor round: u takes min over rep(v) of its neighbors
+        labels = min_join(edges, "v", labels)
+        # pointer-jumping round: u takes rep(rep(u)) — halves the
+        # remaining path depth, so a diameter-D component converges in
+        # O(log D) iterations instead of D (Shiloach-Vishkin shortcut)
+        labels = min_join(labels, "rep", labels)
+        cur = checksum(labels)
+        if _dbg:
+            print(f"cc iter {_it}: {_time.time() - _t0:.1f}s "
+                  f"rows {labels.count()} blocks {labels.num_blocks()} "
+                  f"checksum {cur:x}", flush=True)
+        if cur == prev:
+            break
+        prev = cur
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.schema.names:
+            return pa.table({"image_id": pa.array([], type=pa.string()),
+                             "rep": pa.array([], type=pa.string())})
+        return pa.table({"image_id": batch["u"].cast(pa.string()),
+                         "rep": batch["rep"].cast(pa.string())})
+
+    return labels.map_batches(finish, batch_format="pyarrow")
