@@ -1,0 +1,130 @@
+"""Resumable corpus dedup job — the `ray job submit` entrypoint for the
+cross-modal near-dup pipeline.
+
+    ray job submit -- python -m osmium_tool_ray.jobs.dedup_job \\
+        --input /root/testdata/sf0.01 --out /tmp/dedup_run
+
+Three checkpointed partitions, written atomically with input
+fingerprints (sources/writers.CheckpointedWriter), so a killed run
+resumes at the first incomplete stage:
+
+  part=pairs/      (id_a, id_b, via)  — phash-LSH ∪ co-location pairs
+  part=clusters/   (image_id, rep)    — connected components
+  part=survivors/  (image_id, ...)    — one representative per cluster
+                                        joined back to the corpus
+                                        (non-duplicates pass through)
+
+Blobs never appear in any stage: pairs/clusters are narrow id tables
+and the survivor pass is a map-side semi-join of the corpus against a
+broadcast drop-set (duplicate members minus representatives)."""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import time
+
+
+def _input_fp(input_path: str, tag: str) -> str:
+    h = hashlib.sha256()
+    h.update(input_path.encode())
+    h.update(tag.encode())
+    try:
+        h.update(str(os.path.getmtime(f"{input_path}/events.parquet")).encode())
+    except OSError:
+        pass
+    return h.hexdigest()[:16]
+
+
+def run_job(input_path: str, out_dir: str, t: int = 12, cap: int = 500,
+            level: int = 6) -> dict:
+    import ray
+
+    if not ray.is_initialized():  # standalone; the driver may own the session
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..sources.corpus import images_dataset
+    from ..sources.writers import CheckpointedWriter
+    from ..stages.dedup import connected_components, crossmodal_neardup
+
+    writer = CheckpointedWriter(out_dir, run_fingerprint=f"dedup-v1-t{t}-c{cap}-l{level}")
+    fp = _input_fp(input_path, f"{t}/{cap}/{level}")
+
+    def pairs_factory():
+        return crossmodal_neardup(
+            images_dataset(input_path,
+                           columns=["image_id", "phash", "lon", "lat"]),
+            t=t, cap=cap, level=level)
+
+    def clusters_factory():
+        pairs = rd.read_parquet(os.path.join(out_dir, "part=pairs"),
+                                file_extensions=["parquet"])
+        return connected_components(pairs)
+
+    def survivors_factory():
+        clusters = rd.read_parquet(os.path.join(out_dir, "part=clusters"),
+                                   file_extensions=["parquet"])
+        # drop-set: members of dup clusters that are NOT the representative
+        drop = clusters.map_batches(
+            lambda b: b.filter(
+                pa.compute.not_equal(b["image_id"], b["rep"]))
+            .select(["image_id"]), batch_format="pyarrow")
+        drop_ids = np.sort(np.asarray(
+            [r["image_id"] for r in drop.take_all()], dtype=str))
+        dref = ray.put(drop_ids)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            ds_ids = ray.get(dref)
+            ids = np.asarray(batch["image_id"].to_pylist(), dtype=str)
+            if not len(ds_ids):
+                return batch
+            pos = np.searchsorted(ds_ids, ids)
+            hit = (pos < len(ds_ids)) & \
+                (ds_ids[np.minimum(pos, len(ds_ids) - 1)] == ids)
+            return batch.filter(pa.array(~hit))
+
+        return images_dataset(input_path,
+                              columns=["image_id", "phash", "caption"]) \
+            .map_batches(keep, batch_format="pyarrow")
+
+    t0 = time.monotonic()
+    # staged: each partition reads the previous one's parquet, so they
+    # must land in order — writer.run handles skip-if-done per stage
+    r1 = writer.run({"pairs": (pairs_factory, fp)})
+    r2 = writer.run({"clusters": (clusters_factory, fp)})
+    r3 = writer.run({"survivors": (survivors_factory, fp)})
+    metrics = {
+        "partitions_written": len(r1["written"]) + len(r2["written"]) + len(r3["written"]),
+        "partitions_skipped": len(r1["skipped"]) + len(r2["skipped"]) + len(r3["skipped"]),
+        "wall_s": round(time.monotonic() - t0, 3),
+        "input": input_path,
+        "out": out_dir,
+    }
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f)
+    return metrics
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="sf dir with events.parquet")
+    p.add_argument("--out", required=True, help="output run directory")
+    p.add_argument("--hamming", type=int, default=12)
+    p.add_argument("--cap", type=int, default=500)
+    p.add_argument("--level", type=int, default=6)
+    args = p.parse_args(argv)
+    print(json.dumps(run_job(args.input, args.out, t=args.hamming,
+                             cap=args.cap, level=args.level)))
+
+
+if __name__ == "__main__":
+    main()
