@@ -140,3 +140,30 @@ def zrange_scan(refs, mins: np.ndarray, maxs: np.ndarray,
         return batch.filter(pa.array(m))
 
     return rd.from_arrow_refs(kept).map_batches(f, batch_format="pyarrow"), stats
+
+
+def zranges_for_region(region, level: int,
+                       cover_level: int | None = None) -> np.ndarray:
+    """Merged z-key ranges covering an extract Region (bbox or polygon).
+
+    Polygons use their envelope for the range cover (a superset — the
+    exact banded-PIP kernel runs as the scan predicate on surviving
+    blocks, the same two-stage shape as the cell-cover prefilter in
+    state/regions.py); bboxes cover exactly."""
+    return zranges_for_bbox(*region.envelope(), level,
+                            cover_level=cover_level)
+
+
+def zregion_scan(refs, mins: np.ndarray, maxs: np.ndarray, region,
+                 level: int, lon_col: str = "lon", lat_col: str = "lat"):
+    """Partition-pruned extract of one Region over a z-sorted block set:
+    manifest prune by the region's z-ranges, then the region's own exact
+    containment kernel (fixed-point bbox test or banded PIP) filters the
+    survivors map-side."""
+    def predicate(batch: pa.Table) -> np.ndarray:
+        return region.contains(
+            batch[lon_col].to_numpy(zero_copy_only=False),
+            batch[lat_col].to_numpy(zero_copy_only=False))
+
+    return zrange_scan(refs, mins, maxs, zranges_for_region(region, level),
+                       predicate=predicate)

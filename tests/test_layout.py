@@ -80,6 +80,23 @@ def test_zrange_scan_parity_and_pruning(zsorted):
     assert 0 < stats["blocks_scanned"] < stats["blocks_total"]
 
 
+def test_zregion_scan_polygon_parity(zsorted):
+    """Polygon region served off the z-layout == plain full-scan PIP."""
+    from osmium_tool_ray.state.regions import Region
+    from osmium_tool_ray.stages.layout import zregion_scan
+
+    tbl, refs, mins, maxs = zsorted
+    poly = np.asarray([[0.0, -20.0], [40.0, 0.0], [0.0, 30.0],
+                       [-40.0, 0.0], [0.0, -20.0]])
+    reg = Region(name="p", kind="polygon", rings=[poly])
+    out, stats = zregion_scan(refs, mins, maxs, reg, LEVEL)
+    got = sorted(r["image_id"] for r in out.take_all())
+    m = reg.contains(tbl["lon"].to_numpy(), tbl["lat"].to_numpy())
+    want = sorted(np.asarray(tbl["image_id"])[m].tolist())
+    assert got == want and len(got) > 0
+    assert 0 < stats["blocks_scanned"] < stats["blocks_total"]
+
+
 def test_zrange_scan_empty_region(zsorted):
     _, refs, mins, maxs = zsorted
     # a sliver box so tiny it covers at most a few cells; may prune all
