@@ -1277,6 +1277,85 @@ def q_hash_split_val(sf_dir: str):
     return hash_split(docs, "doc_id", (0.8, 0.1, 0.1))[1]
 
 
+def q_weighted_sample_docs(sf_dir: str):
+    """Length-weighted deterministic Bernoulli sample (pipelines/sampling
+    .weighted_sample): keep docs with probability min(n_chars,512)/512 —
+    pure int64 map-side predicate, no shuffle, retry/partition-stable."""
+    import ray.data as rd
+    from osmium_tool_ray.pipelines.sampling import weighted_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    return weighted_sample(docs, "doc_id", "n_chars", 512)
+
+
+def q_normalize_docs(sf_dir: str):
+    """Text normalization/redaction stage (stages/text.Normalizer):
+    lowercase -> redact entity terms -> collapse space runs -> trim,
+    with a redaction count; three RE2 rewrites, exact-oracled."""
+    from osmium_tool_ray.stages.text import Normalizer
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(Normalizer, fn_constructor_kwargs={"text_col": "text"},
+                     batch_format="pyarrow", concurrency=2) \
+        .select_columns(["doc_id", "clean", "n_redacted"])
+
+
+def q_sliding_window_counts(sf_dir: str):
+    """Hopping windowed aggregate (pipelines/windows
+    .sliding_window_aggregate): 6h windows every 2h per event_type —
+    3x map-side replication of a narrow projection, one native groupby."""
+    from osmium_tool_ray.pipelines.windows import sliding_window_aggregate
+
+    ev = _events(sf_dir, ["event_type", "ts", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "value_c", pc.round(pc.multiply(batch["value"], 100.0))
+            .cast(pa.int64()))
+
+    out = sliding_window_aggregate(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "ts", 21600, 7200, ["event_type"], "value_c")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window": batch["window"],
+            "event_type": batch["event_type"],
+            "n": batch["n"].cast(pa.int64()),
+            "total": batch["total"].cast(pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q_region_revenue(sf_dir: str):
+    """TPC-H-Q5-shaped star join (pipelines/analytics.region_revenue):
+    broadcast dimension maps + ONE hash-partitioned lineitem x orders
+    Dataset.join on narrow projections + native revenue aggregate in
+    integer 1e-4 units (order-insensitive, bit-equal to the oracle)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from osmium_tool_ray.pipelines.analytics import region_revenue
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    customer = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+    supplier = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    return region_revenue(
+        lineitem, orders, customer, supplier, nation, region, "ASIA",
+        np.datetime64("1995-01-01"), np.datetime64("1999-01-01"))
+
+
 def q_sorted_check(sf_dir: str):
     """Distributed order validation (stats.check_sorted, the fileinfo
     'objects ordered' check at scale): adjacent inversions of `value` in
@@ -1703,6 +1782,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": q_tfidf_terms,
         "sorted_check": q_sorted_check,
         "stratified_sample_docs": q_stratified_sample,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "normalize_docs": q_normalize_docs,
+        "sliding_window_counts": q_sliding_window_counts,
+        "region_revenue": q_region_revenue,
         "running_total_global": q_running_total_global,
         "running_total_user": q_running_total_user,
         "quantiles_value": q_quantiles_value,
@@ -2008,6 +2091,39 @@ def oracle_sql() -> dict[str, str]:
               AND num_changes > 0
               AND closed_at >= TIMESTAMP '2024-01-14 00:00:00'
               AND created_at <= TIMESTAMP '2024-02-01 00:00:00'""",
+        "weighted_sample_docs": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE ((doc_id * 2654435761) % 2147483648) * 512
+                  < LEAST(n_chars, 512) * 2147483648""",
+        "normalize_docs": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '\b(?:customer|supplier|part)\b', '<ENT>', 'g'),
+                        '  +', ' ', 'g'), ' ') AS clean,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '\b(?:customer|supplier|part)\b')) AS BIGINT)
+                       AS n_redacted
+            FROM documents""",
+        "sliding_window_counts": """
+            SELECT (CAST(floor(epoch(ts) / 7200) AS BIGINT) - i) * 7200
+                       AS "window",
+                   event_type, COUNT(*) AS n,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS total
+            FROM events CROSS JOIN range(3) t(i)
+            GROUP BY "window", event_type""",
+        "region_revenue": """
+            SELECT n_name,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS revenue_c4
+            FROM lineitem, orders, customer, supplier, nation, region
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1999-01-01'
+            GROUP BY n_name""",
         "window_aggregate": """
             SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400
                        AS "window",

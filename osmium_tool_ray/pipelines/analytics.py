@@ -1,0 +1,142 @@
+"""Multi-table star-join analytics — the composition proof that the
+engine's join/aggregate primitives assemble into a full TPC-H-Q5-shaped
+pipeline (the reference has no multi-table surface; its closest shape is
+add-locations-to-ways' N:1 enrichment join,
+/root/reference/src/command_add_locations_to_ways.cpp:178-236, chained
+with tags-count's grouped aggregate).
+
+Scale shape (the classic distributed star join):
+  * dimension tables (region, nation, customer, supplier) are broadcast
+    ONCE via ray.put as dense numpy lookup arrays keyed by their integer
+    keys — a nationkey fits int8, so even a planet-scale customer map is
+    bytes-per-customer, and every map task reads the same object-store
+    copy (never re-shipped per batch);
+  * the two unbounded fact tables (lineitem x orders) meet in ONE
+    hash-partitioned Dataset.join on the orderkey — narrow projections
+    only (3 int64/int8 columns a side), never payload;
+  * the post-join same-nation filter + revenue aggregate run map-side
+    into a native groupby over at most |nation| keys.
+
+Revenue is computed in integer 1e-4 currency units
+(round(price*100) * (100 - round(discount*100))) so the distributed sum
+is order-insensitive and bit-equal to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _dense_map(keys: np.ndarray, vals: np.ndarray,
+               fill: int = -1) -> np.ndarray:
+    out = np.full(int(keys.max()) + 1, fill, dtype=np.int64)
+    out[keys.astype(np.int64)] = vals.astype(np.int64)
+    return out
+
+
+def _lookup(dense: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """dense[keys] with out-of-range keys mapping to -1 (unknown)."""
+    safe = np.minimum(keys, len(dense) - 1)
+    return np.where((keys >= 0) & (keys < len(dense)), dense[safe], -1)
+
+
+def region_revenue(lineitem, orders, customer: pa.Table, supplier: pa.Table,
+                   nation: pa.Table, region: pa.Table, region_name: str,
+                   date_lo: np.datetime64, date_hi: np.datetime64,
+                   num_partitions: int = 8):
+    """TPC-H Q5 semantics: per-nation revenue from lineitems whose order
+    was placed by a customer in `region_name` within [date_lo, date_hi),
+    where the supplier is in the customer's nation.
+
+    `lineitem` / `orders` are Datasets (unbounded facts); the four
+    dimension tables are small pyarrow Tables broadcast as dense arrays.
+    Returns a Dataset of (n_name, revenue_c4:int64)."""
+    import ray
+
+    rkey = region.filter(
+        pc.equal(region["r_name"], region_name))["r_regionkey"]
+    region_keys = set(rkey.to_pylist())
+    n_key = nation["n_nationkey"].to_numpy()
+    nation_in_region = np.isin(
+        nation["n_regionkey"].to_numpy(),
+        np.fromiter(region_keys, dtype=np.int64, count=len(region_keys)))
+    names = nation["n_name"].to_pylist()
+    name_of = {int(k): names[i] for i, k in enumerate(n_key)}
+
+    cust_nation = _dense_map(customer["c_custkey"].to_numpy(),
+                             customer["c_nationkey"].to_numpy())
+    supp_nation = _dense_map(supplier["s_suppkey"].to_numpy(),
+                             supplier["s_nationkey"].to_numpy())
+    in_region = _dense_map(n_key, nation_in_region.astype(np.int64), fill=0)
+    maps_ref = ray.put((cust_nation, supp_nation, in_region))
+
+    lo_us = np.int64(date_lo.astype("datetime64[us]").astype(np.int64))
+    hi_us = np.int64(date_hi.astype("datetime64[us]").astype(np.int64))
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        cust_nation, _, in_region = ray.get(maps_ref)
+        ts = batch["o_orderdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ts >= lo_us) & (ts < hi_us)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)[keep]
+        c_nat = _lookup(cust_nation, ck)
+        ok = _lookup(in_region, c_nat) == 1
+        return pa.table({
+            "o_orderkey": pa.array(
+                batch["o_orderkey"].to_numpy(zero_copy_only=False)[keep][ok]),
+            "c_nation": pa.array(c_nat[ok]),
+        })
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        _, supp_nation, in_region = ray.get(maps_ref)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        s_nat = _lookup(supp_nation, sk)
+        ok = _lookup(in_region, s_nat) == 1
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[ok]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[ok]
+        rev = (np.rint(price * 100.0).astype(np.int64)
+               * (100 - np.rint(disc * 100.0).astype(np.int64)))
+        return pa.table({
+            "l_orderkey": pa.array(
+                batch["l_orderkey"].to_numpy(zero_copy_only=False)[ok]),
+            "s_nation": pa.array(s_nat[ok]),
+            "rev_c4": pa.array(rev),
+        })
+
+    o_proj = orders.map_batches(orders_side, batch_format="pyarrow") \
+        .materialize()
+    l_proj = lineitem.map_batches(lineitem_side, batch_format="pyarrow") \
+        .materialize()
+    # fully-empty join sides crash Acero (CLAUDE.md landmine); at sf0
+    # fall out early with the output schema intact
+    if o_proj.count() == 0 or l_proj.count() == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "n_name": pa.array([], type=pa.string()),
+            "revenue_c4": pa.array([], type=pa.int64())}))
+
+    joined = l_proj.join(o_proj, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def same_nation(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["s_nation"], batch["c_nation"])
+        kept = batch.filter(keep)
+        return pa.table({"nation": kept["s_nation"],
+                         "rev_c4": kept["rev_c4"]})
+
+    from ray.data.aggregate import Sum
+    agg = joined.map_batches(same_nation, batch_format="pyarrow") \
+        .groupby("nation").aggregate(Sum("rev_c4", alias_name="revenue_c4"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nk = batch["nation"].to_pylist()
+        return pa.table({
+            "n_name": pa.array([name_of[int(k)] for k in nk],
+                               type=pa.string()),
+            "revenue_c4": batch["revenue_c4"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -63,6 +63,30 @@ def hash_split(ds, id_col: str, weights: tuple[float, ...],
             for lo, hi in zip(edges[:-1], edges[1:])]
 
 
+def weighted_sample(ds, id_col: str, weight_col: str, weight_cap: int,
+                    seed_mult: int = KNUTH):
+    """Deterministic WEIGHTED Bernoulli sample: row i kept with
+    probability min(w_i, cap) / cap. The inclusion test is pure int64
+    arithmetic — hash(id) * cap < min(w, cap) * m — so there is no
+    floating-point boundary to disagree across engines, partitionings or
+    retries, and the identical predicate runs in the DuckDB oracle.
+    (Training-data use: length-proportional document sampling, so short
+    boilerplate is down-weighted without a shuffle or a second pass.)
+
+    Overflow-safe for hash < 2^31 and cap * m < 2^63 (cap <= ~4e9)."""
+    cap = np.int64(weight_cap)
+
+    def f(batch: pa.Table) -> pa.Table:
+        h = det_hash(batch[id_col].to_numpy(zero_copy_only=False),
+                     mult=seed_mult)
+        w = batch[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = h * cap < np.minimum(w, cap) * np.int64(MOD)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def stratified_sample(ds, key_cols: list[str], id_col: str, n_per_key: int,
                       seed_mult: int = KNUTH):
     """Exactly n rows per stratum (fewer when the stratum is smaller),

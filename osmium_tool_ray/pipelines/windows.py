@@ -54,6 +54,41 @@ def tumbling_window_aggregate(ds, ts_col: str, width_s: int,
         Count(alias_name="n"), Sum(value_col, alias_name="total"))
 
 
+def sliding_window_aggregate(ds, ts_col: str, width_s: int, hop_s: int,
+                             key_cols: list[str], value_col: str):
+    """Hopping (sliding) windowed aggregate: windows of `width_s` seconds
+    starting every `hop_s` (hop must divide width). Each row belongs to
+    exactly width/hop windows; it is replicated into them map-side with
+    np.repeat over a NARROW (window, keys, value) projection, then ONE
+    native groupby aggregate runs — explode-then-aggregate, the same
+    partial+final combine shape as the tumbling form, with shuffle volume
+    k x rows of scalar columns (never the full payload)."""
+    if width_s % hop_s:
+        raise ValueError("hop_s must divide width_s")
+    k = width_s // hop_s
+    from ray.data.aggregate import Count, Sum
+
+    key_cols = list(key_cols)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        sec = us.to_numpy(zero_copy_only=False).astype(np.float64) / 1e6
+        base = (np.floor(sec / hop_s).astype(np.int64)
+                * np.int64(hop_s))
+        n = len(base)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        win = (np.repeat(base, k)
+               - np.tile(np.arange(k, dtype=np.int64) * hop_s, n))
+        cols = {"window": pa.array(win)}
+        for c in key_cols + [value_col]:
+            cols[c] = batch[c].take(idx)
+        return pa.table(cols)
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return exploded.groupby(["window", *key_cols]).aggregate(
+        Count(alias_name="n"), Sum(value_col, alias_name="total"))
+
+
 def sessionize(ds, key_col: str, ts_col: str, gap_s: int,
                out_col: str = "session"):
     """Gap-based sessionization: within each key, a new session starts

@@ -78,6 +78,39 @@ class QualityScore:
         return batch
 
 
+class Normalizer:
+    """Text normalization / term redaction — the cleaning stage that runs
+    before dedup in a training-data pipeline. Three sequential RE2
+    rewrites (lowercase -> redact a term set -> collapse runs of spaces
+    -> trim), each counted BEFORE it is applied so `n_redacted` reports
+    how many term hits were rewritten. Pure map-side, zero-copy Arrow;
+    the identical rewrites are expressible as nested regexp_replace(...,
+    'g') in DuckDB (both engines are RE2), so the stage is exact-oracled.
+
+    The reference's closest relative is the tags-filter `-t` tag strip
+    (/root/reference/src/command_tags_filter.cpp:346-366): a projection
+    that rewrites row content in a single streaming pass."""
+
+    REDACT_PATTERN = r"\b(?:customer|supplier|part)\b"
+    REDACT_TOKEN = "<ENT>"
+
+    def __init__(self, text_col: str = "text", out_col: str = "clean"):
+        self.text_col, self.out_col = text_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch[self.text_col])
+        hits = pc.count_substring_regex(
+            low, pattern=self.REDACT_PATTERN).cast(pa.int64())
+        red = pc.replace_substring_regex(
+            low, pattern=self.REDACT_PATTERN,
+            replacement=self.REDACT_TOKEN)
+        squeezed = pc.replace_substring_regex(
+            red, pattern=r"  +", replacement=" ")
+        clean = pc.utf8_trim(squeezed, characters=" ")
+        return batch.append_column(self.out_col, clean) \
+                    .append_column("n_redacted", hits)
+
+
 class LangId:
     """Stopword-vote language id over a fixed tiny lexicon (deterministic
     heuristic; a real model would load in __init__ the same way)."""
