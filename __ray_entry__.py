@@ -1356,6 +1356,54 @@ def q_region_revenue(sf_dir: str):
         np.datetime64("1995-01-01"), np.datetime64("1999-01-01"))
 
 
+def q_docs_rollup(sf_dir: str):
+    """GROUPING SETS / ROLLUP aggregate (pipelines/analytics
+    .rollup_counts): doc counts + n_chars totals at (lang, source),
+    (lang) and grand-total levels in one lazy union of native groupbys."""
+    import ray.data as rd
+    from osmium_tool_ray.pipelines.analytics import rollup_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source", "n_chars"])
+    return rollup_counts(docs, ["lang", "source"], "n_chars")
+
+
+def q_event_type_pivot(sf_dir: str):
+    """Wide pivoted aggregate (pipelines/analytics.pivot_counts): per
+    user, one count column per event type — map-side one-hot + ONE
+    native groupby with per-category Sums."""
+    from osmium_tool_ray.pipelines.analytics import pivot_counts
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+    return pivot_counts(ev, "user_id", "event_type",
+                        ["click", "view", "purchase", "signup", "error"])
+
+
+def q_props_k_by_type(sf_dir: str):
+    """Semi-structured flatten (stages/semistructured.JsonFieldExtract):
+    pull the integer `k` field out of the JSON props column with one
+    vectorized RE2 pass, then aggregate it per event type."""
+    from ray.data.aggregate import Count, Sum
+    from osmium_tool_ray.stages.semistructured import JsonFieldExtract
+
+    ev = _events(sf_dir, ["event_type", "props"])
+    flat = ev.map_batches(JsonFieldExtract,
+                          fn_constructor_kwargs={"props_col": "props",
+                                                 "key": "k"},
+                          batch_format="pyarrow", concurrency=2)
+    agg = flat.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("k", alias_name="k_total"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n": batch["n"].cast(pa.int64()),
+            "k_total": batch["k_total"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def q_sorted_check(sf_dir: str):
     """Distributed order validation (stats.check_sorted, the fileinfo
     'objects ordered' check at scale): adjacent inversions of `value` in
@@ -1786,6 +1834,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_docs": q_normalize_docs,
         "sliding_window_counts": q_sliding_window_counts,
         "region_revenue": q_region_revenue,
+        "docs_rollup": q_docs_rollup,
+        "event_type_pivot": q_event_type_pivot,
+        "props_k_by_type": q_props_k_by_type,
         "running_total_global": q_running_total_global,
         "running_total_user": q_running_total_user,
         "quantiles_value": q_quantiles_value,
@@ -2124,6 +2175,24 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate <  TIMESTAMP '1999-01-01'
             GROUP BY n_name""",
+        "docs_rollup": """
+            SELECT COALESCE(lang, 'ALL') AS lang,
+                   COALESCE(source, 'ALL') AS source,
+                   COUNT(*) AS n, SUM(n_chars) AS total
+            FROM documents GROUP BY ROLLUP (lang, source)""",
+        "event_type_pivot": """
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (event_type = 'view') AS n_view,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+                   COUNT(*) FILTER (event_type = 'error') AS n_error
+            FROM events GROUP BY user_id""",
+        "props_k_by_type": r"""
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(NULLIF(regexp_extract(props,
+                       '"k"\s*:\s*(-?\d+)', 1), '') AS BIGINT)) AS k_total
+            FROM events GROUP BY event_type""",
         "window_aggregate": """
             SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400
                        AS "window",

@@ -140,3 +140,67 @@ def region_revenue(lineitem, orders, customer: pa.Table, supplier: pa.Table,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def rollup_counts(ds, dims: list[str], value_col: str,
+                  all_marker: str = "ALL"):
+    """GROUPING SETS / ROLLUP aggregate: one native groupby per prefix of
+    `dims` ((d1..dk), (d1..dk-1), ..., ()) unioned with `all_marker`
+    filling the rolled-up dimensions. Each level is its own partial+final
+    combine over an ever-smaller key space, so the extra levels cost a
+    fraction of the base aggregate; the union is lazy (no barrier).
+
+    Returns (dims..., n:int64, total:int64) with string dims."""
+    from ray.data.aggregate import Count, Sum
+
+    def level(keys: list[str]):
+        if keys:
+            agg = ds.groupby(keys).aggregate(
+                Count(alias_name="n"), Sum(value_col, alias_name="total"))
+        else:
+            agg = ds.groupby(None).aggregate(
+                Count(alias_name="n"), Sum(value_col, alias_name="total"))
+
+        def fin(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for d in dims:
+                cols[d] = (batch[d].cast(pa.string()) if d in keys
+                           else pa.array([all_marker] * n, type=pa.string()))
+            cols["n"] = batch["n"].cast(pa.int64())
+            cols["total"] = batch["total"].cast(pa.int64())
+            return pa.table(cols)
+
+        return agg.map_batches(fin, batch_format="pyarrow")
+
+    out = level(list(dims))
+    for k in range(len(dims) - 1, -1, -1):
+        out = out.union(level(list(dims[:k])))
+    return out
+
+
+def pivot_counts(ds, key_col: str, cat_col: str, categories: list[str]):
+    """Wide (pivoted) aggregate: one output row per key with an `n_<cat>`
+    int64 count column per category. Map-side one-hot columns + ONE
+    native groupby with a Sum per category — Ray's hash aggregate
+    pre-combines per block, so the shuffle carries at most
+    keys x blocks partial rows, never the event stream."""
+    from ray.data.aggregate import Sum
+
+    def one_hot(batch: pa.Table) -> pa.Table:
+        cols = {key_col: batch[key_col]}
+        for c in categories:
+            cols[f"n_{c}"] = pc.equal(batch[cat_col], c).cast(pa.int64())
+        return pa.table(cols)
+
+    hot = ds.map_batches(one_hot, batch_format="pyarrow")
+    agg = hot.groupby(key_col).aggregate(
+        *[Sum(f"n_{c}", alias_name=f"n_{c}") for c in categories])
+
+    def fin(batch: pa.Table) -> pa.Table:
+        cols = {key_col: batch[key_col]}
+        for c in categories:
+            cols[f"n_{c}"] = batch[f"n_{c}"].cast(pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(fin, batch_format="pyarrow")
