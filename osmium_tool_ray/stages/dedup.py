@@ -756,13 +756,17 @@ def phash_neardup(images, t: int = 12, cap: int = 500,
     the driver (<= 512 KiB total) — hot buckets AND singleton buckets
     (the vast majority) are then dropped map-side via a broadcast
     searchsorted BEFORE the shuffle, so the groupby only ever moves rows
-    that can emit pairs. Band explode is a stateless vectorized map
-    (narrow (band, v, id, phash) rows — blobs never touched); per-bucket
-    pair emission via triu indices (buckets <= cap rows); vectorized
-    popcount verify; distinct pairs via a second narrow groupby.
-    Returns (id_a, id_b) with id_a < id_b."""
+    that can emit pairs, and the shuffle key is a COARSE int32 bucket
+    (each (band, v) bucket lands wholly in one group; lexsort splits it
+    back inside the group task). Band explode is a stateless vectorized
+    map (narrow (band, v, id, phash) rows — blobs never touched);
+    per-bucket triu pair emission with the popcount verify fused in and
+    duplicates suppressed at emission (first-kept-colliding-band rule),
+    so there is NO second pair-dedup shuffle.
+    Returns distinct (id_a, id_b) with id_a < id_b."""
     import ray
-    import pyarrow.compute as pc
+
+    NBUCKETS = 256
 
     def _band_vals(ph: np.ndarray) -> np.ndarray:
         # (4, n) band values of the uint64 hashes
@@ -797,6 +801,7 @@ def phash_neardup(images, t: int = 12, cap: int = 500,
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         if not len(keep):
             return pa.table({
+                "_b": pa.array([], type=pa.int32()),
                 "band": pa.array([], type=pa.int32()),
                 "v": pa.array([], type=pa.int64()),
                 id_col: pa.array([], type=pa.string()),
@@ -813,21 +818,44 @@ def phash_neardup(images, t: int = 12, cap: int = 500,
             vs.append(bv[b][sel])
             oid.append(ids[sel])
             oph.append(ph.view(np.int64)[sel])
+        band = np.concatenate(bands)
+        v = np.concatenate(vs)
+        # coarse shuffle key: a (band, v) bucket lands wholly in one of
+        # NBUCKETS groups, so the groupby moves ONE small int32 key
+        # instead of sort-shuffling the full 2^18 (band, v) key space
+        # (the coarse-bucket lesson from the pair-dedup stages)
+        coarse = ((band.astype(np.int64) * 65536 + v)
+                  * 2654435761 % 2147483648 % NBUCKETS).astype(np.int32)
         return pa.table({
-            "band": pa.array(np.concatenate(bands)),
-            "v": pa.array(np.concatenate(vs)),
+            "_b": pa.array(coarse),
+            "band": pa.array(band),
+            "v": pa.array(v),
             id_col: pa.array(np.concatenate(oid)),
             phash_col: pa.array(np.concatenate(oph)),
         })
 
     def emit_pairs(g: pa.Table) -> pa.Table:
+        """Per-bucket pair emission with hamming verify FUSED in, and
+        duplicate suppression by construction: a pair is emitted only at
+        its FIRST kept colliding band (an earlier band where both hashes
+        agree AND that bucket survived the 2..cap filter would already
+        have emitted it). This makes the output distinct without the
+        downstream pair-dedup shuffle the old three-stage tail needed —
+        at corpus scale that stage moved every candidate pair a second
+        time and removed ~nothing."""
         empty = pa.table({"id_a": pa.array([], type=pa.string()),
-                          "id_b": pa.array([], type=pa.string()),
-                          "pa_": pa.array([], type=pa.int64()),
-                          "pb_": pa.array([], type=pa.int64())})
-        # split runs on (band, v) in case several groups share a call
+                          "id_b": pa.array([], type=pa.string())})
+        if g.num_rows == 0:
+            return empty
+        keep = ray.get(keep_ref)
+        # a coarse group holds MANY (band, v) buckets: lexsort once,
+        # then split runs on (band, v)
         band = g["band"].to_numpy(zero_copy_only=False)
         v = g["v"].to_numpy(zero_copy_only=False)
+        ids_all = np.asarray(g[id_col].to_pylist(), dtype=object).astype(str)
+        ph_all = g[phash_col].to_numpy(zero_copy_only=False).view(np.uint64)
+        srt = np.lexsort((v, band))
+        band, v, ids_all, ph_all = band[srt], v[srt], ids_all[srt], ph_all[srt]
         key_change = np.concatenate(
             [[True], (band[1:] != band[:-1]) | (v[1:] != v[:-1])])
         starts = np.flatnonzero(key_change)
@@ -837,60 +865,29 @@ def phash_neardup(images, t: int = 12, cap: int = 500,
             n = e - s
             if n < 2 or n > cap:
                 continue
-            sub = g.slice(s, n)
-            ids = np.asarray(sub[id_col].to_pylist(), dtype=object)
-            ph = sub[phash_col].to_numpy(zero_copy_only=False)
-            order = np.argsort(ids.astype(str), kind="stable")
-            ids, ph = ids[order], ph[order]
+            order = np.argsort(ids_all[s:e], kind="stable") + s
+            ids, ph = ids_all[order], ph_all[order]
             ia, ib = np.triu_indices(n, 1)
-            outs.append(pa.table({
-                "id_a": pa.array(ids[ia], type=pa.string()),
-                "id_b": pa.array(ids[ib], type=pa.string()),
-                "pa_": pa.array(ph[ia], type=pa.int64()),
-                "pb_": pa.array(ph[ib], type=pa.int64()),
-            }))
+            ok = hamming64(ph[ia], ph[ib]) <= t
+            for eb in range(int(band[s])):
+                shift = np.uint64(48 - eb * 16)
+                bv = ((ph >> shift) & np.uint64(0xFFFF)).astype(np.int64)
+                key = eb * 65536 + bv
+                pos = np.searchsorted(keep, key)
+                kept = (pos < len(keep)) \
+                    & (keep[np.minimum(pos, len(keep) - 1)] == key)
+                ok &= ~((bv[ia] == bv[ib]) & kept[ia])
+            if ok.any():
+                outs.append(pa.table({
+                    "id_a": pa.array(ids[ia[ok]], type=pa.string()),
+                    "id_b": pa.array(ids[ib[ok]], type=pa.string()),
+                }))
         return pa.concat_tables(outs) if outs else empty
 
-    def verify(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.select(["id_a", "id_b"])
-        h = hamming64(batch["pa_"].to_numpy(zero_copy_only=False),
-                      batch["pb_"].to_numpy(zero_copy_only=False))
-        return batch.filter(pa.array(h <= t)).select(["id_a", "id_b"])
-
-    pairs = images.select_columns([id_col, phash_col]) \
+    return images.select_columns([id_col, phash_col]) \
         .map_batches(explode, batch_format="pyarrow") \
-        .groupby(["band", "v"]) \
-        .map_groups(emit_pairs, batch_format="pyarrow") \
-        .map_batches(verify, batch_format="pyarrow")
-
-    # pairs found via multiple bands collapse to one row. Native
-    # Aggregate would SORT the raw two-string key columns (~10x the
-    # cost at millions of pair rows — the hash_distinct lesson); a
-    # coarse int32 bucket shuffle + per-bucket Arrow C++ distinct is
-    # exact because every (id_a, id_b) lands in one bucket.
-    from ..functions.hashing import hash_str_u64
-
-    def bucket(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "id_a" not in batch.schema.names:
-            return pa.table({"id_a": pa.array([], type=pa.string()),
-                             "id_b": pa.array([], type=pa.string()),
-                             "_b": pa.array([], type=pa.int32())})
-        key = pc.binary_join_element_wise(
-            batch["id_a"].cast(pa.string()),
-            batch["id_b"].cast(pa.string()), "|")
-        b = (hash_str_u64(key) % np.uint64(64)).astype(np.int32)
-        return batch.append_column("_b", pa.array(b))
-
-    def distinct_bucket(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0 or "id_a" not in g.schema.names:
-            return pa.table({"id_a": pa.array([], type=pa.string()),
-                             "id_b": pa.array([], type=pa.string())})
-        return g.select(["id_a", "id_b"]).group_by(
-            ["id_a", "id_b"]).aggregate([])
-
-    return pairs.map_batches(bucket, batch_format="pyarrow") \
-        .groupby("_b").map_groups(distinct_bucket, batch_format="pyarrow")
+        .groupby("_b") \
+        .map_groups(emit_pairs, batch_format="pyarrow")
 
 
 def colocated_pairs(images, level: int = 6, cap: int = 500,
@@ -935,20 +932,30 @@ def colocated_pairs(images, level: int = 6, cap: int = 500,
     def tag(batch: pa.Table) -> pa.Table:
         ks = ray.get(keep_ref)
         if not len(ks):
-            return pa.table({"cell": pa.array([], type=pa.int64()),
+            return pa.table({"_b": pa.array([], type=pa.int32()),
+                             "cell": pa.array([], type=pa.int64()),
                              id_col: pa.array([], type=pa.string())})
         key = cell_key(batch)
         pos = np.searchsorted(ks, key)
         sel = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == key)
+        kept = key[sel]
+        # coarse int32 shuffle key (each cell lands wholly in one group)
+        coarse = (kept * 2654435761 % 2147483648 % 256).astype(np.int32)
         return pa.table({
-            "cell": pa.array(key[sel]),
+            "_b": pa.array(coarse),
+            "cell": pa.array(kept),
             id_col: batch[id_col].filter(pa.array(sel)).cast(pa.string()),
         })
 
     def emit(g: pa.Table) -> pa.Table:
         empty = pa.table({"id_a": pa.array([], type=pa.string()),
                           "id_b": pa.array([], type=pa.string())})
+        if g.num_rows == 0:
+            return empty
         cell = g["cell"].to_numpy(zero_copy_only=False)
+        ids_all = np.asarray(g[id_col].to_pylist(), dtype=object).astype(str)
+        srt = np.argsort(cell, kind="stable")
+        cell, ids_all = cell[srt], ids_all[srt]
         starts = np.flatnonzero(
             np.concatenate([[True], cell[1:] != cell[:-1]]))
         ends = np.concatenate([starts[1:], [len(cell)]])
@@ -957,15 +964,14 @@ def colocated_pairs(images, level: int = 6, cap: int = 500,
             n = e - s
             if n < 2 or n > cap:
                 continue
-            ids = np.sort(np.asarray(
-                g.slice(s, n)[id_col].to_pylist(), dtype=object).astype(str))
+            ids = np.sort(ids_all[s:e])
             ia, ib = np.triu_indices(n, 1)
             outs.append(pa.table({"id_a": pa.array(ids[ia], type=pa.string()),
                                   "id_b": pa.array(ids[ib], type=pa.string())}))
         return pa.concat_tables(outs) if outs else empty
 
     return narrow.map_batches(tag, batch_format="pyarrow") \
-        .groupby("cell").map_groups(emit, batch_format="pyarrow")
+        .groupby("_b").map_groups(emit, batch_format="pyarrow")
 
 
 def crossmodal_neardup(images, t: int = 12, cap: int = 500,
@@ -978,7 +984,6 @@ def crossmodal_neardup(images, t: int = 12, cap: int = 500,
     merge is one native Sum groupby over int flags (no pandas, no
     driver collection). The blobs never appear anywhere in this
     pipeline — both signals read only (phash | lon/lat) projections."""
-    import pyarrow.compute as pc
 
     def flag(val_p: int, val_c: int):
         def f(batch: pa.Table) -> pa.Table:
@@ -1013,10 +1018,10 @@ def crossmodal_neardup(images, t: int = 12, cap: int = 500,
     def bucket(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column("_b", pa.array([], type=pa.int32()))
-        key = pc.binary_join_element_wise(
-            batch["id_a"].cast(pa.string()),
-            batch["id_b"].cast(pa.string()), "|")
-        b = (hash_str_u64(key) % np.uint64(nbuckets)).astype(np.int32)
+        # hashing id_a alone is enough to co-locate a pair's copies (the
+        # pair key is a superset of id_a) and halves the hash work
+        b = (hash_str_u64(batch["id_a"].cast(pa.string()))
+             % np.uint64(nbuckets)).astype(np.int32)
         return batch.append_column("_b", pa.array(b))
 
     def agg_bucket(g: pa.Table) -> pa.Table:
