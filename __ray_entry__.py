@@ -1356,6 +1356,45 @@ def q_region_revenue(sf_dir: str):
         np.datetime64("1995-01-01"), np.datetime64("1999-01-01"))
 
 
+def q_vocab_top(sf_dir: str):
+    """Vocabulary build (stages/text.vocab_build): corpus word counts
+    with min-count pruning and dense (count DESC, word) ids — per-batch
+    Arrow pre-agg, one native Sum groupby, block-offset distributed
+    rank."""
+    from osmium_tool_ray.stages.text import vocab_build
+
+    return vocab_build(_docs(sf_dir, ["text"]), min_count=2)
+
+
+def q_pack_bins_docs(sf_dir: str):
+    """Sequence packing (pipelines/windows.pack_bins): contiguous
+    concatenation of docs in doc_id order into fixed 8 KiB bins —
+    a pure composition over the distributed prefix scan."""
+    from osmium_tool_ray.pipelines.windows import pack_bins
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    return pack_bins(docs, ["doc_id"], "n_chars", 8192)
+
+
+def q_phash_knn(sf_dir: str):
+    """Hamming top-k image similarity search (stages/knn.phash_topk):
+    broadcast query hashes, per-batch XOR + byte-LUT popcount partial
+    top-k, tiny per-query merge; self-matches excluded."""
+    import pyarrow.parquet as pq
+
+    from osmium_tool_ray.sources.corpus import images_dataset
+    from osmium_tool_ray.stages.knn import phash_topk
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+    qids = t["event_id"].to_numpy(zero_copy_only=False)
+    qids = qids[qids % 997 == 0]
+    qph = (qids.astype(np.uint64) * np.uint64(2654435761)) \
+        % np.uint64(1 << 40)
+    excl = np.asarray([f"img{int(q):010d}" for q in qids])
+    corpus = images_dataset(sf_dir, columns=["image_id", "phash"])
+    return phash_topk(corpus, qids, qph, k=5, exclude=excl)
+
+
 def q_docs_rollup(sf_dir: str):
     """GROUPING SETS / ROLLUP aggregate (pipelines/analytics
     .rollup_counts): doc counts + n_chars totals at (lang, source),
@@ -1837,6 +1876,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rollup": q_docs_rollup,
         "event_type_pivot": q_event_type_pivot,
         "props_k_by_type": q_props_k_by_type,
+        "vocab_top": q_vocab_top,
+        "pack_bins_docs": q_pack_bins_docs,
+        "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,
         "running_total_user": q_running_total_user,
         "quantiles_value": q_quantiles_value,
@@ -2175,6 +2217,44 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate <  TIMESTAMP '1999-01-01'
             GROUP BY n_name""",
+        "vocab_top": r"""
+            WITH words AS (
+                SELECT t.w AS word
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '\s+')) AS t(w)
+                WHERE t.w <> ''),
+            counts AS (SELECT word, count(*) AS n FROM words
+                       GROUP BY word HAVING count(*) >= 2)
+            SELECT word, n,
+                   row_number() OVER (ORDER BY n DESC, word) - 1 AS word_id
+            FROM counts""",
+        "pack_bins_docs": """
+            SELECT doc_id, n_chars,
+                   COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) // 8192 AS bin,
+                   COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) % 8192 AS "offset"
+            FROM documents""",
+        "phash_knn": f"""{cte},
+            q AS (SELECT event_id AS query_id,
+                         (event_id * 2654435761) % 1099511627776 AS qph,
+                         'img' || lpad(CAST(event_id AS VARCHAR), 10, '0')
+                             AS qid
+                  FROM events WHERE event_id % 997 = 0)
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+                   dist
+            FROM (
+                SELECT q.query_id, i.image_id AS neighbor_id,
+                       CAST(bit_count(xor(q.qph, i.phash)) AS BIGINT)
+                           AS dist,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY bit_count(xor(q.qph, i.phash)),
+                                    i.image_id) AS rank
+                FROM q CROSS JOIN images i
+                WHERE i.image_id <> q.qid)
+            WHERE rank <= 5""",
         "docs_rollup": """
             SELECT COALESCE(lang, 'ALL') AS lang,
                    COALESCE(source, 'ALL') AS source,

@@ -313,3 +313,30 @@ def running_total(ds, order_cols: list[str], value_col: str,
     if not out_refs:
         return sorted_ds
     return rd.from_arrow_refs(out_refs)
+
+
+def pack_bins(ds, order_cols: list[str], size_col: str, budget: int,
+              bin_col: str = "bin", offset_col: str = "offset"):
+    """Sequence packing — assign each row its (bin, byte offset) under
+    contiguous concatenation in `order_cols` order with fixed `budget`
+    per bin (how LLM training data is packed into fixed-length windows;
+    rows may straddle bins, exactly like token streams do).
+
+    Pure composition over the distributed prefix scan (running_total):
+    bin = prev_cum // budget, offset = prev_cum % budget, where prev_cum
+    is the EXCLUSIVE running total of `size_col`. Deterministic, one
+    sort, integer-exact vs the SQL window oracle."""
+    rt = running_total(ds, order_cols, size_col, out_col="_rt")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "_rt" not in batch.schema.names:
+            return batch
+        run = batch["_rt"].to_numpy(zero_copy_only=False)
+        size = batch[size_col].to_numpy(zero_copy_only=False)
+        start = run - size
+        batch = batch.drop_columns(["_rt"])
+        return batch.append_column(bin_col,
+                                   pa.array(start // budget)) \
+                    .append_column(offset_col, pa.array(start % budget))
+
+    return rt.map_batches(fin, batch_format="pyarrow")

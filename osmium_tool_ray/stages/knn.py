@@ -243,3 +243,67 @@ def spatial_knn(images, k: int = 5, level: int = 10, lon_col: str = "lon",
                              "neighbor_id": out_nb, "dist": out_d})
 
     return exploded.groupby("cell").map_groups(topk, batch_format="pandas")
+
+
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                         axis=1).sum(axis=1).astype(np.uint8)
+
+
+def phash_topk(corpus, query_ids: np.ndarray, query_hashes: np.ndarray,
+               k: int = 5, id_col: str = "image_id",
+               phash_col: str = "phash", exclude: np.ndarray | None = None):
+    """Hamming-distance top-k over the 64-bit perceptual-hash column —
+    image similarity search without embeddings (the dedup triage tool:
+    'show me the k most phash-similar images to these').
+
+    Same shape as ann_topk: the query hash vector broadcasts once
+    (ray.put); each batch computes an (n x Q) XOR + byte-LUT popcount —
+    pure numpy, no per-row Python — keeps its k best per query, and a
+    tiny groupby(query_id) merge picks the global top-k with (dist,
+    neighbor_id) tie order. `exclude[i]` (optional) is an id whose row
+    is skipped for query i (self-match suppression).
+
+    Returns (query_id:int64, rank:int64 1..k, neighbor_id, dist:int64)."""
+    import pandas as pd
+    import ray
+
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64),
+                    np.asarray(query_hashes).astype(np.uint64),
+                    None if exclude is None
+                    else np.asarray(exclude).astype(str)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qph, excl = ray.get(qref)
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "neighbor_id": pa.array([], type=pa.string()),
+                          "dist": pa.array([], type=pa.int64())})
+        n = batch.num_rows
+        if n == 0 or len(qids) == 0:
+            return empty
+        ph = batch[phash_col].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=object).astype(str)
+        # (n, Q) hamming distances via byte-LUT popcount
+        x = (ph[:, None] ^ qph[None, :])
+        d = _POPCNT8[x.view(np.uint8).reshape(n, len(qids), 8)] \
+            .sum(axis=2).astype(np.int64)
+        if excl is not None:
+            d[ids[:, None] == excl[None, :]] = 65          # > any distance
+        kk = min(k, n)
+        top = np.argpartition(d, kk - 1, axis=0)[:kk]       # (kk, Q)
+        out_q = np.repeat(qids, kk)
+        out_i = ids[top.T.ravel()]
+        out_d = d[top.T.ravel(), np.repeat(np.arange(len(qids)), kk)]
+        return pa.table({"query_id": pa.array(out_q),
+                         "neighbor_id": pa.array(out_i, type=pa.string()),
+                         "dist": pa.array(out_d)})
+
+    parts = corpus.select_columns([id_col, phash_col]) \
+        .map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist", "neighbor_id"], ascending=True,
+                          kind="stable").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "rank", "neighbor_id", "dist"]]
+
+    return parts.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -270,3 +270,68 @@ def tfidf_top_terms(docs, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return docs.map_batches(topk, batch_format="pyarrow")
+
+
+def vocab_build(docs, text_col: str = "text", min_count: int = 2):
+    """Vocabulary construction — the word2id table a tokenizer-training /
+    embedding pipeline needs: whitespace tokens -> corpus frequency ->
+    drop below `min_count` -> dense ids in (count DESC, word ASC) order.
+
+    Shapes: term counts are pre-aggregated PER BATCH with one Arrow C++
+    group_by (the shuffle carries batch-distinct (word, c) partials, not
+    the token stream), folded by ONE native Sum groupby, then ranked with
+    the distributed block-offset rank (renumber_ranked's shape,
+    pipelines/idops.py): sort by (-n, word), per-block id = block offset
+    + arange — only per-block ROW COUNTS touch the driver and the vocab
+    stays sharded. Returns (word, n:int64, word_id:int64), ids from 0."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..blocks import _remote_num_rows
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col].cast(pa.string())), r"\s+")
+        flat = pc.list_flatten(words)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if len(flat) == 0:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        agg = pa.table({"word": flat}).group_by("word") \
+            .aggregate([("word", "count")])
+        return pa.table({"word": agg["word"],
+                         "c": agg["word_count"].cast(pa.int64())})
+
+    counts = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("c", alias_name="n"))
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "word" not in batch.schema.names:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        kept = batch.filter(pc.greater_equal(batch["n"], min_count))
+        return pa.table({"word": kept["word"].cast(pa.string()),
+                         "n": kept["n"].cast(pa.int64())})
+
+    pruned = counts.map_batches(prune, batch_format="pyarrow") \
+        .sort(["n", "word"], descending=[True, False]).materialize()
+    refs = [r for r in pruned.to_arrow_refs()]
+    nrows = ray.get([_remote_num_rows.remote(r) for r in refs])
+    refs = [r for r, k in zip(refs, nrows) if k]
+    nrows = [k for k in nrows if k]
+    offsets = np.concatenate([[0], np.cumsum(nrows)[:-1]]) \
+        if nrows else []
+
+    @ray.remote(num_cpus=0)
+    def rank_block(tbl: pa.Table, off0: int) -> pa.Table:
+        ids = np.arange(off0, off0 + tbl.num_rows, dtype=np.int64)
+        return tbl.append_column("word_id", pa.array(ids))
+
+    ranked = [rank_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    if not ranked:
+        return rd.from_arrow(pa.table({
+            "word": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+            "word_id": pa.array([], type=pa.int64())}))
+    return rd.from_arrow_refs(ranked)
