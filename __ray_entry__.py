@@ -1395,6 +1395,23 @@ def q_phash_knn(sf_dir: str):
     return phash_topk(corpus, qids, qph, k=5, exclude=excl)
 
 
+def q_contamination(sf_dir: str):
+    """Benchmark decontamination (stages/text.contamination_check):
+    every 101st doc is the stand-in eval set; corpus docs are flagged on
+    any shared word 8-gram — broadcast benchmark hash set, one streaming
+    corpus pass, per-doc match counts via bincount."""
+    from osmium_tool_ray.stages.text import contamination_check
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def pick_bench(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 101 == 0))
+
+    bench = docs.map_batches(pick_bench, batch_format="pyarrow")
+    return contamination_check(docs, bench, n=8)
+
+
 def q_docs_rollup(sf_dir: str):
     """GROUPING SETS / ROLLUP aggregate (pipelines/analytics
     .rollup_counts): doc counts + n_chars totals at (lang, source),
@@ -1877,6 +1894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": q_event_type_pivot,
         "props_k_by_type": q_props_k_by_type,
         "vocab_top": q_vocab_top,
+        "contamination_docs": q_contamination,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,
@@ -2217,6 +2235,27 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate <  TIMESTAMP '1999-01-01'
             GROUP BY n_name""",
+        "contamination_docs": r"""
+            WITH arrs AS (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '\s+') AS arr
+                FROM documents),
+            bg AS (
+                SELECT DISTINCT array_to_string(arr[i:i+7], ' ') AS g
+                FROM (SELECT arr,
+                             unnest(generate_series(1, len(arr) - 7)) AS i
+                      FROM arrs WHERE doc_id % 101 = 0)),
+            dg AS (
+                SELECT doc_id, array_to_string(arr[i:i+7], ' ') AS g
+                FROM (SELECT doc_id, arr,
+                             unnest(generate_series(1, len(arr) - 7)) AS i
+                      FROM arrs)),
+            m AS (SELECT doc_id, count(*) AS nc
+                  FROM dg JOIN bg USING (g) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(m.nc, 0) AS n_contaminated,
+                   COALESCE(m.nc, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN m USING (doc_id)""",
         "vocab_top": r"""
             WITH words AS (
                 SELECT t.w AS word

@@ -38,6 +38,7 @@ QUERY_NAMES = [
     "extract_cw_history", "apply_changes_locations", "changeset_flags",
     "getid_bloom", "zorder_pruned_bbox", "heavy_words", "crossmodal_neardup",
     "running_total_global", "stratified_sample_docs", "audio_features",
+    "region_revenue", "vocab_top", "phash_knn", "sliding_window_counts",
 ]
 
 

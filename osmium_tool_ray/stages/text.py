@@ -335,3 +335,81 @@ def vocab_build(docs, text_col: str = "text", min_count: int = 2):
             "n": pa.array([], type=pa.int64()),
             "word_id": pa.array([], type=pa.int64())}))
     return rd.from_arrow_refs(ranked)
+
+
+def _word_ngram_windows(batch: pa.Table, text_col: str, n: int):
+    """Vectorized word n-gram extraction over a batch: returns
+    (doc_index_per_window, window_hash:uint64). Word arrays are flattened
+    once; window start indices come from the cumulative-offset arange
+    trick (no per-doc Python loop); the n-gram string is built with n-1
+    vectorized concats and hashed with the shared FNV-1a kernel."""
+    words = pc.split_pattern_regex(
+        pc.utf8_lower(batch[text_col].cast(pa.string())), r"\s+")
+    words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) \
+        else words
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(words).to_numpy(zero_copy_only=False).astype(str)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    wins = np.maximum(lens - n + 1, 0)
+    total = int(wins.sum())
+    if total == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), wins)
+    cw = np.cumsum(wins)
+    within = np.arange(total, dtype=np.int64) - np.repeat(cw - wins, wins)
+    start = np.repeat(offs, wins) + within
+    grams = flat[start]
+    for j in range(1, n):
+        grams = np.char.add(np.char.add(grams, " "), flat[start + j])
+    return doc_idx, hash_str_u64(pa.array(grams))
+
+
+def contamination_check(docs, bench, n: int = 8, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Benchmark decontamination — flag training documents sharing any
+    word n-gram with a benchmark/eval set (the standard n-gram-overlap
+    contamination test LLM data pipelines run before training).
+
+    Pass 1 extracts the benchmark's distinct n-gram hashes with a
+    per-batch vectorized window pass and folds them on the driver —
+    benchmarks are small by definition (the broadcast set is the eval
+    suite, not the corpus); swap the broadcast for a bucketed semi-join
+    (idops.semi_join_bucketed) if an eval set ever outgrows worker RAM.
+    Pass 2 streams the corpus once: per-batch window hashes, sorted-set
+    membership via searchsorted, per-doc match counts via bincount.
+    64-bit hashes stand in for the strings on both sides, so a cross-set
+    collision is the only (negligible, ~2^-64) divergence source.
+
+    Returns (id_col, n_contaminated:int64, contaminated:bool)."""
+    import ray
+
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        _, h = _word_ngram_windows(batch, text_col, n)
+        return pa.table({"h": pa.array(np.unique(h).view(np.int64))})
+
+    parts = bench.map_batches(bench_hashes, batch_format="pyarrow") \
+        .take_all()
+    bset = np.unique(np.concatenate(
+        [np.asarray([r["h"] for r in parts], dtype=np.int64)])
+        if parts else np.empty(0, dtype=np.int64)).view(np.uint64)
+    bset = np.sort(bset)
+    bref = ray.put(bset)
+
+    def score(batch: pa.Table) -> pa.Table:
+        bs = ray.get(bref)
+        d = batch.num_rows
+        doc_idx, h = _word_ngram_windows(batch, text_col, n)
+        if len(h) and len(bs):
+            pos = np.searchsorted(bs, h)
+            hit = (pos < len(bs)) & (bs[np.minimum(pos, len(bs) - 1)] == h)
+            counts = np.bincount(doc_idx[hit], minlength=d).astype(np.int64)
+        else:
+            counts = np.zeros(d, dtype=np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_contaminated": pa.array(counts),
+            "contaminated": pa.array(counts > 0),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
