@@ -1412,6 +1412,24 @@ def q_contamination(sf_dir: str):
     return contamination_check(docs, bench, n=8)
 
 
+def q_repetition_docs(sf_dir: str):
+    """Intra-doc repetition ratio over word trigrams (stages/text
+    .repetition_score): pure map-side window pass + per-doc lexsort
+    distinct — the C4/Gopher repetitive-boilerplate quality signal."""
+    from osmium_tool_ray.stages.text import repetition_score
+
+    return repetition_score(_docs(sf_dir, ["doc_id", "text"]), n=3)
+
+
+def q_doc_lm_score(sf_dir: str):
+    """Unigram corpus-frequency score (stages/text.doc_lm_score): fold
+    corpus word counts, broadcast, one streaming lookup pass — mean
+    corpus count of each doc's words as a rarity signal."""
+    from osmium_tool_ray.stages.text import doc_lm_score
+
+    return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_docs_rollup(sf_dir: str):
     """GROUPING SETS / ROLLUP aggregate (pipelines/analytics
     .rollup_counts): doc counts + n_chars totals at (lang, source),
@@ -1895,6 +1913,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_by_type": q_props_k_by_type,
         "vocab_top": q_vocab_top,
         "contamination_docs": q_contamination,
+        "repetition_docs": q_repetition_docs,
+        "doc_lm_score": q_doc_lm_score,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,
@@ -2235,6 +2255,43 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate <  TIMESTAMP '1999-01-01'
             GROUP BY n_name""",
+        "repetition_docs": r"""
+            WITH arrs AS (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '\s+') AS arr
+                FROM documents),
+            dg AS (
+                SELECT doc_id, array_to_string(arr[i:i+2], ' ') AS g
+                FROM (SELECT doc_id, arr,
+                             unnest(generate_series(1, len(arr) - 2)) AS i
+                      FROM arrs)),
+            agg AS (SELECT doc_id, count(*) AS total,
+                           count(DISTINCT g) AS nd
+                    FROM dg GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.total, 0) AS n_windows,
+                   COALESCE(a.nd, 0) AS n_distinct,
+                   CASE WHEN COALESCE(a.total, 0) > 0
+                        THEN 1.0 - CAST(a.nd AS DOUBLE)
+                                 / CAST(a.total AS DOUBLE)
+                        ELSE 0.0 END AS rep_ratio
+            FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "doc_lm_score": r"""
+            WITH words AS (
+                SELECT doc_id, t.w AS word
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '\s+')) AS t(w)
+                WHERE t.w <> ''),
+            cnt AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+            per AS (SELECT w.doc_id, SUM(n) AS s, COUNT(*) AS c
+                    FROM words w JOIN cnt USING (word) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(p.s, 0) AS freq_sum,
+                   COALESCE(p.c, 0) AS n_words,
+                   CASE WHEN COALESCE(p.c, 0) > 0
+                        THEN CAST(p.s AS DOUBLE) / CAST(p.c AS DOUBLE)
+                        ELSE 0.0 END AS mean_word_freq
+            FROM documents d LEFT JOIN per p USING (doc_id)""",
         "contamination_docs": r"""
             WITH arrs AS (
                 SELECT doc_id,

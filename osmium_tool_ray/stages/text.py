@@ -413,3 +413,115 @@ def contamination_check(docs, bench, n: int = 8, text_col: str = "text",
         })
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def repetition_score(docs, n: int = 3, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Intra-document repetition — the fraction of duplicated word
+    n-grams inside each doc (the standard 'repetitive boilerplate'
+    quality signal; C4/Gopher-style filters threshold on it). Pure
+    map-side: one vectorized window pass per batch, per-doc distinct
+    counts via a single (doc, hash) lexsort — no shuffle at all.
+
+    rep_ratio = 1 - distinct/total (0 when the doc has no windows);
+    both counts are exposed so the ratio is one correctly-rounded IEEE
+    divide+subtract, bit-equal to the SQL oracle."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        d = batch.num_rows
+        doc_idx, h = _word_ngram_windows(batch, text_col, n)
+        total = np.bincount(doc_idx, minlength=d).astype(np.int64)
+        if len(h):
+            order = np.lexsort((h, doc_idx))
+            di, hs = doc_idx[order], h[order]
+            first = np.concatenate(
+                [[True], (di[1:] != di[:-1]) | (hs[1:] != hs[:-1])])
+            distinct = np.bincount(di[first], minlength=d).astype(np.int64)
+        else:
+            distinct = np.zeros(d, dtype=np.int64)
+        ratio = np.where(
+            total > 0,
+            1.0 - distinct.astype(np.float64)
+            / np.maximum(total, 1).astype(np.float64),
+            0.0)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_windows": pa.array(total),
+            "n_distinct": pa.array(distinct),
+            "rep_ratio": pa.array(ratio),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def doc_lm_score(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Unigram corpus-frequency score per document — mean corpus count
+    of the doc's words (a cheap LM-style rarity signal: low means the
+    doc is full of rare/garbage tokens). Pass 1 folds corpus word
+    counts (per-batch Arrow pre-agg -> one native Sum groupby) and
+    broadcasts them as sorted arrays (the tfidf df-map shape — swap for
+    a bucketed join past worker-RAM vocabularies); pass 2 is one
+    streaming map with searchsorted lookups and bincount sums.
+
+    Returns (id_col, freq_sum:int64, n_words:int64,
+    mean_word_freq:float64) — the mean is a single IEEE divide over the
+    integer pair, bit-equal to SQL."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col].cast(pa.string())), r"\s+")
+        flat = pc.list_flatten(words)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if len(flat) == 0:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        agg = pa.table({"word": flat}).group_by("word") \
+            .aggregate([("word", "count")])
+        return pa.table({"word": agg["word"],
+                         "c": agg["word_count"].cast(pa.int64())})
+
+    rows = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("c", alias_name="n")).take_all()
+    vocab = np.asarray([r["word"] for r in rows], dtype=object).astype(str)
+    counts = np.asarray([r["n"] for r in rows], dtype=np.int64)
+    order = np.argsort(vocab, kind="stable")
+    vref = ray.put((vocab[order], counts[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vw, vc = ray.get(vref)
+        d = batch.num_rows
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col].cast(pa.string())), r"\s+")
+        words = words.combine_chunks() if isinstance(
+            words, pa.ChunkedArray) else words
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(words).to_numpy(zero_copy_only=False) \
+            .astype(str)
+        keep = flat != ""
+        doc_idx = np.repeat(np.arange(d, dtype=np.int64), lens)[keep]
+        flat = flat[keep]
+        if len(flat) and len(vw):
+            pos = np.searchsorted(vw, flat)
+            hit = (pos < len(vw)) & (vw[np.minimum(pos, len(vw) - 1)]
+                                     == flat)
+            f = np.where(hit, vc[np.minimum(pos, len(vw) - 1)], 0)
+            fs = np.bincount(doc_idx, weights=f, minlength=d) \
+                .astype(np.int64)
+            nw = np.bincount(doc_idx, minlength=d).astype(np.int64)
+        else:
+            fs = np.zeros(d, dtype=np.int64)
+            nw = np.zeros(d, dtype=np.int64)
+        mean = np.where(nw > 0,
+                        fs.astype(np.float64)
+                        / np.maximum(nw, 1).astype(np.float64), 0.0)
+        return pa.table({
+            id_col: batch[id_col],
+            "freq_sum": pa.array(fs),
+            "n_words": pa.array(nw),
+            "mean_word_freq": pa.array(mean),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")

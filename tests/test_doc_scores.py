@@ -1,0 +1,72 @@
+"""Intra-doc repetition ratio and unigram corpus-frequency score
+(stages/text.repetition_score / doc_lm_score) vs DuckDB oracles."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from osmium_tool_ray.stages.text import doc_lm_score, repetition_score
+
+
+def _docs_tbl(seed=6, n=90):
+    rng = np.random.default_rng(seed)
+    vocab = np.array(["x", "y", "z", "w", "loop"])
+    texts = [" ".join(vocab[rng.integers(0, 5, rng.integers(1, 20))])
+             for _ in range(n)]
+    texts[3] = "spam spam spam spam spam spam"       # fully repetitive
+    texts[5] = "a"                                    # shorter than n
+    return pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def test_repetition_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    tbl = _docs_tbl()
+    out = repetition_score(rd.from_arrow(tbl).repartition(4), n=3)
+    mine = {r["doc_id"]: (r["n_windows"], r["n_distinct"], r["rep_ratio"])
+            for r in out.take_all()}
+    oracle = duckdb.sql(r"""
+        WITH arrs AS (SELECT doc_id,
+                             string_split_regex(lower(text), '\s+') AS arr
+                      FROM tbl),
+        dg AS (SELECT doc_id, array_to_string(arr[i:i+2], ' ') AS g
+               FROM (SELECT doc_id, arr,
+                            unnest(generate_series(1, len(arr) - 2)) AS i
+                     FROM arrs)),
+        agg AS (SELECT doc_id, count(*) AS total, count(DISTINCT g) AS nd
+                FROM dg GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(a.total, 0), COALESCE(a.nd, 0),
+               CASE WHEN COALESCE(a.total, 0) > 0
+                    THEN 1.0 - CAST(a.nd AS DOUBLE) / CAST(a.total AS DOUBLE)
+                    ELSE 0.0 END
+        FROM tbl d LEFT JOIN agg a USING (doc_id)""").fetchall()
+    assert mine == {d: (t, nd, r) for d, t, nd, r in oracle}
+    # the planted doc: 4 trigram windows, 1 distinct ('spam spam spam')
+    assert mine[3] == (4, 1, 0.75)
+    # too-short doc: no windows, ratio 0
+    assert mine[5] == (0, 0, 0.0)
+
+
+def test_doc_lm_score_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    tbl = _docs_tbl(seed=9)
+    out = doc_lm_score(rd.from_arrow(tbl).repartition(5))
+    mine = {r["doc_id"]: (r["freq_sum"], r["n_words"], r["mean_word_freq"])
+            for r in out.take_all()}
+    oracle = duckdb.sql(r"""
+        WITH words AS (SELECT doc_id, t.w AS word
+                       FROM tbl,
+                            unnest(string_split_regex(lower(text),
+                                                      '\s+')) AS t(w)
+                       WHERE t.w <> ''),
+        cnt AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+        per AS (SELECT w.doc_id, SUM(n) AS s, COUNT(*) AS c
+                FROM words w JOIN cnt USING (word) GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(p.s, 0), COALESCE(p.c, 0),
+               CASE WHEN COALESCE(p.c, 0) > 0
+                    THEN CAST(p.s AS DOUBLE) / CAST(p.c AS DOUBLE)
+                    ELSE 0.0 END
+        FROM tbl d LEFT JOIN per p USING (doc_id)""").fetchall()
+    assert mine == {d: (s, c, m) for d, s, c, m in oracle}
