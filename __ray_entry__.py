@@ -1430,6 +1430,17 @@ def q_doc_lm_score(sf_dir: str):
     return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_approx_quantiles(sf_dir: str):
+    """Mergeable approximate-quantile sketch (stages/sketches
+    .approx_quantiles) over events.value — constant-space per block, no
+    sort. Approximate by design, so no SQL oracle; pytest asserts the
+    <1% rank-error bound vs numpy exact."""
+    from osmium_tool_ray.stages.sketches import approx_quantiles
+
+    ev = _events(sf_dir, ["value"])
+    return approx_quantiles(ev, "value", [0.1, 0.25, 0.5, 0.75, 0.9])
+
+
 def q_docs_rollup(sf_dir: str):
     """GROUPING SETS / ROLLUP aggregate (pipelines/analytics
     .rollup_counts): doc counts + n_chars totals at (lang, source),
@@ -1915,6 +1926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_docs": q_contamination,
         "repetition_docs": q_repetition_docs,
         "doc_lm_score": q_doc_lm_score,
+        "approx_quantiles_value": q_approx_quantiles,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,

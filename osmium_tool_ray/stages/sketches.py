@@ -259,3 +259,52 @@ def heavy_hitters(ds, col: str, min_frac: float = 0.01, k: int | None = None,
                          count_col: out[sum_name].cast(pa.int64())})
 
     return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def approx_quantiles(ds, value_col: str, qs, k_per_block: int = 256):
+    """Mergeable approximate-quantile sketch — the constant-space
+    complement to pipelines/stats.exact_quantiles (which pays a full
+    sort): each block contributes a SORTED STRIDE SAMPLE with weights (a
+    one-level GK/KLL-style compactor, <= k_per_block rows per block), the
+    weighted samples are folded into a CDF, and each requested quantile
+    reads the first value whose cumulative weight crosses q*N.
+
+    Rank-error bound: a block of n rows sampled at stride s = ceil(n/k)
+    misplaces any rank by < s, so the folded estimate is within
+    sum(ceil(n_b/k)) ~= N/k ranks of exact — pick k for the tolerance,
+    independent of N. The fold touches only blocks x k (value, weight)
+    pairs (driver-side, constant per block; tree-reduce it past ~10^5
+    blocks). Returns a pyarrow Table (q, value)."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        v = np.sort(v[~np.isnan(v)]) if v.dtype.kind == "f" else np.sort(v)
+        n = len(v)
+        if n == 0:
+            return pa.table({"v": pa.array([], type=pa.float64()),
+                             "w": pa.array([], type=pa.int64())})
+        stride = max(1, -(-n // k_per_block))
+        idx = np.arange(stride // 2, n, stride)
+        w = np.full(len(idx), stride, dtype=np.int64)
+        # make weights sum exactly to n (the tail sample covers the rest)
+        w[-1] = n - stride * (len(idx) - 1)
+        return pa.table({"v": pa.array(v[idx].astype(np.float64)),
+                         "w": pa.array(w)})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:
+        return pa.table({"q": pa.array([], type=pa.float64()),
+                         "value": pa.array([], type=pa.float64())})
+    v = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    w = np.asarray([r["w"] for r in rows], dtype=np.int64)
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cw = np.cumsum(w)
+    total = cw[-1]
+    out = []
+    for q in qs:
+        target = max(1, int(np.ceil(q * total)))
+        out.append(v[np.searchsorted(cw, target)])
+    return pa.table({"q": pa.array(np.asarray(qs, dtype=np.float64)),
+                     "value": pa.array(np.asarray(out))})

@@ -1,0 +1,46 @@
+"""Mergeable approximate-quantile sketch (stages/sketches
+.approx_quantiles): rank-error bound vs numpy exact, partitioning
+robustness, empty input."""
+
+import numpy as np
+import pyarrow as pa
+
+from osmium_tool_ray.stages.sketches import approx_quantiles
+
+QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _rank_err(values, q, est):
+    r = np.searchsorted(np.sort(values), est, side="right") / len(values)
+    return abs(r - q)
+
+
+def test_rank_error_bound(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    vals = rng.lognormal(0, 2, 60_000)     # heavy-tailed on purpose
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)})).repartition(24)
+    out = approx_quantiles(ds, "x", QS, k_per_block=256)
+    for q, est in zip(out["q"].to_pylist(), out["value"].to_pylist()):
+        assert _rank_err(vals, q, est) < 0.01, (q, est)
+
+
+def test_partitioning_changes_only_within_bound(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(4)
+    vals = rng.normal(0, 1, 30_000)
+    tbl = pa.table({"x": pa.array(vals)})
+    for parts in (3, 17):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        out = approx_quantiles(ds, "x", [0.5], k_per_block=512)
+        assert _rank_err(vals, 0.5, out["value"][0].as_py()) < 0.005
+
+
+def test_empty_input(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([], type=pa.float64())}))
+    out = approx_quantiles(ds, "x", QS)
+    assert out.num_rows == 0
