@@ -1430,6 +1430,16 @@ def q_doc_lm_score(sf_dir: str):
     return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_curate_docs(sf_dir: str):
+    """End-to-end curation flagship (pipelines/curation.curate_docs):
+    normalize -> length filter -> exact dedup (first id per cleaned
+    text) -> fixed-budget sequence packing, all streaming."""
+    from osmium_tool_ray.pipelines.curation import curate_docs
+
+    return curate_docs(_docs(sf_dir, ["doc_id", "text"]),
+                       min_chars=64, budget=8192)
+
+
 def q_approx_quantiles(sf_dir: str):
     """Mergeable approximate-quantile sketch (stages/sketches
     .approx_quantiles) over events.value — constant-space per block, no
@@ -1927,6 +1937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": q_repetition_docs,
         "doc_lm_score": q_doc_lm_score,
         "approx_quantiles_value": q_approx_quantiles,
+        "curate_docs": q_curate_docs,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,
@@ -2267,6 +2278,25 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate <  TIMESTAMP '1999-01-01'
             GROUP BY n_name""",
+        "curate_docs": r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '\b(?:customer|supplier|part)\b', '<ENT>', 'g'),
+                            '  +', ' ', 'g'), ' ') AS clean
+                FROM documents),
+            ok AS (SELECT doc_id, clean, length(clean) AS sz
+                   FROM norm WHERE length(clean) >= 64),
+            surv AS (SELECT MIN(doc_id) AS doc_id, MIN(sz) AS sz
+                     FROM ok GROUP BY clean)
+            SELECT doc_id, sz AS n_chars_clean,
+                   cumprev // 8192 AS bin,
+                   cumprev % 8192 AS "offset"
+            FROM (SELECT doc_id, sz,
+                         COALESCE(SUM(sz) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS cumprev
+                  FROM surv)""",
         "repetition_docs": r"""
             WITH arrs AS (
                 SELECT doc_id,

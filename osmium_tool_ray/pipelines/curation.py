@@ -1,0 +1,67 @@
+"""End-to-end training-data curation — the flagship composition proving
+the engine's stages assemble into the full pipeline a data team runs
+before tokenization: normalize -> filter -> exact-dedup -> pack.
+
+Every step is one of the engine's existing primitives chained lazily
+(streaming end to end, one narrow shuffle for the dedup groupby and one
+sort for the packing scan):
+
+  1. stages/text.Normalizer — redaction/cleaning map (zero-copy Arrow);
+  2. length filter on the CLEANED text (map-side);
+  3. exact dedup: 64-bit fingerprint of the cleaned text, groupby(fp),
+     smallest doc_id survives (the dedup_exact_docs shape — fingerprint
+     equality stands in for string equality at a ~2^-64 collision risk);
+  4. pipelines/windows.pack_bins — contiguous fixed-budget packing of
+     the survivors in doc_id order.
+
+Returns (doc_id, n_chars_clean:int64, bin:int64, offset:int64)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def curate_docs(docs, min_chars: int = 64, budget: int = 8192,
+                text_col: str = "text", id_col: str = "doc_id"):
+    from ..stages.text import Fingerprint, Normalizer
+    from .windows import pack_bins
+
+    # normalize + filter + fingerprint FUSED into one stateless task:
+    # chaining fixed-size actor pools (concurrency=N) reserves their
+    # CPUs for the whole pipeline and can starve the shuffle stages on
+    # small sessions (CLAUDE.md pool-reservation landmine) — and the
+    # fused form shuffles only (id, sz, fp), never the cleaned text
+    normalize = Normalizer(text_col=text_col)
+    fingerprint = Fingerprint(text_col="clean")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = normalize(batch)
+        sz = pc.utf8_length(batch["clean"]).cast(pa.int64())
+        batch = batch.append_column("sz", sz)
+        kept = batch.filter(pc.greater_equal(sz, min_chars))
+        return fingerprint(kept).select([id_col, "sz", "fp"])
+
+    printed = docs.map_batches(prep, batch_format="pyarrow")
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return g[[id_col, "sz"]]
+        w = g.sort_values(id_col, kind="stable").head(1)
+        return w[[id_col, "sz"]]
+
+    survivors = printed.groupby("fp").map_groups(first_wins,
+                                                 batch_format="pandas")
+    packed = pack_bins(survivors, [id_col], "sz", budget)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col],
+            "n_chars_clean": batch["sz"].cast(pa.int64()),
+            "bin": batch["bin"].cast(pa.int64()),
+            "offset": batch["offset"].cast(pa.int64()),
+        })
+
+    return packed.map_batches(fin, batch_format="pyarrow")
