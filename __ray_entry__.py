@@ -1430,6 +1430,82 @@ def q_doc_lm_score(sf_dir: str):
     return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_track_length(sf_dir: str):
+    """Per-user GPS-track mileage (pipelines/windows.track_length): L1
+    distance over each user's points in timestamp order, in exact
+    fixed-point units — one narrow key shuffle, per-key vectorized
+    lexsort+diff."""
+    from osmium_tool_ray.pipelines.windows import track_length
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        xf = ((eid * 7919) % 36000) * 100000 - 1800000000
+        yf = ((eid * 104729) % 17000) * 100000 - 850000000
+        return batch.append_column("xf", pa.array(xf)) \
+                    .append_column("yf", pa.array(yf))
+
+    pts = ev.map_batches(coords, batch_format="pyarrow")
+    return track_length(pts, "user_id", "ts", "xf", "yf",
+                        tie_col="event_id")
+
+
+def q_region_centroids(sf_dir: str):
+    """Per-region aggregate geometry (RegionMatcher fan-out + integer
+    fixed-point coordinate sums): count and centroid of the images in
+    each extract region — sums are exact int64, the centroid is two IEEE
+    divisions on the folded integers."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from osmium_tool_ray.functions.geometry import to_fix
+    from osmium_tool_ray.stages.extract import RegionMatcher
+
+    regions = parse_extract_config({"extracts": [
+        {"output": "west", "bbox": [-150, -60, -30, 60]},
+        {"output": "east", "bbox": [30, -60, 150, 60]},
+    ]})
+    ds = images_dataset(sf_dir, columns=["lon", "lat"])
+    matched = ds.map_batches(RegionMatcher,
+                             fn_constructor_args=(ray.put(regions),),
+                             batch_format="pyarrow", concurrency=2)
+
+    def fixed(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "extract_id": batch["extract_id"].cast(pa.int64()),
+            "xf": pa.array(to_fix(
+                batch["lon"].to_numpy(zero_copy_only=False))),
+            "yf": pa.array(to_fix(
+                batch["lat"].to_numpy(zero_copy_only=False))),
+        })
+
+    agg = matched.map_batches(fixed, batch_format="pyarrow") \
+        .groupby("extract_id").aggregate(
+            Count(alias_name="n"),
+            Sum("xf", alias_name="sum_x_fix"),
+            Sum("yf", alias_name="sum_y_fix"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        n = batch["n"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sx = batch["sum_x_fix"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sy = batch["sum_y_fix"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "extract_id": batch["extract_id"].cast(pa.int64()),
+            "n": pa.array(n),
+            "sum_x_fix": pa.array(sx),
+            "sum_y_fix": pa.array(sy),
+            "centroid_lon": pa.array(
+                sx.astype(np.float64) / n.astype(np.float64) / 1e7),
+            "centroid_lat": pa.array(
+                sy.astype(np.float64) / n.astype(np.float64) / 1e7),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def q_curate_docs(sf_dir: str):
     """End-to-end curation flagship (pipelines/curation.curate_docs):
     normalize -> length filter -> exact dedup (first id per cleaned
@@ -1938,6 +2014,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": q_doc_lm_score,
         "approx_quantiles_value": q_approx_quantiles,
         "curate_docs": q_curate_docs,
+        "track_length_user": q_track_length,
+        "region_centroids": q_region_centroids,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,
@@ -2278,6 +2356,40 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate <  TIMESTAMP '1999-01-01'
             GROUP BY n_name""",
+        "track_length_user": """
+            WITH pts AS (SELECT user_id, ts, event_id,
+                   ((event_id * 7919) % 36000) * 100000 - 1800000000 AS xf,
+                   ((event_id * 104729) % 17000) * 100000 - 850000000 AS yf
+                 FROM events),
+            st AS (SELECT user_id,
+                   abs(xf - lag(xf) OVER w) + abs(yf - lag(yf) OVER w)
+                       AS step
+                 FROM pts
+                 WINDOW w AS (PARTITION BY user_id
+                              ORDER BY ts, event_id))
+            SELECT user_id, COUNT(*) AS n_points,
+                   COALESCE(SUM(step), 0) AS track_fix
+            FROM st GROUP BY user_id""",
+        "region_centroids": """
+            WITH pts AS (SELECT
+                   ((event_id * 7919) % 36000) * 100000 - 1800000000 AS xf,
+                   ((event_id * 104729) % 17000) * 100000 - 850000000 AS yf
+                 FROM events),
+            u AS (
+                SELECT 0 AS extract_id, xf, yf FROM pts
+                WHERE xf BETWEEN -1500000000 AND -300000000
+                  AND yf BETWEEN -600000000 AND 600000000
+                UNION ALL
+                SELECT 1 AS extract_id, xf, yf FROM pts
+                WHERE xf BETWEEN 300000000 AND 1500000000
+                  AND yf BETWEEN -600000000 AND 600000000)
+            SELECT extract_id, COUNT(*) AS n,
+                   SUM(xf) AS sum_x_fix, SUM(yf) AS sum_y_fix,
+                   CAST(SUM(xf) AS DOUBLE) / COUNT(*) / 10000000.0
+                       AS centroid_lon,
+                   CAST(SUM(yf) AS DOUBLE) / COUNT(*) / 10000000.0
+                       AS centroid_lat
+            FROM u GROUP BY extract_id""",
         "curate_docs": r"""
             WITH norm AS (
                 SELECT doc_id,

@@ -340,3 +340,49 @@ def pack_bins(ds, order_cols: list[str], size_col: str, budget: int,
                     .append_column(offset_col, pa.array(start % budget))
 
     return rt.map_batches(fin, batch_format="pyarrow")
+
+
+def track_length(ds, key_col: str, ts_col: str, x_col: str, y_col: str,
+                 tie_col: str | None = None):
+    """Per-key track length — total L1 distance over the key's points in
+    timestamp order (GPS-track mileage per user, in fixed-point units
+    when x/y are int64 fixed coords so the distributed sum is exact).
+
+    One key-hash shuffle of the narrow (key, ts, x, y) projection, then
+    a per-key vectorized lexsort + diff + abs-sum (the sessionize
+    shape). Ties in ts break on `tie_col` for determinism.
+    Returns (key, n_points:int64, track_fix:int64)."""
+    def per_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({key_col: pa.array([], type=g.schema
+                                               .field(key_col).type),
+                             "n_points": pa.array([], type=pa.int64()),
+                             "track_fix": pa.array([], type=pa.int64())})
+        keys = np.asarray(g[key_col].to_pylist(), dtype=object)
+        ts = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        tie = (g[tie_col].to_numpy(zero_copy_only=False) if tie_col
+               else np.zeros(len(ts), dtype=np.int64))
+        x = g[x_col].to_numpy(zero_copy_only=False)
+        y = g[y_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, keys.astype(str)))
+        ks, xs, ys = keys[order], x[order], y[order]
+        same = np.concatenate([[False], ks[1:] == ks[:-1]])
+        step = (np.abs(np.diff(xs, prepend=xs[:1]))
+                + np.abs(np.diff(ys, prepend=ys[:1]))) * same
+        # per-key fold: boundaries of key runs
+        starts = np.flatnonzero(~same)
+        ends = np.concatenate([starts[1:], [len(ks)]])
+        tot = np.add.reduceat(step, starts)
+        return pa.table({
+            key_col: pa.array(ks[starts].tolist(),
+                              type=g.schema.field(key_col).type),
+            "n_points": pa.array((ends - starts).astype(np.int64)),
+            "track_fix": pa.array(tot.astype(np.int64)),
+        })
+
+    narrow = ds.select_columns(
+        list(dict.fromkeys([key_col, ts_col, x_col, y_col]
+                           + ([tie_col] if tie_col else []))))
+    return narrow.groupby(key_col).map_groups(per_group,
+                                              batch_format="pyarrow")
