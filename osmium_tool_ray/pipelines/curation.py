@@ -24,10 +24,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def curate_docs(docs, min_chars: int = 64, budget: int = 8192,
-                text_col: str = "text", id_col: str = "doc_id"):
+def curate_survivors(docs, min_chars: int = 64,
+                     text_col: str = "text", id_col: str = "doc_id"):
+    """Stages 1-3 of the curation pipeline (normalize -> length filter ->
+    exact dedup): returns the surviving (id_col, sz:int64) rows. Split
+    out so the resumable job CLI can checkpoint survivors before the
+    packing sort."""
     from ..stages.text import Fingerprint, Normalizer
-    from .windows import pack_bins
 
     # normalize + filter + fingerprint FUSED into one stateless task:
     # chaining fixed-size actor pools (concurrency=N) reserves their
@@ -52,8 +55,14 @@ def curate_docs(docs, min_chars: int = 64, budget: int = 8192,
         w = g.sort_values(id_col, kind="stable").head(1)
         return w[[id_col, "sz"]]
 
-    survivors = printed.groupby("fp").map_groups(first_wins,
-                                                 batch_format="pandas")
+    return printed.groupby("fp").map_groups(first_wins,
+                                            batch_format="pandas")
+
+
+def pack_survivors(survivors, budget: int = 8192, id_col: str = "doc_id"):
+    """Stage 4: fixed-budget sequence packing of the survivor table."""
+    from .windows import pack_bins
+
     packed = pack_bins(survivors, [id_col], "sz", budget)
 
     def fin(batch: pa.Table) -> pa.Table:
@@ -65,3 +74,13 @@ def curate_docs(docs, min_chars: int = 64, budget: int = 8192,
         })
 
     return packed.map_batches(fin, batch_format="pyarrow")
+
+
+def curate_docs(docs, min_chars: int = 64, budget: int = 8192,
+                text_col: str = "text", id_col: str = "doc_id"):
+    """The one-shot composition: survivors -> packing (see module
+    docstring). The job CLI (jobs/curation_job.py) runs the same two
+    halves with a checkpoint between them."""
+    return pack_survivors(
+        curate_survivors(docs, min_chars, text_col, id_col),
+        budget, id_col)
