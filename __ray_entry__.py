@@ -1430,6 +1430,16 @@ def q_doc_lm_score(sf_dir: str):
     return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_user_distinct_types(sf_dir: str):
+    """Exact COUNT(DISTINCT) per key (pipelines/stats.distinct_per_key):
+    per-batch pair pre-distinct, one native distinct groupby, tiny count
+    — the exact complement to the HLL sketch."""
+    from osmium_tool_ray.pipelines.stats import distinct_per_key
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+    return distinct_per_key(ev, "user_id", "event_type")
+
+
 def q_track_length(sf_dir: str):
     """Per-user GPS-track mileage (pipelines/windows.track_length): L1
     distance over each user's points in timestamp order, in exact
@@ -2016,6 +2026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs": q_curate_docs,
         "track_length_user": q_track_length,
         "region_centroids": q_region_centroids,
+        "user_distinct_types": q_user_distinct_types,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,
@@ -2356,6 +2367,9 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate <  TIMESTAMP '1999-01-01'
             GROUP BY n_name""",
+        "user_distinct_types": """
+            SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct
+            FROM events GROUP BY user_id""",
         "track_length_user": """
             WITH pts AS (SELECT user_id, ts, event_id,
                    ((event_id * 7919) % 36000) * 100000 - 1800000000 AS xf,

@@ -284,3 +284,34 @@ def grouped_quantiles(ds, key_col: str, col: str, qs: list[float],
 
     return ds.select_columns([key_col, col]).groupby(key_col) \
         .map_groups(per_group, batch_format="pyarrow")
+
+
+def distinct_per_key(ds, key_col: str, val_col: str):
+    """Exact COUNT(DISTINCT val) per key — the exact complement to the
+    HLL sketch (stages/sketches.hll_distinct). Per-batch Arrow group_by
+    pre-distincts the (key, val) pairs so the shuffle carries
+    batch-distinct pairs only, then one native groupby(key, val) finishes
+    the global distinct and a second tiny groupby(key) counts. Returns
+    (key_col, n_distinct:int64)."""
+    import pyarrow as pa
+    import ray.data  # noqa: F401  (Dataset methods)
+    from ray.data.aggregate import Count
+
+    def pre(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select([key_col, val_col])
+        return batch.select([key_col, val_col]) \
+            .group_by([key_col, val_col]).aggregate([])
+
+    pairs = ds.map_batches(pre, batch_format="pyarrow")
+    uniq = pairs.groupby([key_col, val_col]).count() \
+        .select_columns([key_col])
+    agg = uniq.groupby(key_col).aggregate(Count(alias_name="n_distinct"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: batch[key_col],
+            "n_distinct": batch["n_distinct"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
