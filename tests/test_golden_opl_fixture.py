@@ -58,3 +58,23 @@ def test_f1_relation_members_roles():
     # Mn12@,w20@some%20%way — empty role, then escaped-space role
     assert [(r["mtype"], r["ref"], r["role"]) for r in m] == \
         [("node", "n12", ""), ("way", "w20", "some way")]
+
+
+def test_empty_opl_fixture_round_trip():
+    """The reference's empty-file format fixture
+    (test/formats/empty.osm.opl + test/formats/CMakeLists.txt round
+    trips): an empty OPL stream parses to empty tables with STABLE
+    schemas (the repo rule: empty Datasets must not lose schema), and
+    rendering the empty node table emits zero lines."""
+    from osmium_tool_ray.sources.opl import parse_opl_lines, render_opl_nodes
+
+    lines = open("/root/reference/test/formats/empty.osm.opl").read() \
+        .splitlines()
+    assert lines == []
+    out = parse_opl_lines(lines)
+    assert set(out) == {"nodes", "groups", "group_members"}
+    for name, tbl in out.items():
+        assert tbl.num_rows == 0, name
+        assert len(tbl.schema.names) > 0, name
+    rendered = render_opl_nodes(out["nodes"])
+    assert rendered.num_rows == 0
