@@ -1430,6 +1430,20 @@ def q_doc_lm_score(sf_dir: str):
     return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_profile_lineitem(sf_dir: str):
+    """Per-column numeric profile (pipelines/stats.profile_numeric):
+    count / nulls / min / max / integer-floor checksum over four
+    lineitem measures in ONE streaming pass — the generalized fileinfo
+    fold."""
+    import ray.data as rd
+
+    from osmium_tool_ray.pipelines.stats import profile_numeric
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    return profile_numeric(ds, cols)
+
+
 def q_user_distinct_types(sf_dir: str):
     """Exact COUNT(DISTINCT) per key (pipelines/stats.distinct_per_key):
     per-batch pair pre-distinct, one native distinct groupby, tiny count
@@ -2027,6 +2041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_length_user": q_track_length,
         "region_centroids": q_region_centroids,
         "user_distinct_types": q_user_distinct_types,
+        "profile_lineitem": q_profile_lineitem,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,
@@ -2367,6 +2382,22 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate <  TIMESTAMP '1999-01-01'
             GROUP BY n_name""",
+        "profile_lineitem": """
+            SELECT "column", COUNT(*) AS n,
+                   COUNT(*) - COUNT(v) AS nulls,
+                   MIN(v) AS vmin, MAX(v) AS vmax,
+                   SUM(CAST(FLOOR(v) AS BIGINT)) AS isum
+            FROM (
+                SELECT 'l_quantity' AS "column", l_quantity AS v
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', l_discount FROM lineitem
+                UNION ALL
+                SELECT 'l_tax', l_tax FROM lineitem)
+            GROUP BY "column"
+            """,
         "user_distinct_types": """
             SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct
             FROM events GROUP BY user_id""",
