@@ -1430,6 +1430,70 @@ def q_doc_lm_score(sf_dir: str):
     return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_daily_active_users(sf_dir: str):
+    """Distinct users per day — tumbling-window assignment composed with
+    the exact distinct-per-key fold (window + distinct_per_key)."""
+    from osmium_tool_ray.pipelines.stats import distinct_per_key
+    from osmium_tool_ray.pipelines.windows import tumbling_window
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+    days = tumbling_window(ev, "ts", 86400, out_col="day")
+    out = distinct_per_key(days.select_columns(["day", "user_id"]),
+                           "day", "user_id")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": batch["day"].cast(pa.int64()),
+                         "dau": batch["n_distinct"].cast(pa.int64())})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q_weekly_retention(sf_dir: str):
+    """Week-over-week retention: users active in consecutive weeks —
+    distinct (user, week) pairs (map-side pre-distinct + native
+    groupby), then a per-user consecutive-week scan and a tiny week
+    count."""
+    from ray.data.aggregate import Sum
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        wk = (np.floor(us.astype(np.float64) / 1e6 / 604800)
+              .astype(np.int64))
+        t = pa.table({"user_id": batch["user_id"], "wk": pa.array(wk)})
+        return t.group_by(["user_id", "wk"]).aggregate([])
+
+    uw = _events(sf_dir, ["user_id", "ts"]) \
+        .map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["user_id", "wk"]).count() \
+        .select_columns(["user_id", "wk"])
+
+    def consec(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"wk": pa.array([], type=pa.int64()),
+                             "m": pa.array([], type=pa.int64())})
+        uid = np.asarray(g["user_id"].to_pylist())
+        wk = g["wk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((wk, uid))
+        uid, wk = uid[order], wk[order]
+        hit = (np.concatenate([[False], (uid[1:] == uid[:-1])
+                               & (wk[1:] == wk[:-1] + 1)]))
+        return pa.table({"wk": pa.array(wk[hit]),
+                         "m": pa.array(np.ones(int(hit.sum()),
+                                               dtype=np.int64))})
+
+    ret = uw.groupby("user_id").map_groups(consec, batch_format="pyarrow") \
+        .groupby("wk").aggregate(Sum("m", alias_name="retained"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({"wk": batch["wk"].cast(pa.int64()),
+                         "retained": batch["retained"].cast(pa.int64())})
+
+    return ret.map_batches(fin, batch_format="pyarrow")
+
+
 def q_profile_lineitem(sf_dir: str):
     """Per-column numeric profile (pipelines/stats.profile_numeric):
     count / nulls / min / max / integer-floor checksum over four
@@ -2042,6 +2106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_centroids": q_region_centroids,
         "user_distinct_types": q_user_distinct_types,
         "profile_lineitem": q_profile_lineitem,
+        "daily_active_users": q_daily_active_users,
+        "weekly_retention": q_weekly_retention,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,
@@ -2382,6 +2448,20 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate <  TIMESTAMP '1999-01-01'
             GROUP BY n_name""",
+        "daily_active_users": """
+            SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400
+                       AS day,
+                   COUNT(DISTINCT user_id) AS dau
+            FROM events GROUP BY day""",
+        "weekly_retention": """
+            WITH uw AS (SELECT DISTINCT user_id,
+                            CAST(floor(epoch(ts) / 604800) AS BIGINT)
+                                AS wk
+                        FROM events)
+            SELECT b.wk AS wk, COUNT(*) AS retained
+            FROM uw a JOIN uw b
+              ON b.user_id = a.user_id AND b.wk = a.wk + 1
+            GROUP BY b.wk""",
         "profile_lineitem": """
             SELECT "column", COUNT(*) AS n,
                    COUNT(*) - COUNT(v) AS nulls,
