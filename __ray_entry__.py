@@ -1430,6 +1430,16 @@ def q_doc_lm_score(sf_dir: str):
     return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_user_distinct_est(sf_dir: str):
+    """Grouped HLL (stages/sketches.hll_distinct_per_key): approximate
+    per-user distinct event types — constant space per (block, key).
+    Approximate by design (no oracle); pytest asserts the <5% bound."""
+    from osmium_tool_ray.stages.sketches import hll_distinct_per_key
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+    return hll_distinct_per_key(ev, "user_id", "event_type", p=12)
+
+
 def q_daily_active_users(sf_dir: str):
     """Distinct users per day — tumbling-window assignment composed with
     the exact distinct-per-key fold (window + distinct_per_key)."""
@@ -2108,6 +2118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lineitem": q_profile_lineitem,
         "daily_active_users": q_daily_active_users,
         "weekly_retention": q_weekly_retention,
+        "user_distinct_est": q_user_distinct_est,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,

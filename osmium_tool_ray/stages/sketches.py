@@ -308,3 +308,69 @@ def approx_quantiles(ds, value_col: str, qs, k_per_block: int = 256):
         out.append(v[np.searchsorted(cw, target)])
     return pa.table({"q": pa.array(np.asarray(qs, dtype=np.float64)),
                      "value": pa.array(np.asarray(out))})
+
+
+def hll_distinct_per_key(ds, key_col: str, col: str, p: int = 12,
+                         seed: int = 0):
+    """Grouped HLL — approximate COUNT(DISTINCT col) PER KEY in constant
+    space per (block, key): each batch emits one (key, registers) row
+    per batch-distinct key, the registers are merged per key with an
+    elementwise max inside groupby(key).map_groups, and the estimate is
+    read off the merged registers. Use when the per-key value domains
+    are too large for the exact distinct_per_key pair shuffle.
+
+    Returns (key_col, n_est:float64)."""
+    import numpy as np
+
+    m = 1 << p
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], batch.schema
+                                               .field(key_col).type),
+                             "regs": pa.array([], type=pa.binary())})
+        keys = np.asarray(batch[key_col].to_pylist())
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        vals = batch[col].cast(pa.string()).take(
+            pa.array(order, type=pa.int64()))
+        starts = np.flatnonzero(
+            np.concatenate([[True], ks[1:] != ks[:-1]]))
+        ends = np.concatenate([starts[1:], [len(ks)]])
+        out_k, out_r = [], []
+        for s, e in zip(starts, ends):
+            out_k.append(ks[s])
+            out_r.append(hll_registers(vals.slice(s, e - s),
+                                       p=p, seed=seed).tobytes())
+        return pa.table({key_col: pa.array(list(out_k),
+                                           type=batch.schema
+                                           .field(key_col).type),
+                         "regs": pa.array(out_r, type=pa.binary())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({key_col: pa.array([], g.schema
+                                               .field(key_col).type),
+                             "n_est": pa.array([], type=pa.float64())})
+        keys = np.asarray(g[key_col].to_pylist())
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        regs = [g["regs"][int(i)].as_py() for i in order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], ks[1:] != ks[:-1]]))
+        ends = np.concatenate([starts[1:], [len(ks)]])
+        out_k, out_e = [], []
+        for s, e in zip(starts, ends):
+            acc = np.zeros(m, dtype=np.uint8)
+            for r in regs[s:e]:
+                acc = np.maximum(acc, np.frombuffer(r, dtype=np.uint8))
+            out_k.append(ks[s])
+            out_e.append(hll_estimate(acc))
+        return pa.table({key_col: pa.array(list(out_k),
+                                           type=g.schema
+                                           .field(key_col).type),
+                         "n_est": pa.array(out_e, type=pa.float64())})
+
+    return ds.select_columns([key_col, col]) \
+        .map_batches(fold, batch_format="pyarrow") \
+        .groupby(key_col).map_groups(merge, batch_format="pyarrow")

@@ -48,3 +48,32 @@ def test_hll_duplicates_do_not_inflate():
     a = hll_registers(pa.array(["x", "y", "z"]), p=10)
     b = hll_registers(pa.array(["x", "y", "z"] * 1000), p=10)
     assert np.array_equal(a, b)
+
+
+def test_hll_distinct_per_key(ray_session):
+    """Grouped HLL estimate within 5% of exact per-key distincts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.sketches import hll_distinct_per_key
+
+    rng = np.random.default_rng(42)
+    n = 40_000
+    keys = rng.integers(1, 5, n)
+    # per-key distinct scales with the key (k=1 few, k=4 many)
+    vals = np.asarray([f"v{int(v)}" for v in
+                       rng.integers(0, 300, n) * keys])
+    tbl = pa.table({"k": pa.array(keys, type=pa.int64()),
+                    "v": pa.array(vals)})
+    out = hll_distinct_per_key(rd.from_arrow(tbl).repartition(9),
+                               "k", "v", p=12)
+    est = {r["k"]: r["n_est"] for r in out.take_all()}
+    import collections
+    exact = collections.defaultdict(set)
+    for k, v in zip(keys, vals):
+        exact[int(k)].add(v)
+    assert set(est) == set(exact)
+    for k in exact:
+        err = abs(est[k] - len(exact[k])) / len(exact[k])
+        assert err < 0.05, (k, est[k], len(exact[k]))
