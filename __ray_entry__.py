@@ -1430,6 +1430,31 @@ def q_doc_lm_score(sf_dir: str):
     return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_quantize_embeddings(sf_dir: str):
+    """int8 embedding quantization (stages/projections
+    .quantize_embeddings): global max-|x| fold + stateless quantize map,
+    vectors packed as binary (the storage scale path for ANN). Binary
+    payload, so rows-only; pytest pins reconstruction error and the
+    global scale."""
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.projections import quantize_embeddings
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    q = quantize_embeddings(ds)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        # surface byte sizes, not the raw binary (the rows-only compare
+        # renders values; the pytest covers reconstruction exactly)
+        nb = pc.binary_length(batch["qvec"]).cast(pa.int64())
+        return pa.table({"vec_id": batch["vec_id"],
+                         "n_bytes": nb,
+                         "scale": batch["scale"]})
+
+    return q.map_batches(fin, batch_format="pyarrow")
+
+
 def q_user_distinct_est(sf_dir: str):
     """Grouped HLL (stages/sketches.hll_distinct_per_key): approximate
     per-user distinct event types — constant space per (block, key).
@@ -2119,6 +2144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active_users": q_daily_active_users,
         "weekly_retention": q_weekly_retention,
         "user_distinct_est": q_user_distinct_est,
+        "quantize_embeddings": q_quantize_embeddings,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,

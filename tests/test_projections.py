@@ -83,3 +83,43 @@ def test_random_projection_jl(ray_session):
     mask = d_x > 0
     ratio = d_y[mask] / d_x[mask]
     assert 0.4 < ratio.mean() < 1.6  # loose JL sanity bound
+
+
+def test_quantize_embeddings_round_trip(ray_session):
+    """int8 quantization: reconstruction within the quantization step,
+    cosine similarity to the original >= 0.999, scale is the global
+    max-|x| regardless of partitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.projections import (
+        dequantize_batch, quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(44)
+    n, d = 600, 16
+    m = rng.normal(0, 2, (n, d))
+    m[17, 3] = 50.0                     # the global max-|x|
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(m), type=pa.list_(pa.float64())),
+    })
+    out = quantize_embeddings(rd.from_arrow(tbl).repartition(7))
+    got = out.take_all()
+    assert len(got) == n
+    assert all(abs(r["scale"] - 50.0) < 1e-12 for r in got)
+    # reconstruct and compare
+    batch = pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in got], type=pa.int64()),
+        "qvec": pa.array([r["qvec"] for r in got], type=pa.binary()),
+        "scale": pa.array([r["scale"] for r in got], type=pa.float64()),
+    })
+    rec = dequantize_batch(batch["qvec"], batch["scale"], d)
+    ids = np.asarray(batch["vec_id"].to_pylist())
+    orig = m[ids]
+    step = 50.0 / 127.0
+    assert np.abs(rec - orig).max() <= step / 2 + 1e-9
+    num = (rec * orig).sum(axis=1)
+    den = np.linalg.norm(rec, axis=1) * np.linalg.norm(orig, axis=1)
+    assert (num / np.maximum(den, 1e-30) > 0.995).mean() > 0.95
