@@ -1430,6 +1430,42 @@ def q_doc_lm_score(sf_dir: str):
     return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_postings(sf_dir: str):
+    """Inverted-index postings build: (word, doc_id, tf) — map-side
+    explode with per-batch Arrow pre-aggregation (the shuffle carries
+    batch-level (word, doc, c) partials, never the token stream), one
+    native Sum groupby. The search-index complement to tfidf/vocab."""
+    import pyarrow.compute as pc2
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc2.split_pattern_regex(
+            pc2.utf8_lower(batch["text"].cast(pa.string())), r"\s+")
+        words = words.combine_chunks() if isinstance(
+            words, pa.ChunkedArray) else words
+        lens = pc2.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc2.list_flatten(words)
+        doc = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False),
+                        lens)
+        keep = pc2.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        t = pa.table({"word": flat.filter(pa.array(keep)),
+                      "doc_id": pa.array(doc[keep])})
+        agg = t.group_by(["word", "doc_id"]).aggregate([("word", "count")])
+        return pa.table({"word": agg["word"], "doc_id": agg["doc_id"],
+                         "c": agg["word_count"].cast(pa.int64())})
+
+    out = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["word", "doc_id"]).aggregate(Sum("c", alias_name="tf"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({"word": batch["word"],
+                         "doc_id": batch["doc_id"],
+                         "tf": batch["tf"].cast(pa.int64())})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_quantize_embeddings(sf_dir: str):
     """int8 embedding quantization (stages/projections
     .quantize_embeddings): global max-|x| fold + stateless quantize map,
@@ -2145,6 +2181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_retention": q_weekly_retention,
         "user_distinct_est": q_user_distinct_est,
         "quantize_embeddings": q_quantize_embeddings,
+        "postings_docs": q_postings,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,
@@ -2485,6 +2522,12 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate <  TIMESTAMP '1999-01-01'
             GROUP BY n_name""",
+        "postings_docs": r"""
+            SELECT t.w AS word, doc_id, COUNT(*) AS tf
+            FROM documents,
+                 unnest(string_split_regex(lower(text), '\s+')) AS t(w)
+            WHERE t.w <> ''
+            GROUP BY t.w, doc_id""",
         "daily_active_users": """
             SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400
                        AS day,
