@@ -1430,6 +1430,40 @@ def q_doc_lm_score(sf_dir: str):
     return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_session_stats(sf_dir: str):
+    """Per-session aggregates over the sessionize operator: event count
+    and exact microsecond duration per (user, session) — the standard
+    funnel/engagement rollup composed from sessionize + one native
+    groupby."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from osmium_tool_ray.pipelines.windows import sessionize
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def with_us(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return batch.append_column("us", us)
+
+    s = sessionize(ev.map_batches(with_us, batch_format="pyarrow"),
+                   "user_id", "ts", 1800)
+    agg = s.groupby(["user_id", "session"]).aggregate(
+        Count(alias_name="n_events"),
+        Min("us", alias_name="t0"), Max("us", alias_name="t1"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        t0 = batch["t0"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t1 = batch["t1"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "session": batch["session"].cast(pa.int64()),
+            "n_events": batch["n_events"].cast(pa.int64()),
+            "duration_us": pa.array(t1 - t0),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def q_postings(sf_dir: str):
     """Inverted-index postings build: (word, doc_id, tf) — map-side
     explode with per-batch Arrow pre-aggregation (the shuffle carries
@@ -2182,6 +2216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_distinct_est": q_user_distinct_est,
         "quantize_embeddings": q_quantize_embeddings,
         "postings_docs": q_postings,
+        "session_stats": q_session_stats,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,
@@ -2522,6 +2557,21 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate <  TIMESTAMP '1999-01-01'
             GROUP BY n_name""",
+        "session_stats": """
+            WITH s AS (
+                SELECT user_id, ts,
+                       SUM(CASE WHEN prev_ts IS NOT NULL
+                                AND epoch(ts) - epoch(prev_ts) > 1800
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session
+                FROM (SELECT user_id, ts,
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts) AS prev_ts
+                      FROM events))
+            SELECT user_id, session, COUNT(*) AS n_events,
+                   MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
+            FROM s GROUP BY user_id, session""",
         "postings_docs": r"""
             SELECT t.w AS word, doc_id, COUNT(*) AS tf
             FROM documents,

@@ -59,3 +59,33 @@ def test_sessionize_boundaries(ray_session):
     out = sessionize(rd.from_arrow(tbl).repartition(3), "user_id", "ts", 60)
     rows = {r["event_id"]: r["session"] for r in out.take_all()}
     assert rows == {1: 0, 2: 0, 3: 1, 4: 0, 5: 1}
+
+
+def test_session_stats_query(ray_session):
+    """Per-session rollup (queries: session_stats) vs DuckDB on the
+    sf0.001 events table — counts and exact microsecond durations."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    out = E.queries()["session_stats"](sf)
+    mine = {(r["user_id"], r["session"]): (r["n_events"], r["duration_us"])
+            for r in out.take_all()}
+    oracle = duckdb.sql(f"""
+        WITH s AS (
+            SELECT user_id, ts,
+                   SUM(CASE WHEN prev_ts IS NOT NULL
+                            AND epoch(ts) - epoch(prev_ts) > 1800
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session
+            FROM (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             AS prev_ts
+                  FROM read_parquet('{sf}/events.parquet')))
+        SELECT user_id, session, COUNT(*),
+               MAX(epoch_us(ts)) - MIN(epoch_us(ts))
+        FROM s GROUP BY user_id, session""").fetchall()
+    assert mine == {(u, s): (n, d) for u, s, n, d in oracle}
+    assert any(n > 1 for n, _ in mine.values())
