@@ -1430,6 +1430,40 @@ def q_doc_lm_score(sf_dir: str):
     return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_quality_filtered_docs(sf_dir: str):
+    """Learned-threshold filter: keep docs at or below the corpus p90 of
+    n_chars — the exact distributed quantile (pipelines/stats
+    .exact_quantiles) feeds a map-side integer predicate (the
+    quality-cut shape every curation pipeline runs)."""
+    import ray.data as rd
+
+    from osmium_tool_ray.pipelines.stats import exact_quantiles
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    cut = int(exact_quantiles(docs, "n_chars", [0.9])["value"][0].as_py())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(batch["n_chars"], cut))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def q_balanced_langs(sf_dir: str):
+    """Dataset balancing: equalize per-language doc counts to the
+    smallest language via the deterministic stratified sampler with a
+    LEARNED n (min per-key count from a tiny native groupby)."""
+    import ray.data as rd
+
+    from osmium_tool_ray.pipelines.sampling import stratified_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    counts = docs.groupby("lang").count().take_all()
+    m = min(r["count()"] for r in counts)
+    return stratified_sample(docs, ["lang"], "doc_id", int(m))
+
+
 def q_session_stats(sf_dir: str):
     """Per-session aggregates over the sessionize operator: event count
     and exact microsecond duration per (user, session) — the standard
@@ -2217,6 +2251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": q_quantize_embeddings,
         "postings_docs": q_postings,
         "session_stats": q_session_stats,
+        "quality_filtered_docs": q_quality_filtered_docs,
+        "balanced_langs": q_balanced_langs,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,
@@ -2557,6 +2593,21 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate <  TIMESTAMP '1999-01-01'
             GROUP BY n_name""",
+        "quality_filtered_docs": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE n_chars <= (SELECT quantile_disc(n_chars, 0.9)
+                              FROM documents)""",
+        "balanced_langs": """
+            WITH c AS (SELECT MIN(n) AS m FROM (
+                SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang))
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 2147483648,
+                                    doc_id) AS rn
+                FROM documents), c
+            WHERE rn <= m""",
         "session_stats": """
             WITH s AS (
                 SELECT user_id, ts,

@@ -77,3 +77,36 @@ def test_stratified_small_stratum_returns_all(ray_session):
     out = stratified_sample(rd.from_arrow(tbl).repartition(2), ["lang"],
                             "doc_id", 10).take_all()
     assert len(out) == 5
+
+
+def test_balanced_langs_query(ray_session):
+    """Dataset balancing: every language ends at exactly the min count."""
+    import collections
+
+    import __ray_entry__ as E
+
+    out = E.queries()["balanced_langs"]("/root/testdata/sf0.001")
+    rows = out.take_all()
+    per = collections.Counter(r["lang"] for r in rows)
+    assert len(set(per.values())) == 1          # equalized
+    import duckdb
+    m = duckdb.sql("""SELECT MIN(n) FROM (SELECT lang, COUNT(*) n
+        FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+        GROUP BY lang)""").fetchone()[0]
+    assert set(per.values()) == {m}
+
+
+def test_quality_filtered_docs_query(ray_session):
+    """Learned p90 cut keeps ~90% of docs and respects the threshold."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    rows = E.queries()["quality_filtered_docs"](sf).take_all()
+    cut = duckdb.sql(f"""SELECT quantile_disc(n_chars, 0.9)
+        FROM read_parquet('{sf}/documents.parquet')""").fetchone()[0]
+    total = duckdb.sql(f"""SELECT COUNT(*)
+        FROM read_parquet('{sf}/documents.parquet')""").fetchone()[0]
+    assert all(r["n_chars"] <= cut for r in rows)
+    assert 0.85 * total <= len(rows) <= total
