@@ -1430,6 +1430,23 @@ def q_doc_lm_score(sf_dir: str):
     return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_augment_images(sf_dir: str):
+    """Image augmentation actor pool (stages/media.Augment): decode ->
+    hflip + center crop -> re-encode inside one map task (blobs never
+    leave it). Pixel transforms aren't SQL-expressible, so rows-only;
+    pytest pins the involution and exact crop-window pixels."""
+    from osmium_tool_ray.sources.corpus import images_dataset
+    from osmium_tool_ray.stages.media import Augment
+
+    ds = images_dataset(sf_dir, with_bytes=True)
+    out = ds.map_batches(Augment,
+                         fn_constructor_kwargs={"mode": "hflip+crop",
+                                                "crop_w": 8, "crop_h": 8},
+                         batch_format="pyarrow", batch_size=4096,
+                         concurrency=2)
+    return out.select_columns(["image_id", "w", "h", "fmt"])
+
+
 def q_quality_filtered_docs(sf_dir: str):
     """Learned-threshold filter: keep docs at or below the corpus p90 of
     n_chars — the exact distributed quantile (pipelines/stats
@@ -2253,6 +2270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats": q_session_stats,
         "quality_filtered_docs": q_quality_filtered_docs,
         "balanced_langs": q_balanced_langs,
+        "augment_images": q_augment_images,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,

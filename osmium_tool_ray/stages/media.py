@@ -270,3 +270,54 @@ class AudioFeatures:
                            pa.array(ns.astype(np.float64) / srs)) \
             .append_column("rms", pa.array(rms)) \
             .append_column("zcr", pa.array(zcr))
+
+
+class Augment:
+    """Actor stage: deterministic image augmentation — horizontal flip
+    and/or center crop on the decoded pixel grid, re-encoded in place
+    (the training-data augmentation shape: decode -> transform ->
+    encode inside one map task, blobs never leave it). `mode` is
+    'hflip' (involution: applying twice restores the bytes for lossless
+    rows), 'crop' (center crop to crop_w x crop_h), or 'hflip+crop'.
+
+    Determinism: the transform is a pure function of the pixels — no
+    RNG — so retries and re-runs are byte-stable, same as every other
+    stage."""
+
+    def __init__(self, mode: str = "hflip", crop_w: int = 8,
+                 crop_h: int = 8, bytes_col: str = "bytes",
+                 fmt_col: str = "fmt"):
+        if mode not in ("hflip", "crop", "hflip+crop"):
+            raise ValueError(f"unknown augment mode: {mode}")
+        self.codec = _load_codec()
+        self.mode = mode
+        self.crop_w, self.crop_h = crop_w, crop_h
+        self.bytes_col, self.fmt_col = bytes_col, fmt_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pix, w, h = self.codec.decode_batch(batch[self.bytes_col])
+        n = len(w)
+        if n == 0:
+            return batch
+        W, H = int(w[0]), int(h[0])
+        img = pix.reshape(n, H, W, 3)
+        if "hflip" in self.mode:
+            img = img[:, :, ::-1, :]
+        out_w, out_h = W, H
+        if "crop" in self.mode:
+            out_w, out_h = self.crop_w, self.crop_h
+            y0 = (H - out_h) // 2
+            x0 = (W - out_w) // 2
+            img = img[:, y0:y0 + out_h, x0:x0 + out_w, :]
+        flat = np.ascontiguousarray(img).reshape(n, -1)
+        fmts = np.asarray(batch[self.fmt_col].to_pylist())
+        enc = self.codec.encode_batch(flat, fmts, out_w, out_h)
+        batch = batch.set_column(
+            batch.schema.get_field_index(self.bytes_col),
+            self.bytes_col, enc)
+        batch = batch.set_column(
+            batch.schema.get_field_index("w"), "w",
+            pa.array(np.full(n, out_w, dtype=np.int32)))
+        return batch.set_column(
+            batch.schema.get_field_index("h"), "h",
+            pa.array(np.full(n, out_h, dtype=np.int32)))

@@ -54,3 +54,45 @@ def test_frame_sample(ray_session):
         src = gen_pixels(np.array([int(r["video_id"][1:]) * 1000
                                    + r["frame_no"]]), 8, 8)
         assert np.array_equal(pix[0], src[0])
+
+
+def test_augment_hflip_involution(ray_session):
+    """hflip twice restores the original bytes on lossless (png) rows,
+    and crop emits the right dims with pixel content matching the
+    decoded center window."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmium_tool_ray.sources.corpus import images_dataset
+    from osmium_tool_ray.stages.media import Augment
+    from osmium_tool_ray.functions.imagecodec import decode_batch
+
+    ds = images_dataset("/root/testdata/sf0.001", with_bytes=True) \
+        .limit(200)
+    orig = ds.take_batch(200, batch_format="pyarrow")
+    png = orig.filter(pa.compute.equal(orig["fmt"], "png"))
+
+    once = Augment(mode="hflip")(png)
+    twice = Augment(mode="hflip")(once)
+    assert twice["bytes"].to_pylist() == png["bytes"].to_pylist()
+    # single flip changes pixels but keeps dims
+    assert once["bytes"].to_pylist() != png["bytes"].to_pylist()
+    assert once["w"].to_pylist() == png["w"].to_pylist()
+
+    crop = Augment(mode="crop", crop_w=8, crop_h=8)(png)
+    assert set(crop["w"].to_pylist()) == {8}
+    cpix, cw, ch = decode_batch(crop["bytes"])
+    opix, ow, oh = decode_batch(png["bytes"])
+    n = len(cw)
+    ref = opix.reshape(n, 16, 16, 3)[:, 4:12, 4:12, :].reshape(n, -1)
+    assert (cpix == ref).all()
+
+
+def test_augment_rejects_bad_mode():
+    import pytest as _pytest
+
+    from osmium_tool_ray.stages.media import Augment
+
+    with _pytest.raises(ValueError):
+        Augment(mode="vflip")
