@@ -1430,6 +1430,17 @@ def q_doc_lm_score(sf_dir: str):
     return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_value_percentiles(sf_dir: str):
+    """Rank / percentile transform (pipelines/stats.rank_transform):
+    global row numbers + percent ranks of event values — one
+    distributed sort, block-offset stamping, bit-exact vs the
+    row_number/percent-rank window."""
+    from osmium_tool_ray.pipelines.stats import rank_transform
+
+    ev = _events(sf_dir, ["event_id", "value"])
+    return rank_transform(ev, ["value", "event_id"])
+
+
 def q_augment_images(sf_dir: str):
     """Image augmentation actor pool (stages/media.Augment): decode ->
     hflip + center crop -> re-encode inside one map task (blobs never
@@ -2271,6 +2282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filtered_docs": q_quality_filtered_docs,
         "balanced_langs": q_balanced_langs,
         "augment_images": q_augment_images,
+        "value_percentiles": q_value_percentiles,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,
@@ -2611,6 +2623,12 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate <  TIMESTAMP '1999-01-01'
             GROUP BY n_name""",
+        "value_percentiles": """
+            SELECT event_id, value,
+                   row_number() OVER w AS rn,
+                   CAST(row_number() OVER w - 1 AS DOUBLE)
+                       / GREATEST(COUNT(*) OVER () - 1, 1) AS pct
+            FROM events WINDOW w AS (ORDER BY value, event_id)""",
         "quality_filtered_docs": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE n_chars <= (SELECT quantile_disc(n_chars, 0.9)

@@ -39,6 +39,7 @@ QUERY_NAMES = [
     "getid_bloom", "zorder_pruned_bbox", "heavy_words", "crossmodal_neardup",
     "running_total_global", "stratified_sample_docs", "audio_features",
     "region_revenue", "vocab_top", "phash_knn", "sliding_window_counts",
+    "curate_docs", "contamination_docs", "session_stats",
 ]
 
 

@@ -375,3 +375,49 @@ def profile_numeric(ds, columns: list[str]):
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def rank_transform(ds, order_cols: list[str], rank_col: str = "rn",
+                   pct_col: str = "pct"):
+    """Rank / percentile transform — append each row's global row number
+    in `order_cols` order (ties broken by the full tuple, so include a
+    unique tiebreaker) and its percentile pct = (rn - 1) / (n - 1) —
+    the rank-normalization feature transform (and the row_number() /
+    percent_rank() window at scale).
+
+    Same shape as renumber_ranked / exact_quantiles: ONE distributed
+    sort, then only per-block ROW COUNTS reach the driver; each block
+    stamps offset + arange and the single division is bit-equal to the
+    SQL form."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..blocks import _remote_num_rows
+
+    sorted_ds = ds.sort(order_cols).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    nrows = ray.get([_remote_num_rows.remote(r) for r in refs])
+    refs = [r for r, k in zip(refs, nrows) if k]
+    nrows = [k for k in nrows if k]
+    total = int(sum(nrows))
+    offsets = np.concatenate([[0], np.cumsum(nrows)[:-1]]) \
+        if nrows else []
+
+    @ray.remote(num_cpus=0)
+    def stamp(tbl: pa.Table, off0: int) -> pa.Table:
+        rn = np.arange(off0 + 1, off0 + 1 + tbl.num_rows, dtype=np.int64)
+        denom = float(max(total - 1, 1))
+        pct = (rn - 1).astype(np.float64) / denom
+        return tbl.append_column(rank_col, pa.array(rn)) \
+                  .append_column(pct_col, pa.array(pct))
+
+    stamped = [stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    if not stamped:
+        sch = ds.schema()
+        cols = {n: pa.array([], type=t)
+                for n, t in zip(sch.names, sch.types)}
+        cols[rank_col] = pa.array([], type=pa.int64())
+        cols[pct_col] = pa.array([], type=pa.float64())
+        return rd.from_arrow(pa.table(cols))
+    return rd.from_arrow_refs(stamped)

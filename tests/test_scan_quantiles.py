@@ -102,3 +102,35 @@ def test_exact_quantiles_empty(ray_session):
     empty = rd.from_arrow(pa.table({"x": pa.array([], type=pa.int64())}))
     out = exact_quantiles(empty, "x", [0.5])
     assert out.num_rows == 0
+
+
+def test_rank_transform_vs_duckdb(ray_session):
+    """rank_transform row numbers and percent ranks, including
+    partitioning invariance and the n=1 denominator guard."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmium_tool_ray.pipelines.stats import rank_transform
+
+    rng = np.random.default_rng(51)
+    tbl = pa.table({
+        "id": pa.array(np.arange(400, dtype=np.int64)),
+        "v": pa.array(rng.integers(0, 50, 400), type=pa.int64()),
+    })
+    for parts in (1, 13):
+        out = rank_transform(rd.from_arrow(tbl).repartition(parts),
+                             ["v", "id"])
+        mine = {r["id"]: (r["rn"], r["pct"]) for r in out.take_all()}
+        oracle = duckdb.sql("""
+            SELECT id, row_number() OVER w AS rn,
+                   CAST(row_number() OVER w - 1 AS DOUBLE)
+                       / GREATEST(COUNT(*) OVER () - 1, 1) AS pct
+            FROM tbl WINDOW w AS (ORDER BY v, id)""").fetchall()
+        assert mine == {i: (rn, p) for i, rn, p in oracle}
+
+    one = pa.table({"id": pa.array([1], type=pa.int64()),
+                    "v": pa.array([5], type=pa.int64())})
+    got = rank_transform(rd.from_arrow(one), ["v", "id"]).take_all()
+    assert got[0]["rn"] == 1 and got[0]["pct"] == 0.0
