@@ -1430,6 +1430,28 @@ def q_doc_lm_score(sf_dir: str):
     return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_pagerank_users(sf_dir: str):
+    """Distributed PageRank (stages/graph.pagerank) over a deterministic
+    follow graph derived from events (src = id % 256, dst = id*7919 %
+    256, self-loops dropped). Iterative float fixpoint — rows-only
+    (like ivf_ann); pytest pins 1e-12 parity vs dense numpy."""
+    from osmium_tool_ray.stages.graph import pagerank
+
+    ev = _events(sf_dir, ["event_id"])
+    U = 256
+
+    def edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        src = eid % U
+        dst = (eid * 7919) % U
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep]),
+                         "dst": pa.array(dst[keep])})
+
+    e = ev.map_batches(edges, batch_format="pyarrow")
+    return pagerank(e, U, n_iters=5)
+
+
 def q_value_percentiles(sf_dir: str):
     """Rank / percentile transform (pipelines/stats.rank_transform):
     global row numbers + percent ranks of event values — one
@@ -2283,6 +2305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balanced_langs": q_balanced_langs,
         "augment_images": q_augment_images,
         "value_percentiles": q_value_percentiles,
+        "pagerank_users": q_pagerank_users,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,
