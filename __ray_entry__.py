@@ -1430,6 +1430,37 @@ def q_doc_lm_score(sf_dir: str):
     return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_incremental_new_docs(sf_dir: str):
+    """Incremental ingest dedup: keep only docs whose content fingerprint
+    is NOT in the already-ingested set (every 3rd doc plays the prior
+    snapshot) — Bloom-pruned anti-join (idops.semi_join_bloom,
+    invert=True): definite misses pass map-side, only the bloom-hit
+    sliver pays the exact bucketed join. The continuous-pipeline
+    counterpart of dedup_exact_docs."""
+    from osmium_tool_ray.pipelines.idops import semi_join_bloom
+    from osmium_tool_ray.stages.text import Fingerprint
+
+    # Fingerprint as a plain stateless function (NOT concurrency=N actor
+    # pools: two pools would reserve every CPU of a small session and
+    # starve the bucketed join — the CLAUDE.md pool landmine)
+    fingerprint = Fingerprint(text_col="text")
+
+    def docs_fp(batch: pa.Table) -> pa.Table:
+        return fingerprint(batch).select(["doc_id", "fp"])
+
+    def seen_fp(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        kept = batch.filter(pa.array(ids % 3 == 0))
+        return fingerprint(kept).select(["fp"])
+
+    docs = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(docs_fp, batch_format="pyarrow")
+    seen = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(seen_fp, batch_format="pyarrow")
+    out = semi_join_bloom(docs, "fp", seen, ids_col="fp", invert=True)
+    return out.select_columns(["doc_id"])
+
+
 def q_pagerank_users(sf_dir: str):
     """Distributed PageRank (stages/graph.pagerank) over a deterministic
     follow graph derived from events (src = id % 256, dst = id*7919 %
@@ -2306,6 +2337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "augment_images": q_augment_images,
         "value_percentiles": q_value_percentiles,
         "pagerank_users": q_pagerank_users,
+        "incremental_new_docs": q_incremental_new_docs,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,
@@ -2646,6 +2678,10 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate <  TIMESTAMP '1999-01-01'
             GROUP BY n_name""",
+        "incremental_new_docs": """
+            SELECT doc_id FROM documents
+            WHERE text NOT IN (SELECT text FROM documents
+                               WHERE doc_id % 3 = 0)""",
         "value_percentiles": """
             SELECT event_id, value,
                    row_number() OVER w AS rn,

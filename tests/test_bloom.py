@@ -100,3 +100,22 @@ def test_semi_join_bloom_approx_superset(ray_session):
     got = set(_sorted_ids(semi_join_bloom(big, "image_id", wanted_ds,
                                           n_bits=1 << 10, k=2, exact=False)))
     assert set(wanted.tolist()) <= got
+
+
+def test_incremental_new_docs_query(ray_session):
+    """Incremental ingest dedup (queries: incremental_new_docs) vs the
+    NOT IN oracle on sf0.001."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    mine = sorted(r["doc_id"] for r in
+                  E.queries()["incremental_new_docs"](sf).take_all())
+    oracle = duckdb.sql(f"""
+        SELECT doc_id FROM read_parquet('{sf}/documents.parquet')
+        WHERE text NOT IN (
+            SELECT text FROM read_parquet('{sf}/documents.parquet')
+            WHERE doc_id % 3 = 0)""").fetchall()
+    assert mine == sorted(d for (d,) in oracle)
+    assert mine and not any(d % 3 == 0 for d in mine)
