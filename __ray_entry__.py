@@ -1430,6 +1430,27 @@ def q_doc_lm_score(sf_dir: str):
     return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_iqr_outliers(sf_dir: str):
+    """IQR outlier detection: events above q3 + 1.5*IQR of value — the
+    exact distributed quantiles feed a map-side cut (both engines
+    compute the identical two-op float threshold from the same exact
+    order statistics, so the boundary is bit-stable)."""
+    import ray.data as rd
+
+    from osmium_tool_ray.pipelines.stats import exact_quantiles
+
+    ev = _events(sf_dir, ["event_id", "user_id", "value"])
+    qs = exact_quantiles(ev, "value", [0.25, 0.75])
+    q1 = float(qs["value"][0].as_py())
+    q3 = float(qs["value"][1].as_py())
+    cut = q3 + 1.5 * (q3 - q1)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["value"], cut))
+
+    return ev.map_batches(keep, batch_format="pyarrow")
+
+
 def q_incremental_new_docs(sf_dir: str):
     """Incremental ingest dedup: keep only docs whose content fingerprint
     is NOT in the already-ingested set (every 3rd doc plays the prior
@@ -2338,6 +2359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles": q_value_percentiles,
         "pagerank_users": q_pagerank_users,
         "incremental_new_docs": q_incremental_new_docs,
+        "iqr_outliers": q_iqr_outliers,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,
@@ -2678,6 +2700,12 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate <  TIMESTAMP '1999-01-01'
             GROUP BY n_name""",
+        "iqr_outliers": """
+            SELECT event_id, user_id, value FROM events
+            WHERE value > (SELECT quantile_disc(value, 0.75)
+                               + 1.5 * (quantile_disc(value, 0.75)
+                                        - quantile_disc(value, 0.25))
+                           FROM events)""",
         "incremental_new_docs": """
             SELECT doc_id FROM documents
             WHERE text NOT IN (SELECT text FROM documents

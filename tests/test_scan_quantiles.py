@@ -134,3 +134,24 @@ def test_rank_transform_vs_duckdb(ray_session):
                     "v": pa.array([5], type=pa.int64())})
     got = rank_transform(rd.from_arrow(one), ["v", "id"]).take_all()
     assert got[0]["rn"] == 1 and got[0]["pct"] == 0.0
+
+
+def test_iqr_outliers_query(ray_session):
+    """IQR outlier composition (queries: iqr_outliers) vs DuckDB on
+    sf0.001 — boundary bit-stability included."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    mine = sorted(r["event_id"] for r in
+                  E.queries()["iqr_outliers"](sf).take_all())
+    oracle = duckdb.sql(f"""
+        SELECT event_id FROM read_parquet('{sf}/events.parquet')
+        WHERE value > (SELECT quantile_disc(value, 0.75)
+                           + 1.5 * (quantile_disc(value, 0.75)
+                                    - quantile_disc(value, 0.25))
+                       FROM read_parquet('{sf}/events.parquet'))
+        """).fetchall()
+    assert mine == sorted(e for (e,) in oracle)
+    assert mine
