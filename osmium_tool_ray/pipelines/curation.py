@@ -18,7 +18,6 @@ Returns (doc_id, n_chars_clean:int64, bin:int64, offset:int64)."""
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
