@@ -1430,6 +1430,18 @@ def q_doc_lm_score(sf_dir: str):
     return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_user_value_quantiles_approx(sf_dir: str):
+    """Grouped approximate quantiles (stages/sketches
+    .approx_quantiles_per_key): per-user value percentiles in constant
+    space per (block, key). Approximate by design (no oracle); pytest
+    asserts the <2% per-key rank-error bound."""
+    from osmium_tool_ray.stages.sketches import approx_quantiles_per_key
+
+    ev = _events(sf_dir, ["user_id", "value"])
+    return approx_quantiles_per_key(ev, "user_id", "value",
+                                    [0.25, 0.5, 0.75])
+
+
 def q_iqr_outliers(sf_dir: str):
     """IQR outlier detection: events above q3 + 1.5*IQR of value — the
     exact distributed quantiles feed a map-side cut (both engines
@@ -2360,6 +2372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_users": q_pagerank_users,
         "incremental_new_docs": q_incremental_new_docs,
         "iqr_outliers": q_iqr_outliers,
+        "user_value_quantiles_approx": q_user_value_quantiles_approx,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,

@@ -374,3 +374,92 @@ def hll_distinct_per_key(ds, key_col: str, col: str, p: int = 12,
     return ds.select_columns([key_col, col]) \
         .map_batches(fold, batch_format="pyarrow") \
         .groupby(key_col).map_groups(merge, batch_format="pyarrow")
+
+
+def approx_quantiles_per_key(ds, key_col: str, value_col: str, qs,
+                             k_per_block: int = 128):
+    """Grouped approximate quantiles — the per-key form of
+    approx_quantiles (constant space per (block, key); use when a
+    per-key exact sort is too much). Each batch emits one (key, sorted
+    stride sample + weights) row per batch-distinct key; a
+    groupby(key).map_groups folds each key's samples into a weighted
+    CDF and reads the requested quantiles. Same N_key/k rank-error
+    bound as the global form, per key.
+
+    Returns a Dataset (key_col, q:float64, value:float64)."""
+    import numpy as np
+
+    qs = list(qs)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], batch.schema
+                                               .field(key_col).type),
+                             "v": pa.array([], type=pa.binary()),
+                             "w": pa.array([], type=pa.binary())})
+        keys = np.asarray(batch[key_col].to_pylist())
+        vals = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        order = np.lexsort((vals, keys))
+        ks, vs = keys[order], vals[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], ks[1:] != ks[:-1]]))
+        ends = np.concatenate([starts[1:], [len(ks)]])
+        out_k, out_v, out_w = [], [], []
+        for s, e in zip(starts, ends):
+            v = vs[s:e]
+            n = len(v)
+            stride = max(1, -(-n // k_per_block))
+            idx = np.arange(stride // 2, n, stride)
+            w = np.full(len(idx), stride, dtype=np.int64)
+            w[-1] = n - stride * (len(idx) - 1)
+            out_k.append(ks[s])
+            out_v.append(v[idx].tobytes())
+            out_w.append(w.tobytes())
+        return pa.table({key_col: pa.array(list(out_k),
+                                           type=batch.schema
+                                           .field(key_col).type),
+                         "v": pa.array(out_v, type=pa.binary()),
+                         "w": pa.array(out_w, type=pa.binary())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], g.schema
+                                            .field(key_col).type),
+                          "q": pa.array([], type=pa.float64()),
+                          "value": pa.array([], type=pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        keys = np.asarray(g[key_col].to_pylist())
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], ks[1:] != ks[:-1]]))
+        ends = np.concatenate([starts[1:], [len(ks)]])
+        out_k, out_q, out_v = [], [], []
+        for s, e in zip(starts, ends):
+            v = np.concatenate([
+                np.frombuffer(g["v"][int(order[i])].as_py(),
+                              dtype=np.float64)
+                for i in range(s, e)])
+            w = np.concatenate([
+                np.frombuffer(g["w"][int(order[i])].as_py(),
+                              dtype=np.int64)
+                for i in range(s, e)])
+            so = np.argsort(v, kind="stable")
+            v, w = v[so], w[so]
+            cw = np.cumsum(w)
+            total = cw[-1]
+            for q in qs:
+                target = max(1, int(np.ceil(q * total)))
+                out_k.append(ks[s])
+                out_q.append(q)
+                out_v.append(v[np.searchsorted(cw, target)])
+        return pa.table({key_col: pa.array(list(out_k),
+                                           type=g.schema
+                                           .field(key_col).type),
+                         "q": pa.array(out_q, type=pa.float64()),
+                         "value": pa.array(out_v, type=pa.float64())})
+
+    return ds.select_columns([key_col, value_col]) \
+        .map_batches(fold, batch_format="pyarrow") \
+        .groupby(key_col).map_groups(merge, batch_format="pyarrow")

@@ -44,3 +44,29 @@ def test_empty_input(ray_session):
     ds = rd.from_arrow(pa.table({"x": pa.array([], type=pa.float64())}))
     out = approx_quantiles(ds, "x", QS)
     assert out.num_rows == 0
+
+
+def test_grouped_approx_quantiles_bound(ray_session):
+    """Per-key sketch within 2% rank error of each key's exact
+    quantiles (k_per_block=128, a few blocks per key)."""
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.sketches import approx_quantiles_per_key
+
+    rng = np.random.default_rng(29)
+    n = 40_000
+    keys = rng.integers(1, 6, n)
+    vals = rng.normal(keys * 10.0, 3.0)         # per-key distinct dists
+    tbl = pa.table({"k": pa.array(keys, type=pa.int64()),
+                    "x": pa.array(vals)})
+    out = approx_quantiles_per_key(
+        rd.from_arrow(tbl).repartition(12), "k", "x", [0.1, 0.5, 0.9])
+    got = {}
+    for r in out.take_all():
+        got[(r["k"], r["q"])] = r["value"]
+    for k in range(1, 6):
+        kv = np.sort(vals[keys == k])
+        for q in (0.1, 0.5, 0.9):
+            est = got[(k, q)]
+            rank = np.searchsorted(kv, est, side="right") / len(kv)
+            assert abs(rank - q) < 0.02, (k, q, est)
