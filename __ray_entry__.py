@@ -1430,6 +1430,64 @@ def q_doc_lm_score(sf_dir: str):
     return doc_lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_word_cooccurrence(sf_dir: str):
+    """Word co-occurrence counts (the PMI / word-embedding training
+    matrix): per-doc DISTINCT word pairs exploded map-side (triu over
+    each doc's sorted vocab — bounded by per-doc vocabulary, never the
+    corpus), per-batch Arrow pre-agg, one native Sum groupby, HAVING
+    >= 40."""
+    import pyarrow.compute as pc2
+    from ray.data.aggregate import Sum
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        words = pc2.split_pattern_regex(
+            pc2.utf8_lower(batch["text"].cast(pa.string())), r"\s+")
+        words = words.combine_chunks() if isinstance(
+            words, pa.ChunkedArray) else words
+        lens = pc2.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc2.list_flatten(words).to_numpy(zero_copy_only=False) \
+            .astype(str)
+        doc = np.repeat(np.arange(len(lens)), lens)
+        keep = flat != ""
+        doc, flat = doc[keep], flat[keep]
+        # per-doc distinct words: sort by (doc, word), drop repeats
+        order = np.lexsort((flat, doc))
+        d, w = doc[order], flat[order]
+        first = np.concatenate([[True], (d[1:] != d[:-1])
+                                | (w[1:] != w[:-1])])
+        d, w = d[first], w[first]
+        starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        ends = np.concatenate([starts[1:], [len(d)]])
+        outa, outb = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            ia, ib = np.triu_indices(n, 1)
+            outa.append(w[s:e][ia])
+            outb.append(w[s:e][ib])
+        if not outa:
+            return pa.table({"w1": pa.array([], type=pa.string()),
+                             "w2": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        t = pa.table({"w1": pa.array(np.concatenate(outa)),
+                      "w2": pa.array(np.concatenate(outb))})
+        agg = t.group_by(["w1", "w2"]).aggregate([("w1", "count")])
+        return pa.table({"w1": agg["w1"], "w2": agg["w2"],
+                         "c": agg["w1_count"].cast(pa.int64())})
+
+    out = _docs(sf_dir, ["text"]) \
+        .map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="n"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater_equal(batch["n"], 40))
+        return pa.table({"w1": kept["w1"], "w2": kept["w2"],
+                         "n": kept["n"].cast(pa.int64())})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_user_value_quantiles_approx(sf_dir: str):
     """Grouped approximate quantiles (stages/sketches
     .approx_quantiles_per_key): per-user value percentiles in constant
@@ -2373,6 +2431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_new_docs": q_incremental_new_docs,
         "iqr_outliers": q_iqr_outliers,
         "user_value_quantiles_approx": q_user_value_quantiles_approx,
+        "word_cooccurrence": q_word_cooccurrence,
         "pack_bins_docs": q_pack_bins_docs,
         "phash_knn": q_phash_knn,
         "running_total_global": q_running_total_global,
@@ -2713,6 +2772,16 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01'
               AND o_orderdate <  TIMESTAMP '1999-01-01'
             GROUP BY n_name""",
+        "word_cooccurrence": r"""
+            WITH dw AS (
+                SELECT DISTINCT doc_id, t.w AS word
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '\s+')) AS t(w)
+                WHERE t.w <> '')
+            SELECT a.word AS w1, b.word AS w2, COUNT(*) AS n
+            FROM dw a JOIN dw b
+              ON a.doc_id = b.doc_id AND a.word < b.word
+            GROUP BY a.word, b.word HAVING COUNT(*) >= 40""",
         "iqr_outliers": """
             SELECT event_id, user_id, value FROM events
             WHERE value > (SELECT quantile_disc(value, 0.75)
