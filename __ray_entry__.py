@@ -2732,7 +2732,8 @@ def oracle_sql() -> dict[str, str]:
                          COUNT(*) AS num_changes, MIN(ts) AS created_at,
                          CASE WHEN MAX(ts) >= TIMESTAMP '2024-01-25 00:00:00'
                               THEN NULL ELSE MAX(ts) END AS closed_at,
-                         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                         CAST(SUM(CASE WHEN event_type = 'purchase'
+                                       THEN 1 ELSE 0 END) AS BIGINT)
                              AS num_comments
                   FROM events GROUP BY user_id, period)
             WHERE closed_at IS NOT NULL
@@ -2756,14 +2757,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT (CAST(floor(epoch(ts) / 7200) AS BIGINT) - i) * 7200
                        AS "window",
                    event_type, COUNT(*) AS n,
-                   SUM(CAST(round(value * 100) AS BIGINT)) AS total
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS total
             FROM events CROSS JOIN range(3) t(i)
             GROUP BY "window", event_type""",
         "region_revenue": """
             SELECT n_name,
-                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                       AS revenue_c4
+                       AS BIGINT) AS revenue_c4
             FROM lineitem, orders, customer, supplier, nation, region
             WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
               AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -2816,11 +2818,12 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": """
             WITH s AS (
                 SELECT user_id, ts,
-                       SUM(CASE WHEN prev_ts IS NOT NULL
+                       CAST(SUM(CASE WHEN prev_ts IS NOT NULL
                                 AND epoch(ts) - epoch(prev_ts) > 1800
                                 THEN 1 ELSE 0 END)
                            OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS UNBOUNDED PRECEDING) AS session
+                                 ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS session
                 FROM (SELECT user_id, ts,
                              lag(ts) OVER (PARTITION BY user_id
                                            ORDER BY ts) AS prev_ts
@@ -2852,7 +2855,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT "column", COUNT(*) AS n,
                    COUNT(*) - COUNT(v) AS nulls,
                    MIN(v) AS vmin, MAX(v) AS vmax,
-                   SUM(CAST(FLOOR(v) AS BIGINT)) AS isum
+                   CAST(SUM(CAST(FLOOR(v) AS BIGINT)) AS BIGINT) AS isum
             FROM (
                 SELECT 'l_quantity' AS "column", l_quantity AS v
                 FROM lineitem
@@ -2879,7 +2882,7 @@ def oracle_sql() -> dict[str, str]:
                  WINDOW w AS (PARTITION BY user_id
                               ORDER BY ts, event_id))
             SELECT user_id, COUNT(*) AS n_points,
-                   COALESCE(SUM(step), 0) AS track_fix
+                   CAST(COALESCE(SUM(step), 0) AS BIGINT) AS track_fix
             FROM st GROUP BY user_id""",
         "region_centroids": """
             WITH pts AS (SELECT
@@ -2895,7 +2898,8 @@ def oracle_sql() -> dict[str, str]:
                 WHERE xf BETWEEN 300000000 AND 1500000000
                   AND yf BETWEEN -600000000 AND 600000000)
             SELECT extract_id, COUNT(*) AS n,
-                   SUM(xf) AS sum_x_fix, SUM(yf) AS sum_y_fix,
+                   CAST(SUM(xf) AS BIGINT) AS sum_x_fix,
+                   CAST(SUM(yf) AS BIGINT) AS sum_y_fix,
                    CAST(SUM(xf) AS DOUBLE) / COUNT(*) / 10000000.0
                        AS centroid_lon,
                    CAST(SUM(yf) AS DOUBLE) / COUNT(*) / 10000000.0
@@ -2916,9 +2920,9 @@ def oracle_sql() -> dict[str, str]:
                    cumprev // 8192 AS bin,
                    cumprev % 8192 AS "offset"
             FROM (SELECT doc_id, sz,
-                         COALESCE(SUM(sz) OVER (ORDER BY doc_id
+                         CAST(COALESCE(SUM(sz) OVER (ORDER BY doc_id
                              ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND 1 PRECEDING), 0) AS cumprev
+                             AND 1 PRECEDING), 0) AS BIGINT) AS cumprev
                   FROM surv)""",
         "repetition_docs": r"""
             WITH arrs AS (
@@ -2951,7 +2955,7 @@ def oracle_sql() -> dict[str, str]:
             per AS (SELECT w.doc_id, SUM(n) AS s, COUNT(*) AS c
                     FROM words w JOIN cnt USING (word) GROUP BY doc_id)
             SELECT d.doc_id,
-                   COALESCE(p.s, 0) AS freq_sum,
+                   CAST(COALESCE(p.s, 0) AS BIGINT) AS freq_sum,
                    COALESCE(p.c, 0) AS n_words,
                    CASE WHEN COALESCE(p.c, 0) > 0
                         THEN CAST(p.s AS DOUBLE) / CAST(p.c AS DOUBLE)
@@ -2991,12 +2995,12 @@ def oracle_sql() -> dict[str, str]:
             FROM counts""",
         "pack_bins_docs": """
             SELECT doc_id, n_chars,
-                   COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                   CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                       0) // 8192 AS bin,
-                   COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                       0) AS BIGINT) // 8192 AS bin,
+                   CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                       0) % 8192 AS "offset"
+                       0) AS BIGINT) % 8192 AS "offset"
             FROM documents""",
         "phash_knn": f"""{cte},
             q AS (SELECT event_id AS query_id,
@@ -3019,7 +3023,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_rollup": """
             SELECT COALESCE(lang, 'ALL') AS lang,
                    COALESCE(source, 'ALL') AS source,
-                   COUNT(*) AS n, SUM(n_chars) AS total
+                   COUNT(*) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS total
             FROM documents GROUP BY ROLLUP (lang, source)""",
         "event_type_pivot": """
             SELECT user_id,
@@ -3031,14 +3036,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id""",
         "props_k_by_type": r"""
             SELECT event_type, COUNT(*) AS n,
-                   SUM(CAST(NULLIF(regexp_extract(props,
-                       '"k"\s*:\s*(-?\d+)', 1), '') AS BIGINT)) AS k_total
+                   CAST(SUM(CAST(NULLIF(regexp_extract(props,
+                       '"k"\s*:\s*(-?\d+)', 1), '') AS BIGINT))
+                        AS BIGINT) AS k_total
             FROM events GROUP BY event_type""",
         "window_aggregate": """
             SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400
                        AS "window",
                    event_type, COUNT(*) AS n,
-                   SUM(CAST(round(value * 100) AS BIGINT)) AS total
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS total
             FROM events GROUP BY "window", event_type""",
         "asof_join_events": """
             SELECT l.event_id, l.user_id, r.ts AS click_ts
@@ -3106,8 +3113,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY id_a, id_b""",
         "embedding_moments": """
             SELECT d AS dim, COUNT(*) AS n,
-                   SUM(CAST(floor(CAST(embedding[d + 1] AS DOUBLE)
-                                  * 1048576) AS BIGINT)) AS s_micro
+                   CAST(SUM(CAST(floor(CAST(embedding[d + 1] AS DOUBLE)
+                                  * 1048576) AS BIGINT))
+                        AS BIGINT) AS s_micro
             FROM embeddings, range(64) t(d)
             GROUP BY d""",
         "topk_per_user": """
@@ -3118,11 +3126,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM events) WHERE rn <= 3""",
         "sessionize_events": """
             SELECT event_id,
-                   SUM(CASE WHEN prev_ts IS NOT NULL
+                   CAST(SUM(CASE WHEN prev_ts IS NOT NULL
                             AND epoch(ts) - epoch(prev_ts) > 1800
                             THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS session
+                             ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session
             FROM (SELECT event_id, user_id, ts,
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                              AS prev_ts
@@ -3158,17 +3167,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text""",
         "running_total_global": """
             SELECT event_id,
-                   SUM(CAST(FLOOR(value) AS BIGINT)) OVER (
+                   CAST(SUM(CAST(FLOOR(value) AS BIGINT)) OVER (
                        ORDER BY event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS running_total
+                       AS BIGINT) AS running_total
             FROM events""",
         "running_total_user": """
             SELECT user_id, event_id,
-                   SUM(CAST(FLOOR(value) AS BIGINT)) OVER (
+                   CAST(SUM(CAST(FLOOR(value) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS running_total
+                       AS BIGINT) AS running_total
             FROM events""",
         "quantiles_value": """
             SELECT 0.1 AS q, quantile_disc(value, 0.1) AS value FROM events

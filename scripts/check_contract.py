@@ -22,10 +22,16 @@ def to_df(res):
     return res.to_pandas()
 
 def canon(df):
+    """Driver-style canon: sort columns by name, stringify EVERY value, sort rows.
+
+    The driver hashes stringified values, so an engine int64 147 vs an
+    oracle HUGEINT->float64 147.0 is a hash mismatch even though the
+    values are numerically equal. Stringifying here catches that class
+    locally (VERDICT r02 item #1).
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 qs = E.queries()
