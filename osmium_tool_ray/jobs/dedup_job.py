@@ -15,8 +15,9 @@ resumes at the first incomplete stage:
                                         (non-duplicates pass through)
 
 Blobs never appear in any stage: pairs/clusters are narrow id tables
-and the survivor pass is a map-side semi-join of the corpus against a
-broadcast drop-set (duplicate members minus representatives)."""
+and the survivor pass is a Bloom-prefiltered bucketed anti-join of the
+corpus against the drop-set Dataset (duplicate members minus
+representatives) — no driver materialization of ids at any scale."""
 
 from __future__ import annotations
 
@@ -48,10 +49,10 @@ def run_job(input_path: str, out_dir: str, t: int = 12, cap: int = 500,
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
-    import numpy as np
     import pyarrow as pa
     import ray.data as rd
 
+    from ..pipelines.idops import semi_join_bloom
     from ..sources.corpus import images_dataset
     from ..sources.writers import CheckpointedWriter
     from ..stages.dedup import connected_components, crossmodal_neardup
@@ -73,28 +74,21 @@ def run_job(input_path: str, out_dir: str, t: int = 12, cap: int = 500,
     def survivors_factory():
         clusters = rd.read_parquet(os.path.join(out_dir, "part=clusters"),
                                    file_extensions=["parquet"])
-        # drop-set: members of dup clusters that are NOT the representative
+        # drop-set: members of dup clusters that are NOT the representative.
+        # Stays a Dataset end-to-end — at 100 TB the drop set is billions of
+        # ids, so the anti-join runs as a Bloom prefilter (one fixed-size
+        # bitmap shipped via ray.put, definite misses kept outright) plus a
+        # bucketed exact anti-join over the bloom-hit sliver. No driver
+        # materialization of ids (VERDICT r02 item #2; same path as
+        # incremental_new_docs, pipelines/idops.py semi_join_bloom).
         drop = clusters.map_batches(
             lambda b: b.filter(
                 pa.compute.not_equal(b["image_id"], b["rep"]))
             .select(["image_id"]), batch_format="pyarrow")
-        drop_ids = np.sort(np.asarray(
-            [r["image_id"] for r in drop.take_all()], dtype=str))
-        dref = ray.put(drop_ids)
-
-        def keep(batch: pa.Table) -> pa.Table:
-            ds_ids = ray.get(dref)
-            ids = np.asarray(batch["image_id"].to_pylist(), dtype=str)
-            if not len(ds_ids):
-                return batch
-            pos = np.searchsorted(ds_ids, ids)
-            hit = (pos < len(ds_ids)) & \
-                (ds_ids[np.minimum(pos, len(ds_ids) - 1)] == ids)
-            return batch.filter(pa.array(~hit))
-
-        return images_dataset(input_path,
-                              columns=["image_id", "phash", "caption"]) \
-            .map_batches(keep, batch_format="pyarrow")
+        return semi_join_bloom(
+            images_dataset(input_path,
+                           columns=["image_id", "phash", "caption"]),
+            "image_id", drop, invert=True)
 
     t0 = time.monotonic()
     # staged: each partition reads the previous one's parquet, so they
