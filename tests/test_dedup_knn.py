@@ -96,6 +96,37 @@ def test_spatial_knn(ray_session):
         assert mine == expect, f"point {i}: {mine} != {expect}"
 
 
+def test_spatial_knn_hot_cell(ray_session):
+    """One dense urban cell (20k points, all inside a single level-10 cell)
+    forced through the hot path: hot_threshold << n engages candidate
+    salting (each salt reducer sees ~n/salts candidates, never the whole
+    cell) and a tiny query_chunk_floats bounds every distance block to
+    ~12.5k floats — no dense q x c allocation. Results must still be
+    EXACT vs numpy brute force (per-salt top-k union is a superset of the
+    true top-k; the global merge recovers it)."""
+    import ray.data as rd
+
+    n = 20_000
+    rng = np.random.default_rng(41)
+    lon = rng.uniform(10.0, 10.1, n)
+    lat = rng.uniform(45.0, 45.1, n)
+    ids = np.array([f"q{i:05d}" for i in range(n)])
+    images = rd.from_arrow(__import__("pyarrow").table(
+        {"image_id": ids, "lon": lon, "lat": lat}))
+    out = spatial_knn(images, k=3, level=10, hot_threshold=1000, salts=8,
+                      query_chunk_floats=100_000).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["image_id"], []).append((r["rank"], r["neighbor_id"]))
+    assert len(got) == n
+    for i in (0, 1234, 19_999):
+        d2 = (lon - lon[i]) ** 2 + (lat - lat[i]) ** 2
+        order = np.lexsort((ids, d2))
+        expect = [ids[j] for j in order if j != i][:3]
+        mine = [nb for _, nb in sorted(got[ids[i]])]
+        assert mine == expect, f"point {i}: {mine} != {expect}"
+
+
 def test_word_ngram_jaccard_pairs(ray_session):
     """True token-level n-gram near-dup: word-order-sensitive shingles
     (doc 2 shares most 3-grams with doc 1; doc 3 shares the vocabulary
