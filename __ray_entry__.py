@@ -23,6 +23,7 @@ from osmium_tool_ray.sources.corpus import (
     IMAGES_SQL_CTE, VERSIONED_SQL_CTE, images_dataset,
 )
 from osmium_tool_ray.state.regions import Region, parse_extract_config
+from osmium_tool_ray.sources.readers import read_parquet_clean
 
 # -- shared fixtures -----------------------------------------------------------
 
@@ -37,12 +38,12 @@ TILE_LEVEL = 6
 
 def _events(sf_dir: str, columns=None):
     import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def _docs(sf_dir: str, columns=None):
     import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _cell_xy(batch: pa.Table, level: int) -> tuple[np.ndarray, np.ndarray]:
@@ -264,7 +265,7 @@ def q_getparents_orders(sf_dir: str):
 
     part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"])
     wanted = part.filter(pc.equal(part["p_size"], 1))["p_partkey"].to_pylist()
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_partkey"])
 
     def as_members(batch: pa.Table) -> pa.Table:
@@ -296,7 +297,7 @@ def q_check_refs_missing(sf_dir: str):
         missing = ks[pos] != ok
         return pa.table({"n": pa.array([int(missing.sum())], type=pa.int64())})
 
-    parts = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]) \
+    parts = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]) \
         .map_batches(scan, batch_format="pyarrow").take_all()
     return pa.table({"missing_refs": pa.array([sum(r["n"] for r in parts)], type=pa.int64())})
 
@@ -1199,7 +1200,7 @@ def q_running_total_global(sf_dir: str):
     import ray.data as rd
     from osmium_tool_ray.pipelines.windows import running_total
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_id", "value"])
 
     def to_int(batch: pa.Table) -> pa.Table:
@@ -1219,7 +1220,7 @@ def q_running_total_user(sf_dir: str):
     import ray.data as rd
     from osmium_tool_ray.pipelines.windows import running_total
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])
 
     def to_int(batch: pa.Table) -> pa.Table:
@@ -1239,7 +1240,7 @@ def q_quantiles_value(sf_dir: str):
     import ray.data as rd
     from osmium_tool_ray.pipelines.stats import exact_quantiles
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
     return exact_quantiles(ds, "value", [0.1, 0.5, 0.9, 0.99])
 
 
@@ -1250,7 +1251,7 @@ def q_user_quantiles(sf_dir: str):
     import ray.data as rd
     from osmium_tool_ray.pipelines.stats import grouped_quantiles
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["user_id", "value"])
     return grouped_quantiles(ds, "user_id", "value", [0.5, 0.9])
 
@@ -1261,7 +1262,7 @@ def q_stratified_sample(sf_dir: str):
     import ray.data as rd
     from osmium_tool_ray.pipelines.sampling import stratified_sample
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "lang"])
     return stratified_sample(docs, ["lang"], "doc_id", 20)
 
@@ -1272,7 +1273,7 @@ def q_hash_split_val(sf_dir: str):
     import ray.data as rd
     from osmium_tool_ray.pipelines.sampling import hash_split
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "lang"])
     return hash_split(docs, "doc_id", (0.8, 0.1, 0.1))[1]
 
@@ -1284,7 +1285,7 @@ def q_weighted_sample_docs(sf_dir: str):
     import ray.data as rd
     from osmium_tool_ray.pipelines.sampling import weighted_sample
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "lang", "n_chars"])
     return weighted_sample(docs, "doc_id", "n_chars", 512)
 
@@ -1339,10 +1340,10 @@ def q_region_revenue(sf_dir: str):
     import ray.data as rd
     from osmium_tool_ray.pipelines.analytics import region_revenue
 
-    lineitem = rd.read_parquet(
+    lineitem = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"])
     customer = pq.read_table(f"{sf_dir}/customer.parquet",
@@ -1611,7 +1612,7 @@ def q_quality_filtered_docs(sf_dir: str):
 
     from osmium_tool_ray.pipelines.stats import exact_quantiles
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "lang", "n_chars"])
     cut = int(exact_quantiles(docs, "n_chars", [0.9])["value"][0].as_py())
 
@@ -1629,7 +1630,7 @@ def q_balanced_langs(sf_dir: str):
 
     from osmium_tool_ray.pipelines.sampling import stratified_sample
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "lang"])
     counts = docs.groupby("lang").count().take_all()
     m = min(r["count()"] for r in counts)
@@ -1716,7 +1717,7 @@ def q_quantize_embeddings(sf_dir: str):
 
     from osmium_tool_ray.stages.projections import quantize_embeddings
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     q = quantize_embeddings(ds)
 
@@ -1815,7 +1816,7 @@ def q_profile_lineitem(sf_dir: str):
     from osmium_tool_ray.pipelines.stats import profile_numeric
 
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=cols)
     return profile_numeric(ds, cols)
 
 
@@ -1933,7 +1934,7 @@ def q_docs_rollup(sf_dir: str):
     import ray.data as rd
     from osmium_tool_ray.pipelines.analytics import rollup_counts
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                            columns=["lang", "source", "n_chars"])
     return rollup_counts(docs, ["lang", "source"], "n_chars")
 
@@ -1982,7 +1983,7 @@ def q_sorted_check(sf_dir: str):
     import ray.data as rd
     from osmium_tool_ray.pipelines.stats import check_sorted
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_id", "value"]).sort("event_id")
     res = check_sorted(ds, ["value"])
     return pa.table({"is_sorted": pa.array([res["sorted"]]),
@@ -1998,7 +1999,7 @@ def q_tfidf_terms(sf_dir: str):
     import ray.data as rd
     from osmium_tool_ray.stages.text import tfidf_top_terms
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return tfidf_top_terms(docs, k=3)
 
@@ -2012,7 +2013,7 @@ def q_heavy_words(sf_dir: str):
     import pyarrow.compute as pc2
     from osmium_tool_ray.stages.sketches import heavy_hitters
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                            columns=["text"])
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -2035,7 +2036,7 @@ def q_embedding_moments(sf_dir: str):
 
     from osmium_tool_ray.stages.knn import embedding_matrix
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                          columns=["embedding"])
 
     def fold(batch: pa.Table) -> pa.Table:
@@ -2187,7 +2188,7 @@ def q_embedding_neardup(sf_dir: str):
     import ray.data as rd
     from osmium_tool_ray.stages.dedup import embedding_neardup
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     dim = len(emb.take(1)[0]["embedding"])
 
@@ -2219,7 +2220,7 @@ def q_ivf_ann(sf_dir: str):
     qsel = t.filter(pa.array(vid % 100 == 0))
     qm = np.asarray(qsel["embedding"].to_pylist(), dtype=np.float64)
     qids = qsel["vec_id"].to_numpy(zero_copy_only=False)
-    corpus = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    corpus = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])
     cents = train_ivf_centroids(corpus, dim=qm.shape[1], nlist=8, iters=2)
     return ivf_ann_topk(corpus, qm, qids, cents, k=5, nprobe=3, concurrency=2)
@@ -2274,7 +2275,7 @@ def q_ann_embeddings(sf_dir: str):
     qsel = t.filter(pa.array(vid % 100 == 0))
     qm = np.asarray(qsel["embedding"].to_pylist(), dtype=np.float64)
     qids = qsel["vec_id"].to_numpy(zero_copy_only=False)
-    corpus = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    corpus = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])
     out = ann_topk(corpus, qm, qids, k=5, concurrency=2)
 

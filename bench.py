@@ -40,6 +40,15 @@ QUERY_NAMES = [
     "running_total_global", "stratified_sample_docs", "audio_features",
     "region_revenue", "vocab_top", "phash_knn", "sliding_window_counts",
     "curate_docs", "contamination_docs", "session_stats",
+    # r03: previously un-sampled oracled queries (VERDICT r02 item #10)
+    "changeset_predicates", "window_aggregate", "sessionize_events",
+    "embedding_moments", "running_total_user", "track_length_user",
+    "region_centroids", "pack_bins_docs", "doc_lm_score", "docs_rollup",
+    "event_type_pivot", "props_k_by_type", "profile_lineitem",
+    "weighted_sample_docs", "hash_split_val", "postings_docs",
+    "word_cooccurrence", "tfidf_terms", "normalize_docs", "topk_per_user",
+    "asof_join_events", "range_join_tiers", "quantiles_value",
+    "user_quantiles", "weekly_retention", "daily_active_users",
 ]
 
 

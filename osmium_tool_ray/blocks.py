@@ -70,3 +70,14 @@ def _drop_empty_blocks(ds):
         return None
     import ray.data as rd
     return rd.from_arrow_refs(keep)
+
+
+def strip_schema_metadata(t):
+    """Drop table-level schema metadata before a block leaves a UDF.
+
+    The testdata parquet schemas carry a b'pandas' metadata blob whose
+    value makes `hash(pa.Schema)` raise (unhashable dict), so every
+    downstream schema-unify logs "Failed to hash the schemas" — harmless
+    but it buries real warnings in driver logs. Zero-copy (schema swap
+    only). Apply in per-group UDFs that echo slices of their input."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t

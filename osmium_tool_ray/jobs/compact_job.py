@@ -46,6 +46,8 @@ def run_job(input_path: str, out_dir: str,
     import pyarrow.parquet as pq
     import ray.data as rd
 
+    from ..sources.readers import read_parquet_clean
+
     from ..sources.writers import CheckpointedWriter
 
     files = [os.path.join(input_path, f)
@@ -59,7 +61,7 @@ def run_job(input_path: str, out_dir: str,
     fp = _input_fp(input_path)
 
     def factory():
-        return rd.read_parquet(files).repartition(n_blocks)
+        return read_parquet_clean(files).repartition(n_blocks)
 
     t0 = time.monotonic()
     res = writer.run({"data": (factory, fp)})

@@ -50,6 +50,8 @@ def run_job(input_path: str, out_dir: str, min_chars: int = 64,
 
     import ray.data as rd
 
+    from ..sources.readers import read_parquet_clean
+
     from ..pipelines.curation import curate_survivors, pack_survivors
     from ..sources.writers import CheckpointedWriter
 
@@ -58,12 +60,12 @@ def run_job(input_path: str, out_dir: str, min_chars: int = 64,
     fp = _input_fp(input_path, f"{min_chars}/{budget}")
 
     def survivors_factory():
-        docs = rd.read_parquet(f"{input_path}/documents.parquet",
+        docs = read_parquet_clean(f"{input_path}/documents.parquet",
                                columns=["doc_id", "text"])
         return curate_survivors(docs, min_chars=min_chars)
 
     def packed_factory():
-        surv = rd.read_parquet(os.path.join(out_dir, "part=survivors"),
+        surv = read_parquet_clean(os.path.join(out_dir, "part=survivors"),
                                file_extensions=["parquet"])
         return pack_survivors(surv, budget=budget)
 

@@ -52,6 +52,8 @@ def run_job(input_path: str, out_dir: str, t: int = 12, cap: int = 500,
     import pyarrow as pa
     import ray.data as rd
 
+    from ..sources.readers import read_parquet_clean
+
     from ..pipelines.idops import semi_join_bloom
     from ..sources.corpus import images_dataset
     from ..sources.writers import CheckpointedWriter
@@ -67,12 +69,12 @@ def run_job(input_path: str, out_dir: str, t: int = 12, cap: int = 500,
             t=t, cap=cap, level=level)
 
     def clusters_factory():
-        pairs = rd.read_parquet(os.path.join(out_dir, "part=pairs"),
+        pairs = read_parquet_clean(os.path.join(out_dir, "part=pairs"),
                                 file_extensions=["parquet"])
         return connected_components(pairs)
 
     def survivors_factory():
-        clusters = rd.read_parquet(os.path.join(out_dir, "part=clusters"),
+        clusters = read_parquet_clean(os.path.join(out_dir, "part=clusters"),
                                    file_extensions=["parquet"])
         # drop-set: members of dup clusters that are NOT the representative.
         # Stays a Dataset end-to-end — at 100 TB the drop set is billions of

@@ -49,6 +49,7 @@ import pyarrow as pa
 
 from ..stages.extract import RegionMatcher
 from ..state.regions import Region
+from ..registry import get_strategy, register_strategy
 
 
 def _np_str(col) -> np.ndarray:
@@ -361,21 +362,12 @@ def run_extract(images, regions: list[Region], groups=None, members=None,
             mem = _collect_small(None, ["group_id", "seq", "mtype", "ref"])
 
     if groups is not None and members is not None:
-        if strategy == "simple":
-            _run_simple(sets, members, mem, kind_of, do_relations)
-        elif strategy in ("complete_ways", "complete_ways_with_history"):
-            # complete_ways_with_history
-            # (strategy_complete_ways_with_history.cpp): identical id-set
-            # construction, but run over a versioned object stream — a row
-            # of ANY version inside the region marks its id, and the final
-            # id-based selection emits ALL versions of marked objects
-            # (the reference forbids history input to plain complete_ways;
-            # here the id sets are version-agnostic by construction).
-            _run_complete_ways(sets, members, mem, kind_of, do_relations)
-        elif strategy == "smart":
-            _run_smart(sets, groups, members, mem, kind_of, options)
-        else:
-            raise ValueError(f"Unknown strategy '{strategy}'")
+        # registry dispatch (SURVEY §2.9): built-ins register below; user
+        # packages add strategies via @register_strategy without engine
+        # edits — the reference's ExtractStrategy plug-in surface
+        # (src/extract/strategy.hpp:71-86)
+        get_strategy(strategy)(sets, groups, members, mem, kind_of,
+                               options, do_relations)
 
     # final image selection: node_ids ∪ extra_node_ids, emitted with extract_id
     import ray
@@ -645,6 +637,32 @@ def _rel_edges(mem, kind_of):
                               dtype=bool)
     m = is_rel_member & owner_is_rel
     return mem["ref"][m], mem["group_id"][m]
+
+
+@register_strategy("simple")
+def _strategy_simple(sets, groups_ds, members_ds, mem, kind_of, options,
+                     do_relations):
+    _run_simple(sets, members_ds, mem, kind_of, do_relations)
+
+
+@register_strategy("complete_ways")
+@register_strategy("complete_ways_with_history")
+def _strategy_complete_ways(sets, groups_ds, members_ds, mem, kind_of,
+                            options, do_relations):
+    # complete_ways_with_history
+    # (strategy_complete_ways_with_history.cpp): identical id-set
+    # construction, but run over a versioned object stream — a row
+    # of ANY version inside the region marks its id, and the final
+    # id-based selection emits ALL versions of marked objects
+    # (the reference forbids history input to plain complete_ways;
+    # here the id sets are version-agnostic by construction).
+    _run_complete_ways(sets, members_ds, mem, kind_of, do_relations)
+
+
+@register_strategy("smart")
+def _strategy_smart(sets, groups_ds, members_ds, mem, kind_of, options,
+                    do_relations):
+    _run_smart(sets, groups_ds, members_ds, mem, kind_of, options)
 
 
 def _run_simple(sets, members_ds, mem, kind_of, do_relations):

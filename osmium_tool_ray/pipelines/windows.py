@@ -100,7 +100,10 @@ def sessionize(ds, key_col: str, ts_col: str, gap_s: int,
     timestamps, diff, cumsum — the standard lag()+running-sum window
     translated to numpy. Same per-key-fits-a-task assumption as
     asof_join; the output keeps the input columns plus the session id."""
+    from ..blocks import strip_schema_metadata
+
     def per_group(g: pa.Table) -> pa.Table:
+        g = strip_schema_metadata(g)
         if g.num_rows == 0:
             return g.append_column(out_col, pa.array([], type=pa.int64()))
         keys = np.asarray(g[key_col].to_pylist(), dtype=object)
@@ -268,7 +271,10 @@ def running_total(ds, order_cols: list[str], value_col: str,
     order_cols = list(order_cols)
 
     if key_col is not None:
+        from ..blocks import strip_schema_metadata
+
         def per_group(g: pa.Table) -> pa.Table:
+            g = strip_schema_metadata(g)
             idx = np.lexsort(tuple(
                 g[c].to_numpy(zero_copy_only=False)
                 for c in reversed(order_cols)))

@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.imagecodec import encode_batch, gen_pixels
+from .readers import read_parquet_clean
 
 PHASH_MOD = 1 << 40
 
@@ -104,7 +105,7 @@ def images_dataset(sf_dir: str, with_bytes: bool = False, columns=None):
     read_cols = ["event_id"]
     if columns is None or "caption" in columns:
         read_cols.append("event_type")
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=read_cols)
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=read_cols)
     return ds.map_batches(
         lambda b: images_from_events_batch(b, with_bytes, columns),
         batch_format="pyarrow")
@@ -127,7 +128,7 @@ def versioned_images_dataset(sf_dir: str):
     matches). Exact integer arithmetic; SQL twin in VERSIONED_SQL_CTE."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_id"])
 
     def derive(batch: pa.Table) -> pa.Table:
         eids = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -231,3 +231,40 @@ def render_opl_ways(groups: pa.Table, members: pa.Table) -> pa.Table:
             f"c{r.get('changeset', 0)} t{tss} i{r.get('uid', 0)} "
             f"u{_escape(r.get('user', '') or '')} T{tstr} N{refs}")
     return pa.table({"line": pa.array(lines, type=pa.string())})
+
+
+def render_opl_relations(groups: pa.Table, members: pa.Table) -> pa.Table:
+    """relation rows of a groups table -> OPL `r... M<ref>@<role>,...`
+    lines. Member refs carry their type prefix (n/w/r) already — the
+    engine's string-id convention matches the reference's member
+    rendering (`r30 ... Mn12@,w20@some%20%way`,
+    /root/reference/test/formats/f1.osm.opl:7); roles are %-escaped."""
+    tags_col = groups["tags"].to_pylist() if "tags" in groups.schema.names \
+        else [[]] * groups.num_rows
+    m_gid = members["group_id"].to_pylist()
+    m_seq = members["seq"].to_pylist() if "seq" in members.schema.names \
+        else list(range(len(m_gid)))
+    m_ref = members["ref"].to_pylist()
+    m_role = members["role"].to_pylist() if "role" in members.schema.names \
+        else [""] * len(m_gid)
+    mems_of: dict = {}
+    for g, s, r, ro in sorted(zip(m_gid, m_seq, m_ref, m_role)):
+        mems_of.setdefault(g, []).append(f"{r}@{_escape(ro or '')}")
+    lines = []
+    for i in range(groups.num_rows):
+        r = {c: groups[c][i].as_py() for c in groups.schema.names
+             if c != "tags"}
+        if r.get("kind") != "relation":
+            continue
+        tags = tags_col[i] or []
+        tstr = ",".join(f"{_escape(t['key'])}={_escape(t['value'])}"
+                        for t in tags)
+        ts = r.get("ts")
+        tss = ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None else ""
+        vis = "V" if r.get("visible", True) else "D"
+        mems = ",".join(mems_of.get(r["group_id"], []))
+        lines.append(
+            f"{r['group_id']} v{r.get('version', 0)} d{vis} "
+            f"c{r.get('changeset', 0)} t{tss} i{r.get('uid', 0)} "
+            f"u{_escape(r.get('user', '') or '')} T{tstr} M{mems}")
+    return pa.table({"line": pa.array(lines, type=pa.string())})

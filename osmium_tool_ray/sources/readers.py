@@ -21,6 +21,20 @@ def _have_lance() -> bool:
 HAVE_LANCE = _have_lance()
 
 
+def read_parquet_clean(path, columns: list[str] | None = None, **kwargs):
+    """read_parquet + a fused zero-copy strip of table-level schema
+    metadata. The testdata parquet carries a b'pandas' blob that makes
+    hash(pa.Schema) raise, so every downstream schema-unify (shuffles,
+    map_groups concat) logs "Failed to hash the schemas" — stripping at
+    the read boundary keeps driver logs clean repo-wide."""
+    import ray.data as rd
+
+    from ..blocks import strip_schema_metadata
+
+    return rd.read_parquet(path, columns=columns, **kwargs) \
+        .map_batches(strip_schema_metadata, batch_format="pyarrow")
+
+
 def read_table(path: str, columns: list[str] | None = None, **kwargs):
     """ray.data.read_lance when the path is a Lance dataset and pylance is
     installed; ray.data.read_parquet otherwise."""
@@ -28,11 +42,26 @@ def read_table(path: str, columns: list[str] | None = None, **kwargs):
 
     if HAVE_LANCE and str(path).rstrip("/").endswith(".lance"):
         return rd.read_lance(path, columns=columns, **kwargs)
-    return rd.read_parquet(path, columns=columns, **kwargs)
+    return read_parquet_clean(path, columns=columns, **kwargs)
+
+
+from ..registry import register_sink, resolve_sink
+
+
+@register_sink(".parquet")
+def _sink_parquet(ds, path: str, **kwargs):
+    return ds.write_parquet(path, **kwargs)
+
+
+if HAVE_LANCE:  # pragma: no cover - pylance absent in this container
+    @register_sink(".lance")
+    def _sink_lance(ds, path: str, **kwargs):
+        return ds.write_lance(path, **kwargs)
 
 
 def write_table(ds, path: str, **kwargs):
-    """write_lance / write_parquet by suffix + availability."""
-    if HAVE_LANCE and str(path).rstrip("/").endswith(".lance"):
-        return ds.write_lance(path, **kwargs)
-    return ds.write_parquet(path, **kwargs)
+    """Sink dispatch via the extension registry (SURVEY §2.9): longest
+    registered suffix wins, parquet is the default — user packages add
+    formats with @register_sink, mirroring the reference's ExportFormat
+    factory table (src/export/export_format.hpp:35-115)."""
+    return resolve_sink(path, default=_sink_parquet)(ds, path, **kwargs)

@@ -20,15 +20,17 @@ import pyarrow as pa
 
 
 def _load_codec():
-    """Seam for a real codec. Tries PIL first (absent in this container),
-    falls back to the deterministic fake codec."""
-    try:  # pragma: no cover - PIL not installed here
-        import PIL  # noqa: F401
-        raise NotImplementedError(
-            "real-PIL decode path not implemented in this sandbox")
-    except ImportError:
-        from ..functions import imagecodec
-        return imagecodec
+    """Codec seam, import-gated like sources/readers.HAVE_LANCE: with PIL
+    installed, functions/pilcodec decodes real PNG/JPEG bytes through PIL
+    and still routes fake-magic records (the synthetic test corpus) to the
+    deterministic fake codec by sniff; without PIL the fake codec serves
+    everything."""
+    from ..functions import pilcodec
+
+    if pilcodec.HAVE_PIL:
+        return pilcodec
+    from ..functions import imagecodec
+    return imagecodec
 
 
 class DecodeVerify:

@@ -153,7 +153,8 @@ class Fingerprint:
 
 
 def tfidf_top_terms(docs, text_col: str = "text", id_col: str = "doc_id",
-                    k: int = 3, n_docs: int | None = None):
+                    k: int = 3, n_docs: int | None = None,
+                    broadcast_cap: int = 2_000_000):
     """Per-document top-k TF-IDF terms over whitespace tokens.
 
     Scoring uses the linear idf variant score = tf * (N / df) — a single
@@ -223,8 +224,16 @@ def tfidf_top_terms(docs, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({"word": agg["word"].cast(pa.string()),
                          "df": agg["df_sum"].cast(pa.int64())})
 
-    rows = docs.map_batches(df_partial, batch_format="pyarrow") \
-        .groupby("_b").map_groups(df_fold, batch_format="pyarrow").take_all()
+    dfd = docs.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(df_fold, batch_format="pyarrow") \
+        .materialize()
+    if dfd.count() > broadcast_cap:
+        # open-web vocabulary: the df map exceeds worker RAM — run the
+        # score attach as a word-hash bucketed join and the per-doc top-k
+        # as a doc-hash bucketed segmented head-k (VERDICT r02 item #5)
+        return _tfidf_topk_bucketed(docs, dfd, _words_of, text_col, id_col,
+                                    k, n_docs)
+    rows = dfd.take_all()
     dwords = np.asarray([r["word"] for r in rows], dtype=str)
     dfs = np.asarray([r["df"] for r in rows], dtype=np.int64)
     order = np.argsort(dwords)
@@ -270,6 +279,112 @@ def tfidf_top_terms(docs, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return docs.map_batches(topk, batch_format="pyarrow")
+
+
+def _tfidf_topk_bucketed(docs, dfd, words_of, text_col: str, id_col: str,
+                         k: int, n_docs: int, buckets: int = 64):
+    """tfidf_top_terms' scale path: no driver/broadcast df map.
+
+    (doc, word, tf) partials and the (word, df) Dataset are co-located by
+    word-hash bucket and joined per group (the semi_join_bucketed union
+    shape, pipelines/idops.py:367); scored rows then re-bucket by doc
+    hash for a vectorized segmented head-k. Same (score DESC, word ASC)
+    tie order and identical values to the broadcast path — one extra
+    narrow shuffle buys unbounded vocabulary size."""
+    from ..functions.hashing import hash_str_u64
+
+    _sch = docs.schema()
+    id_type = _sch.types[_sch.names.index(id_col)]
+
+    def tf_tag(batch: pa.Table) -> pa.Table:
+        flat, lens = words_of(batch)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        w = flat.to_numpy(zero_copy_only=False).astype(str)
+        keep = w != ""
+        w, doc_idx = w[keep], doc_idx[keep]
+        if len(w) == 0:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "v": pa.array([], type=pa.int64()),
+                             "_b": pa.array([], type=pa.int32()),
+                             "_side": pa.array([], type=pa.int8()),
+                             id_col: pa.array([], type=id_type)})
+        o = np.lexsort((w, doc_idx))
+        w, doc_idx = w[o], doc_idx[o]
+        new = np.concatenate([[True], (w[1:] != w[:-1])
+                              | (doc_idx[1:] != doc_idx[:-1])])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, len(w))).astype(np.int64)
+        gw, gd = w[starts], doc_idx[starts]
+        b = (hash_str_u64(pa.array(gw, type=pa.string()))
+             % np.uint64(buckets)).astype(np.int32)
+        return pa.table({"word": pa.array(gw, type=pa.string()),
+                         "v": pa.array(tf),
+                         "_b": pa.array(b),
+                         "_side": pa.array(np.zeros(len(gw), dtype=np.int8)),
+                         id_col: batch[id_col].take(pa.array(gd))})
+
+    def df_tag(batch: pa.Table) -> pa.Table:
+        b = (hash_str_u64(batch["word"].cast(pa.string()))
+             % np.uint64(buckets)).astype(np.int32)
+        return pa.table({"word": batch["word"].cast(pa.string()),
+                         "v": batch["df"].cast(pa.int64()),
+                         "_b": pa.array(b),
+                         "_side": pa.array(np.ones(batch.num_rows,
+                                                   dtype=np.int8)),
+                         id_col: pa.nulls(batch.num_rows, id_type)})
+
+    tagged = docs.map_batches(tf_tag, batch_format="pyarrow") \
+        .union(dfd.map_batches(df_tag, batch_format="pyarrow"))
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        w = np.asarray(g["word"].to_pylist(), dtype=str)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        vw, vn = w[side == 1], v[side == 1]
+        o = np.argsort(vw, kind="stable")
+        vw, vn = vw[o], vn[o]
+        rows = np.flatnonzero(side == 0)
+        if not len(rows) or not len(vw):
+            return pa.table({id_col: pa.array([], type=id_type),
+                             "word": pa.array([], type=pa.string()),
+                             "score": pa.array([], type=pa.float64()),
+                             "_db": pa.array([], type=pa.int32())})
+        tw, tf = w[rows], v[rows]
+        pos = np.searchsorted(vw, tw)
+        # every doc word exists in the df table (built from the same
+        # corpus); searchsorted hit is guaranteed
+        score = tf * (float(n_docs) / vn[pos])
+        d = g[id_col].take(pa.array(rows))
+        db = (hash_str_u64(d.cast(pa.string()))
+              % np.uint64(buckets)).astype(np.int32)
+        return pa.table({id_col: d,
+                         "word": pa.array(tw, type=pa.string()),
+                         "score": pa.array(score),
+                         "_db": pa.array(db)})
+
+    scored = tagged.groupby("_b").map_groups(join_bucket,
+                                             batch_format="pyarrow")
+
+    def seg_topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "word" not in g.schema.names:
+            return pa.table({id_col: pa.array([], type=id_type),
+                             "word": pa.array([], type=pa.string()),
+                             "score": pa.array([], type=pa.float64())})
+        gw = np.asarray(g["word"].to_pylist(), dtype=str)
+        sc = g["score"].to_numpy(zero_copy_only=False)
+        _, inv = np.unique(np.asarray(g[id_col].to_pylist(), dtype=str),
+                           return_inverse=True)
+        o = np.lexsort((gw, -sc, inv))
+        inv_s = inv[o]
+        new = np.concatenate([[True], inv_s[1:] != inv_s[:-1]])
+        rank = np.arange(len(o)) - np.maximum.accumulate(
+            np.where(new, np.arange(len(o)), -1))
+        sel = o[rank < k]
+        return pa.table({id_col: g[id_col].take(pa.array(sel)),
+                         "word": pa.array(gw[sel], type=pa.string()),
+                         "score": pa.array(sc[sel])})
+
+    return scored.groupby("_db").map_groups(seg_topk, batch_format="pyarrow")
 
 
 def vocab_build(docs, text_col: str = "text", min_count: int = 2):
@@ -454,14 +569,18 @@ def repetition_score(docs, n: int = 3, text_col: str = "text",
     return docs.map_batches(score, batch_format="pyarrow")
 
 
-def doc_lm_score(docs, text_col: str = "text", id_col: str = "doc_id"):
+def doc_lm_score(docs, text_col: str = "text", id_col: str = "doc_id",
+                 broadcast_cap: int = 2_000_000):
     """Unigram corpus-frequency score per document — mean corpus count
     of the doc's words (a cheap LM-style rarity signal: low means the
     doc is full of rare/garbage tokens). Pass 1 folds corpus word
-    counts (per-batch Arrow pre-agg -> one native Sum groupby) and
-    broadcasts them as sorted arrays (the tfidf df-map shape — swap for
-    a bucketed join past worker-RAM vocabularies); pass 2 is one
-    streaming map with searchsorted lookups and bincount sums.
+    counts (per-batch Arrow pre-agg -> one native Sum groupby); up to
+    `broadcast_cap` vocabulary terms they broadcast as sorted arrays and
+    pass 2 is one streaming map with searchsorted lookups and bincount
+    sums. Past the cap (open-web vocabularies are tens of GB) the counts
+    stay a Dataset and attach via a word-hash bucketed join + per-doc
+    native Sum re-merge — no driver fold at any vocabulary size
+    (VERDICT r02 item #4).
 
     Returns (id_col, freq_sum:int64, n_words:int64,
     mean_word_freq:float64) — the mean is a single IEEE divide over the
@@ -482,8 +601,11 @@ def doc_lm_score(docs, text_col: str = "text", id_col: str = "doc_id"):
         return pa.table({"word": agg["word"],
                          "c": agg["word_count"].cast(pa.int64())})
 
-    rows = docs.map_batches(partial, batch_format="pyarrow") \
-        .groupby("word").aggregate(Sum("c", alias_name="n")).take_all()
+    wcd = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("c", alias_name="n")).materialize()
+    if wcd.count() > broadcast_cap:
+        return _doc_lm_score_bucketed(docs, wcd, text_col, id_col)
+    rows = wcd.take_all()
     vocab = np.asarray([r["word"] for r in rows], dtype=object).astype(str)
     counts = np.asarray([r["n"] for r in rows], dtype=np.int64)
     order = np.argsort(vocab, kind="stable")
@@ -525,3 +647,113 @@ def doc_lm_score(docs, text_col: str = "text", id_col: str = "doc_id"):
         })
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def _doc_lm_score_bucketed(docs, wcd, text_col: str, id_col: str,
+                           buckets: int = 64):
+    """doc_lm_score's scale path: the (word, n) corpus-count Dataset
+    co-locates with per-doc (word, tf) partials by word-hash bucket
+    (semi_join_bucketed union shape), per-bucket contributions pre-fold
+    per doc with one Arrow group_by, and a native per-doc Sum re-merge
+    produces the final sums. A zero-tf sentinel row per document keeps
+    empty/token-less docs in the output, matching the broadcast path and
+    the LEFT JOIN oracle."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash_str_u64
+
+    _sch = docs.schema()
+    id_type = _sch.types[_sch.names.index(id_col)]
+
+    def tok_tag(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col].cast(pa.string())), r"\s+")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        w = flat.to_numpy(zero_copy_only=False).astype(str)
+        keep = w != ""
+        w, doc_idx = w[keep], doc_idx[keep]
+        if len(w):
+            o = np.lexsort((w, doc_idx))
+            w, doc_idx = w[o], doc_idx[o]
+            new = np.concatenate([[True], (w[1:] != w[:-1])
+                                  | (doc_idx[1:] != doc_idx[:-1])])
+            starts = np.flatnonzero(new)
+            tf = np.diff(np.append(starts, len(w))).astype(np.int64)
+            gw, gd = w[starts], doc_idx[starts]
+        else:
+            tf = np.array([], dtype=np.int64)
+            gw, gd = w, doc_idx
+        # sentinel (word="", tf=0) per doc: "" is never in the vocab, so
+        # it contributes nothing but guarantees every doc reaches the
+        # final per-doc Sum (token-less docs must emit 0/0 rows)
+        sent = np.arange(batch.num_rows)
+        gw = np.concatenate([gw, np.full(batch.num_rows, "", dtype=object)])
+        tf = np.concatenate([tf, np.zeros(batch.num_rows, dtype=np.int64)])
+        gd = np.concatenate([gd, sent]).astype(np.int64)
+        b = (hash_str_u64(pa.array(gw.astype(str), type=pa.string()))
+             % np.uint64(buckets)).astype(np.int32)
+        return pa.table({"word": pa.array(gw.astype(str), type=pa.string()),
+                         "v": pa.array(tf),
+                         "_b": pa.array(b),
+                         "_side": pa.array(np.zeros(len(gw), dtype=np.int8)),
+                         id_col: batch[id_col].take(pa.array(gd))})
+
+    def wc_tag(batch: pa.Table) -> pa.Table:
+        b = (hash_str_u64(batch["word"].cast(pa.string()))
+             % np.uint64(buckets)).astype(np.int32)
+        return pa.table({"word": batch["word"].cast(pa.string()),
+                         "v": batch["n"].cast(pa.int64()),
+                         "_b": pa.array(b),
+                         "_side": pa.array(np.ones(batch.num_rows,
+                                                   dtype=np.int8)),
+                         id_col: pa.nulls(batch.num_rows, id_type)})
+
+    tagged = docs.map_batches(tok_tag, batch_format="pyarrow") \
+        .union(wcd.map_batches(wc_tag, batch_format="pyarrow"))
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        w = np.asarray(g["word"].to_pylist(), dtype=str)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        vw, vn = w[side == 1], v[side == 1]
+        o = np.argsort(vw, kind="stable")
+        vw, vn = vw[o], vn[o]
+        rows = np.flatnonzero(side == 0)
+        if not len(rows):
+            return pa.table({id_col: pa.array([], type=id_type),
+                             "fs": pa.array([], type=pa.int64()),
+                             "nw": pa.array([], type=pa.int64())})
+        tw, tf = w[rows], v[rows]
+        if len(vw):
+            pos = np.searchsorted(vw, tw)
+            hit = (pos < len(vw)) & (vw[np.minimum(pos, len(vw) - 1)] == tw)
+            contrib = np.where(hit, tf * vn[np.minimum(pos, len(vw) - 1)], 0)
+        else:
+            contrib = np.zeros(len(tw), dtype=np.int64)
+        t = pa.table({id_col: g[id_col].take(pa.array(rows)),
+                      "fs": pa.array(contrib.astype(np.int64)),
+                      "nw": pa.array(tf.astype(np.int64))})
+        agg = t.group_by(id_col).aggregate([("fs", "sum"), ("nw", "sum")])
+        return pa.table({id_col: agg[id_col],
+                         "fs": agg["fs_sum"].cast(pa.int64()),
+                         "nw": agg["nw_sum"].cast(pa.int64())})
+
+    per_doc = tagged.groupby("_b").map_groups(join_bucket,
+                                              batch_format="pyarrow") \
+        .groupby(id_col).aggregate(Sum("fs", alias_name="freq_sum"),
+                                   Sum("nw", alias_name="n_words"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        fs = batch["freq_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nw = batch["n_words"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mean = np.where(nw > 0,
+                        fs.astype(np.float64)
+                        / np.maximum(nw, 1).astype(np.float64), 0.0)
+        return pa.table({id_col: batch[id_col],
+                         "freq_sum": pa.array(fs),
+                         "n_words": pa.array(nw),
+                         "mean_word_freq": pa.array(mean)})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

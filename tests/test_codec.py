@@ -96,3 +96,71 @@ def test_augment_rejects_bad_mode():
 
     with _pytest.raises(ValueError):
         Augment(mode="vflip")
+
+
+def test_pilcodec_sniffs_fake_records_without_pil():
+    """pilcodec is the codec the media stages load; fake-magic records
+    must route to the vectorized fake codec by sniff (no PIL import), so
+    the synthetic corpus decodes identically whichever codec is loaded."""
+    import numpy as np
+
+    from osmium_tool_ray.functions import imagecodec, pilcodec
+
+    idx = np.arange(6, dtype=np.uint64)
+    pix = imagecodec.gen_pixels(idx)
+    fmts = np.array(["png", "jpeg"] * 3)
+    enc = imagecodec.encode_batch(pix, fmts)
+    got_pix, got_w, got_h = pilcodec.decode_batch(enc)
+    ref_pix, ref_w, ref_h = imagecodec.decode_batch(enc)
+    assert (got_pix == ref_pix).all()
+    assert (got_w == ref_w).all() and (got_h == ref_h).all()
+
+
+def test_pilcodec_real_bytes_raise_without_pil():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from osmium_tool_ray.functions import pilcodec
+
+    if pilcodec.HAVE_PIL:
+        _pytest.skip("PIL installed; covered by the round-trip test")
+    real_png = pa.array([b"\x89PNG\r\n\x1a\n" + b"\x00" * 16],
+                        type=pa.large_binary())
+    with _pytest.raises(ImportError):
+        pilcodec.decode_batch(real_png)
+
+
+def test_pil_roundtrip_real_codec():
+    """Real-PIL path (skipped when PIL is absent, as in this container):
+    deterministic source pixels encode to REAL PNG/JPEG bytes, run
+    through DecodeVerify (PNG lossless => PSNR 99 >= 40 dB gate) and
+    Augment (hflip involution restores lossless bytes)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from osmium_tool_ray.functions import imagecodec, pilcodec
+
+    if not pilcodec.HAVE_PIL:
+        _pytest.skip("PIL not installed in this container")
+    from osmium_tool_ray.stages.media import Augment, DecodeVerify
+
+    idx = np.arange(8, dtype=np.uint64)
+    pix = imagecodec.gen_pixels(idx)
+    png = pilcodec.encode_batch(pix, np.array(["png"] * 8))
+    ids = pa.array([f"img{i:010d}" for i in range(8)])
+    batch = pa.table({"image_id": ids, "bytes": png,
+                      "w": pa.array(np.full(8, 16, np.int32)),
+                      "h": pa.array(np.full(8, 16, np.int32)),
+                      "fmt": pa.array(["png"] * 8)})
+    out = DecodeVerify()(batch)
+    assert out["pix_ok"].to_pylist() == [True] * 8
+    assert min(out["psnr_db"].to_pylist()) >= 40.0
+    flip = Augment(mode="hflip")
+    twice = flip(flip(batch))
+    p2, _, _ = pilcodec.decode_batch(twice["bytes"])
+    assert (p2 == pix).all()
+    # lossy real JPEG: decoded pixels within the quality-95 envelope
+    jpg = pilcodec.encode_batch(pix, np.array(["jpeg"] * 8))
+    jp, _, _ = pilcodec.decode_batch(jpg)
+    assert imagecodec.psnr(pix, jp).min() >= 20.0

@@ -70,3 +70,27 @@ def test_doc_lm_score_vs_duckdb(ray_session):
                     ELSE 0.0 END
         FROM tbl d LEFT JOIN per p USING (doc_id)""").fetchall()
     assert mine == {d: (s, c, m) for d, s, c, m in oracle}
+
+
+def test_doc_lm_score_bucketed_join_path_parity(ray_session):
+    """broadcast_cap=1 forces the bucketed-join scale path (no driver
+    vocab fold); per-doc sums and means must match the broadcast path,
+    including docs whose text has no tokens (sentinel rows)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.text import doc_lm_score
+
+    tbl = _docs_tbl(seed=9)
+    # append a token-less doc to pin the LEFT-JOIN semantics
+    tbl = pa.concat_tables([tbl, pa.table({
+        "doc_id": pa.array([10_000], type=tbl.schema.field("doc_id").type),
+        "text": pa.array([""])}).select(tbl.schema.names)]) \
+        if set(tbl.schema.names) == {"doc_id", "text"} else tbl
+    ds = rd.from_arrow(tbl).repartition(5)
+    key = lambda rows: sorted(
+        (r["doc_id"], r["freq_sum"], r["n_words"], r["mean_word_freq"])
+        for r in rows)
+    want = key(doc_lm_score(ds).take_all())
+    got = key(doc_lm_score(ds, broadcast_cap=1).take_all())
+    assert got == want and len(got) > 0

@@ -6,7 +6,7 @@ reference's writer format field-for-field."""
 from pathlib import Path
 
 from osmium_tool_ray.sources.opl import (
-    parse_opl_lines, render_opl_nodes, render_opl_ways,
+    parse_opl_lines, render_opl_nodes, render_opl_relations, render_opl_ways,
 )
 
 SHOW_OPL = Path("/root/reference/test/show/output-opl.opl")
@@ -17,6 +17,8 @@ def _roundtrip(lines):
     out = render_opl_nodes(parsed["nodes"])["line"].to_pylist()
     out += render_opl_ways(parsed["groups"],
                            parsed["group_members"])["line"].to_pylist()
+    out += render_opl_relations(parsed["groups"],
+                                parsed["group_members"])["line"].to_pylist()
     return out
 
 
@@ -33,3 +35,12 @@ def test_f1_nodes_byte_roundtrip():
     parsed = parse_opl_lines(node_lines)
     got = render_opl_nodes(parsed["nodes"])["line"].to_pylist()
     assert got == node_lines
+
+
+def test_f1_full_byte_roundtrip():
+    """Every line of the formats fixture — nodes, ways AND the relation
+    line with its `M<ref>@<role>` member list (%-escaped role,
+    f1.osm.opl:7) — must round-trip byte-exactly."""
+    src = Path("/root/reference/test/formats/f1.osm.opl").read_text()
+    lines = [l for l in src.splitlines() if l.strip()]
+    assert _roundtrip(lines) == lines

@@ -68,3 +68,18 @@ def test_tfidf_empty_docs(ray_session):
                     "text": pa.array([""])})
     out = tfidf_top_terms(rd.from_arrow(tbl)).take_all()
     assert out == []
+
+
+def test_tfidf_bucketed_join_path_parity(ray_session):
+    """broadcast_cap=1 forces the word-hash bucketed join + doc-hash
+    segmented top-k (the open-web-vocabulary path); results must equal
+    the broadcast path exactly, including (score DESC, word ASC) ties."""
+    import ray.data as rd
+
+    docs = _docs()
+    want = sorted((r["doc_id"], r["word"], r["score"])
+                  for r in tfidf_top_terms(rd.from_arrow(docs), k=2).take_all())
+    got = sorted((r["doc_id"], r["word"], r["score"])
+                 for r in tfidf_top_terms(rd.from_arrow(docs), k=2,
+                                          broadcast_cap=1).take_all())
+    assert got == want and len(got) > 0
