@@ -2348,6 +2348,42 @@ def entry() -> Any:
                                    "caption", "pix_ok"])
 
 
+def q_fixed_k_sample(sf_dir: str):
+    """Deterministic exact-k uniform sample (pipelines/sampling
+    .fixed_k_sample): first 100 docs in (knuth-hash, id) order — map-side
+    k-prune per block, tiny sort+limit; the reservoir-sample use case
+    without RNG state, oracle = ORDER BY hash LIMIT k."""
+    from osmium_tool_ray.pipelines.sampling import fixed_k_sample
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "lang", "n_chars"])
+    return fixed_k_sample(docs, "doc_id", 100)
+
+
+def q_bigram_lm(sf_dir: str):
+    """Bigram LM table (stages/text.bigram_lm_counts): adjacent-token
+    pair counts, first-word marginals and conditional probabilities —
+    per-batch Arrow pre-agg, ONE hash(w1)-bucket groupby (pairs sharing
+    a first word co-locate, so the marginal folds shuffle-free)."""
+    from osmium_tool_ray.stages.text import bigram_lm_counts
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    return bigram_lm_counts(docs, min_count=2)
+
+
+def q_length_buckets(sf_dir: str):
+    """NTILE(4) length bucketing (pipelines/stats.ntile_buckets): the
+    similar-length batching transform — one distributed sort, per-block
+    row counts to the driver, blocks stamp buckets from (offset, total)
+    with DuckDB's ntile fill."""
+    from osmium_tool_ray.pipelines.stats import ntile_buckets
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "n_chars"])
+    return ntile_buckets(docs, ["n_chars", "doc_id"], 4, out_col="bucket")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_bbox": q_extract_bbox,
@@ -2368,6 +2404,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_dedup": q_merge_dedup,
         "merge_changes_simplify": q_merge_changes_simplify,
         "sort_topk": q_sort_topk,
+        "fixed_k_sample": q_fixed_k_sample,
+        "bigram_lm": q_bigram_lm,
+        "length_buckets": q_length_buckets,
         "latest_version": q_latest_version,
         "time_filter_snapshot": q_time_filter_snapshot,
         "time_filter_range": q_time_filter_range,
@@ -2745,6 +2784,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE ((doc_id * 2654435761) % 2147483648) * 512
                   < LEAST(n_chars, 512) * 2147483648""",
+        "fixed_k_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            ORDER BY (doc_id * 2654435761) % 2147483648, doc_id
+            LIMIT 100""",
+        "bigram_lm": r"""
+            WITH arrs AS (
+                SELECT string_split_regex(lower(text), '\s+') AS arr
+                FROM documents),
+            bg AS (
+                SELECT arr[i] AS w1, arr[i + 1] AS w2
+                FROM (SELECT arr,
+                             unnest(generate_series(1, len(arr) - 1)) AS i
+                      FROM arrs)
+                WHERE arr[i] <> '' AND arr[i + 1] <> ''),
+            c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2),
+            c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1
+                   FROM c12 GROUP BY w1)
+            SELECT w1, w2, CAST(n12 AS BIGINT) AS n12, n1,
+                   CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p
+            FROM c12 JOIN c1 USING (w1)
+            WHERE n12 >= 2""",
+        "length_buckets": """
+            SELECT doc_id, n_chars,
+                   CAST(ntile(4) OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS bucket
+            FROM documents""",
         "normalize_docs": r"""
             SELECT doc_id,
                    trim(regexp_replace(regexp_replace(lower(text),

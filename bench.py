@@ -49,6 +49,7 @@ QUERY_NAMES = [
     "word_cooccurrence", "tfidf_terms", "normalize_docs", "topk_per_user",
     "asof_join_events", "range_join_tiers", "quantiles_value",
     "user_quantiles", "weekly_retention", "daily_active_users",
+    "fixed_k_sample", "bigram_lm", "length_buckets",
 ]
 
 

@@ -117,3 +117,27 @@ def stratified_sample(ds, key_cols: list[str], id_col: str, n_per_key: int,
     pruned = tagged.map_batches(local, batch_format="pandas")
     final = pruned.groupby(key_cols).map_groups(local, batch_format="pandas")
     return final.drop_columns(["_hsh"])
+
+
+def fixed_k_sample(ds, id_col: str, k: int, seed_mult: int = KNUTH):
+    """Deterministic EXACT-k uniform sample — the reservoir-sampling use
+    case without reservoir state: order all rows by (det_hash(id), id)
+    and keep the first k. Because the hash is a pure function of the id,
+    the winning set is a property of the DATA (retry/partitioning
+    stable) and the oracle is `ORDER BY (id*KNUTH)%m, id LIMIT k`.
+
+    Scale shape: each batch first prunes map-side to its k smallest
+    (hash, id) rows, so the distributed sort + limit runs over at most
+    k rows per input block instead of the full table — no driver
+    materialization, no RNG, one tiny sort."""
+    def prune(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = det_hash(ids, mult=seed_mult)
+        if batch.num_rows > k:
+            sel = np.lexsort((ids, h))[:k]
+            batch = batch.take(pa.array(np.sort(sel)))
+            h = h[np.sort(sel)]
+        return batch.append_column("_h", pa.array(h))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    return pruned.sort(["_h", id_col]).limit(k).drop_columns(["_h"])

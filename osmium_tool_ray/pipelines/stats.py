@@ -421,3 +421,51 @@ def rank_transform(ds, order_cols: list[str], rank_col: str = "rn",
         cols[pct_col] = pa.array([], type=pa.float64())
         return rd.from_arrow(pa.table(cols))
     return rd.from_arrow_refs(stamped)
+
+
+def ntile_buckets(ds, order_cols: list[str], k: int,
+                  out_col: str = "bucket"):
+    """NTILE(k) at scale — assign each row its 1-based quantile bucket in
+    `order_cols` order (include a unique tiebreaker for determinism):
+    the length-bucketed batching transform a training pipeline uses to
+    group similar-length documents.
+
+    Same shape as rank_transform: ONE distributed sort, per-block ROW
+    COUNTS to the driver, each block stamps its buckets from (offset,
+    total) with DuckDB's ntile fill (the first n%k buckets take
+    floor(n/k)+1 rows)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..blocks import _remote_num_rows
+
+    sorted_ds = ds.sort(order_cols).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    nrows = ray.get([_remote_num_rows.remote(r) for r in refs])
+    refs = [r for r, n in zip(refs, nrows) if n]
+    nrows = [n for n in nrows if n]
+    total = int(sum(nrows))
+    offsets = np.concatenate([[0], np.cumsum(nrows)[:-1]]) if nrows else []
+
+    big = total % k
+    small_sz = total // k
+    cut = big * (small_sz + 1)  # first rank not in an oversized bucket
+
+    @ray.remote(num_cpus=0)
+    def stamp(tbl: pa.Table, off0: int) -> pa.Table:
+        r = np.arange(off0, off0 + tbl.num_rows, dtype=np.int64)
+        if small_sz == 0:
+            b = r + 1
+        else:
+            b = np.where(r < cut, r // (small_sz + 1),
+                         big + (r - cut) // small_sz) + 1
+        return tbl.append_column(out_col, pa.array(b.astype(np.int64)))
+
+    stamped = [stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    if not stamped:
+        sch = ds.schema()
+        cols = {n: pa.array([], type=t) for n, t in zip(sch.names, sch.types)}
+        cols[out_col] = pa.array([], type=pa.int64())
+        return rd.from_arrow(pa.table(cols))
+    return rd.from_arrow_refs(stamped)

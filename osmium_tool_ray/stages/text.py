@@ -757,3 +757,85 @@ def _doc_lm_score_bucketed(docs, wcd, text_col: str, id_col: str,
                          "mean_word_freq": pa.array(mean)})
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def bigram_lm_counts(docs, text_col: str = "text", min_count: int = 2,
+                     buckets: int | None = None):
+    """Bigram language-model table: for each adjacent whitespace-token
+    pair, its corpus count n12, the first-word marginal n1 = SUM over
+    following words, and the conditional probability p = n12/n1 (one
+    IEEE divide — bit-equal to the SQL form). The n-gram-LM /
+    tokenizer-merge statistic over a document corpus.
+
+    Shape: per-batch Arrow pre-agg of (w1, w2, c) partials (the token
+    stream never shuffles), ONE groupby on hash(w1) buckets — every pair
+    sharing a first word lands in the same bucket, so the marginal folds
+    inside the group with zero extra shuffle — then the min_count filter.
+    Returns (w1, w2, n12:int64, n1:int64, p:float64)."""
+    from ..functions.hashing import hash_str_u64
+
+    if buckets is None:
+        import ray
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col].cast(pa.string())), r"\s+")
+        words = words.combine_chunks() if isinstance(
+            words, pa.ChunkedArray) else words
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(words).to_numpy(zero_copy_only=False) \
+            .astype(str)
+        empty = pa.table({"w1": pa.array([], type=pa.string()),
+                          "w2": pa.array([], type=pa.string()),
+                          "c": pa.array([], type=pa.int64()),
+                          "_b": pa.array([], type=pa.int32())})
+        if not len(flat):
+            return empty
+        # adjacent pairs within each doc: drop the last token of every doc
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        same_doc = np.zeros(len(flat), dtype=bool)
+        same_doc[:-1] = doc_idx[:-1] == doc_idx[1:]
+        w1 = flat[:-1][same_doc[:-1]]
+        w2 = flat[1:][same_doc[:-1]]
+        keep = (w1 != "") & (w2 != "")
+        w1, w2 = w1[keep], w2[keep]
+        if not len(w1):
+            return empty
+        agg = pa.table({"w1": pa.array(w1, type=pa.string()),
+                        "w2": pa.array(w2, type=pa.string())}) \
+            .group_by(["w1", "w2"]).aggregate([("w1", "count")])
+        b = (hash_str_u64(agg["w1"]) % np.uint64(buckets)).astype(np.int32)
+        return pa.table({"w1": agg["w1"].cast(pa.string()),
+                         "w2": agg["w2"].cast(pa.string()),
+                         "c": agg["w1_count"].cast(pa.int64()),
+                         "_b": pa.array(b)})
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({"w1": pa.array([], type=pa.string()),
+                          "w2": pa.array([], type=pa.string()),
+                          "n12": pa.array([], type=pa.int64()),
+                          "n1": pa.array([], type=pa.int64()),
+                          "p": pa.array([], type=pa.float64())})
+        if g.num_rows == 0 or "w1" not in g.schema.names:
+            return empty
+        agg = g.select(["w1", "w2", "c"]).group_by(["w1", "w2"]) \
+            .aggregate([("c", "sum")])
+        w1 = np.asarray(agg["w1"].to_pylist(), dtype=str)
+        n12 = agg["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # first-word marginal inside the bucket (all pairs of a given w1
+        # are co-located here by construction)
+        uw, inv = np.unique(w1, return_inverse=True)
+        n1 = np.bincount(inv, weights=n12).astype(np.int64)[inv]
+        sel = n12 >= min_count
+        return pa.table({"w1": pa.array(w1[sel], type=pa.string()),
+                         "w2": agg["w2"].filter(pa.array(sel))
+                                        .cast(pa.string()),
+                         "n12": pa.array(n12[sel]),
+                         "n1": pa.array(n1[sel]),
+                         "p": pa.array(n12[sel].astype(np.float64)
+                                       / n1[sel].astype(np.float64))})
+
+    return docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(fold, batch_format="pyarrow")

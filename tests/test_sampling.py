@@ -110,3 +110,21 @@ def test_quality_filtered_docs_query(ray_session):
         FROM read_parquet('{sf}/documents.parquet')""").fetchone()[0]
     assert all(r["n_chars"] <= cut for r in rows)
     assert 0.85 * total <= len(rows) <= total
+
+
+def test_fixed_k_sample_exact_and_invariant(ray_session, docs):
+    """Exact-k deterministic sample: equals the numpy (hash, id)-order
+    head regardless of partitioning; k > n returns everything."""
+    from osmium_tool_ray.pipelines.sampling import fixed_k_sample
+
+    ids = docs["doc_id"].to_numpy()
+    h = det_hash(ids)
+    expect = set(ids[np.lexsort((ids, h))[:137]])
+    for parts in (1, 7):
+        got = fixed_k_sample(_ds(ray_session, docs, parts),
+                             "doc_id", 137).take_all()
+        assert {r["doc_id"] for r in got} == expect
+        assert set(got[0].keys()) == {"doc_id", "lang"}
+    all_rows = fixed_k_sample(_ds(ray_session, docs, 3), "doc_id",
+                              10**9).take_all()
+    assert len(all_rows) == len(ids)

@@ -155,3 +155,33 @@ def test_iqr_outliers_query(ray_session):
         """).fetchall()
     assert mine == sorted(e for (e,) in oracle)
     assert mine
+
+
+def test_ntile_buckets_duckdb_parity(ray_session, events):
+    import duckdb
+    import ray.data as rd
+
+    from osmium_tool_ray.pipelines.stats import ntile_buckets
+
+    tbl = events
+    for k in (4, 7):
+        out = ntile_buckets(rd.from_arrow(tbl).repartition(5),
+                            ["ival", "event_id"], k).take_all()
+        mine = {r["event_id"]: r["bucket"] for r in out}
+        want = dict(duckdb.sql(f"""
+            SELECT event_id,
+                   ntile({k}) OVER (ORDER BY ival, event_id)
+            FROM tbl""").fetchall())
+        assert mine == want
+
+
+def test_ntile_more_buckets_than_rows(ray_session):
+    import ray.data as rd
+
+    from osmium_tool_ray.pipelines.stats import ntile_buckets
+
+    tbl = pa.table({"v": pa.array([5, 1, 9], type=pa.int64()),
+                    "id": pa.array([0, 1, 2], type=pa.int64())})
+    out = ntile_buckets(rd.from_arrow(tbl), ["v", "id"], 10).take_all()
+    got = {r["id"]: r["bucket"] for r in out}
+    assert got == {1: 1, 0: 2, 2: 3}
