@@ -80,3 +80,64 @@ def test_caption_tags():
     assert tags.to_pylist()[0] == [{"key": "highway", "value": "primary"}]
     assert tags.to_pylist()[1] == []
     assert [t["key"] for t in tags.to_pylist()[2]] == ["a", "b"]
+
+
+def test_reference_util_unit_matrix():
+    """The reference's ENTIRE util unit-test matrix
+    (test/util/test_unit.cpp:58-129) ported case-for-case: string-matcher
+    classification incl. mid-star literals and comma handling after a
+    leading star, the full tag-matcher truth table, object-type parsing
+    with error cases, and filter-expression splitting."""
+    cases = [
+        ("foo", "equal", ("foo",)), ("", "equal", ("",)),
+        ("foo*", "prefix", ("foo",)), (" foo* ", "prefix", ("foo",)),
+        ("*foo", "substring", ("foo",)), ("*foo*", "substring", ("foo",)),
+        (" *foo* ", "substring", ("foo",)), ("*", "always", None),
+        (" * ", "always", None), ("f*oo", "equal", ("f*oo",)),
+        ("foo,bar", "list", ("foo", "bar")),
+        ("foo,bar*,baz", "list", ("foo", "bar*", "baz")),
+        ("*foo,bar", "substring", ("foo,bar",)),
+        ("foo ", "equal", ("foo",)), (" foo", "equal", ("foo",)),
+        ("  foo ", "equal", ("foo",)),
+        ("foo, bar, baz", "list", ("foo", "bar", "baz")),
+        ("  foo, bar   ,baz   ", "list", ("foo", "bar", "baz")),
+    ]
+    for s, kind, arg in cases:
+        m = get_string_matcher(s)
+        assert m.kind == kind, (s, m.kind, kind)
+        if arg is not None and m.kind != "always":
+            assert tuple(m.arg) == arg, (s, m.arg, arg)
+
+    def tm(expr, k, v):
+        return bool(get_tag_matcher(expr).match_flat(
+            pa.array([k]), pa.array([v]))[0])
+
+    assert tm("foo", "foo", "bar")
+    assert tm("foo=bar", "foo", "bar")
+    assert tm("foo!=bar", "foo", "baz")
+    assert not tm("foo!=bar", "foo", "bar")
+    assert tm("highway=primary,secondary", "highway", "primary")
+    assert tm("highway=primary,secondary", "highway", "secondary")
+    assert not tm("highway=primary,secondary", "highway", "residential")
+    assert tm("landuse,natural", "landuse", "forest")
+    assert tm("landuse,natural", "natural", "wood")
+    assert not tm("landuse,natural", "highway", "motorway")
+    assert tm("addr:*", "addr:city", "Berlin")
+    assert not tm("addr:*", "addr", "Berlin")
+
+    assert get_types("") == frozenset()
+    assert get_types("n") == frozenset({"node"})
+    assert get_types("rw") == frozenset({"way", "relation"})
+    for bad in ("x", "nwx"):
+        with pytest.raises(ExprError):
+            get_types(bad)
+
+    nwr = frozenset({"node", "way", "relation"})
+    assert get_filter_expression("highway") == (nwr, "highway")
+    assert get_filter_expression("/highway") == (nwr, "highway")
+    assert get_filter_expression("n/highway") == (frozenset({"node"}),
+                                                  "highway")
+    assert get_filter_expression("n/highway/foo") == (frozenset({"node"}),
+                                                      "highway/foo")
+    with pytest.raises(ExprError):
+        get_filter_expression("highway/foo")
