@@ -22,15 +22,28 @@ HAVE_LANCE = _have_lance()
 
 
 def read_parquet_clean(path, columns: list[str] | None = None, **kwargs):
-    """read_parquet + a fused zero-copy strip of table-level schema
-    metadata. The testdata parquet carries a b'pandas' blob that makes
-    hash(pa.Schema) raise, so every downstream schema-unify (shuffles,
-    map_groups concat) logs "Failed to hash the schemas" — stripping at
-    the read boundary keeps driver logs clean repo-wide."""
+    """read_parquet with schema metadata stripped AT THE SCAN. The
+    testdata parquet carries a b'pandas' blob that makes hash(pa.Schema)
+    raise, so every schema-unify — including the ones INSIDE the
+    ReadParquet operator's block building, which run before any
+    map_batches — logs "Failed to hash the schemas". Passing an explicit
+    metadata-free (and column-pruned) schema makes every block clean
+    from birth; the fused strip stays as a belt-and-braces for paths
+    where the schema can't be pre-read (glob dirs, remote stores)."""
     import ray.data as rd
 
     from ..blocks import strip_schema_metadata
 
+    if "schema" not in kwargs:
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            sch = pq.read_schema(path)
+            names = columns if columns is not None else sch.names
+            kwargs["schema"] = pa.schema(
+                [sch.field(c).remove_metadata() for c in names])
+        except Exception:
+            pass  # directory/glob inputs: fall back to the fused strip
     return rd.read_parquet(path, columns=columns, **kwargs) \
         .map_batches(strip_schema_metadata, batch_format="pyarrow")
 
