@@ -2384,6 +2384,30 @@ def q_length_buckets(sf_dir: str):
     return ntile_buckets(docs, ["n_chars", "doc_id"], 4, out_col="bucket")
 
 
+def q_chunk_docs(sf_dir: str):
+    """Context-window chunking (stages/text.chunk_docs): 256-char chunks
+    every 192 chars (64-char overlap) — vectorized byte gather out of
+    the Arrow values buffer, pure map-side."""
+    from osmium_tool_ray.stages.text import chunk_docs
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    return chunk_docs(docs, size=256, stride=192)
+
+
+def q_source_mix(sf_dir: str):
+    """Source-weighted mixing (pipelines/sampling.keyed_rate_sample):
+    rebalance doc sources with per-source keep rates — deterministic
+    hash predicate, no shuffle."""
+    from osmium_tool_ray.pipelines.sampling import keyed_rate_sample
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "source", "n_chars"])
+    return keyed_rate_sample(docs, "doc_id", "source",
+                             {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+                             default_rate=0.1)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_bbox": q_extract_bbox,
@@ -2405,6 +2429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_changes_simplify": q_merge_changes_simplify,
         "sort_topk": q_sort_topk,
         "fixed_k_sample": q_fixed_k_sample,
+        "chunk_docs": q_chunk_docs,
+        "source_mix": q_source_mix,
         "bigram_lm": q_bigram_lm,
         "length_buckets": q_length_buckets,
         "latest_version": q_latest_version,
@@ -2788,6 +2814,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             ORDER BY (doc_id * 2654435761) % 2147483648, doc_id
             LIMIT 100""",
+        "chunk_docs": """
+            WITH d AS (SELECT doc_id, text,
+                              (greatest(length(text) - 256, 0) + 191) // 192
+                                  AS last
+                       FROM documents)
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                   substring(text, CAST(i * 192 + 1 AS INTEGER), 256)
+                       AS chunk,
+                   CAST(length(substring(text,
+                        CAST(i * 192 + 1 AS INTEGER), 256)) AS BIGINT)
+                       AS n_chars
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(0, last)) AS i
+                  FROM d)""",
+        "source_mix": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE (doc_id * 2654435761) % 2147483648
+                  < CASE source WHEN 'src0' THEN 2147483648
+                                WHEN 'src1' THEN 1073741824
+                                WHEN 'src2' THEN 536870912
+                                ELSE 214748364 END""",
         "bigram_lm": r"""
             WITH arrs AS (
                 SELECT string_split_regex(lower(text), '\s+') AS arr

@@ -49,7 +49,8 @@ QUERY_NAMES = [
     "word_cooccurrence", "tfidf_terms", "normalize_docs", "topk_per_user",
     "asof_join_events", "range_join_tiers", "quantiles_value",
     "user_quantiles", "weekly_retention", "daily_active_users",
-    "fixed_k_sample", "bigram_lm", "length_buckets",
+    "fixed_k_sample", "bigram_lm", "length_buckets", "chunk_docs",
+    "source_mix",
 ]
 
 

@@ -141,3 +141,29 @@ def fixed_k_sample(ds, id_col: str, k: int, seed_mult: int = KNUTH):
 
     pruned = ds.map_batches(prune, batch_format="pyarrow")
     return pruned.sort(["_h", id_col]).limit(k).drop_columns(["_h"])
+
+
+def keyed_rate_sample(ds, id_col: str, key_col: str, rates: dict[str, float],
+                      default_rate: float = 0.0, seed_mult: int = KNUTH):
+    """Source-weighted dataset mixing — keep each row with its KEY's
+    rate (e.g. {"web": 0.3, "books": 1.0}): the data-mixing /
+    temperature-sampling step that rebalances sources before training.
+    Same determinism contract as uniform_sample (pure function of the
+    id, retry/partition stable, SQL-expressible via CASE); the rate map
+    is a tiny driver-side dict baked into the closure — no shuffle, one
+    streaming pass."""
+    keys = np.asarray(sorted(rates), dtype=str)
+    thresh = np.asarray([int(rates[k] * int(MOD)) for k in keys],
+                        dtype=np.int64)
+    dflt = np.int64(int(default_rate * int(MOD)))
+
+    def f(batch: pa.Table) -> pa.Table:
+        h = det_hash(batch[id_col].to_numpy(zero_copy_only=False),
+                     mult=seed_mult)
+        kv = np.asarray(batch[key_col].to_pylist(), dtype=str)
+        pos = np.searchsorted(keys, kv)
+        hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == kv)
+        t = np.where(hit, thresh[np.minimum(pos, len(keys) - 1)], dflt)
+        return batch.filter(pa.array(h < t))
+
+    return ds.map_batches(f, batch_format="pyarrow")

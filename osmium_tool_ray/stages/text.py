@@ -839,3 +839,61 @@ def bigram_lm_counts(docs, text_col: str = "text", min_count: int = 2,
 
     return docs.map_batches(partial, batch_format="pyarrow") \
         .groupby("_b").map_groups(fold, batch_format="pyarrow")
+
+
+def chunk_docs(docs, size: int, stride: int | None = None,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """Context-window chunking — split each document into `size`-char
+    chunks every `stride` chars (stride < size = overlapping windows),
+    the LLM-pretraining transform between curation and packing. Every
+    doc emits ceil(max(len-size,0)/stride)+1 chunks — the window set
+    that covers the text with no fully-redundant tail (a last chunk
+    already contained in its predecessor is not emitted); empty docs
+    keep one empty chunk, so no row is silently dropped.
+
+    Pure map-side and fully vectorized: chunk extraction gathers bytes
+    straight out of the Arrow string VALUES buffer with one repeat/
+    cumsum-built index vector — no per-row Python, no shuffle. Chunk
+    boundaries are byte offsets (== character offsets for this corpus's
+    ASCII text; the SQL twin's `substring` counts characters).
+
+    Returns (id_col, chunk_id:int64, chunk:string, n_chars:int64)."""
+    if stride is None:
+        stride = size
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col].cast(pa.large_string())
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        offs = np.frombuffer(txt.buffers()[1], dtype=np.int64)[
+            txt.offset:txt.offset + len(txt) + 1]
+        buf = np.frombuffer(txt.buffers()[2], dtype=np.uint8) \
+            if txt.buffers()[2] is not None else np.empty(0, np.uint8)
+        lens = np.diff(offs)
+        n_chunks = -(-np.maximum(lens - size, 0) // stride) + 1
+        tot = int(n_chunks.sum())
+        doc_rep = np.repeat(np.arange(batch.num_rows), n_chunks)
+        ci = np.arange(tot) - np.repeat(np.cumsum(n_chunks) - n_chunks,
+                                        n_chunks)
+        starts = offs[:-1][doc_rep] + ci * stride
+        ends = np.minimum(starts + size, offs[1:][doc_rep])
+        clens = ends - starts
+        nbytes = int(clens.sum())
+        flat = np.repeat(starts, clens) \
+            + (np.arange(nbytes) - np.repeat(np.cumsum(clens) - clens,
+                                             clens))
+        out_offs = np.concatenate([[0], np.cumsum(clens)]).astype(np.int64)
+        chunks = pa.Array.from_buffers(
+            pa.large_string(), tot,
+            [None, pa.py_buffer(out_offs.tobytes()),
+             pa.py_buffer(buf[flat].tobytes())])
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(doc_rep)),
+            "chunk_id": pa.array(ci.astype(np.int64)),
+            "chunk": chunks.cast(pa.string()),
+            "n_chars": pa.array(clens.astype(np.int64)),
+        })
+
+    return docs.map_batches(chunk, batch_format="pyarrow")

@@ -94,3 +94,35 @@ def test_doc_lm_score_bucketed_join_path_parity(ray_session):
     want = key(doc_lm_score(ds).take_all())
     got = key(doc_lm_score(ds, broadcast_cap=1).take_all())
     assert got == want and len(got) > 0
+
+
+def test_chunk_docs_overlap_and_edges(ray_session):
+    """Chunking semantics: stride windows with overlap, tail chunks
+    shorter, exact-multiple lengths don't emit an empty tail, empty docs
+    keep one empty chunk."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.text import chunk_docs
+
+    texts = ["abcdefghij",        # 10 chars
+             "abcd",              # shorter than size
+             "",                  # empty -> one empty chunk
+             "abcdef"]            # exactly 2 strides at size=3,stride=3
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                    "text": pa.array(texts)})
+    out = chunk_docs(rd.from_arrow(tbl).repartition(2), size=4,
+                     stride=3).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk"]))
+        assert r["n_chars"] == len(r["chunk"])
+    assert sorted(got[0]) == [(0, "abcd"), (1, "defg"), (2, "ghij")]
+    assert sorted(got[1]) == [(0, "abcd")]
+    assert sorted(got[2]) == [(0, "")]
+    assert sorted(got[3]) == [(0, "abcd"), (1, "def")]
+    # non-overlapping: stride == size
+    out2 = chunk_docs(rd.from_arrow(tbl), size=3, stride=3).take_all()
+    c0 = sorted((r["chunk_id"], r["chunk"]) for r in out2
+                if r["doc_id"] == 3)
+    assert c0 == [(0, "abc"), (1, "def")]  # no empty third chunk

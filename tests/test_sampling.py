@@ -128,3 +128,23 @@ def test_fixed_k_sample_exact_and_invariant(ray_session, docs):
     all_rows = fixed_k_sample(_ds(ray_session, docs, 3), "doc_id",
                               10**9).take_all()
     assert len(all_rows) == len(ids)
+
+
+def test_keyed_rate_sample_rates_and_invariance(ray_session, docs):
+    from osmium_tool_ray.pipelines.sampling import keyed_rate_sample
+
+    rates = {"en": 1.0, "de": 0.5, "zh": 0.0}
+    ids = docs["doc_id"].to_numpy()
+    langs = np.asarray(docs["lang"].to_pylist(), dtype=str)
+    h = det_hash(ids)
+    t = np.select([langs == "en", langs == "de", langs == "zh"],
+                  [int(MOD), int(MOD) // 2, 0], default=int(0.25 * int(MOD)))
+    expect = set(ids[h < t])
+    for parts in (1, 9):
+        got = {r["doc_id"] for r in keyed_rate_sample(
+            _ds(ray_session, docs, parts), "doc_id", "lang", rates,
+            default_rate=0.25).take_all()}
+        assert got == expect
+    # en kept fully, zh dropped fully
+    assert set(ids[langs == "en"]) <= expect
+    assert not expect & set(ids[langs == "zh"])
