@@ -102,34 +102,45 @@ def train_ivf_centroids(corpus, dim: int, nlist: int = 16, iters: int = 3,
     cents = rng.normal(size=(nlist, dim))
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
 
+    from ray.data.aggregate import Sum
+
     for _ in range(iters):
         cref = ray.put(cents)
 
         def partial(batch: pa.Table) -> pa.Table:
+            # per-batch (cluster, dim) partial sums as FLAT keyed rows —
+            # key = cluster * (dim + 1) + (d + 1), key = cluster*(dim+1)
+            # carries the count — so the fold is ONE native Sum groupby
+            # over nlist*(dim+1) keys and only that constant-size table
+            # reaches the driver (no per-block list partials at any
+            # corpus size)
             c = ray.get(cref)
             emb = embedding_matrix(batch[vec_col])
             if emb.size == 0:
-                return pa.table({"cluster": pa.array([], type=pa.int64()),
-                                 "vsum": pa.array([], type=pa.list_(pa.float64())),
-                                 "n": pa.array([], type=pa.int64())})
+                return pa.table({"k": pa.array([], type=pa.int64()),
+                                 "s": pa.array([], type=pa.float64())})
             en = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-30)
             assign = np.argmax(en @ c.T, axis=1)
-            rows_c, rows_s, rows_n = [], [], []
-            for cl in np.unique(assign):
-                m = assign == cl
-                rows_c.append(int(cl))
-                rows_s.append(en[m].sum(axis=0).tolist())
-                rows_n.append(int(m.sum()))
-            return pa.table({"cluster": pa.array(rows_c, type=pa.int64()),
-                             "vsum": pa.array(rows_s, type=pa.list_(pa.float64())),
-                             "n": pa.array(rows_n, type=pa.int64())})
+            ucl, inv = np.unique(assign, return_inverse=True)
+            sums = np.zeros((len(ucl), en.shape[1]))
+            np.add.at(sums, inv, en)
+            counts = np.bincount(inv).astype(np.float64)
+            keys = (ucl[:, None] * (dim + 1)
+                    + np.arange(dim + 1)[None, :]).reshape(-1)
+            vals = np.concatenate([counts[:, None], sums], axis=1).reshape(-1)
+            return pa.table({"k": pa.array(keys.astype(np.int64)),
+                             "s": pa.array(vals)})
 
-        parts = corpus.map_batches(partial, batch_format="pyarrow").take_all()
+        folded = corpus.map_batches(partial, batch_format="pyarrow") \
+            .groupby("k").aggregate(Sum("s", alias_name="s")).take_all()
         sums = np.zeros((nlist, dim))
         counts = np.zeros(nlist)
-        for r in parts:
-            sums[r["cluster"]] += np.asarray(r["vsum"])
-            counts[r["cluster"]] += r["n"]
+        for r in folded:
+            cl, d = divmod(int(r["k"]), dim + 1)
+            if d == 0:
+                counts[cl] = float(r["s"])
+            else:
+                sums[cl, d - 1] = float(r["s"])
         nonzero = counts > 0
         cents[nonzero] = sums[nonzero] / counts[nonzero, None]
         cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
