@@ -24,30 +24,38 @@ from .knn import embedding_matrix
 
 
 def pca_partials(ds, vec_col: str = "embedding"):
-    """One streaming pass -> merged (n, sum, sum-outer) moments."""
+    """One streaming pass -> merged (n, sum, sum-outer) moments.
+
+    Per-batch moments emit as flat (key, val) rows — key 0 = count,
+    1..d = sum, d+1.. = row-major outer — folded by ONE native Sum
+    groupby, so only the constant d*d+d+1 table reaches the driver
+    regardless of block count (the IVF keyed-fold shape)."""
+    from ray.data.aggregate import Sum
+
     def fold(batch: pa.Table) -> pa.Table:
         x = embedding_matrix(batch[vec_col])
         if x.size == 0:
-            return pa.table({"n": pa.array([], type=pa.int64()),
-                             "s": pa.array([], type=pa.binary()),
-                             "ss": pa.array([], type=pa.binary())})
-        return pa.table({
-            "n": pa.array([x.shape[0]], type=pa.int64()),
-            "s": pa.array([x.sum(axis=0).tobytes()], type=pa.binary()),
-            "ss": pa.array([(x.T @ x).tobytes()], type=pa.binary()),
-        })
+            return pa.table({"k": pa.array([], type=pa.int64()),
+                             "v": pa.array([], type=pa.float64())})
+        d = x.shape[1]
+        vals = np.concatenate([[float(x.shape[0])], x.sum(axis=0),
+                               (x.T @ x).reshape(-1)])
+        return pa.table({"k": pa.array(np.arange(len(vals),
+                                                 dtype=np.int64)),
+                         "v": pa.array(vals)})
 
-    rows = ds.map_batches(fold, batch_format="pyarrow").take_all()
-    n = 0
-    s = ss = None
+    rows = ds.map_batches(fold, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("v", alias_name="v")).take_all()
+    if not rows:
+        return 0, None, None
+    flat = np.zeros(max(int(r["k"]) for r in rows) + 1)
     for r in rows:
-        bn = int(r["n"])
-        bs = np.frombuffer(r["s"], dtype=np.float64)
-        d = len(bs)
-        bss = np.frombuffer(r["ss"], dtype=np.float64).reshape(d, d)
-        n += bn
-        s = bs if s is None else s + bs
-        ss = bss if ss is None else ss + bss
+        flat[int(r["k"])] = float(r["v"])
+    n = int(round(flat[0]))
+    # len(flat) - 1 = d*d + d  =>  d via the quadratic formula
+    d = int(round((-1 + (1 + 4 * (len(flat) - 1)) ** 0.5) / 2))
+    s = flat[1:d + 1]
+    ss = flat[d + 1:].reshape(d, d)
     return n, s, ss
 
 
