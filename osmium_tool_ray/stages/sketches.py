@@ -63,17 +63,30 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
-def hll_distinct(ds, col: str, p: int = 14, seed: int = 0) -> float:
+def hll_distinct(ds, col: str, p: int = 14, seed: int = 0,
+                 merge_buckets: int = 32) -> float:
     """Approximate COUNT(DISTINCT col) over a Dataset. Map-side register
-    fold per block; only (n_blocks x 2^p) bytes reach the driver for the
-    final elementwise-max merge (same driver-merge shape as fileinfo's
-    content hash)."""
+    fold per block, then a bucketed INTERMEDIATE max-merge (register max
+    is lossless, so the two-level fold is exact): the driver sees at most
+    `merge_buckets` x 2^p bytes regardless of block count, not
+    n_blocks x 2^p."""
     def fold(batch: pa.Table) -> pa.Table:
         regs = hll_registers(batch[col].cast(pa.string()), p=p, seed=seed)
+        b = int(regs.sum()) % merge_buckets  # any balanced det. assignment
         return pa.table({"regs": pa.array([regs.tobytes()],
+                                          type=pa.binary()),
+                         "_b": pa.array([b], type=pa.int32())})
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        acc = np.zeros(1 << p, dtype=np.uint8)
+        for rb in g["regs"].to_pylist():
+            acc = np.maximum(acc, np.frombuffer(rb, dtype=np.uint8))
+        return pa.table({"regs": pa.array([acc.tobytes()],
                                           type=pa.binary())})
 
-    parts = ds.map_batches(fold, batch_format="pyarrow").take_all()
+    parts = ds.map_batches(fold, batch_format="pyarrow") \
+        .groupby("_b").map_groups(merge_group, batch_format="pyarrow") \
+        .take_all()
     merged = np.zeros(1 << p, dtype=np.uint8)
     for r in parts:
         merged = np.maximum(merged, np.frombuffer(r["regs"], dtype=np.uint8))
