@@ -285,10 +285,28 @@ def approx_quantiles(ds, value_col: str, qs, k_per_block: int = 256):
     Rank-error bound: a block of n rows sampled at stride s = ceil(n/k)
     misplaces any rank by < s, so the folded estimate is within
     sum(ceil(n_b/k)) ~= N/k ranks of exact — pick k for the tolerance,
-    independent of N. The fold touches only blocks x k (value, weight)
-    pairs (driver-side, constant per block; tree-reduce it past ~10^5
-    blocks). Returns a pyarrow Table (q, value)."""
+    independent of N. Past `merge_threshold` partial rows a bucketed
+    intermediate compaction re-strides each bucket's weighted sample
+    back down to k rows (one more <= N/k rank error — still O(N/k)
+    total), so the driver fold is bounded at buckets x k rows at any
+    block count. Returns a pyarrow Table (q, value)."""
     import numpy as np
+
+    merge_threshold = 64 * k_per_block
+    merge_buckets = 32
+
+    def _stride_sample(v: np.ndarray, w: np.ndarray, k: int):
+        """Weighted stride compaction: pick rows every total/k weight
+        mass (v must be sorted); weights re-sum exactly to w.sum()."""
+        cw = np.cumsum(w)
+        total = int(cw[-1])
+        stride = max(1, -(-total // k))
+        targets = np.arange(stride // 2, total, stride)
+        idx = np.searchsorted(cw, targets + 1)
+        idx = np.unique(np.minimum(idx, len(v) - 1))
+        ow = np.diff(np.concatenate([[0], cw[idx]]))
+        ow[-1] += total - int(cw[idx][-1])
+        return v[idx], ow.astype(np.int64)
 
     def partial(batch: pa.Table) -> pa.Table:
         v = batch[value_col].to_numpy(zero_copy_only=False)
@@ -305,7 +323,23 @@ def approx_quantiles(ds, value_col: str, qs, k_per_block: int = 256):
         return pa.table({"v": pa.array(v[idx].astype(np.float64)),
                          "w": pa.array(w)})
 
-    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if parts.count() > merge_threshold:
+        def bucket(batch: pa.Table) -> pa.Table:
+            b = (np.arange(batch.num_rows) + batch.num_rows) \
+                % merge_buckets  # spread rows evenly, deterministic
+            return batch.append_column("_b", pa.array(b.astype(np.int32)))
+
+        def compact(g: pa.Table) -> pa.Table:
+            v = g["v"].to_numpy(zero_copy_only=False)
+            w = g["w"].to_numpy(zero_copy_only=False)
+            o = np.argsort(v, kind="stable")
+            cv, cw2 = _stride_sample(v[o], w[o], k_per_block)
+            return pa.table({"v": pa.array(cv), "w": pa.array(cw2)})
+
+        parts = parts.map_batches(bucket, batch_format="pyarrow") \
+            .groupby("_b").map_groups(compact, batch_format="pyarrow")
+    rows = parts.take_all()
     if not rows:
         return pa.table({"q": pa.array([], type=pa.float64()),
                          "value": pa.array([], type=pa.float64())})

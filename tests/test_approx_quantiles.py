@@ -70,3 +70,24 @@ def test_grouped_approx_quantiles_bound(ray_session):
             est = got[(k, q)]
             rank = np.searchsorted(kv, est, side="right") / len(kv)
             assert abs(rank - q) < 0.02, (k, q, est)
+
+
+def test_approx_quantiles_two_level_compaction(ray_session):
+    """Enough partial rows to cross the bucketed-compaction threshold
+    (64*k): the intermediate re-stride keeps the driver fold bounded and
+    the result within the 2N/k two-level rank bound."""
+    import numpy as np
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.sketches import approx_quantiles
+
+    rng = np.random.default_rng(7)
+    n, k = 50_000, 64
+    vals = rng.normal(size=n)
+    ds = rd.from_items([{"v": float(x)} for x in vals]).repartition(150)
+    out = approx_quantiles(ds, "v", [0.1, 0.5, 0.9], k_per_block=k)
+    got = dict(zip(out["q"].to_pylist(), out["value"].to_pylist()))
+    s = np.sort(vals)
+    for q, gv in got.items():
+        rank = np.searchsorted(s, gv)
+        assert abs(rank - q * n) <= 2.5 * n / k + 150, (q, rank)
