@@ -205,9 +205,11 @@ def heavy_hitters(ds, col: str, min_frac: float = 0.01, k: int | None = None,
     without a full-key shuffle.
 
     Pass 1 (candidates): per-block MG survivors, <= k values/block,
-    unioned and dedup'd driver-side (bounded: k x blocks rows of keys,
-    no counts needed). k defaults to ceil(2/min_frac) so the MG no-miss
-    guarantee strictly covers the threshold.
+    dedup'd DISTRIBUTED through the coarse-bucket distinct
+    (blocks.hash_distinct) so the driver receives only the candidate
+    SET — |distinct survivors| rows, not k x blocks. k defaults to
+    ceil(2/min_frac) so the MG no-miss guarantee strictly covers the
+    threshold.
     Pass 2 (exact): candidate set broadcast via ray.put; each block
     counts ONLY candidate values map-side; a native groupby-sum over
     (candidate, partial) pairs — the shuffle is |candidates| x blocks
@@ -232,10 +234,18 @@ def heavy_hitters(ds, col: str, min_frac: float = 0.01, k: int | None = None,
         n = pa.array([0] * len(vals) + [batch.num_rows], type=pa.int64())
         return pa.table({col: v, "_n": n})
 
-    parts = ds.map_batches(fold, batch_format="pyarrow").take_all()
+    from ..blocks import hash_distinct
+
+    parts = ds.map_batches(fold, batch_format="pyarrow").materialize()
+    total = int(parts.sum("_n") or 0)
+    def _drop_null(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return b.filter(_pc.is_valid(b[col])).select([col])
+
+    nonnull = parts.map_batches(_drop_null, batch_format="pyarrow")
     cand = np.unique(np.asarray(
-        [r[col] for r in parts if r[col] is not None], dtype=object))
-    total = int(sum(r["_n"] for r in parts))
+        [r[col] for r in hash_distinct(nonnull, [col]).take_all()],
+        dtype=object))
     min_count = int(np.ceil(min_frac * total))
     if len(cand) == 0:
         return rd.from_arrow(pa.table({col: pa.array([], type=pa.string()),
