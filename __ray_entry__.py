@@ -2408,6 +2408,18 @@ def q_source_mix(sf_dir: str):
                              default_rate=0.1)
 
 
+def q_prep_chunks(sf_dir: str):
+    """Chunk-level curation flagship (pipelines/curation.prep_chunks):
+    normalize -> 256/192 context-window chunk -> exact chunk dedup ->
+    8192-budget packing. Fused map prep; only (id, chunk_id, n_chars,
+    fp) shuffles; one packing sort."""
+    from osmium_tool_ray.pipelines.curation import prep_chunks
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    return prep_chunks(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_bbox": q_extract_bbox,
@@ -2430,6 +2442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_topk": q_sort_topk,
         "fixed_k_sample": q_fixed_k_sample,
         "chunk_docs": q_chunk_docs,
+        "prep_chunks": q_prep_chunks,
         "source_mix": q_source_mix,
         "bigram_lm": q_bigram_lm,
         "length_buckets": q_length_buckets,
@@ -2828,6 +2841,39 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, text,
                          unnest(generate_series(0, last)) AS i
                   FROM d)""",
+        "prep_chunks": r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '\b(?:customer|supplier|part)\b', '<ENT>', 'g'),
+                            '  +', ' ', 'g'), ' ') AS clean
+                FROM documents),
+            ch AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                       substring(clean, CAST(i * 192 + 1 AS INTEGER), 256)
+                           AS chunk
+                FROM (SELECT doc_id, clean,
+                             unnest(generate_series(0,
+                                 (greatest(length(clean) - 256, 0) + 191)
+                                     // 192)) AS i
+                      FROM norm)),
+            surv AS (
+                SELECT doc_id, chunk_id,
+                       CAST(length(chunk) AS BIGINT) AS n_chars
+                FROM (SELECT doc_id, chunk_id, chunk,
+                             row_number() OVER (PARTITION BY chunk
+                                 ORDER BY doc_id, chunk_id) AS rn
+                      FROM ch)
+                WHERE rn = 1)
+            SELECT doc_id, chunk_id, n_chars,
+                   CAST(cumprev // 8192 AS BIGINT) AS bin,
+                   CAST(cumprev % 8192 AS BIGINT) AS "offset"
+            FROM (SELECT doc_id, chunk_id, n_chars,
+                         CAST(COALESCE(SUM(n_chars) OVER (
+                             ORDER BY doc_id, chunk_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS cumprev
+                  FROM surv)""",
         "source_mix": """
             SELECT doc_id, source, n_chars FROM documents
             WHERE (doc_id * 2654435761) % 2147483648

@@ -83,3 +83,62 @@ def curate_docs(docs, min_chars: int = 64, budget: int = 8192,
     return pack_survivors(
         curate_survivors(docs, min_chars, text_col, id_col),
         budget, id_col)
+
+
+def prep_chunks(docs, size: int = 256, stride: int = 192,
+                budget: int = 8192, text_col: str = "text",
+                id_col: str = "doc_id"):
+    """The chunk-level prep flagship: normalize -> context-window chunk
+    -> exact chunk dedup -> fixed-budget packing. This is curate_docs
+    one level deeper — dedup and packing operate on CHUNKS (the unit a
+    tokenizer consumes), so boilerplate shared across documents (headers,
+    license blocks) dedups even when the parent docs differ.
+
+    Same scale discipline as curate_docs: normalize+chunk+fingerprint
+    fuse into stateless map tasks, the dedup groupby shuffles only
+    (id, chunk_id, n_chars, fp), and the packing scan is one sort.
+    Returns (id_col, chunk_id:int64, n_chars:int64, bin:int64,
+    offset:int64)."""
+    import pandas as pd
+
+    from ..stages.text import Fingerprint, Normalizer, chunk_docs
+    from .windows import pack_bins
+
+    normalize = Normalizer(text_col=text_col)
+    fingerprint = Fingerprint(text_col="chunk")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return normalize(batch).select([id_col, "clean"])
+
+    chunks = chunk_docs(docs.map_batches(prep, batch_format="pyarrow"),
+                        size=size, stride=stride, text_col="clean",
+                        id_col=id_col)
+
+    def fp_narrow(batch: pa.Table) -> pa.Table:
+        return fingerprint(batch).select([id_col, "chunk_id", "n_chars",
+                                          "fp"])
+
+    printed = chunks.map_batches(fp_narrow, batch_format="pyarrow")
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [id_col, "chunk_id", "n_chars"]
+        if g.empty:
+            return g[cols] if set(cols) <= set(g.columns) else \
+                pd.DataFrame({c: [] for c in cols})
+        return g.sort_values([id_col, "chunk_id"], kind="stable") \
+            .head(1)[cols]
+
+    surv = printed.groupby("fp").map_groups(first_wins,
+                                            batch_format="pandas")
+    packed = pack_bins(surv, [id_col, "chunk_id"], "n_chars", budget)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col],
+            "chunk_id": batch["chunk_id"].cast(pa.int64()),
+            "n_chars": batch["n_chars"].cast(pa.int64()),
+            "bin": batch["bin"].cast(pa.int64()),
+            "offset": batch["offset"].cast(pa.int64()),
+        })
+
+    return packed.map_batches(fin, batch_format="pyarrow")

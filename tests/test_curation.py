@@ -42,3 +42,28 @@ def test_curate_vs_duckdb(ray_session):
     # dups lost, short doc filtered, winner is the smallest id
     assert 4 in mine and 10 not in mine and 11 not in mine
     assert 12 not in mine
+
+
+def test_prep_chunks_dedups_shared_boilerplate(ray_session):
+    """Chunk-level dedup: two different docs sharing a license-header
+    prefix long enough to align on the chunk grid keep only ONE copy of
+    the shared chunk; offsets re-pack contiguously."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmium_tool_ray.pipelines.curation import prep_chunks
+
+    header = "shared license header " * 12          # 264 chars > size
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array([header + "alpha body", header + "beta body"])}))
+    out = prep_chunks(docs, size=64, stride=64, budget=128).take_all()
+    # chunk 0 of doc 2 duplicates chunk 0 of doc 1 -> dropped
+    keys = {(r["doc_id"], r["chunk_id"]) for r in out}
+    assert (1, 0) in keys and (2, 0) not in keys
+    # every kept row has a valid (bin, offset) under contiguous packing
+    rows = sorted(out, key=lambda r: (r["doc_id"], r["chunk_id"]))
+    cum = 0
+    for r in rows:
+        assert r["bin"] == cum // 128 and r["offset"] == cum % 128
+        cum += r["n_chars"]
