@@ -2420,6 +2420,32 @@ def q_prep_chunks(sf_dir: str):
     return prep_chunks(docs)
 
 
+def q_scene_cuts(sf_dir: str):
+    """Shot-boundary detection (stages/media.SceneCut): every 100th event
+    becomes a 6-frame fake video with 3-frame static scenes; consecutive
+    frame pairs score mean |pixel diff| and flag hard cuts. Rows-only by
+    design (pixel generation is not SQL-expressible); pytest pins the
+    diffs against direct numpy."""
+    from osmium_tool_ray.stages.media import SceneCut, make_fake_videos
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def as_videos(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        sel = ids[ids % 100 == 0]
+        return pa.table({
+            "video_id": pa.array([f"v{i:010d}" for i in sel],
+                                 type=pa.string()),
+            "video": make_fake_videos(sel, n_frames=6, w=8, h=8,
+                                      scene_len=3),
+        })
+
+    videos = ev.map_batches(as_videos, batch_format="pyarrow")
+    return videos.map_batches(SceneCut, fn_constructor_kwargs={
+        "threshold": 16.0}, batch_format="pyarrow", batch_size=64,
+        concurrency=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_bbox": q_extract_bbox,
@@ -2443,6 +2469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fixed_k_sample": q_fixed_k_sample,
         "chunk_docs": q_chunk_docs,
         "prep_chunks": q_prep_chunks,
+        "scene_cuts": q_scene_cuts,
         "source_mix": q_source_mix,
         "bigram_lm": q_bigram_lm,
         "length_buckets": q_length_buckets,

@@ -82,17 +82,19 @@ class ExtractFeatures:
 
 
 def make_fake_videos(idx: np.ndarray, n_frames: int = 6, w: int = 8,
-                     h: int = 8) -> pa.Array:
+                     h: int = 8, scene_len: int = 1) -> pa.Array:
     """Deterministic fake video container: `n_frames` equal-size encoded
     frames (fake-png records) back-to-back per video. Frame f of video i
-    holds gen_pixels(i * 1000 + f) — byte-stable, so frame-sampling
-    pipelines can verify content."""
+    holds gen_pixels(i * 1000 + f // scene_len) — byte-stable, so
+    frame-sampling pipelines can verify content; scene_len > 1 repeats
+    each generated frame scene_len times (static scenes with hard cuts
+    between them, for scene-cut detection)."""
     from ..functions import imagecodec
 
     idx = np.asarray(idx, dtype=np.int64)
     frames = []
     for f in range(n_frames):
-        pix = imagecodec.gen_pixels(idx * 1000 + f, w, h)
+        pix = imagecodec.gen_pixels(idx * 1000 + f // scene_len, w, h)
         frames.append(imagecodec.encode_batch(
             pix, np.full(len(idx), "png"), w, h))
     recs = [b"".join(frames[f][i].as_py() for f in range(n_frames))
@@ -323,3 +325,66 @@ class Augment:
         return batch.set_column(
             batch.schema.get_field_index("h"), "h",
             pa.array(np.full(n, out_h, dtype=np.int32)))
+
+
+class SceneCut:
+    """Actor stage: hard-cut detection over the fake video container —
+    per consecutive frame pair, the mean absolute pixel difference and a
+    cut flag when it exceeds `threshold`. One output row per frame pair
+    (the shot-boundary explode of a video curation pipeline). A real
+    deployment swaps the record slicing + raw diff for an ffmpeg decode
+    + histogram distance inside the same actor method; the Ray-side
+    shape (binary in, per-pair rows out, small batch_size) is real.
+
+    Fully vectorized for the uniform-geometry batch (one reshape +
+    int16 diff across the frame axis); mixed geometries fall back to a
+    per-video slice loop."""
+
+    def __init__(self, threshold: float = 16.0, bytes_col: str = "video",
+                 id_col: str = "video_id"):
+        self.threshold = threshold
+        self.bytes_col, self.id_col = bytes_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.imagecodec import HEADER_LEN
+
+        empty = pa.table({
+            self.id_col: pa.array([], type=pa.string()),
+            "frame_no": pa.array([], type=pa.int32()),
+            "diff": pa.array([], type=pa.float64()),
+            "is_cut": pa.array([], type=pa.bool_()),
+        })
+        arr = batch[self.bytes_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        arr = arr.cast(pa.large_binary())
+        if len(arr) == 0:
+            return empty
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=str)
+        buf = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset:arr.offset + len(arr) + 1]
+        lens = np.diff(offs)
+        if not (lens == lens[0]).all() or lens[0] < HEADER_LEN:
+            raise ValueError("SceneCut expects uniform video records per batch")
+        w = int(buf[offs[0] + 4] | (buf[offs[0] + 5] << 8))
+        h = int(buf[offs[0] + 6] | (buf[offs[0] + 7] << 8))
+        rec_len = HEADER_LEN + w * h * 3
+        n_frames = int(lens[0]) // rec_len
+        if n_frames < 2:
+            return empty
+        # (videos, frames, rec_len) view; drop headers -> pixel cube
+        base = offs[:-1][:, None, None] \
+            + np.arange(n_frames)[None, :, None] * rec_len \
+            + np.arange(rec_len)[None, None, :]
+        cube = buf[base][:, :, HEADER_LEN:].astype(np.int16)
+        d = np.abs(np.diff(cube, axis=1)).mean(axis=2)   # (videos, n-1)
+        frames = np.tile(np.arange(1, n_frames, dtype=np.int32),
+                         len(arr))
+        diffs = d.reshape(-1)
+        return pa.table({
+            self.id_col: pa.array(np.repeat(ids, n_frames - 1),
+                                  type=pa.string()),
+            "frame_no": pa.array(frames),
+            "diff": pa.array(diffs),
+            "is_cut": pa.array(diffs > self.threshold),
+        })

@@ -164,3 +164,35 @@ def test_pil_roundtrip_real_codec():
     jpg = pilcodec.encode_batch(pix, np.array(["jpeg"] * 8))
     jp, _, _ = pilcodec.decode_batch(jpg)
     assert imagecodec.psnr(pix, jp).min() >= 20.0
+
+
+def test_scene_cut_vs_numpy(ray_session):
+    """SceneCut diffs equal the direct numpy frame diff; cuts land
+    exactly at scene boundaries (scene_len=3 -> cut at frame 3 only)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmium_tool_ray.functions.imagecodec import gen_pixels
+    from osmium_tool_ray.stages.media import SceneCut, make_fake_videos
+
+    idx = np.array([5, 17, 230], dtype=np.int64)
+    vids = pa.table({
+        "video_id": pa.array([f"v{i:010d}" for i in idx]),
+        "video": make_fake_videos(idx, n_frames=6, w=8, h=8, scene_len=3)})
+    out = rd.from_arrow(vids).map_batches(
+        SceneCut, fn_constructor_kwargs={"threshold": 16.0},
+        batch_format="pyarrow", concurrency=1).take_all()
+    got = {(r["video_id"], r["frame_no"]): (r["diff"], r["is_cut"])
+           for r in out}
+    assert len(got) == len(idx) * 5
+    for i in idx:
+        frames = [gen_pixels(np.array([i * 1000 + f // 3],
+                                      dtype=np.uint64), 8, 8)[0]
+                  for f in range(6)]
+        for f in range(1, 6):
+            want = np.abs(frames[f].astype(np.int16)
+                          - frames[f - 1].astype(np.int16)).mean()
+            d, cut = got[(f"v{i:010d}", f)]
+            assert abs(d - want) < 1e-12
+            assert cut == (f == 3)  # the single scene boundary
