@@ -45,14 +45,18 @@ def _lookup(dense: np.ndarray, keys: np.ndarray) -> np.ndarray:
 def region_revenue(lineitem, orders, customer: pa.Table, supplier: pa.Table,
                    nation: pa.Table, region: pa.Table, region_name: str,
                    date_lo: np.datetime64, date_hi: np.datetime64,
-                   num_partitions: int = 8):
+                   num_partitions: int = 8, broadcast_cap: int = 2_000_000):
     """TPC-H Q5 semantics: per-nation revenue from lineitems whose order
     was placed by a customer in `region_name` within [date_lo, date_hi),
     where the supplier is in the customer's nation.
 
     `lineitem` / `orders` are Datasets (unbounded facts); the four
     dimension tables are small pyarrow Tables broadcast as dense arrays.
-    Returns a Dataset of (n_name, revenue_c4:int64)."""
+    When the region+date-pruned orders side fits `broadcast_cap` rows it
+    broadcasts as sorted (orderkey, nation) arrays and the fact folds in
+    one pass with per-batch pre-agg — zero joins; past the cap the
+    hash-partitioned Acero join takes over. Returns a Dataset of
+    (n_name, revenue_c4:int64)."""
     import ray
 
     rkey = region.filter(
@@ -105,13 +109,66 @@ def region_revenue(lineitem, orders, customer: pa.Table, supplier: pa.Table,
             "rev_c4": pa.array(rev),
         })
 
+    from ray.data.aggregate import Sum
+
     o_proj = orders.map_batches(orders_side, batch_format="pyarrow") \
         .materialize()
-    l_proj = lineitem.map_batches(lineitem_side, batch_format="pyarrow") \
-        .materialize()
+    n_orders = o_proj.count()
     # fully-empty join sides crash Acero (CLAUDE.md landmine); at sf0
     # fall out early with the output schema intact
-    if o_proj.count() == 0 or l_proj.count() == 0:
+    if n_orders == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "n_name": pa.array([], type=pa.string()),
+            "revenue_c4": pa.array([], type=pa.int64())}))
+
+    if n_orders <= broadcast_cap:
+        # region+date pruning typically leaves a SMALL orders side —
+        # broadcast (orderkey -> c_nation) as sorted arrays and fold the
+        # fact in ONE pass with per-batch (nation, rev) pre-agg; no
+        # all-to-all join at all (the engine's broadcast-small-sides
+        # doctrine). The Acero join below remains the scale path.
+        rows = o_proj.take_all()
+        ok_arr = np.asarray([r["o_orderkey"] for r in rows], dtype=np.int64)
+        cn_arr = np.asarray([r["c_nation"] for r in rows], dtype=np.int64)
+        order = np.argsort(ok_arr, kind="stable")
+        omap_ref = ray.put((ok_arr[order], cn_arr[order]))
+
+        def fold(batch: pa.Table) -> pa.Table:
+            okeys, cnats = ray.get(omap_ref)
+            t = lineitem_side(batch)
+            lk = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(okeys, lk)
+            pos_c = np.minimum(pos, len(okeys) - 1)
+            hit = (pos < len(okeys)) & (okeys[pos_c] == lk)
+            same = hit & (cnats[pos_c]
+                          == t["s_nation"].to_numpy(zero_copy_only=False))
+            nat = t["s_nation"].to_numpy(zero_copy_only=False)[same]
+            rev = t["rev_c4"].to_numpy(zero_copy_only=False)[same]
+            un, inv = np.unique(nat, return_inverse=True)
+            return pa.table({
+                "nation": pa.array(un.astype(np.int64)),
+                "rev_c4": pa.array(np.bincount(inv, weights=rev)
+                                   .astype(np.int64)),
+            })
+
+        agg = lineitem.map_batches(fold, batch_format="pyarrow") \
+            .groupby("nation").aggregate(Sum("rev_c4",
+                                             alias_name="revenue_c4"))
+
+        def finish(batch: pa.Table) -> pa.Table:
+            nk = batch["nation"].to_pylist()
+            return pa.table({
+                "n_name": pa.array([name_of[int(k)] for k in nk],
+                                   type=pa.string()),
+                "revenue_c4": batch["revenue_c4"].cast(pa.int64()),
+            })
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    l_proj = lineitem.map_batches(lineitem_side, batch_format="pyarrow") \
+        .materialize()
+    if l_proj.count() == 0:
         import ray.data as rd
         return rd.from_arrow(pa.table({
             "n_name": pa.array([], type=pa.string()),
@@ -127,7 +184,6 @@ def region_revenue(lineitem, orders, customer: pa.Table, supplier: pa.Table,
         return pa.table({"nation": kept["s_nation"],
                          "rev_c4": kept["rev_c4"]})
 
-    from ray.data.aggregate import Sum
     agg = joined.map_batches(same_nation, batch_format="pyarrow") \
         .groupby("nation").aggregate(Sum("rev_c4", alias_name="revenue_c4"))
 

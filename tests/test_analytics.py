@@ -73,3 +73,23 @@ def test_region_revenue_empty_window(ray_session):
                          np.datetime64("1970-01-02"))
     assert out.take_all() == []
     assert set(out.schema().names) == {"n_name", "revenue_c4"}
+
+
+def test_region_revenue_join_path_parity(ray_session):
+    """broadcast_cap=0 forces the hash-partitioned Acero join (the scale
+    path); result must equal the broadcast-fold default."""
+    import ray.data as rd
+
+    lineitem = rd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    orders = rd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    args = (lineitem, orders, *_dims(), "ASIA",
+            np.datetime64("1995-01-01"), np.datetime64("1999-01-01"))
+    bc = {r["n_name"]: r["revenue_c4"]
+          for r in region_revenue(*args).take_all()}
+    jn = {r["n_name"]: r["revenue_c4"]
+          for r in region_revenue(*args, broadcast_cap=0).take_all()}
+    assert bc == jn and len(bc) > 0
