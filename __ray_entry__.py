@@ -2446,6 +2446,31 @@ def q_scene_cuts(sf_dir: str):
         concurrency=2)
 
 
+def q_audio_segments(sf_dir: str):
+    """Voice-activity segmentation (stages/media.AudioSegments): every
+    50th event becomes fake audio with deterministic silent windows;
+    consecutive voiced 500-sample frames merge into segments. Rows-only
+    by design (PCM generation is not SQL-expressible); pytest pins the
+    segmentation against direct numpy."""
+    from osmium_tool_ray.stages.media import AudioSegments, make_fake_audio
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def as_audio(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        sel = ids[ids % 50 == 0]
+        return pa.table({
+            "audio_id": pa.array([f"a{i:010d}" for i in sel],
+                                 type=pa.string()),
+            "audio": make_fake_audio(sel, silence_win=500),
+        })
+
+    audio = ev.map_batches(as_audio, batch_format="pyarrow")
+    return audio.map_batches(AudioSegments, fn_constructor_kwargs={
+        "frame": 500, "threshold": 1000.0}, batch_format="pyarrow",
+        batch_size=128, concurrency=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_bbox": q_extract_bbox,
@@ -2470,6 +2495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "prep_chunks": q_prep_chunks,
         "scene_cuts": q_scene_cuts,
+        "audio_segments": q_audio_segments,
         "source_mix": q_source_mix,
         "bigram_lm": q_bigram_lm,
         "length_buckets": q_length_buckets,

@@ -50,7 +50,7 @@ QUERY_NAMES = [
     "asof_join_events", "range_join_tiers", "quantiles_value",
     "user_quantiles", "weekly_retention", "daily_active_users",
     "fixed_k_sample", "bigram_lm", "length_buckets", "chunk_docs",
-    "source_mix", "prep_chunks", "scene_cuts",
+    "source_mix", "prep_chunks", "scene_cuts", "audio_segments",
 ]
 
 

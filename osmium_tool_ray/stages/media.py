@@ -189,12 +189,16 @@ _AUDIO_MAGIC = b"FAUD"
 
 
 def make_fake_audio(idx: np.ndarray, sr: int = 16_000,
-                    base_samples: int = 8_000, step: int = 1_600) -> pa.Array:
+                    base_samples: int = 8_000, step: int = 1_600,
+                    silence_win: int = 0) -> pa.Array:
     """Deterministic fake audio container (the ffmpeg/soundfile seam,
     like the fake image/video codecs): header = magic + sr(int32) +
     n_samples(int32), body = int16 PCM derived from splitmix64 of
     (id, sample_block). n_samples = base + (id % 5) * step, so duration
-    is an arithmetic function of the id — SQL-oracle-checkable."""
+    is an arithmetic function of the id — SQL-oracle-checkable.
+    silence_win > 0 zeroes every `silence_win`-sample window whose index
+    w satisfies (w + id) % 3 == 0 — deterministic speech/silence
+    alternation for segmentation pipelines."""
     from ..functions.hashing import hash64
 
     idx = np.asarray(idx, dtype=np.int64)
@@ -204,7 +208,10 @@ def make_fake_audio(idx: np.ndarray, sr: int = 16_000,
         nwords = (n + 3) // 4                   # 4 int16 per u64 word
         words = hash64(np.int64(i) * np.int64(1_000_003)
                        + np.arange(nwords, dtype=np.int64))
-        pcm = words.view(np.int16)[:n]
+        pcm = words.view(np.int16)[:n].copy()
+        if silence_win > 0:
+            w = np.arange(n) // silence_win
+            pcm[(w + i) % 3 == 0] = 0
         hdr = (_AUDIO_MAGIC
                + np.array([sr, n], dtype=np.int32).tobytes())
         out.append(hdr + pcm.tobytes())
@@ -387,4 +394,94 @@ class SceneCut:
             "frame_no": pa.array(frames),
             "diff": pa.array(diffs),
             "is_cut": pa.array(diffs > self.threshold),
+        })
+
+
+class AudioSegments:
+    """Actor stage: voice-activity segmentation — frame the PCM into
+    `frame` -sample windows, score per-frame RMS with one reduceat over
+    the batch's flat buffer, and merge consecutive voiced frames
+    (rms >= threshold) into segments. One output row per segment:
+    (id_col, seg_no:int32, start_ms:int64, end_ms:int64,
+    n_frames:int32). The speech-segmentation explode of an ASR data
+    pipeline; a real deployment swaps the RMS gate for a VAD model
+    forward pass inside the same actor method.
+
+    Fully vectorized across records: frame boundaries never straddle a
+    record (frames are cut per record), segment starts/ends come from
+    one flatnonzero over the voiced-transition mask."""
+
+    def __init__(self, frame: int = 500, threshold: float = 1000.0,
+                 bytes_col: str = "audio", id_col: str = "audio_id"):
+        self.frame, self.threshold = frame, threshold
+        self.bytes_col, self.id_col = bytes_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            self.id_col: pa.array([], type=pa.string()),
+            "seg_no": pa.array([], type=pa.int32()),
+            "start_ms": pa.array([], type=pa.int64()),
+            "end_ms": pa.array([], type=pa.int64()),
+            "n_frames": pa.array([], type=pa.int32()),
+        })
+        col = batch[self.bytes_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.cast(pa.large_binary())
+        nrec = len(col)
+        if nrec == 0:
+            return empty
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=str)
+        buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+            col.offset:col.offset + nrec + 1]
+        starts = offs[:-1]
+        hdr_idx = (starts[:, None] + 4 + np.arange(8)[None, :]).ravel()
+        hdr = buf[hdr_idx].reshape(-1, 8).copy().view(np.int32)
+        srs, ns = hdr[:, 0].astype(np.int64), hdr[:, 1].astype(np.int64)
+        seg_starts = starts + 12
+        flat_idx = np.concatenate(
+            [np.arange(s, s + n * 2) for s, n in zip(seg_starts, ns)])
+        pcm = buf[flat_idx].copy().view(np.int16).astype(np.float64)
+        rec_bounds = np.concatenate([[0], np.cumsum(ns)])
+        # frames cut per record: ceil(n/frame) frames each
+        f_per_rec = -(-ns // self.frame)
+        total_f = int(f_per_rec.sum())
+        frec = np.repeat(np.arange(nrec), f_per_rec)       # frame -> record
+        fi = np.arange(total_f) - np.repeat(
+            np.cumsum(f_per_rec) - f_per_rec, f_per_rec)   # frame idx in rec
+        fstart = rec_bounds[frec] + fi * self.frame
+        fend = np.minimum(fstart + self.frame, rec_bounds[frec + 1])
+        sq = np.add.reduceat(pcm * pcm, fstart) \
+            if len(pcm) else np.zeros(total_f)
+        rms = np.sqrt(sq / np.maximum(fend - fstart, 1))
+        voiced = rms >= self.threshold
+        # segment starts: voiced frame whose predecessor is unvoiced or
+        # belongs to another record
+        prev_v = np.concatenate([[False], voiced[:-1]])
+        prev_rec = np.concatenate([[-1], frec[:-1]])
+        seg_start_f = np.flatnonzero(voiced & (~prev_v
+                                               | (prev_rec != frec)))
+        if not len(seg_start_f):
+            return empty
+        next_v = np.concatenate([voiced[1:], [False]])
+        next_rec = np.concatenate([frec[1:], [-1]])
+        seg_end_f = np.flatnonzero(voiced & (~next_v | (next_rec != frec)))
+        rec_of = frec[seg_start_f]
+        # per-record 0-based segment numbering (vectorized run reset)
+        new_rec = np.ones(len(rec_of), dtype=bool)
+        new_rec[1:] = rec_of[1:] != rec_of[:-1]
+        first_idx = np.maximum.accumulate(
+            np.where(new_rec, np.arange(len(rec_of)), 0))
+        seg_no = (np.arange(len(rec_of)) - first_idx).astype(np.int32)
+        sr_of = srs[rec_of]
+        start_samp = fi[seg_start_f] * self.frame
+        end_samp = np.minimum((fi[seg_end_f] + 1) * self.frame, ns[rec_of])
+        return pa.table({
+            self.id_col: pa.array(ids[rec_of], type=pa.string()),
+            "seg_no": pa.array(seg_no),
+            "start_ms": pa.array(start_samp * 1000 // sr_of),
+            "end_ms": pa.array(end_samp * 1000 // sr_of),
+            "n_frames": pa.array((seg_end_f - seg_start_f + 1)
+                                 .astype(np.int32)),
         })

@@ -66,3 +66,57 @@ def test_audio_actor_stage(ray_session):
     durs = {r["audio_id"]: r["duration_s"] for r in rows}
     assert durs["a0"] == pytest.approx(0.5)
     assert durs["a3"] == pytest.approx((8_000 + 3 * 1_600) / 16_000)
+
+
+def test_audio_segments_vs_numpy(ray_session):
+    """AudioSegments vs a direct numpy segmentation of the same PCM:
+    silence_win=500-framed fake audio alternates voiced/silent windows
+    by (w + id) % 3 == 0, so segment boundaries are known exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmium_tool_ray.functions.hashing import hash64
+    from osmium_tool_ray.stages.media import AudioSegments, make_fake_audio
+
+    idx = np.array([3, 7, 12], dtype=np.int64)
+    tbl = pa.table({
+        "audio_id": pa.array([f"a{i:04d}" for i in idx]),
+        "audio": make_fake_audio(idx, silence_win=500)})
+    out = rd.from_arrow(tbl).map_batches(
+        AudioSegments, fn_constructor_kwargs={"frame": 500,
+                                              "threshold": 1000.0},
+        batch_format="pyarrow", concurrency=1).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["audio_id"], []).append(
+            (r["seg_no"], r["start_ms"], r["end_ms"], r["n_frames"]))
+    for i in idx:
+        n = int(8000 + (i % 5) * 1600)
+        nwords = (n + 3) // 4
+        words = hash64(np.int64(i) * np.int64(1_000_003)
+                       + np.arange(nwords, dtype=np.int64))
+        pcm = words.view(np.int16)[:n].astype(np.float64).copy()
+        w = np.arange(n) // 500
+        pcm[(w + i) % 3 == 0] = 0.0
+        # numpy reference segmentation over 500-sample frames
+        nf = -(-n // 500)
+        voiced = []
+        for f in range(nf):
+            seg = pcm[f * 500:min((f + 1) * 500, n)]
+            voiced.append(np.sqrt((seg * seg).mean()) >= 1000.0)
+        expect, seg_no, f = [], 0, 0
+        while f < nf:
+            if voiced[f]:
+                g = f
+                while g + 1 < nf and voiced[g + 1]:
+                    g += 1
+                start = f * 500
+                end = min((g + 1) * 500, n)
+                expect.append((seg_no, start * 1000 // 16000,
+                               end * 1000 // 16000, g - f + 1))
+                seg_no += 1
+                f = g + 1
+            else:
+                f += 1
+        assert sorted(got[f"a{i:04d}"]) == expect, i
