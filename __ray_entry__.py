@@ -2471,6 +2471,27 @@ def q_audio_segments(sf_dir: str):
         batch_size=128, concurrency=2)
 
 
+def q_asof_join_forward(sf_dir: str):
+    """Forward as-of join (pipelines/windows.asof_join direction=
+    "forward"): each purchase attaches the NEXT click at-or-after it per
+    user — the lead-lookup twin of asof_join_events, same single
+    key-hash shuffle."""
+    from osmium_tool_ray.pipelines.windows import asof_join
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    left = ev.filter(expr="event_type == 'purchase'")         .select_columns(["event_id", "user_id", "ts"])
+    right = ev.filter(expr="event_type == 'click'")         .select_columns(["user_id", "ts"])
+    out = asof_join(left, right, "user_id", "ts", ["ts"],
+                    suffix="_next", direction="forward")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "click_ts": batch["ts_next"]})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_bbox": q_extract_bbox,
@@ -2496,6 +2517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prep_chunks": q_prep_chunks,
         "scene_cuts": q_scene_cuts,
         "audio_segments": q_audio_segments,
+        "asof_join_forward": q_asof_join_forward,
         "source_mix": q_source_mix,
         "bigram_lm": q_bigram_lm,
         "length_buckets": q_length_buckets,
@@ -3259,6 +3281,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round(value * 100) AS BIGINT))
                         AS BIGINT) AS total
             FROM events GROUP BY "window", event_type""",
+        "asof_join_forward": """
+            SELECT l.event_id, l.user_id,
+                   (SELECT MIN(r.ts) FROM events r
+                    WHERE r.user_id = l.user_id
+                      AND r.event_type = 'click'
+                      AND r.ts >= l.ts) AS click_ts
+            FROM events l WHERE l.event_type = 'purchase'""",
         "asof_join_events": """
             SELECT l.event_id, l.user_id, r.ts AS click_ts
             FROM (SELECT event_id, user_id, ts FROM events

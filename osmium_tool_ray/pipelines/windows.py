@@ -167,15 +167,20 @@ def range_join(left, bands, value_col: str, lo_col: str = "lo",
 
 
 def asof_join(left, right, key_col: str, ts_col: str,
-              right_cols: list[str], suffix: str = "_r"):
-    """Backward as-of join: for every left row, attach the right row with
-    the LARGEST right.ts <= left.ts for the same key (DuckDB `ASOF LEFT
-    JOIN ... ON l.k = r.k AND l.ts >= r.ts` semantics, inclusive).
-    Unmatched left rows keep nulls.
+              right_cols: list[str], suffix: str = "_r",
+              direction: str = "backward"):
+    """As-of join: for every left row, attach the right row with the
+    LARGEST right.ts <= left.ts (direction="backward", DuckDB `ASOF LEFT
+    JOIN ... ON l.k = r.k AND l.ts >= r.ts` semantics, inclusive) or the
+    SMALLEST right.ts >= left.ts (direction="forward" — the
+    next-event/lead lookup) for the same key. Unmatched left rows keep
+    nulls.
 
     Both sides are tagged and unioned so ONE hash shuffle co-locates each
     key; the per-group merge is a numpy searchsorted over the sorted
     right timestamps (vectorized across all left rows of the group)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     lschema = left.schema()
     rschema = right.schema()
     ltypes = dict(zip(lschema.names, lschema.types))
@@ -218,9 +223,13 @@ def asof_join(left, right, key_col: str, ts_col: str,
         rts = rg[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         order = np.argsort(rts, kind="stable")
-        idx = np.searchsorted(rts[order], lts, side="right") - 1
-        found = idx >= 0
-        take = order[np.maximum(idx, 0)]
+        if direction == "backward":
+            idx = np.searchsorted(rts[order], lts, side="right") - 1
+            found = idx >= 0
+        else:
+            idx = np.searchsorted(rts[order], lts, side="left")
+            found = idx < len(rts)
+        take = order[np.clip(idx, 0, len(rts) - 1)]
         for c in right_cols:
             vals = rg[c].take(pa.array(take, type=pa.int64()))
             vals = vals.combine_chunks() if isinstance(

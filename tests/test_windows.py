@@ -89,3 +89,56 @@ def test_asof_join_unmatched_and_exact_ts(ray_session):
     rows = {r["event_id"]: r["mark_r"] for r in out.take_all()}
     # exact-equal ts matches (inclusive); user 2 has no right rows
     assert rows == {1: 42.0, 2: 42.0, 3: None}
+
+
+def test_asof_join_forward_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmium_tool_ray.pipelines.windows import asof_join
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    left_tbl = pa.table({
+        "lid": pa.array(np.arange(n, dtype=np.int64)),
+        "k": pa.array(rng.integers(0, 40, n)),
+        "ts": pa.array(rng.integers(0, 10**6, n)).cast(pa.timestamp("us")),
+    })
+    right_tbl = pa.table({
+        "k": pa.array(rng.integers(0, 40, n // 2)),
+        "ts": pa.array(rng.integers(0, 10**6, n // 2))
+            .cast(pa.timestamp("us")),
+        "val": pa.array(rng.integers(0, 1000, n // 2)),
+    })
+    out = asof_join(rd.from_arrow(left_tbl).repartition(5),
+                    rd.from_arrow(right_tbl).repartition(3),
+                    "k", "ts", ["val"], direction="forward").take_all()
+    mine = {r["lid"]: r["val_r"] for r in out}
+    want = dict(duckdb.sql("""
+        SELECT lid, (SELECT r.val FROM right_tbl r
+                     WHERE r.k = l.k AND r.ts >= l.ts
+                     ORDER BY r.ts, r.val LIMIT 1) AS val
+        FROM left_tbl l""").fetchall())
+    # ties on equal forward ts may pick any row; compare the attached ts
+    # semantics instead when val differs: re-check via min-ts condition
+    import collections
+    rmap = collections.defaultdict(list)
+    for k, ts, val in zip(right_tbl["k"].to_pylist(),
+                          right_tbl["ts"].to_pylist(),
+                          right_tbl["val"].to_pylist()):
+        rmap[k].append((ts, val))
+    lk = dict(zip(left_tbl["lid"].to_pylist(),
+                  zip(left_tbl["k"].to_pylist(),
+                      left_tbl["ts"].to_pylist())))
+    assert set(mine) == set(want)
+    for lid, got_val in mine.items():
+        k, ts = lk[lid]
+        cand = sorted((t, v) for t, v in rmap[k] if t >= ts)
+        if not cand:
+            assert got_val is None
+        else:
+            min_ts = cand[0][0]
+            allowed = {v for t, v in cand if t == min_ts}
+            assert got_val in allowed, lid
