@@ -2492,6 +2492,34 @@ def q_asof_join_forward(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_heavy_words_per_lang(sf_dir: str):
+    """Per-key heavy hitters (stages/sketches.heavy_hitters_per_key):
+    words in >= 2% of each LANGUAGE's tokens — per-block per-key MG
+    survivors, coarse-bucket distinct candidates, broadcast exact
+    verify. The grouped form of heavy_words."""
+    import pyarrow.compute as pc
+    from osmium_tool_ray.stages.sketches import heavy_hitters_per_key
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["lang", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"].cast(pa.string())), r"\s+")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=str)
+        w = flat.to_numpy(zero_copy_only=False).astype(str)
+        keep = w != ""
+        return pa.table({
+            "lang": pa.array(np.repeat(langs, lens)[keep],
+                             type=pa.string()),
+            "word": pa.array(w[keep], type=pa.string())})
+
+    tokens = docs.map_batches(explode, batch_format="pyarrow")
+    return heavy_hitters_per_key(tokens, "lang", "word", min_frac=0.02)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_bbox": q_extract_bbox,
@@ -2518,6 +2546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scene_cuts": q_scene_cuts,
         "audio_segments": q_audio_segments,
         "asof_join_forward": q_asof_join_forward,
+        "heavy_words_per_lang": q_heavy_words_per_lang,
         "source_mix": q_source_mix,
         "bigram_lm": q_bigram_lm,
         "length_buckets": q_length_buckets,
@@ -3281,6 +3310,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round(value * 100) AS BIGINT))
                         AS BIGINT) AS total
             FROM events GROUP BY "window", event_type""",
+        "heavy_words_per_lang": r"""
+            WITH words AS (
+                SELECT lang, t.w AS word
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '\s+')) AS t(w)
+                WHERE t.w <> ''),
+            tot AS (SELECT lang, COUNT(*) AS n FROM words GROUP BY lang),
+            c AS (SELECT lang, word, COUNT(*) AS c
+                  FROM words GROUP BY lang, word)
+            SELECT c.lang, c.word, CAST(c.c AS BIGINT) AS cnt
+            FROM c JOIN tot USING (lang)
+            WHERE c.c >= ceil(0.02 * n)""",
         "asof_join_forward": """
             SELECT l.event_id, l.user_id,
                    (SELECT MIN(r.ts) FROM events r

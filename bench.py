@@ -51,7 +51,7 @@ QUERY_NAMES = [
     "user_quantiles", "weekly_retention", "daily_active_users",
     "fixed_k_sample", "bigram_lm", "length_buckets", "chunk_docs",
     "source_mix", "prep_chunks", "scene_cuts", "audio_segments",
-    "asof_join_forward",
+    "asof_join_forward", "heavy_words_per_lang",
 ]
 
 

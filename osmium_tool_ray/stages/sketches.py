@@ -520,3 +520,128 @@ def approx_quantiles_per_key(ds, key_col: str, value_col: str, qs,
     return ds.select_columns([key_col, value_col]) \
         .map_batches(fold, batch_format="pyarrow") \
         .groupby(key_col).map_groups(merge, batch_format="pyarrow")
+
+
+def heavy_hitters_per_key(ds, key_col: str, col: str, min_frac: float = 0.02,
+                          k: int | None = None, count_col: str = "cnt"):
+    """Per-key heavy hitters — exact values occurring in >= ceil(min_frac
+    * N_key) of each key's rows (top terms per language, frequent tags
+    per region), without shuffling the full (key, value) space.
+
+    Same two-pass shape as heavy_hitters, applied per key:
+      1. candidates: per-block Misra-Gries survivors WITHIN each key
+         (vectorized: one (key, value) lexsort for block counts + one
+         (key, -count) lexsort for the per-key (k+1)-th threshold), then
+         coarse-bucket distinct — the per-key pigeonhole keeps the
+         no-miss guarantee (a value with within-key count > N_key/(k+1)
+         survives in some block);
+      2. exact verify: candidate pairs broadcast as one sorted composite
+         array, each block counts only candidates map-side, one native
+         groupby Sum; per-key totals come from a narrow Count groupby
+         and broadcast (|keys| rows).
+    Returns a Dataset(key_col, col, count_col:int64)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..blocks import hash_distinct
+
+    if k is None:
+        k = int(np.ceil(2.0 / min_frac))
+
+    SEP = "\x1f"  # numpy U-dtype strips trailing \x00, breaking the composite
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key_col].to_pylist(), dtype=str)
+        vals = np.asarray(batch[col].to_pylist(), dtype=str)
+        if not len(keys):
+            return pa.table({key_col: pa.array([], type=pa.string()),
+                             col: pa.array([], type=pa.string())})
+        o = np.lexsort((vals, keys))
+        ks, vs = keys[o], vals[o]
+        new = np.ones(len(ks), dtype=bool)
+        new[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(ks)))
+        gk, gv = ks[starts], vs[starts]
+        # per-key (k+1)-th largest count as the MG threshold
+        o2 = np.lexsort((-cnt, gk))
+        gk2 = gk[o2]
+        newk = np.ones(len(gk2), dtype=bool)
+        newk[1:] = gk2[1:] != gk2[:-1]
+        first = np.maximum.accumulate(
+            np.where(newk, np.arange(len(gk2)), 0))
+        rank = np.arange(len(gk2)) - first          # 0-based within key
+        thr = np.full(len(gk2), -1, dtype=np.int64)
+        kth = rank == k                             # the (k+1)-th entry
+        # threshold per key = count of its (k+1)-th entry (keys with <= k
+        # distinct values keep everything: thr stays -1)
+        cnt2 = cnt[o2]
+        thr_per_first = np.zeros(len(gk2), dtype=np.int64) - 1
+        np.maximum.at(thr_per_first, first[kth], cnt2[kth])
+        thr = thr_per_first[first]
+        keep = cnt2 > thr
+        sel = o2[keep]
+        return pa.table({key_col: pa.array(gk[sel], type=pa.string()),
+                         col: pa.array(gv[sel], type=pa.string())})
+
+    narrow = ds.select_columns([key_col, col])
+    cand_rows = hash_distinct(
+        narrow.map_batches(survivors, batch_format="pyarrow"),
+        [key_col, col]).take_all()
+    if not cand_rows:
+        return rd.from_arrow(pa.table({
+            key_col: pa.array([], type=pa.string()),
+            col: pa.array([], type=pa.string()),
+            count_col: pa.array([], type=pa.int64())}))
+    cand = np.sort(np.asarray(
+        [f"{r[key_col]}{SEP}{r[col]}" for r in cand_rows], dtype=str))
+    cand_ref = ray.put(cand)
+
+    totals = {r[key_col]: int(r["count()"])
+              for r in narrow.groupby(key_col).count().take_all()}
+    min_of = {kk: int(np.ceil(min_frac * n)) for kk, n in totals.items()}
+    min_ref = ray.put(min_of)
+
+    def count_cand(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        keys = np.asarray(batch[key_col].to_pylist(), dtype=str)
+        vals = np.asarray(batch[col].to_pylist(), dtype=str)
+        comp = np.char.add(np.char.add(keys, SEP), vals)
+        pos = np.searchsorted(cs, comp)
+        pos_c = np.minimum(pos, len(cs) - 1)
+        hit = (pos < len(cs)) & (cs[pos_c] == comp)
+        if not hit.any():
+            return pa.table({key_col: pa.array([], type=pa.string()),
+                             col: pa.array([], type=pa.string()),
+                             "_c": pa.array([], type=pa.int64())})
+        hk, hv = keys[hit], vals[hit]
+        o = np.lexsort((hv, hk))
+        hk, hv = hk[o], hv[o]
+        new = np.ones(len(hk), dtype=bool)
+        new[1:] = (hk[1:] != hk[:-1]) | (hv[1:] != hv[:-1])
+        starts = np.flatnonzero(new)
+        c = np.diff(np.append(starts, len(hk)))
+        return pa.table({key_col: pa.array(hk[starts], type=pa.string()),
+                         col: pa.array(hv[starts], type=pa.string()),
+                         "_c": pa.array(c.astype(np.int64))})
+
+    summed = narrow.map_batches(count_cand, batch_format="pyarrow") \
+        .groupby([key_col, col]).aggregate(Sum("_c", alias_name="_c"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if "_c" not in batch.schema.names or batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], type=pa.string()),
+                             col: pa.array([], type=pa.string()),
+                             count_col: pa.array([], type=pa.int64())})
+        mins = ray.get(min_ref)
+        keys = batch[key_col].to_pylist()
+        c = batch["_c"].to_numpy(zero_copy_only=False)
+        keep = np.asarray([ci >= mins.get(kk, 1)
+                           for kk, ci in zip(keys, c)])
+        out = batch.filter(pa.array(keep))
+        return pa.table({key_col: out[key_col].cast(pa.string()),
+                         col: out[col].cast(pa.string()),
+                         count_col: out["_c"].cast(pa.int64())})
+
+    return summed.map_batches(finish, batch_format="pyarrow")

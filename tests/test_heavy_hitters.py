@@ -79,3 +79,35 @@ def test_heavy_hitters_uniform_plus_one(ray_session):
     got = {r["value"]: r["cnt"]
            for r in heavy_hitters(ds, "value", min_frac=0.05).take_all()}
     assert got == {"hot": 800}
+
+
+def test_heavy_hitters_per_key_vs_exact(ray_session):
+    """Grouped MG: per-key thresholds are independent (a value heavy in
+    one key but rare in another appears only for the heavy key); parity
+    vs a full pandas groupby count."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.sketches import heavy_hitters_per_key
+
+    rng = np.random.default_rng(11)
+    keys, vals = [], []
+    for lang, vocab, n in [("en", ["the", "cat", "dog", "rare"], 4000),
+                           ("de", ["der", "the", "und"], 1500)]:
+        p = np.array([0.5, 0.3, 0.15, 0.05])[:len(vocab)]
+        p = p / p.sum()
+        draws = rng.choice(vocab, n, p=p)
+        keys += [lang] * n
+        vals += list(draws)
+    tbl = pa.table({"lang": pa.array(keys), "word": pa.array(vals)})
+    out = heavy_hitters_per_key(
+        rd.from_arrow(tbl).repartition(7), "lang", "word",
+        min_frac=0.2).take_all()
+    got = {(r["lang"], r["word"]): r["cnt"] for r in out}
+    import collections
+    exact = collections.Counter(zip(keys, vals))
+    tot = collections.Counter(keys)
+    want = {kv: c for kv, c in exact.items()
+            if c >= np.ceil(0.2 * tot[kv[0]])}
+    assert got == want and len(got) > 0
