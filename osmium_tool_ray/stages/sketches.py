@@ -542,7 +542,7 @@ def heavy_hitters_per_key(ds, key_col: str, col: str, min_frac: float = 0.02,
     Returns a Dataset(key_col, col, count_col:int64)."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from ..blocks import hash_distinct
 
@@ -598,8 +598,19 @@ def heavy_hitters_per_key(ds, key_col: str, col: str, min_frac: float = 0.02,
         [f"{r[key_col]}{SEP}{r[col]}" for r in cand_rows], dtype=str))
     cand_ref = ray.put(cand)
 
-    totals = {r[key_col]: int(r["count()"])
-              for r in narrow.groupby(key_col).count().take_all()}
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        ks = np.asarray(batch[key_col].to_pylist(), dtype=str)
+        uk, c = np.unique(ks, return_counts=True)
+        return pa.table({key_col: pa.array(uk, type=pa.string()),
+                         "_n": pa.array(c.astype(np.int64))})
+
+    # per-key totals pre-aggregate per batch, so the groupby shuffles
+    # |keys| x blocks rows, never the raw token stream
+    totals = {r[key_col]: int(r["_n"])
+              for r in narrow.map_batches(tot_partial,
+                                          batch_format="pyarrow")
+              .groupby(key_col).aggregate(Sum("_n", alias_name="_n"))
+              .take_all()}
     min_of = {kk: int(np.ceil(min_frac * n)) for kk, n in totals.items()}
     min_ref = ray.put(min_of)
 
