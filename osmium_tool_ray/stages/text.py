@@ -851,17 +851,39 @@ def chunk_docs(docs, size: int, stride: int | None = None,
     already contained in its predecessor is not emitted); empty docs
     keep one empty chunk, so no row is silently dropped.
 
-    Pure map-side and fully vectorized: chunk extraction gathers bytes
-    straight out of the Arrow string VALUES buffer with one repeat/
-    cumsum-built index vector — no per-row Python, no shuffle. Chunk
-    boundaries are byte offsets (== character offsets for this corpus's
-    ASCII text; the SQL twin's `substring` counts characters).
+    Pure map-side and fully vectorized: for ASCII batches (byte length
+    == codepoint length) chunk extraction gathers bytes straight out of
+    the Arrow string VALUES buffer with one repeat/cumsum-built index
+    vector — no per-row Python, no shuffle. Batches containing
+    multi-byte codepoints route per CHUNK ORDINAL through
+    pc.utf8_slice_codeunits (codepoint-exact, matching the SQL twin's
+    `substring` semantics; one vectorized slice per ordinal).
 
     Returns (id_col, chunk_id:int64, chunk:string, n_chars:int64)."""
     if stride is None:
         stride = size
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+
+    def chunk_unicode(batch: pa.Table, chars: np.ndarray) -> pa.Table:
+        n_chunks = -(-np.maximum(chars - size, 0) // stride) + 1
+        pieces = []
+        for ci in range(int(n_chunks.max())):
+            sel = np.flatnonzero(n_chunks > ci)
+            sub = batch.take(pa.array(sel))
+            sl = pc.utf8_slice_codeunits(
+                sub[text_col].cast(pa.string()),
+                ci * stride, ci * stride + size)
+            sl = sl.combine_chunks() if isinstance(
+                sl, pa.ChunkedArray) else sl
+            pieces.append(pa.table({
+                id_col: sub[id_col],
+                "chunk_id": pa.array(np.full(len(sel), ci,
+                                             dtype=np.int64)),
+                "chunk": sl,
+                "n_chars": pc.utf8_length(sl).cast(pa.int64()),
+            }))
+        return pa.concat_tables(pieces)
 
     def chunk(batch: pa.Table) -> pa.Table:
         txt = batch[text_col].cast(pa.large_string())
@@ -872,6 +894,11 @@ def chunk_docs(docs, size: int, stride: int | None = None,
         buf = np.frombuffer(txt.buffers()[2], dtype=np.uint8) \
             if txt.buffers()[2] is not None else np.empty(0, np.uint8)
         lens = np.diff(offs)
+        if batch.num_rows:
+            chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if (chars != lens).any():   # multi-byte codepoints present
+                return chunk_unicode(batch, chars)
         n_chunks = -(-np.maximum(lens - size, 0) // stride) + 1
         tot = int(n_chunks.sum())
         doc_rep = np.repeat(np.arange(batch.num_rows), n_chunks)

@@ -126,3 +126,27 @@ def test_chunk_docs_overlap_and_edges(ray_session):
     c0 = sorted((r["chunk_id"], r["chunk"]) for r in out2
                 if r["doc_id"] == 3)
     assert c0 == [(0, "abc"), (1, "def")]  # no empty third chunk
+
+
+def test_chunk_docs_unicode_codepoints(ray_session):
+    """Non-ASCII batches chunk by CODEPOINTS (DuckDB substring
+    semantics), not bytes — boundaries land between multi-byte chars."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.text import chunk_docs
+
+    text = "äöü" * 4                       # 12 chars, 24 bytes
+    tbl = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                    "text": pa.array([text, "plain ascii here"])})
+    out = chunk_docs(rd.from_arrow(tbl), size=5, stride=4).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk"], r["n_chars"]))
+    for did, src in ((0, text), (1, "plain ascii here")):
+        n = len(src)
+        n_chunks = max(0, -(-(n - 5) // 4)) + 1
+        expect = [(ci, src[ci * 4:ci * 4 + 5],
+                   len(src[ci * 4:ci * 4 + 5])) for ci in range(n_chunks)]
+        assert sorted(got[did]) == expect, did
