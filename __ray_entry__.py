@@ -1422,6 +1422,16 @@ def q_repetition_docs(sf_dir: str):
     return repetition_score(_docs(sf_dir, ["doc_id", "text"]), n=3)
 
 
+def q_dup_spans(sf_dir: str):
+    """Cross-doc duplicate word-8-gram spans (stages/text.dup_spans):
+    the substring-dedup diagnostics table (Lee et al. 2022) — every
+    8-gram appearing in >= 2 distinct documents, with doc + occurrence
+    counts; two native narrow-string shuffles, no count-distinct."""
+    from osmium_tool_ray.stages.text import dup_spans
+
+    return dup_spans(_docs(sf_dir, ["doc_id", "text"]), n=8, min_docs=2)
+
+
 def q_doc_lm_score(sf_dir: str):
     """Unigram corpus-frequency score (stages/text.doc_lm_score): fold
     corpus word counts, broadcast, one streaming lookup pass — mean
@@ -2593,6 +2603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top": q_vocab_top,
         "contamination_docs": q_contamination,
         "repetition_docs": q_repetition_docs,
+        "dup_spans": q_dup_spans,
         "doc_lm_score": q_doc_lm_score,
         "approx_quantiles_value": q_approx_quantiles,
         "curate_docs": q_curate_docs,
@@ -3208,6 +3219,22 @@ def oracle_sql() -> dict[str, str]:
                                  / CAST(a.total AS DOUBLE)
                         ELSE 0.0 END AS rep_ratio
             FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "dup_spans": r"""
+            WITH arrs AS (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '\s+') AS arr
+                FROM documents),
+            dg AS (
+                SELECT doc_id, array_to_string(arr[i:i+7], ' ') AS g
+                FROM (SELECT doc_id, arr,
+                             unnest(generate_series(1, len(arr) - 7)) AS i
+                      FROM arrs)),
+            per_doc AS (SELECT g, doc_id, count(*) AS c
+                        FROM dg GROUP BY 1, 2)
+            SELECT g AS gram,
+                   count(*) AS n_docs,
+                   CAST(SUM(c) AS BIGINT) AS n_occurrences
+            FROM per_doc GROUP BY g HAVING count(*) >= 2""",
         "doc_lm_score": r"""
             WITH words AS (
                 SELECT doc_id, t.w AS word

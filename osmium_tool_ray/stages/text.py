@@ -452,12 +452,12 @@ def vocab_build(docs, text_col: str = "text", min_count: int = 2):
     return rd.from_arrow_refs(ranked)
 
 
-def _word_ngram_windows(batch: pa.Table, text_col: str, n: int):
+def _word_ngram_window_strings(batch: pa.Table, text_col: str, n: int):
     """Vectorized word n-gram extraction over a batch: returns
-    (doc_index_per_window, window_hash:uint64). Word arrays are flattened
-    once; window start indices come from the cumulative-offset arange
-    trick (no per-doc Python loop); the n-gram string is built with n-1
-    vectorized concats and hashed with the shared FNV-1a kernel."""
+    (doc_index_per_window, gram_string:np U-array). Word arrays are
+    flattened once; window start indices come from the cumulative-offset
+    arange trick (no per-doc Python loop); the n-gram string is built
+    with n-1 vectorized concats."""
     words = pc.split_pattern_regex(
         pc.utf8_lower(batch[text_col].cast(pa.string())), r"\s+")
     words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) \
@@ -469,7 +469,7 @@ def _word_ngram_windows(batch: pa.Table, text_col: str, n: int):
     wins = np.maximum(lens - n + 1, 0)
     total = int(wins.sum())
     if total == 0:
-        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype="U1"))
     doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), wins)
     cw = np.cumsum(wins)
     within = np.arange(total, dtype=np.int64) - np.repeat(cw - wins, wins)
@@ -477,6 +477,16 @@ def _word_ngram_windows(batch: pa.Table, text_col: str, n: int):
     grams = flat[start]
     for j in range(1, n):
         grams = np.char.add(np.char.add(grams, " "), flat[start + j])
+    return doc_idx, grams
+
+
+def _word_ngram_windows(batch: pa.Table, text_col: str, n: int):
+    """(doc_index_per_window, window_hash:uint64) — the hashed form of
+    _word_ngram_window_strings, for membership/count ops that never need
+    the gram text back (hashes shuffle as fixed-width ints)."""
+    doc_idx, grams = _word_ngram_window_strings(batch, text_col, n)
+    if len(grams) == 0:
+        return doc_idx, np.empty(0, dtype=np.uint64)
     return doc_idx, hash_str_u64(pa.array(grams))
 
 
@@ -567,6 +577,58 @@ def repetition_score(docs, n: int = 3, text_col: str = "text",
         })
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def dup_spans(docs, n: int = 8, min_docs: int = 2,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """Cross-document duplicate n-gram spans — the diagnostics table
+    behind substring-level training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    word n-gram that appears in >= `min_docs` DISTINCT documents, with
+    how many documents and total occurrences carry it. Downstream a
+    span-removal pass can cut exactly these windows.
+
+    Scale shape: per-batch vectorized window extraction + in-batch
+    (gram, doc) run-length pre-agg, then TWO native hash shuffles over
+    narrow string rows — groupby(gram, doc) folds per-doc counts,
+    groupby(gram) folds distinct-doc + occurrence totals (Sum of a
+    ones column over globally-distinct (gram, doc) rows IS the distinct
+    count — no count-distinct shuffle needed). The >= min_docs filter
+    cuts the result to the duplicated tail before it reaches the driver.
+
+    Returns (gram, n_docs:int64, n_occurrences:int64)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(id_col).type
+        doc_idx, grams = _word_ngram_window_strings(batch, text_col, n)
+        if len(grams) == 0:
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             id_col: pa.array([], type=id_type),
+                             "_c": pa.array([], type=pa.int64())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_idx]
+        order = np.lexsort((ids, grams))
+        g, d = grams[order], ids[order]
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = (g[1:] != g[:-1]) | (d[1:] != d[:-1])
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, len(g)))
+        return pa.table({"gram": pa.array(g[starts]),
+                         id_col: pa.array(d[starts]).cast(id_type),
+                         "_c": pa.array(cnt.astype(np.int64))})
+
+    per_doc = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["gram", id_col]).aggregate(Sum("_c", alias_name="_c"))
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_d", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+    agg = per_doc.map_batches(ones, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Sum("_d", alias_name="n_docs"),
+                                   Sum("_c", alias_name="n_occurrences"))
+    return agg.filter(expr=f"n_docs >= {min_docs}") \
+        .select_columns(["gram", "n_docs", "n_occurrences"])
 
 
 def doc_lm_score(docs, text_col: str = "text", id_col: str = "doc_id",
