@@ -2220,6 +2220,37 @@ def q_embedding_neardup(sf_dir: str):
                              concurrency=2)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup semantic dedup (stages/dedup.semantic_dedup): the same
+    planted-near-dup construction as q_embedding_neardup — every 20th
+    vector gets an exact-scaled copy at id+10^7, which lands in the same
+    k-means cluster (normalized vectors identical) at cosine exactly 1.0,
+    while no random 64-dim pair reaches 0.95 — so the provable survivor
+    set is exactly the original vec_ids."""
+    from osmium_tool_ray.stages.dedup import semantic_dedup
+
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    dim = len(emb.take(1)[0]["embedding"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sel = vid % 20 == 0
+        dup = batch.filter(pa.array(sel))
+        if dup.num_rows == 0:
+            return batch
+        new_ids = dup["vec_id"].to_numpy(zero_copy_only=False) + 10_000_000
+        vecs = [[x * 1.5 for x in v] for v in dup["embedding"].to_pylist()]
+        dup_tbl = pa.table({"vec_id": pa.array(new_ids),
+                            "embedding": pa.array(
+                                vecs, type=batch.schema.field("embedding").type)})
+        return pa.concat_tables([batch, dup_tbl])
+
+    aug = emb.map_batches(augment, batch_format="pyarrow")
+    surv = semantic_dedup(aug, dim=dim, threshold=0.95, nlist=8, iters=2)
+    return surv.select_columns(["vec_id"])
+
+
 def q_ivf_ann(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -2641,6 +2672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rasterize_coverage": q_rasterize_coverage,
         "export_geojsonseq": q_export_geojsonseq,
         "embedding_neardup": q_embedding_neardup,
+        "semantic_dedup": q_semantic_dedup,
         "ivf_ann": q_ivf_ann,
         "dedup_exact_docs": q_dedup_exact_docs,
         "token_count_docs": q_token_count_docs,
@@ -3607,6 +3639,11 @@ def oracle_sql() -> dict[str, str]:
     out["embedding_neardup"] = """
         SELECT vec_id + 10000000 AS vec_id, vec_id AS dup_of
         FROM embeddings WHERE vec_id % 20 = 0"""
+    # same planted construction, keep-first semantics: every planted copy
+    # has a lower-id twin at cosine 1.0 in its own cluster (normalized
+    # vectors identical => same argmax centroid), no random pair reaches
+    # 0.95 — survivors are exactly the original ids.
+    out["semantic_dedup"] = "SELECT vec_id FROM embeddings"
     # per-row invariant surface: the fake codec round-trips every corpus
     # image at PSNR >= 40 dB (png lossless, fake-jpeg quantization within
     # bound) — pix_ok TRUE for every row IS the oracle assertion; the

@@ -732,6 +732,97 @@ def embedding_neardup(embeddings, dim: int, threshold: float = 0.95,
                      "dup_of": pa.array([o[1] for o in out])})
 
 
+def _unpack_packed_matrix(col, dim: int) -> np.ndarray:
+    """Packed float64 binary column -> (n, dim) matrix, zero-copy off the
+    Arrow data buffer (records are equal-size by construction, so the
+    offsets window is one contiguous slice — no per-row frombuffer)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = col.cast(pa.large_binary())
+    if len(arr) == 0:
+        return np.empty((0, dim), dtype=np.float64)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset:arr.offset + len(arr) + 1]
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    flat = buf[offs[0]:offs[-1]]
+    return flat.view(np.float64).reshape(len(arr), dim)
+
+
+def semantic_dedup(embeddings, dim: int, threshold: float = 0.9,
+                   nlist: int = 16, iters: int = 2, chunk: int = 2048,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   seed: int = 13):
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then inside
+    each cluster drop every vector whose cosine similarity to ANY
+    lower-id vector reaches `threshold` — deterministic keep-first
+    within semantic neighborhoods, the embedding-space analogue of exact
+    dedup's hash-partition + per-group-first (no reference counterpart;
+    training-data op).
+
+    Scale shape: centroids via knn.train_ivf_centroids (ONE native
+    keyed-Sum fold per Lloyd iteration — constant-size driver table at
+    any corpus size); assignment map-side against the broadcast centroid
+    matrix; ONE groupby(cluster) shuffle of narrow (id, packed
+    unit-vector) rows; the exists-earlier-near-dup test runs blockwise
+    in id order inside each group, peak memory O(chunk x cluster_size).
+    Cluster size is operator-controlled — SemDeDup sizes k ~
+    N / target_cluster_size for exactly this reason, so a web-scale run
+    picks nlist so each cluster fits one worker's heap.
+
+    Returns survivors (id_col, cluster:int64)."""
+    import ray
+
+    from .knn import embedding_matrix, train_ivf_centroids
+
+    cents = train_ivf_centroids(embeddings, dim=dim, nlist=nlist,
+                                iters=iters, vec_col=vec_col, seed=seed)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = embedding_matrix(batch[vec_col]).astype(np.float64)
+        if len(m) == 0:
+            return pa.table({id_col: batch[id_col],
+                             "cluster": pa.array([], type=pa.int64()),
+                             "_v": pa.array([], type=pa.binary())})
+        en = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        cl = np.argmax(en @ c.T, axis=1).astype(np.int64)
+        blobs = [en[i].tobytes() for i in range(len(en))]
+        return pa.table({id_col: batch[id_col],
+                         "cluster": pa.array(cl),
+                         "_v": pa.array(blobs, type=pa.binary())})
+
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        id_type = g.schema.field(id_col).type
+        if g.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=id_type),
+                             "cluster": pa.array([], type=pa.int64())})
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        E = _unpack_packed_matrix(g["_v"], dim)[order]
+        sid = ids[order]
+        n = len(sid)
+        dup = np.zeros(n, dtype=bool)
+        for a in range(0, n, chunk):
+            b = min(a + chunk, n)
+            S = E[a:b] @ E[:b].T
+            hit = (S[:, :a] >= threshold).any(axis=1) if a else \
+                np.zeros(b - a, dtype=bool)
+            strictly_before = (np.arange(a, b)[None, :]
+                               < np.arange(a, b)[:, None])
+            hit |= ((S[:, a:b] >= threshold) & strictly_before).any(axis=1)
+            dup[a:b] = hit
+        keep = ~dup
+        cl = int(g["cluster"][0].as_py())
+        return pa.table({id_col: pa.array(sid[keep]).cast(id_type),
+                         "cluster": pa.array(
+                             np.full(int(keep.sum()), cl, dtype=np.int64))})
+
+    return embeddings.map_batches(assign, batch_format="pyarrow") \
+        .groupby("cluster").map_groups(dedup_cluster, batch_format="pyarrow")
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = (np.asarray(a).view(np.uint64) ^ np.asarray(b).view(np.uint64))
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
