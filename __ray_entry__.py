@@ -1422,6 +1422,26 @@ def q_repetition_docs(sf_dir: str):
     return repetition_score(_docs(sf_dir, ["doc_id", "text"]), n=3)
 
 
+def q_bpe_pair_counts(sf_dir: str):
+    """Occurrence-weighted adjacent-char pair counts inside tokens
+    (stages/text.bpe_pair_counts) — the statistic one BPE iteration
+    maximizes; in-batch np.unique pre-agg, one native Sum shuffle."""
+    from osmium_tool_ray.stages.text import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(sf_dir, ["doc_id", "text"]), min_count=2)
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE merge learning (stages/text.bpe_train): one
+    corpus-scale vocab fold, then per-merge pair-count folds over the
+    pinned vocab Dataset — the iterative tokenizer-training loop
+    (rows-only: merge order is argmax-iterative, not SQL-expressible;
+    pytest pins it against a pure-Python reference BPE)."""
+    from osmium_tool_ray.stages.text import bpe_train
+
+    return bpe_train(_docs(sf_dir, ["doc_id", "text"]), num_merges=8)
+
+
 def q_dup_spans(sf_dir: str):
     """Cross-doc duplicate word-8-gram spans (stages/text.dup_spans):
     the substring-dedup diagnostics table (Lee et al. 2022) — every
@@ -2635,6 +2655,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_docs": q_contamination,
         "repetition_docs": q_repetition_docs,
         "dup_spans": q_dup_spans,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_merges": q_bpe_merges,
         "doc_lm_score": q_doc_lm_score,
         "approx_quantiles_value": q_approx_quantiles,
         "curate_docs": q_curate_docs,
@@ -3251,6 +3273,19 @@ def oracle_sql() -> dict[str, str]:
                                  / CAST(a.total AS DOUBLE)
                         ELSE 0.0 END AS rep_ratio
             FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "bpe_pair_counts": r"""
+            WITH words AS (
+                SELECT t.w AS w
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '\s+')) AS t(w)
+                WHERE length(t.w) > 1),
+            pairs AS (
+                SELECT substr(w, i, 2) AS pair
+                FROM (SELECT w, unnest(generate_series(1, length(w) - 1))
+                                AS i
+                      FROM words))
+            SELECT pair, count(*) AS n
+            FROM pairs GROUP BY pair HAVING count(*) >= 2""",
         "dup_spans": r"""
             WITH arrs AS (
                 SELECT doc_id,

@@ -986,3 +986,176 @@ def chunk_docs(docs, size: int, stride: int | None = None,
         })
 
     return docs.map_batches(chunk, batch_format="pyarrow")
+
+
+def bpe_pair_counts(docs, min_count: int = 2, text_col: str = "text"):
+    """Adjacent-character pair counts inside whitespace tokens — the
+    statistic one BPE iteration maximizes (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units").
+    Counts are weighted by word occurrence (classic BPE trains on the
+    occurrence-weighted vocab).
+
+    Pure map-side pair extraction: each batch's words land in one
+    fixed-width codepoint matrix (numpy U-view), pairs come from k-1
+    vectorized column concats masked by word length, then an in-batch
+    np.unique pre-agg — only (pair, partial_count) rows reach the ONE
+    native Sum shuffle. Returns (pair:string, n:int64) with n >=
+    min_count."""
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"pair": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col].cast(pa.string())), r"\s+")
+        words = words.combine_chunks() if isinstance(
+            words, pa.ChunkedArray) else words
+        flat = pc.list_flatten(words)
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 1))
+        if len(flat) == 0:
+            return empty
+        arr = flat.to_numpy(zero_copy_only=False).astype(str)
+        k = arr.dtype.itemsize // 4          # U<k> codepoint width
+        chars = arr.view("U1").reshape(len(arr), k)
+        lens = np.char.str_len(arr)
+        pairs = []
+        for i in range(k - 1):
+            sel = lens > i + 1
+            if not sel.any():
+                break
+            pairs.append(np.char.add(chars[sel, i], chars[sel, i + 1]))
+        if not pairs:
+            return empty
+        uniq, cnt = np.unique(np.concatenate(pairs), return_counts=True)
+        return pa.table({"pair": pa.array(uniq),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pair").aggregate(Sum("n", alias_name="n"))
+    return agg.filter(expr=f"n >= {min_count}")
+
+
+def bpe_train(docs, num_merges: int = 8, text_col: str = "text",
+              vocab_parts: int = 8):
+    """Distributed BPE merge learning (Sennrich et al. 2016): fold the
+    corpus to an occurrence-weighted word vocabulary ONCE (the only
+    corpus-scale shuffle), then iterate on the vocab Dataset — per
+    iteration one map_batches pass emits in-batch pre-aggregated
+    (pair, weighted count) partials, a constant-size per-batch top
+    candidate fold picks the global argmax pair on the driver
+    (count desc, pair asc — deterministic), and a second map pass
+    rewrites symbol sequences containing the merged pair. The vocab is
+    re-materialized per iteration at a PINNED partition count
+    (groupby fan-out otherwise grows per-iteration overhead
+    superlinearly — see PageRank).
+
+    Symbols are space-joined inside a single string column ('\\x1f'
+    separates, never null — numpy U-dtype strips trailing NULs), so no
+    list<str> column ever shuffles. Returns the merge table
+    (step:int64, left:string, right:string, n:int64)."""
+    from ray.data.aggregate import Sum
+
+    SEP = "\x1f"
+
+    def to_vocab(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col].cast(pa.string())), r"\s+")
+        words = words.combine_chunks() if isinstance(
+            words, pa.ChunkedArray) else words
+        flat = pc.list_flatten(words)
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        if len(flat) == 0:
+            return pa.table({"w": pa.array([], type=pa.string()),
+                             "freq": pa.array([], type=pa.int64())})
+        arr = flat.to_numpy(zero_copy_only=False).astype(str)
+        uniq, cnt = np.unique(arr, return_counts=True)
+        return pa.table({"w": pa.array(uniq),
+                         "freq": pa.array(cnt.astype(np.int64))})
+
+    vocab = docs.map_batches(to_vocab, batch_format="pyarrow") \
+        .groupby("w").aggregate(Sum("freq", alias_name="freq"))
+
+    def seed_syms(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(str)
+        syms = [SEP.join(x) for x in w]
+        return pa.table({"syms": pa.array(syms, type=pa.string()),
+                         "freq": batch["freq"]})
+
+    state = vocab.map_batches(seed_syms, batch_format="pyarrow") \
+        .repartition(vocab_parts).materialize()
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"pair": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        freq = batch["freq"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        toks = pc.split_pattern(batch["syms"].cast(pa.string()), SEP)
+        toks = toks.combine_chunks() if isinstance(
+            toks, pa.ChunkedArray) else toks
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False) \
+            .astype(str)
+        if len(flat) < 2:
+            return empty
+        row_idx = np.repeat(np.arange(len(lens)), lens)
+        adj = row_idx[:-1] == row_idx[1:]
+        w1, w2 = flat[:-1][adj], flat[1:][adj]
+        if not len(w1):
+            return empty
+        f = freq[row_idx[:-1][adj]]
+        pairs = np.char.add(np.char.add(w1, SEP), w2)
+        uniq, inv = np.unique(pairs, return_inverse=True)
+        n = np.bincount(inv, weights=f).astype(np.int64)
+        return pa.table({"pair": pa.array(uniq), "n": pa.array(n)})
+
+    merges = []
+    for step in range(num_merges):
+        folded = state.map_batches(pair_partials, batch_format="pyarrow") \
+            .groupby("pair").aggregate(Sum("n", alias_name="n"))
+
+        def top1(batch: pa.Table) -> pa.Table:
+            # groupby chains emit zero-column empty blocks — return a
+            # TYPED empty table so downstream schemas stay unified
+            if batch.num_rows == 0 or "pair" not in batch.schema.names:
+                return pa.table({"pair": pa.array([], type=pa.string()),
+                                 "n": pa.array([], type=pa.int64())})
+            n = batch["n"].to_numpy(zero_copy_only=False)
+            p = batch["pair"].to_numpy(zero_copy_only=False).astype(str)
+            order = np.lexsort((p, -n))
+            return batch.take(pa.array(order[:1]))
+
+        cands = folded.map_batches(top1, batch_format="pyarrow").take_all()
+        if not cands:
+            break
+        best = min(cands, key=lambda r: (-int(r["n"]), r["pair"]))
+        left, right = best["pair"].split(SEP)
+        merges.append((step, left, right, int(best["n"])))
+        find, repl = SEP + best["pair"] + SEP, SEP + left + right + SEP
+
+        def apply_merge(batch: pa.Table, find=find, repl=repl) -> pa.Table:
+            syms = batch["syms"].cast(pa.string())
+            wrapped = pc.binary_join_element_wise(
+                pa.array([SEP] * len(syms)), syms,
+                pa.array([SEP] * len(syms)), "")
+            # overlapping runs (e.g. 'a a a' merging 'a a') need repeated
+            # passes; replace_substring skips overlaps in one pass
+            done = pc.replace_substring(wrapped, find, repl)
+            while not pc.all(pc.equal(done, wrapped)).as_py():
+                wrapped = done
+                done = pc.replace_substring(wrapped, find, repl)
+            trimmed = pc.utf8_trim(done, SEP)
+            return pa.table({"syms": trimmed, "freq": batch["freq"]})
+
+        state = state.map_batches(apply_merge, batch_format="pyarrow") \
+            .repartition(vocab_parts).materialize()
+
+    return pa.table({
+        "step": pa.array([m[0] for m in merges], type=pa.int64()),
+        "left": pa.array([m[1] for m in merges], type=pa.string()),
+        "right": pa.array([m[2] for m in merges], type=pa.string()),
+        "n": pa.array([m[3] for m in merges], type=pa.int64()),
+    })
