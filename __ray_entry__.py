@@ -1881,6 +1881,28 @@ def q_track_length(sf_dir: str):
                         tie_col="event_id")
 
 
+def q_track_simplify(sf_dir: str):
+    """Per-user Douglas-Peucker track simplification (pipelines/windows
+    .track_simplify): bucketed key shuffle + per-track iterative-stack
+    DP with vectorized segment distances (rows-only: recursive DP is
+    not SQL-expressible; pytest pins it against an independent
+    recursive implementation)."""
+    from osmium_tool_ray.pipelines.windows import track_simplify
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        xf = ((eid * 7919) % 36000) * 100000 - 1800000000
+        yf = ((eid * 104729) % 17000) * 100000 - 850000000
+        return batch.append_column("xf", pa.array(xf)) \
+                    .append_column("yf", pa.array(yf))
+
+    pts = ev.map_batches(coords, batch_format="pyarrow")
+    return track_simplify(pts, "user_id", "ts", "xf", "yf",
+                          epsilon=2e8, tie_col="event_id")
+
+
 def q_region_centroids(sf_dir: str):
     """Per-region aggregate geometry (RegionMatcher fan-out + integer
     fixed-point coordinate sums): count and centroid of the images in
@@ -2661,6 +2683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_value": q_approx_quantiles,
         "curate_docs": q_curate_docs,
         "track_length_user": q_track_length,
+        "track_simplify": q_track_simplify,
         "region_centroids": q_region_centroids,
         "user_distinct_types": q_user_distinct_types,
         "profile_lineitem": q_profile_lineitem,

@@ -401,3 +401,117 @@ def track_length(ds, key_col: str, ts_col: str, x_col: str, y_col: str,
                            + ([tie_col] if tie_col else []))))
     return narrow.groupby(key_col).map_groups(per_group,
                                               batch_format="pyarrow")
+
+
+def _dp_keep(xs: np.ndarray, ys: np.ndarray, eps2: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask over one polyline (iterative stack, no
+    recursion; distances vectorized per segment). Squared perpendicular
+    distance in float64 — deterministic IEEE everywhere; first-max
+    argmax breaks ties."""
+    m = len(xs)
+    keep = np.zeros(m, dtype=bool)
+    keep[0] = keep[-1] = True
+    if m < 3:
+        return keep
+    stack = [(0, m - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        dx, dy = xs[j] - xs[i], ys[j] - ys[i]
+        px = xs[i + 1:j] - xs[i]
+        py = ys[i + 1:j] - ys[i]
+        seg2 = dx * dx + dy * dy
+        if seg2 == 0.0:
+            d2 = px * px + py * py
+        else:
+            cross = px * dy - py * dx
+            d2 = cross * cross / seg2
+        k = int(np.argmax(d2))
+        if d2[k] > eps2:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    return keep
+
+
+def track_simplify(ds, key_col: str, ts_col: str, x_col: str, y_col: str,
+                   epsilon: float, tie_col: str | None = None,
+                   buckets: int | None = None):
+    """Per-key Douglas-Peucker polyline simplification — the classic
+    GPS-track thinning pass (keep every point farther than `epsilon`
+    from the kept chord; endpoints always survive). The reference draws
+    full geometries (export's linestring assembly); simplification is
+    the training/serving-side companion op.
+
+    Scale shape: ONE hash shuffle of the narrow (key, ts, x, y)
+    projection into hash(key)%buckets groups (per-key map_groups at
+    millions of tiny tracks pays ~5 ms pandas overhead per group — the
+    bucketed segmented form is the in-repo pattern); inside a bucket
+    keys are lexsorted and each track runs the iterative stack DP with
+    per-segment vectorized distances. Track size is naturally bounded
+    (points per user), so no hot-cell cap is needed.
+
+    Returns kept points (key, ts, x, y, pt_idx:int64 position in the
+    ts-ordered track)."""
+    from ..functions.hashing import hash_str_u64
+
+    if buckets is None:
+        import ray
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+    eps2 = float(epsilon) * float(epsilon)
+
+    cols = list(dict.fromkeys([key_col, ts_col, x_col, y_col]
+                              + ([tie_col] if tie_col else [])))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col]
+        if pa.types.is_integer(k.type):
+            b = (k.to_numpy(zero_copy_only=False).astype(np.uint64)
+                 % np.uint64(buckets)).astype(np.int32)
+        else:
+            b = (hash_str_u64(k) % np.uint64(buckets)).astype(np.int32)
+        return batch.append_column("_b", pa.array(b))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        key_type = g.schema.field(key_col).type
+        empty = pa.table({key_col: pa.array([], type=key_type),
+                          ts_col: pa.array([], type=g.schema
+                                           .field(ts_col).type),
+                          x_col: pa.array([], type=g.schema
+                                          .field(x_col).type),
+                          y_col: pa.array([], type=g.schema
+                                          .field(y_col).type),
+                          "pt_idx": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        keys = np.asarray(g[key_col].to_pylist(), dtype=object)
+        ts = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        tie = (g[tie_col].to_numpy(zero_copy_only=False) if tie_col
+               else np.zeros(len(ts), dtype=np.int64))
+        x = g[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = g[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((tie, ts, keys.astype(str)))
+        ks = keys[order]
+        xs, ys = x[order], y[order]
+        same = np.concatenate([[False], ks[1:] == ks[:-1]])
+        starts = np.flatnonzero(~same)
+        ends = np.concatenate([starts[1:], [len(ks)]])
+        keep = np.zeros(len(ks), dtype=bool)
+        for s, e in zip(starts, ends):
+            keep[s:e] = _dp_keep(xs[s:e], ys[s:e], eps2)
+        idx = order[keep]
+        pt_idx = (np.arange(len(ks), dtype=np.int64)
+                  - np.repeat(starts, ends - starts))[keep]
+        return pa.table({
+            key_col: g[key_col].take(pa.array(idx)),
+            ts_col: g[ts_col].take(pa.array(idx)),
+            x_col: g[x_col].take(pa.array(idx)),
+            y_col: g[y_col].take(pa.array(idx)),
+            "pt_idx": pa.array(pt_idx),
+        })
+
+    return ds.select_columns(cols) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
