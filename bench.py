@@ -52,6 +52,9 @@ QUERY_NAMES = [
     "fixed_k_sample", "bigram_lm", "length_buckets", "chunk_docs",
     "source_mix", "prep_chunks", "scene_cuts", "audio_segments",
     "asof_join_forward", "heavy_words_per_lang",
+    # r03 continuation: substring-dedup spans, SemDeDup, BPE, DP tracks
+    "dup_spans", "semantic_dedup", "bpe_pair_counts", "bpe_merges",
+    "track_simplify",
 ]
 
 

@@ -580,7 +580,8 @@ def repetition_score(docs, n: int = 3, text_col: str = "text",
 
 
 def dup_spans(docs, n: int = 8, min_docs: int = 2,
-              text_col: str = "text", id_col: str = "doc_id"):
+              text_col: str = "text", id_col: str = "doc_id",
+              buckets: int | None = None):
     """Cross-document duplicate n-gram spans — the diagnostics table
     behind substring-level training-data dedup (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): every
@@ -589,15 +590,21 @@ def dup_spans(docs, n: int = 8, min_docs: int = 2,
     span-removal pass can cut exactly these windows.
 
     Scale shape: per-batch vectorized window extraction + in-batch
-    (gram, doc) run-length pre-agg, then TWO native hash shuffles over
-    narrow string rows — groupby(gram, doc) folds per-doc counts,
-    groupby(gram) folds distinct-doc + occurrence totals (Sum of a
-    ones column over globally-distinct (gram, doc) rows IS the distinct
-    count — no count-distinct shuffle needed). The >= min_docs filter
-    cuts the result to the duplicated tail before it reaches the driver.
+    (gram, doc) run-length pre-agg, then ONE hash shuffle of the
+    pre-agged narrow rows into hash(gram)%buckets groups (every row of
+    a gram lands in one bucket, so both fold levels — per-doc counts
+    AND distinct-doc totals — run vectorized inside the bucket with a
+    single lexsort + two run-length passes; per-gram map_groups at
+    web-scale gram cardinality would pay per-group pandas overhead).
+    The >= min_docs filter cuts to the duplicated tail in-bucket,
+    before anything reaches the driver.
 
     Returns (gram, n_docs:int64, n_occurrences:int64)."""
-    from ray.data.aggregate import Sum
+    from ..functions.hashing import hash_str_u64
+
+    if buckets is None:
+        import ray
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
 
     def partial(batch: pa.Table) -> pa.Table:
         id_type = batch.schema.field(id_col).type
@@ -605,7 +612,8 @@ def dup_spans(docs, n: int = 8, min_docs: int = 2,
         if len(grams) == 0:
             return pa.table({"gram": pa.array([], type=pa.string()),
                              id_col: pa.array([], type=id_type),
-                             "_c": pa.array([], type=pa.int64())})
+                             "_c": pa.array([], type=pa.int64()),
+                             "_b": pa.array([], type=pa.int32())})
         ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_idx]
         order = np.lexsort((ids, grams))
         g, d = grams[order], ids[order]
@@ -613,22 +621,43 @@ def dup_spans(docs, n: int = 8, min_docs: int = 2,
         first[1:] = (g[1:] != g[:-1]) | (d[1:] != d[:-1])
         starts = np.flatnonzero(first)
         cnt = np.diff(np.append(starts, len(g)))
-        return pa.table({"gram": pa.array(g[starts]),
+        garr = pa.array(g[starts])
+        b = (hash_str_u64(garr) % np.uint64(buckets)).astype(np.int32)
+        return pa.table({"gram": garr,
                          id_col: pa.array(d[starts]).cast(id_type),
-                         "_c": pa.array(cnt.astype(np.int64))})
+                         "_c": pa.array(cnt.astype(np.int64)),
+                         "_b": pa.array(b)})
 
-    per_doc = docs.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["gram", id_col]).aggregate(Sum("_c", alias_name="_c"))
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], type=pa.string()),
+                          "n_docs": pa.array([], type=pa.int64()),
+                          "n_occurrences": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "gram" not in g.schema.names:
+            return empty
+        grams = g["gram"].to_numpy(zero_copy_only=False).astype(str)
+        ids = np.asarray(g[id_col].to_pylist(), dtype=object).astype(str)
+        cnt = g["_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, grams))
+        gs, ds_, cs = grams[order], ids[order], cnt[order]
+        # run-length over (gram, doc): each run is one distinct doc
+        nd_first = np.ones(len(gs), dtype=bool)
+        nd_first[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
+        # run-length over gram
+        g_first = np.ones(len(gs), dtype=bool)
+        g_first[1:] = gs[1:] != gs[:-1]
+        g_starts = np.flatnonzero(g_first)
+        g_id = np.cumsum(g_first) - 1
+        n_docs = np.bincount(g_id[nd_first],
+                             minlength=len(g_starts)).astype(np.int64)
+        n_occ = np.bincount(g_id, weights=cs,
+                            minlength=len(g_starts)).astype(np.int64)
+        sel = n_docs >= min_docs
+        return pa.table({"gram": pa.array(gs[g_starts][sel]),
+                         "n_docs": pa.array(n_docs[sel]),
+                         "n_occurrences": pa.array(n_occ[sel])})
 
-    def ones(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_d", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
-
-    agg = per_doc.map_batches(ones, batch_format="pyarrow") \
-        .groupby("gram").aggregate(Sum("_d", alias_name="n_docs"),
-                                   Sum("_c", alias_name="n_occurrences"))
-    return agg.filter(expr=f"n_docs >= {min_docs}") \
-        .select_columns(["gram", "n_docs", "n_occurrences"])
+    return docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(fold, batch_format="pyarrow")
 
 
 def doc_lm_score(docs, text_col: str = "text", id_col: str = "doc_id",
