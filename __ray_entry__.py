@@ -2186,6 +2186,39 @@ def q_crossmodal_neardup(sf_dir: str):
         t=12, cap=500, level=6)
 
 
+def q_content_dup_images(sf_dir: str):
+    """Cross-format exact image dedup (stages/media.content_dup_images):
+    every 25th image gets a re-encode in the OTHER format at id+10^7 —
+    the content hash canonicalizes both to the lossy quantization grid,
+    so the provable dup set is exactly the planted (copy, original)
+    pairs; no two distinct source images share quantized pixels."""
+    from osmium_tool_ray.functions.imagecodec import encode_batch, gen_pixels
+    from osmium_tool_ray.stages.media import content_dup_images
+
+    imgs = images_dataset(sf_dir, with_bytes=True,
+                          columns=["image_id", "bytes"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.utf8_slice_codeunits(
+            batch["image_id"].cast(pa.string()), 3, 32), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sel = ids % 25 == 0
+        if not sel.any():
+            return batch
+        src = ids[sel]
+        other = np.where(src % 2 == 0, "jpeg", "png")
+        new_ids = np.char.add(
+            "img", np.char.zfill((src + 10_000_000).astype(str), 10))
+        dup = pa.table({
+            "image_id": pa.array(new_ids, type=pa.string()),
+            "bytes": encode_batch(gen_pixels(src), other),
+        })
+        return pa.concat_tables([batch.select(["image_id", "bytes"]), dup])
+
+    aug = imgs.map_batches(augment, batch_format="pyarrow")
+    return content_dup_images(aug, concurrency=2)
+
+
 def q_tile_mosaic(sf_dir: str):
     """Per-tile mosaic assembly (raster side of raster<->vector); the
     comparable projection is the member count per tile (capped by
@@ -2711,6 +2744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_val": q_hash_split_val,
         "phash_neardup": q_phash_neardup,
         "crossmodal_neardup": q_crossmodal_neardup,
+        "content_dup_images": q_content_dup_images,
         "dup_clusters": q_dup_clusters,
         "audio_features": q_audio_features,
         "tile_mosaic": q_tile_mosaic,
@@ -3702,6 +3736,14 @@ def oracle_sql() -> dict[str, str]:
     # vectors identical => same argmax centroid), no random pair reaches
     # 0.95 — survivors are exactly the original ids.
     out["semantic_dedup"] = "SELECT vec_id FROM embeddings"
+    # planted cross-format re-encodes are the provable dup set: the
+    # content hash quantizes png and fake-jpeg onto the same canonical
+    # grid, and no two distinct source images share quantized pixels.
+    out["content_dup_images"] = """
+        SELECT 'img' || lpad(CAST(event_id + 10000000 AS VARCHAR), 10, '0')
+                   AS image_id,
+               'img' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS dup_of
+        FROM events WHERE event_id % 25 = 0"""
     # per-row invariant surface: the fake codec round-trips every corpus
     # image at PSNR >= 40 dB (png lossless, fake-jpeg quantization within
     # bound) — pix_ok TRUE for every row IS the oracle assertion; the

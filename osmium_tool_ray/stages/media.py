@@ -485,3 +485,97 @@ class AudioSegments:
             "n_frames": pa.array((seg_end_f - seg_start_f + 1)
                                  .astype(np.int32)),
         })
+
+
+class ContentHash:
+    """Actor stage: format-invariant image content hash — decode,
+    canonicalize to the lossy codec's quantization grid, and fold each
+    pixel row to one 64-bit key with a vectorized splitmix chain over
+    uint64 words. A PNG and its JPEG re-encode of the same pixels hash
+    EQUAL (both land on the quantized grid); any pixel edit diverges.
+    The image-side twin of text.Fingerprint. Blobs stay map-side; only
+    the (id, content_hash) projection ever shuffles."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 quantize: bool = True):
+        self.codec = _load_codec()
+        self.bytes_col, self.id_col = bytes_col, id_col
+        self.quantize = quantize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import splitmix64
+        from ..functions.imagecodec import _quantize
+
+        if batch.num_rows == 0:
+            return pa.table({self.id_col: batch[self.id_col],
+                             "content_hash": pa.array([], type=pa.int64())})
+        pix, w, h = self.codec.decode_batch(batch[self.bytes_col])
+        q = _quantize(pix) if self.quantize else pix
+        n, k = q.shape
+        pad = (-k) % 8
+        if pad:
+            q = np.concatenate(
+                [q, np.zeros((n, pad), dtype=np.uint8)], axis=1)
+        words = np.ascontiguousarray(q).view(np.uint64)
+        # seed folds the dimensions so equal pixels at different shapes
+        # (or a resized copy) never collide
+        acc = splitmix64((w.astype(np.uint64) << np.uint64(32))
+                         ^ h.astype(np.uint64)
+                         ^ np.uint64(0x6A09E667F3BCC909))
+        with np.errstate(over="ignore"):
+            for j in range(words.shape[1]):
+                acc = splitmix64(acc ^ words[:, j])
+        return pa.table({self.id_col: batch[self.id_col],
+                         "content_hash": pa.array(acc.view(np.int64))})
+
+
+def content_dup_images(images, bytes_col: str = "bytes",
+                       id_col: str = "image_id", quantize: bool = True,
+                       buckets: int | None = None, concurrency=4):
+    """Exact content-level image dedup across format re-encodes: hash
+    the canonicalized decoded pixels map-side (ContentHash), then ONE
+    int-key hash shuffle of the narrow (id, content_hash) rows into
+    hash%buckets groups; inside a bucket a single lexsort + run-length
+    pass keeps the min-id member of every content group and emits the
+    rest as (image_id, dup_of) — per-hash map_groups at web-scale
+    cardinality would pay per-group overhead (most hashes are unique).
+
+    Returns (image_id, dup_of) for dropped members only."""
+    if buckets is None:
+        import ray
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    hashed = images.map_batches(
+        ContentHash,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
+                               "quantize": quantize},
+        batch_format="pyarrow", concurrency=concurrency) \
+        .select_columns([id_col, "content_hash"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["content_hash"].to_numpy(zero_copy_only=False)
+             .view(np.uint64) % np.uint64(buckets)).astype(np.int32)
+        return batch.append_column("_b", pa.array(b))
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], type=pa.string()),
+                          "dup_of": pa.array([], type=pa.string())})
+        if g.num_rows == 0 or "content_hash" not in g.schema.names:
+            return empty
+        ch = g["content_hash"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((ids, ch))
+        hs, sid = ch[order], ids[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = hs[1:] != hs[:-1]
+        # dup rows: every non-first member of a run; dup_of = run head
+        head = np.maximum.accumulate(
+            np.where(first, np.arange(len(hs)), 0))
+        dup = ~first
+        if not dup.any():
+            return empty
+        return pa.table({id_col: pa.array(sid[dup]),
+                         "dup_of": pa.array(sid[head[dup]])})
+
+    return hashed.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(fold, batch_format="pyarrow")
