@@ -2186,6 +2186,19 @@ def q_crossmodal_neardup(sf_dir: str):
         t=12, cap=500, level=6)
 
 
+def q_curate_images(sf_dir: str):
+    """Image-side curation flagship (pipelines/curation.curate_images):
+    decode/PSNR-verify actor pool -> tile assignment -> deterministic
+    per-tile top-5 by (phash, id) — blobs never shuffle, per-tile
+    selection is in-batch partial top-k + one bucketed fold."""
+    from osmium_tool_ray.pipelines.curation import curate_images
+
+    imgs = images_dataset(sf_dir, with_bytes=True,
+                          columns=["image_id", "bytes", "phash",
+                                   "lon", "lat"])
+    return curate_images(imgs, level=4, per_tile_k=5, concurrency=2)
+
+
 def q_content_dup_images(sf_dir: str):
     """Cross-format exact image dedup (stages/media.content_dup_images):
     every 25th image gets a re-encode in the OTHER format at id+10^7 —
@@ -2745,6 +2758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_neardup": q_phash_neardup,
         "crossmodal_neardup": q_crossmodal_neardup,
         "content_dup_images": q_content_dup_images,
+        "curate_images": q_curate_images,
         "dup_clusters": q_dup_clusters,
         "audio_features": q_audio_features,
         "tile_mosaic": q_tile_mosaic,
@@ -2773,6 +2787,7 @@ def oracle_sql() -> dict[str, str]:
     n6 = 1 << TILE_LEVEL
     cells10 = _CELL_XY_SQL.format(n=n10, m=n10 - 1)
     cells6 = _CELL_XY_SQL.format(n=n6, m=n6 - 1)
+    cells4 = _CELL_XY_SQL.format(n=16, m=15)
     # convex CCW quad: inside-or-boundary = every cross product >= 0
     edges = []
     for (x1, y1), (x2, y2) in zip(POLY[:-1], POLY[1:]):
@@ -2801,6 +2816,17 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts_salted": f"""{cte}
             SELECT cell_x, cell_y, COUNT(*) AS n_images
             FROM (SELECT {cells6} FROM images) GROUP BY cell_x, cell_y""",
+        # decode/PSNR-verify keeps every synthetic row (the input_hint
+        # invariant, pytest-gated), so the SQL twin is the pure
+        # selection: per-tile top-k by (phash, image_id)
+        "curate_images": f"""{cte}
+            SELECT image_id, cell_x, cell_y, rk FROM (
+                SELECT image_id, cell_x, cell_y,
+                       row_number() OVER (PARTITION BY cell_x, cell_y
+                                          ORDER BY phash, image_id) - 1
+                           AS rk
+                FROM (SELECT image_id, phash, {cells4} FROM images))
+            WHERE rk < 5""",
         "fileinfo": f"""{cte}
             SELECT COUNT(*) AS n_rows, MIN(phash) AS min_phash,
                    MAX(phash) AS max_phash, MIN(lon) AS min_lon,

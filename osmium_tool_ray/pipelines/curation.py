@@ -142,3 +142,93 @@ def prep_chunks(docs, size: int = 256, stride: int = 192,
         })
 
     return packed.map_batches(fin, batch_format="pyarrow")
+
+
+def curate_images(images, level: int = 8, per_tile_k: int = 10,
+                  min_psnr: float = 40.0, buckets: int | None = None,
+                  concurrency=4, id_col: str = "image_id"):
+    """Image-side curation flagship: decode/PSNR-verify every image
+    (stages/media.DecodeVerify actor pool — the input_hint per-row
+    invariant), drop failures, assign web-mercator-style grid tiles
+    from lon/lat, and keep the top `per_tile_k` images per tile by
+    (phash, id) — deterministic spatially-balanced subsampling, the
+    image twin of curate_docs (dedup by content key, then budgeted
+    selection).
+
+    Scale shape: blobs never shuffle — after the verify stage the
+    pipeline projects to narrow (id, phash, cell) rows; per-tile
+    selection is an in-batch vectorized partial top-k (at most k rows
+    per tile survive EACH batch) followed by ONE hash(cell)%buckets
+    shuffle and the same vectorized fold — no per-tile map_groups at
+    web-scale tile cardinality, no full sort.
+
+    Returns (image_id, cell_x, cell_y, rk:int64) with rk < per_tile_k
+    the final rank within the tile."""
+    import numpy as np
+
+    from ..stages.media import DecodeVerify
+
+    if buckets is None:
+        import ray
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+    n = np.int64(1) << np.int64(level)
+
+    def _topk_rows(ids, phash, cx, cy):
+        """Vectorized per-tile rank by (phash, id); returns selection
+        mask and ranks for rows with rank < per_tile_k."""
+        key = (cx << np.int64(32)) | cy
+        order = np.lexsort((ids, phash, key))
+        ks = key[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        run_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(ks)), 0))
+        rk = np.arange(len(ks)) - run_start
+        sel = rk < per_tile_k
+        return order[sel], rk[sel].astype(np.int64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        keep = batch["pix_ok"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(keep))
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        cx = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+        cy = np.floor((lat + 90.0) / 180.0 * n).astype(np.int64)
+        np.clip(cx, 0, n - 1, out=cx)
+        np.clip(cy, 0, n - 1, out=cy)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(str)
+        phash = batch["phash"].to_numpy(zero_copy_only=False)
+        idx, _ = _topk_rows(ids, phash, cx, cy)
+        b = ((cx[idx] * np.int64(0x9E3779B1) + cy[idx])
+             % np.int64(buckets)).astype(np.int32)
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(idx)),
+            "phash": batch["phash"].take(pa.array(idx)),
+            "cell_x": pa.array(cx[idx]),
+            "cell_y": pa.array(cy[idx]),
+            "_b": pa.array(b),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], type=pa.string()),
+                          "cell_x": pa.array([], type=pa.int64()),
+                          "cell_y": pa.array([], type=pa.int64()),
+                          "rk": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "cell_x" not in g.schema.names:
+            return empty
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(str)
+        phash = g["phash"].to_numpy(zero_copy_only=False)
+        cx = g["cell_x"].to_numpy(zero_copy_only=False)
+        cy = g["cell_y"].to_numpy(zero_copy_only=False)
+        idx, rk = _topk_rows(ids, phash, cx, cy)
+        return pa.table({id_col: g[id_col].take(pa.array(idx)),
+                         "cell_x": pa.array(cx[idx]),
+                         "cell_y": pa.array(cy[idx]),
+                         "rk": pa.array(rk)})
+
+    verified = images.map_batches(
+        DecodeVerify, fn_constructor_kwargs={"min_psnr": min_psnr,
+                                             "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency)
+    return verified.map_batches(project, batch_format="pyarrow") \
+        .groupby("_b").map_groups(fold, batch_format="pyarrow")
