@@ -2196,7 +2196,7 @@ def q_curate_images(sf_dir: str):
     imgs = images_dataset(sf_dir, with_bytes=True,
                           columns=["image_id", "bytes", "phash",
                                    "lon", "lat"])
-    return curate_images(imgs, level=4, per_tile_k=5, concurrency=2)
+    return curate_images(imgs, level=4, per_tile_k=5)
 
 
 def q_content_dup_images(sf_dir: str):
@@ -2229,7 +2229,7 @@ def q_content_dup_images(sf_dir: str):
         return pa.concat_tables([batch.select(["image_id", "bytes"]), dup])
 
     aug = imgs.map_batches(augment, batch_format="pyarrow")
-    return content_dup_images(aug, concurrency=2)
+    return content_dup_images(aug)
 
 
 def q_tile_mosaic(sf_dir: str):

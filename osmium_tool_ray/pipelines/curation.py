@@ -146,7 +146,7 @@ def prep_chunks(docs, size: int = 256, stride: int = 192,
 
 def curate_images(images, level: int = 8, per_tile_k: int = 10,
                   min_psnr: float = 40.0, buckets: int | None = None,
-                  concurrency=4, id_col: str = "image_id"):
+                  concurrency=None, id_col: str = "image_id"):
     """Image-side curation flagship: decode/PSNR-verify every image
     (stages/media.DecodeVerify actor pool — the input_hint per-row
     invariant), drop failures, assign web-mercator-style grid tiles
@@ -226,9 +226,17 @@ def curate_images(images, level: int = 8, per_tile_k: int = 10,
                          "cell_y": pa.array(cy[idx]),
                          "rk": pa.array(rk)})
 
-    verified = images.map_batches(
-        DecodeVerify, fn_constructor_kwargs={"min_psnr": min_psnr,
-                                             "id_col": id_col},
-        batch_format="pyarrow", concurrency=concurrency)
+    if concurrency is None:
+        # stateless fused tasks (DecodeVerify's only state is the codec
+        # module import): no pool-reservation, verify fuses with the read
+        def _verify(batch: pa.Table) -> pa.Table:
+            return DecodeVerify(min_psnr=min_psnr, id_col=id_col)(batch)
+
+        verified = images.map_batches(_verify, batch_format="pyarrow")
+    else:
+        verified = images.map_batches(
+            DecodeVerify, fn_constructor_kwargs={"min_psnr": min_psnr,
+                                                 "id_col": id_col},
+            batch_format="pyarrow", concurrency=concurrency)
     return verified.map_batches(project, batch_format="pyarrow") \
         .groupby("_b").map_groups(fold, batch_format="pyarrow")

@@ -531,7 +531,7 @@ class ContentHash:
 
 def content_dup_images(images, bytes_col: str = "bytes",
                        id_col: str = "image_id", quantize: bool = True,
-                       buckets: int | None = None, concurrency=4):
+                       buckets: int | None = None):
     """Exact content-level image dedup across format re-encodes: hash
     the canonicalized decoded pixels map-side (ContentHash), then ONE
     int-key hash shuffle of the narrow (id, content_hash) rows into
@@ -545,11 +545,16 @@ def content_dup_images(images, bytes_col: str = "bytes",
         import ray
         buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
 
-    hashed = images.map_batches(
-        ContentHash,
-        fn_constructor_kwargs={"bytes_col": bytes_col, "id_col": id_col,
-                               "quantize": quantize},
-        batch_format="pyarrow", concurrency=concurrency) \
+    # stateless fused task: ContentHash's only state is the codec module
+    # (a cached import) — a fixed-size actor pool here would reserve its
+    # CPUs for the whole pipeline (CLAUDE.md pool-reservation landmine)
+    # and cap the decode+hash pass at `concurrency` workers
+    kw = {"bytes_col": bytes_col, "id_col": id_col, "quantize": quantize}
+
+    def _hash_batch(batch: pa.Table) -> pa.Table:
+        return ContentHash(**kw)(batch)
+
+    hashed = images.map_batches(_hash_batch, batch_format="pyarrow") \
         .select_columns([id_col, "content_hash"])
 
     def bucket(batch: pa.Table) -> pa.Table:

@@ -40,7 +40,7 @@ def test_content_dup_cross_format(ray_session):
     import ray.data as rd
 
     out = content_dup_images(rd.from_arrow(_corpus()).repartition(3),
-                             buckets=4, concurrency=1)
+                             buckets=4)
     pairs = sorted((r["image_id"], r["dup_of"]) for r in out.take_all())
     assert pairs == [(f"img{i + 1000:010d}", f"img{i:010d}")
                      for i in range(5)]
@@ -60,9 +60,9 @@ def test_content_hash_quantize_flag(ray_session):
         ]),
     })
     strict = content_dup_images(rd.from_arrow(tbl), quantize=False,
-                                buckets=2, concurrency=1)
+                                buckets=2)
     assert strict.count() == 0
     loose = content_dup_images(rd.from_arrow(tbl), quantize=True,
-                               buckets=2, concurrency=1)
+                               buckets=2)
     assert [(r["image_id"], r["dup_of"]) for r in loose.take_all()] \
         == [("img0000001002", "img0000000002")]

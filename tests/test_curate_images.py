@@ -44,7 +44,7 @@ def test_curate_images_topk_parity(ray_session):
 
     tbl = _corpus()
     out = curate_images(rd.from_arrow(tbl).repartition(4), level=3,
-                        per_tile_k=4, concurrency=1, buckets=5)
+                        per_tile_k=4, buckets=5)
     mine = sorted((r["image_id"], r["cell_x"], r["cell_y"], r["rk"])
                   for r in out.take_all())
     assert mine == _expected(tbl, 3, 4)
@@ -56,7 +56,7 @@ def test_curate_images_drops_corrupt(ray_session):
     corrupt = (7, 42)
     tbl = _corpus(corrupt=corrupt)
     out = curate_images(rd.from_arrow(tbl).repartition(3), level=2,
-                        per_tile_k=100, concurrency=1, buckets=3)
+                        per_tile_k=100, buckets=3)
     got_ids = {r["image_id"] for r in out.take_all()}
     assert f"img{7:010d}" not in got_ids
     assert f"img{42:010d}" not in got_ids
