@@ -2308,6 +2308,28 @@ def q_embedding_neardup(sf_dir: str):
                              concurrency=2)
 
 
+def q_pq_ann(sf_dir: str):
+    """Product-quantization ADC top-k (stages/knn.pq_ann_topk): train
+    m-subspace codebooks (one keyed-Sum fold per Lloyd iteration),
+    encode map-side, score every corpus row with m table lookups —
+    the 8-32x-compressed billion-vector scan path (rows-only:
+    approximate by construction; pytest pins encode parity, ADC
+    arithmetic, and cluster recovery)."""
+    import pyarrow.parquet as pq
+    from osmium_tool_ray.stages.knn import pq_ann_topk, train_pq_codebooks
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy(zero_copy_only=False)
+    qsel = t.filter(pa.array(vid % 100 == 0))
+    qm = np.asarray(qsel["embedding"].to_pylist(), dtype=np.float64)
+    qids = qsel["vec_id"].to_numpy(zero_copy_only=False)
+    corpus = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    cb = train_pq_codebooks(corpus, dim=qm.shape[1], m=8, ksub=16, iters=2)
+    return pq_ann_topk(corpus, qm, qids, cb, k=5)
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup semantic dedup (stages/dedup.semantic_dedup): the same
     planted-near-dup construction as q_embedding_neardup — every 20th
@@ -2767,6 +2789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "semantic_dedup": q_semantic_dedup,
         "ivf_ann": q_ivf_ann,
+        "pq_ann": q_pq_ann,
         "dedup_exact_docs": q_dedup_exact_docs,
         "token_count_docs": q_token_count_docs,
         "quality_docs": q_quality_docs,

@@ -54,7 +54,7 @@ QUERY_NAMES = [
     "asof_join_forward", "heavy_words_per_lang",
     # r03 continuation: substring-dedup spans, SemDeDup, BPE, DP tracks
     "dup_spans", "semantic_dedup", "bpe_pair_counts", "bpe_merges",
-    "track_simplify",
+    "track_simplify", "content_dup_images", "curate_images",
 ]
 
 

@@ -413,3 +413,163 @@ def phash_topk(corpus, query_ids: np.ndarray, query_hashes: np.ndarray,
         return g[["query_id", "rank", "neighbor_id", "dist"]]
 
     return parts.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def train_pq_codebooks(corpus, dim: int, m: int = 8, ksub: int = 16,
+                       iters: int = 3, vec_col: str = "embedding",
+                       seed: int = 29) -> np.ndarray:
+    """Product-quantization codebook training (Jegou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): the dim axis
+    splits into `m` subspaces of dsub = dim/m; each subspace learns
+    `ksub` k-means centroids. ALL m subspace k-means run inside the
+    SAME distributed pass per Lloyd iteration — a batch assigns every
+    subvector with one einsum, then emits constant-size flat keyed
+    partial sums (key folds (subspace, centroid, component+count)), so
+    each iteration is ONE native Sum groupby and only an
+    m*ksub*(dsub+1)-row table reaches the driver at any corpus size.
+
+    Returns (m, ksub, dsub) float64 codebooks."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(size=(m, ksub, dsub))
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)                       # (m, ksub, dsub)
+            emb = embedding_matrix(batch[vec_col])
+            if emb.size == 0:
+                return pa.table({"k": pa.array([], type=pa.int64()),
+                                 "s": pa.array([], type=pa.float64())})
+            x = emb.reshape(len(emb), m, dsub)
+            dots = np.einsum("nmd,mkd->nmk", x, c)
+            c2 = np.einsum("mkd,mkd->mk", c, c)
+            assign = np.argmin(c2[None] - 2.0 * dots, axis=2)  # (n, m)
+            # flat keyed fold: key = (sub*ksub + cent)*(dsub+1) + comp,
+            # comp 0 = count, comp d+1 = sum of component d
+            sums = np.zeros((m * ksub, dsub + 1))
+            flatk = (np.arange(m)[None, :] * ksub + assign)    # (n, m)
+            np.add.at(sums[:, 0], flatk.reshape(-1), 1.0)
+            # component sums: x rows flatten in the same (row, sub)
+            # order as flatk, so ONE scatter covers all m subspaces
+            np.add.at(sums[:, 1:], flatk.reshape(-1),
+                      x.reshape(-1, dsub))
+            nz = np.flatnonzero(sums[:, 0] > 0)
+            keys = (nz[:, None] * (dsub + 1)
+                    + np.arange(dsub + 1)[None, :]).reshape(-1)
+            vals = sums[nz].reshape(-1)
+            return pa.table({"k": pa.array(keys.astype(np.int64)),
+                             "s": pa.array(vals)})
+
+        folded = corpus.map_batches(partial, batch_format="pyarrow") \
+            .groupby("k").aggregate(Sum("s", alias_name="s")).take_all()
+        sums = np.zeros((m * ksub, dsub))
+        counts = np.zeros(m * ksub)
+        for r in folded:
+            row, comp = divmod(int(r["k"]), dsub + 1)
+            if comp == 0:
+                counts[row] = float(r["s"])
+            else:
+                sums[row, comp - 1] = float(r["s"])
+        nzr = counts > 0
+        flat_c = cents.reshape(m * ksub, dsub)
+        flat_c[nzr] = sums[nzr] / counts[nzr, None]
+        cents = flat_c.reshape(m, ksub, dsub)
+    return cents
+
+
+def pq_encode(corpus, codebooks: np.ndarray, vec_col: str = "embedding",
+              id_col: str = "vec_id"):
+    """Map-side PQ encoding: each vector becomes `m` uint8 centroid ids
+    packed as one m-byte binary — the 8-32x memory-compressed
+    representation a 100-TB ANN index actually stores. Returns
+    (id_col, pq_code:binary)."""
+    import ray
+
+    cb = ray.put(np.ascontiguousarray(codebooks))
+    m, ksub, dsub = codebooks.shape
+    if ksub > 256:
+        raise ValueError("ksub > 256 does not fit uint8 codes")
+
+    def encode(batch: pa.Table) -> pa.Table:
+        c = ray.get(cb)
+        emb = embedding_matrix(batch[vec_col])
+        if emb.size == 0:
+            return pa.table({id_col: batch[id_col],
+                             "pq_code": pa.array([], type=pa.binary())})
+        x = emb.reshape(len(emb), m, dsub)
+        dots = np.einsum("nmd,mkd->nmk", x, c)
+        c2 = np.einsum("mkd,mkd->mk", c, c)
+        codes = np.argmin(c2[None] - 2.0 * dots, axis=2).astype(np.uint8)
+        blobs = [codes[i].tobytes() for i in range(len(codes))]
+        return pa.table({id_col: batch[id_col],
+                         "pq_code": pa.array(blobs, type=pa.binary())})
+
+    return corpus.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_ann_topk(corpus, query_matrix: np.ndarray, query_ids: np.ndarray,
+                codebooks: np.ndarray, k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id"):
+    """PQ asymmetric-distance top-k (ADC, Jegou et al. 2011): queries
+    precompute a (Q, m, ksub) L2 distance table to the broadcast
+    codebooks; each corpus batch encodes map-side and scores every row
+    with m table lookups instead of a dim-width dot product — the
+    compute shape that makes billion-vector scans affordable. Per-batch
+    partial top-k (smallest ADC distance), then a tiny bucketed
+    per-query merge. Returns (query_id, id_col, adc_dist) ascending by
+    construction; approximate by design (recall pinned in pytest)."""
+    import ray
+
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray(query_matrix, dtype=np.float64).reshape(
+        len(query_matrix), m, dsub)
+    # (Q, m, ksub): ||q_sub - c||^2
+    dt = (np.einsum("qmd,qmd->qm", q, q)[:, :, None]
+          - 2.0 * np.einsum("qmd,mkd->qmk", q, codebooks)
+          + np.einsum("mkd,mkd->mk", codebooks, codebooks)[None])
+    state = ray.put({"dt": dt, "qids": np.asarray(query_ids),
+                     "cb": np.ascontiguousarray(codebooks)})
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = ray.get(state)
+        emb = embedding_matrix(batch[vec_col])
+        if emb.size == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "adc_dist": pa.array([], type=pa.float64())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        x = emb.reshape(len(emb), m, dsub)
+        dots = np.einsum("nmd,mkd->nmk", x, s["cb"])
+        c2 = np.einsum("mkd,mkd->mk", s["cb"], s["cb"])
+        codes = np.argmin(c2[None] - 2.0 * dots, axis=2)     # (n, m)
+        dist = np.zeros((len(s["qids"]), len(x)))
+        for sub in range(m):                                  # m lookups
+            dist += s["dt"][:, sub, codes[:, sub]]
+        kk = min(k, dist.shape[1])
+        top = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+        qi = np.repeat(np.arange(dist.shape[0]), kk)
+        vi = top.reshape(-1)
+        return pa.table({
+            "query_id": pa.array(np.repeat(s["qids"], kk)),
+            id_col: pa.array(ids[vi]),
+            "adc_dist": pa.array(dist[qi, vi]),
+        })
+
+    partial = corpus.map_batches(score, batch_format="pyarrow")
+
+    import pandas as pd
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["adc_dist", id_col],
+                          ascending=[True, True], kind="stable")
+        return g.head(k)
+
+    return partial.groupby("query_id").map_groups(merge,
+                                                  batch_format="pandas")
