@@ -1442,6 +1442,23 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train(_docs(sf_dir, ["doc_id", "text"]), num_merges=8)
 
 
+def q_countmin_events(sf_dir: str):
+    """Count-min point estimates for every event type (stages/sketches
+    .countmin_build): map-side (d,w) partials, bucketed lossless
+    sum-merge, min-over-rows query. With 7 distinct keys against
+    w=1024 counters no pair collides in all d rows, so the estimates
+    are provably the exact counts — the SQL twin is GROUP BY."""
+    from osmium_tool_ray.stages.sketches import (countmin_build,
+                                                 countmin_query)
+
+    ev = _events(sf_dir, ["event_type"])
+    cm = countmin_build(ev, "event_type", d=4, w=1024)
+    keys = sorted(ev.unique("event_type"))
+    est = countmin_query(cm, np.asarray(keys, dtype=str), d=4, w=1024)
+    return pa.table({"key": pa.array(keys, type=pa.string()),
+                     "est": pa.array(est.astype(np.int64))})
+
+
 def q_dup_spans(sf_dir: str):
     """Cross-doc duplicate word-8-gram spans (stages/text.dup_spans):
     the substring-dedup diagnostics table (Lee et al. 2022) — every
@@ -2745,6 +2762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_docs": q_contamination,
         "repetition_docs": q_repetition_docs,
         "dup_spans": q_dup_spans,
+        "countmin_event_types": q_countmin_events,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "doc_lm_score": q_doc_lm_score,
@@ -3379,6 +3397,9 @@ def oracle_sql() -> dict[str, str]:
                                  / CAST(a.total AS DOUBLE)
                         ELSE 0.0 END AS rep_ratio
             FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "countmin_event_types": """
+            SELECT event_type AS key, count(*) AS est
+            FROM events GROUP BY 1""",
         "bpe_pair_counts": r"""
             WITH words AS (
                 SELECT t.w AS w

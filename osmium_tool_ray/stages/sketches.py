@@ -656,3 +656,68 @@ def heavy_hitters_per_key(ds, key_col: str, col: str, min_frac: float = 0.02,
                          count_col: out["_c"].cast(pa.int64())})
 
     return summed.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — the frequency sketch (Cormode & Muthukrishnan 2005,
+# "An improved data stream summary: the count-min sketch"). Misra-Gries
+# (above) answers "which keys are heavy"; count-min answers "how often is
+# THIS key" for any key, in d x w counters, with one-sided error
+# (estimate >= truth, overshoot <= eps * N w.h.p.).
+# ---------------------------------------------------------------------------
+
+
+def countmin_fold(values, d: int = 4, w: int = 1024,
+                  seed: int = 0) -> np.ndarray:
+    """Fold a string array into a (d, w) int64 count-min matrix: one
+    vectorized hash + bincount pass per row of the sketch."""
+    cm = np.zeros((d, w), dtype=np.int64)
+    for r in range(d):
+        h = (hash_str_u64(values, seed=seed + r) % np.uint64(w)) \
+            .astype(np.int64)
+        cm[r] += np.bincount(h, minlength=w)
+    return cm
+
+
+def countmin_query(cm: np.ndarray, keys, d: int = 4, w: int = 1024,
+                   seed: int = 0) -> np.ndarray:
+    """Point-estimate counts for `keys`: min over the d counter rows."""
+    keys = pa.array(np.asarray(keys, dtype=str)) \
+        if not isinstance(keys, pa.Array) else keys
+    est = None
+    for r in range(d):
+        h = (hash_str_u64(keys, seed=seed + r) % np.uint64(w)) \
+            .astype(np.int64)
+        v = cm[r, h]
+        est = v if est is None else np.minimum(est, v)
+    return est
+
+
+def countmin_build(ds, col: str, d: int = 4, w: int = 1024, seed: int = 0,
+                   merge_buckets: int = 32) -> np.ndarray:
+    """Distributed count-min over a Dataset column. Map-side (d, w)
+    partial per block — counter addition is lossless, so the fold is
+    exact for the sketch — then a bucketed intermediate sum-merge: the
+    driver sees at most merge_buckets x d x w x 8 bytes at any block
+    count (the hll_distinct two-level shape)."""
+    def fold(batch: pa.Table) -> pa.Table:
+        cm = countmin_fold(batch[col].cast(pa.string()), d=d, w=w,
+                           seed=seed)
+        b = int(cm.sum()) % merge_buckets
+        return pa.table({"cm": pa.array([cm.tobytes()], type=pa.binary()),
+                         "_b": pa.array([b], type=pa.int32())})
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        acc = np.zeros(d * w, dtype=np.int64)
+        for rb in g["cm"].to_pylist():
+            acc += np.frombuffer(rb, dtype=np.int64)
+        return pa.table({"cm": pa.array([acc.tobytes()],
+                                        type=pa.binary())})
+
+    parts = ds.map_batches(fold, batch_format="pyarrow") \
+        .groupby("_b").map_groups(merge_group, batch_format="pyarrow") \
+        .take_all()
+    merged = np.zeros(d * w, dtype=np.int64)
+    for r in parts:
+        merged += np.frombuffer(r["cm"], dtype=np.int64)
+    return merged.reshape(d, w)
