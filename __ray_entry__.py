@@ -2216,6 +2216,22 @@ def q_curate_images(sf_dir: str):
     return curate_images(imgs, level=4, per_tile_k=5)
 
 
+def q_image_quality(sf_dir: str):
+    """Per-image quality stats + curation flags (stages/media
+    .ImageQuality) — channel means, contrast, byte entropy; fully
+    vectorized decode->histogram pass, blobs map-side only (rows-only:
+    stats derive from decoded pixels, pytest pins numpy parity)."""
+    from osmium_tool_ray.stages.media import ImageQuality
+
+    imgs = images_dataset(sf_dir, with_bytes=True,
+                          columns=["image_id", "bytes"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return ImageQuality()(batch)
+
+    return imgs.map_batches(f, batch_format="pyarrow")
+
+
 def q_content_dup_images(sf_dir: str):
     """Cross-format exact image dedup (stages/media.content_dup_images):
     every 25th image gets a re-encode in the OTHER format at id+10^7 —
@@ -2799,6 +2815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crossmodal_neardup": q_crossmodal_neardup,
         "content_dup_images": q_content_dup_images,
         "curate_images": q_curate_images,
+        "image_quality": q_image_quality,
         "dup_clusters": q_dup_clusters,
         "audio_features": q_audio_features,
         "tile_mosaic": q_tile_mosaic,

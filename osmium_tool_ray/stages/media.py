@@ -584,3 +584,55 @@ def content_dup_images(images, bytes_col: str = "bytes",
 
     return hashed.map_batches(bucket, batch_format="pyarrow") \
         .groupby("_b").map_groups(fold, batch_format="pyarrow")
+
+
+class ImageQuality:
+    """Per-image quality statistics over decoded pixels — per-channel
+    means, global contrast (std), byte entropy in bits, and the
+    standard curation flags (too_dark / too_bright / low_contrast /
+    low_entropy): the image twin of text.QualityScore (C4/Gopher-style
+    threshold filters, pixel edition). Fully vectorized: one decode,
+    channel means by reshape, per-image 256-bin histograms via a single
+    offset bincount — no per-row Python. Stateless-safe (codec module
+    import is the only state)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "image_id",
+                 dark: float = 48.0, bright: float = 208.0,
+                 min_contrast: float = 12.0, min_entropy: float = 3.0):
+        self.codec = _load_codec()
+        self.bytes_col, self.id_col = bytes_col, id_col
+        self.dark, self.bright = dark, bright
+        self.min_contrast, self.min_entropy = min_contrast, min_entropy
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            z = pa.array([], type=pa.float64())
+            return pa.table({self.id_col: batch[self.id_col],
+                             "mean_r": z, "mean_g": z, "mean_b": z,
+                             "contrast": z, "entropy_bits": z,
+                             "quality_ok": pa.array([], type=pa.bool_())})
+        pix, w, h = self.codec.decode_batch(batch[self.bytes_col])
+        n, k = pix.shape
+        f = pix.reshape(n, -1, 3).astype(np.float64)
+        means = f.mean(axis=1)                        # (n, 3)
+        contrast = pix.astype(np.float64).std(axis=1)
+        # per-image byte histogram: one bincount over offset values
+        offset = (np.arange(n, dtype=np.int64)[:, None] * 256
+                  + pix.astype(np.int64)).reshape(-1)
+        hist = np.bincount(offset, minlength=n * 256).reshape(n, 256)
+        p = hist / k
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ent = -np.where(p > 0, p * np.log2(p), 0.0).sum(axis=1)
+        lum = means.mean(axis=1)
+        ok = ((lum >= self.dark) & (lum <= self.bright)
+              & (contrast >= self.min_contrast)
+              & (ent >= self.min_entropy))
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "mean_r": pa.array(means[:, 0]),
+            "mean_g": pa.array(means[:, 1]),
+            "mean_b": pa.array(means[:, 2]),
+            "contrast": pa.array(contrast),
+            "entropy_bits": pa.array(ent),
+            "quality_ok": pa.array(ok),
+        })
