@@ -1898,6 +1898,17 @@ def q_track_length(sf_dir: str):
                         tie_col="event_id")
 
 
+def q_funnel_counts(sf_dir: str):
+    """Ordered view->click->purchase funnel (pipelines/windows
+    .funnel_counts): ONE user-hash shuffle, per-bucket vectorized
+    masked reduceat per step, tiny native final fold."""
+    from osmium_tool_ray.pipelines.windows import funnel_counts
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+    return funnel_counts(ev, ["view", "click", "purchase"],
+                         tie_col="event_id")
+
+
 def q_track_simplify(sf_dir: str):
     """Per-user Douglas-Peucker track simplification (pipelines/windows
     .track_simplify): bucketed key shuffle + per-track iterative-stack
@@ -2786,6 +2797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs": q_curate_docs,
         "track_length_user": q_track_length,
         "track_simplify": q_track_simplify,
+        "funnel_counts": q_funnel_counts,
         "region_centroids": q_region_centroids,
         "user_distinct_types": q_user_distinct_types,
         "profile_lineitem": q_profile_lineitem,
@@ -3414,6 +3426,24 @@ def oracle_sql() -> dict[str, str]:
                                  / CAST(a.total AS DOUBLE)
                         ELSE 0.0 END AS rep_ratio
             FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "funnel_counts": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                   GROUP BY 1)
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                   (SELECT count(*) FROM s1) AS n_users
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase',
+                   (SELECT count(*) FROM s3)""",
         "countmin_event_types": """
             SELECT event_type AS key, count(*) AS est
             FROM events GROUP BY 1""",

@@ -515,3 +515,96 @@ def track_simplify(ds, key_col: str, ts_col: str, x_col: str, y_col: str,
     return ds.select_columns(cols) \
         .map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def funnel_counts(ds, steps: list[str], user_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  tie_col: str | None = None, buckets: int | None = None):
+    """Ordered-funnel analysis: how many users complete step 1, then
+    step 2 STRICTLY after it, then step 3 after that, ... (the
+    view->click->purchase product-analytics staple; greedy earliest-
+    match semantics — each step binds to its earliest qualifying
+    event, which maximizes completions).
+
+    Scale shape: ONE hash(user)%buckets shuffle of the narrow
+    (user, ts, type) projection; inside a bucket users are lexsorted
+    once and every funnel step is ONE vectorized masked
+    minimum.reduceat over the user runs (k steps = k passes, no
+    per-user Python). Buckets partition users, so per-bucket
+    completion counts Sum to the global answer — the final fold is a
+    len(steps)-row native aggregate.
+
+    Returns (step:int64 1-based, event_type, n_users:int64)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash_str_u64
+
+    if buckets is None:
+        import ray
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+    INF = np.iinfo(np.int64).max
+
+    cols = list(dict.fromkeys([user_col, ts_col, type_col]
+                              + ([tie_col] if tie_col else [])))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch[user_col]
+        if pa.types.is_integer(k.type):
+            b = (k.to_numpy(zero_copy_only=False).astype(np.uint64)
+                 % np.uint64(buckets)).astype(np.int32)
+        else:
+            b = (hash_str_u64(k) % np.uint64(buckets)).astype(np.int32)
+        return batch.append_column("_b", pa.array(b))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"step": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or user_col not in g.schema.names:
+            return empty
+        users = np.asarray(g[user_col].to_pylist(), dtype=object) \
+            .astype(str)
+        ts = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        tie = (g[tie_col].to_numpy(zero_copy_only=False) if tie_col
+               else np.zeros(len(ts), dtype=np.int64))
+        types = g[type_col].to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((tie, ts, users))
+        us, tss, tys = users[order], ts[order], types[order]
+        new = np.ones(len(us), dtype=bool)
+        new[1:] = us[1:] != us[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(us)))
+        t_prev = np.full(len(starts), np.iinfo(np.int64).min)
+        reached = np.ones(len(starts), dtype=bool)
+        out = []
+        for k, s in enumerate(steps):
+            eligible = ((tys == s)
+                        & (tss > np.repeat(t_prev, lens))
+                        & np.repeat(reached, lens))
+            tcand = np.where(eligible, tss, INF)
+            tmin = np.minimum.reduceat(tcand, starts)
+            got = tmin < INF
+            reached &= got
+            t_prev = np.where(reached, tmin, t_prev)
+            out.append(int(reached.sum()))
+        return pa.table({"step": pa.array(np.arange(1, len(steps) + 1,
+                                                    dtype=np.int64)),
+                         "n": pa.array(np.asarray(out, dtype=np.int64))})
+
+    folded = ds.select_columns(cols) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pyarrow") \
+        .groupby("step").aggregate(Sum("n", alias_name="n_users"))
+
+    name_of = {i + 1: s for i, s in enumerate(steps)}
+
+    def label(batch: pa.Table) -> pa.Table:
+        st = batch["step"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "step": batch["step"].cast(pa.int64()),
+            type_col: pa.array([name_of[int(x)] for x in st],
+                               type=pa.string()),
+            "n_users": batch["n_users"].cast(pa.int64()),
+        })
+
+    return folded.map_batches(label, batch_format="pyarrow")
