@@ -2294,6 +2294,17 @@ def q_tile_mosaic(sf_dir: str):
     return out.map_batches(decode, batch_format="pyarrow")
 
 
+def q_smooth_cell_counts(sf_dir: str):
+    """3x3 box-smoothed image-density raster (stages/raster
+    .smooth_cell_counts): sparse pre-agg + in-map x9 neighbor explode,
+    ONE packed-int Sum groupby."""
+    from osmium_tool_ray.stages.raster import smooth_cell_counts
+
+    return smooth_cell_counts(images_dataset(sf_dir,
+                                             columns=["lon", "lat"]),
+                              level=TILE_LEVEL)
+
+
 def q_rasterize_coverage(sf_dir: str):
     """Vector->raster: polygon rasterized to per-cell coverage. Exact
     oracle: the midpoint-lattice coordinates are dyadic rationals, so the
@@ -2722,6 +2733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_pruned_bbox": q_zorder_pruned_bbox,
         "extract_multi_fanout": q_extract_multi_fanout,
         "cell_grid_counts": q_cell_grid_counts,
+        "smooth_cell_counts": q_smooth_cell_counts,
         "tile_counts_salted": q_tile_counts_salted,
         "fileinfo": q_fileinfo,
         "caption_tags_count": q_caption_tags_count,
@@ -2886,6 +2898,19 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts_salted": f"""{cte}
             SELECT cell_x, cell_y, COUNT(*) AS n_images
             FROM (SELECT {cells6} FROM images) GROUP BY cell_x, cell_y""",
+        "smooth_cell_counts": f"""{cte}
+            , c AS (SELECT cell_x, cell_y, count(*) AS n
+                    FROM (SELECT {cells6} FROM images)
+                    GROUP BY cell_x, cell_y),
+            nb AS (SELECT c.cell_x + dx.i AS cell_x,
+                          c.cell_y + dy.j AS cell_y, n
+                   FROM c, unnest(generate_series(-1, 1)) AS dx(i),
+                        unnest(generate_series(-1, 1)) AS dy(j))
+            SELECT cell_x, cell_y, CAST(SUM(n) AS BIGINT) AS smoothed
+            FROM nb
+            WHERE cell_x BETWEEN 0 AND {n6 - 1}
+              AND cell_y BETWEEN 0 AND {n6 - 1}
+            GROUP BY cell_x, cell_y""",
         # decode/PSNR-verify keeps every synthetic row (the input_hint
         # invariant, pytest-gated), so the SQL twin is the pure
         # selection: per-tile top-k by (phash, image_id)

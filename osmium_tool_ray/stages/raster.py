@@ -150,3 +150,61 @@ def tile_mosaic(images, level: int, tile_px: int = 4, max_members: int = 64,
 
 def _np_obj(col) -> np.ndarray:
     return np.asarray(col.to_pylist(), dtype=object)
+
+
+def smooth_cell_counts(points, level: int, lon_col: str = "lon",
+                       lat_col: str = "lat"):
+    """3x3 box smoothing over the sparse point-density raster — the
+    heatmap/KDE-lite pass GIS pipelines run after rasterizing counts
+    (raster side of the raster<->vector pair; rasterize_region above is
+    the vector->raster direction). smoothed(x, y) = SUM of raw counts
+    over the 3x3 neighborhood; cells outside the grid are clipped, and
+    empty cells that receive neighbor mass appear in the output (the
+    sparse-explode semantics, exactly reproducible in SQL).
+
+    Scale shape: per-batch np.unique count pre-agg, the x9 neighbor
+    explode runs in the SAME map task on the pre-agged sparse cells,
+    then ONE native Sum groupby over packed int64 cell keys — never a
+    dense raster materialization. Returns (cell_x, cell_y,
+    smoothed:int64)."""
+    from ray.data.aggregate import Sum
+
+    n = np.int64(1) << np.int64(level)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+        y = np.floor((lat + 90.0) / 180.0 * n).astype(np.int64)
+        np.clip(x, 0, n - 1, out=x)
+        np.clip(y, 0, n - 1, out=y)
+        key = (x << np.int64(32)) | y
+        uk, cnt = np.unique(key, return_counts=True)
+        ux, uy = uk >> np.int64(32), uk & np.int64(0xFFFFFFFF)
+        # x9 neighbor explode on the pre-agged sparse cells
+        off = np.array([-1, 0, 1], dtype=np.int64)
+        u = len(uk)
+        nx = np.broadcast_to(ux[:, None, None] + off[None, :, None],
+                             (u, 3, 3)).reshape(-1)
+        ny = np.broadcast_to(uy[:, None, None] + off[None, None, :],
+                             (u, 3, 3)).reshape(-1)
+        nc = np.repeat(cnt.astype(np.int64), 9)
+        ok = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+        nkey = (nx[ok] << np.int64(32)) | ny[ok]
+        # second unique: merge the 9 shifted copies within the batch
+        fk, inv = np.unique(nkey, return_inverse=True)
+        fc = np.bincount(inv, weights=nc[ok]).astype(np.int64)
+        return pa.table({"_k": pa.array(fk), "n": pa.array(fc)})
+
+    agg = points.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_k").aggregate(Sum("n", alias_name="smoothed"))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        k = batch["_k"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cell_x": pa.array(k >> np.int64(32)),
+            "cell_y": pa.array(k & np.int64(0xFFFFFFFF)),
+            "smoothed": batch["smoothed"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
