@@ -1459,6 +1459,18 @@ def q_countmin_events(sf_dir: str):
                      "est": pa.array(est.astype(np.int64))})
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """Learned-tokenizer token counts (stages/text.bpe_apply): train 8
+    BPE merges distributed, broadcast the KB-size merge table, replay
+    greedily per word in one map pass — the token budget a packing
+    stage consumes (rows-only: learned segmentation; pytest pins parity
+    vs a pure-Python apply)."""
+    from osmium_tool_ray.stages.text import bpe_apply, bpe_train
+
+    merges = bpe_train(_docs(sf_dir, ["doc_id", "text"]), num_merges=8)
+    return bpe_apply(_docs(sf_dir, ["doc_id", "text"]), merges)
+
+
 def q_dup_spans(sf_dir: str):
     """Cross-doc duplicate word-8-gram spans (stages/text.dup_spans):
     the substring-dedup diagnostics table (Lee et al. 2022) — every
@@ -2804,6 +2816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_event_types": q_countmin_events,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "doc_lm_score": q_doc_lm_score,
         "approx_quantiles_value": q_approx_quantiles,
         "curate_docs": q_curate_docs,

@@ -1188,3 +1188,63 @@ def bpe_train(docs, num_merges: int = 8, text_col: str = "text",
         "right": pa.array([m[2] for m in merges], type=pa.string()),
         "n": pa.array([m[3] for m in merges], type=pa.int64()),
     })
+
+
+def bpe_apply(docs, merges, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """Apply a learned BPE merge table (bpe_train's output, broadcast —
+    merge tables are KBs by construction) to the corpus: every
+    whitespace word decomposes to characters and replays the merges in
+    training order; the greedy left-to-right fixpoint per merge matches
+    bpe_train's apply stage. Pure map-side — one pass over the corpus,
+    no shuffle; per merge a handful of vectorized Arrow
+    replace_substring kernels over the batch's flat word array.
+
+    Returns (id_col, n_words:int64, n_bpe_tokens:int64) — the learned-
+    tokenizer token counts a packing stage budgets on."""
+    SEP = "\x1f"
+    if isinstance(merges, pa.Table):
+        pairs = list(zip(merges["left"].to_pylist(),
+                         merges["right"].to_pylist()))
+    else:
+        pairs = [(l, r) for l, r in merges]
+
+    def count(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col].cast(pa.string())), r"\s+")
+        words = words.combine_chunks() if isinstance(
+            words, pa.ChunkedArray) else words
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(words)
+        valid = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        farr = flat.to_numpy(zero_copy_only=False).astype(str)[valid]
+        d = batch.num_rows
+        doc_idx = np.repeat(np.arange(d), lens)[valid]
+        if len(farr) == 0:
+            return pa.table({id_col: batch[id_col],
+                             "n_words": pa.array(np.zeros(d, np.int64)),
+                             "n_bpe_tokens": pa.array(
+                                 np.zeros(d, np.int64))})
+        syms = pa.array(np.char.add(
+            np.char.add(SEP, np.char.join(SEP, farr)), SEP))
+        for left, right in pairs:
+            find = SEP + left + SEP + right + SEP
+            repl = SEP + left + right + SEP
+            done = pc.replace_substring(syms, find, repl)
+            while not pc.all(pc.equal(done, syms)).as_py():
+                syms = done
+                done = pc.replace_substring(syms, find, repl)
+            syms = done
+        ntok = (pc.count_substring(syms, SEP)
+                .to_numpy(zero_copy_only=False).astype(np.int64) - 1)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_words": pa.array(np.bincount(doc_idx, minlength=d)
+                                .astype(np.int64)),
+            "n_bpe_tokens": pa.array(
+                np.bincount(doc_idx, weights=ntok, minlength=d)
+                .astype(np.int64)),
+        })
+
+    return docs.map_batches(count, batch_format="pyarrow")

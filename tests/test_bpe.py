@@ -83,3 +83,45 @@ def test_bpe_train_matches_reference(ray_session):
     mine = list(zip(mt["step"].to_pylist(), mt["left"].to_pylist(),
                     mt["right"].to_pylist(), mt["n"].to_pylist()))
     assert mine == _ref_bpe(TEXTS, 10)
+
+
+def _ref_apply(texts, merges):
+    """Pure-Python greedy left-to-right merge replay per word."""
+    out = []
+    for t in texts:
+        words = [w for w in t.lower().split() if w]
+        total = 0
+        for w in words:
+            syms = list(w)
+            for _, a, b, _n in merges:
+                res, i = [], 0
+                while i < len(syms):
+                    if (i < len(syms) - 1 and syms[i] == a
+                            and syms[i + 1] == b):
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            total += len(syms)
+        out.append((len(words), total))
+    return out
+
+
+def test_bpe_apply_matches_reference(ray_session):
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.text import bpe_apply
+
+    ds = rd.from_arrow(_docs()).repartition(3)
+    merges_tbl = bpe_train(ds, num_merges=8)
+    merges = list(zip(merges_tbl["step"].to_pylist(),
+                      merges_tbl["left"].to_pylist(),
+                      merges_tbl["right"].to_pylist(),
+                      merges_tbl["n"].to_pylist()))
+    out = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+           for r in bpe_apply(ds, merges_tbl).take_all()}
+    ref = _ref_apply(TEXTS, merges)
+    for i in range(len(TEXTS)):
+        assert out[i] == ref[i], (i, out[i], ref[i])
