@@ -1910,6 +1910,23 @@ def q_track_length(sf_dir: str):
                         tie_col="event_id")
 
 
+def q_triangle_count(sf_dir: str):
+    """Distributed triangle counting (stages/graph.triangle_count,
+    compact-forward wedge generation + bucketed edge probe) over the
+    deterministic event-derived graph: edge ((event_id*7919)%200,
+    (event_id*104729)%200), self-loops dropped, undirected distinct."""
+    from osmium_tool_ray.stages.graph import triangle_count
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array((eid * 7919) % 200),
+                         "b": pa.array((eid * 104729) % 200)})
+
+    return triangle_count(ev.map_batches(edges, batch_format="pyarrow"))
+
+
 def q_funnel_counts(sf_dir: str):
     """Ordered view->click->purchase funnel (pipelines/windows
     .funnel_counts): ONE user-hash shuffle, per-bucket vectorized
@@ -2823,6 +2840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_length_user": q_track_length,
         "track_simplify": q_track_simplify,
         "funnel_counts": q_funnel_counts,
+        "triangle_count": q_triangle_count,
         "region_centroids": q_region_centroids,
         "user_distinct_types": q_user_distinct_types,
         "profile_lineitem": q_profile_lineitem,
@@ -3464,6 +3482,18 @@ def oracle_sql() -> dict[str, str]:
                                  / CAST(a.total AS DOUBLE)
                         ELSE 0.0 END AS rep_ratio
             FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "triangle_count": """
+            WITH raw AS (
+                SELECT LEAST((event_id * 7919) % 200,
+                             (event_id * 104729) % 200) AS a,
+                       GREATEST((event_id * 7919) % 200,
+                                (event_id * 104729) % 200) AS b
+                FROM events),
+            e AS (SELECT DISTINCT a, b FROM raw WHERE a <> b)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""",
         "funnel_counts": """
             WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
                         WHERE event_type = 'view' GROUP BY 1),

@@ -234,3 +234,155 @@ def pagerank_distributed(edges, n_nodes: int, src_col: str = "src",
     return pa.table({"node": pa.array([r["node"] for r in out],
                                       type=pa.int64()),
                      "rank": pa.array([r["rank"] for r in out])})
+
+
+def triangle_count(edges, a_col: str = "a", b_col: str = "b",
+                   buckets: int | None = None, deg_cap: int = 50_000_000):
+    """Distributed triangle counting — wedge generation + edge
+    membership join (the compact-forward / node-iterator algorithm,
+    Latapy 2008). Edges are first canonicalized (undirected, distinct,
+    self-loops dropped), then ORIENTED from the (degree, id)-smaller to
+    the larger endpoint: every triangle forms exactly one wedge at its
+    smallest-degree corner, and each node's oriented out-degree is
+    O(sqrt(m)), which bounds the wedge explosion even on power-law hubs
+    (the hot-key guard — a raw adjacency explode at a celebrity node is
+    quadratic; the oriented one is not).
+
+    Shapes: ONE groupby(src) builds oriented adjacency and explodes
+    wedges (v, w) in-group (vectorized triu indexing); the wedge->edge
+    membership test is a bucketed sorted-array probe — wedges and edges
+    hash-partition by the packed (v, w) key into the same buckets, so
+    each group does ONE searchsorted, no driver set. Degrees fold
+    through a native Sum and broadcast under `deg_cap` (a
+    billion-node graph swaps this for the bucketed join —
+    pagerank_distributed's deg path above is the in-repo pattern).
+
+    Returns a 1-row (n_triangles:int64) table."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if buckets is None:
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        key = np.unique((lo[keep] << np.int64(32)) | hi[keep])
+        return pa.table({"lo": pa.array(key >> np.int64(32)),
+                         "hi": pa.array(key & np.int64(0xFFFFFFFF)),
+                         "_c": pa.array(np.ones(len(key), np.int64))})
+
+    # global distinct edges: one groupby on the packed key via (lo, hi)
+    dedup = edges.map_batches(canon, batch_format="pyarrow") \
+        .groupby(["lo", "hi"]).aggregate(Sum("_c", alias_name="_c")) \
+        .select_columns(["lo", "hi"]).materialize()
+
+    # degree fold (each distinct edge contributes 1 to both endpoints)
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        hi = batch["hi"].to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([lo, hi])
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(u),
+                         "d": pa.array(c.astype(np.int64))})
+
+    deg_rows = dedup.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("d", alias_name="d")).take_all()
+    if len(deg_rows) > deg_cap:
+        raise NotImplementedError(
+            "degree table exceeds deg_cap — wire the bucketed degree "
+            "join (pagerank_distributed deg path) for graphs this size")
+    dnodes = np.asarray([r["node"] for r in deg_rows], dtype=np.int64)
+    dvals = np.asarray([r["d"] for r in deg_rows], dtype=np.int64)
+    order = np.argsort(dnodes)
+    dref = ray.put((dnodes[order], dvals[order]))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        dn, dv = ray.get(dref)
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        hi = batch["hi"].to_numpy(zero_copy_only=False)
+        dlo = dv[np.searchsorted(dn, lo)]
+        dhi = dv[np.searchsorted(dn, hi)]
+        # orient from (deg, id)-smaller -> larger
+        fwd = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        src = np.where(fwd, lo, hi)
+        dst = np.where(fwd, hi, lo)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    def orient_bucket(batch: pa.Table) -> pa.Table:
+        out = orient(batch)
+        src = out["src"].to_numpy(zero_copy_only=False)
+        sb = (src % np.int64(buckets)).astype(np.int32)
+        return out.append_column("_sb", pa.array(sb))
+
+    oriented = dedup.map_batches(orient_bucket, batch_format="pyarrow")
+
+    def wedges(g: pa.Table) -> pa.Table:
+        empty = pa.table({"v": pa.array([], type=pa.int64()),
+                          "w": pa.array([], type=pa.int64()),
+                          "_b": pa.array([], type=pa.int32()),
+                          "_e": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "src" not in g.schema.names:
+            return empty
+        src = g["src"].to_numpy(zero_copy_only=False)
+        dst = g["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        s, d = src[order], dst[order]
+        first = np.ones(len(s), dtype=bool)
+        first[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(s)))
+        vs, ws = [], []
+        for st, ln in zip(starts, lens):       # per-node triu explode
+            if ln < 2:
+                continue
+            adj = d[st:st + ln]
+            iu, ju = np.triu_indices(ln, k=1)
+            vs.append(adj[iu])
+            ws.append(adj[ju])
+        if not vs:
+            return empty
+        v = np.concatenate(vs)
+        w = np.concatenate(ws)
+        vv, ww = np.minimum(v, w), np.maximum(v, w)
+        b = (((vv << np.int64(32)) | ww)
+             % np.int64(buckets)).astype(np.int32)
+        return pa.table({"v": pa.array(vv), "w": pa.array(ww),
+                         "_b": pa.array(b),
+                         "_e": pa.array(np.zeros(len(vv), np.int64))})
+
+    def edge_keyed(batch: pa.Table) -> pa.Table:
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        hi = batch["hi"].to_numpy(zero_copy_only=False)
+        key = (lo << np.int64(32)) | hi
+        b = (key % np.int64(buckets)).astype(np.int32)
+        return pa.table({"v": pa.array(lo), "w": pa.array(hi),
+                         "_b": pa.array(b),
+                         "_e": pa.array(np.ones(len(lo), np.int64))})
+
+    wedge_ds = oriented.groupby("_sb").map_groups(
+        wedges, batch_format="pyarrow")
+    edge_ds = dedup.map_batches(edge_keyed, batch_format="pyarrow")
+
+    def probe(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "v" not in g.schema.names:
+            return pa.table({"n": pa.array([], type=pa.int64())})
+        is_edge = g["_e"].to_numpy(zero_copy_only=False) == 1
+        key = ((g["v"].to_numpy(zero_copy_only=False) << np.int64(32))
+               | g["w"].to_numpy(zero_copy_only=False))
+        ek = np.sort(key[is_edge])
+        wk = key[~is_edge]
+        if not len(ek) or not len(wk):
+            return pa.table({"n": pa.array([0], type=pa.int64())})
+        pos = np.searchsorted(ek, wk)
+        hit = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == wk)
+        return pa.table({"n": pa.array([int(hit.sum())],
+                                       type=pa.int64())})
+
+    both = wedge_ds.union(edge_ds)
+    parts = both.groupby("_b").map_groups(probe, batch_format="pyarrow") \
+        .take_all()
+    total = int(sum(r["n"] for r in parts))
+    return pa.table({"n_triangles": pa.array([total], type=pa.int64())})
