@@ -1910,6 +1910,16 @@ def q_track_length(sf_dir: str):
                         tie_col="event_id")
 
 
+def q_window_dedup(sf_dir: str):
+    """Windowed keep-first dedup (pipelines/windows.window_dedup):
+    earliest event per (user, day window) with per-pair event counts —
+    in-batch keep-first pre-prune then ONE native Min/Sum groupby."""
+    from osmium_tool_ray.pipelines.windows import window_dedup
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+    return window_dedup(ev, "user_id", "ts", width_s=86_400)
+
+
 def q_triangle_count(sf_dir: str):
     """Distributed triangle counting (stages/graph.triangle_count,
     compact-forward wedge generation + bucketed edge probe) over the
@@ -2841,6 +2851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_simplify": q_track_simplify,
         "funnel_counts": q_funnel_counts,
         "triangle_count": q_triangle_count,
+        "window_dedup": q_window_dedup,
         "region_centroids": q_region_centroids,
         "user_distinct_types": q_user_distinct_types,
         "profile_lineitem": q_profile_lineitem,
@@ -3482,6 +3493,13 @@ def oracle_sql() -> dict[str, str]:
                                  / CAST(a.total AS DOUBLE)
                         ELSE 0.0 END AS rep_ratio
             FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "window_dedup": """
+            SELECT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) * 86400
+                       AS window,
+                   min(ts) AS first_ts,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2""",
         "triangle_count": """
             WITH raw AS (
                 SELECT LEAST((event_id * 7919) % 200,

