@@ -2333,6 +2333,29 @@ def q_tile_mosaic(sf_dir: str):
     return out.map_batches(decode, batch_format="pyarrow")
 
 
+def q_geohash_counts(sf_dir: str):
+    """Geohash-prefix density counts over the image corpus
+    (functions/cells.geohash_encode, 5p vectorized bisection passes +
+    in-batch pre-agg + one native Sum; rows-only — base32 bit
+    interleave is not SQL-expressible; pytest pins published test
+    vectors and the bijection to the lon/lat grid)."""
+    from ray.data.aggregate import Sum
+
+    from osmium_tool_ray.functions.cells import geohash_encode
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gh = geohash_encode(
+            batch["lon"].to_numpy(zero_copy_only=False),
+            batch["lat"].to_numpy(zero_copy_only=False), precision=2)
+        u, c = np.unique(gh, return_counts=True)
+        return pa.table({"geohash": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    return images_dataset(sf_dir, columns=["lon", "lat"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("geohash").aggregate(Sum("n", alias_name="n_images"))
+
+
 def q_smooth_cell_counts(sf_dir: str):
     """3x3 box-smoothed image-density raster (stages/raster
     .smooth_cell_counts): sparse pre-agg + in-map x9 neighbor explode,
@@ -2773,6 +2796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_multi_fanout": q_extract_multi_fanout,
         "cell_grid_counts": q_cell_grid_counts,
         "smooth_cell_counts": q_smooth_cell_counts,
+        "geohash_counts": q_geohash_counts,
         "tile_counts_salted": q_tile_counts_salted,
         "fileinfo": q_fileinfo,
         "caption_tags_count": q_caption_tags_count,

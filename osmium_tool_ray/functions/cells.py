@@ -141,3 +141,45 @@ def cover_bbox(lon_min: float, lat_min: float, lon_max: float, lat_max: float,
     ys = np.arange(y0[0], y1[0] + 1, dtype=np.int64)
     gx, gy = np.meshgrid(xs, ys, indexing="ij")
     return xy_to_cell(gx.ravel(), gy.ravel(), level)
+
+
+_GEOHASH32 = np.frombuffer(b"0123456789bcdefghjkmnpqrstuvwxyz",
+                           dtype=np.uint8)
+
+
+def geohash_encode(lon: np.ndarray, lat: np.ndarray,
+                   precision: int = 9) -> np.ndarray:
+    """Vectorized geohash encoding (Niemeyer 2008 public-domain scheme):
+    5*precision alternating lon/lat bisection bits, base32-mapped
+    MSB-first. 5p vectorized numpy passes per batch, no per-row Python;
+    precision <= 12 (60 bits fit uint64). Returns a <U{p} string
+    array."""
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in [1, 12]")
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n = len(lon)
+    val = np.zeros(n, dtype=np.uint64)
+    lo_x = np.full(n, -180.0)
+    hi_x = np.full(n, 180.0)
+    lo_y = np.full(n, -90.0)
+    hi_y = np.full(n, 90.0)
+    for i in range(5 * precision):
+        if i % 2 == 0:                       # even bit: longitude
+            mid = (lo_x + hi_x) * 0.5
+            bit = lon >= mid
+            lo_x = np.where(bit, mid, lo_x)
+            hi_x = np.where(bit, hi_x, mid)
+        else:                                # odd bit: latitude
+            mid = (lo_y + hi_y) * 0.5
+            bit = lat >= mid
+            lo_y = np.where(bit, mid, lo_y)
+            hi_y = np.where(bit, hi_y, mid)
+        val = (val << np.uint64(1)) | bit.astype(np.uint64)
+    chars = np.empty((n, precision), dtype=np.uint8)
+    for c in range(precision):
+        shift = np.uint64(5 * (precision - 1 - c))
+        chars[:, c] = _GEOHASH32[((val >> shift)
+                                  & np.uint64(0x1F)).astype(np.int64)]
+    return chars.reshape(n * precision).view(f"S{precision}") \
+        .astype(str)
