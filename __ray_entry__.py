@@ -2378,6 +2378,17 @@ def q_rasterize_coverage(sf_dir: str):
     return rasterize_region(reg, level=7)
 
 
+def q_geojson_roundtrip(sf_dir: str):
+    """Export -> read-back round trip (sources/geojson.read_geojsonseq,
+    RFC 8142): the GeoJSONSeq lines q_export_geojsonseq emits re-enter
+    the engine as typed (feature_id, lon, lat, caption) rows; float
+    coordinates survive exactly (shortest-round-trip serialization)."""
+    from osmium_tool_ray.sources.geojson import read_geojsonseq
+
+    return read_geojsonseq(q_export_geojsonseq(sf_dir),
+                           props=["caption"])
+
+
 def q_export_geojsonseq(sf_dir: str):
     """GeoJSONSeq Feature lines for the ids containing '00' (a
     deterministic subset — a streaming limit() would pick rows by block
@@ -2797,6 +2808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_grid_counts": q_cell_grid_counts,
         "smooth_cell_counts": q_smooth_cell_counts,
         "geohash_counts": q_geohash_counts,
+        "geojson_roundtrip": q_geojson_roundtrip,
         "tile_counts_salted": q_tile_counts_salted,
         "fileinfo": q_fileinfo,
         "caption_tags_count": q_caption_tags_count,
@@ -3985,6 +3997,24 @@ def oracle_sql() -> dict[str, str]:
     _num = "regexp_replace(CAST({} AS VARCHAR), '\\.0$', '')"
     _lon_s = _num.format("((event_id * 7919) % 36000) / 100.0 - 180.0")
     _lat_s = _num.format("((event_id * 104729) % 17000) / 100.0 - 85.0")
+    # the reader inverts the writer exactly: shortest-round-trip float
+    # strings parse back to the identical doubles the SQL arithmetic
+    # produces directly
+    out["geojson_roundtrip"] = """
+        WITH sel AS (
+            SELECT event_id,
+                   'img' || lpad(CAST(event_id AS VARCHAR), 10, '0')
+                       AS feature_id,
+                   'caption ' || CAST(event_id AS VARCHAR) || ' '
+                       || event_type AS caption
+            FROM events
+            WHERE contains('img' || lpad(CAST(event_id AS VARCHAR),
+                                         10, '0'), '00'))
+        SELECT feature_id,
+               ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+               ((event_id * 104729) % 17000) / 100.0 - 85.0 AS lat,
+               caption
+        FROM sel"""
     out["export_geojsonseq"] = f"""
         WITH sel AS (
             SELECT event_id,

@@ -56,7 +56,8 @@ QUERY_NAMES = [
     "dup_spans", "semantic_dedup", "bpe_pair_counts", "bpe_merges",
     "track_simplify", "content_dup_images", "curate_images",
     "pq_ann", "countmin_event_types", "image_quality", "funnel_counts",
-    "smooth_cell_counts", "bpe_token_counts",
+    "smooth_cell_counts", "bpe_token_counts", "triangle_count",
+    "window_dedup", "geohash_counts",
 ]
 
 
