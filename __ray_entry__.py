@@ -2333,6 +2333,16 @@ def q_tile_mosaic(sf_dir: str):
     return out.map_batches(decode, batch_format="pyarrow")
 
 
+def q_tile_pyramid(sf_dir: str):
+    """Full tile pyramid levels 6..0 (stages/tiles.tile_pyramid): one
+    corpus shuffle for the finest grid, bit-shift + native Sum per
+    coarser level over the shrinking aggregated rows."""
+    from osmium_tool_ray.stages.tiles import tile_pyramid
+
+    return tile_pyramid(images_dataset(sf_dir, columns=["lon", "lat"]),
+                        max_level=TILE_LEVEL)
+
+
 def q_geohash_counts(sf_dir: str):
     """Geohash-prefix density counts over the image corpus
     (functions/cells.geohash_encode, 5p vectorized bisection passes +
@@ -2809,6 +2819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "smooth_cell_counts": q_smooth_cell_counts,
         "geohash_counts": q_geohash_counts,
         "geojson_roundtrip": q_geojson_roundtrip,
+        "tile_pyramid": q_tile_pyramid,
         "tile_counts_salted": q_tile_counts_salted,
         "fileinfo": q_fileinfo,
         "caption_tags_count": q_caption_tags_count,
@@ -3997,6 +4008,16 @@ def oracle_sql() -> dict[str, str]:
     _num = "regexp_replace(CAST({} AS VARCHAR), '\\.0$', '')"
     _lon_s = _num.format("((event_id * 7919) % 36000) / 100.0 - 180.0")
     _lat_s = _num.format("((event_id * 104729) % 17000) / 100.0 - 85.0")
+    # each pyramid level equals a direct aggregation at that level
+    # (floor(x / 2^k) composes with floor(v * 2^L))
+    out["tile_pyramid"] = f"{cte} " + " UNION ALL ".join(
+        f"""SELECT CAST({lvl} AS BIGINT) AS level, cell_x, cell_y,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT {_CELL_XY_SQL.format(n=1 << lvl,
+                                              m=(1 << lvl) - 1)}
+                  FROM images)
+            GROUP BY cell_x, cell_y"""
+        for lvl in range(TILE_LEVEL, -1, -1))
     # the reader inverts the writer exactly: shortest-round-trip float
     # strings parse back to the identical doubles the SQL arithmetic
     # produces directly

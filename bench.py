@@ -57,7 +57,7 @@ QUERY_NAMES = [
     "track_simplify", "content_dup_images", "curate_images",
     "pq_ann", "countmin_event_types", "image_quality", "funnel_counts",
     "smooth_cell_counts", "bpe_token_counts", "triangle_count",
-    "window_dedup", "geohash_counts",
+    "window_dedup", "geohash_counts", "tile_pyramid", "geojson_roundtrip",
 ]
 
 

@@ -116,3 +116,62 @@ def assign_tiles_salted(ds, level: int, agg_fn, hot_threshold: int = 100_000,
         return out
 
     return partials.groupby("cell").map_groups(merge, batch_format="pandas")
+
+
+def tile_pyramid(points, max_level: int, lon_col: str = "lon",
+                 lat_col: str = "lat"):
+    """Full tile pyramid: point counts at every zoom level from
+    `max_level` down to 0 — the hierarchical aggregation a map-tile
+    (or any drill-down dashboard) build runs. ONE corpus-scale shuffle
+    produces the finest level; every coarser level derives from the
+    PREVIOUS level's already-aggregated (cell, n) rows with a bit-shift
+    map + native Sum (result shrinks ~4x per level, so the whole
+    pyramid costs barely more than the finest grid; floor(x / 2^k)
+    composes with floor(v * 2^L), so each level equals a direct
+    aggregation at that level — the SQL twin).
+
+    Returns (level:int64, cell_x:int64, cell_y:int64, n:int64)."""
+    from ray.data.aggregate import Sum
+
+    n = np.int64(1) << np.int64(max_level)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+        y = np.floor((lat + 90.0) / 180.0 * n).astype(np.int64)
+        np.clip(x, 0, n - 1, out=x)
+        np.clip(y, 0, n - 1, out=y)
+        key = (x << np.int64(32)) | y
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"_k": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def shift(batch: pa.Table) -> pa.Table:
+        k = batch["_k"].to_numpy(zero_copy_only=False)
+        x = (k >> np.int64(32)) >> np.int64(1)
+        y = (k & np.int64(0xFFFFFFFF)) >> np.int64(1)
+        return pa.table({"_k": pa.array((x << np.int64(32)) | y),
+                         "n": batch["n"].cast(pa.int64())})
+
+    def label(level: int):
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch["_k"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "level": pa.array(np.full(len(k), level, dtype=np.int64)),
+                "cell_x": pa.array(k >> np.int64(32)),
+                "cell_y": pa.array(k & np.int64(0xFFFFFFFF)),
+                "n": batch["n"].cast(pa.int64()),
+            })
+        return f
+
+    cur = points.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_k").aggregate(Sum("n", alias_name="n")).materialize()
+    out = cur.map_batches(label(max_level), batch_format="pyarrow")
+    for level in range(max_level - 1, -1, -1):
+        cur = cur.map_batches(shift, batch_format="pyarrow") \
+            .groupby("_k").aggregate(Sum("n", alias_name="n")) \
+            .materialize()
+        out = out.union(cur.map_batches(label(level),
+                                        batch_format="pyarrow"))
+    return out
