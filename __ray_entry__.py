@@ -1459,6 +1459,16 @@ def q_countmin_events(sf_dir: str):
                      "est": pa.array(est.astype(np.int64))})
 
 
+def q_leakage_safe_split(sf_dir: str):
+    """Dedup-aware train/val/test split (pipelines/sampling
+    .leakage_safe_split): split key = content-group representative, so
+    exact duplicates never straddle splits; one narrow fp-bucket
+    shuffle."""
+    from osmium_tool_ray.pipelines.sampling import leakage_safe_split
+
+    return leakage_safe_split(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_bpe_token_counts(sf_dir: str):
     """Learned-tokenizer token counts (stages/text.bpe_apply): train 8
     BPE merges distributed, broadcast the KB-size merge table, replay
@@ -2891,6 +2901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
+        "leakage_safe_split": q_leakage_safe_split,
         "doc_lm_score": q_doc_lm_score,
         "approx_quantiles_value": q_approx_quantiles,
         "curate_docs": q_curate_docs,
@@ -3540,6 +3551,17 @@ def oracle_sql() -> dict[str, str]:
                                  / CAST(a.total AS DOUBLE)
                         ELSE 0.0 END AS rep_ratio
             FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "leakage_safe_split": """
+            WITH rep AS (SELECT doc_id,
+                                min(doc_id) OVER (PARTITION BY text)
+                                    AS rep
+                         FROM documents)
+            SELECT doc_id,
+                   CASE WHEN rep % 100 < 10 THEN 'test'
+                        WHEN rep % 100 < 20 THEN 'val'
+                        ELSE 'train' END AS split,
+                   rep
+            FROM rep""",
         "window_dedup": """
             SELECT user_id,
                    CAST(epoch_us(ts) // 86400000000 AS BIGINT) * 86400

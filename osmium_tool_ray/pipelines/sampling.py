@@ -167,3 +167,67 @@ def keyed_rate_sample(ds, id_col: str, key_col: str, rates: dict[str, float],
         return batch.filter(pa.array(h < t))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def leakage_safe_split(docs, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       val_pct: int = 10, test_pct: int = 10):
+    """Leakage-safe train/val/test split: the split key is the
+    CONTENT-GROUP REPRESENTATIVE (min id among exact-content
+    duplicates), not the row id — so duplicated documents can never
+    straddle splits and leak eval data into training (the dedup-aware
+    split discipline of modern LM data work; a naive id-hash split
+    leaks every duplicate pair).
+
+    ONE narrow (id, fp) shuffle assigns representatives (64-bit content
+    fingerprint stands in for text equality at ~2^-64 collision risk,
+    exactly like dedup_exact_docs); the split rule is deterministic
+    arithmetic on the representative (rep % 100), so the assignment is
+    reproducible at any partitioning and in SQL.
+
+    Returns (id_col, split:string, rep:int64)."""
+    from ..stages.text import Fingerprint
+
+    fp_fn = Fingerprint(text_col=text_col)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return fp_fn(batch).select([id_col, "fp"])
+
+    def pick(g: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                          "split": pa.array([], type=pa.string()),
+                          "rep": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "fp" not in g.schema.names:
+            return empty
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        fp = g["fp"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, fp))
+        f, i = fp[order], ids[order]
+        first = np.ones(len(f), dtype=bool)
+        first[1:] = f[1:] != f[:-1]
+        head = np.maximum.accumulate(
+            np.where(first, np.arange(len(f)), 0))
+        rep = i[head]
+        b = rep % 100
+        split = np.where(b < test_pct, "test",
+                         np.where(b < test_pct + val_pct, "val",
+                                  "train"))
+        return pa.table({id_col: g[id_col].take(pa.array(order)),
+                         "split": pa.array(split, type=pa.string()),
+                         "rep": pa.array(rep.astype(np.int64))})
+
+    # bucket by fp so every content group lands in one fold group
+    from ..functions.hashing import splitmix64
+
+    import ray
+    buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        b = (splitmix64(batch["fp"].to_numpy(zero_copy_only=False)
+                        .view(np.uint64)) % np.uint64(buckets)) \
+            .astype(np.int32)
+        return batch.append_column("_b", pa.array(b))
+
+    return docs.map_batches(tag, batch_format="pyarrow") \
+        .map_batches(bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(pick, batch_format="pyarrow")

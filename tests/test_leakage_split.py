@@ -1,0 +1,56 @@
+"""Leakage-safe splitting (pipelines/sampling.leakage_safe_split):
+duplicates always share a split; proportions follow the rep % 100
+rule; DuckDB window-function parity."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from osmium_tool_ray.pipelines.sampling import leakage_safe_split
+
+
+def _docs(seed=7, n=400, dup_every=5):
+    rng = np.random.default_rng(seed)
+    vocab = np.array(["a", "b", "c", "d", "e", "f"])
+    texts = [" ".join(vocab[rng.integers(0, 6, rng.integers(3, 12))])
+             for _ in range(n)]
+    # plant exact duplicates: doc i copies doc i - dup_every's text
+    for i in range(dup_every, n, dup_every):
+        texts[i] = texts[i - dup_every]
+    return pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def test_split_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    tbl = _docs()
+    out = leakage_safe_split(rd.from_arrow(tbl).repartition(4))
+    mine = sorted((r["doc_id"], r["split"], r["rep"])
+                  for r in out.take_all())
+    oracle = duckdb.sql("""
+        WITH rep AS (SELECT doc_id,
+                            min(doc_id) OVER (PARTITION BY text) AS rep
+                     FROM tbl)
+        SELECT doc_id,
+               CASE WHEN rep % 100 < 10 THEN 'test'
+                    WHEN rep % 100 < 20 THEN 'val'
+                    ELSE 'train' END AS split,
+               rep
+        FROM rep ORDER BY doc_id""").fetchall()
+    assert mine == [tuple(r) for r in oracle]
+
+
+def test_no_duplicate_straddles_splits(ray_session):
+    import ray.data as rd
+
+    tbl = _docs()
+    out = leakage_safe_split(rd.from_arrow(tbl).repartition(3))
+    split_of = {r["doc_id"]: r["split"] for r in out.take_all()}
+    texts = tbl["text"].to_pylist()
+    by_text = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, set()).add(split_of[i])
+    assert all(len(s) == 1 for s in by_text.values())
+    # all three splits are populated under the 10/10/80 rule
+    assert set(split_of.values()) == {"train", "val", "test"}
