@@ -2276,6 +2276,16 @@ def q_curate_images(sf_dir: str):
     return curate_images(imgs, level=4, per_tile_k=5)
 
 
+def q_sniff_image_meta(sf_dir: str):
+    """Header-only metadata scan (stages/media.sniff_image_meta): fmt,
+    dims and record size from 8 header bytes per blob — no pixel
+    decode; exact-oracled against the corpus derivation arithmetic."""
+    from osmium_tool_ray.stages.media import sniff_image_meta
+
+    return sniff_image_meta(images_dataset(sf_dir, with_bytes=True,
+                                           columns=["image_id", "bytes"]))
+
+
 def q_image_quality(sf_dir: str):
     """Per-image quality stats + curation flags (stages/media
     .ImageQuality) — channel means, contrast, byte entropy; fully
@@ -2940,6 +2950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_dup_images": q_content_dup_images,
         "curate_images": q_curate_images,
         "image_quality": q_image_quality,
+        "sniff_image_meta": q_sniff_image_meta,
         "dup_clusters": q_dup_clusters,
         "audio_features": q_audio_features,
         "tile_mosaic": q_tile_mosaic,
@@ -3014,6 +3025,10 @@ def oracle_sql() -> dict[str, str]:
         # decode/PSNR-verify keeps every synthetic row (the input_hint
         # invariant, pytest-gated), so the SQL twin is the pure
         # selection: per-tile top-k by (phash, image_id)
+        "sniff_image_meta": f"""{cte}
+            SELECT image_id, fmt AS fmt_sniffed, w, h,
+                   CAST(8 + w * h * 3 AS BIGINT) AS rec_bytes
+            FROM images""",
         "curate_images": f"""{cte}
             SELECT image_id, cell_x, cell_y, rk FROM (
                 SELECT image_id, cell_x, cell_y,

@@ -636,3 +636,49 @@ class ImageQuality:
             "entropy_bits": pa.array(ent),
             "quality_ok": pa.array(ok),
         })
+
+
+def sniff_image_meta(images, bytes_col: str = "bytes",
+                     id_col: str = "image_id"):
+    """Header-only metadata sniff — fmt / width / height / record size
+    parsed from the first HEADER_LEN bytes WITHOUT decoding pixels (the
+    metadata-scan fast path: at corpus scale a schema/stats pass that
+    touches 8 bytes per record instead of the full payload is the
+    difference between minutes and hours; fileinfo's analogue for the
+    blob column). Vectorized: one Arrow binary_slice + numpy header
+    parse per batch. Returns (id, fmt_sniffed, w, h, rec_bytes)."""
+    import pyarrow.compute as pc
+
+    from ..functions.imagecodec import _MAGIC_REV, HEADER_LEN
+
+    magic_map = {m: f for m, f in _MAGIC_REV.items()}
+
+    def sniff(batch: pa.Table) -> pa.Table:
+        col = batch[bytes_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        n = len(col)
+        if n == 0:
+            return pa.table({id_col: batch[id_col],
+                             "fmt_sniffed": pa.array([], type=pa.string()),
+                             "w": pa.array([], type=pa.int32()),
+                             "h": pa.array([], type=pa.int32()),
+                             "rec_bytes": pa.array([], type=pa.int64())})
+        total = pc.binary_length(col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        heads = pc.binary_slice(col.cast(pa.large_binary()), 0, HEADER_LEN)
+        hb = np.frombuffer(b"".join(heads.to_pylist()), dtype=np.uint8) \
+            .reshape(n, HEADER_LEN)
+        fmts = np.full(n, "unknown", dtype=object)
+        for magic, fmt in magic_map.items():
+            m = np.frombuffer(magic, dtype=np.uint8)
+            fmts[(hb[:, :4] == m).all(axis=1)] = fmt
+        w = hb[:, 4:6].copy().view(np.uint16).astype(np.int32).ravel()
+        h = hb[:, 6:8].copy().view(np.uint16).astype(np.int32).ravel()
+        return pa.table({id_col: batch[id_col],
+                         "fmt_sniffed": pa.array(fmts, type=pa.string()),
+                         "w": pa.array(w),
+                         "h": pa.array(h),
+                         "rec_bytes": pa.array(total)})
+
+    return images.map_batches(sniff, batch_format="pyarrow")

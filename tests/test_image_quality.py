@@ -52,3 +52,21 @@ def test_image_quality_flags(ray_session):
     ok = {r["image_id"]: r["quality_ok"] for r in out.take_all()}
     assert ok == {"img0000000000": False, "img0000000001": False,
                   "img0000000002": False, "img0000000003": True}
+
+
+def test_sniff_image_meta(ray_session):
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.media import sniff_image_meta
+
+    ids = np.arange(30, dtype=np.int64)
+    fmts = np.where(ids % 2 == 0, "png", "jpeg")
+    tbl = pa.table({"image_id": pa.array([f"img{i:010d}" for i in ids]),
+                    "bytes": encode_batch(gen_pixels(ids), fmts)})
+    out = {r["image_id"]: (r["fmt_sniffed"], r["w"], r["h"],
+                           r["rec_bytes"])
+           for r in sniff_image_meta(rd.from_arrow(tbl).repartition(3))
+           .take_all()}
+    for i in ids:
+        want_fmt = "png" if i % 2 == 0 else "jpeg"
+        assert out[f"img{i:010d}"] == (want_fmt, 16, 16, 8 + 16 * 16 * 3)
