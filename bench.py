@@ -165,8 +165,12 @@ def main():
     import ray
 
     if not ray.is_initialized():
+        # log_to_driver=False: forwarded worker log lines land on the
+        # driver's STDOUT and can corrupt the one-JSON-line contract
+        # (observed once: a worker operator-name print interleaved with
+        # the JSON)
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR", log_to_driver=False)
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
