@@ -1469,6 +1469,20 @@ def q_leakage_safe_split(sf_dir: str):
     return leakage_safe_split(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_leakage_safe_split_neardup(sf_dir: str):
+    """NEAR-dup-aware split (pipelines/sampling
+    .leakage_safe_split_neardup): split key = MinHash cluster
+    representative, so paraphrase variants never straddle splits; the
+    verified dup table (proportional to the dup rate) broadcasts as two
+    sorted arrays. Same LSH settings as minhash_dup_pairs, whose
+    banding recall is complete on this corpus — the definitional SQL
+    closure is the exact twin."""
+    from osmium_tool_ray.pipelines.sampling import leakage_safe_split_neardup
+
+    return leakage_safe_split_neardup(_docs(sf_dir, ["doc_id", "text"]),
+                                      threshold=0.6)
+
+
 def q_bpe_token_counts(sf_dir: str):
     """Learned-tokenizer token counts (stages/text.bpe_apply): train 8
     BPE merges distributed, broadcast the KB-size merge table, replay
@@ -2912,6 +2926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "leakage_safe_split": q_leakage_safe_split,
+        "leakage_safe_split_neardup": q_leakage_safe_split_neardup,
         "doc_lm_score": q_doc_lm_score,
         "approx_quantiles_value": q_approx_quantiles,
         "curate_docs": q_curate_docs,
@@ -4010,6 +4025,17 @@ def oracle_sql() -> dict[str, str]:
     # output == all-pairs ground truth) and the exact verify stage makes
     # precision exact, so the definitional oracle is the true twin.
     out["minhash_dup_pairs"] = char_shingle_pairs_sql(threshold=0.6, k=5)
+    # near-dup-aware split: rep = cluster min from the same closure
+    out["leakage_safe_split_neardup"] = f"""
+        WITH pairs AS ({char_shingle_pairs_sql(threshold=0.6, k=5)})
+        SELECT d.doc_id,
+               CASE WHEN COALESCE(p.dup_of, d.doc_id) % 100 < 10
+                        THEN 'test'
+                    WHEN COALESCE(p.dup_of, d.doc_id) % 100 < 20
+                        THEN 'val'
+                    ELSE 'train' END AS split,
+               COALESCE(p.dup_of, d.doc_id) AS rep
+        FROM documents d LEFT JOIN pairs p USING (doc_id)"""
     out["ngram_dup_pairs"] = word_ngram_pairs_sql(threshold=0.35, n=3)
     # the planted near-dups (q_embedding_neardup augment) are the provable
     # full recall set: an exact-scaled copy shares every hyperplane-LSH

@@ -231,3 +231,50 @@ def leakage_safe_split(docs, text_col: str = "text",
     return docs.map_batches(tag, batch_format="pyarrow") \
         .map_batches(bucket, batch_format="pyarrow") \
         .groupby("_b").map_groups(pick, batch_format="pyarrow")
+
+
+def leakage_safe_split_neardup(docs, text_col: str = "text",
+                               id_col: str = "doc_id",
+                               val_pct: int = 10, test_pct: int = 10,
+                               threshold: float = 0.7):
+    """NEAR-dup-aware train/val/test split: the split key is the MinHash
+    cluster representative (smallest id of the near-duplicate cluster,
+    stages/dedup.minhash_dedup), so paraphrased/boilerplate variants of
+    one document can never straddle splits — the decontamination
+    discipline eval suites actually need (exact-hash splitting, above,
+    misses every near-dup pair).
+
+    The verified dup table is proportional to the TRUE dup rate, not the
+    corpus; it broadcasts as two sorted arrays and the assignment is one
+    streaming searchsorted pass (swap for semi_join_bucketed if a corpus
+    ever dedups to billions of pairs). Returns (id_col, split, rep)."""
+    import ray
+
+    from ..stages.dedup import minhash_dedup
+
+    pairs = minhash_dedup(docs, text_col=text_col, id_col=id_col,
+                          threshold=threshold)
+    dup_ids = np.asarray(pairs[id_col].to_pylist(), dtype=np.int64)
+    dup_rep = np.asarray(pairs["dup_of"].to_pylist(), dtype=np.int64)
+    order = np.argsort(dup_ids)
+    ref = ray.put((dup_ids[order], dup_rep[order]))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        di, dr = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        rep = ids.copy()
+        if len(di):
+            pos = np.searchsorted(di, ids)
+            hit = (pos < len(di)) & (di[np.minimum(pos, len(di) - 1)]
+                                     == ids)
+            rep[hit] = dr[np.minimum(pos, len(di) - 1)][hit]
+        b = rep % 100
+        split = np.where(b < test_pct, "test",
+                         np.where(b < test_pct + val_pct, "val",
+                                  "train"))
+        return pa.table({id_col: batch[id_col],
+                         "split": pa.array(split, type=pa.string()),
+                         "rep": pa.array(rep.astype(np.int64))})
+
+    return docs.select_columns([id_col]) \
+        .map_batches(assign, batch_format="pyarrow")

@@ -54,3 +54,38 @@ def test_no_duplicate_straddles_splits(ray_session):
     assert all(len(s) == 1 for s in by_text.values())
     # all three splits are populated under the 10/10/80 rule
     assert set(split_of.values()) == {"train", "val", "test"}
+
+
+def test_neardup_split_groups_paraphrases(ray_session):
+    """Slightly-perturbed copies (high-Jaccard near-dups, not exact)
+    must share a split with their source."""
+    import ray.data as rd
+
+    from osmium_tool_ray.pipelines.sampling import leakage_safe_split_neardup
+
+    rng = np.random.default_rng(4)
+    base = ["the quick brown fox jumps over the lazy dog again and again",
+            "pack my box with five dozen liquor jugs every single day",
+            "how vexingly quick daft zebras jump over anything at all"]
+    texts, source = [], []
+    for i in range(120):
+        b = i % 3
+        t = base[b]
+        if i >= 3:          # perturb a single word (near-dup, not exact)
+            words = t.split()
+            words[int(rng.integers(0, len(words)))] = f"w{i}"
+            t = " ".join(words)
+        texts.append(t)
+        source.append(b)
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    out = leakage_safe_split_neardup(
+        rd.from_arrow(tbl).repartition(3), threshold=0.5)
+    rows = {r["doc_id"]: (r["split"], r["rep"]) for r in out.take_all()}
+    assert len(rows) == len(texts)
+    # every variant of a base text maps to one rep and one split
+    for b in range(3):
+        group = {rows[i] for i in range(len(texts)) if source[i] == b}
+        assert len(group) == 1, (b, group)
+    # reps of the three groups are the three seed docs
+    assert {rows[i][1] for i in (0, 1, 2)} == {0, 1, 2}
