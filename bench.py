@@ -58,7 +58,7 @@ QUERY_NAMES = [
     "pq_ann", "countmin_event_types", "image_quality", "funnel_counts",
     "smooth_cell_counts", "bpe_token_counts", "triangle_count",
     "window_dedup", "geohash_counts", "tile_pyramid", "geojson_roundtrip",
-    "leakage_safe_split", "sniff_image_meta",
+    "leakage_safe_split", "sniff_image_meta", "leakage_safe_split_neardup",
 ]
 
 
