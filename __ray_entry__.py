@@ -2367,6 +2367,17 @@ def q_tile_mosaic(sf_dir: str):
     return out.map_batches(decode, batch_format="pyarrow")
 
 
+def q_hotspot_tiles(sf_dir: str):
+    """Spatial hotspot detection (stages/tiles.hotspot_tiles): tiles
+    above mean + 2*stddev of the occupied-tile count distribution,
+    evaluated in bit-exact integer arithmetic (no float stddev formula
+    can flip a boundary tile)."""
+    from osmium_tool_ray.stages.tiles import hotspot_tiles
+
+    return hotspot_tiles(images_dataset(sf_dir, columns=["lon", "lat"]),
+                         level=TILE_LEVEL, z=2)
+
+
 def q_tile_pyramid(sf_dir: str):
     """Full tile pyramid levels 6..0 (stages/tiles.tile_pyramid): one
     corpus shuffle for the finest grid, bit-shift + native Sum per
@@ -2854,6 +2865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geohash_counts": q_geohash_counts,
         "geojson_roundtrip": q_geojson_roundtrip,
         "tile_pyramid": q_tile_pyramid,
+        "hotspot_tiles": q_hotspot_tiles,
         "tile_counts_salted": q_tile_counts_salted,
         "fileinfo": q_fileinfo,
         "caption_tags_count": q_caption_tags_count,
@@ -3024,6 +3036,16 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts_salted": f"""{cte}
             SELECT cell_x, cell_y, COUNT(*) AS n_images
             FROM (SELECT {cells6} FROM images) GROUP BY cell_x, cell_y""",
+        "hotspot_tiles": f"""{cte}
+            , c AS (SELECT cell_x, cell_y, count(*) AS n
+                    FROM (SELECT {cells6} FROM images)
+                    GROUP BY cell_x, cell_y),
+            s AS (SELECT count(*) AS nt, SUM(n) AS sn, SUM(n * n) AS qn
+                  FROM c)
+            SELECT cell_x, cell_y, CAST(n AS BIGINT) AS n_images
+            FROM c, s
+            WHERE n * nt > sn
+              AND (n * nt - sn) * (n * nt - sn) > 4 * (nt * qn - sn * sn)""",
         "smooth_cell_counts": f"""{cte}
             , c AS (SELECT cell_x, cell_y, count(*) AS n
                     FROM (SELECT {cells6} FROM images)

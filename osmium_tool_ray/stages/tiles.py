@@ -173,3 +173,65 @@ def tile_pyramid(points, max_level: int, lon_col: str = "lon",
         })
 
     return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def hotspot_tiles(points, level: int, z: int = 2,
+                  lon_col: str = "lon", lat_col: str = "lat"):
+    """Spatial hotspot detection: tiles whose point count exceeds
+    mean + z * stddev of the tile-count distribution (the z-score
+    hotspot rule GIS dashboards run on density grids). The comparison
+    is INTEGER-exact — n > mu + z*sd is evaluated as
+    (n*N - S)^2 > z^2 * (N*Q - S^2) with n*N > S, where N/S/Q are the
+    tile count / sum / sum-of-squares — so no float stddev formula
+    (Welford vs two-pass) can flip a boundary tile between engines.
+
+    ONE corpus shuffle builds the sparse counts; N/S/Q fold through a
+    native Sum over three scalar partial columns (constant-size driver
+    traffic); the threshold filter is map-side with broadcast scalars.
+    Returns (cell_x, cell_y, n_images:int64) for hotspot tiles only."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    n = np.int64(1) << np.int64(level)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+        y = np.floor((lat + 90.0) / 180.0 * n).astype(np.int64)
+        np.clip(x, 0, n - 1, out=x)
+        np.clip(y, 0, n - 1, out=y)
+        key = (x << np.int64(32)) | y
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"_k": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = points.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_k").aggregate(Sum("n", alias_name="n")).materialize()
+
+    def moments(batch: pa.Table) -> pa.Table:
+        v = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"_m": pa.array([0, 1, 2], type=pa.int64()),
+                         "s": pa.array([len(v), int(v.sum()),
+                                        int((v * v).sum())],
+                                       type=pa.int64())})
+
+    folded = counts.map_batches(moments, batch_format="pyarrow") \
+        .groupby("_m").aggregate(Sum("s", alias_name="s")).take_all()
+    sc = {int(r["_m"]): int(r["s"]) for r in folded}
+    N, S, Q = sc.get(0, 0), sc.get(1, 0), sc.get(2, 0)
+    ref = ray.put((N, S, Q, z * z))
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        Nn, Ss, Qq, z2 = ray.get(ref)
+        k = batch["_k"].to_numpy(zero_copy_only=False)
+        v = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = v * Nn - Ss
+        keep = (d > 0) & (d * d > z2 * (Nn * Qq - Ss * Ss))
+        return pa.table({
+            "cell_x": pa.array((k >> np.int64(32))[keep]),
+            "cell_y": pa.array((k & np.int64(0xFFFFFFFF))[keep]),
+            "n_images": pa.array(v[keep]),
+        })
+
+    return counts.map_batches(threshold, batch_format="pyarrow")

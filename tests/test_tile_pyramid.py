@@ -40,3 +40,42 @@ def test_tile_pyramid_levels(ray_session):
                    for dx in (0, 1) for dy in (0, 1))
         assert kids == v
     assert got[(0, 0, 0)] == 900
+
+
+def test_hotspot_tiles_exact_rule(ray_session):
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.tiles import hotspot_tiles
+
+    rng = np.random.default_rng(9)
+    # uniform background + two planted dense clusters
+    lon = rng.uniform(-180, 180, 800).tolist()
+    lat = rng.uniform(-90, 90, 800).tolist()
+    lon += [10.0 + rng.uniform(0, 0.1) for _ in range(120)]
+    lat += [20.0 + rng.uniform(0, 0.1) for _ in range(120)]
+    lon += [-100.0 + rng.uniform(0, 0.1) for _ in range(80)]
+    lat += [-40.0 + rng.uniform(0, 0.1) for _ in range(80)]
+    tbl = pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+    level = 5
+    out = hotspot_tiles(rd.from_arrow(tbl).repartition(4), level=level,
+                        z=2)
+    got = sorted((r["cell_x"], r["cell_y"], r["n_images"])
+                 for r in out.take_all())
+
+    # reference: exact integer rule over occupied-tile counts
+    n = 1 << level
+    x = np.clip(np.floor((np.asarray(lon) + 180.0) / 360.0 * n)
+                .astype(int), 0, n - 1)
+    y = np.clip(np.floor((np.asarray(lat) + 90.0) / 180.0 * n)
+                .astype(int), 0, n - 1)
+    cnt = {}
+    for xi, yi in zip(x, y):
+        cnt[(xi, yi)] = cnt.get((xi, yi), 0) + 1
+    vals = list(cnt.values())
+    N, S, Q = len(vals), sum(vals), sum(v * v for v in vals)
+    want = sorted((cx, cy, v) for (cx, cy), v in cnt.items()
+                  if v * N > S and (v * N - S) ** 2 > 4 * (N * Q - S * S))
+    assert got == want
+    # the two planted clusters are detected
+    assert any(v >= 80 for _, _, v in got)
+    assert len(got) >= 2
