@@ -59,6 +59,7 @@ QUERY_NAMES = [
     "smooth_cell_counts", "bpe_token_counts", "triangle_count",
     "window_dedup", "geohash_counts", "tile_pyramid", "geojson_roundtrip",
     "leakage_safe_split", "sniff_image_meta", "leakage_safe_split_neardup",
+    "hotspot_tiles",
 ]
 
 
