@@ -1944,6 +1944,28 @@ def q_window_dedup(sf_dir: str):
     return window_dedup(ev, "user_id", "ts", width_s=86_400)
 
 
+def q_interval_coverage(sf_dir: str):
+    """Gaps-and-islands interval union per user (pipelines/windows
+    .interval_coverage): each event spans [ts, ts + dur) with
+    dur_us = ((event_id*31)%600 + 60) * 1e6; overlapping-or-touching
+    intervals merge via ONE user-hash bucket shuffle + a vectorized
+    boundary sweep (segmented cumsum of +1/-1 deltas)."""
+    from osmium_tool_ray.pipelines.windows import interval_coverage
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def spans(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        s = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dur = ((eid * 31) % 600 + 60) * 1_000_000
+        return pa.table({"user_id": batch["user_id"],
+                         "s": pa.array(s), "e": pa.array(s + dur)})
+
+    iv = ev.map_batches(spans, batch_format="pyarrow")
+    return interval_coverage(iv, "user_id", "s", "e")
+
+
 def q_triangle_count(sf_dir: str):
     """Distributed triangle counting (stages/graph.triangle_count,
     compact-forward wedge generation + bucketed edge probe) over the
@@ -2947,6 +2969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": q_funnel_counts,
         "triangle_count": q_triangle_count,
         "window_dedup": q_window_dedup,
+        "interval_coverage": q_interval_coverage,
         "region_centroids": q_region_centroids,
         "user_distinct_types": q_user_distinct_types,
         "profile_lineitem": q_profile_lineitem,
@@ -3621,6 +3644,35 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS first_ts,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1, 2""",
+        "interval_coverage": """
+            WITH iv AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS s,
+                       CAST(epoch_us(ts) AS BIGINT)
+                           + ((event_id * 31) % 600 + 60) * 1000000 AS e
+                FROM events),
+            m AS (SELECT user_id, s, e,
+                         MAX(e) OVER (PARTITION BY user_id
+                                      ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING) AS pmax
+                  FROM iv),
+            f AS (SELECT user_id, s, e,
+                         CASE WHEN pmax IS NULL OR s > pmax
+                              THEN 1 ELSE 0 END AS isl_start
+                  FROM m),
+            g AS (SELECT user_id, s, e,
+                         SUM(isl_start) OVER (PARTITION BY user_id
+                                              ORDER BY s, e
+                                              ROWS BETWEEN UNBOUNDED
+                                              PRECEDING AND CURRENT ROW)
+                             AS isl
+                  FROM f),
+            isl AS (SELECT user_id, isl, MIN(s) AS s0, MAX(e) AS e1
+                    FROM g GROUP BY 1, 2)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(SUM(e1 - s0) AS BIGINT) AS covered
+            FROM isl GROUP BY 1""",
         "triangle_count": """
             WITH raw AS (
                 SELECT LEAST((event_id * 7919) % 200,

@@ -661,3 +661,77 @@ def window_dedup(ds, key_col: str, ts_col: str, width_s: int):
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def interval_coverage(ds, key_col: str, start_col: str, end_col: str,
+                      buckets: int | None = None):
+    """Gaps-and-islands interval union per key: merge every key's
+    overlapping-or-touching [start, end) intervals and report how many
+    merged islands remain plus the total covered span (the classic
+    session-coverage / uptime operator; nearest reference relative is
+    time-filter's per-id version windows,
+    /root/reference/src/command_time_filter.cpp:131-189, which also
+    reasons over [from, to) validity intervals per object).
+
+    Scale shape: ONE hash(key)%buckets shuffle of the narrow
+    (key, start, end) projection; inside a bucket the classic boundary
+    sweep runs fully vectorized — each interval contributes a (+1 at
+    start, -1 at end) delta, one lexsort orders boundaries per key
+    (+1 before -1 at equal positions, so touching intervals merge), and
+    the per-key active count is a SEGMENTED CUMSUM (global cumsum minus
+    the value at each key's first boundary — exact for sums, unlike a
+    segmented cummax, so the sweep formulation is the vectorizable
+    one). Islands = positions where the active count rises from zero;
+    covered = sum of inter-boundary gaps where active > 0. All int64,
+    no per-key Python. Buckets partition keys, so each bucket emits
+    FINAL per-key rows — no second fold.
+
+    Returns (key, n_islands:int64, covered:int64)."""
+    if buckets is None:
+        import ray
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        b = (k.astype(np.uint64) % np.uint64(buckets)).astype(np.int32)
+        return batch.append_column("_b", pa.array(b))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or key_col not in g.schema.names:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             "n_islands": pa.array([], type=pa.int64()),
+                             "covered": pa.array([], type=pa.int64())})
+        k = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = g[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key2 = np.concatenate([k, k])
+        pos = np.concatenate([s, e])
+        delta = np.concatenate([np.ones(len(k), dtype=np.int64),
+                                np.full(len(k), -1, dtype=np.int64)])
+        # +1 before -1 at equal (key, pos): sort ascending on -delta
+        order = np.lexsort((-delta, pos, key2))
+        key2, pos, delta = key2[order], pos[order], delta[order]
+        cum = np.cumsum(delta)
+        new = np.ones(len(key2), dtype=bool)
+        new[1:] = key2[1:] != key2[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(key2)))
+        base = np.where(starts > 0, cum[starts - 1], 0)
+        active = cum - np.repeat(base, lens)
+        before = active - delta
+        island_start = (delta > 0) & (before == 0)
+        n_isl = np.add.reduceat(island_start.astype(np.int64), starts)
+        gap = np.zeros(len(pos), dtype=np.int64)
+        same = ~new[1:]  # gap[i] spans pos[i]..pos[i+1] within a key
+        gap[:-1] = (pos[1:] - pos[:-1]) * same * (active[:-1] > 0)
+        covered = np.add.reduceat(gap, starts)
+        return pa.table({
+            key_col: pa.array(key2[starts]),
+            "n_islands": pa.array(n_isl),
+            "covered": pa.array(covered),
+        })
+
+    narrow = ds.select_columns(
+        list(dict.fromkeys([key_col, start_col, end_col])))
+    return narrow.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
