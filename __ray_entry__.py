@@ -1966,6 +1966,27 @@ def q_interval_coverage(sf_dir: str):
     return interval_coverage(iv, "user_id", "s", "e")
 
 
+def q_trend_per_user(sf_dir: str):
+    """Exact per-user least-squares trend as an integer rational
+    (pipelines/analytics.trend_per_key): x = hours since 2024-01-01
+    (epoch-hour 473352), y = (event_id*13)%1000; ONE native groupby
+    over map-side moment columns."""
+    from osmium_tool_ray.pipelines.analytics import trend_per_key
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def xy(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": batch["user_id"],
+                         "x": pa.array(us // 3_600_000_000 - 473_352),
+                         "y": pa.array((eid * 13) % 1000)})
+
+    return trend_per_key(ev.map_batches(xy, batch_format="pyarrow"),
+                         "user_id", "x", "y")
+
+
 def q_triangle_count(sf_dir: str):
     """Distributed triangle counting (stages/graph.triangle_count,
     compact-forward wedge generation + bucketed edge probe) over the
@@ -2970,6 +2991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": q_triangle_count,
         "window_dedup": q_window_dedup,
         "interval_coverage": q_interval_coverage,
+        "trend_per_user": q_trend_per_user,
         "region_centroids": q_region_centroids,
         "user_distinct_types": q_user_distinct_types,
         "profile_lineitem": q_profile_lineitem,
@@ -3673,6 +3695,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
                    CAST(SUM(e1 - s0) AS BIGINT) AS covered
             FROM isl GROUP BY 1""",
+        "trend_per_user": """
+            WITH p AS (SELECT user_id,
+                              epoch_us(ts) // 3600000000 - 473352 AS x,
+                              (event_id * 13) % 1000 AS y
+                       FROM events),
+            a AS (SELECT user_id, count(*) AS n,
+                         SUM(x) AS sx, SUM(y) AS sy,
+                         SUM(x * y) AS sxy, SUM(x * x) AS sx2
+                  FROM p GROUP BY 1)
+            SELECT user_id, CAST(n AS BIGINT) AS n,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+                   CAST(n * sx2 - sx * sx AS BIGINT) AS slope_den
+            FROM a""",
         "triangle_count": """
             WITH raw AS (
                 SELECT LEAST((event_id * 7919) % 200,

@@ -260,3 +260,51 @@ def pivot_counts(ds, key_col: str, cat_col: str, categories: list[str]):
         return pa.table(cols)
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def trend_per_key(ds, key_col: str, x_col: str, y_col: str):
+    """Exact per-key least-squares trend: emits the slope of y over x as
+    an integer RATIONAL (numerator, denominator) so the distributed
+    result is bit-exact — slope = num/den with
+    num = n*Σxy - Σx*Σy, den = n*Σx² - (Σx)². The grouped-regression
+    operator a curation pipeline uses for per-source quality drift;
+    nearest reference relative is tags-count's grouped aggregate
+    (/root/reference/src/command_tags_count.cpp:169-217).
+
+    Scale shape: ONE native groupby over map-side-derived moment columns
+    (x, y, xy, x²) — Ray's hash aggregate does the partial+final
+    combine, so shuffle volume is 5 int64 per row regardless of
+    payload. Finalization is per-key scalar arithmetic in a map task.
+    int64 bound: |num| ≤ n²·max|x|·max|y| — callers keep x RELATIVE
+    (e.g. hours since corpus start) so n up to ~1e6 rows/key is safe.
+
+    Returns (key, n:int64, slope_num:int64, slope_den:int64)."""
+    from ray.data.aggregate import Count, Sum
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({key_col: batch[key_col],
+                         "_x": pa.array(x), "_y": pa.array(y),
+                         "_xy": pa.array(x * y), "_x2": pa.array(x * x)})
+
+    agg = ds.map_batches(moments, batch_format="pyarrow") \
+        .groupby(key_col).aggregate(
+            Count(alias_name="n"),
+            Sum("_x", alias_name="_sx"), Sum("_y", alias_name="_sy"),
+            Sum("_xy", alias_name="_sxy"), Sum("_x2", alias_name="_sx2"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        n = batch["n"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sx = batch["_sx"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sy = batch["_sy"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sxy = batch["_sxy"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sx2 = batch["_sx2"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: batch[key_col],
+            "n": pa.array(n),
+            "slope_num": pa.array(n * sxy - sx * sy),
+            "slope_den": pa.array(n * sx2 - sx * sx),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
