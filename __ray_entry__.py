@@ -1987,6 +1987,58 @@ def q_trend_per_user(sf_dir: str):
                          "user_id", "x", "y")
 
 
+def q_bbox_join(sf_dir: str):
+    """Rectangle-intersection spatial join (stages/spatial.bbox_join):
+    grid cell-cover explode, ONE cell-bucket shuffle, vectorized
+    per-cell cartesian, pairs emitted only in the intersection's
+    min-corner cell (distinct by construction, no dedup shuffle)."""
+    from osmium_tool_ray.stages.spatial import bbox_join
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def rects(mod, mx, my, mw, mh):
+        def f(batch: pa.Table) -> pa.Table:
+            eid = batch["event_id"].to_numpy(zero_copy_only=False)
+            eid = eid[eid % mod == 0]
+            x0 = (eid * mx) % 1000
+            y0 = (eid * my) % 1000
+            return pa.table({"id": pa.array(eid),
+                             "x0": pa.array(x0), "y0": pa.array(y0),
+                             "x1": pa.array(x0 + eid % mw + 8),
+                             "y1": pa.array(y0 + eid % mh + 8)})
+        return f
+
+    left = ev.map_batches(rects(17, 7919, 104729, 97, 83),
+                          batch_format="pyarrow")
+    right = ev.map_batches(rects(19, 6007, 9973, 89, 79),
+                           batch_format="pyarrow")
+    return bbox_join(left, right, cell=100)
+
+
+def q_nearest_site(sf_dir: str):
+    """Nearest-site assignment (stages/spatial.nearest_site): 16 fixed
+    sites broadcast once via ray.put, per-batch exact integer argmin,
+    no shuffle; final per-site counts via one tiny native groupby."""
+    from ray.data.aggregate import Count
+
+    from osmium_tool_ray.stages.spatial import nearest_site
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"id": pa.array(eid),
+                         "x": pa.array((eid * 7919) % 1000),
+                         "y": pa.array((eid * 104729) % 1000)})
+
+    sites = np.stack([(np.arange(16) * 541) % 1000,
+                      (np.arange(16) * 839) % 1000], axis=1)
+    assigned = nearest_site(ev.map_batches(pts, batch_format="pyarrow"),
+                            sites, np.arange(16))
+    return assigned.groupby("site_id").aggregate(
+        Count(alias_name="n_points"))
+
+
 def q_triangle_count(sf_dir: str):
     """Distributed triangle counting (stages/graph.triangle_count,
     compact-forward wedge generation + bucketed edge probe) over the
@@ -2992,6 +3044,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_dedup": q_window_dedup,
         "interval_coverage": q_interval_coverage,
         "trend_per_user": q_trend_per_user,
+        "bbox_join": q_bbox_join,
+        "nearest_site": q_nearest_site,
         "region_centroids": q_region_centroids,
         "user_distinct_types": q_user_distinct_types,
         "profile_lineitem": q_profile_lineitem,
@@ -3708,6 +3762,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
                    CAST(n * sx2 - sx * sx AS BIGINT) AS slope_den
             FROM a""",
+        "bbox_join": """
+            WITH a AS (SELECT event_id AS a_id,
+                              (event_id * 7919) % 1000 AS ax0,
+                              (event_id * 104729) % 1000 AS ay0,
+                              (event_id * 7919) % 1000
+                                  + event_id % 97 + 8 AS ax1,
+                              (event_id * 104729) % 1000
+                                  + event_id % 83 + 8 AS ay1
+                       FROM events WHERE event_id % 17 = 0),
+            b AS (SELECT event_id AS b_id,
+                         (event_id * 6007) % 1000 AS bx0,
+                         (event_id * 9973) % 1000 AS by0,
+                         (event_id * 6007) % 1000
+                             + event_id % 89 + 8 AS bx1,
+                         (event_id * 9973) % 1000
+                             + event_id % 79 + 8 AS by1
+                  FROM events WHERE event_id % 19 = 0)
+            SELECT a_id, b_id,
+                   CAST((LEAST(ax1, bx1) - GREATEST(ax0, bx0) + 1)
+                        * (LEAST(ay1, by1) - GREATEST(ay0, by0) + 1)
+                        AS BIGINT) AS inter_area
+            FROM a JOIN b ON ax0 <= bx1 AND bx0 <= ax1
+                         AND ay0 <= by1 AND by0 <= ay1""",
+        "nearest_site": """
+            WITH s AS (SELECT i AS site_id,
+                              (i * 541) % 1000 AS sx,
+                              (i * 839) % 1000 AS sy
+                       FROM (SELECT unnest(generate_series(0, 15)) AS i)),
+            p AS (SELECT event_id AS id,
+                         (event_id * 7919) % 1000 AS x,
+                         (event_id * 104729) % 1000 AS y
+                  FROM events),
+            d AS (SELECT id, site_id,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY id
+                             ORDER BY (x - sx) * (x - sx)
+                                      + (y - sy) * (y - sy), site_id)
+                             AS rk
+                  FROM p CROSS JOIN s)
+            SELECT site_id, CAST(count(*) AS BIGINT) AS n_points
+            FROM d WHERE rk = 1 GROUP BY 1""",
         "triangle_count": """
             WITH raw AS (
                 SELECT LEAST((event_id * 7919) % 200,
