@@ -1966,6 +1966,26 @@ def q_interval_coverage(sf_dir: str):
     return interval_coverage(iv, "user_id", "s", "e")
 
 
+def q_per_key_sample(sf_dir: str):
+    """Exact-k-per-key deterministic sample (pipelines/sampling
+    .per_key_sample): map-side per-key hash-order prune, one grouped
+    final fold — hot keys cost k x blocks rows."""
+    from osmium_tool_ray.pipelines.sampling import per_key_sample
+
+    ev = _events(sf_dir, ["event_id", "event_type"])
+    return per_key_sample(ev, "event_id", "event_type", k=20)
+
+
+def q_docs_cube(sf_dir: str):
+    """GROUP BY CUBE (lang, source) in ONE shuffle (pipelines/analytics
+    .cube_counts): in-batch pre-agg per dim tuple, 2^d masked explode
+    of the partials, single native Sum groupby."""
+    from osmium_tool_ray.pipelines.analytics import cube_counts
+
+    docs = _docs(sf_dir, ["lang", "source", "n_chars"])
+    return cube_counts(docs, ["lang", "source"], "n_chars")
+
+
 def q_trend_per_user(sf_dir: str):
     """Exact per-user least-squares trend as an integer rational
     (pipelines/analytics.trend_per_key): x = hours since 2024-01-01
@@ -3044,6 +3064,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_dedup": q_window_dedup,
         "interval_coverage": q_interval_coverage,
         "trend_per_user": q_trend_per_user,
+        "per_key_sample": q_per_key_sample,
+        "docs_cube": q_docs_cube,
         "bbox_join": q_bbox_join,
         "nearest_site": q_nearest_site,
         "region_centroids": q_region_centroids,
@@ -3762,6 +3784,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
                    CAST(n * sx2 - sx * sx AS BIGINT) AS slope_den
             FROM a""",
+        "per_key_sample": """
+            WITH r AS (SELECT event_type, event_id,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY event_type
+                                  ORDER BY (event_id * 2654435761)
+                                           % 2147483648, event_id) AS rk
+                       FROM events)
+            SELECT event_type, event_id FROM r WHERE rk <= 20""",
+        "docs_cube": """
+            SELECT COALESCE(lang, 'ALL') AS lang,
+                   COALESCE(source, 'ALL') AS source,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS total
+            FROM documents GROUP BY CUBE (lang, source)""",
         "bbox_join": """
             WITH a AS (SELECT event_id AS a_id,
                               (event_id * 7919) % 1000 AS ax0,

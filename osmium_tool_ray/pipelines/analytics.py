@@ -308,3 +308,65 @@ def trend_per_key(ds, key_col: str, x_col: str, y_col: str):
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def cube_counts(ds, dims: list[str], value_col: str,
+                all_marker: str = "ALL"):
+    """GROUP BY CUBE over `dims` in ONE shuffle: each batch first
+    pre-aggregates per full dim tuple (lexsort + run-length — the
+    map-side combiner), then every partial row explodes into all 2^d
+    masked grouping-set combinations with `all_marker` filling masked
+    dims, and a single native groupby Sums the lattice. Contrast
+    rollup_counts (one groupby per level): the cube pays 2^d x
+    PRE-AGGREGATED rows through one exchange instead of d+1 full-input
+    exchanges — the right trade whenever batches compress well on the
+    dims (low-cardinality dims always do).
+
+    Returns (dims..., n:int64, total:int64) with string dims."""
+    from ray.data.aggregate import Sum
+
+    d = len(dims)
+    masks = [[(m >> i) & 1 for i in range(d)] for m in range(1 << d)]
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({**{c: pa.array([], type=pa.string())
+                                for c in dims},
+                             "_n": pa.array([], type=pa.int64()),
+                             "_t": pa.array([], type=pa.int64())})
+        keys = [np.asarray(batch[c].to_pylist(), dtype=str) for c in dims]
+        val = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort(tuple(reversed(keys)))
+        ks = [k[order] for k in keys]
+        new = np.zeros(len(val), dtype=bool)
+        new[0] = True
+        for k in ks:
+            new[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        n_part = np.diff(np.append(starts, len(val))).astype(np.int64)
+        t_part = np.add.reduceat(val[order], starts)
+        reps = []
+        for mask in masks:
+            cols = {}
+            for i, c in enumerate(dims):
+                cols[c] = (pa.array(ks[i][starts], type=pa.string())
+                           if mask[i] else
+                           pa.array([all_marker] * len(starts),
+                                    type=pa.string()))
+            cols["_n"] = pa.array(n_part)
+            cols["_t"] = pa.array(t_part)
+            reps.append(pa.table(cols))
+        return pa.concat_tables(reps)
+
+    agg = ds.select_columns(list(dims) + [value_col]) \
+        .map_batches(explode, batch_format="pyarrow") \
+        .groupby(list(dims)).aggregate(
+            Sum("_n", alias_name="n"), Sum("_t", alias_name="total"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({**{c: batch[c].cast(pa.string()) for c in dims},
+                         "n": batch["n"].cast(pa.int64()),
+                         "total": batch["total"].cast(pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")

@@ -278,3 +278,42 @@ def leakage_safe_split_neardup(docs, text_col: str = "text",
 
     return docs.select_columns([id_col]) \
         .map_batches(assign, batch_format="pyarrow")
+
+
+def per_key_sample(ds, id_col: str, key_col: str, k: int,
+                   seed_mult: int = KNUTH):
+    """Deterministic EXACT-k-per-key sample — fixed_k_sample's grouped
+    twin (stratified_sample picks rates; this picks exactly k winners
+    per key by hash order, the per-source eval-holdout staple). Oracle:
+    ROW_NUMBER() OVER (PARTITION BY key ORDER BY (id*KNUTH)%m, id) <= k.
+
+    Scale shape: each batch prunes map-side to its k smallest
+    (hash, id) rows PER KEY (one lexsort + run-length cumcount — no
+    per-key Python), so the single groupby(key) final fold sees at most
+    k rows per key per input block. Hot keys cost k x blocks rows, not
+    their full cardinality."""
+    def _prune_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if "_h" in batch.schema.names:
+            h = batch["_h"].to_numpy(zero_copy_only=False)
+        else:
+            h = det_hash(ids, mult=seed_mult)
+            batch = batch.append_column("_h", pa.array(h))
+        keys = np.asarray(batch[key_col].to_pylist(), dtype=str)
+        order = np.lexsort((ids, h, keys))
+        ks = keys[order]
+        new = np.ones(len(ks), dtype=bool)
+        new[1:] = ks[1:] != ks[:-1]
+        # rank within key run = position - run start
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(ks)))
+        rank = np.arange(len(ks)) - np.repeat(starts, lens)
+        sel = order[rank < k]
+        return batch.take(pa.array(np.sort(sel)))
+
+    pruned = ds.map_batches(_prune_topk, batch_format="pyarrow")
+    return pruned.groupby(key_col) \
+        .map_groups(_prune_topk, batch_format="pyarrow") \
+        .drop_columns(["_h"])
