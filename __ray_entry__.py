@@ -1986,6 +1986,27 @@ def q_docs_cube(sf_dir: str):
     return cube_counts(docs, ["lang", "source"], "n_chars")
 
 
+def q_convex_hulls(sf_dir: str):
+    """Per-user convex hull footprint (stages/spatial
+    .convex_hull_per_key): map-side partial hulls (hull of union ⊆
+    union of hulls) then ONE key-bucket shuffle + exact integer
+    monotone chain; area2 is the doubled shoelace area (rows-only:
+    hulls are not SQL-expressible; pytest pins the chain against an
+    independent implementation over 200 random point sets)."""
+    from osmium_tool_ray.stages.spatial import convex_hull_per_key
+
+    ev = _events(sf_dir, ["event_id", "user_id"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": batch["user_id"],
+                         "x": pa.array((eid * 7919) % 1000),
+                         "y": pa.array((eid * 104729) % 1000)})
+
+    return convex_hull_per_key(ev.map_batches(pts, batch_format="pyarrow"),
+                               "user_id", "x", "y")
+
+
 def q_trend_per_user(sf_dir: str):
     """Exact per-user least-squares trend as an integer rational
     (pipelines/analytics.trend_per_key): x = hours since 2024-01-01
@@ -2491,6 +2512,19 @@ def q_hotspot_tiles(sf_dir: str):
 
     return hotspot_tiles(images_dataset(sf_dir, columns=["lon", "lat"]),
                          level=TILE_LEVEL, z=2)
+
+
+def q_cell_clusters(sf_dir: str):
+    """Grid-DBSCAN urban-area detection (stages/spatial
+    .dense_cell_clusters): dense tiles -> 8-connected components via a
+    bucketed sorted-probe adjacency join + connected_components
+    (rows-only: iterative CC is not SQL-expressible; pytest pins it
+    against a pure-Python flood fill)."""
+    from osmium_tool_ray.stages.spatial import dense_cell_clusters
+
+    return dense_cell_clusters(
+        images_dataset(sf_dir, columns=["lon", "lat"]),
+        level=7, min_count=2)
 
 
 def q_tile_pyramid(sf_dir: str):
@@ -3066,6 +3100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trend_per_user": q_trend_per_user,
         "per_key_sample": q_per_key_sample,
         "docs_cube": q_docs_cube,
+        "cell_clusters": q_cell_clusters,
+        "convex_hulls": q_convex_hulls,
         "bbox_join": q_bbox_join,
         "nearest_site": q_nearest_site,
         "region_centroids": q_region_centroids,

@@ -180,3 +180,219 @@ def nearest_site(ds, sites_xy: np.ndarray, site_ids: np.ndarray,
 
     return ds.select_columns([id_col, x_col, y_col]) \
         .map_batches(assign, batch_format="pyarrow")
+
+
+def dense_cell_clusters(points, level: int, min_count: int,
+                        lon_col: str = "lon", lat_col: str = "lat",
+                        buckets: int | None = None,
+                        driver_cap: int = 5_000_000):
+    """Grid-DBSCAN: cluster the map's DENSE cells (>= min_count points)
+    into 8-connected components — the hotspot-REGION operator on top of
+    hotspot_tiles' per-cell z-scores (urban-area detection over the
+    image corpus; the reference's closest shape is extract's region
+    grouping of objects, /root/reference/src/extract/).
+
+    Scale shape: the corpus collapses to per-cell counts first
+    (cell_counts' partial+final combine), so everything after runs at
+    dense-cell scale, not point scale. Adjacency forms WITHOUT a join
+    operator: every dense cell emits itself as an ANCHOR plus its four
+    FORWARD neighbors (E, N, NE, SE) as PROBES keyed by the neighbor
+    cell; ONE hash(key)%buckets shuffle co-locates each cell's anchor
+    with all probes aimed at it, and a vectorized sorted membership
+    test emits the edge list. Components come from
+    stages/dedup.connected_components (min-label + pointer jumping past
+    driver_cap); singleton dense cells survive via anchor self-pairs.
+
+    Returns (rep:string cluster id, n_cells:int64, total_points:int64)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.cells import cell_to_xy, xy_to_cell
+    from .dedup import connected_components
+    from .tiles import cell_counts
+
+    if buckets is None:
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+    n = np.int64(1 << level)
+    dense = cell_counts(points, level, lon_col, lat_col) \
+        .filter(expr=f"n_images >= {min_count}")
+
+    def emit(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        x, y = cell_to_xy(cell.view(np.uint64))
+        keys, kinds, srcs = [cell], [np.zeros(len(cell), dtype=np.int8)], \
+            [cell]
+        for dx, dy in ((1, 0), (0, 1), (1, 1), (1, -1)):
+            nx, ny = x + dx, y + dy
+            ok = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+            nb = xy_to_cell(nx[ok], ny[ok], level).view(np.int64)
+            keys.append(nb)
+            kinds.append(np.ones(len(nb), dtype=np.int8))
+            srcs.append(cell[ok])
+        key = np.concatenate(keys)
+        b = (key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             >> np.uint64(40)).astype(np.int64) % buckets
+        return pa.table({"_b": pa.array(b.astype(np.int32)),
+                         "key": pa.array(key),
+                         "kind": pa.array(np.concatenate(kinds)),
+                         "src": pa.array(np.concatenate(srcs))})
+
+    def edges(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.string()),
+                          "id_b": pa.array([], type=pa.string())})
+        if g.num_rows == 0 or "key" not in g.schema.names:
+            return empty
+        key = g["key"].to_numpy(zero_copy_only=False)
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        src = g["src"].to_numpy(zero_copy_only=False)
+        anchors = np.sort(key[kind == 0])
+        if len(anchors) == 0:
+            return empty
+        pk, ps = key[kind == 1], src[kind == 1]
+        pos = np.searchsorted(anchors, pk)
+        pos_c = np.minimum(pos, len(anchors) - 1)
+        hit = (pos < len(anchors)) & (anchors[pos_c] == pk)
+        a = np.concatenate([ps[hit], anchors])       # edges + self pairs
+        bb = np.concatenate([pk[hit], anchors])
+        return pa.table({"id_a": pa.array(a.astype(str), type=pa.string()),
+                         "id_b": pa.array(bb.astype(str),
+                                          type=pa.string())})
+
+    pairs = dense.map_batches(emit, batch_format="pyarrow") \
+        .groupby("_b").map_groups(edges, batch_format="pyarrow")
+    labels = connected_components(pairs, driver_cap=driver_cap)
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False)
+        return pa.table({"image_id": pa.array(c.astype(str),
+                                              type=pa.string()),
+                         "n": batch["n_images"].cast(pa.int64())})
+
+    def per_cell(g: pa.Table) -> pa.Table:
+        empty = pa.table({"rep": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "image_id" not in g.schema.names:
+            return empty
+        rep = g["rep"].drop_null()
+        nn = g["n"].drop_null() if "n" in g.schema.names else None
+        if len(rep) == 0 or nn is None or len(nn) == 0:
+            return empty
+        return pa.table({"rep": pa.array([rep[0].as_py()]),
+                         "n": pa.array([sum(nn.to_pylist())],
+                                       type=pa.int64())})
+
+    both = labels.union(dense.map_batches(to_str, batch_format="pyarrow"))
+    per = both.groupby("image_id").map_groups(per_cell,
+                                              batch_format="pyarrow")
+    return per.groupby("rep").aggregate(
+        Count(alias_name="n_cells"), Sum("n", alias_name="total_points"))
+
+
+def _hull_indices(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain over int64 coords -> indices of the strict
+    convex hull in CCW order (collinear boundary points dropped).
+    Exact integer cross products; input need not be sorted."""
+    order = np.lexsort((y, x))
+    x, y = x[order], y[order]
+    # drop duplicate points
+    keep = np.ones(len(x), dtype=bool)
+    keep[1:] = (x[1:] != x[:-1]) | (y[1:] != y[:-1])
+    order, x, y = order[keep], x[keep], y[keep]
+    n = len(x)
+    if n <= 2:
+        return order[:n]
+
+    def chain(idx):
+        out = []
+        for i in idx:
+            while len(out) >= 2:
+                ox, oy = x[out[-2]], y[out[-2]]
+                ax, ay = x[out[-1]], y[out[-1]]
+                if ((ax - ox) * (y[i] - oy)
+                        - (ay - oy) * (x[i] - ox)) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out[:-1]
+
+    lower = chain(range(n))
+    upper = chain(range(n - 1, -1, -1))
+    return order[np.asarray(lower + upper, dtype=np.int64)]
+
+
+def convex_hull_per_key(ds, key_col: str, x_col: str, y_col: str,
+                        buckets: int | None = None):
+    """Per-key convex hull over integer points -> (key, n_hull,
+    area2:int64) with area2 the DOUBLED polygon area (shoelace sum of
+    integer cross products — exact, no float). The per-region footprint
+    operator; the reference's closest shape is extract's region
+    envelope handling (/root/reference/src/extract/extract.cpp).
+
+    Scale shape: the hull of a union is a subset of the union of
+    hulls, so each batch FIRST collapses to its per-key partial hull
+    map-side (the distributed divide-and-conquer hull) — a dense key's
+    million points shrink to <= hull-size per input block before the
+    ONE key-bucket shuffle; the final per-key chain runs over
+    concatenated partial hulls only."""
+    if buckets is None:
+        import ray
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             x_col: pa.array([], type=pa.int64()),
+                             y_col: pa.array([], type=pa.int64()),
+                             "_b": pa.array([], type=pa.int32())})
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        k, x, y = k[order], x[order], y[order]
+        new = np.ones(len(k), dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(k))
+        sel = []
+        for s, e in zip(starts, ends):
+            sel.extend((s + _hull_indices(x[s:e], y[s:e])).tolist())
+        sel = np.asarray(sel, dtype=np.int64)
+        kk = k[sel]
+        b = (kk.astype(np.uint64) % np.uint64(buckets)).astype(np.int32)
+        return pa.table({key_col: pa.array(kk),
+                         x_col: pa.array(x[sel]),
+                         y_col: pa.array(y[sel]),
+                         "_b": pa.array(b)})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], type=pa.int64()),
+                          "n_hull": pa.array([], type=pa.int64()),
+                          "area2": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or key_col not in g.schema.names:
+            return empty
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        x = g[x_col].to_numpy(zero_copy_only=False)
+        y = g[y_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, x, y = k[order], x[order], y[order]
+        new = np.ones(len(k), dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(k))
+        keys, nh, a2 = [], [], []
+        for s, e in zip(starts, ends):
+            hi = _hull_indices(x[s:e], y[s:e])
+            hx, hy = x[s:e][hi], y[s:e][hi]
+            keys.append(int(k[s]))
+            nh.append(len(hi))
+            a2.append(int(np.dot(hx, np.roll(hy, -1))
+                          - np.dot(hy, np.roll(hx, -1)))
+                      if len(hi) >= 3 else 0)
+        return pa.table({key_col: pa.array(keys, type=pa.int64()),
+                         "n_hull": pa.array(nh, type=pa.int64()),
+                         "area2": pa.array(a2, type=pa.int64())})
+
+    return ds.select_columns([key_col, x_col, y_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
