@@ -141,6 +141,36 @@ def q_extract_multi_fanout(sf_dir: str):
     return matched.select_columns(["extract_id", "image_id"])
 
 
+def q_outside_regions(sf_dir: str):
+    """Spatial ANTI-join — images inside NO region (the extract
+    complement the reference leaves to `osmium removeid` chains;
+    /root/reference/src/extract/ only writes inclusions). Same
+    RegionMatcher actor state as the fan-out path, mode="mask", rows
+    kept where every in_<name> is false; no shuffle."""
+    import ray
+    from osmium_tool_ray.stages.extract import RegionMatcher
+
+    regions = parse_extract_config({"extracts": [
+        {"output": "box", "bbox": list(BBOX)},
+        {"output": "poly", "polygon": [POLY]},
+    ]})
+    ds = images_dataset(sf_dir, columns=["image_id", "lon", "lat"])
+    masked = ds.map_batches(
+        RegionMatcher, fn_constructor_args=(ray.put(regions),),
+        fn_constructor_kwargs={"mode": "mask"},
+        batch_format="pyarrow", concurrency=2)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keep = np.ones(batch.num_rows, dtype=bool)
+        for c in batch.schema.names:
+            if c.startswith("in_"):
+                keep &= ~batch[c].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keep)) \
+            .select(["image_id", "lon", "lat"])
+
+    return masked.map_batches(anti, batch_format="pyarrow")
+
+
 def q_cell_grid_counts(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -2007,6 +2037,31 @@ def q_convex_hulls(sf_dir: str):
                                "user_id", "x", "y")
 
 
+def q_stay_points(sf_dir: str):
+    """Per-user stay-point (dwell) detection (pipelines/windows
+    .stay_points, Li et al. 2008 anchor scan): tracks drift ~1 unit per
+    hour with event-id jitter, so time-adjacent events dwell; ONE
+    user-bucket shuffle (rows-only: the anchor scan is sequential per
+    track; pytest pins it against an independent implementation)."""
+    from osmium_tool_ray.pipelines.windows import stay_points
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": batch["user_id"], "ts": batch["ts"],
+                         "x": pa.array((us // 3_600_000_000) % 1000
+                                       + eid % 7 - 3),
+                         "y": pa.array((us // 7_200_000_000) % 1000
+                                       + eid % 5 - 2)})
+
+    return stay_points(ev.map_batches(coords, batch_format="pyarrow"),
+                       "user_id", "ts", "x", "y",
+                       radius=8, min_dur_s=7200)
+
+
 def q_trend_per_user(sf_dir: str):
     """Exact per-user least-squares trend as an integer rational
     (pipelines/analytics.trend_per_key): x = hours since 2024-01-01
@@ -3007,6 +3062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_bbox": q_extract_bbox,
         "extract_polygon": q_extract_polygon,
+        "outside_regions": q_outside_regions,
         "zorder_pruned_bbox": q_zorder_pruned_bbox,
         "extract_multi_fanout": q_extract_multi_fanout,
         "cell_grid_counts": q_cell_grid_counts,
@@ -3102,6 +3158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cube": q_docs_cube,
         "cell_clusters": q_cell_clusters,
         "convex_hulls": q_convex_hulls,
+        "stay_points": q_stay_points,
         "bbox_join": q_bbox_join,
         "nearest_site": q_nearest_site,
         "region_centroids": q_region_centroids,
@@ -3181,6 +3238,11 @@ def oracle_sql() -> dict[str, str]:
               AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}""",
         "extract_polygon": f"""{cte}
             SELECT image_id, lon, lat FROM images WHERE {poly_pred}""",
+        "outside_regions": f"""{cte}
+            SELECT image_id, lon, lat FROM images
+            WHERE NOT (lon >= {BBOX[0]} AND lon <= {BBOX[2]}
+                       AND lat >= {BBOX[1]} AND lat <= {BBOX[3]})
+              AND NOT ({poly_pred})""",
         "extract_multi_fanout": f"""{cte}
             SELECT CAST(0 AS INTEGER) AS extract_id, image_id FROM images
             WHERE lon >= -150 AND lon <= -30 AND lat >= -60 AND lat <= 60

@@ -60,6 +60,10 @@ QUERY_NAMES = [
     "window_dedup", "geohash_counts", "tile_pyramid", "geojson_roundtrip",
     "leakage_safe_split", "sniff_image_meta", "leakage_safe_split_neardup",
     "hotspot_tiles",
+    # r03 fifth wave: interval algebra, spatial joins, cube, hulls
+    "interval_coverage", "trend_per_user", "bbox_join", "nearest_site",
+    "per_key_sample", "docs_cube", "cell_clusters", "convex_hulls",
+    "outside_regions", "stay_points",
 ]
 
 

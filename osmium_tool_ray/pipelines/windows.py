@@ -735,3 +735,102 @@ def interval_coverage(ds, key_col: str, start_col: str, end_col: str,
         list(dict.fromkeys([key_col, start_col, end_col])))
     return narrow.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def _stay_scan(ts: np.ndarray, x: np.ndarray, y: np.ndarray,
+               r2: int, min_dur_us: int):
+    """Anchor-based stay-point scan over ONE track (Li et al. 2008,
+    'Mining user similarity based on location history'): from each
+    anchor i, extend while points stay within radius of the anchor;
+    emit the run as a stay if it lasts >= min_dur_us. Returns list of
+    (start_idx, end_idx_exclusive). The tail distance test is
+    vectorized per anchor; sequential anchor jumps are inherent to the
+    definition (each stay's extent depends on the previous cut)."""
+    n = len(ts)
+    out = []
+    i = 0
+    while i < n:
+        dx = x[i + 1:] - x[i]
+        dy = y[i + 1:] - y[i]
+        far = (dx * dx + dy * dy) > r2
+        j = int(np.argmax(far)) if far.any() else len(far)
+        end = i + 1 + j          # first index beyond radius (or n)
+        if ts[end - 1] - ts[i] >= min_dur_us:
+            out.append((i, end))
+            i = end
+        else:
+            i += 1
+    return out
+
+
+def stay_points(ds, key_col: str, ts_col: str, x_col: str, y_col: str,
+                radius: int, min_dur_s: int, buckets: int | None = None):
+    """Per-key stay-point (dwell) detection over timestamp-ordered
+    integer-coordinate tracks: a stay is a maximal run of consecutive
+    points within `radius` of its FIRST point lasting >= min_dur_s.
+    The GPS-trajectory segmentation staple (rows-only: the anchor scan
+    is sequential per track, not SQL-expressible).
+
+    Scale shape: ONE hash(key)%buckets shuffle of the narrow
+    (key, ts, x, y) projection (the track_simplify shape); per-track
+    anchor scan with vectorized tail distance tests. Emits exact
+    integers only (centroid as sum_x/sum_y + n_points, so downstream
+    compares are bit-stable).
+
+    Returns (key, start_us, end_us, n_points, sum_x, sum_y)."""
+    if buckets is None:
+        import ray
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+    r2 = int(radius) * int(radius)
+    min_dur_us = int(min_dur_s) * 1_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        b = (k.astype(np.uint64) % np.uint64(buckets)).astype(np.int32)
+        return batch.append_column("_b", pa.array(b))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], type=pa.int64()),
+                          "start_us": pa.array([], type=pa.int64()),
+                          "end_us": pa.array([], type=pa.int64()),
+                          "n_points": pa.array([], type=pa.int64()),
+                          "sum_x": pa.array([], type=pa.int64()),
+                          "sum_y": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or key_col not in g.schema.names:
+            return empty
+        k = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        x = g[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = g[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ts, k))
+        k, ts, x, y = k[order], ts[order], x[order], y[order]
+        new = np.ones(len(k), dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(k))
+        cols = {c: [] for c in ("key", "s", "e", "n", "sx", "sy")}
+        cx = np.cumsum(x)
+        cy = np.cumsum(y)
+        for s, e in zip(starts, ends):
+            for i, j in _stay_scan(ts[s:e], x[s:e], y[s:e],
+                                   r2, min_dur_us):
+                cols["key"].append(int(k[s]))
+                cols["s"].append(int(ts[s + i]))
+                cols["e"].append(int(ts[s + j - 1]))
+                cols["n"].append(j - i)
+                lo = s + i
+                hi = s + j - 1
+                cols["sx"].append(int(cx[hi] - (cx[lo - 1] if lo else 0)))
+                cols["sy"].append(int(cy[hi] - (cy[lo - 1] if lo else 0)))
+        return pa.table({key_col: pa.array(cols["key"], type=pa.int64()),
+                         "start_us": pa.array(cols["s"], type=pa.int64()),
+                         "end_us": pa.array(cols["e"], type=pa.int64()),
+                         "n_points": pa.array(cols["n"], type=pa.int64()),
+                         "sum_x": pa.array(cols["sx"], type=pa.int64()),
+                         "sum_y": pa.array(cols["sy"], type=pa.int64())})
+
+    narrow = ds.select_columns(
+        list(dict.fromkeys([key_col, ts_col, x_col, y_col])))
+    return narrow.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
