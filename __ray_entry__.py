@@ -2062,6 +2062,44 @@ def q_stay_points(sf_dir: str):
                        radius=8, min_dur_s=7200)
 
 
+def q_od_tile_flows(sf_dir: str):
+    """Origin-destination tile flows (pipelines/windows
+    .transition_counts): consecutive-event tile transitions per user
+    over the drift-derived 20x20 tile grid; one user-bucket shuffle,
+    in-bucket unique pre-agg, tiny final Sum."""
+    from osmium_tool_ray.pipelines.windows import transition_counts
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def tile(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        state = (((us // 3_600_000_000) % 1000) // 50 * 20
+                 + ((us // 7_200_000_000) % 1000) // 50)
+        return pa.table({"user_id": batch["user_id"], "ts": batch["ts"],
+                         "event_id": batch["event_id"],
+                         "state": pa.array(state)})
+
+    return transition_counts(ev.map_batches(tile, batch_format="pyarrow"),
+                             "user_id", "ts", "state", tie_col="event_id")
+
+
+def q_twa_value(sf_dir: str):
+    """Per-user time-weighted value integral (pipelines/windows
+    .time_weighted_sum): sum over consecutive pairs of
+    (t_next - t) * (event_id % 100), exact int64; LEAD() SQL twin."""
+    from osmium_tool_ray.pipelines.windows import time_weighted_sum
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def val(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("v", pa.array(eid % 100))
+
+    return time_weighted_sum(ev.map_batches(val, batch_format="pyarrow"),
+                             "user_id", "ts", "v", tie_col="event_id")
+
+
 def q_trend_per_user(sf_dir: str):
     """Exact per-user least-squares trend as an integer rational
     (pipelines/analytics.trend_per_key): x = hours since 2024-01-01
@@ -3159,6 +3197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_clusters": q_cell_clusters,
         "convex_hulls": q_convex_hulls,
         "stay_points": q_stay_points,
+        "od_tile_flows": q_od_tile_flows,
+        "twa_value": q_twa_value,
         "bbox_join": q_bbox_join,
         "nearest_site": q_nearest_site,
         "region_centroids": q_region_centroids,
@@ -3882,6 +3922,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
                    CAST(n * sx2 - sx * sx AS BIGINT) AS slope_den
             FROM a""",
+        "od_tile_flows": """
+            WITH p AS (SELECT user_id, ts, event_id,
+                              (((epoch_us(ts) // 3600000000) % 1000)
+                               // 50) * 20
+                              + ((epoch_us(ts) // 7200000000) % 1000)
+                                // 50 AS state
+                       FROM events),
+            l AS (SELECT user_id, state,
+                         LAG(state) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev
+                  FROM p)
+            SELECT prev AS from_state, state AS to_state,
+                   CAST(count(*) AS BIGINT) AS n_trips
+            FROM l WHERE prev IS NOT NULL GROUP BY 1, 2""",
+        "twa_value": """
+            WITH l AS (SELECT user_id, event_id % 100 AS v,
+                              epoch_us(ts) AS t,
+                              LEAD(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS tn
+                       FROM events)
+            SELECT user_id, CAST(count(tn) AS BIGINT) AS n_segments,
+                   CAST(COALESCE(SUM((tn - t) * v), 0) AS BIGINT)
+                       AS tw_sum
+            FROM l GROUP BY 1""",
         "per_key_sample": """
             WITH r AS (SELECT event_type, event_id,
                               ROW_NUMBER() OVER (

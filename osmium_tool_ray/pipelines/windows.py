@@ -834,3 +834,128 @@ def stay_points(ds, key_col: str, ts_col: str, x_col: str, y_col: str,
         list(dict.fromkeys([key_col, ts_col, x_col, y_col])))
     return narrow.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def transition_counts(ds, key_col: str, ts_col: str, state_col: str,
+                      tie_col: str | None = None,
+                      buckets: int | None = None):
+    """Markov transition counts: for each key's timestamp-ordered event
+    sequence, count (from_state -> to_state) over consecutive pairs,
+    summed across keys — the OD-matrix / user-flow operator (origin-
+    destination trip counting when states are map tiles). SQL twin:
+    LAG(state) OVER (PARTITION BY key ORDER BY ts).
+
+    Scale shape: ONE hash(key)%buckets shuffle of the narrow
+    (key, ts, state) projection; per-bucket lexsort + shifted compare
+    builds pairs, an IN-BUCKET np.unique pre-agg collapses them, and
+    one tiny native Sum groupby folds buckets. Transition matrices are
+    bounded by |states|^2 regardless of row count.
+
+    Returns (from_state:int64, to_state:int64, n_trips:int64)."""
+    from ray.data.aggregate import Sum
+
+    if buckets is None:
+        import ray
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    cols = list(dict.fromkeys([key_col, ts_col, state_col]
+                              + ([tie_col] if tie_col else [])))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        b = (k.astype(np.uint64) % np.uint64(buckets)).astype(np.int32)
+        return batch.append_column("_b", pa.array(b))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"_f": pa.array([], type=pa.int64()),
+                          "_t": pa.array([], type=pa.int64()),
+                          "_n": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or key_col not in g.schema.names:
+            return empty
+        k = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        st = g[state_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tie = (g[tie_col].to_numpy(zero_copy_only=False) if tie_col
+               else np.zeros(len(ts), dtype=np.int64))
+        order = np.lexsort((tie, ts, k))
+        ks, sts = k[order], st[order]
+        same = ks[1:] == ks[:-1]
+        f, t = sts[:-1][same], sts[1:][same]
+        if len(f) == 0:
+            return empty
+        pair = f * np.int64(1 << 32) + t       # states < 2^31, >= 0
+        up, cnt = np.unique(pair, return_counts=True)
+        return pa.table({"_f": pa.array(up >> np.int64(32)),
+                         "_t": pa.array(up & np.int64(0xFFFFFFFF)),
+                         "_n": pa.array(cnt.astype(np.int64))})
+
+    folded = ds.select_columns(cols) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pyarrow") \
+        .groupby(["_f", "_t"]).aggregate(Sum("_n", alias_name="n_trips"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({"from_state": batch["_f"].cast(pa.int64()),
+                         "to_state": batch["_t"].cast(pa.int64()),
+                         "n_trips": batch["n_trips"].cast(pa.int64())})
+
+    return folded.map_batches(fin, batch_format="pyarrow")
+
+
+def time_weighted_sum(ds, key_col: str, ts_col: str, value_col: str,
+                      tie_col: str | None = None,
+                      buckets: int | None = None):
+    """Per-key time-weighted value integral: sum of
+    (t_next - t) * value over consecutive event pairs (each value held
+    until the next observation — the step-function integral behind
+    time-weighted averages of sensor/state streams). Exact int64 when
+    values are integers; SQL twin is LEAD(ts) OVER (...).
+
+    Same one-bucket-shuffle shape as transition_counts; per-bucket the
+    integral is one shifted multiply + segmented reduceat.
+
+    Returns (key, n_segments:int64, tw_sum:int64)."""
+    if buckets is None:
+        import ray
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    cols = list(dict.fromkeys([key_col, ts_col, value_col]
+                              + ([tie_col] if tie_col else [])))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        b = (k.astype(np.uint64) % np.uint64(buckets)).astype(np.int32)
+        return batch.append_column("_b", pa.array(b))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], type=pa.int64()),
+                          "n_segments": pa.array([], type=pa.int64()),
+                          "tw_sum": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or key_col not in g.schema.names:
+            return empty
+        k = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tie = (g[tie_col].to_numpy(zero_copy_only=False) if tie_col
+               else np.zeros(len(ts), dtype=np.int64))
+        order = np.lexsort((tie, ts, k))
+        ks, tss, vs = k[order], ts[order], v[order]
+        same = ks[1:] == ks[:-1]
+        seg = np.zeros(len(ks), dtype=np.int64)
+        seg[:-1] = (tss[1:] - tss[:-1]) * vs[:-1] * same
+        nseg = np.zeros(len(ks), dtype=np.int64)
+        nseg[:-1] = same
+        new = np.ones(len(ks), dtype=bool)
+        new[1:] = ~same
+        starts = np.flatnonzero(new)
+        return pa.table({
+            key_col: pa.array(ks[starts]),
+            "n_segments": pa.array(np.add.reduceat(nseg, starts)),
+            "tw_sum": pa.array(np.add.reduceat(seg, starts)),
+        })
+
+    return ds.select_columns(cols) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
