@@ -2062,6 +2062,30 @@ def q_stay_points(sf_dir: str):
                        radius=8, min_dur_s=7200)
 
 
+def q_snap_points(sf_dir: str):
+    """Map-matching lite (stages/spatial.snap_to_segments): every
+    event point snaps to the nearest of 12 broadcast road segments
+    (clamped point-to-segment projection, float64, ties to lowest
+    segment id); no shuffle. Oracle mirrors the identical IEEE
+    expression tree in DuckDB."""
+    from osmium_tool_ray.stages.spatial import snap_to_segments
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"id": pa.array(eid),
+                         "x": pa.array((eid * 7919) % 1000),
+                         "y": pa.array((eid * 104729) % 1000)})
+
+    i = np.arange(12, dtype=np.int64)
+    segs = np.stack([(i * 97 + 50) % 1000, (i * 389 + 100) % 1000,
+                     (i * 577 + 650) % 1000, (i * 211 + 350) % 1000],
+                    axis=1)
+    return snap_to_segments(ev.map_batches(pts, batch_format="pyarrow"),
+                            segs, i)
+
+
 def q_od_tile_flows(sf_dir: str):
     """Origin-destination tile flows (pipelines/windows
     .transition_counts): consecutive-event tile transitions per user
@@ -3197,6 +3221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_clusters": q_cell_clusters,
         "convex_hulls": q_convex_hulls,
         "stay_points": q_stay_points,
+        "snap_points": q_snap_points,
         "od_tile_flows": q_od_tile_flows,
         "twa_value": q_twa_value,
         "bbox_join": q_bbox_join,
@@ -3922,6 +3947,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
                    CAST(n * sx2 - sx * sx AS BIGINT) AS slope_den
             FROM a""",
+        "snap_points": """
+            WITH s AS (SELECT i AS seg_id,
+                              CAST((i * 97 + 50) % 1000 AS DOUBLE) AS ax,
+                              CAST((i * 389 + 100) % 1000 AS DOUBLE) AS ay,
+                              CAST((i * 577 + 650) % 1000 AS DOUBLE) AS bx,
+                              CAST((i * 211 + 350) % 1000 AS DOUBLE) AS by
+                       FROM (SELECT unnest(generate_series(0, 11)) AS i)),
+            p AS (SELECT event_id AS id,
+                         CAST((event_id * 7919) % 1000 AS DOUBLE) AS x,
+                         CAST((event_id * 104729) % 1000 AS DOUBLE) AS y
+                  FROM events),
+            t0 AS (SELECT id, seg_id, x, y, ax, ay, bx, by,
+                          GREATEST(0.0, LEAST(1.0,
+                              ((x - ax) * (bx - ax) + (y - ay) * (by - ay))
+                              / ((bx - ax) * (bx - ax)
+                                 + (by - ay) * (by - ay)))) AS t
+                   FROM p CROSS JOIN s),
+            d AS (SELECT id, seg_id, t,
+                         ((x - ax) - t * (bx - ax))
+                             * ((x - ax) - t * (bx - ax))
+                         + ((y - ay) - t * (by - ay))
+                             * ((y - ay) - t * (by - ay)) AS d2,
+                         ROW_NUMBER() OVER (PARTITION BY id
+                                            ORDER BY ((x - ax) - t * (bx - ax))
+                                                * ((x - ax) - t * (bx - ax))
+                                                + ((y - ay) - t * (by - ay))
+                                                * ((y - ay) - t * (by - ay)),
+                                                seg_id) AS rk
+                  FROM t0)
+            SELECT id, seg_id, d2,
+                   CAST(floor(t * 1000.0) AS BIGINT) AS t1000
+            FROM d WHERE rk = 1""",
         "od_tile_flows": """
             WITH p AS (SELECT user_id, ts, event_id,
                               (((epoch_us(ts) // 3600000000) % 1000)

@@ -396,3 +396,59 @@ def convex_hull_per_key(ds, key_col: str, x_col: str, y_col: str,
     return ds.select_columns([key_col, x_col, y_col]) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def snap_to_segments(ds, segments: np.ndarray, seg_ids: np.ndarray,
+                     x_col: str = "x", y_col: str = "y",
+                     id_col: str = "id"):
+    """Map-matching lite: snap each point to its nearest SEGMENT from a
+    broadcast polyline set (the add-locations-to-ways inverse: points
+    seeking geometry; /root/reference/src/command_add_locations_to_ways
+    .cpp enriches geometry with points). Distance is point-to-segment
+    with the projection parameter clamped to [0, 1]; squared distances
+    compare in float64 (deterministic IEEE — the track_simplify
+    convention), ties break to the LOWEST segment id.
+
+    Scale shape: segments ship ONCE via ray.put as packed arrays;
+    each map task computes the full (batch x S) distance matrix
+    vectorized — no shuffle. For segment sets past worker RAM,
+    cell-bucket both sides and run the same kernel per cell (the
+    bbox_join partitioning); this implementation is the broadcast
+    path.
+
+    Returns (id, seg_id:int64, d2:float64, t1000:int64 — the clamped
+    projection parameter in integer thousandths for stable compares)."""
+    import ray
+
+    order = np.argsort(seg_ids, kind="stable")
+    segs = np.asarray(segments, dtype=np.float64)[order]
+    ref = ray.put((segs, np.asarray(seg_ids, dtype=np.int64)[order]))
+
+    def snap(batch: pa.Table) -> pa.Table:
+        seg, sid = ray.get(ref)
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ax, ay, bx, by = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        px = x[:, None] - ax[None, :]
+        py = y[:, None] - ay[None, :]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = (px * dx[None, :] + py * dy[None, :]) / len2[None, :]
+        t = np.nan_to_num(t, nan=0.0)       # degenerate zero-length segs
+        np.clip(t, 0.0, 1.0, out=t)
+        ex = px - t * dx[None, :]
+        ey = py - t * dy[None, :]
+        d2 = ex * ex + ey * ey
+        j = np.argmin(d2, axis=1)            # first min = lowest seg id
+        rows = np.arange(len(x))
+        return pa.table({
+            id_col: batch[id_col],
+            "seg_id": pa.array(sid[j]),
+            "d2": pa.array(d2[rows, j]),
+            "t1000": pa.array(np.floor(t[rows, j] * 1000.0)
+                              .astype(np.int64)),
+        })
+
+    return ds.select_columns([id_col, x_col, y_col]) \
+        .map_batches(snap, batch_format="pyarrow")
