@@ -214,8 +214,13 @@ def dense_cell_clusters(points, level: int, min_count: int,
     if buckets is None:
         buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
     n = np.int64(1 << level)
+    # materialize: `dense` is consumed by BOTH the edge builder and the
+    # count side, and connected_components consumes pairs twice (count +
+    # refs) — without pinning, the corpus-scale cell_counts pass would
+    # re-execute once per consumer. Dense cells are pre-aggregated
+    # (bounded by the grid), so this is cell-scale, not point-scale.
     dense = cell_counts(points, level, lon_col, lat_col) \
-        .filter(expr=f"n_images >= {min_count}")
+        .filter(expr=f"n_images >= {min_count}").materialize()
 
     def emit(batch: pa.Table) -> pa.Table:
         cell = batch["cell"].to_numpy(zero_copy_only=False)
@@ -259,31 +264,66 @@ def dense_cell_clusters(points, level: int, min_count: int,
                                           type=pa.string())})
 
     pairs = dense.map_batches(emit, batch_format="pyarrow") \
-        .groupby("_b").map_groups(edges, batch_format="pyarrow")
+        .groupby("_b").map_groups(edges, batch_format="pyarrow") \
+        .materialize()
     labels = connected_components(pairs, driver_cap=driver_cap)
 
-    def to_str(batch: pa.Table) -> pa.Table:
+    def label_side(batch: pa.Table) -> pa.Table:
+        z = np.zeros(batch.num_rows, dtype=np.int32)
+        return pa.table({"_b": pa.array(z),
+                         "image_id": batch["image_id"].cast(pa.string()),
+                         "rep": batch["rep"].cast(pa.string()),
+                         "n": pa.array(np.zeros(batch.num_rows,
+                                                dtype=np.int64))})
+
+    def count_side(batch: pa.Table) -> pa.Table:
         c = batch["cell"].to_numpy(zero_copy_only=False)
-        return pa.table({"image_id": pa.array(c.astype(str),
-                                              type=pa.string()),
+        s = c.astype(str)
+        return pa.table({"_b": pa.array(np.zeros(len(s), dtype=np.int32)),
+                         "image_id": pa.array(s, type=pa.string()),
+                         "rep": pa.array([""] * len(s), type=pa.string()),
                          "n": batch["n_images"].cast(pa.int64())})
 
-    def per_cell(g: pa.Table) -> pa.Table:
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        # vectorized label<->count attach: both sides keyed by the cell
+        # string, exactly one label row and one count row per cell
         empty = pa.table({"rep": pa.array([], type=pa.string()),
                           "n": pa.array([], type=pa.int64())})
         if g.num_rows == 0 or "image_id" not in g.schema.names:
             return empty
-        rep = g["rep"].drop_null()
-        nn = g["n"].drop_null() if "n" in g.schema.names else None
-        if len(rep) == 0 or nn is None or len(nn) == 0:
+        ids = np.asarray(g["image_id"].to_pylist(), dtype="U32")
+        rep = np.asarray(g["rep"].to_pylist(), dtype="U32")
+        n = g["n"].to_numpy(zero_copy_only=False)
+        is_lab = rep != ""
+        lid, lrep = ids[is_lab], rep[is_lab]
+        cid, cn = ids[~is_lab], n[~is_lab]
+        order = np.argsort(lid, kind="stable")
+        lid, lrep = lid[order], lrep[order]
+        pos = np.searchsorted(lid, cid)
+        ok = (pos < len(lid))
+        pos_c = np.minimum(pos, max(len(lid) - 1, 0))
+        ok &= lid[pos_c] == cid if len(lid) else False
+        if not np.any(ok):
             return empty
-        return pa.table({"rep": pa.array([rep[0].as_py()]),
-                         "n": pa.array([sum(nn.to_pylist())],
-                                       type=pa.int64())})
+        return pa.table({"rep": pa.array(lrep[pos_c[ok]].tolist(),
+                                         type=pa.string()),
+                         "n": pa.array(cn[ok].astype(np.int64))})
 
-    both = labels.union(dense.map_batches(to_str, batch_format="pyarrow"))
-    per = both.groupby("image_id").map_groups(per_cell,
-                                              batch_format="pyarrow")
+    # hash() on str is salted per-process: compute buckets from a stable
+    # hash instead so label/count rows of the same cell co-locate
+    from ..functions.hashing import hash_str_u64
+
+    def _stable_b(tbl: pa.Table) -> pa.Table:
+        h = hash_str_u64(tbl["image_id"])
+        b = (h % np.uint64(buckets)).astype(np.int32)
+        return tbl.set_column(tbl.schema.get_field_index("_b"), "_b",
+                              pa.array(b))
+
+    both = labels.map_batches(label_side, batch_format="pyarrow") \
+        .union(dense.map_batches(count_side, batch_format="pyarrow")) \
+        .map_batches(_stable_b, batch_format="pyarrow")
+    per = both.groupby("_b").map_groups(merge_bucket,
+                                        batch_format="pyarrow")
     return per.groupby("rep").aggregate(
         Count(alias_name="n_cells"), Sum("n", alias_name="total_points"))
 
