@@ -2214,6 +2214,35 @@ def q_triangle_count(sf_dir: str):
     return triangle_count(ev.map_batches(edges, batch_format="pyarrow"))
 
 
+def q_kcore_users(sf_dir: str):
+    """k-core of the event-derived graph (stages/graph.k_core,
+    Seidman 1983 peel): iterative degree fold + bucketed anti-probes,
+    alive sets stay Datasets (rows-only: iterative; pytest pins the
+    peel against a pure-Python reference)."""
+    from ray.data.aggregate import Count
+
+    from osmium_tool_ray.stages.graph import k_core
+
+    from osmium_tool_ray.functions.hashing import hash64
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        a = (hash64(eid, seed=1) % np.uint64(120)).astype(np.int64)
+        b = (hash64(eid, seed=2) % np.uint64(120)).astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        return pa.table({"a": pa.array(lo[keep]),
+                         "b": pa.array(hi[keep])})
+
+    distinct = ev.map_batches(edges, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Count(alias_name="_n")) \
+        .select_columns(["a", "b"])
+    return k_core(distinct, k=8)
+
+
 def q_funnel_counts(sf_dir: str):
     """Ordered view->click->purchase funnel (pipelines/windows
     .funnel_counts): ONE user-hash shuffle, per-bucket vectorized
@@ -3222,6 +3251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convex_hulls": q_convex_hulls,
         "stay_points": q_stay_points,
         "snap_points": q_snap_points,
+        "kcore_users": q_kcore_users,
         "od_tile_flows": q_od_tile_flows,
         "twa_value": q_twa_value,
         "bbox_join": q_bbox_join,

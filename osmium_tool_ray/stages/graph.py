@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def pagerank(edges, n_nodes: int, src_col: str = "src",
@@ -386,3 +387,105 @@ def triangle_count(edges, a_col: str = "a", b_col: str = "b",
         .take_all()
     total = int(sum(r["n"] for r in parts))
     return pa.table({"n_triangles": pa.array([total], type=pa.int64())})
+
+
+def k_core(edges, k: int, a_col: str = "a", b_col: str = "b",
+           max_iters: int = 60, partitions: int | None = None):
+    """k-core decomposition (membership for a fixed k): iteratively peel
+    nodes of degree < k from the undirected distinct edge set until a
+    fixpoint — the density-subgraph / community-seed operator
+    (Seidman 1983). Rows-only: the peel is iterative.
+
+    Scale shape per iteration: per-batch endpoint-count pre-agg -> one
+    native Sum groupby for degrees; the alive-node set stays a DATASET
+    and edges are filtered by TWO bucketed anti-probes (the
+    idops.semi_join_bucketed pattern) — no driver materialization of
+    nodes or edges. Each round's edge set is materialized pinned to a
+    fixed partition count (the iterative-pipeline block-growth
+    landmine); rounds are O(peel depth) <= max_iters.
+
+    Returns (node:int64, degree:int64) for nodes in the k-core."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if partitions is None:
+        partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def degrees(es):
+        def partial(batch: pa.Table) -> pa.Table:
+            a = batch[a_col].to_numpy(zero_copy_only=False)
+            b = batch[b_col].to_numpy(zero_copy_only=False)
+            u, c = np.unique(np.concatenate([a, b]), return_counts=True)
+            return pa.table({"node": pa.array(u.astype(np.int64)),
+                             "_d": pa.array(c.astype(np.int64))})
+        return es.map_batches(partial, batch_format="pyarrow") \
+            .groupby("node").aggregate(Sum("_d", alias_name="degree"))
+
+    def filter_edges(es, low_ds):
+        """Drop edges touching any low-degree node: two bucketed
+        sorted-probe passes (edges bucket on the probed endpoint)."""
+        def probe(col):
+            def add_b(batch: pa.Table) -> pa.Table:
+                v = batch[col].to_numpy(zero_copy_only=False) \
+                    if col in batch.schema.names else \
+                    batch["node"].to_numpy(zero_copy_only=False)
+                b = (v.astype(np.uint64) % np.uint64(64)).astype(np.int32)
+                return batch.append_column("_b", pa.array(b))
+
+            def per_bucket(g: pa.Table) -> pa.Table:
+                empty = pa.table({a_col: pa.array([], type=pa.int64()),
+                                  b_col: pa.array([], type=pa.int64())})
+                if g.num_rows == 0:
+                    return empty
+                names = g.schema.names
+                if "node" in names and a_col in names:
+                    is_low = pc.is_valid(g["node"])
+                    low = np.sort(g.filter(is_low)["node"]
+                                  .to_numpy(zero_copy_only=False))
+                    eg = g.filter(pc.invert(is_low))
+                elif "node" in names:
+                    return empty
+                else:
+                    low = np.array([], dtype=np.int64)
+                    eg = g
+                if eg.num_rows == 0:
+                    return empty
+                v = eg[col].to_numpy(zero_copy_only=False)
+                if len(low):
+                    pos = np.searchsorted(low, v)
+                    pos_c = np.minimum(pos, len(low) - 1)
+                    keep = ~((pos < len(low)) & (low[pos_c] == v))
+                else:
+                    keep = np.ones(len(v), dtype=bool)
+                return pa.table({a_col: eg[a_col].filter(pa.array(keep)),
+                                 b_col: eg[b_col].filter(pa.array(keep))})
+
+            lows = low_ds.map_batches(
+                lambda t: pa.table({"node": t["node"].cast(pa.int64())}),
+                batch_format="pyarrow")
+            edges_side = es.select_columns([a_col, b_col])
+            return edges_side.map_batches(add_b, batch_format="pyarrow") \
+                .union(lows.map_batches(add_b, batch_format="pyarrow")) \
+                .groupby("_b").map_groups(per_bucket,
+                                          batch_format="pyarrow")
+
+        return probe
+
+    es = edges.select_columns([a_col, b_col]) \
+        .repartition(partitions).materialize()
+    n_edges = es.count()
+    for _ in range(max_iters):
+        if n_edges == 0:
+            break
+        deg = degrees(es)
+        low = deg.filter(expr=f"degree < {k}").materialize()
+        if low.count() == 0:
+            break
+        es = filter_edges(es, low)(a_col)
+        es = filter_edges(es, low)(b_col) \
+            .repartition(partitions).materialize()
+        n_new = es.count()
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+    return degrees(es)
