@@ -2214,6 +2214,44 @@ def q_triangle_count(sf_dir: str):
     return triangle_count(ev.map_batches(edges, batch_format="pyarrow"))
 
 
+def q_degree_hist(sf_dir: str):
+    """Degree distribution of the event-derived graph (triangle_count's
+    edge derivation): distinct-edge dedup groupby -> per-batch
+    endpoint-count pre-agg -> degree Sum -> histogram Count (each fold
+    shrinks the data; shuffle volume is edges, then nodes, then
+    distinct degrees)."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        a = (eid * 7919) % 200
+        b = (eid * 104729) % 200
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        return pa.table({"a": pa.array(lo[keep]),
+                         "b": pa.array(hi[keep])})
+
+    distinct = ev.map_batches(edges, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.schema.names:
+            return pa.table({"node": pa.array([], type=pa.int64()),
+                             "_d": pa.array([], type=pa.int64())})
+        u, c = np.unique(np.concatenate(
+            [batch["a"].to_numpy(zero_copy_only=False),
+             batch["b"].to_numpy(zero_copy_only=False)]),
+            return_counts=True)
+        return pa.table({"node": pa.array(u.astype(np.int64)),
+                         "_d": pa.array(c.astype(np.int64))})
+
+    deg = distinct.map_batches(endpoints, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("_d", alias_name="degree"))
+    return deg.groupby("degree").aggregate(Count(alias_name="n_nodes"))
+
+
 def q_kcore_users(sf_dir: str):
     """k-core of the event-derived graph (stages/graph.k_core,
     Seidman 1983 peel): iterative degree fold + bucketed anti-probes,
@@ -3252,6 +3290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stay_points": q_stay_points,
         "snap_points": q_snap_points,
         "kcore_users": q_kcore_users,
+        "degree_hist": q_degree_hist,
         "od_tile_flows": q_od_tile_flows,
         "twa_value": q_twa_value,
         "bbox_join": q_bbox_join,
@@ -3977,6 +4016,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
                    CAST(n * sx2 - sx * sx AS BIGINT) AS slope_den
             FROM a""",
+        "degree_hist": """
+            WITH raw AS (
+                SELECT LEAST((event_id * 7919) % 200,
+                             (event_id * 104729) % 200) AS a,
+                       GREATEST((event_id * 7919) % 200,
+                                (event_id * 104729) % 200) AS b
+                FROM events),
+            e AS (SELECT DISTINCT a, b FROM raw WHERE a <> b),
+            ep AS (SELECT a AS node FROM e
+                   UNION ALL SELECT b FROM e),
+            d AS (SELECT node, count(*) AS degree FROM ep GROUP BY 1)
+            SELECT CAST(degree AS BIGINT) AS degree,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM d GROUP BY 1""",
         "snap_points": """
             WITH s AS (SELECT i AS seg_id,
                               CAST((i * 97 + 50) % 1000 AS DOUBLE) AS ax,

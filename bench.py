@@ -63,7 +63,8 @@ QUERY_NAMES = [
     # r03 fifth wave: interval algebra, spatial joins, cube, hulls
     "interval_coverage", "trend_per_user", "bbox_join", "nearest_site",
     "per_key_sample", "docs_cube", "cell_clusters", "convex_hulls",
-    "outside_regions", "stay_points",
+    "outside_regions", "stay_points", "od_tile_flows", "twa_value",
+    "snap_points", "kcore_users", "degree_hist",
 ]
 
 
