@@ -2214,6 +2214,76 @@ def q_triangle_count(sf_dir: str):
     return triangle_count(ev.map_batches(edges, batch_format="pyarrow"))
 
 
+def q_equalize_images(sf_dir: str):
+    """Per-image histogram equalization (stages/media.Equalize): one
+    (n*3, 256) offset-bincount builds every per-channel CDF, gather
+    remap, re-encode in the same map task. Rows-only (pixel transforms
+    aren't SQL-expressible); pytest pins byte-exact output through the
+    identical encode round-trip."""
+    from osmium_tool_ray.sources.corpus import images_dataset
+    from osmium_tool_ray.stages.media import Equalize
+
+    ds = images_dataset(sf_dir, with_bytes=True)
+    out = ds.map_batches(Equalize, batch_format="pyarrow",
+                         batch_size=4096, concurrency=2)
+    return out.select_columns(["image_id", "spread_before",
+                               "spread_after"])
+
+
+def q_patchify_images(sf_dir: str):
+    """ViT patch extraction (stages/media.Patchify): each 16x16 image
+    explodes to four 8x8 patch rows map-side; patches are consumed in
+    the SAME task chain (per-position count + byte-sum fold) so blobs
+    never shuffle. Rows-only; pytest pins exact reconstruction."""
+    from ray.data.aggregate import Count, Sum
+
+    from osmium_tool_ray.sources.corpus import images_dataset
+    from osmium_tool_ray.stages.media import Patchify
+
+    ds = images_dataset(sf_dir, with_bytes=True)
+    patches = ds.map_batches(Patchify,
+                             fn_constructor_kwargs={"patch": 8},
+                             batch_format="pyarrow", batch_size=2048,
+                             concurrency=2)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"px": pa.array([], type=pa.int64()),
+                             "py": pa.array([], type=pa.int64()),
+                             "_n": pa.array([], type=pa.int64()),
+                             "_s": pa.array([], type=pa.int64())})
+        px = batch["px"].to_numpy(zero_copy_only=False)
+        py = batch["py"].to_numpy(zero_copy_only=False)
+        buf = batch["patch"].cast(pa.large_binary()).combine_chunks()
+        raw = np.frombuffer(buf.buffers()[2], dtype=np.uint8) \
+            .reshape(batch.num_rows, -1)
+        s = raw.sum(axis=1, dtype=np.int64)
+        key = px * 2 + py
+        uk = np.unique(key)
+        n = np.bincount(key, minlength=4)
+        tot = np.bincount(key, weights=s.astype(np.float64),
+                          minlength=4).astype(np.int64)
+        return pa.table({"px": pa.array(uk // 2),
+                         "py": pa.array(uk % 2),
+                         "_n": pa.array(n[uk]),
+                         "_s": pa.array(tot[uk])})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = patches.map_batches(fold, batch_format="pyarrow") \
+        .groupby(["px", "py"]).aggregate(
+            _Sum("_n", alias_name="n_patches"),
+            _Sum("_s", alias_name="byte_sum"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({"px": batch["px"].cast(pa.int64()),
+                         "py": batch["py"].cast(pa.int64()),
+                         "n_patches": batch["n_patches"].cast(pa.int64()),
+                         "byte_sum": batch["byte_sum"].cast(pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def q_degree_hist(sf_dir: str):
     """Degree distribution of the event-derived graph (triangle_count's
     edge derivation): distinct-edge dedup groupby -> per-batch
@@ -3291,6 +3361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snap_points": q_snap_points,
         "kcore_users": q_kcore_users,
         "degree_hist": q_degree_hist,
+        "equalize_images": q_equalize_images,
+        "patchify_images": q_patchify_images,
         "od_tile_flows": q_od_tile_flows,
         "twa_value": q_twa_value,
         "bbox_join": q_bbox_join,

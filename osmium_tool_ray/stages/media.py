@@ -682,3 +682,107 @@ def sniff_image_meta(images, bytes_col: str = "bytes",
                          "rec_bytes": pa.array(total)})
 
     return images.map_batches(sniff, batch_format="pyarrow")
+
+
+class Equalize:
+    """Actor stage: per-image histogram equalization over the decoded
+    luminance-free per-channel grid (the classic contrast-normalization
+    curation transform). remap(v) = floor(cdf(v) * 255 / n_pixels) with
+    cdf the per-image per-channel cumulative histogram — the textbook
+    integer form, deterministic, no float.
+
+    Vectorized across the whole batch: ONE (n*3, 256) offset-bincount
+    builds every per-image per-channel histogram (the image_quality
+    trick), cumsum along axis 1 gives all CDFs, and a gather remaps all
+    pixels — no per-image Python. decode -> equalize -> encode inside
+    one map task; blobs never leave it.
+
+    Emits the re-encoded bytes plus per-image min/max luminance-proxy
+    spread before and after (spread = max - min over all channels) so
+    the contrast gain is queryable without another decode."""
+
+    def __init__(self, bytes_col: str = "bytes", fmt_col: str = "fmt"):
+        self.codec = _load_codec()
+        self.bytes_col, self.fmt_col = bytes_col, fmt_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pix, w, h = self.codec.decode_batch(batch[self.bytes_col])
+        n = len(w)
+        if n == 0:
+            return batch
+        W, H = int(w[0]), int(h[0])
+        npx = W * H
+        chan = pix.reshape(n, npx, 3).transpose(0, 2, 1) \
+            .reshape(n * 3, npx)                 # (n*3, npx)
+        ids = np.arange(n * 3, dtype=np.int64)[:, None]
+        hist = np.bincount((ids * 256 + chan).ravel(),
+                           minlength=n * 3 * 256).reshape(n * 3, 256)
+        cdf = np.cumsum(hist, axis=1)
+        lut = (cdf * 255) // npx                 # (n*3, 256) int
+        eq = lut[ids, chan].astype(np.uint8)     # gather remap
+        out = eq.reshape(n, 3, npx).transpose(0, 2, 1).reshape(n, -1)
+        fmts = np.asarray(batch[self.fmt_col].to_pylist())
+        enc = self.codec.encode_batch(np.ascontiguousarray(out), fmts,
+                                      W, H)
+        spread_before = (pix.max(axis=1).astype(np.int64)
+                         - pix.min(axis=1))
+        spread_after = (out.max(axis=1).astype(np.int64)
+                        - out.min(axis=1))
+        batch = batch.set_column(
+            batch.schema.get_field_index(self.bytes_col),
+            self.bytes_col, enc)
+        return batch \
+            .append_column("spread_before", pa.array(spread_before)) \
+            .append_column("spread_after", pa.array(spread_after))
+
+
+class Patchify:
+    """Actor stage: split each image into non-overlapping P x P patches
+    (the ViT patch-extraction op) — one OUTPUT ROW PER PATCH with
+    (image_id, patch_id, patch row-major position, patch bytes as raw
+    RGB). Row explosion of binary payloads: a batch of B images becomes
+    B * (W/P) * (H/P) rows, so callers size batch_size with the
+    explosion factor in mind (the multimodal blob discipline — patches
+    are produced and consumed map-side, never shuffled).
+
+    Fully vectorized: one reshape/transpose builds every patch of the
+    batch at once."""
+
+    def __init__(self, patch: int = 8, id_col: str = "image_id",
+                 bytes_col: str = "bytes"):
+        self.codec = _load_codec()
+        self.patch = patch
+        self.id_col, self.bytes_col = id_col, bytes_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({self.id_col: pa.array([], type=pa.string()),
+                          "patch_id": pa.array([], type=pa.int64()),
+                          "px": pa.array([], type=pa.int64()),
+                          "py": pa.array([], type=pa.int64()),
+                          "patch": pa.array([], type=pa.binary())})
+        pix, w, h = self.codec.decode_batch(batch[self.bytes_col])
+        n = len(w)
+        if n == 0:
+            return empty
+        W, H, P = int(w[0]), int(h[0]), self.patch
+        if W % P or H % P:
+            raise ValueError(f"patch {P} must divide image {W}x{H}")
+        gx, gy = W // P, H // P
+        img = pix.reshape(n, H, W, 3)
+        # (n, gy, P, gx, P, 3) -> (n, gy, gx, P, P, 3)
+        patches = img.reshape(n, gy, P, gx, P, 3) \
+            .transpose(0, 1, 3, 2, 4, 5) \
+            .reshape(n * gy * gx, P * P * 3)
+        patches = np.ascontiguousarray(patches)
+        ids = np.repeat(np.asarray(batch[self.id_col].to_pylist(),
+                                   dtype=object), gy * gx)
+        pid = np.tile(np.arange(gy * gx, dtype=np.int64), n)
+        pbytes = pa.Array.from_buffers(
+            pa.binary(P * P * 3), len(patches),
+            [None, pa.py_buffer(patches.tobytes())]).cast(pa.binary())
+        return pa.table({self.id_col: pa.array(ids.tolist(),
+                                               type=pa.string()),
+                         "patch_id": pa.array(pid),
+                         "px": pa.array(pid % gx),
+                         "py": pa.array(pid // gx),
+                         "patch": pbytes})
