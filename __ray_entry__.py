@@ -1855,6 +1855,19 @@ def q_user_distinct_est(sf_dir: str):
     return hll_distinct_per_key(ev, "user_id", "event_type", p=12)
 
 
+def q_kmv_set_ops(sf_dir: str):
+    """Pairwise segment-overlap via KMV / theta sketches
+    (stages/sketches.kmv_set_ops_per_key): distinct-user union and
+    intersection between every event-type pair, without shuffling the
+    raw user sets against each other. Exact at k=16384 (every per-type
+    distinct count <= k, so theta = 1 — the countmin "exact at ample
+    width" oracle pattern); pytest pins the below-k estimator bounds."""
+    from osmium_tool_ray.stages.sketches import kmv_set_ops_per_key
+
+    ev = _events(sf_dir, ["event_type", "user_id"])
+    return kmv_set_ops_per_key(ev, "event_type", "user_id", k=1 << 14)
+
+
 def q_daily_active_users(sf_dir: str):
     """Distinct users per day — tumbling-window assignment composed with
     the exact distinct-per-key fold (window + distinct_per_key)."""
@@ -3369,6 +3382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_site": q_nearest_site,
         "region_centroids": q_region_centroids,
         "user_distinct_types": q_user_distinct_types,
+        "kmv_set_ops": q_kmv_set_ops,
         "profile_lineitem": q_profile_lineitem,
         "daily_active_users": q_daily_active_users,
         "weekly_retention": q_weekly_retention,
@@ -3953,6 +3967,23 @@ def oracle_sql() -> dict[str, str]:
         "user_distinct_types": """
             SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct
             FROM events GROUP BY user_id""",
+        "kmv_set_ops": """
+            WITH d AS (SELECT DISTINCT event_type AS k,
+                              CAST(user_id AS VARCHAR) AS v FROM events),
+            cnt AS (SELECT k, COUNT(*) AS n FROM d GROUP BY k),
+            inter AS (SELECT x.k AS key_a, y.k AS key_b, COUNT(*) AS i
+                      FROM d x JOIN d y ON x.v = y.v AND x.k < y.k
+                      GROUP BY 1, 2)
+            SELECT p.key_a, p.key_b,
+                   CAST(ca.n + cb.n - COALESCE(i.i, 0) AS BIGINT)
+                       AS union_distinct,
+                   CAST(COALESCE(i.i, 0) AS BIGINT) AS inter_distinct
+            FROM (SELECT a.k AS key_a, b.k AS key_b
+                  FROM cnt a JOIN cnt b ON a.k < b.k) p
+            JOIN cnt ca ON ca.k = p.key_a
+            JOIN cnt cb ON cb.k = p.key_b
+            LEFT JOIN inter i
+              ON i.key_a = p.key_a AND i.key_b = p.key_b""",
         "track_length_user": """
             WITH pts AS (SELECT user_id, ts, event_id,
                    ((event_id * 7919) % 36000) * 100000 - 1800000000 AS xf,

@@ -721,3 +721,134 @@ def countmin_build(ds, col: str, d: int = 4, w: int = 1024, seed: int = 0,
     for r in parts:
         merged += np.frombuffer(r["cm"], dtype=np.int64)
     return merged.reshape(d, w)
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch — the DISTINCT-SET-OPERATIONS sketch (Bar-Yossef et
+# al. 2002 "Counting distinct elements in a data stream"; the theta-sketch
+# framework of Dasgupta et al. 2016). HLL (above) answers "how many
+# distinct in ONE set"; KMV keeps the k smallest distinct hash values, so
+# sketches of different sets COMPOSE: union = k smallest of the merged
+# hash sets, intersection = matching hashes below the common threshold.
+# That answers "how many distinct users did segments A and B share"
+# without ever shuffling the raw value sets against each other.
+#
+# Exactness property used by the oracle: while a set's distinct count is
+# <= k the sketch holds EVERY distinct hash (theta = 1), so union /
+# intersection counts are exact — the countmin_build "exact at ample
+# width" pattern. Below-k error is the published (k-1)/theta estimator,
+# pinned by pytest bounds.
+# ---------------------------------------------------------------------------
+
+
+def kmv_fold(values, k: int, seed: int = 0) -> np.ndarray:
+    """Fold a string array into its KMV sketch: the sorted k smallest
+    DISTINCT 64-bit hashes (uint64, length <= k). One vectorized hash +
+    unique pass; np.unique already sorts."""
+    h = np.unique(hash_str_u64(values, seed=seed))
+    return h[:k]
+
+
+def kmv_merge(sketches, k: int) -> np.ndarray:
+    """Merge partial sketches: k smallest of the distinct union."""
+    return np.unique(np.concatenate(list(sketches)))[:k]
+
+
+def kmv_theta(sk: np.ndarray, k: int) -> float:
+    """Inclusion threshold in [0, 1]: 1.0 while the sketch is exact
+    (holds < k hashes), else the k-th smallest normalized hash."""
+    if len(sk) < k:
+        return 1.0
+    return float(sk[k - 1]) / 2.0 ** 64
+
+
+def kmv_distinct(sk: np.ndarray, k: int) -> float:
+    """Distinct-count estimate: exact size below k, else (k-1)/theta."""
+    if len(sk) < k:
+        return float(len(sk))
+    return (k - 1) / kmv_theta(sk, k)
+
+
+def kmv_pair_ops(sk_a: np.ndarray, sk_b: np.ndarray, k: int):
+    """(union_est, intersection_est) for two KMV sketches: cut both at
+    theta = min(theta_a, theta_b), then |union-cut| / theta and
+    |matching hashes| / theta (the standard theta-sketch set-op
+    estimators; exact when both sketches are exact)."""
+    theta = min(kmv_theta(sk_a, k), kmv_theta(sk_b, k))
+    lim = np.uint64(int(theta * 2.0 ** 64)) if theta < 1.0 else None
+    a = sk_a if lim is None else sk_a[sk_a < lim]
+    b = sk_b if lim is None else sk_b[sk_b < lim]
+    union = len(np.union1d(a, b))
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return union / theta, inter / theta
+
+
+def kmv_set_ops_per_key(ds, key_col: str, col: str, k: int = 1 << 14,
+                        seed: int = 0) -> pa.Table:
+    """Pairwise distinct-set operations between the per-key value sets
+    of a Dataset: for every key pair (key_a < key_b) estimate
+    |values(a) UNION values(b)| and |values(a) INTERSECT values(b)|.
+
+    Distributed shape (the hll_distinct_per_key two-level fold): each
+    batch emits one (key, partial-sketch) row per batch-distinct key —
+    constant <= k*8 bytes per (block, key) — sketches merge losslessly
+    inside groupby(key).map_groups, and only the S final sketches (S =
+    number of segments, small by construction) reach the driver for the
+    S^2/2 pairwise estimates. The raw value sets never shuffle against
+    each other — that is the point of the sketch.
+
+    Returns an Arrow table (key_a, key_b, union_distinct:int64,
+    inter_distinct:int64) with estimates rounded to integers (exact
+    whenever every per-key distinct count is <= k)."""
+    def fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], type=pa.string()),
+                             "sk": pa.array([], type=pa.binary())})
+        keys = np.asarray(batch[key_col].cast(pa.string())
+                          .to_pylist())
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        vals = batch[col].cast(pa.string()).take(
+            pa.array(order, type=pa.int64()))
+        starts = np.flatnonzero(
+            np.concatenate([[True], ks[1:] != ks[:-1]]))
+        ends = np.concatenate([starts[1:], [len(ks)]])
+        out_k, out_s = [], []
+        for s, e in zip(starts, ends):
+            out_k.append(ks[s])
+            out_s.append(kmv_fold(vals.slice(s, e - s), k=k,
+                                  seed=seed).tobytes())
+        return pa.table({key_col: pa.array(out_k, type=pa.string()),
+                         "sk": pa.array(out_s, type=pa.binary())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({key_col: pa.array([], type=pa.string()),
+                             "sk": pa.array([], type=pa.binary())})
+        merged = kmv_merge(
+            [np.frombuffer(rb, dtype=np.uint64)
+             for rb in g["sk"].to_pylist()], k=k)
+        return pa.table({key_col: pa.array([g[key_col][0].as_py()],
+                                           type=pa.string()),
+                         "sk": pa.array([merged.tobytes()],
+                                        type=pa.binary())})
+
+    finals = ds.select_columns([key_col, col]) \
+        .map_batches(fold, batch_format="pyarrow") \
+        .groupby(key_col).map_groups(merge, batch_format="pyarrow") \
+        .take_all()
+    finals.sort(key=lambda r: r[key_col])
+    names = [r[key_col] for r in finals]
+    sks = [np.frombuffer(r["sk"], dtype=np.uint64) for r in finals]
+    ka, kb, un, it = [], [], [], []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            u, x = kmv_pair_ops(sks[i], sks[j], k=k)
+            ka.append(names[i])
+            kb.append(names[j])
+            un.append(int(round(u)))
+            it.append(int(round(x)))
+    return pa.table({"key_a": pa.array(ka, type=pa.string()),
+                     "key_b": pa.array(kb, type=pa.string()),
+                     "union_distinct": pa.array(un, type=pa.int64()),
+                     "inter_distinct": pa.array(it, type=pa.int64())})
