@@ -2227,6 +2227,27 @@ def q_triangle_count(sf_dir: str):
     return triangle_count(ev.map_batches(edges, batch_format="pyarrow"))
 
 
+def q_common_neighbors(sf_dir: str):
+    """Link-prediction scores (stages/graph.common_neighbors): common-
+    neighbor counts + Jaccard for every node pair of the event-derived
+    graph. Per-center triu wedge explode in center buckets (hub centers
+    above the declared degree cap excluded — mirrored in the oracle),
+    in-group pair pre-agg, ONE pair-bucket merge. Exact here (max degree
+    199 << cap); Jaccard is one float64 division of exact ints, mirrored
+    bit-exactly in SQL."""
+    from osmium_tool_ray.stages.graph import common_neighbors
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array((eid * 7919) % 200),
+                         "b": pa.array((eid * 104729) % 200)})
+
+    return common_neighbors(ev.map_batches(edges, batch_format="pyarrow"),
+                            max_center_degree=2_000)
+
+
 def q_equalize_images(sf_dir: str):
     """Per-image histogram equalization (stages/media.Equalize): one
     (n*3, 256) offset-bincount builds every per-channel CDF, gather
@@ -3374,6 +3395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snap_points": q_snap_points,
         "kcore_users": q_kcore_users,
         "degree_hist": q_degree_hist,
+        "common_neighbors": q_common_neighbors,
         "equalize_images": q_equalize_images,
         "patchify_images": q_patchify_images,
         "od_tile_flows": q_od_tile_flows,
@@ -4257,6 +4279,29 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
             JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""",
+        "common_neighbors": """
+            WITH raw AS (
+                SELECT LEAST((event_id * 7919) % 200,
+                             (event_id * 104729) % 200) AS lo,
+                       GREATEST((event_id * 7919) % 200,
+                                (event_id * 104729) % 200) AS hi
+                FROM events),
+            e AS (SELECT DISTINCT lo, hi FROM raw WHERE lo <> hi),
+            adj AS (SELECT lo AS ctr, hi AS nbr FROM e
+                    UNION ALL SELECT hi, lo FROM e),
+            deg AS (SELECT ctr AS node, COUNT(*) AS d FROM adj
+                    GROUP BY ctr),
+            w AS (SELECT a1.nbr AS x, a2.nbr AS y
+                  FROM adj a1 JOIN adj a2
+                    ON a1.ctr = a2.ctr AND a1.nbr < a2.nbr
+                  WHERE a1.ctr IN (SELECT node FROM deg
+                                   WHERE d <= 2000)),
+            cn AS (SELECT x, y, COUNT(*) AS n FROM w GROUP BY x, y)
+            SELECT cn.x AS node_a, cn.y AS node_b,
+                   CAST(cn.n AS BIGINT) AS n_common,
+                   CAST(cn.n AS DOUBLE) / (dx.d + dy.d - cn.n) AS jaccard
+            FROM cn JOIN deg dx ON dx.node = cn.x
+                    JOIN deg dy ON dy.node = cn.y""",
         "funnel_counts": """
             WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
                         WHERE event_type = 'view' GROUP BY 1),
