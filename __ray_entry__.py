@@ -2264,6 +2264,20 @@ def q_equalize_images(sf_dir: str):
                                "spread_after"])
 
 
+def q_sharpness_images(sf_dir: str):
+    """Blur / letterbox curation signals (stages/media.Sharpness):
+    variance-of-Laplacian focus score + uniform-border run lengths per
+    image, vectorized shifted subtractions over the decoded batch.
+    Rows-only (pixel op); pytest pins a per-image pure-Python
+    reference."""
+    from osmium_tool_ray.sources.corpus import images_dataset
+    from osmium_tool_ray.stages.media import Sharpness
+
+    ds = images_dataset(sf_dir, with_bytes=True)
+    return ds.map_batches(Sharpness, batch_format="pyarrow",
+                          batch_size=4096, concurrency=2)
+
+
 def q_patchify_images(sf_dir: str):
     """ViT patch extraction (stages/media.Patchify): each 16x16 image
     explodes to four 8x8 patch rows map-side; patches are consumed in
@@ -3398,6 +3412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_neighbors": q_common_neighbors,
         "equalize_images": q_equalize_images,
         "patchify_images": q_patchify_images,
+        "sharpness_images": q_sharpness_images,
         "od_tile_flows": q_od_tile_flows,
         "twa_value": q_twa_value,
         "bbox_join": q_bbox_join,

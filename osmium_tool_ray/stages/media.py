@@ -786,3 +786,69 @@ class Patchify:
                          "px": pa.array(pid % gx),
                          "py": pa.array(pid // gx),
                          "patch": pbytes})
+
+
+class Sharpness:
+    """Per-image blur / letterbox curation signals over decoded pixels —
+    the focus-and-framing twin of ImageQuality:
+
+    - `sharpness`: variance of the 4-neighbour Laplacian of the summed-
+      channel luminance over interior pixels (the classic variance-of-
+      Laplacian blur detector, Pech-Pacheco et al. 2000). Blurred or
+      constant images score near 0.
+    - `border_top/bottom/left/right`: run lengths of edge rows/columns
+      uniformly equal to the adjacent corner pixel (letterbox /
+      pillarbox bars); `letterboxed` flags any nonzero bar short of the
+      whole image.
+
+    Fully vectorized across the batch: the Laplacian is four shifted
+    subtractions on the (n, H, W) int32 luminance grid and the border
+    runs are cumprods of row/column uniformity masks — no per-image
+    Python. Stateless-safe (codec module import is the only state)."""
+
+    def __init__(self, bytes_col: str = "bytes",
+                 id_col: str = "image_id"):
+        self.codec = _load_codec()
+        self.bytes_col, self.id_col = bytes_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            z = pa.array([], type=pa.float64())
+            zi = pa.array([], type=pa.int64())
+            return pa.table({self.id_col: batch[self.id_col],
+                             "sharpness": z, "border_top": zi,
+                             "border_bottom": zi, "border_left": zi,
+                             "border_right": zi,
+                             "letterboxed": pa.array([],
+                                                     type=pa.bool_())})
+        pix, w, h = self.codec.decode_batch(batch[self.bytes_col])
+        n = len(w)
+        W, H = int(w[0]), int(h[0])
+        img = pix.reshape(n, H, W, 3)
+        lum = img.astype(np.int32).sum(axis=3)          # (n, H, W)
+        core = lum[:, 1:-1, 1:-1]
+        lap = (4 * core - lum[:, :-2, 1:-1] - lum[:, 2:, 1:-1]
+               - lum[:, 1:-1, :-2] - lum[:, 1:-1, 2:]) \
+            .reshape(n, -1).astype(np.float64)
+        sharp = lap.var(axis=1)
+
+        def run(mask):                                   # (n, k) bool
+            return np.cumprod(mask, axis=1).sum(axis=1).astype(np.int64)
+
+        tl = img[:, :1, :1, :]                           # (n,1,1,3)
+        br = img[:, -1:, -1:, :]
+        row_u_t = (img == tl).all(axis=(2, 3))           # (n, H)
+        row_u_b = (img == br).all(axis=(2, 3))[:, ::-1]
+        col_u_l = (img == tl).all(axis=(1, 3))           # (n, W)
+        col_u_r = (img == br).all(axis=(1, 3))[:, ::-1]
+        top, bot = run(row_u_t), run(row_u_b)
+        left, right = run(col_u_l), run(col_u_r)
+        boxed = ((top + bot > 0) & (top < H) & (bot < H)) \
+            | ((left + right > 0) & (left < W) & (right < W))
+        return pa.table({self.id_col: batch[self.id_col],
+                         "sharpness": pa.array(sharp),
+                         "border_top": pa.array(top),
+                         "border_bottom": pa.array(bot),
+                         "border_left": pa.array(left),
+                         "border_right": pa.array(right),
+                         "letterboxed": pa.array(boxed)})
