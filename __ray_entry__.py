@@ -1932,6 +1932,28 @@ def q_weekly_retention(sf_dir: str):
     return ret.map_batches(fin, batch_format="pyarrow")
 
 
+def q_zscore_quantity(sf_dir: str):
+    """Per-supplier z-score standardization of lineitem quantities
+    (pipelines/stats.zscore_per_key): exact int64 group moments drive a
+    fixed IEEE expression mirrored in the oracle — bit-exact float
+    compare. ONE key-bucket shuffle, in-bucket segmented reduceat."""
+    from osmium_tool_ray.pipelines.stats import zscore_per_key
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"])
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].cast(pa.int64())
+        return batch.set_column(
+            batch.schema.get_field_index("l_quantity"), "l_quantity", q)
+
+    return zscore_per_key(li.map_batches(to_int, batch_format="pyarrow"),
+                          "l_suppkey", "l_quantity",
+                          carry_cols=["l_orderkey", "l_linenumber"],
+                          out_col="z")
+
+
 def q_profile_lineitem(sf_dir: str):
     """Per-column numeric profile (pipelines/stats.profile_numeric):
     count / nulls / min / max / integer-floor checksum over four
@@ -3421,6 +3443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_distinct_types": q_user_distinct_types,
         "kmv_set_ops": q_kmv_set_ops,
         "profile_lineitem": q_profile_lineitem,
+        "zscore_quantity": q_zscore_quantity,
         "daily_active_users": q_daily_active_users,
         "weekly_retention": q_weekly_retention,
         "user_distinct_est": q_user_distinct_est,
@@ -4001,6 +4024,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'l_tax', l_tax FROM lineitem)
             GROUP BY "column"
             """,
+        "zscore_quantity": """
+            WITH v AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+                              CAST(l_quantity AS BIGINT) AS q
+                       FROM lineitem),
+            m AS (SELECT l_suppkey, COUNT(*) AS n,
+                         CAST(SUM(q) AS BIGINT) AS s,
+                         CAST(SUM(q * q) AS BIGINT) AS s2
+                  FROM v GROUP BY l_suppkey)
+            SELECT v.l_orderkey, v.l_linenumber, v.l_suppkey,
+                   CASE WHEN m.n * m.s2 - m.s * m.s = 0 THEN 0.0
+                        ELSE (CAST(v.q AS DOUBLE) - m.s / m.n)
+                             / (SQRT(CAST(m.n * m.s2 - m.s * m.s
+                                          AS DOUBLE)) / m.n)
+                   END AS z
+            FROM v JOIN m ON v.l_suppkey = m.l_suppkey""",
         "user_distinct_types": """
             SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct
             FROM events GROUP BY user_id""",

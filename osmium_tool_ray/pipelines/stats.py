@@ -469,3 +469,77 @@ def ntile_buckets(ds, order_cols: list[str], k: int,
         cols[out_col] = pa.array([], type=pa.int64())
         return rd.from_arrow(pa.table(cols))
     return rd.from_arrow_refs(stamped)
+
+
+def zscore_per_key(ds, key_col: str, value_col: str,
+                   carry_cols: list[str] | None = None,
+                   buckets: int | None = None, out_col: str = "z"):
+    """Per-key z-score standardization of an INTEGER value column —
+    z = (v - mean_k) / std_k with population std — computed EXACTLY in
+    float64: the group moments (n, sum, sum-of-squares) are int64 (the
+    caller guarantees the values are integers small enough that
+    n*S2 - S^2 is exact, e.g. quantities/counts), so mean = S/n,
+    std = sqrt(n*S2 - S^2)/n and the final z are each a fixed short
+    sequence of IEEE ops — bit-exact against the same SQL expression
+    (the snap_to_segments float-mirror discipline). Constant groups
+    (variance 0) emit z = 0.0.
+
+    ONE hash(key)-bucket shuffle (not groupby(key): per-key groups are
+    tiny and map_groups per key is the known slow path); in-bucket
+    segmented lexsort + add.reduceat computes every group's moments and
+    the per-row z vectorized. Returns carry_cols + key_col + out_col.
+    """
+    import ray
+
+    from ..functions.hashing import hash_str_u64
+
+    if buckets is None:
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+    carry_cols = carry_cols or []
+    cols = [*carry_cols, key_col, value_col]
+
+    def pre(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols)
+        k = batch[key_col]
+        if pa.types.is_integer(k.type):
+            b = (k.to_numpy(zero_copy_only=False).astype(np.int64)
+                 % np.int64(buckets)).astype(np.int32)
+        else:
+            b = (hash_str_u64(k.cast(pa.string()))
+                 % np.uint64(buckets)).astype(np.int32)
+        return batch.append_column("_b", pa.array(b))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        out_schema = {c: (g.schema.field(c).type
+                          if c in g.schema.names else pa.int64())
+                      for c in [*carry_cols, key_col]}
+        if g.num_rows == 0 or value_col not in g.schema.names:
+            t = {c: pa.array([], type=ty) for c, ty in out_schema.items()}
+            t[out_col] = pa.array([], type=pa.float64())
+            return pa.table(t)
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        ks, vs = keys[order], v[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(first)
+        seg = np.cumsum(first) - 1
+        n = np.diff(np.append(starts, len(ks))).astype(np.int64)
+        S = np.add.reduceat(vs, starts)
+        S2 = np.add.reduceat(vs * vs, starts)
+        var_num = n * S2 - S * S
+        mean = S / n
+        std = np.sqrt(var_num.astype(np.float64)) / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (vs - mean[seg]) / std[seg]
+        z[var_num[seg] == 0] = 0.0
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        zb = z[inv]
+        t = {c: g[c] for c in [*carry_cols, key_col]}
+        t[out_col] = pa.array(zb, type=pa.float64())
+        return pa.table(t)
+
+    return ds.map_batches(pre, batch_format="pyarrow") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
