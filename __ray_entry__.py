@@ -2072,6 +2072,31 @@ def q_convex_hulls(sf_dir: str):
                                "user_id", "x", "y")
 
 
+def q_resample_tracks(sf_dir: str):
+    """Fixed-interval track resampling (stages/spatial.resample_tracks):
+    each user's fixed-point trajectory linearly interpolated onto the
+    global 6-hour grid — ONE user-bucket shuffle, vectorized pair chain
+    + repeat-expand. Integer inputs make the interpolation a fixed IEEE
+    float64 expression, mirrored bit-exactly in the oracle."""
+    from osmium_tool_ray.stages.spatial import resample_tracks
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": batch["user_id"], "t": us,
+                         "event_id": batch["event_id"],
+                         "x": pa.array((eid * 7919) % 36000 * 100000
+                                       - 1800000000),
+                         "y": pa.array((eid * 104729) % 17000 * 100000
+                                       - 850000000)})
+
+    return resample_tracks(ev.map_batches(pts, batch_format="pyarrow"),
+                           "user_id", "t", "event_id", ["x", "y"],
+                           dt=21_600_000_000)
+
+
 def q_stay_points(sf_dir: str):
     """Per-user stay-point (dwell) detection (pipelines/windows
     .stay_points, Li et al. 2008 anchor scan): tracks drift ~1 unit per
@@ -3428,6 +3453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_clusters": q_cell_clusters,
         "convex_hulls": q_convex_hulls,
         "stay_points": q_stay_points,
+        "resample_tracks": q_resample_tracks,
         "snap_points": q_snap_points,
         "kcore_users": q_kcore_users,
         "degree_hist": q_degree_hist,
@@ -4024,6 +4050,30 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'l_tax', l_tax FROM lineitem)
             GROUP BY "column"
             """,
+        "resample_tracks": """
+            WITH pts AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+                    (event_id * 7919) % 36000 * 100000
+                        - 1800000000 AS x,
+                    (event_id * 104729) % 17000 * 100000
+                        - 850000000 AS y
+                  FROM events),
+            prs AS (SELECT user_id, t AS t0, x AS x0, y AS y0,
+                    LEAD(t) OVER w AS t1, LEAD(x) OVER w AS x1,
+                    LEAD(y) OVER w AS y1
+                  FROM pts
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY t, event_id)),
+            v AS (SELECT * FROM prs WHERE t1 IS NOT NULL),
+            g AS (SELECT user_id, t0, t1, x0, x1, y0, y1,
+                    UNNEST(generate_series(
+                        ((t0 + 21600000000 - 1) // 21600000000)
+                            * 21600000000,
+                        t1 - 1, 21600000000)) AS tg
+                  FROM v)
+            SELECT user_id, tg AS ts_grid,
+                   x0 + (x1 - x0) * ((tg - t0) / (t1 - t0)) AS x,
+                   y0 + (y1 - y0) * ((tg - t0) / (t1 - t0)) AS y
+            FROM g""",
         "zscore_quantity": """
             WITH v AS (SELECT l_orderkey, l_linenumber, l_suppkey,
                               CAST(l_quantity AS BIGINT) AS q

@@ -492,3 +492,80 @@ def snap_to_segments(ds, segments: np.ndarray, seg_ids: np.ndarray,
 
     return ds.select_columns([id_col, x_col, y_col]) \
         .map_batches(snap, batch_format="pyarrow")
+
+
+def resample_tracks(ds, key_col: str, ts_col: str, tie_col: str,
+                    value_cols: list[str], dt: int,
+                    buckets: int | None = None):
+    """Fixed-interval track resampling — linear interpolation of each
+    key's trajectory onto the global time grid t = k*dt (the GPS
+    track-densification / sensor-alignment op; the continuous dual of
+    tumbling_window's bucket assignment). For every consecutive point
+    pair (ordered by (ts, tie)) each grid instant g with t0 <= g < t1
+    emits one row with every value column interpolated as
+    v0 + (v1 - v0) * ((g - t0) / (t1 - t0)).
+
+    Inputs are INTEGERS (timestamps in epoch-us, values in fixed-point
+    units), so the interpolation is a fixed three-op IEEE float64
+    expression mirrored bit-exactly by the SQL oracle (the
+    snap_to_segments float-mirror discipline). Zero-length pairs
+    (t1 == t0, duplicate timestamps) span no grid instant and emit
+    nothing, identically on both sides.
+
+    ONE hash(key)-bucket shuffle; in-bucket the pair chain, per-pair
+    grid counts, and the repeat-expand interpolation are all vectorized
+    (no per-track Python). Output row count is sum(gap_i) / dt — the
+    caller sizes `dt` to the target density exactly as it would size a
+    tumbling window.
+
+    Returns (key_col, ts_grid:int64, <value_cols>:float64)."""
+    import ray
+
+    if buckets is None:
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+    dt = np.int64(dt)
+    cols = [key_col, ts_col, tie_col, *value_cols]
+
+    def pre(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols)
+        k = batch[key_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = (k % np.int64(buckets)).astype(np.int32)
+        return batch.append_column("_b", pa.array(b))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = {key_col: pa.array([], type=pa.int64()),
+                 "ts_grid": pa.array([], type=pa.int64())}
+        for vc in value_cols:
+            empty[vc] = pa.array([], type=pa.float64())
+        if g.num_rows == 0 or ts_col not in g.schema.names:
+            return pa.table(empty)
+        key = g[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tie = g[tie_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = [g[vc].to_numpy(zero_copy_only=False).astype(np.int64)
+                for vc in value_cols]
+        order = np.lexsort((tie, t, key))
+        key, t = key[order], t[order]
+        vals = [v[order] for v in vals]
+        same = key[1:] == key[:-1]               # valid pair mask
+        t0, t1 = t[:-1][same], t[1:][same]
+        pk = key[:-1][same]
+        gstart = ((t0 + dt - 1) // dt) * dt
+        cnt = np.where(t1 > gstart, (t1 - 1 - gstart) // dt + 1, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table(empty)
+        rep = np.repeat(np.arange(len(cnt)), cnt)
+        within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        tg = gstart[rep] + within * dt
+        frac = (tg - t0[rep]) / (t1[rep] - t0[rep])
+        out = {key_col: pa.array(pk[rep]), "ts_grid": pa.array(tg)}
+        for vc, v in zip(value_cols, vals):
+            v0, v1 = v[:-1][same], v[1:][same]
+            out[vc] = pa.array(v0[rep] + (v1[rep] - v0[rep]) * frac,
+                               type=pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(pre, batch_format="pyarrow") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
