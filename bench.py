@@ -65,6 +65,11 @@ QUERY_NAMES = [
     "per_key_sample", "docs_cube", "cell_clusters", "convex_hulls",
     "outside_regions", "stay_points", "od_tile_flows", "twa_value",
     "snap_points", "kcore_users", "degree_hist",
+    # r03 sixth wave: media transforms, KMV set ops, link scores,
+    # exact z-scores, track resampling
+    "equalize_images", "patchify_images", "sharpness_images",
+    "kmv_set_ops", "common_neighbors", "zscore_quantity",
+    "resample_tracks",
 ]
 
 
