@@ -2274,6 +2274,26 @@ def q_triangle_count(sf_dir: str):
     return triangle_count(ev.map_batches(edges, batch_format="pyarrow"))
 
 
+def q_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distances (stages/graph.bfs_hops) from node
+    119 of the event-derived graph (node ids are 119*e mod 200 — 0
+    only ever self-loops): per round, ONE center-bucket frontier
+    expansion + ONE value-bucket dedup/anti-visited pass; frontier,
+    visited and edges all stay Datasets (k_core discipline). Exact
+    recursive-CTE oracle."""
+    from osmium_tool_ray.stages.graph import bfs_hops
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array((eid * 7919) % 200),
+                         "b": pa.array((eid * 104729) % 200)})
+
+    return bfs_hops(ev.map_batches(edges, batch_format="pyarrow"),
+                    sources=[119], max_iters=32)
+
+
 def q_common_neighbors(sf_dir: str):
     """Link-prediction scores (stages/graph.common_neighbors): common-
     neighbor counts + Jaccard for every node pair of the event-derived
@@ -3458,6 +3478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_users": q_kcore_users,
         "degree_hist": q_degree_hist,
         "common_neighbors": q_common_neighbors,
+        "bfs_hops": q_bfs_hops,
         "equalize_images": q_equalize_images,
         "patchify_images": q_patchify_images,
         "sharpness_images": q_sharpness_images,
@@ -4382,6 +4403,24 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
             JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""",
+        "bfs_hops": """
+            WITH RECURSIVE raw AS (
+                SELECT LEAST((event_id * 7919) % 200,
+                             (event_id * 104729) % 200) AS lo,
+                       GREATEST((event_id * 7919) % 200,
+                                (event_id * 104729) % 200) AS hi
+                FROM events),
+            e AS (SELECT DISTINCT lo, hi FROM raw WHERE lo <> hi),
+            adj AS (SELECT lo AS ctr, hi AS nbr FROM e
+                    UNION ALL SELECT hi, lo FROM e),
+            reach(node, d) AS (
+                SELECT 119 AS node, 0 AS d
+                UNION
+                SELECT a.nbr, r.d + 1
+                FROM reach r JOIN adj a ON a.ctr = r.node
+                WHERE r.d < 32)
+            SELECT node, CAST(MIN(d) AS BIGINT) AS hops
+            FROM reach GROUP BY node""",
         "common_neighbors": """
             WITH raw AS (
                 SELECT LEAST((event_id * 7919) % 200,

@@ -632,3 +632,136 @@ def common_neighbors(edges, a_col: str = "a", b_col: str = "b",
     return dedup.map_batches(doubled, batch_format="pyarrow") \
         .groupby("_cb").map_groups(wedge_pairs, batch_format="pyarrow") \
         .groupby("_pb").map_groups(merge_pairs, batch_format="pyarrow")
+
+
+def bfs_hops(edges, sources, a_col: str = "a", b_col: str = "b",
+             max_iters: int = 200, partitions: int | None = None,
+             buckets: int = 64):
+    """Multi-source BFS hop distances over the undirected distinct edge
+    set — the reachability / network-distance operator (getid -r's
+    recursive closure, src/command_getid.cpp, generalized from "which
+    ids" to "how far"). Exact-oracle-able via a recursive CTE.
+
+    Scale shape per round (the k_core discipline — frontier, visited and
+    edges all stay DATASETS, nothing node-scale on the driver):
+      1. frontier-expand: adjacency buckets on the CENTER endpoint,
+         frontier nodes bucket the same; one sorted-probe per bucket
+         emits in-bucket-unique neighbours.
+      2. dedup + anti-visited: candidates re-bucket on the NEIGHBOUR
+         value together with visited nodes; one sorted-probe per bucket
+         yields the new frontier — dedup, visited-check and frontier
+         assembly in a single grouped pass.
+    Rounds = graph eccentricity; each round's visited set is
+    materialized pinned (the iterative block-growth landmine).
+
+    Returns (node:int64, hops:int64) for every node reachable from
+    `sources` (sources themselves at hops 0)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    if partitions is None:
+        partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        key = np.unique((lo[keep] << np.int64(32)) | hi[keep])
+        lo, hi = key >> np.int64(32), key & np.int64(0xFFFFFFFF)
+        ctr = np.concatenate([lo, hi])
+        nbr = np.concatenate([hi, lo])
+        return pa.table({"ctr": pa.array(ctr), "nbr": pa.array(nbr),
+                         "_b": pa.array((ctr % np.int64(buckets))
+                                        .astype(np.int32))})
+
+    adj = edges.map_batches(canon, batch_format="pyarrow") \
+        .repartition(partitions).materialize()
+
+    src = np.unique(np.asarray(list(sources), dtype=np.int64))
+    dist = rd.from_arrow(pa.table({
+        "node": pa.array(src),
+        "hops": pa.array(np.zeros(len(src), np.int64))})) \
+        .materialize()
+    frontier = dist.select_columns(["node"]).materialize()
+
+    def node_b(batch: pa.Table) -> pa.Table:
+        v = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(v.astype(np.int64)),
+                         "_b": pa.array((v % np.int64(buckets))
+                                        .astype(np.int32))})
+
+    def expand(g: pa.Table) -> pa.Table:
+        empty = pa.table({"cand": pa.array([], type=pa.int64())})
+        names = g.schema.names
+        if g.num_rows == 0 or "ctr" not in names:
+            return empty
+        if "node" in names:
+            fr = np.sort(g.filter(pc.is_valid(g["node"]))["node"]
+                         .to_numpy(zero_copy_only=False))
+            eg = g.filter(pc.is_valid(g["ctr"]))
+        else:
+            return empty          # bucket holds frontier only, no edges
+        if eg.num_rows == 0 or not len(fr):
+            return empty
+        ctr = eg["ctr"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(fr, ctr)
+        pos_c = np.minimum(pos, len(fr) - 1)
+        hit = (pos < len(fr)) & (fr[pos_c] == ctr)
+        cand = np.unique(eg["nbr"].to_numpy(zero_copy_only=False)[hit])
+        return pa.table({"cand": pa.array(cand)})
+
+    def fresh(g: pa.Table) -> pa.Table:
+        empty = pa.table({"node": pa.array([], type=pa.int64())})
+        names = g.schema.names
+        if g.num_rows == 0 or "cand" not in names:
+            return empty
+        if "node" in names:
+            seen = np.sort(g.filter(pc.is_valid(g["node"]))["node"]
+                           .to_numpy(zero_copy_only=False))
+        else:
+            seen = np.array([], dtype=np.int64)
+        cand = np.unique(g.filter(pc.is_valid(g["cand"]))["cand"]
+                         .to_numpy(zero_copy_only=False))
+        if not len(cand):
+            return empty
+        if len(seen):
+            pos = np.searchsorted(seen, cand)
+            pos_c = np.minimum(pos, len(seen) - 1)
+            new = cand[~((pos < len(seen)) & (seen[pos_c] == cand))]
+        else:
+            new = cand
+        return pa.table({"node": pa.array(new)})
+
+    for hop in range(1, max_iters + 1):
+        fb = frontier.map_batches(node_b, batch_format="pyarrow")
+        cand = adj.union(fb).groupby("_b") \
+            .map_groups(expand, batch_format="pyarrow")
+
+        def cand_b(batch: pa.Table) -> pa.Table:
+            v = batch["cand"].to_numpy(zero_copy_only=False)
+            return pa.table({"cand": pa.array(v),
+                             "_b2": pa.array((v % np.int64(buckets))
+                                             .astype(np.int32))})
+
+        def seen_b(batch: pa.Table) -> pa.Table:
+            v = batch["node"].to_numpy(zero_copy_only=False)
+            return pa.table({"node": pa.array(v),
+                             "_b2": pa.array((v % np.int64(buckets))
+                                             .astype(np.int32))})
+
+        new = cand.map_batches(cand_b, batch_format="pyarrow") \
+            .union(dist.select_columns(["node"])
+                   .map_batches(seen_b, batch_format="pyarrow")) \
+            .groupby("_b2").map_groups(fresh, batch_format="pyarrow") \
+            .materialize()
+        if new.count() == 0:
+            break
+        hopped = new.map_batches(
+            lambda t, h=hop: t.append_column(
+                "hops", pa.array(np.full(t.num_rows, h, np.int64))),
+            batch_format="pyarrow")
+        dist = dist.union(hopped).repartition(partitions).materialize()
+        frontier = new
+    return dist
