@@ -2324,9 +2324,13 @@ def q_equalize_images(sf_dir: str):
     from osmium_tool_ray.sources.corpus import images_dataset
     from osmium_tool_ray.stages.media import Equalize
 
-    ds = images_dataset(sf_dir, with_bytes=True)
-    out = ds.map_batches(Equalize, batch_format="pyarrow",
-                         batch_size=4096, concurrency=2)
+    ds = images_dataset(sf_dir, with_bytes=True,
+                        columns=["image_id", "bytes", "fmt"])
+
+    def f(batch: pa.Table) -> pa.Table:  # fused stateless task form
+        return Equalize()(batch)
+
+    out = ds.map_batches(f, batch_format="pyarrow", batch_size=4096)
     return out.select_columns(["image_id", "spread_before",
                                "spread_after"])
 
@@ -2340,9 +2344,13 @@ def q_sharpness_images(sf_dir: str):
     from osmium_tool_ray.sources.corpus import images_dataset
     from osmium_tool_ray.stages.media import Sharpness
 
-    ds = images_dataset(sf_dir, with_bytes=True)
-    return ds.map_batches(Sharpness, batch_format="pyarrow",
-                          batch_size=4096, concurrency=2)
+    ds = images_dataset(sf_dir, with_bytes=True,
+                        columns=["image_id", "bytes"])
+
+    def f(batch: pa.Table) -> pa.Table:  # fused stateless task form
+        return Sharpness()(batch)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=4096)
 
 
 def q_patchify_images(sf_dir: str):
@@ -2355,11 +2363,14 @@ def q_patchify_images(sf_dir: str):
     from osmium_tool_ray.sources.corpus import images_dataset
     from osmium_tool_ray.stages.media import Patchify
 
-    ds = images_dataset(sf_dir, with_bytes=True)
-    patches = ds.map_batches(Patchify,
-                             fn_constructor_kwargs={"patch": 8},
-                             batch_format="pyarrow", batch_size=2048,
-                             concurrency=2)
+    ds = images_dataset(sf_dir, with_bytes=True,
+                        columns=["image_id", "bytes"])
+
+    def f(batch: pa.Table) -> pa.Table:  # fused stateless task form
+        return Patchify(patch=8)(batch)
+
+    patches = ds.map_batches(f, batch_format="pyarrow",
+                             batch_size=2048)
 
     def fold(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

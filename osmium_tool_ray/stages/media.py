@@ -714,12 +714,20 @@ class Equalize:
         npx = W * H
         chan = pix.reshape(n, npx, 3).transpose(0, 2, 1) \
             .reshape(n * 3, npx)                 # (n*3, npx)
-        ids = np.arange(n * 3, dtype=np.int64)[:, None]
-        hist = np.bincount((ids * 256 + chan).ravel(),
-                           minlength=n * 3 * 256).reshape(n * 3, 256)
-        cdf = np.cumsum(hist, axis=1)
-        lut = (cdf * 255) // npx                 # (n*3, 256) int
-        eq = lut[ids, chan].astype(np.uint8)     # gather remap
+        ids = np.arange(n * 3, dtype=np.int32)[:, None]
+        # ONE offset-index array drives both the histogram bincount and
+        # the remap gather (int32 throughout: 2x the int64 throughput,
+        # and n*3*256 per batch is far below 2^31)
+        flat = (ids * np.int32(256) + chan.astype(np.int32)).ravel()
+        hist = np.bincount(flat, minlength=n * 3 * 256) \
+            .astype(np.int32).reshape(n * 3, 256)
+        cdf = np.cumsum(hist, axis=1, dtype=np.int32)
+        if npx == 256:                           # common square case
+            lut = (cdf * np.int32(255)) >> np.int32(8)
+        else:
+            lut = (cdf * np.int32(255)) // np.int32(npx)
+        eq = lut.ravel().take(flat).astype(np.uint8) \
+            .reshape(n * 3, npx)                 # gather remap
         out = eq.reshape(n, 3, npx).transpose(0, 2, 1).reshape(n, -1)
         fmts = np.asarray(batch[self.fmt_col].to_pylist())
         enc = self.codec.encode_batch(np.ascontiguousarray(out), fmts,
