@@ -613,16 +613,22 @@ class ImageQuality:
                              "quality_ok": pa.array([], type=pa.bool_())})
         pix, w, h = self.codec.decode_batch(batch[self.bytes_col])
         n, k = pix.shape
-        f = pix.reshape(n, -1, 3).astype(np.float64)
-        means = f.mean(axis=1)                        # (n, 3)
+        # exact means from integer channel sums (pixel sums < 2^53, so
+        # the float64 division equals the naive float mean bit-for-bit)
+        csum = pix.reshape(n, -1, 3).sum(axis=1, dtype=np.int64)
+        means = csum / (k // 3)                       # (n, 3)
         contrast = pix.astype(np.float64).std(axis=1)
         # per-image byte histogram: one bincount over offset values
-        offset = (np.arange(n, dtype=np.int64)[:, None] * 256
-                  + pix.astype(np.int64)).reshape(-1)
+        offset = (np.arange(n, dtype=np.int32)[:, None] * np.int32(256)
+                  + pix.astype(np.int32)).reshape(-1)
         hist = np.bincount(offset, minlength=n * 256).reshape(n, 256)
-        p = hist / k
+        # bin counts are bounded by k, so p*log2(p) comes from a (k+1)-
+        # entry LUT gather instead of 256 float log2s per image — the
+        # values are identical (p = c/k exactly), only cheaper
+        c = np.arange(k + 1, dtype=np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
-            ent = -np.where(p > 0, p * np.log2(p), 0.0).sum(axis=1)
+            plogp = np.where(c > 0, (c / k) * np.log2(c / k), 0.0)
+        ent = -plogp.take(hist).sum(axis=1)
         lum = means.mean(axis=1)
         ok = ((lum >= self.dark) & (lum <= self.bright)
               & (contrast >= self.min_contrast)
