@@ -1932,6 +1932,21 @@ def q_weekly_retention(sf_dir: str):
     return ret.map_batches(fin, batch_format="pyarrow")
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary (pipelines/analytics
+    .pricing_summary): per-batch Arrow group_by pre-agg + one tiny
+    native-Sum groupby; money math in exact integer cents; avg as one
+    float64 division mirrored in SQL."""
+    from osmium_tool_ray.pipelines.analytics import pricing_summary
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax",
+                 "l_shipdate"])
+    return pricing_summary(li)
+
+
 def q_zscore_quantity(sf_dir: str):
     """Per-supplier z-score standardization of lineitem quantities
     (pipelines/stats.zscore_per_key): exact int64 group moments drive a
@@ -2272,6 +2287,25 @@ def q_triangle_count(sf_dir: str):
                          "b": pa.array((eid * 104729) % 200)})
 
     return triangle_count(ev.map_batches(edges, batch_format="pyarrow"))
+
+
+def q_label_propagation(sf_dir: str):
+    """Synchronous label-propagation communities (stages/graph
+    .label_propagation), 4 fixed rounds with min-label ties over the
+    event-derived graph; per round one label-attach bucket pass + one
+    vote bucket pass, labels dataset-resident. Rows-only (iterative);
+    pytest pins a pure-Python synchronous reference."""
+    from osmium_tool_ray.stages.graph import label_propagation
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array((eid * 7919) % 200),
+                         "b": pa.array((eid * 104729) % 200)})
+
+    return label_propagation(
+        ev.map_batches(edges, batch_format="pyarrow"), iters=4)
 
 
 def q_bfs_hops(sf_dir: str):
@@ -3490,6 +3524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_hist": q_degree_hist,
         "common_neighbors": q_common_neighbors,
         "bfs_hops": q_bfs_hops,
+        "label_propagation": q_label_propagation,
         "equalize_images": q_equalize_images,
         "patchify_images": q_patchify_images,
         "sharpness_images": q_sharpness_images,
@@ -3502,6 +3537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_set_ops": q_kmv_set_ops,
         "profile_lineitem": q_profile_lineitem,
         "zscore_quantity": q_zscore_quantity,
+        "pricing_summary": q_pricing_summary,
         "daily_active_users": q_daily_active_users,
         "weekly_retention": q_weekly_retention,
         "user_distinct_est": q_user_distinct_est,
@@ -4106,6 +4142,24 @@ def oracle_sql() -> dict[str, str]:
                    x0 + (x1 - x0) * ((tg - t0) / (t1 - t0)) AS x,
                    y0 + (y1 - y0) * ((tg - t0) / (t1 - t0)) AS y
             FROM g""",
+        "pricing_summary": """
+            WITH v AS (SELECT l_returnflag, l_linestatus,
+                          CAST(l_quantity AS BIGINT) AS q,
+                          CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS ep_c,
+                          CAST(round(l_discount * 100) AS BIGINT) AS d2,
+                          CAST(round(l_tax * 100) AS BIGINT) AS t2
+                       FROM lineitem
+                       WHERE l_shipdate <= TIMESTAMP '1998-09-01')
+            SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q) AS BIGINT) AS sum_qty,
+                   CAST(SUM(ep_c) AS BIGINT) AS sum_base_c,
+                   CAST(SUM(ep_c * (100 - d2)) AS BIGINT) AS sum_disc_c4,
+                   CAST(SUM(ep_c * (100 - d2) * (100 + t2)) AS BIGINT)
+                       AS sum_charge_c6,
+                   CAST(SUM(q) AS BIGINT) / COUNT(*) AS avg_qty
+            FROM v GROUP BY l_returnflag, l_linestatus""",
         "zscore_quantity": """
             WITH v AS (SELECT l_orderkey, l_linenumber, l_suppkey,
                               CAST(l_quantity AS BIGINT) AS q

@@ -370,3 +370,71 @@ def cube_counts(ds, dims: list[str], value_col: str,
                          "total": batch["total"].cast(pa.int64())})
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def pricing_summary(lineitem, cutoff_date: str = "1998-09-01"):
+    """TPC-H Q1-shaped pricing summary — per (returnflag, linestatus)
+    row counts, quantity and price sums, the discounted and
+    discounted+taxed totals, and the average quantity. The fileinfo
+    multi-agg shape (reference src/command_fileinfo.cpp's per-type
+    CRC/count block) applied to the fact table.
+
+    Exactness discipline: prices/discounts/taxes are 2-decimal, so the
+    money math runs in INTEGER cents — disc = ep_c * (100 - d_c2),
+    charge = disc * (100 + t_c2) — folded through per-batch Arrow
+    group_by pre-aggregation then ONE tiny native-Sum groupby (the
+    partial/combiner shape: the shuffle carries <= 6 rows per batch).
+    avg_qty is one float64 division of exact ints, mirrored in SQL."""
+    from ray.data.aggregate import Sum
+
+    def pre(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].cast(pa.timestamp("us"))
+        keep = pc.less_equal(
+            ship, pa.scalar(np.datetime64(cutoff_date + "T00:00:00",
+                                          "us")))
+        batch = batch.filter(keep)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        tx = batch["l_tax"].to_numpy(zero_copy_only=False)
+        ep_c = np.round(ep * 100).astype(np.int64)
+        d2 = np.round(dc * 100).astype(np.int64)
+        t2 = np.round(tx * 100).astype(np.int64)
+        disc = ep_c * (100 - d2)
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "_n": pa.array(np.ones(batch.num_rows, np.int64)),
+            "_q": pa.array(qty.astype(np.int64)),
+            "_b": pa.array(ep_c),
+            "_d": pa.array(disc),
+            "_c": pa.array(disc * (100 + t2)),
+        })
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("_n", "sum"), ("_q", "sum"), ("_b", "sum"),
+             ("_d", "sum"), ("_c", "sum")])
+
+    agg = lineitem.map_batches(pre, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("_n_sum", alias_name="n"),
+            Sum("_q_sum", alias_name="sum_qty"),
+            Sum("_b_sum", alias_name="sum_base_c"),
+            Sum("_d_sum", alias_name="sum_disc_c4"),
+            Sum("_c_sum", alias_name="sum_charge_c6"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sq = batch["sum_qty"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "n": pa.array(n),
+            "sum_qty": pa.array(sq),
+            "sum_base_c": batch["sum_base_c"].cast(pa.int64()),
+            "sum_disc_c4": batch["sum_disc_c4"].cast(pa.int64()),
+            "sum_charge_c6": batch["sum_charge_c6"].cast(pa.int64()),
+            "avg_qty": pa.array(sq / n, type=pa.float64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")

@@ -765,3 +765,136 @@ def bfs_hops(edges, sources, a_col: str = "a", b_col: str = "b",
         dist = dist.union(hopped).repartition(partitions).materialize()
         frontier = new
     return dist
+
+
+def label_propagation(edges, iters: int = 5, a_col: str = "a",
+                      b_col: str = "b", partitions: int | None = None,
+                      buckets: int = 64):
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007): every node starts as its own label; each round every
+    node adopts the most frequent label among its neighbours' PREVIOUS
+    labels (ties to the smallest label — the determinism rule that
+    makes the fixed-round result pin-able). Rows-only by design: the
+    update is iterative and order-sensitive.
+
+    Scale shape per round (nothing node-scale on the driver):
+      1. label attach: adjacency buckets on the CENTER endpoint, the
+         label table buckets the same; one sorted-probe per bucket
+         tags each (ctr, nbr) edge with ctr's current label, then
+         pre-aggregates (nbr, label) counts IN-BUCKET.
+      2. vote: partial counts re-bucket on the NEIGHBOUR value; one
+         lexsort per bucket sums counts per (node, label) and takes
+         the (count desc, label asc) winner per node.
+    Labels stay a Dataset, materialized pinned per round (the
+    iterative block-growth landmine).
+
+    Returns (node:int64, label:int64) after `iters` rounds."""
+    import ray
+
+    if partitions is None:
+        partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        key = np.unique((lo[keep] << np.int64(32)) | hi[keep])
+        return pa.table({"lo": pa.array(key >> np.int64(32)),
+                         "hi": pa.array(key & np.int64(0xFFFFFFFF))})
+
+    def doubled(batch: pa.Table) -> pa.Table:
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        hi = batch["hi"].to_numpy(zero_copy_only=False)
+        ctr = np.concatenate([lo, hi])
+        nbr = np.concatenate([hi, lo])
+        return pa.table({"ctr": pa.array(ctr), "nbr": pa.array(nbr),
+                         "_b": pa.array((ctr % np.int64(buckets))
+                                        .astype(np.int32))})
+
+    # GLOBAL distinct before doubling: label votes count edge
+    # multiplicity, so per-batch dedup alone would let an edge that
+    # spans blocks vote more than once (the triangle_count dedup)
+    adj = edges.map_batches(canon, batch_format="pyarrow") \
+        .groupby(["lo", "hi"]).count().select_columns(["lo", "hi"]) \
+        .map_batches(doubled, batch_format="pyarrow") \
+        .repartition(partitions).materialize()
+
+    def init_label(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "ctr" not in batch.schema.names:
+            return pa.table({"node": pa.array([], type=pa.int64()),
+                             "label": pa.array([], type=pa.int64())})
+        u = np.unique(batch["ctr"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(u), "label": pa.array(u)})
+
+    labels = adj.map_batches(init_label, batch_format="pyarrow") \
+        .groupby("node").max("label") \
+        .map_batches(lambda t: pa.table({
+            "node": t["node"].cast(pa.int64()),
+            "label": t["max(label)"].cast(pa.int64())}),
+            batch_format="pyarrow").materialize()
+
+    def label_b(batch: pa.Table) -> pa.Table:
+        v = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(v), "label": batch["label"],
+                         "_b": pa.array((v % np.int64(buckets))
+                                        .astype(np.int32))})
+
+    def attach(g: pa.Table) -> pa.Table:
+        empty = pa.table({"nbr": pa.array([], type=pa.int64()),
+                          "lab": pa.array([], type=pa.int64()),
+                          "cnt": pa.array([], type=pa.int64()),
+                          "_b2": pa.array([], type=pa.int32())})
+        names = g.schema.names
+        if g.num_rows == 0 or "ctr" not in names or "node" not in names:
+            return empty
+        lt = g.filter(pc.is_valid(g["node"]))
+        eg = g.filter(pc.is_valid(g["ctr"]))
+        if eg.num_rows == 0 or lt.num_rows == 0:
+            return empty
+        lnodes = lt["node"].to_numpy(zero_copy_only=False)
+        llabs = lt["label"].to_numpy(zero_copy_only=False)
+        o = np.argsort(lnodes)
+        lnodes, llabs = lnodes[o], llabs[o]
+        ctr = eg["ctr"].to_numpy(zero_copy_only=False)
+        nbr = eg["nbr"].to_numpy(zero_copy_only=False)
+        lab = llabs[np.searchsorted(lnodes, ctr)]
+        key = (nbr << np.int64(32)) | lab
+        uk, cnt = np.unique(key, return_counts=True)
+        un = (uk >> np.int64(32)).astype(np.int64)
+        return pa.table({"nbr": pa.array(un),
+                         "lab": pa.array((uk & np.int64(0xFFFFFFFF))
+                                         .astype(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64)),
+                         "_b2": pa.array((un % np.int64(buckets))
+                                         .astype(np.int32))})
+
+    def vote(g: pa.Table) -> pa.Table:
+        empty = pa.table({"node": pa.array([], type=pa.int64()),
+                          "label": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "nbr" not in g.schema.names:
+            return empty
+        nbr = g["nbr"].to_numpy(zero_copy_only=False)
+        lab = g["lab"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        key = (nbr << np.int64(32)) | lab
+        uk, inv = np.unique(key, return_inverse=True)
+        tot = np.bincount(inv, weights=cnt.astype(np.float64)) \
+            .astype(np.int64)
+        un = uk >> np.int64(32)
+        ul = uk & np.int64(0xFFFFFFFF)
+        # winner per node: count desc, label asc — lexsort then first
+        order = np.lexsort((ul, -tot, un))
+        sn = un[order]
+        first = np.ones(len(sn), dtype=bool)
+        first[1:] = sn[1:] != sn[:-1]
+        return pa.table({"node": pa.array(sn[first]),
+                         "label": pa.array(ul[order][first])})
+
+    for _ in range(iters):
+        lb = labels.map_batches(label_b, batch_format="pyarrow")
+        labels = adj.union(lb).groupby("_b") \
+            .map_groups(attach, batch_format="pyarrow") \
+            .groupby("_b2").map_groups(vote, batch_format="pyarrow") \
+            .repartition(partitions).materialize()
+    return labels
