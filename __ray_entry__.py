@@ -1932,6 +1932,36 @@ def q_weekly_retention(sf_dir: str):
     return ret.map_batches(fin, batch_format="pyarrow")
 
 
+def q_fuzzy_caption_pairs(sf_dir: str):
+    """Edit-distance-<=1 typo-dedup join (stages/dedup.fuzzy_pairs_ed1,
+    deletion-neighborhood blocking + exact vectorized verify) over
+    16-char doc prefixes, with planted one-substitution variants at
+    doc_id+10^6 for every 25th doc (the content_dup_images planting
+    pattern). Exact brute-force Levenshtein oracle."""
+    from osmium_tool_ray.stages.dedup import fuzzy_pairs_ed1
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = pc.utf8_slice_codeunits(batch["text"], 0, 16)
+        base = pa.table({"doc_id": pa.array(ids), "s": s})
+        pl = ids % 25 == 0
+        if not pl.any():
+            return base
+        keep = pa.array(pl)
+        sv = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(s.filter(keep), 0, 2), "x",
+            pc.utf8_slice_codeunits(s.filter(keep), 3, 16), "")
+        var = pa.table({"doc_id": pa.array(ids[pl] + 1_000_000),
+                        "s": sv})
+        return pa.concat_tables([base, var])
+
+    return fuzzy_pairs_ed1(docs.map_batches(prep, batch_format="pyarrow"),
+                           width=16)
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped pricing summary (pipelines/analytics
     .pricing_summary): per-batch Arrow group_by pre-agg + one tiny
@@ -3538,6 +3568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lineitem": q_profile_lineitem,
         "zscore_quantity": q_zscore_quantity,
         "pricing_summary": q_pricing_summary,
+        "fuzzy_caption_pairs": q_fuzzy_caption_pairs,
         "daily_active_users": q_daily_active_users,
         "weekly_retention": q_weekly_retention,
         "user_distinct_est": q_user_distinct_est,
@@ -4142,6 +4173,18 @@ def oracle_sql() -> dict[str, str]:
                    x0 + (x1 - x0) * ((tg - t0) / (t1 - t0)) AS x,
                    y0 + (y1 - y0) * ((tg - t0) / (t1 - t0)) AS y
             FROM g""",
+        "fuzzy_caption_pairs": """
+            WITH base AS (
+                SELECT doc_id, substr(text, 1, 16) AS s FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       substr(substr(text, 1, 16), 1, 2) || 'x'
+                           || substr(substr(text, 1, 16), 4)
+                FROM documents WHERE doc_id % 25 = 0)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+            FROM base a JOIN base b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.s, b.s) <= 1""",
         "pricing_summary": """
             WITH v AS (SELECT l_returnflag, l_linestatus,
                           CAST(l_quantity AS BIGINT) AS q,

@@ -1360,3 +1360,206 @@ def connected_components(pairs, a_col: str = "id_a", b_col: str = "id_b",
                          "rep": batch["rep"].cast(pa.string())})
 
     return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def _pad_matrix(strs: pa.Array, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n, width) zero-padded uint8 byte matrix + true lengths for a
+    string array (strings are caller-bounded to <= width bytes)."""
+    arr = strs.cast(pa.large_string()).combine_chunks() \
+        if isinstance(strs, pa.ChunkedArray) else strs.cast(pa.large_string())
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                        count=len(arr) + 1)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8,
+                         count=int(off[-1])) if off[-1] else \
+        np.zeros(0, dtype=np.uint8)
+    lens = np.diff(off)
+    if lens.max(initial=0) > width:
+        raise ValueError(f"string exceeds pad width {width}")
+    mat = np.zeros((len(arr), width), dtype=np.uint8)
+    cols = np.arange(width)[None, :]
+    mask = cols < lens[:, None]
+    mat[mask] = data
+    return mat, lens.astype(np.int64)
+
+
+def _rowhash(mat: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hash per row of a fixed-width uint8 matrix:
+    splitmix-chained uint64 words (blocking key only — collisions are
+    caught by the exact verify)."""
+    n, w = mat.shape
+    pad = (-w) % 8
+    if pad:
+        mat = np.concatenate(
+            [mat, np.zeros((n, pad), dtype=np.uint8)], axis=1)
+    words = mat.view(np.uint64)                     # (n, w8)
+    h = np.full(n, np.uint64(0x9E3779B97F4A7C15))
+    for j in range(words.shape[1]):
+        h = splitmix64(h ^ words[:, j])
+    return h
+
+
+def fuzzy_pairs_ed1(ds, id_col: str = "doc_id", str_col: str = "s",
+                    width: int = 24, buckets: int | None = None):
+    """Edit-distance-<=1 similarity JOIN — every id pair whose strings
+    are equal or one substitution / insertion / deletion apart (the
+    typo-dedup operator; Levenshtein automata's distributed cousin).
+    Deletion-neighborhood blocking (Bocek et al. 2007, "Fast Similarity
+    Search in Large Dictionaries"): each string keys on its own hash
+    plus the hash of each single-character deletion; any ed<=1 pair
+    shares at least one key (equal -> full=full, substitution at p ->
+    del_p=del_p, indel -> full=del), so the block join is COMPLETE and
+    the exact vectorized verify only prunes.
+
+    Scale shape: variant hashing is numpy column-deletion over the
+    padded byte matrix (no per-string Python); candidates explode per
+    blocking key inside key-hash bucket groups (triu, in-bucket
+    pre-dedup), pairs dedup in ONE pair-key groupby carrying the two
+    padded rows; the verify computes same-length Hamming and
+    cross-length prefix+suffix spans entirely on (n, width) matrices.
+    Strings are caller-bounded to `width` bytes (block keys of longer
+    strings truncate-hash; the verify stays exact).
+
+    Returns (id_a, id_b, dist:int64) with id_a < id_b, dist in {0, 1}.
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    if buckets is None:
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def keys(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], type=pa.int64()),
+                          "id": pa.array([], type=pa.int64()),
+                          "pad": pa.array([], type=pa.binary()),
+                          "ln": pa.array([], type=pa.int64()),
+                          "_b": pa.array([], type=pa.int32())})
+        if batch.num_rows == 0:
+            return empty
+        mat, lens = _pad_matrix(batch[str_col], width)
+        n = len(lens)
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ks, rid = [_rowhash(mat)], [np.arange(n)]
+        for j in range(width):                  # deletion variants
+            live = lens > j
+            if not live.any():
+                break
+            sub = np.delete(mat[live], j, axis=1)
+            ks.append(_rowhash(sub))
+            rid.append(np.flatnonzero(live))
+        k = np.concatenate(ks).astype(np.int64) & np.int64(2**63 - 1)
+        r = np.concatenate(rid)
+        pad = pa.Array.from_buffers(
+            pa.binary(width), n,
+            [None, pa.py_buffer(np.ascontiguousarray(mat).tobytes())]) \
+            .cast(pa.binary())
+        return pa.table({"k": pa.array(k),
+                         "id": pa.array(ids[r]),
+                         "pad": pad.take(pa.array(r, type=pa.int64())),
+                         "ln": pa.array(lens[r]),
+                         "_b": pa.array((k % np.int64(buckets))
+                                        .astype(np.int32))})
+
+    def cand(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "pa_": pa.array([], type=pa.binary()),
+                          "pb_": pa.array([], type=pa.binary()),
+                          "la": pa.array([], type=pa.int64()),
+                          "lb": pa.array([], type=pa.int64()),
+                          "_pb": pa.array([], type=pa.int32())})
+        if g.num_rows == 0 or "k" not in g.schema.names:
+            return empty
+        k = g["k"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, k))
+        k, ids = k[order], ids[order]
+        pad = g["pad"].take(pa.array(order, type=pa.int64()))
+        ln = g["ln"].to_numpy(zero_copy_only=False)[order]
+        first = np.ones(len(k), dtype=bool)
+        first[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(first)
+        lens_ = np.diff(np.append(starts, len(k)))
+        ia, ib = [], []
+        for st, ln_g in zip(starts, lens_):
+            if ln_g < 2:
+                continue
+            iu, ju = np.triu_indices(ln_g, k=1)
+            ia.append(st + iu)
+            ib.append(st + ju)
+        if not ia:
+            return empty
+        ia, ib = np.concatenate(ia), np.concatenate(ib)
+        # same id via distinct variants of one string: drop
+        keep = ids[ia] != ids[ib]
+        ia, ib = ia[keep], ib[keep]
+        swap = ids[ia] > ids[ib]
+        ia2 = np.where(swap, ib, ia)
+        ib2 = np.where(swap, ia, ib)
+        # in-bucket pair pre-dedup
+        pk = (ids[ia2] << np.int64(32)) | ids[ib2]
+        uk, idx = np.unique(pk, return_index=True)
+        ia2, ib2 = ia2[idx], ib2[idx]
+        pb = (uk % np.int64(buckets)).astype(np.int32)
+        return pa.table({
+            "id_a": pa.array(ids[ia2]), "id_b": pa.array(ids[ib2]),
+            "pa_": pad.take(pa.array(ia2, type=pa.int64())),
+            "pb_": pad.take(pa.array(ib2, type=pa.int64())),
+            "la": pa.array(ln[ia2]), "lb": pa.array(ln[ib2]),
+            "_pb": pa.array(pb)})
+
+    def verify(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "dist": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "id_a" not in g.schema.names:
+            return empty
+        ida = g["id_a"].to_numpy(zero_copy_only=False)
+        idb = g["id_b"].to_numpy(zero_copy_only=False)
+        pk = (ida << np.int64(32)) | idb
+        _, idx = np.unique(pk, return_index=True)   # global pair dedup
+        take = pa.array(idx, type=pa.int64())
+        ida, idb = ida[idx], idb[idx]
+        la = g["la"].to_numpy(zero_copy_only=False)[idx]
+        lb = g["lb"].to_numpy(zero_copy_only=False)[idx]
+        ma = np.frombuffer(
+            b"".join(g["pa_"].take(take).to_pylist()),
+            dtype=np.uint8).reshape(len(idx), width)
+        mb = np.frombuffer(
+            b"".join(g["pb_"].take(take).to_pylist()),
+            dtype=np.uint8).reshape(len(idx), width)
+        cols = np.arange(width)[None, :]
+        neq = ma != mb
+        dist = np.full(len(idx), 2, dtype=np.int64)
+        same = la == lb
+        ham = (neq & (cols < la[:, None])).sum(axis=1)
+        dist[same & (ham == 0)] = 0
+        dist[same & (ham == 1)] = 1
+        # cross-length: prefix span + right-aligned suffix span
+        cross = np.abs(la - lb) == 1
+        if cross.any():
+            ci = np.flatnonzero(cross)
+            pfx = np.where(neq[ci].any(axis=1),
+                           neq[ci].argmax(axis=1), width)
+            lo = np.minimum(la[ci], lb[ci])
+            # right-align: shift each row so its last char hits width-1
+            sha = width - la[ci]
+            shb = width - lb[ci]
+            ra = np.zeros((len(ci), width), dtype=np.uint8)
+            rb = np.zeros((len(ci), width), dtype=np.uint8)
+            rows = np.arange(len(ci))[:, None]
+            mask_a = cols >= sha[:, None]
+            mask_b = cols >= shb[:, None]
+            ra[mask_a] = ma[ci][cols < la[ci][:, None]]
+            rb[mask_b] = mb[ci][cols < lb[ci][:, None]]
+            rneq = (ra != rb)[:, ::-1]
+            sfx = np.where(rneq.any(axis=1), rneq.argmax(axis=1), width)
+            dist[ci[(pfx + sfx) >= lo]] = 1
+        keep = dist <= 1
+        return pa.table({"id_a": pa.array(ida[keep]),
+                         "id_b": pa.array(idb[keep]),
+                         "dist": pa.array(dist[keep])})
+
+    return ds.map_batches(keys, batch_format="pyarrow") \
+        .groupby("_b").map_groups(cand, batch_format="pyarrow") \
+        .groupby("_pb").map_groups(verify, batch_format="pyarrow")
