@@ -2417,6 +2417,24 @@ def q_sharpness_images(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=4096)
 
 
+def q_dominant_colors(sf_dir: str):
+    """Per-image dominant-color palette (stages/media.DominantColors):
+    12-bit quantized top-4 colors + exact coverage fractions via one
+    offset bincount and a unique composite-key argpartition. Rows-only
+    (pixel op); pytest pins a per-image Counter reference incl. tie
+    determinism."""
+    from osmium_tool_ray.sources.corpus import images_dataset
+    from osmium_tool_ray.stages.media import DominantColors
+
+    ds = images_dataset(sf_dir, with_bytes=True,
+                        columns=["image_id", "bytes"])
+
+    def f(batch: pa.Table) -> pa.Table:  # fused stateless task form
+        return DominantColors()(batch)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=4096)
+
+
 def q_patchify_images(sf_dir: str):
     """ViT patch extraction (stages/media.Patchify): each 16x16 image
     explodes to four 8x8 patch rows map-side; patches are consumed in
@@ -3558,6 +3576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equalize_images": q_equalize_images,
         "patchify_images": q_patchify_images,
         "sharpness_images": q_sharpness_images,
+        "dominant_colors": q_dominant_colors,
         "od_tile_flows": q_od_tile_flows,
         "twa_value": q_twa_value,
         "bbox_join": q_bbox_join,
