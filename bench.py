@@ -69,7 +69,8 @@ QUERY_NAMES = [
     # exact z-scores, track resampling
     "equalize_images", "patchify_images", "sharpness_images",
     "kmv_set_ops", "common_neighbors", "zscore_quantity",
-    "resample_tracks",
+    "resample_tracks", "bfs_hops", "label_propagation",
+    "pricing_summary", "fuzzy_caption_pairs", "dominant_colors",
 ]
 
 
