@@ -1932,6 +1932,18 @@ def q_weekly_retention(sf_dir: str):
     return ret.map_batches(fin, batch_format="pyarrow")
 
 
+def q_key_skew(sf_dir: str):
+    """Partition-skew diagnostics (pipelines/stats.key_skew_profile):
+    Gini / hottest-key share of the per-user event counts, folded
+    through TWO shrinking native aggregations (per-key counts, then
+    count-of-counts) so the driver sees one row per distinct count
+    value. Integer rank-block sums make the Gini a fixed float64
+    expression mirrored in the ROW_NUMBER oracle."""
+    from osmium_tool_ray.pipelines.stats import key_skew_profile
+
+    return key_skew_profile(_events(sf_dir, ["user_id"]), "user_id")
+
+
 def q_fuzzy_caption_pairs(sf_dir: str):
     """Edit-distance-<=1 typo-dedup join (stages/dedup.fuzzy_pairs_ed1,
     deletion-neighborhood blocking + exact vectorized verify) over
@@ -3588,6 +3600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_quantity": q_zscore_quantity,
         "pricing_summary": q_pricing_summary,
         "fuzzy_caption_pairs": q_fuzzy_caption_pairs,
+        "key_skew": q_key_skew,
         "daily_active_users": q_daily_active_users,
         "weekly_retention": q_weekly_retention,
         "user_distinct_est": q_user_distinct_est,
@@ -4192,6 +4205,20 @@ def oracle_sql() -> dict[str, str]:
                    x0 + (x1 - x0) * ((tg - t0) / (t1 - t0)) AS x,
                    y0 + (y1 - y0) * ((tg - t0) / (t1 - t0)) AS y
             FROM g""",
+        "key_skew": """
+            WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events
+                       GROUP BY user_id),
+            r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt) AS rn
+                  FROM c),
+            a AS (SELECT COUNT(*) AS n,
+                         CAST(SUM(cnt) AS BIGINT) AS total,
+                         CAST(SUM(rn * cnt) AS BIGINT) AS s,
+                         CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM r)
+            SELECT CAST(n AS BIGINT) AS n_keys, total AS n_rows,
+                   max_cnt,
+                   CAST(max_cnt AS DOUBLE) / total AS top_share,
+                   (2.0 * s) / (n * total) - (n + 1.0) / n AS gini
+            FROM a""",
         "fuzzy_caption_pairs": """
             WITH base AS (
                 SELECT doc_id, substr(text, 1, 16) AS s FROM documents

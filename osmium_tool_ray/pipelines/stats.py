@@ -543,3 +543,71 @@ def zscore_per_key(ds, key_col: str, value_col: str,
 
     return ds.map_batches(pre, batch_format="pyarrow") \
         .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def key_skew_profile(ds, key_col: str):
+    """Partition-skew diagnostics for a key column — the pre-shuffle
+    health check a 100-TB pipeline runs BEFORE deciding to salt (the
+    tile_counts hot-key threshold, generalized): row/key totals, the
+    hottest key's count and share, and the Gini coefficient of the
+    per-key count distribution.
+
+    Scale shape: per-batch Arrow group_by pre-agg -> native Sum per key
+    -> a SECOND shrinking fold to the count-of-counts histogram, so the
+    driver sees one row per DISTINCT COUNT VALUE (<= sqrt(2*rows) for
+    any distribution), never one per key. Gini folds from the
+    histogram: equal-count keys occupy consecutive ranks, so the
+    rank-weighted sum S = sum(v * block_rank_sum) is computed per block
+    — identical (integer) value to SQL's SUM(rn * cnt) over
+    ROW_NUMBER() ORDER BY cnt, because rank order within a tie block
+    cannot change the sum. gini = (2*S)/(n*T) - (n+1)/n as a fixed
+    float64 expression over exact ints (the zscore mirror discipline).
+
+    Returns one row: (n_keys, n_rows, max_cnt:int64, top_share:float64,
+    gini:float64)."""
+    from ray.data.aggregate import Sum
+
+    def pre(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array(
+                [], type=batch.schema.field(key_col).type),
+                "_c": pa.array([], type=pa.int64())})
+        t = batch.select([key_col]).append_column(
+            "_c", pa.array(np.ones(batch.num_rows, np.int64)))
+        return t.group_by([key_col]).aggregate([("_c", "sum")]) \
+            .rename_columns([key_col, "_c"])
+
+    counts = ds.map_batches(pre, batch_format="pyarrow") \
+        .groupby(key_col).aggregate(Sum("_c", alias_name="cnt"))
+
+    def coc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "cnt" not in batch.schema.names:
+            return pa.table({"cnt": pa.array([], type=pa.int64()),
+                             "_m": pa.array([], type=pa.int64())})
+        c = batch["cnt"].to_numpy(zero_copy_only=False)
+        u, m = np.unique(c, return_counts=True)
+        return pa.table({"cnt": pa.array(u.astype(np.int64)),
+                         "_m": pa.array(m.astype(np.int64))})
+
+    hist = counts.map_batches(coc, batch_format="pyarrow") \
+        .groupby("cnt").aggregate(Sum("_m", alias_name="m")).take_all()
+    v = np.asarray([r["cnt"] for r in hist], dtype=np.int64)
+    m = np.asarray([r["m"] for r in hist], dtype=np.int64)
+    order = np.argsort(v)
+    v, m = v[order], m[order]
+    n = int(m.sum())
+    total = int((v * m).sum())
+    # ranks 1..n ascending by count; block of multiplicity m starting
+    # at rank r contributes v * (m*r + m*(m-1)/2)
+    starts = np.cumsum(m) - m + 1
+    block_rank_sums = m * starts + m * (m - 1) // 2
+    s = int((v * block_rank_sums).sum())
+    max_cnt = int(v[-1]) if len(v) else 0
+    gini = (2.0 * s) / (n * total) - (n + 1.0) / n if n else 0.0
+    top_share = max_cnt / total if total else 0.0
+    return pa.table({"n_keys": pa.array([n], type=pa.int64()),
+                     "n_rows": pa.array([total], type=pa.int64()),
+                     "max_cnt": pa.array([max_cnt], type=pa.int64()),
+                     "top_share": pa.array([top_share],
+                                           type=pa.float64()),
+                     "gini": pa.array([gini], type=pa.float64())})
