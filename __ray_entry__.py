@@ -202,6 +202,17 @@ def q_tile_counts_salted(sf_dir: str):
     return out.map_batches(decode, batch_format="pyarrow")
 
 
+def q_cell_top_fmt(sf_dir: str):
+    """Dominant image format per grid cell (stages/tiles.cell_top_key):
+    the raster majority-class layer — in-batch distinct (cell, key)
+    partials, ONE bucketed shuffle, vectorized run-length argmax with
+    (count desc, key asc) tiebreak."""
+    from osmium_tool_ray.stages.tiles import cell_top_key
+
+    return cell_top_key(images_dataset(sf_dir, columns=["lon", "lat", "fmt"]),
+                        level=TILE_LEVEL, key_col="fmt")
+
+
 def q_fileinfo(sf_dir: str):
     from osmium_tool_ray.pipelines.stats import fileinfo
 
@@ -2056,6 +2067,27 @@ def q_track_length(sf_dir: str):
                         tie_col="event_id")
 
 
+def q_track_sectors(sf_dir: str):
+    """Per-user compass-sector histogram (pipelines/windows.track_sectors):
+    heading-rose counts over each user's segments in timestamp order —
+    integer-exact sector classification (no atan2), one narrow bucketed
+    shuffle, vectorized lexsort+diff+reduceat fold."""
+    from osmium_tool_ray.pipelines.windows import track_sectors
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        xf = ((eid * 7919) % 36000) * 100000 - 1800000000
+        yf = ((eid * 104729) % 17000) * 100000 - 850000000
+        return batch.append_column("xf", pa.array(xf)) \
+                    .append_column("yf", pa.array(yf))
+
+    pts = ev.map_batches(coords, batch_format="pyarrow")
+    return track_sectors(pts, "user_id", "ts", "xf", "yf",
+                         tie_col="event_id")
+
+
 def q_window_dedup(sf_dir: str):
     """Windowed keep-first dedup (pipelines/windows.window_dedup):
     earliest event per (user, day window) with per-pair event counts —
@@ -3491,6 +3523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid": q_tile_pyramid,
         "hotspot_tiles": q_hotspot_tiles,
         "tile_counts_salted": q_tile_counts_salted,
+        "cell_top_fmt": q_cell_top_fmt,
         "fileinfo": q_fileinfo,
         "caption_tags_count": q_caption_tags_count,
         "getid_semi": q_getid_semi,
@@ -3567,6 +3600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_value": q_approx_quantiles,
         "curate_docs": q_curate_docs,
         "track_length_user": q_track_length,
+        "track_sectors_user": q_track_sectors,
         "track_simplify": q_track_simplify,
         "funnel_counts": q_funnel_counts,
         "triangle_count": q_triangle_count,
@@ -3692,6 +3726,13 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts_salted": f"""{cte}
             SELECT cell_x, cell_y, COUNT(*) AS n_images
             FROM (SELECT {cells6} FROM images) GROUP BY cell_x, cell_y""",
+        "cell_top_fmt": f"""{cte}
+            , ck AS (SELECT cell_x, cell_y, fmt, COUNT(*) AS cnt
+                     FROM (SELECT {cells6}, fmt FROM images)
+                     GROUP BY cell_x, cell_y, fmt)
+            SELECT cell_x, cell_y, fmt, cnt FROM ck
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY cell_x, cell_y
+                                       ORDER BY cnt DESC, fmt ASC) = 1""",
         "hotspot_tiles": f"""{cte}
             , c AS (SELECT cell_x, cell_y, count(*) AS n
                     FROM (SELECT {cells6} FROM images)
@@ -4297,6 +4338,28 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY ts, event_id))
             SELECT user_id, COUNT(*) AS n_points,
                    CAST(COALESCE(SUM(step), 0) AS BIGINT) AS track_fix
+            FROM st GROUP BY user_id""",
+        "track_sectors_user": """
+            WITH pts AS (SELECT user_id, ts, event_id,
+                   ((event_id * 7919) % 36000) * 100000 - 1800000000 AS xf,
+                   ((event_id * 104729) % 17000) * 100000 - 850000000 AS yf
+                 FROM events),
+            st AS (SELECT user_id,
+                   xf - lag(xf) OVER w AS dx,
+                   yf - lag(yf) OVER w AS dy
+                 FROM pts
+                 WINDOW w AS (PARTITION BY user_id
+                              ORDER BY ts, event_id))
+            SELECT user_id, CAST(COUNT(*) - 1 AS BIGINT) AS n_segs,
+              CAST(COALESCE(SUM(CASE WHEN abs(dx) > abs(dy) AND dx > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_e,
+              CAST(COALESCE(SUM(CASE WHEN abs(dx) = abs(dy) AND dx > 0 AND dy > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ne,
+              CAST(COALESCE(SUM(CASE WHEN abs(dy) > abs(dx) AND dy > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_n,
+              CAST(COALESCE(SUM(CASE WHEN abs(dx) = abs(dy) AND dx < 0 AND dy > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nw,
+              CAST(COALESCE(SUM(CASE WHEN abs(dx) > abs(dy) AND dx < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_w,
+              CAST(COALESCE(SUM(CASE WHEN abs(dx) = abs(dy) AND dx < 0 AND dy < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_sw,
+              CAST(COALESCE(SUM(CASE WHEN abs(dy) > abs(dx) AND dy < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_s,
+              CAST(COALESCE(SUM(CASE WHEN abs(dx) = abs(dy) AND dx > 0 AND dy < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_se,
+              CAST(COALESCE(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_still
             FROM st GROUP BY user_id""",
         "region_centroids": """
             WITH pts AS (SELECT

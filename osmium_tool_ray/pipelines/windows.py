@@ -403,6 +403,95 @@ def track_length(ds, key_col: str, ts_col: str, x_col: str, y_col: str,
                                               batch_format="pyarrow")
 
 
+_SECTOR_COLS = ("n_e", "n_ne", "n_n", "n_nw",
+                "n_w", "n_sw", "n_s", "n_se", "n_still")
+
+
+def track_sectors(ds, key_col: str, ts_col: str, x_col: str, y_col: str,
+                  tie_col: str | None = None, buckets: int | None = None):
+    """Per-key compass-sector histogram over track segments — the
+    heading-distribution profile of each GPS track (reference relative:
+    osmium's per-object track ordering in sort/time-filter; the heading
+    rose is the training-side motion-analytics companion).
+
+    Integer-exact classification, no atan2 (keeps the distributed result
+    bit-identical to the SQL CASE oracle): for a segment (dx, dy),
+      cardinal  E/W when |dx| >  |dy| (sign of dx),
+      cardinal  N/S when |dy| >  |dx| (sign of dy),
+      diagonal  NE/SE/NW/SW when |dx| == |dy| != 0 (signs of both),
+      still     when dx == dy == 0.
+
+    Scale shape: ONE hash shuffle of the narrow (key, ts, x, y)
+    projection into hash(key)%buckets groups, then a vectorized lexsort
+    + diff + masked reduceat fold per bucket (the track_simplify
+    bucketed form — per-key map_groups pays ~5 ms per tiny group).
+    Returns (key, n_segs, n_e, n_ne, n_n, n_nw, n_w, n_sw, n_s, n_se,
+    n_still), all counts int64."""
+    from ..functions.hashing import hash_str_u64
+
+    if buckets is None:
+        import ray
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    cols = list(dict.fromkeys([key_col, ts_col, x_col, y_col]
+                              + ([tie_col] if tie_col else [])))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col]
+        if pa.types.is_integer(k.type):
+            b = (k.to_numpy(zero_copy_only=False).astype(np.uint64)
+                 % np.uint64(buckets)).astype(np.int32)
+        else:
+            b = (hash_str_u64(k) % np.uint64(buckets)).astype(np.int32)
+        return batch.append_column("_b", pa.array(b))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        key_type = g.schema.field(key_col).type
+        if g.num_rows == 0:
+            cols_out = {key_col: pa.array([], type=key_type),
+                        "n_segs": pa.array([], type=pa.int64())}
+            for c in _SECTOR_COLS:
+                cols_out[c] = pa.array([], type=pa.int64())
+            return pa.table(cols_out)
+        keys = np.asarray(g[key_col].to_pylist(), dtype=object)
+        ts = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        tie = (g[tie_col].to_numpy(zero_copy_only=False) if tie_col
+               else np.zeros(len(ts), dtype=np.int64))
+        x = g[x_col].to_numpy(zero_copy_only=False)
+        y = g[y_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, keys.astype(str)))
+        ks = keys[order]
+        xs, ys = x[order], y[order]
+        same = np.concatenate([[False], ks[1:] == ks[:-1]])
+        dx = np.diff(xs, prepend=xs[:1])
+        dy = np.diff(ys, prepend=ys[:1])
+        adx, ady = np.abs(dx), np.abs(dy)
+        masks = (
+            (adx > ady) & (dx > 0),                       # E
+            (adx == ady) & (dx > 0) & (dy > 0),           # NE
+            (ady > adx) & (dy > 0),                       # N
+            (adx == ady) & (dx < 0) & (dy > 0),           # NW
+            (adx > ady) & (dx < 0),                       # W
+            (adx == ady) & (dx < 0) & (dy < 0),           # SW
+            (ady > adx) & (dy < 0),                       # S
+            (adx == ady) & (dx > 0) & (dy < 0),           # SE
+            (dx == 0) & (dy == 0),                        # still
+        )
+        starts = np.flatnonzero(~same)
+        ends = np.concatenate([starts[1:], [len(ks)]])
+        out = {key_col: pa.array(ks[starts].tolist(), type=key_type),
+               "n_segs": pa.array((ends - starts - 1).astype(np.int64))}
+        for name, m in zip(_SECTOR_COLS, masks):
+            per = np.add.reduceat((m & same).astype(np.int64), starts)
+            out[name] = pa.array(per)
+        return pa.table(out)
+
+    return ds.select_columns(cols) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
+
+
 def _dp_keep(xs: np.ndarray, ys: np.ndarray, eps2: float) -> np.ndarray:
     """Douglas-Peucker keep-mask over one polyline (iterative stack, no
     recursion; distances vectorized per segment). Squared perpendicular

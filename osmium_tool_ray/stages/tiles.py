@@ -70,6 +70,86 @@ def salted_counts(ds, level: int, hot_threshold: int = 100_000, salts: int = 16,
     return partials.groupby("cell").aggregate(Sum("n", alias_name="n_images"))
 
 
+def cell_top_key(ds, level: int, key_col: str,
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 buckets: int | None = None):
+    """Dominant key per grid cell — the modal tag/class of every tile
+    (the raster "majority class" layer; reference relative: tags-count's
+    grouped key counting, /root/reference/src/command_tags_count.cpp:270-315,
+    projected onto extract's spatial grid).
+
+    Scale shape: in-batch partial counts of (cell, key) collapse each
+    block to its distinct pairs BEFORE any exchange, then ONE
+    hash(cell)%buckets shuffle; inside a bucket a vectorized lexsort +
+    run-length fold finishes the sums and picks each cell's argmax with
+    deterministic tiebreak (count desc, key asc — first-max over
+    key-ascending runs). No per-cell Python, no second shuffle.
+
+    Returns (cell_x:int64, cell_y:int64, key, cnt:int64)."""
+    import ray
+
+    if buckets is None:
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+    n = np.int64(1) << np.int64(level)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+        y = np.floor((lat + 90.0) / 180.0 * n).astype(np.int64)
+        np.clip(x, 0, n - 1, out=x)
+        np.clip(y, 0, n - 1, out=y)
+        cell = (x << np.int64(32)) | y
+        keys = np.asarray(batch[key_col].to_pylist(), dtype="U")
+        order = np.lexsort((keys, cell))
+        cc, kc = cell[order], keys[order]
+        new = np.ones(len(cc), dtype=bool)
+        new[1:] = (cc[1:] != cc[:-1]) | (kc[1:] != kc[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(cc)))
+        return pa.table({
+            "_b": pa.array((cc[starts] % buckets).astype(np.int32)),
+            "_cell": pa.array(cc[starts]),
+            key_col: pa.array(kc[starts].tolist(), type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"cell_x": pa.array([], type=pa.int64()),
+                          "cell_y": pa.array([], type=pa.int64()),
+                          key_col: pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        cell = g["_cell"].to_numpy(zero_copy_only=False)
+        keys = np.asarray(g[key_col].to_pylist(), dtype="U")
+        nn = g["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, cell))
+        cc, kc, ns = cell[order], keys[order], nn[order]
+        new = np.ones(len(cc), dtype=bool)
+        new[1:] = (cc[1:] != cc[:-1]) | (kc[1:] != kc[:-1])
+        pstarts = np.flatnonzero(new)
+        sums = np.add.reduceat(ns, pstarts)
+        cell2, key2 = cc[pstarts], kc[pstarts]
+        cnew = np.ones(len(cell2), dtype=bool)
+        cnew[1:] = cell2[1:] != cell2[:-1]
+        cstarts = np.flatnonzero(cnew)
+        lens = np.diff(np.append(cstarts, len(cell2)))
+        maxn = np.maximum.reduceat(sums, cstarts)
+        ismax = np.flatnonzero(sums == np.repeat(maxn, lens))
+        pick = ismax[np.searchsorted(ismax, cstarts)]
+        return pa.table({
+            "cell_x": pa.array(cell2[pick] >> np.int64(32)),
+            "cell_y": pa.array(cell2[pick] & np.int64(0xFFFFFFFF)),
+            key_col: pa.array(key2[pick].tolist(), type=pa.string()),
+            "cnt": pa.array(sums[pick].astype(np.int64)),
+        })
+
+    return ds.select_columns([lon_col, lat_col, key_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
+
+
 def assign_tiles_salted(ds, level: int, agg_fn, hot_threshold: int = 100_000,
                         salts: int = 16, lon_col: str = "lon", lat_col: str = "lat",
                         id_col: str = "image_id"):
