@@ -3249,6 +3249,18 @@ def q_ngram_dup_pairs(sf_dir: str):
                                threshold=0.35, concurrency=2)
 
 
+def q_jaccard_join(sf_dir: str):
+    """EXACT Jaccard set-similarity self-join over word-3-gram shingles
+    (stages/dedup.jaccard_join): prefix filtering under a rarest-first
+    (df, hash) token order, complete size-filtered pair emission in
+    coarse groups, one pair-hash distinct, vectorized exact verify — the
+    no-recall-loss twin of ngram_dup_pairs."""
+    from osmium_tool_ray.stages.dedup import jaccard_join
+
+    return jaccard_join(_docs(sf_dir, ["doc_id", "text"]), threshold=0.35,
+                        n=3)
+
+
 def q_ann_embeddings(sf_dir: str):
     """Brute-force cosine top-5 in RANK form (query_id, rank, vec_id):
     the float score stays internal to the sort so the DuckDB twin — whose
@@ -3680,6 +3692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": q_simhash_docs,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "ngram_dup_pairs": q_ngram_dup_pairs,
+        "jaccard_join_docs": q_jaccard_join,
         "ann_embeddings": q_ann_embeddings,
         "psnr_verify": q_psnr_verify,
         "frame_sample": q_frame_sample,
@@ -5062,8 +5075,8 @@ def oracle_sql() -> dict[str, str]:
         # nprobe=nlist is pytest-gated instead (tests/test_ann_variants.py).
     }
     from osmium_tool_ray.oracles import (
-        char_shingle_pairs_sql, langid_sql, rasterize_convex_sql, simhash_sql,
-        word_ngram_pairs_sql,
+        char_shingle_pairs_sql, jaccard_join_sql, langid_sql,
+        rasterize_convex_sql, simhash_sql, word_ngram_pairs_sql,
     )
 
     # sketch/model queries: exact SQL twins generated from the engine's own
@@ -5087,6 +5100,7 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(p.dup_of, d.doc_id) AS rep
         FROM documents d LEFT JOIN pairs p USING (doc_id)"""
     out["ngram_dup_pairs"] = word_ngram_pairs_sql(threshold=0.35, n=3)
+    out["jaccard_join_docs"] = jaccard_join_sql(threshold=0.35, n=3)
     # the planted near-dups (q_embedding_neardup augment) are the provable
     # full recall set: an exact-scaled copy shares every hyperplane-LSH
     # bucket (signs of dot products are scale-invariant), and no random

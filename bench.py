@@ -71,8 +71,9 @@ QUERY_NAMES = [
     "kmv_set_ops", "common_neighbors", "zscore_quantity",
     "resample_tracks", "bfs_hops", "label_propagation",
     "pricing_summary", "fuzzy_caption_pairs", "dominant_colors",
-    # r03 seventh wave: heading-rose sectors, per-cell majority class
-    "track_sectors_user", "cell_top_fmt",
+    # r03 seventh wave: heading-rose sectors, per-cell majority class,
+    # exact prefix-filtered Jaccard join
+    "track_sectors_user", "cell_top_fmt", "jaccard_join_docs",
 ]
 
 

@@ -199,6 +199,43 @@ def char_shingle_pairs_sql(threshold: float, k: int = 5,
     FROM reach GROUP BY src HAVING MIN(dst) <> src"""
 
 
+def jaccard_join_sql(threshold: float, n: int = 3,
+                     table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """Ground-truth EXACT word-n-gram Jaccard join pairs — the
+    definitional twin of stages/dedup.jaccard_join (same tokenization and
+    short-doc whole-text shingle as word_ngram_pairs_sql, but emitting
+    the qualifying pairs themselves with exact set sizes)."""
+    return f"""
+    WITH tok AS (
+        SELECT {id_col} AS id,
+               list_filter(string_split_regex(lower({text_col}), '[^a-z0-9_]+'),
+                           _t -> _t <> '') AS ts,
+               lower({text_col}) AS lt
+        FROM {table}
+    ),
+    grams AS (
+        SELECT DISTINCT id,
+               list_aggregate(ts[i : i + {n - 1}], 'string_agg', ' ') AS sh
+        FROM tok, unnest(range(1, len(ts) - {n - 1} + 1)) AS u(i)
+        WHERE len(ts) >= {n}
+        UNION
+        SELECT DISTINCT id, lt AS sh FROM tok WHERE len(ts) < {n}
+    ),
+    sizes AS (SELECT id, COUNT(*) AS ns FROM grams GROUP BY id),
+    inter AS (
+        SELECT a.id AS a, b.id AS b, COUNT(*) AS i
+        FROM grams a JOIN grams b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT i.a AS a, i.b AS b, i.i AS inter_sz,
+           sa.ns + sb.ns - i.i AS union_sz,
+           CAST(i.i AS DOUBLE) / (sa.ns + sb.ns - i.i) AS jacc
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.a JOIN sizes sb ON sb.id = i.b
+    WHERE CAST(i.i AS DOUBLE) / (sa.ns + sb.ns - i.i) >= {threshold}"""
+
+
 def word_ngram_pairs_sql(threshold: float, n: int = 3,
                          table: str = "documents", id_col: str = "doc_id",
                          text_col: str = "text") -> str:

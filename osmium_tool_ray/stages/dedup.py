@@ -627,6 +627,248 @@ def ngram_jaccard_pairs(docs, text_col: str = "text", id_col: str = "doc_id",
                               text_col, id_col, threshold)
 
 
+def jaccard_join(docs, text_col: str = "text", id_col: str = "doc_id",
+                 threshold: float = 0.5, n: int = 3,
+                 coarse: int | None = None,
+                 df_broadcast_cap: int = 4_000_000):
+    """EXACT Jaccard set-similarity self-join over word-n-gram shingle
+    sets via prefix filtering (Chaudhuri et al. 2006 SSJoin / Bayardo et
+    al. 2007 All-Pairs — public algorithms): every pair with shingle-set
+    Jaccard >= threshold, no LSH recall loss. The reference analogy is
+    tags-filter's exact match semantics vs an approximate index
+    (/root/reference/src/command_tags_filter.cpp) — this is the exact
+    twin of ngram_jaccard_pairs.
+
+    Prefix filter: under ANY global token order, a pair with J >= t must
+    share a token inside each doc's first p = s - ceil(t*s) + 1 ordered
+    tokens, so only prefix tokens are exploded. Tokens are ordered
+    rarest-first by (df, hash) — a one-pass mergeable document-frequency
+    fold — which keeps prefix-token groups small (a prefix token has low
+    df by construction). Above `df_broadcast_cap` distinct shingles the
+    df map would exceed worker RAM, so ordering falls back to raw hash
+    order: correctness is ORDER-INDEPENDENT (only pruning selectivity
+    changes), so there is no scale cliff, just gradually coarser
+    pruning. Size filter min(sa,sb) >= t*max(sa,sb) prunes pairs before
+    emission; exact verify recomputes full sets per pair.
+
+    Scale shape: df partials are per-batch-distinct before ONE 32-bucket
+    fold; prefix rows (token, id, size) are narrow; pair emission runs
+    inside O(CPUs) coarse groups (complete per fine token run — no
+    star/chain cap, exactness requires every pair); ONE pair-hash bucket
+    distinct removes cross-token duplicates; texts attach via two native
+    hash joins (_attach_pair_payload) and the verify is vectorized per
+    batch. No doc row ever reaches the driver.
+
+    Returns (a, b, inter_sz, union_sz, jacc) with a < b; jacc is the
+    single IEEE division inter/union (bit-identical to the SQL twin)."""
+    import ray
+
+    if coarse is None:
+        coarse = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    s = docs.schema()
+    id_type = dict(zip(s.names, s.types))[id_col]
+
+    # pass 1: shingle document frequencies (per-batch-distinct -> fold)
+    def df_partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        flat, offs = _flat_word_ngram_hashes(texts, n)
+        doc_idx = np.repeat(np.arange(len(texts)),
+                            np.diff(offs)).astype(np.int64)
+        o = np.lexsort((doc_idx, flat))
+        f, d = flat[o], doc_idx[o]
+        first = np.ones(len(f), dtype=bool)
+        first[1:] = (f[1:] != f[:-1]) | (d[1:] != d[:-1])
+        uf = f[first]
+        neww = np.ones(len(uf), dtype=bool)
+        neww[1:] = uf[1:] != uf[:-1]
+        vals = uf[neww]
+        cnt = np.diff(np.append(np.flatnonzero(neww), len(uf)))
+        return pa.table({
+            "sh": pa.array(vals.view(np.int64)),
+            "df": pa.array(cnt.astype(np.int64)),
+            "_b": pa.array((vals % np.uint64(32)).astype(np.int32))})
+
+    def df_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "sh" not in g.schema.names:
+            return pa.table({"sh": pa.array([], type=pa.int64()),
+                             "df": pa.array([], type=pa.int64())})
+        agg = g.select(["sh", "df"]).group_by("sh").aggregate([("df", "sum")])
+        return pa.table({"sh": agg["sh"].cast(pa.int64()),
+                         "df": agg["df_sum"].cast(pa.int64())})
+
+    dfd = docs.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(df_fold, batch_format="pyarrow") \
+        .materialize()
+    rank_ref = None
+    if dfd.count() <= df_broadcast_cap:
+        tbls = [r for r in dfd.iter_batches(batch_size=None,
+                                            batch_format="pyarrow")]
+        dft = pa.concat_tables(tbls) if tbls else None
+        if dft is not None and dft.num_rows:
+            sh = dft["sh"].to_numpy(zero_copy_only=False).view(np.uint64)
+            dfv = dft["df"].to_numpy(zero_copy_only=False)
+            by_hash = np.argsort(sh)
+            sh_sorted = sh[by_hash]
+            # rank in (df, sh) order, addressed by position in hash order
+            by_rare = np.lexsort((sh_sorted, dfv[by_hash]))
+            rank = np.empty(len(sh), dtype=np.int64)
+            rank[by_rare] = np.arange(len(sh))
+            rank_ref = ray.put((sh_sorted, rank))
+
+    # pass 2: per-doc prefix emission (token, id, set size)
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = np.asarray(batch[id_col].to_pylist())
+        sets = _word_ngram_sets(texts, n)
+        sizes = np.asarray([len(st) for st in sets], dtype=np.int64)
+        if len(sets) == 0 or sizes.sum() == 0:
+            return pa.table({
+                "tok": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=id_type),
+                "sz": pa.array([], type=pa.int64()),
+                "_cb": pa.array([], type=pa.int32())})
+        # fully vectorized prefix pick: flatten all sets, order each
+        # doc's tokens rarest-first (one lexsort over (doc, rank)), keep
+        # positions < p(doc) via segmented arithmetic — no per-doc loop
+        flat = np.concatenate(sets)
+        doc_idx = np.repeat(np.arange(len(sets)), sizes)
+        if rank_ref is not None:
+            sh_sorted, rank = ray.get(rank_ref)
+            keyv = rank[np.searchsorted(sh_sorted, flat)]
+        else:
+            keyv = flat            # raw hash order (documented fallback)
+        o = np.lexsort((keyv, doc_idx))
+        flat, doc_idx = flat[o], doc_idx[o]
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        pos = np.arange(len(flat)) - starts[doc_idx]
+        # epsilon guards the float ceil DOWN: a too-large ceil would
+        # shorten the prefix and silently drop true pairs; too-small
+        # only lengthens it (pure pruning loss, never a miss)
+        p = sizes - np.ceil(threshold * sizes - 1e-9).astype(np.int64) + 1
+        keep = pos < p[doc_idx]
+        tok, doc_idx = flat[keep], doc_idx[keep]
+        return pa.table({
+            "tok": pa.array(tok.view(np.int64)),
+            id_col: pa.array(ids[doc_idx].tolist(), type=id_type),
+            "sz": pa.array(sizes[doc_idx]),
+            "_cb": pa.array((splitmix64(tok) % np.uint64(coarse))
+                            .astype(np.int32))})
+
+    pair_schema = pa.schema([("a", id_type), ("b", id_type)])
+
+    # pass 3: complete pair emission per fine token run (size-filtered)
+    def emit(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "tok" not in g.schema.names:
+            return pair_schema.empty_table()
+        tok = g["tok"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(g[id_col].to_pylist())
+        szs = g["sz"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, szs, tok))
+        tok, ids, szs = tok[order], ids[order], szs[order]
+        new = np.ones(len(tok), dtype=bool)
+        new[1:] = tok[1:] != tok[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(tok))
+        outa, outb = [], []
+        for st, en in zip(starts, ends):
+            m = en - st
+            if m < 2:
+                continue
+            uid, usz = ids[st:en], szs[st:en]
+            ai, bi = np.triu_indices(m, k=1)
+            # rows are size-ascending within the run: usz[ai] <= usz[bi];
+            # epsilon keeps the float product from over-pruning boundaries
+            keep = usz[ai] >= threshold * usz[bi] - 1e-9
+            ai, bi = ai[keep], bi[keep]
+            if len(ai) == 0:
+                continue
+            a_, b_ = uid[ai], uid[bi]
+            lo = a_ <= b_
+            outa.append(np.where(lo, a_, b_))
+            outb.append(np.where(lo, b_, a_))
+        if not outa:
+            return pair_schema.empty_table()
+        a_, b_ = np.concatenate(outa), np.concatenate(outb)
+        o = np.lexsort((b_, a_))
+        a_, b_ = a_[o], b_[o]
+        first = np.ones(len(a_), dtype=bool)
+        first[1:] = (a_[1:] != a_[:-1]) | (b_[1:] != b_[:-1])
+        first &= a_ != b_    # same id twice under one token (dup rows)
+        return pa.table({"a": pa.array(a_[first].tolist(), type=id_type),
+                         "b": pa.array(b_[first].tolist(), type=id_type)})
+
+    # pass 3.5: global pair distinct (a pair can share several prefix
+    # tokens whose coarse groups differ) — ONE narrow pair-hash bucket
+    def add_pb(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pair_schema.empty_table() \
+                .append_column("_pb", pa.array([], type=pa.int32()))
+        ha = hash_str_u64(batch["a"].cast(pa.string()))
+        hb = hash_str_u64(batch["b"].cast(pa.string()))
+        with np.errstate(over="ignore"):
+            h = splitmix64(ha ^ splitmix64(hb))
+        return batch.append_column(
+            "_pb", pa.array((h % np.uint64(coarse)).astype(np.int32)))
+
+    def pair_distinct(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "a" not in g.schema.names:
+            return pair_schema.empty_table()
+        a_ = np.asarray(g["a"].to_pylist())
+        b_ = np.asarray(g["b"].to_pylist())
+        o = np.lexsort((b_, a_))
+        a_, b_ = a_[o], b_[o]
+        first = np.ones(len(a_), dtype=bool)
+        first[1:] = (a_[1:] != a_[:-1]) | (b_[1:] != b_[:-1])
+        return pa.table({"a": pa.array(a_[first].tolist(), type=id_type),
+                         "b": pa.array(b_[first].tolist(), type=id_type)})
+
+    prefixes = docs.map_batches(prefix_rows, batch_format="pyarrow")
+    raw_pairs = prefixes.groupby("_cb").map_groups(
+        emit, batch_format="pyarrow")
+    pairs = _drop_empty_blocks(raw_pairs).map_batches(
+        add_pb, batch_format="pyarrow").groupby("_pb").map_groups(
+        pair_distinct, batch_format="pyarrow")
+    pairs = _drop_empty_blocks(pairs)
+    if pairs is None or pairs.count() == 0:
+        return pa.table({"a": pa.array([], type=id_type),
+                         "b": pa.array([], type=id_type),
+                         "inter_sz": pa.array([], type=pa.int64()),
+                         "union_sz": pa.array([], type=pa.int64()),
+                         "jacc": pa.array([], type=pa.float64())})
+    with_texts = _attach_pair_payload(pairs, docs, id_col, text_col)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids_a = batch["a"].to_pylist()
+        ids_b = batch["b"].to_pylist()
+        ta = batch[f"{text_col}_a"].to_pylist()
+        tb = batch[f"{text_col}_b"].to_pylist()
+        text_of: dict = {}
+        for i, t in zip(ids_a, ta):
+            text_of.setdefault(i, t)
+        for i, t in zip(ids_b, tb):
+            text_of.setdefault(i, t)
+        uniq = list(text_of)
+        set_of = dict(zip(uniq, _word_ngram_sets(
+            [text_of[i] for i in uniq], n)))
+        inter = np.zeros(batch.num_rows, dtype=np.int64)
+        union = np.zeros(batch.num_rows, dtype=np.int64)
+        for i in range(batch.num_rows):
+            sa, sb = set_of[ids_a[i]], set_of[ids_b[i]]
+            ii = np.intersect1d(sa, sb, assume_unique=True).size
+            inter[i] = ii
+            union[i] = sa.size + sb.size - ii
+        jacc = inter / np.maximum(union, 1)
+        jacc[union == 0] = 1.0
+        keep = pa.array(jacc >= threshold)
+        return pa.table({
+            "a": batch["a"], "b": batch["b"],
+            "inter_sz": pa.array(inter), "union_sz": pa.array(union),
+            "jacc": pa.array(jacc)}).filter(keep)
+
+    return with_texts.map_batches(verify, batch_format="pyarrow")
+
+
 class HyperplaneSig:
     """map_batches actor: b-bit random-hyperplane signatures of an embedding
     column (cosine LSH), `tables` independent hash tables (multi-probe

@@ -1,0 +1,118 @@
+"""Exact Jaccard set-similarity join (stages/dedup.jaccard_join) vs a
+brute-force all-pairs reference and the DuckDB string-shingle oracle;
+pins the df-order and hash-order fallback to identical results."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from osmium_tool_ray.stages.dedup import jaccard_join, _word_ngram_sets
+
+
+def _docs(seed=47, n_docs=60, vocab=40, min_len=8, max_len=30, dups=8):
+    """Random word docs + planted near-dup pairs (one word substituted)."""
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    texts = []
+    for _ in range(n_docs):
+        ln = rng.integers(min_len, max_len)
+        texts.append(" ".join(rng.choice(words, ln)))
+    for i in range(dups):
+        toks = texts[i].split()
+        toks[len(toks) // 2] = "sub"
+        texts.append(" ".join(toks))
+    ids = [f"d{i:04d}" for i in range(len(texts))]
+    return pa.table({"doc_id": pa.array(ids, type=pa.string()),
+                     "text": pa.array(texts, type=pa.string())})
+
+
+def _brute(tbl, t, n=3):
+    texts = tbl["text"].to_pylist()
+    ids = tbl["doc_id"].to_pylist()
+    sets = _word_ngram_sets(texts, n)
+    out = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = np.intersect1d(sets[i], sets[j],
+                                   assume_unique=True).size
+            union = sets[i].size + sets[j].size - inter
+            if union and inter / union >= t:
+                a, b = sorted((ids[i], ids[j]))
+                out[(a, b)] = (inter, union)
+    return out
+
+
+def test_jaccard_join_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    tbl = _docs()
+    t = 0.4
+    out = jaccard_join(rd.from_arrow(tbl).repartition(5), threshold=t,
+                       coarse=4)
+    mine = {(r["a"], r["b"]): (r["inter_sz"], r["union_sz"])
+            for r in out.take_all()}
+    expect = _brute(tbl, t)
+    assert mine == expect
+    assert len(expect) >= 8  # planted near-dups must be found
+
+
+def test_jaccard_join_hash_order_fallback_identical(ray_session):
+    """df_broadcast_cap=0 forces raw hash ordering: correctness is
+    order-independent, only pruning selectivity changes."""
+    import ray.data as rd
+
+    tbl = _docs(seed=48)
+    t = 0.5
+    base = jaccard_join(rd.from_arrow(tbl), threshold=t, coarse=4)
+    fall = jaccard_join(rd.from_arrow(tbl), threshold=t, coarse=4,
+                        df_broadcast_cap=0)
+    k = lambda rows: sorted((r["a"], r["b"], r["inter_sz"], r["union_sz"])
+                            for r in rows)
+    assert k(base.take_all()) == k(fall.take_all()) == \
+        sorted((a, b, i, u) for (a, b), (i, u) in _brute(tbl, t).items())
+
+
+def test_jaccard_join_vs_duckdb_string_shingles(ray_session):
+    """The hash-set engine matches the string-shingle SQL oracle
+    (collision-free at this scale) including jacc float equality."""
+    import ray.data as rd
+
+    tbl = _docs(seed=49, n_docs=40, dups=6)
+    t = 0.45
+    out = jaccard_join(rd.from_arrow(tbl).repartition(3), threshold=t,
+                       coarse=4)
+    mine = {(r["a"], r["b"]): (r["inter_sz"], r["union_sz"], r["jacc"])
+            for r in out.take_all()}
+    oracle = duckdb.sql(f"""
+        WITH w AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                 '[^a-z0-9_]+'), x -> x <> '') AS ws
+                   FROM tbl),
+        g AS (SELECT DISTINCT doc_id,
+                ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+              FROM w, UNNEST(generate_series(1, len(ws)-2)) AS s(i)),
+        sz AS (SELECT doc_id, COUNT(*) AS s FROM g GROUP BY doc_id),
+        inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+          FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT ia, ib, i, sa.s + sb.s - i AS u,
+               CAST(i AS DOUBLE) / (sa.s + sb.s - i) AS j
+        FROM inter JOIN sz sa ON sa.doc_id = ia
+                   JOIN sz sb ON sb.doc_id = ib
+        WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= {t}""").fetchall()
+    assert mine == {(a, b): (i, u, j) for a, b, i, u, j in oracle}
+
+
+def test_jaccard_join_short_docs_exact_text(ray_session):
+    """Docs shorter than n tokens carry one full-text shingle: equal
+    short docs pair at jacc 1.0, different ones never pair."""
+    import ray.data as rd
+
+    tbl = pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d"]),
+        "text": pa.array(["tiny doc", "tiny doc", "other doc",
+                          "one two three four five"]),
+    })
+    out = jaccard_join(rd.from_arrow(tbl), threshold=0.9, coarse=2)
+    rows = {(r["a"], r["b"]): r["jacc"] for r in out.take_all()}
+    assert rows == {("a", "b"): 1.0}
