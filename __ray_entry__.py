@@ -2088,6 +2088,26 @@ def q_track_sectors(sf_dir: str):
                          tie_col="event_id")
 
 
+def q_radius_join(sf_dir: str):
+    """Exact within-radius pair join over the event lattice
+    (stages/spatial.radius_join): grid blocking at cell=radius, 9x
+    map-side fan-out, one coarse shuffle, min-home-cell owner rule —
+    pairs distinct by construction, exact int64 distances."""
+    from osmium_tool_ray.stages.spatial import radius_join
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        xf = ((eid * 7919) % 36000) * 100000 - 1800000000
+        yf = ((eid * 104729) % 17000) * 100000 - 850000000
+        return batch.append_column("xf", pa.array(xf)) \
+                    .append_column("yf", pa.array(yf))
+
+    pts = ev.map_batches(coords, batch_format="pyarrow")
+    return radius_join(pts, "event_id", "xf", "yf", radius=20_000_000)
+
+
 def q_window_dedup(sf_dir: str):
     """Windowed keep-first dedup (pipelines/windows.window_dedup):
     earliest event per (user, day window) with per-pair event counts —
@@ -3693,6 +3713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "ngram_dup_pairs": q_ngram_dup_pairs,
         "jaccard_join_docs": q_jaccard_join,
+        "radius_join_events": q_radius_join,
         "ann_embeddings": q_ann_embeddings,
         "psnr_verify": q_psnr_verify,
         "frame_sample": q_frame_sample,
@@ -4374,6 +4395,22 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(SUM(CASE WHEN abs(dx) = abs(dy) AND dx > 0 AND dy < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_se,
               CAST(COALESCE(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_still
             FROM st GROUP BY user_id""",
+        "radius_join_events": """
+            WITH pts AS (SELECT event_id AS id,
+                   ((event_id * 7919) % 36000) * 100000 - 1800000000 AS xf,
+                   ((event_id * 104729) % 17000) * 100000 - 850000000 AS yf
+                 FROM events),
+            c AS (SELECT id, xf, yf,
+                    (xf + 2147483648) // 20000000 AS cx,
+                    (yf + 2147483648) // 20000000 AS cy FROM pts),
+            n AS (SELECT id, xf, yf, cx + dx.o AS cx, cy + dy.o AS cy
+                  FROM c, (VALUES (-1),(0),(1)) dx(o),
+                          (VALUES (-1),(0),(1)) dy(o))
+            SELECT n.id AS a, b.id AS b,
+                   (n.xf-b.xf)*(n.xf-b.xf) + (n.yf-b.yf)*(n.yf-b.yf) AS d2
+            FROM n JOIN c b ON b.cx = n.cx AND b.cy = n.cy AND n.id < b.id
+            WHERE (n.xf-b.xf)*(n.xf-b.xf) + (n.yf-b.yf)*(n.yf-b.yf)
+                  <= 400000000000000""",
         "region_centroids": """
             WITH pts AS (SELECT
                    ((event_id * 7919) % 36000) * 100000 - 1800000000 AS xf,

@@ -569,3 +569,120 @@ def resample_tracks(ds, key_col: str, ts_col: str, tie_col: str,
 
     return ds.map_batches(pre, batch_format="pyarrow") \
         .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def radius_join(ds, id_col: str, x_col: str, y_col: str, radius: int,
+                coarse: int | None = None, pair_chunk: int = 4_000_000,
+                offset: int = 2_147_483_648):
+    """EXACT within-radius spatial self-join: every unordered pair of
+    points with squared L2 distance <= radius^2, in exact int64
+    arithmetic. The distance-threshold companion of bbox_join (reference
+    relative: extract's grid-prefiltered containment test generalized to
+    pair proximity, /root/reference/src/extract/extract_bbox.cpp:30-43).
+
+    Scale shape: grid blocking at cell = radius — each point explodes
+    map-side into its home cell plus the 8 neighbors (narrow (cell,
+    home, id, x, y) projection, 9x fan-out), then ONE hash(cell)%coarse
+    shuffle. Inside a coarse group every cell run generates its pairs
+    fully vectorized (cumsum-offset cartesian, no per-cell Python), in
+    slices of `pair_chunk` flat pair indices so peak memory stays
+    bounded no matter how dense one cell is. A pair is emitted ONLY in
+    min(home_a, home_b) — any qualifying pair differs by <= 1 cell per
+    axis, so both points are present in that cell's run and output pairs
+    are distinct BY CONSTRUCTION (the bbox_join owner rule); no
+    pair-dedup shuffle runs. Hot-cell note: a cell denser than
+    ~sqrt(pair_chunk) points produces inherently quadratic OUTPUT — the
+    slicing bounds memory, not the result size, which is the operator's
+    own semantics.
+
+    Coordinates plus `offset` must be nonnegative and (coord+offset)/
+    radius must fit 32 bits. Returns (a, b, d2) with a < b in id order."""
+    import ray
+
+    if coarse is None:
+        coarse = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+    r = np.int64(radius)
+    r2 = r * r
+    OFF = np.int64(offset)
+
+    s = ds.schema()
+    id_type = dict(zip(s.names, s.types))[id_col]
+    empty = pa.table({"a": pa.array([], type=id_type),
+                      "b": pa.array([], type=id_type),
+                      "d2": pa.array([], type=pa.int64())})
+    from ..functions.hashing import splitmix64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist())
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = (x + OFF) // r
+        cy = (y + OFF) // r
+        home = (cx << np.int64(32)) | cy
+        n = len(ids)
+        rep = np.repeat(np.arange(n, dtype=np.int64), 9)
+        dxy = np.array([(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+                       dtype=np.int64)
+        cell = ((np.repeat(cx, 9) + np.tile(dxy[:, 0], n)) << np.int64(32)) \
+            | (np.repeat(cy, 9) + np.tile(dxy[:, 1], n))
+        return pa.table({
+            "cell": pa.array(cell),
+            "home": pa.array(home[rep]),
+            id_col: pa.array(ids[rep].tolist(), type=id_type),
+            "x": pa.array(x[rep]), "y": pa.array(y[rep]),
+            "_cb": pa.array((splitmix64(cell.view(np.uint64))
+                             % np.uint64(coarse)).astype(np.int32))})
+
+    def per_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "cell" not in g.schema.names:
+            return empty
+        ck = g["cell"].to_numpy(zero_copy_only=False)
+        home = g["home"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(g[id_col].to_pylist())
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ck))
+        ck, home, ids, x, y = (a[order] for a in (ck, home, ids, x, y))
+        new = np.ones(len(ck), dtype=bool)
+        new[1:] = ck[1:] != ck[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(ck)))
+        multi = lens > 1
+        if not multi.any():
+            return empty
+        starts, lens = starts[multi], lens[multi]
+        cells = ck[starts]
+        m = lens * lens                      # ordered cartesian per run
+        ends = np.cumsum(m)
+        tot = int(ends[-1])
+        out = []
+        lo = 0
+        while lo < tot:
+            hi = min(lo + pair_chunk, tot)
+            flat = np.arange(lo, hi, dtype=np.int64)
+            runi = np.searchsorted(ends, flat, side="right")
+            local = flat - (ends[runi] - m[runi])
+            li = starts[runi] + local // lens[runi]
+            ri = starts[runi] + local % lens[runi]
+            up = li < ri                     # each unordered pair once
+            li, ri, runi = li[up], ri[up], runi[up]
+            dx = x[li] - x[ri]
+            dy = y[li] - y[ri]
+            d2 = dx * dx + dy * dy
+            ok = d2 <= r2
+            ok &= np.minimum(home[li], home[ri]) == cells[runi]
+            if ok.any():
+                a_, b_ = ids[li[ok]], ids[ri[ok]]
+                swap = a_ > b_
+                a2 = np.where(swap, b_, a_)
+                b2 = np.where(swap, a_, b_)
+                out.append(pa.table({
+                    "a": pa.array(a2.tolist(), type=id_type),
+                    "b": pa.array(b2.tolist(), type=id_type),
+                    "d2": pa.array(d2[ok])}))
+            lo = hi
+        return pa.concat_tables(out) if out else empty
+
+    return ds.select_columns([id_col, x_col, y_col]) \
+        .map_batches(explode, batch_format="pyarrow") \
+        .groupby("_cb").map_groups(per_group, batch_format="pyarrow")
