@@ -3281,6 +3281,15 @@ def q_jaccard_join(sf_dir: str):
                         n=3)
 
 
+def q_word_pair_lift(sf_dir: str):
+    """Collocation mining by association lift (stages/text.word_pair_lift):
+    linear-form PMI N*c_ab/(c_a*c_b) — exact BIGINT products, one IEEE
+    division, df broadcast attach, pairs pre-aggregated map-side."""
+    from osmium_tool_ray.stages.text import word_pair_lift
+
+    return word_pair_lift(_docs(sf_dir, ["doc_id", "text"]), min_count=40)
+
+
 def q_ann_embeddings(sf_dir: str):
     """Brute-force cosine top-5 in RANK form (query_id, rank, vec_id):
     the float score stays internal to the sort so the DuckDB twin — whose
@@ -3714,6 +3723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dup_pairs": q_ngram_dup_pairs,
         "jaccard_join_docs": q_jaccard_join,
         "radius_join_events": q_radius_join,
+        "word_pair_lift": q_word_pair_lift,
         "ann_embeddings": q_ann_embeddings,
         "psnr_verify": q_psnr_verify,
         "frame_sample": q_frame_sample,
@@ -4173,6 +4183,23 @@ def oracle_sql() -> dict[str, str]:
             FROM dw a JOIN dw b
               ON a.doc_id = b.doc_id AND a.word < b.word
             GROUP BY a.word, b.word HAVING COUNT(*) >= 40""",
+        "word_pair_lift": r"""
+            WITH dw AS (
+                SELECT DISTINCT doc_id, t.w AS word
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '\s+')) AS t(w)
+                WHERE t.w <> ''),
+            df AS (SELECT word, COUNT(*) AS c FROM dw GROUP BY word),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            pr AS (SELECT a.word AS wa, b.word AS wb, COUNT(*) AS cab
+                   FROM dw a JOIN dw b
+                     ON a.doc_id = b.doc_id AND a.word < b.word
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 40)
+            SELECT wa AS word_a, wb AS word_b, cab AS c_ab,
+                   da.c AS c_a, db.c AS c_b,
+                   CAST(nd.n * cab AS DOUBLE) / (da.c * db.c) AS lift
+            FROM pr JOIN df da ON da.word = wa
+                    JOIN df db ON db.word = wb, nd""",
         "iqr_outliers": """
             SELECT event_id, user_id, value FROM events
             WHERE value > (SELECT quantile_disc(value, 0.75)

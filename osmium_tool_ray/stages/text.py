@@ -1248,3 +1248,155 @@ def bpe_apply(docs, merges, text_col: str = "text",
         })
 
     return docs.map_batches(count, batch_format="pyarrow")
+
+
+def word_pair_lift(docs, text_col: str = "text", id_col: str = "doc_id",
+                   min_count: int = 10, n_docs: int | None = None,
+                   df_broadcast_cap: int = 4_000_000):
+    """Association lift of co-occurring word pairs — the linear-form PMI
+    (lift = exp(PMI) = N * c_ab / (c_a * c_b)) used to mine collocations
+    and build word-embedding training matrices. The log is deliberately
+    NOT taken: lift is one BIGINT product per side and a single IEEE
+    division, so the distributed result is bit-identical to the SQL twin
+    (ln()'s last ulp is implementation-defined — the tfidf_top_terms
+    discipline).
+
+    Scale shape: per-doc DISTINCT words map-side; co-pair counts explode
+    triu over each doc's vocabulary (bounded by per-doc vocab, never the
+    corpus) with per-batch Arrow pre-agg before ONE native Sum groupby;
+    document frequencies fold through the tfidf df pass and broadcast
+    under `df_broadcast_cap` (the lift attach is a map-side lookup, no
+    join shuffle). Pairs below `min_count` co-docs drop before the df
+    attach. Tokens split on whitespace (the word_cooccurrence contract).
+
+    Returns (word_a, word_b, c_ab, c_a, c_b, lift), words ascending per
+    pair."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if n_docs is None:
+        n_docs = docs.count()
+
+    def _doc_words(batch: pa.Table):
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col].cast(pa.string())), r"\s+")
+        words = words.combine_chunks() if isinstance(
+            words, pa.ChunkedArray) else words
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words).to_numpy(zero_copy_only=False) \
+            .astype(str)
+        doc = np.repeat(np.arange(len(lens)), lens)
+        keep = flat != ""
+        doc, flat = doc[keep], flat[keep]
+        order = np.lexsort((flat, doc))
+        d, w = doc[order], flat[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (w[1:] != w[:-1])
+        return d[first], w[first]
+
+    # pass 1: document frequencies (per-batch-distinct -> bucketed fold)
+    def df_partial(batch: pa.Table) -> pa.Table:
+        _, w = _doc_words(batch)
+        if len(w) == 0:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64()),
+                             "_b": pa.array([], type=pa.int32())})
+        sw = np.sort(w)
+        neww = np.ones(len(sw), dtype=bool)
+        neww[1:] = sw[1:] != sw[:-1]
+        vals = sw[neww]
+        cnt = np.diff(np.append(np.flatnonzero(neww), len(sw)))
+        b = (hash_str_u64(pa.array(vals, type=pa.string()))
+             % np.uint64(32)).astype(np.int32)
+        return pa.table({"word": pa.array(vals, type=pa.string()),
+                         "df": pa.array(cnt.astype(np.int64)),
+                         "_b": pa.array(b)})
+
+    def df_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "word" not in g.schema.names:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        agg = g.select(["word", "df"]).group_by("word") \
+            .aggregate([("df", "sum")])
+        return pa.table({"word": agg["word"].cast(pa.string()),
+                         "df": agg["df_sum"].cast(pa.int64())})
+
+    dfd = docs.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(df_fold, batch_format="pyarrow") \
+        .materialize()
+    if dfd.count() > df_broadcast_cap:
+        raise NotImplementedError(
+            "word_pair_lift above df_broadcast_cap needs the bucketed "
+            "df join (tfidf _tfidf_topk_bucketed shape); raise the cap "
+            "or pre-prune the vocabulary")
+    rows = dfd.take_all()
+    dwords = np.asarray([r["word"] for r in rows], dtype=str)
+    dfs = np.asarray([r["df"] for r in rows], dtype=np.int64)
+    o = np.argsort(dwords)
+    df_ref = ray.put((dwords[o], dfs[o]))
+
+    # pass 2: co-pair partial counts (triu per doc, batch pre-agg)
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        d, w = _doc_words(batch)
+        empty = pa.table({"word_a": pa.array([], type=pa.string()),
+                          "word_b": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if len(d) == 0:
+            return empty
+        starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        lens = np.diff(np.append(starts, len(d)))
+        m = lens * (lens - 1) // 2
+        tot = int(m.sum())
+        if tot == 0:
+            return empty
+        # vectorized per-doc triu via flat pair index arithmetic
+        ends = np.cumsum(m)
+        flat = np.arange(tot, dtype=np.int64)
+        runi = np.searchsorted(ends, flat, side="right")
+        local = flat - (ends[runi] - m[runi])
+        k = lens[runi]
+        # row i of triu(k): first index with cum pairs > local
+        # i = k - 2 - floor((sqrt(8*(m-local-1)+1)-1)/2) trick avoided:
+        # use searchsorted per run on cumulative row sizes — but rows
+        # shrink (k-1, k-2, ...); closed form via quadratic is exact in
+        # float for k < 2^25
+        rem = m[runi] - local
+        i = (k - 1) - ((np.sqrt(8.0 * rem - 7.0) - 1.0) // 2).astype(np.int64) - 1
+        off = m[runi] - ((k - 1 - i) * (k - i) // 2)
+        j = i + 1 + (local - off)
+        wa = w[starts[runi] + i]
+        wb = w[starts[runi] + j]
+        t = pa.table({"word_a": pa.array(wa, type=pa.string()),
+                      "word_b": pa.array(wb, type=pa.string())})
+        agg = t.group_by(["word_a", "word_b"]).aggregate([([], "count_all")])
+        return pa.table({"word_a": agg["word_a"],
+                         "word_b": agg["word_b"],
+                         "n": agg["count_all"].cast(pa.int64())})
+
+    pair_counts = docs.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["word_a", "word_b"]).aggregate(Sum("n", alias_name="c_ab"))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            ("word_a", pa.string()), ("word_b", pa.string()),
+            ("c_ab", pa.int64()), ("c_a", pa.int64()),
+            ("c_b", pa.int64()), ("lift", pa.float64())])
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        vocab, dfv = ray.get(df_ref)
+        cab = batch["c_ab"].to_numpy(zero_copy_only=False)
+        keep = cab >= min_count
+        batch = batch.filter(pa.array(keep))
+        cab = cab[keep]
+        wa = np.asarray(batch["word_a"].to_pylist(), dtype=str)
+        wb = np.asarray(batch["word_b"].to_pylist(), dtype=str)
+        ca = dfv[np.searchsorted(vocab, wa)]
+        cb = dfv[np.searchsorted(vocab, wb)]
+        lift = (np.int64(n_docs) * cab).astype(np.float64) / (ca * cb)
+        return pa.table({"word_a": batch["word_a"],
+                         "word_b": batch["word_b"],
+                         "c_ab": pa.array(cab),
+                         "c_a": pa.array(ca), "c_b": pa.array(cb),
+                         "lift": pa.array(lift)}).cast(out_schema)
+
+    return pair_counts.map_batches(attach, batch_format="pyarrow")
