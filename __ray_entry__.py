@@ -2067,6 +2067,16 @@ def q_track_length(sf_dir: str):
                         tie_col="event_id")
 
 
+def q_gini_impurity(sf_dir: str):
+    """Per-user event-type diversity as exact Gini impurity
+    (pipelines/stats.gini_impurity_per_key): Arrow pre-agg, one bucket
+    shuffle, two-level reduceat fold, HUGEINT-exact float."""
+    from osmium_tool_ray.pipelines.stats import gini_impurity_per_key
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+    return gini_impurity_per_key(ev, "user_id", "event_type")
+
+
 def q_track_sectors(sf_dir: str):
     """Per-user compass-sector histogram (pipelines/windows.track_sectors):
     heading-rose counts over each user's segments in timestamp order —
@@ -3641,6 +3651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_value": q_approx_quantiles,
         "curate_docs": q_curate_docs,
         "track_length_user": q_track_length,
+        "gini_impurity_user": q_gini_impurity,
         "track_sectors_user": q_track_sectors,
         "track_simplify": q_track_simplify,
         "funnel_counts": q_funnel_counts,
@@ -4422,6 +4433,14 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(SUM(CASE WHEN abs(dx) = abs(dy) AND dx > 0 AND dy < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_se,
               CAST(COALESCE(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_still
             FROM st GROUP BY user_id""",
+        "gini_impurity_user": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+                       FROM events GROUP BY user_id, event_type)
+            SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+                   COUNT(*) AS n_types,
+                   CAST(SUM(c)*SUM(c) - SUM(c*c) AS DOUBLE)
+                       / CAST(SUM(c)*SUM(c) AS DOUBLE) AS impurity
+            FROM c GROUP BY user_id""",
         "radius_join_events": """
             WITH pts AS (SELECT event_id AS id,
                    ((event_id * 7919) % 36000) * 100000 - 1800000000 AS xf,

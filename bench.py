@@ -74,7 +74,7 @@ QUERY_NAMES = [
     # r03 seventh wave: heading-rose sectors, per-cell majority class,
     # exact prefix-filtered Jaccard join
     "track_sectors_user", "cell_top_fmt", "jaccard_join_docs",
-    "radius_join_events", "word_pair_lift",
+    "radius_join_events", "word_pair_lift", "gini_impurity_user",
 ]
 
 

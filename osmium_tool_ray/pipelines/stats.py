@@ -611,3 +611,77 @@ def key_skew_profile(ds, key_col: str):
                      "top_share": pa.array([top_share],
                                            type=pa.float64()),
                      "gini": pa.array([gini], type=pa.float64())})
+
+
+def gini_impurity_per_key(ds, key_col: str, val_col: str):
+    """Per-key Gini impurity of the value distribution — the diversity
+    score 1 - sum(p_i^2) over each key's category mix (reference
+    relative: tags-count's per-key frequency fold,
+    /root/reference/src/command_tags_count.cpp:270-315, reduced to one
+    robust scalar per key). Exact arithmetic: impurity is computed as
+    (N^2 - sum(c^2)) / N^2 over int64 counts, so the single float64
+    division is bit-identical to the SQL twin (per-key counts must stay
+    below ~3e9 for N^2 to fit int64; past that swap the fold to object
+    dtype — the SQL side is already HUGEINT).
+
+    Scale shape: per-batch Arrow group_by pre-aggregates (key, val)
+    counts before ONE hash(key) bucket shuffle; inside a bucket one
+    lexsort finishes both levels (pair counts, then per-key N, sum c^2,
+    n_types) with reduceat folds — no second shuffle, no per-key Python.
+    Returns (key_col, n_events:int64, n_types:int64, impurity:float64)."""
+    import ray
+
+    import numpy as np
+    import pyarrow as pa
+
+    buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+    s = ds.schema()
+    key_type = dict(zip(s.names, s.types))[key_col]
+    out_schema = pa.schema([(key_col, key_type), ("n_events", pa.int64()),
+                            ("n_types", pa.int64()),
+                            ("impurity", pa.float64())])
+
+    from ..functions.hashing import hash_str_u64
+
+    def pre(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, val_col]) \
+            .group_by([key_col, val_col]).aggregate([([], "count_all")])
+        k = t[key_col]
+        if pa.types.is_integer(k.type):
+            b = (k.to_numpy(zero_copy_only=False).astype(np.uint64)
+                 % np.uint64(buckets)).astype(np.int32)
+        else:
+            b = (hash_str_u64(k) % np.uint64(buckets)).astype(np.int32)
+        return pa.table({key_col: k, val_col: t[val_col],
+                         "n": t["count_all"].cast(pa.int64()),
+                         "_b": pa.array(b)})
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or key_col not in g.schema.names:
+            return out_schema.empty_table()
+        keys = np.asarray(g[key_col].to_pylist())
+        vals = np.asarray(g[val_col].to_pylist())
+        n = g["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, keys))
+        keys, vals, n = keys[order], vals[order], n[order]
+        # level 1: global (key, val) counts from batch partials
+        newp = np.ones(len(keys), dtype=bool)
+        newp[1:] = (keys[1:] != keys[:-1]) | (vals[1:] != vals[:-1])
+        ps = np.flatnonzero(newp)
+        c = np.add.reduceat(n, ps)
+        pk = keys[ps]
+        # level 2: per-key N, sum c^2, type count
+        newk = np.ones(len(pk), dtype=bool)
+        newk[1:] = pk[1:] != pk[:-1]
+        ks = np.flatnonzero(newk)
+        N = np.add.reduceat(c, ks)
+        s2 = np.add.reduceat(c * c, ks)
+        ntypes = np.diff(np.append(ks, len(pk)))
+        imp = (N * N - s2).astype(np.float64) / (N * N).astype(np.float64)
+        return pa.table({key_col: pa.array(pk[newk].tolist(), type=key_type),
+                         "n_events": pa.array(N.astype(np.int64)),
+                         "n_types": pa.array(ntypes.astype(np.int64)),
+                         "impurity": pa.array(imp)})
+
+    return ds.map_batches(pre, batch_format="pyarrow") \
+        .groupby("_b").map_groups(fold, batch_format="pyarrow")
