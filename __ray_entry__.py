@@ -2067,6 +2067,16 @@ def q_track_length(sf_dir: str):
                         tie_col="event_id")
 
 
+def q_mad_value(sf_dir: str):
+    """Per-user robust dispersion of event values — discrete median +
+    MAD (pipelines/stats.mad_per_key): one key-hash shuffle, both passes
+    vectorized across key runs via two lexsorts."""
+    from osmium_tool_ray.pipelines.stats import mad_per_key
+
+    ev = _events(sf_dir, ["user_id", "value"])
+    return mad_per_key(ev, "user_id", "value")
+
+
 def q_gini_impurity(sf_dir: str):
     """Per-user event-type diversity as exact Gini impurity
     (pipelines/stats.gini_impurity_per_key): Arrow pre-agg, one bucket
@@ -3652,6 +3662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs": q_curate_docs,
         "track_length_user": q_track_length,
         "gini_impurity_user": q_gini_impurity,
+        "mad_value_user": q_mad_value,
         "track_sectors_user": q_track_sectors,
         "track_simplify": q_track_simplify,
         "funnel_counts": q_funnel_counts,
@@ -4433,6 +4444,14 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(SUM(CASE WHEN abs(dx) = abs(dy) AND dx > 0 AND dy < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_se,
               CAST(COALESCE(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_still
             FROM st GROUP BY user_id""",
+        "mad_value_user": """
+            WITH med AS (SELECT user_id, COUNT(*) AS n,
+                                quantile_disc(value, 0.5) AS median
+                         FROM events GROUP BY user_id)
+            SELECT m.user_id, m.n, m.median,
+                   quantile_disc(abs(e.value - m.median), 0.5) AS mad
+            FROM events e JOIN med m USING (user_id)
+            GROUP BY m.user_id, m.n, m.median""",
         "gini_impurity_user": """
             WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
                        FROM events GROUP BY user_id, event_type)

@@ -685,3 +685,70 @@ def gini_impurity_per_key(ds, key_col: str, val_col: str):
 
     return ds.map_batches(pre, batch_format="pyarrow") \
         .groupby("_b").map_groups(fold, batch_format="pyarrow")
+
+
+def mad_per_key(ds, key_col: str, col: str, buckets: int | None = None):
+    """Per-key robust dispersion: discrete median and MAD (median of
+    absolute deviations from the median), the outlier-resistant
+    complement of zscore_per_key. Discrete-quantile convention matches
+    quantiles_per_key / DuckDB quantile_disc: value at sorted index
+    max(ceil(0.5*n)-1, 0), so results are exact row values (no
+    interpolation float).
+
+    Scale shape: ONE hash(key)%buckets shuffle of the narrow (key, col)
+    projection; inside a bucket BOTH passes are fully vectorized across
+    key runs — one lexsort by (key, value) gives every median by index
+    arithmetic, a second lexsort by (key, |value - median|) gives every
+    MAD; no per-key Python. Returns (key_col, n:int64, median, mad)."""
+    import ray
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import hash_str_u64
+
+    if buckets is None:
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+    s = ds.schema()
+    key_type = dict(zip(s.names, s.types))[key_col]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, col])
+        k = t[key_col]
+        if pa.types.is_integer(k.type):
+            b = (k.to_numpy(zero_copy_only=False).astype(np.uint64)
+                 % np.uint64(buckets)).astype(np.int32)
+        else:
+            b = (hash_str_u64(k) % np.uint64(buckets)).astype(np.int32)
+        return t.append_column("_b", pa.array(b))
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], type=key_type),
+                          "n": pa.array([], type=pa.int64()),
+                          "median": pa.array([], type=pa.float64()),
+                          "mad": pa.array([], type=pa.float64())})
+        if g.num_rows == 0 or key_col not in g.schema.names:
+            return empty
+        keys = np.asarray(g[key_col].to_pylist())
+        v = g[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        o = np.lexsort((v, keys))
+        keys, v = keys[o], v[o]
+        new = np.ones(len(keys), dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.append(starts, len(keys)))
+        qidx = starts + np.maximum((n + 1) // 2 - 1, 0)  # ceil(n/2)-1
+        med = v[qidx]
+        runi = np.cumsum(new) - 1
+        dev = np.abs(v - med[runi])
+        o2 = np.lexsort((dev, keys))
+        dev2 = dev[o2]
+        mad = dev2[qidx]          # same run layout after the stable sort
+        return pa.table({key_col: pa.array(keys[starts].tolist(),
+                                           type=key_type),
+                         "n": pa.array(n.astype(np.int64)),
+                         "median": pa.array(med),
+                         "mad": pa.array(mad)})
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(fold, batch_format="pyarrow")
