@@ -58,11 +58,15 @@ def argmax_rows(ds, key_cols: list[str], order_cols: list[str]):
     asc = [True] * len(key_cols) + [False] * len(order_cols)
     cols = key_cols + order_cols
 
-    def local(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return df
-        return df.sort_values(cols, ascending=asc, kind="stable") \
-            .drop_duplicates(subset=key_cols, keep="first")
+    def local(df: pd.DataFrame) -> pa.Table:
+        out = df if df.empty else \
+            df.sort_values(cols, ascending=asc, kind="stable") \
+              .drop_duplicates(subset=key_cols, keep="first")
+        # emit metadata-free Arrow: the pandas round-trip would attach a
+        # schema-metadata dict that defeats the shuffle's schema-dedup
+        # hash (the "Failed to hash the schemas" warning)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     reduced = ds.map_batches(local, batch_format="pandas")
     return reduced.groupby(key_cols).map_groups(local, batch_format="pandas")
@@ -82,11 +86,12 @@ def topk_per_key(ds, key_cols: list[str], order_cols: list[str], k: int):
     asc = [True] * len(key_cols) + [False] * len(order_cols)
     cols = key_cols + order_cols
 
-    def local(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return df
-        s = df.sort_values(cols, ascending=asc, kind="stable")
-        return s.groupby(key_cols, sort=False).head(k)
+    def local(df: pd.DataFrame) -> pa.Table:
+        out = df if df.empty else \
+            df.sort_values(cols, ascending=asc, kind="stable") \
+              .groupby(key_cols, sort=False).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)   # see argmax_rows
 
     reduced = ds.map_batches(local, batch_format="pandas")
     return reduced.groupby(key_cols).map_groups(local, batch_format="pandas")
@@ -135,11 +140,12 @@ def argmax_rows_native(ds, key_cols: list[str], order_cols: list[str],
     asc = [True] * len(key_cols) + [False] * len(order_cols)
     cols = key_cols + order_cols
 
-    def local(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return df
-        return df.sort_values(cols, ascending=asc, kind="stable") \
-            .drop_duplicates(subset=key_cols, keep="first")
+    def local(df: pd.DataFrame) -> pa.Table:
+        out = df if df.empty else \
+            df.sort_values(cols, ascending=asc, kind="stable") \
+              .drop_duplicates(subset=key_cols, keep="first")
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)   # see argmax_rows
 
     def add_ord(batch: pa.Table) -> pa.Table:
         return batch.append_column("_ord", _pack_order(batch, order_cols))

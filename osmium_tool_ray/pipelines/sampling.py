@@ -107,11 +107,15 @@ def stratified_sample(ds, key_cols: list[str], id_col: str, n_per_key: int,
 
     cols = key_cols + ["_hsh", id_col]
 
-    def local(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return df
-        s = df.sort_values(cols, ascending=True, kind="stable")
-        return s.groupby(key_cols, sort=False).head(n_per_key)
+    def local(df: pd.DataFrame) -> pa.Table:
+        out = df if df.empty else \
+            df.sort_values(cols, ascending=True, kind="stable") \
+              .groupby(key_cols, sort=False).head(n_per_key)
+        # metadata-free Arrow out: a pandas-block schema feeding the
+        # groupby shuffle defeats Ray's schema-dedup hash (merge.py
+        # argmax_rows has the same guard)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     tagged = ds.map_batches(with_hash, batch_format="pyarrow")
     pruned = tagged.map_batches(local, batch_format="pandas")
