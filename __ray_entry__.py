@@ -3301,6 +3301,28 @@ def q_jaccard_join(sf_dir: str):
                         n=3)
 
 
+def q_visited_cells_jaccard(sf_dir: str):
+    """User-similarity by visited-cell sets (stages/dedup.set_jaccard_join):
+    the exact prefix-filtered Jaccard join over per-user grid-cell sets —
+    trajectory co-location mining with no LSH recall loss."""
+    from osmium_tool_ray.stages.dedup import set_jaccard_join
+
+    ev = _events(sf_dir, ["event_id", "user_id"])
+    CELL = 400_000_000
+
+    def cells(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        xf = ((eid * 7919) % 36000) * 100000 - 1800000000
+        yf = ((eid * 104729) % 17000) * 100000 - 850000000
+        cell = ((xf + 2147483648) // CELL) * 4294967296 \
+            + ((yf + 2147483648) // CELL)
+        return pa.table({"user_id": batch["user_id"],
+                         "cell": pa.array(cell)})
+
+    rows = ev.map_batches(cells, batch_format="pyarrow")
+    return set_jaccard_join(rows, "user_id", "cell", threshold=0.6)
+
+
 def q_word_pair_lift(sf_dir: str):
     """Collocation mining by association lift (stages/text.word_pair_lift):
     linear-form PMI N*c_ab/(c_a*c_b) — exact BIGINT products, one IEEE
@@ -3746,6 +3768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join_docs": q_jaccard_join,
         "radius_join_events": q_radius_join,
         "word_pair_lift": q_word_pair_lift,
+        "visited_cells_jaccard": q_visited_cells_jaccard,
         "ann_embeddings": q_ann_embeddings,
         "psnr_verify": q_psnr_verify,
         "frame_sample": q_frame_sample,
@@ -4444,6 +4467,24 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(SUM(CASE WHEN abs(dx) = abs(dy) AND dx > 0 AND dy < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_se,
               CAST(COALESCE(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_still
             FROM st GROUP BY user_id""",
+        "visited_cells_jaccard": """
+            WITH dc AS (SELECT DISTINCT user_id,
+                  ((((event_id * 7919) % 36000) * 100000 - 1800000000
+                     + 2147483648) // 400000000) * 4294967296
+                + ((((event_id * 104729) % 17000) * 100000 - 850000000
+                     + 2147483648) // 400000000) AS cell
+              FROM events),
+            sz AS (SELECT user_id, COUNT(*) s FROM dc GROUP BY user_id),
+            inter AS (SELECT a.user_id ia, b.user_id ib, COUNT(*) i
+              FROM dc a JOIN dc b
+                ON a.cell = b.cell AND a.user_id < b.user_id
+              GROUP BY 1, 2)
+            SELECT ia AS a, ib AS b, i AS inter_sz,
+                   sa.s + sb.s - i AS union_sz,
+                   CAST(i AS DOUBLE) / (sa.s + sb.s - i) AS jacc
+            FROM inter JOIN sz sa ON sa.user_id = ia
+                       JOIN sz sb ON sb.user_id = ib
+            WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= 0.6""",
         "mad_value_user": """
             WITH med AS (SELECT user_id, COUNT(*) AS n,
                                 quantile_disc(value, 0.5) AS median

@@ -630,7 +630,8 @@ def ngram_jaccard_pairs(docs, text_col: str = "text", id_col: str = "doc_id",
 def jaccard_join(docs, text_col: str = "text", id_col: str = "doc_id",
                  threshold: float = 0.5, n: int = 3,
                  coarse: int | None = None,
-                 df_broadcast_cap: int = 4_000_000):
+                 df_broadcast_cap: int = 4_000_000,
+                 sets_fn=None):
     """EXACT Jaccard set-similarity self-join over word-n-gram shingle
     sets via prefix filtering (Chaudhuri et al. 2006 SSJoin / Bayardo et
     al. 2007 All-Pairs — public algorithms): every pair with shingle-set
@@ -660,30 +661,33 @@ def jaccard_join(docs, text_col: str = "text", id_col: str = "doc_id",
     batch. No doc row ever reaches the driver.
 
     Returns (a, b, inter_sz, union_sz, jacc) with a < b; jacc is the
-    single IEEE division inter/union (bit-identical to the SQL twin)."""
+    single IEEE division inter/union (bit-identical to the SQL twin).
+
+    `sets_fn(payloads) -> list[np.ndarray(uint64)]` swaps the token
+    universe: given the batch's `text_col` values it must return each
+    row's SORTED UNIQUE token-hash set (default: word-n-gram shingles).
+    Any set-valued payload joins this way — e.g. per-user visited-cell
+    sets packed as binary with an unpacking sets_fn."""
     import ray
 
     if coarse is None:
         coarse = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    if sets_fn is None:
+        sets_fn = lambda texts: _word_ngram_sets(texts, n)  # noqa: E731
 
     s = docs.schema()
     id_type = dict(zip(s.names, s.types))[id_col]
 
-    # pass 1: shingle document frequencies (per-batch-distinct -> fold)
+    # pass 1: token document frequencies (sets are unique per row, so
+    # the per-batch partial is one sort + run-length count)
     def df_partial(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        flat, offs = _flat_word_ngram_hashes(texts, n)
-        doc_idx = np.repeat(np.arange(len(texts)),
-                            np.diff(offs)).astype(np.int64)
-        o = np.lexsort((doc_idx, flat))
-        f, d = flat[o], doc_idx[o]
-        first = np.ones(len(f), dtype=bool)
-        first[1:] = (f[1:] != f[:-1]) | (d[1:] != d[:-1])
-        uf = f[first]
-        neww = np.ones(len(uf), dtype=bool)
-        neww[1:] = uf[1:] != uf[:-1]
-        vals = uf[neww]
-        cnt = np.diff(np.append(np.flatnonzero(neww), len(uf)))
+        sets = sets_fn(batch[text_col].to_pylist())
+        flat = np.sort(np.concatenate(sets)) if sets \
+            else np.empty(0, np.uint64)
+        neww = np.ones(len(flat), dtype=bool)
+        neww[1:] = flat[1:] != flat[:-1]
+        vals = flat[neww]
+        cnt = np.diff(np.append(np.flatnonzero(neww), len(flat)))
         return pa.table({
             "sh": pa.array(vals.view(np.int64)),
             "df": pa.array(cnt.astype(np.int64)),
@@ -720,7 +724,7 @@ def jaccard_join(docs, text_col: str = "text", id_col: str = "doc_id",
     def prefix_rows(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         ids = np.asarray(batch[id_col].to_pylist())
-        sets = _word_ngram_sets(texts, n)
+        sets = sets_fn(texts)
         sizes = np.asarray([len(st) for st in sets], dtype=np.int64)
         if len(sets) == 0 or sizes.sum() == 0:
             return pa.table({
@@ -849,8 +853,7 @@ def jaccard_join(docs, text_col: str = "text", id_col: str = "doc_id",
         for i, t in zip(ids_b, tb):
             text_of.setdefault(i, t)
         uniq = list(text_of)
-        set_of = dict(zip(uniq, _word_ngram_sets(
-            [text_of[i] for i in uniq], n)))
+        set_of = dict(zip(uniq, sets_fn([text_of[i] for i in uniq])))
         inter = np.zeros(batch.num_rows, dtype=np.int64)
         union = np.zeros(batch.num_rows, dtype=np.int64)
         for i in range(batch.num_rows):
@@ -1805,3 +1808,74 @@ def fuzzy_pairs_ed1(ds, id_col: str = "doc_id", str_col: str = "s",
     return ds.map_batches(keys, batch_format="pyarrow") \
         .groupby("_b").map_groups(cand, batch_format="pyarrow") \
         .groupby("_pb").map_groups(verify, batch_format="pyarrow")
+
+
+def _unpack_u64_sets(payloads: list) -> list[np.ndarray]:
+    """Inverse of key_token_sets' packing: binary -> sorted uint64 set."""
+    return [np.frombuffer(b, dtype=np.uint64) if b else
+            np.empty(0, np.uint64) for b in payloads]
+
+
+def key_token_sets(rows, key_col: str, token_col: str,
+                   buckets: int | None = None, packed_col: str = "_packed"):
+    """Collapse flat (key, token) rows into one row per key carrying the
+    key's SORTED UNIQUE uint64 token set packed as binary (Acero rejects
+    list<T> payloads in joins — CLAUDE rule — and binary survives every
+    shuffle). One hash(key)%buckets shuffle; inside a bucket one lexsort
+    + run-length slice per key (memcpy-only Python)."""
+    import ray
+
+    if buckets is None:
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+    s = rows.schema()
+    key_type = dict(zip(s.names, s.types))[key_col]
+
+    def add_b(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, token_col])
+        k = t[key_col]
+        if pa.types.is_integer(k.type):
+            b = (k.to_numpy(zero_copy_only=False).astype(np.uint64)
+                 % np.uint64(buckets)).astype(np.int32)
+        else:
+            b = (hash_str_u64(k) % np.uint64(buckets)).astype(np.int32)
+        return t.append_column("_b", pa.array(b))
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], type=key_type),
+                          packed_col: pa.array([], type=pa.binary())})
+        if g.num_rows == 0 or key_col not in g.schema.names:
+            return empty
+        keys = np.asarray(g[key_col].to_pylist())
+        tok = g[token_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        o = np.lexsort((tok, keys))
+        keys, tok = keys[o], tok[o]
+        first = np.ones(len(keys), dtype=bool)
+        first[1:] = (keys[1:] != keys[:-1]) | (tok[1:] != tok[:-1])
+        keys, tok = keys[first], tok[first]
+        newk = np.ones(len(keys), dtype=bool)
+        newk[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(newk)
+        ends = np.append(starts[1:], len(keys))
+        packed = [tok[s0:e0].tobytes() for s0, e0 in zip(starts, ends)]
+        return pa.table({key_col: pa.array(keys[starts].tolist(),
+                                           type=key_type),
+                         packed_col: pa.array(packed, type=pa.binary())})
+
+    return rows.map_batches(add_b, batch_format="pyarrow") \
+        .groupby("_b").map_groups(fold, batch_format="pyarrow")
+
+
+def set_jaccard_join(rows, key_col: str, token_col: str,
+                     threshold: float = 0.5, coarse: int | None = None,
+                     df_broadcast_cap: int = 4_000_000):
+    """EXACT Jaccard join over arbitrary per-key token SETS given as
+    flat (key, token:int64) rows — jaccard_join's prefix-filter pipeline
+    with the token universe swapped from text shingles to the packed
+    per-key sets (e.g. users by visited grid cells, items by feature
+    ids). Returns (a, b, inter_sz, union_sz, jacc)."""
+    sets_ds = key_token_sets(rows, key_col, token_col)
+    return jaccard_join(sets_ds, text_col="_packed", id_col=key_col,
+                        threshold=threshold, coarse=coarse,
+                        df_broadcast_cap=df_broadcast_cap,
+                        sets_fn=_unpack_u64_sets)
