@@ -2067,6 +2067,16 @@ def q_track_length(sf_dir: str):
                         tie_col="event_id")
 
 
+def q_longest_streak(sf_dir: str):
+    """Per-user longest consecutive-day activity streak
+    (pipelines/windows.longest_streak_per_key): distinct-day pre-agg,
+    one key-hash shuffle, vectorized gaps-and-islands fold."""
+    from osmium_tool_ray.pipelines.windows import longest_streak_per_key
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+    return longest_streak_per_key(ev, "user_id", "ts")
+
+
 def q_mad_value(sf_dir: str):
     """Per-user robust dispersion of event values — discrete median +
     MAD (pipelines/stats.mad_per_key): one key-hash shuffle, both passes
@@ -3320,7 +3330,37 @@ def q_visited_cells_jaccard(sf_dir: str):
                          "cell": pa.array(cell)})
 
     rows = ev.map_batches(cells, batch_format="pyarrow")
-    return set_jaccard_join(rows, "user_id", "cell", threshold=0.6)
+    return set_jaccard_join(rows, "user_id", "cell", threshold=0.7)
+
+
+def q_isolated_points(sf_dir: str):
+    """Spatial outlier detection: events with NO neighbor within the
+    radius — radius_join's matched-id set (both pair sides) fed through
+    the Bloom ANTI-join (pipelines/idops.semi_join_bloom invert=True,
+    the dedup_job drop-list scale path). Composition, zero new state."""
+    from osmium_tool_ray.pipelines.idops import semi_join_bloom
+    from osmium_tool_ray.stages.spatial import radius_join
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        xf = ((eid * 7919) % 36000) * 100000 - 1800000000
+        yf = ((eid * 104729) % 17000) * 100000 - 850000000
+        return batch.append_column("xf", pa.array(xf)) \
+                    .append_column("yf", pa.array(yf))
+
+    pts = ev.map_batches(coords, batch_format="pyarrow")
+    pairs = radius_join(pts, "event_id", "xf", "yf", radius=20_000_000)
+
+    def both_sides(batch: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            batch["a"].to_numpy(zero_copy_only=False),
+            batch["b"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"event_id": pa.array(ids)})
+
+    matched = pairs.map_batches(both_sides, batch_format="pyarrow")
+    return semi_join_bloom(ev, "event_id", matched, invert=True)
 
 
 def q_word_pair_lift(sf_dir: str):
@@ -3685,6 +3725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_length_user": q_track_length,
         "gini_impurity_user": q_gini_impurity,
         "mad_value_user": q_mad_value,
+        "longest_streak_user": q_longest_streak,
         "track_sectors_user": q_track_sectors,
         "track_simplify": q_track_simplify,
         "funnel_counts": q_funnel_counts,
@@ -3769,6 +3810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_join_events": q_radius_join,
         "word_pair_lift": q_word_pair_lift,
         "visited_cells_jaccard": q_visited_cells_jaccard,
+        "isolated_points": q_isolated_points,
         "ann_embeddings": q_ann_embeddings,
         "psnr_verify": q_psnr_verify,
         "frame_sample": q_frame_sample,
@@ -4467,6 +4509,43 @@ def oracle_sql() -> dict[str, str]:
               CAST(COALESCE(SUM(CASE WHEN abs(dx) = abs(dy) AND dx > 0 AND dy < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_se,
               CAST(COALESCE(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_still
             FROM st GROUP BY user_id""",
+        "isolated_points": """
+            WITH pts AS (SELECT event_id AS id,
+                   ((event_id * 7919) % 36000) * 100000 - 1800000000 AS xf,
+                   ((event_id * 104729) % 17000) * 100000 - 850000000 AS yf
+                 FROM events),
+            c AS (SELECT id, xf, yf,
+                    (xf + 2147483648) // 20000000 AS cx,
+                    (yf + 2147483648) // 20000000 AS cy FROM pts),
+            n AS (SELECT id, xf, yf, cx + dx.o AS cx, cy + dy.o AS cy
+                  FROM c, (VALUES (-1),(0),(1)) dx(o),
+                          (VALUES (-1),(0),(1)) dy(o)),
+            matched AS (
+              SELECT DISTINCT m FROM (
+                SELECT n.id AS m FROM n JOIN c b
+                  ON b.cx = n.cx AND b.cy = n.cy AND n.id < b.id
+                WHERE (n.xf-b.xf)*(n.xf-b.xf) + (n.yf-b.yf)*(n.yf-b.yf)
+                      <= 400000000000000
+                UNION ALL
+                SELECT b.id AS m FROM n JOIN c b
+                  ON b.cx = n.cx AND b.cy = n.cy AND n.id < b.id
+                WHERE (n.xf-b.xf)*(n.xf-b.xf) + (n.yf-b.yf)*(n.yf-b.yf)
+                      <= 400000000000000))
+            SELECT event_id FROM events
+            WHERE event_id NOT IN (SELECT m FROM matched)""",
+        "longest_streak_user": """
+            WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                       FROM events),
+            r AS (SELECT user_id, day,
+                    day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                                  ORDER BY day)
+                               AS INTEGER) AS grp
+                  FROM d),
+            i AS (SELECT user_id, COUNT(*) AS len
+                  FROM r GROUP BY user_id, grp)
+            SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+                   CAST(MAX(len) AS BIGINT) AS max_streak
+            FROM i GROUP BY user_id""",
         "visited_cells_jaccard": """
             WITH dc AS (SELECT DISTINCT user_id,
                   ((((event_id * 7919) % 36000) * 100000 - 1800000000
@@ -4484,7 +4563,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(i AS DOUBLE) / (sa.s + sb.s - i) AS jacc
             FROM inter JOIN sz sa ON sa.user_id = ia
                        JOIN sz sb ON sb.user_id = ib
-            WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= 0.6""",
+            WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= 0.7""",
         "mad_value_user": """
             WITH med AS (SELECT user_id, COUNT(*) AS n,
                                 quantile_disc(value, 0.5) AS median

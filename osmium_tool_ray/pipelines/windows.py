@@ -1048,3 +1048,79 @@ def time_weighted_sum(ds, key_col: str, ts_col: str, value_col: str,
     return ds.select_columns(cols) \
         .map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def longest_streak_per_key(ds, key_col: str, ts_col: str,
+                           buckets: int | None = None):
+    """Per-key longest consecutive-day activity streak (gaps-and-islands
+    over distinct active days) — the engagement metric form of
+    time-filter's validity-interval arithmetic
+    (/root/reference/src/command_time_filter.cpp:169-178 successor
+    logic, reduced to day granularity).
+
+    Scale shape: per-batch distinct (key, day) pairs bound the shuffle,
+    ONE hash(key)%buckets exchange, then a single lexsort per bucket
+    finishes the global distinct, splits islands where consecutive days
+    differ by more than one, and folds per-key max/sum with reduceat —
+    no per-key Python. Days are floor(ts / 86400s) in UTC, matching
+    SQL's CAST(ts AS DATE) for non-negative epochs.
+
+    Returns (key_col, n_active_days:int64, max_streak:int64)."""
+    import ray
+
+    from ..functions.hashing import hash_str_u64
+
+    if buckets is None:
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+    s = ds.schema()
+    key_type = dict(zip(s.names, s.types))[key_col]
+    DAY_US = np.int64(86_400_000_000)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        k = batch[key_col]
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        day = ts // DAY_US
+        t = pa.table({key_col: k, "_day": pa.array(day)}) \
+            .group_by([key_col, "_day"]).aggregate([])
+        kk = t[key_col]
+        if pa.types.is_integer(kk.type):
+            b = (kk.to_numpy(zero_copy_only=False).astype(np.uint64)
+                 % np.uint64(buckets)).astype(np.int32)
+        else:
+            b = (hash_str_u64(kk) % np.uint64(buckets)).astype(np.int32)
+        return t.append_column("_b", pa.array(b))
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], type=key_type),
+                          "n_active_days": pa.array([], type=pa.int64()),
+                          "max_streak": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or key_col not in g.schema.names:
+            return empty
+        keys = np.asarray(g[key_col].to_pylist())
+        day = g["_day"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((day, keys))
+        keys, day = keys[o], day[o]
+        first = np.ones(len(keys), dtype=bool)
+        first[1:] = (keys[1:] != keys[:-1]) | (day[1:] != day[:-1])
+        keys, day = keys[first], day[first]
+        newk = np.ones(len(keys), dtype=bool)
+        newk[1:] = keys[1:] != keys[:-1]
+        # island starts: new key OR a gap of more than one day
+        brk = newk.copy()
+        brk[1:] |= (day[1:] - day[:-1]) != 1
+        istart = np.flatnonzero(brk)
+        ilen = np.diff(np.append(istart, len(keys)))
+        # islands are contiguous per key; fold max/sum per key run
+        ikey_first = np.flatnonzero(newk[istart])
+        mx = np.maximum.reduceat(ilen, ikey_first)
+        tot = np.add.reduceat(ilen, ikey_first)
+        kstarts = np.flatnonzero(newk)
+        return pa.table({
+            key_col: pa.array(keys[kstarts].tolist(), type=key_type),
+            "n_active_days": pa.array(tot.astype(np.int64)),
+            "max_streak": pa.array(mx.astype(np.int64))})
+
+    return ds.select_columns([key_col, ts_col]) \
+        .map_batches(pre, batch_format="pyarrow") \
+        .groupby("_b").map_groups(fold, batch_format="pyarrow")

@@ -834,6 +834,10 @@ def jaccard_join(docs, text_col: str = "text", id_col: str = "doc_id",
         add_pb, batch_format="pyarrow").groupby("_pb").map_groups(
         pair_distinct, batch_format="pyarrow")
     pairs = _drop_empty_blocks(pairs)
+    if pairs is not None:
+        # narrow (a, b) rows; materialize so the count guard and the
+        # payload joins don't each re-execute the whole pair lineage
+        pairs = pairs.materialize()
     if pairs is None or pairs.count() == 0:
         return pa.table({"a": pa.array([], type=id_type),
                          "b": pa.array([], type=id_type),
@@ -854,13 +858,28 @@ def jaccard_join(docs, text_col: str = "text", id_col: str = "doc_id",
             text_of.setdefault(i, t)
         uniq = list(text_of)
         set_of = dict(zip(uniq, sets_fn([text_of[i] for i in uniq])))
-        inter = np.zeros(batch.num_rows, dtype=np.int64)
-        union = np.zeros(batch.num_rows, dtype=np.int64)
-        for i in range(batch.num_rows):
+        # fully vectorized intersection counting: concatenate every
+        # pair's two (unique) sets tagged by pair index; a (pair, token)
+        # value appearing twice means the token is in BOTH sets — one
+        # lexsort + adjacent-equal + bincount replaces a per-pair
+        # intersect1d loop (~20 us x pairs)
+        npairs = batch.num_rows
+        chunks = []
+        na = np.empty(npairs, dtype=np.int64)
+        nb = np.empty(npairs, dtype=np.int64)
+        for i in range(npairs):           # list appends + memcpy only
             sa, sb = set_of[ids_a[i]], set_of[ids_b[i]]
-            ii = np.intersect1d(sa, sb, assume_unique=True).size
-            inter[i] = ii
-            union[i] = sa.size + sb.size - ii
+            na[i], nb[i] = sa.size, sb.size
+            chunks.append(sa)
+            chunks.append(sb)
+        tok = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)
+        prep = np.repeat(np.arange(npairs, dtype=np.int64), na + nb)
+        o = np.lexsort((tok, prep))
+        toko, prepo = tok[o], prep[o]
+        dup = (prepo[1:] == prepo[:-1]) & (toko[1:] == toko[:-1])
+        inter = np.bincount(prepo[1:][dup], minlength=npairs) \
+            .astype(np.int64)
+        union = na + nb - inter
         jacc = inter / np.maximum(union, 1)
         jacc[union == 0] = 1.0
         keep = pa.array(jacc >= threshold)
@@ -1874,7 +1893,10 @@ def set_jaccard_join(rows, key_col: str, token_col: str,
     with the token universe swapped from text shingles to the packed
     per-key sets (e.g. users by visited grid cells, items by feature
     ids). Returns (a, b, inter_sz, union_sz, jacc)."""
-    sets_ds = key_token_sets(rows, key_col, token_col)
+    # one row per key after the fold — materialize so jaccard_join's
+    # three consumers (df pass, prefix pass, payload attach) don't each
+    # re-execute the whole collapse (the >1-consumer re-execution rule)
+    sets_ds = key_token_sets(rows, key_col, token_col).materialize()
     return jaccard_join(sets_ds, text_col="_packed", id_col=key_col,
                         threshold=threshold, coarse=coarse,
                         df_broadcast_cap=df_broadcast_cap,
