@@ -636,23 +636,26 @@ def common_neighbors(edges, a_col: str = "a", b_col: str = "b",
 
 def bfs_hops(edges, sources, a_col: str = "a", b_col: str = "b",
              max_iters: int = 200, partitions: int | None = None,
-             buckets: int = 64):
+             buckets: int = 64, frontier_mode: str = "broadcast"):
     """Multi-source BFS hop distances over the undirected distinct edge
     set — the reachability / network-distance operator (getid -r's
     recursive closure, src/command_getid.cpp, generalized from "which
     ids" to "how far"). Exact-oracle-able via a recursive CTE.
 
-    Scale shape per round (the k_core discipline — frontier, visited and
-    edges all stay DATASETS, nothing node-scale on the driver):
-      1. frontier-expand: adjacency buckets on the CENTER endpoint,
-         frontier nodes bucket the same; one sorted-probe per bucket
-         emits in-bucket-unique neighbours.
-      2. dedup + anti-visited: candidates re-bucket on the NEIGHBOUR
-         value together with visited nodes; one sorted-probe per bucket
-         yields the new frontier — dedup, visited-check and frontier
-         assembly in a single grouped pass.
-    Rounds = graph eccentricity; each round's visited set is
-    materialized pinned (the iterative block-growth landmine).
+    Two execution modes (identical results, pinned by pytest):
+      * frontier_mode="broadcast" (default): the adjacency is shuffled
+        ONCE into pinned blocks; each round broadcasts the sorted
+        frontier via ray.put, runs one shuffle-free map over the pinned
+        adjacency, and folds the (<= node-count) candidate partials on
+        the driver. Driver memory is O(nodes) — the same declared
+        node-scale seam PageRank carries; right whenever the node table
+        fits the driver (up to ~1e9 ids), and ~10x faster per round
+        because the edge set never re-shuffles.
+      * frontier_mode="dataset": frontier, visited and edges all stay
+        DATASETS (the k_core discipline) — two bucket exchanges per
+        round, nothing node-scale on the driver; the path for graphs
+        whose node set itself exceeds driver RAM.
+    Rounds = graph eccentricity in both modes.
 
     Returns (node:int64, hops:int64) for every node reachable from
     `sources` (sources themselves at hops 0)."""
@@ -680,6 +683,46 @@ def bfs_hops(edges, sources, a_col: str = "a", b_col: str = "b",
         .repartition(partitions).materialize()
 
     src = np.unique(np.asarray(list(sources), dtype=np.int64))
+
+    if frontier_mode == "broadcast":
+        visited = src.copy()
+        frontier = src.copy()
+        out_nodes = [src]
+        out_hops = [np.zeros(len(src), np.int64)]
+        for hop in range(1, max_iters + 1):
+            fref = ray.put(np.sort(frontier))
+
+            def exp(batch: pa.Table, _f=fref) -> pa.Table:
+                fr = ray.get(_f)
+                ctr = batch["ctr"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(fr, ctr)
+                pos_c = np.minimum(pos, len(fr) - 1)
+                hit = (pos < len(fr)) & (fr[pos_c] == ctr)
+                cand = np.unique(
+                    batch["nbr"].to_numpy(zero_copy_only=False)[hit])
+                return pa.table({"cand": pa.array(cand)})
+
+            parts = adj.map_batches(exp, batch_format="pyarrow") \
+                .take_all()
+            if parts:
+                cand = np.unique(np.asarray([r["cand"] for r in parts],
+                                            dtype=np.int64))
+            else:
+                cand = np.empty(0, np.int64)
+            pos = np.searchsorted(visited, cand)
+            pos_c = np.minimum(pos, max(len(visited) - 1, 0))
+            new = cand[~((pos < len(visited))
+                         & (visited[pos_c] == cand))] \
+                if len(visited) else cand
+            if not len(new):
+                break
+            visited = np.sort(np.concatenate([visited, new]))
+            frontier = new
+            out_nodes.append(new)
+            out_hops.append(np.full(len(new), hop, np.int64))
+        return rd.from_arrow(pa.table({
+            "node": pa.array(np.concatenate(out_nodes)),
+            "hops": pa.array(np.concatenate(out_hops))}))
     dist = rd.from_arrow(pa.table({
         "node": pa.array(src),
         "hops": pa.array(np.zeros(len(src), np.int64))})) \

@@ -55,3 +55,19 @@ def test_bfs_multi_source_chain(ray_session):
     pairs = [(i, i + 1) for i in range(9)]
     got = _run(pairs, sources=[0, 9])
     assert got == {i: min(i, 9 - i) for i in range(10)}
+
+
+def test_bfs_modes_identical(ray_session):
+    """broadcast (default) and dataset modes return identical hop maps."""
+    rng = np.random.default_rng(9)
+    pairs = [(int(x), int(y))
+             for x, y in rng.integers(0, 90, size=(120, 2))]
+    tbl = pa.table({"a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                    "b": pa.array([p[1] for p in pairs], type=pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(4)
+    bc = bfs_hops(ds, [3, 7], buckets=8, frontier_mode="broadcast") \
+        .to_pandas()
+    dt = bfs_hops(ds, [3, 7], buckets=8, frontier_mode="dataset") \
+        .to_pandas()
+    key = lambda df: sorted(map(tuple, df[["node", "hops"]].values))
+    assert key(bc) == key(dt) != []
