@@ -2067,6 +2067,27 @@ def q_track_length(sf_dir: str):
                         tie_col="event_id")
 
 
+def q_turn_counts(sf_dir: str):
+    """Per-user turning-direction histogram (pipelines/windows
+    .turn_counts_per_key): integer cross-product signs over consecutive
+    track triples — coords pre-scaled to lattice units so products stay
+    far inside int64."""
+    from osmium_tool_ray.pipelines.windows import turn_counts_per_key
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        xq = (eid * 7919) % 36000 - 18000
+        yq = (eid * 104729) % 17000 - 8500
+        return batch.append_column("xq", pa.array(xq)) \
+                    .append_column("yq", pa.array(yq))
+
+    pts = ev.map_batches(coords, batch_format="pyarrow")
+    return turn_counts_per_key(pts, "user_id", "ts", "xq", "yq",
+                               tie_col="event_id")
+
+
 def q_longest_streak(sf_dir: str):
     """Per-user longest consecutive-day activity streak
     (pipelines/windows.longest_streak_per_key): distinct-day pre-agg,
@@ -3726,6 +3747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_impurity_user": q_gini_impurity,
         "mad_value_user": q_mad_value,
         "longest_streak_user": q_longest_streak,
+        "turn_counts_user": q_turn_counts,
         "track_sectors_user": q_track_sectors,
         "track_simplify": q_track_simplify,
         "funnel_counts": q_funnel_counts,
@@ -4533,6 +4555,25 @@ def oracle_sql() -> dict[str, str]:
                       <= 400000000000000))
             SELECT event_id FROM events
             WHERE event_id NOT IN (SELECT m FROM matched)""",
+        "turn_counts_user": """
+            WITH pts AS (SELECT user_id, ts, event_id,
+                   (event_id * 7919) % 36000 - 18000 AS xq,
+                   (event_id * 104729) % 17000 - 8500 AS yq
+                 FROM events),
+            st AS (SELECT user_id,
+                   lag(xq) OVER w - lag(xq, 2) OVER w AS dx1,
+                   lag(yq) OVER w - lag(yq, 2) OVER w AS dy1,
+                   xq - lag(xq) OVER w AS dx2,
+                   yq - lag(yq) OVER w AS dy2
+                 FROM pts
+                 WINDOW w AS (PARTITION BY user_id
+                              ORDER BY ts, event_id))
+            SELECT user_id,
+              CAST(COALESCE(SUM(CASE WHEN dx1 IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_triples,
+              CAST(COALESCE(SUM(CASE WHEN dx1*dy2 - dy1*dx2 > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_left,
+              CAST(COALESCE(SUM(CASE WHEN dx1*dy2 - dy1*dx2 < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_right,
+              CAST(COALESCE(SUM(CASE WHEN dx1*dy2 - dy1*dx2 = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_straight
+            FROM st GROUP BY user_id""",
         "longest_streak_user": """
             WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
                        FROM events),

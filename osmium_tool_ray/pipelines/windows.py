@@ -492,6 +492,87 @@ def track_sectors(ds, key_col: str, ts_col: str, x_col: str, y_col: str,
         .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def turn_counts_per_key(ds, key_col: str, ts_col: str, x_col: str,
+                        y_col: str, tie_col: str | None = None,
+                        buckets: int | None = None):
+    """Per-key turning-direction histogram over consecutive track
+    triples: left / right / straight by the SIGN of the integer cross
+    product (x1-x0)(y2-y1) - (y1-y0)(x2-x1) — no angles, no floats, so
+    the distributed result is bit-identical to the SQL double-LAG CASE
+    oracle (the track_sectors discipline applied to curvature).
+    Coordinate deltas must satisfy |dx|*|dy| < 2^62 (pre-scale
+    fixed-point inputs down — they are exact multiples).
+
+    Scale shape: ONE hash(key)%buckets shuffle of the narrow projection,
+    then a vectorized lexsort + double-shift diff + masked bincount fold
+    per bucket. Returns (key, n_triples, n_left, n_right, n_straight),
+    counts int64."""
+    from ..functions.hashing import hash_str_u64
+
+    if buckets is None:
+        import ray
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    cols = list(dict.fromkeys([key_col, ts_col, x_col, y_col]
+                              + ([tie_col] if tie_col else [])))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col]
+        if pa.types.is_integer(k.type):
+            b = (k.to_numpy(zero_copy_only=False).astype(np.uint64)
+                 % np.uint64(buckets)).astype(np.int32)
+        else:
+            b = (hash_str_u64(k) % np.uint64(buckets)).astype(np.int32)
+        return batch.append_column("_b", pa.array(b))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        key_type = g.schema.field(key_col).type
+        empty = pa.table({key_col: pa.array([], type=key_type),
+                          "n_triples": pa.array([], type=pa.int64()),
+                          "n_left": pa.array([], type=pa.int64()),
+                          "n_right": pa.array([], type=pa.int64()),
+                          "n_straight": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        keys = np.asarray(g[key_col].to_pylist(), dtype=object)
+        ts = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        tie = (g[tie_col].to_numpy(zero_copy_only=False) if tie_col
+               else np.zeros(len(ts), dtype=np.int64))
+        x = g[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = g[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tie, ts, keys.astype(str)))
+        ks = keys[order]
+        xs, ys = x[order], y[order]
+        n = len(ks)
+        # a triple at position i uses rows i-2, i-1, i — valid when all
+        # three share the key
+        same1 = np.concatenate([[False], ks[1:] == ks[:-1]])
+        same2 = np.concatenate([[False, False], ks[2:] == ks[:-2]])
+        valid = same1 & same2
+        dx1 = np.concatenate([[0, 0], xs[1:-1] - xs[:-2]])
+        dy1 = np.concatenate([[0, 0], ys[1:-1] - ys[:-2]])
+        dx2 = np.concatenate([[0, 0], xs[2:] - xs[1:-1]])
+        dy2 = np.concatenate([[0, 0], ys[2:] - ys[1:-1]])
+        cross = dx1 * dy2 - dy1 * dx2
+        starts = np.flatnonzero(np.concatenate(
+            [[True], ks[1:] != ks[:-1]]))
+        def fold(m):
+            return np.add.reduceat((m & valid).astype(np.int64), starts)
+        left = fold(cross > 0)
+        right = fold(cross < 0)
+        straight = fold(cross == 0)
+        return pa.table({
+            key_col: pa.array(ks[starts].tolist(), type=key_type),
+            "n_triples": pa.array(left + right + straight),
+            "n_left": pa.array(left), "n_right": pa.array(right),
+            "n_straight": pa.array(straight)})
+
+    return ds.select_columns(cols) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
+
+
 def _dp_keep(xs: np.ndarray, ys: np.ndarray, eps2: float) -> np.ndarray:
     """Douglas-Peucker keep-mask over one polyline (iterative stack, no
     recursion; distances vectorized per segment). Squared perpendicular
