@@ -2067,6 +2067,17 @@ def q_track_length(sf_dir: str):
                         tie_col="event_id")
 
 
+def q_scd2_intervals(sf_dir: str):
+    """SCD2 validity intervals per user event stream
+    (pipelines/merge.scd2_intervals): the distributed LEAD window as a
+    table, open intervals closed by the 9999-12-31 sentinel."""
+    from osmium_tool_ray.pipelines.merge import scd2_intervals
+
+    ev = _events(sf_dir, ["user_id", "event_id", "ts"])
+    return scd2_intervals(ev, "user_id", "ts", tie_col="event_id",
+                          carry_cols=["event_id"])
+
+
 def q_turn_counts(sf_dir: str):
     """Per-user turning-direction histogram (pipelines/windows
     .turn_counts_per_key): integer cross-product signs over consecutive
@@ -3748,6 +3759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_value_user": q_mad_value,
         "longest_streak_user": q_longest_streak,
         "turn_counts_user": q_turn_counts,
+        "scd2_intervals_user": q_scd2_intervals,
         "track_sectors_user": q_track_sectors,
         "track_simplify": q_track_simplify,
         "funnel_counts": q_funnel_counts,
@@ -4555,6 +4567,12 @@ def oracle_sql() -> dict[str, str]:
                       <= 400000000000000))
             SELECT event_id FROM events
             WHERE event_id NOT IN (SELECT m FROM matched)""",
+        "scd2_intervals_user": """
+            SELECT user_id, event_id, ts AS valid_from,
+                   COALESCE(lead(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                            TIMESTAMP '9999-12-31') AS valid_to
+            FROM events""",
         "turn_counts_user": """
             WITH pts AS (SELECT user_id, ts, event_id,
                    (event_id * 7919) % 36000 - 18000 AS xq,

@@ -453,3 +453,76 @@ def diff_summary(old, new, id_cols: list[str], value_cols: list[str]) -> dict:
     counts["identical"] = (counts["created"] == 0 and counts["deleted"] == 0
                            and counts["modified"] == 0)
     return counts
+
+
+def scd2_intervals(ds, key_col: str, ts_col: str, tie_col: str | None = None,
+                   carry_cols: list[str] | None = None,
+                   end_sentinel: str = "9999-12-31",
+                   buckets: int | None = None):
+    """Slowly-changing-dimension (SCD2) validity intervals: per key,
+    each version's [valid_from, valid_to) where valid_to is the next
+    version's timestamp, or the open-ended `end_sentinel` for the
+    current version — the warehouse-standard interval build, and the
+    output form of the reference's DiffObject validity arithmetic
+    (/root/reference/src/command_time_filter.cpp:169-178) exposed as a
+    table instead of consumed by a filter.
+
+    Scale shape: ONE hash(key)%buckets shuffle of the narrow
+    (key, ts, tie, carry) projection; inside a bucket one lexsort +
+    shifted compare computes every successor — the distributed LEAD
+    window with no per-key Python. Returns key, carry_cols, valid_from,
+    valid_to (timestamp us; the sentinel closes the last interval so no
+    NULLs reach a hash compare)."""
+    import ray
+
+    from ..functions.hashing import hash_str_u64
+
+    if buckets is None:
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+    carry_cols = list(carry_cols or [])
+    cols = list(dict.fromkeys([key_col, ts_col]
+                              + ([tie_col] if tie_col else []) + carry_cols))
+    s = ds.schema()
+    types = dict(zip(s.names, s.types))
+    sent = np.datetime64(end_sentinel, "us").astype(np.int64)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        k = t[key_col]
+        if pa.types.is_integer(k.type):
+            b = (k.to_numpy(zero_copy_only=False).astype(np.uint64)
+                 % np.uint64(buckets)).astype(np.int32)
+        else:
+            b = (hash_str_u64(k) % np.uint64(buckets)).astype(np.int32)
+        return t.append_column("_b", pa.array(b))
+
+    def fold(g: pa.Table) -> pa.Table:
+        out_fields = [(key_col, types[key_col])] + \
+            [(c, types[c]) for c in carry_cols] + \
+            [("valid_from", pa.timestamp("us")),
+             ("valid_to", pa.timestamp("us"))]
+        schema = pa.schema(out_fields)
+        if g.num_rows == 0 or key_col not in g.schema.names:
+            return schema.empty_table()
+        keys = np.asarray(g[key_col].to_pylist())
+        ts = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        tie = (g[tie_col].to_numpy(zero_copy_only=False) if tie_col
+               else np.zeros(len(ts), dtype=np.int64))
+        o = np.lexsort((tie, ts, keys.astype(str)))
+        keys, ts = keys[o], ts[o]
+        same = np.zeros(len(keys), dtype=bool)
+        same[:-1] = keys[1:] == keys[:-1]
+        succ = np.full(len(ts), sent, dtype=np.int64)
+        succ[:-1][same[:-1]] = ts[1:][same[:-1]]
+        cols_out = {key_col: pa.array(keys.tolist(), type=types[key_col])}
+        for c in carry_cols:
+            cols_out[c] = pa.array(
+                np.asarray(g[c].to_pylist(), dtype=object)[o].tolist(),
+                type=types[c])
+        cols_out["valid_from"] = pa.array(ts).cast(pa.timestamp("us"))
+        cols_out["valid_to"] = pa.array(succ).cast(pa.timestamp("us"))
+        return pa.table(cols_out).cast(schema)
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(fold, batch_format="pyarrow")
