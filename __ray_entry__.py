@@ -2067,6 +2067,25 @@ def q_track_length(sf_dir: str):
                         tie_col="event_id")
 
 
+def q_gyration(sf_dir: str):
+    """Per-user radius of gyration (pipelines/windows.gyration_per_key):
+    the mobility-range metric from exact int64 moment sums over
+    lattice-downscaled coords, float expression mirrored op-for-op."""
+    from osmium_tool_ray.pipelines.windows import gyration_per_key
+
+    ev = _events(sf_dir, ["event_id", "user_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        xq = (eid * 7919) % 36000 - 18000
+        yq = (eid * 104729) % 17000 - 8500
+        return batch.append_column("xq", pa.array(xq)) \
+                    .append_column("yq", pa.array(yq))
+
+    pts = ev.map_batches(coords, batch_format="pyarrow")
+    return gyration_per_key(pts, "user_id", "xq", "yq")
+
+
 def q_scd2_intervals(sf_dir: str):
     """SCD2 validity intervals per user event stream
     (pipelines/merge.scd2_intervals): the distributed LEAD window as a
@@ -3760,6 +3779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_streak_user": q_longest_streak,
         "turn_counts_user": q_turn_counts,
         "scd2_intervals_user": q_scd2_intervals,
+        "gyration_user": q_gyration,
         "track_sectors_user": q_track_sectors,
         "track_simplify": q_track_simplify,
         "funnel_counts": q_funnel_counts,
@@ -4567,6 +4587,18 @@ def oracle_sql() -> dict[str, str]:
                       <= 400000000000000))
             SELECT event_id FROM events
             WHERE event_id NOT IN (SELECT m FROM matched)""",
+        "gyration_user": """
+            WITH pts AS (SELECT user_id,
+                   (event_id * 7919) % 36000 - 18000 AS xq,
+                   (event_id * 104729) % 17000 - 8500 AS yq
+                 FROM events)
+            SELECT user_id, COUNT(*) AS n,
+                   CAST(SUM(xq*xq) + SUM(yq*yq) AS DOUBLE) / COUNT(*)
+                     - (CAST(SUM(xq) AS DOUBLE) / COUNT(*))
+                       * (CAST(SUM(xq) AS DOUBLE) / COUNT(*))
+                     - (CAST(SUM(yq) AS DOUBLE) / COUNT(*))
+                       * (CAST(SUM(yq) AS DOUBLE) / COUNT(*)) AS rg2
+            FROM pts GROUP BY user_id""",
         "scd2_intervals_user": """
             SELECT user_id, event_id, ts AS valid_from,
                    COALESCE(lead(ts) OVER (PARTITION BY user_id

@@ -1205,3 +1205,77 @@ def longest_streak_per_key(ds, key_col: str, ts_col: str,
     return ds.select_columns([key_col, ts_col]) \
         .map_batches(pre, batch_format="pyarrow") \
         .groupby("_b").map_groups(fold, batch_format="pyarrow")
+
+
+def gyration_per_key(ds, key_col: str, x_col: str, y_col: str,
+                     buckets: int | None = None):
+    """Per-key radius of gyration (Gonzalez et al. 2008 mobility
+    metric): rg^2 = E[x^2] + E[y^2] - E[x]^2 - E[y]^2 over each key's
+    points, from EXACT int64 moment sums (inputs must be pre-scaled so
+    sum(x^2) < 2^53 — the lattice /1e5 discipline), with the float
+    expression tree mirrored operation-for-operation by the SQL twin:
+    (sx2+sy2)/n - (sx/n)^2 - (sy/n)^2, every division IEEE double.
+
+    Scale shape: per-batch Arrow group_by partial moment sums, ONE
+    hash(key) bucket shuffle of 5 numbers per key per block, reduceat
+    final fold. Returns (key, n:int64, rg2:float64)."""
+    import ray
+
+    from ..functions.hashing import hash_str_u64
+
+    if buckets is None:
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+    s = ds.schema()
+    key_type = dict(zip(s.names, s.types))[key_col]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({key_col: batch[key_col],
+                      "sx": pa.array(x), "sy": pa.array(y),
+                      "sx2": pa.array(x * x), "sy2": pa.array(y * y)})
+        agg = t.group_by(key_col).aggregate(
+            [("sx", "sum"), ("sy", "sum"), ("sx2", "sum"),
+             ("sy2", "sum"), ([], "count_all")])
+        k = agg[key_col]
+        if pa.types.is_integer(k.type):
+            b = (k.to_numpy(zero_copy_only=False).astype(np.uint64)
+                 % np.uint64(buckets)).astype(np.int32)
+        else:
+            b = (hash_str_u64(k) % np.uint64(buckets)).astype(np.int32)
+        return pa.table({key_col: k,
+                         "sx": agg["sx_sum"].cast(pa.int64()),
+                         "sy": agg["sy_sum"].cast(pa.int64()),
+                         "sx2": agg["sx2_sum"].cast(pa.int64()),
+                         "sy2": agg["sy2_sum"].cast(pa.int64()),
+                         "n": agg["count_all"].cast(pa.int64()),
+                         "_b": pa.array(b)})
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], type=key_type),
+                          "n": pa.array([], type=pa.int64()),
+                          "rg2": pa.array([], type=pa.float64())})
+        if g.num_rows == 0 or key_col not in g.schema.names:
+            return empty
+        keys = np.asarray(g[key_col].to_pylist())
+        o = np.argsort(keys, kind="stable")
+        keys = keys[o]
+        new = np.ones(len(keys), dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        ks = np.flatnonzero(new)
+        sums = {c: np.add.reduceat(
+            g[c].to_numpy(zero_copy_only=False)[o], ks)
+            for c in ("sx", "sy", "sx2", "sy2", "n")}
+        n = sums["n"].astype(np.float64)
+        mx = sums["sx"].astype(np.float64) / n
+        my = sums["sy"].astype(np.float64) / n
+        rg2 = (sums["sx2"] + sums["sy2"]).astype(np.float64) / n \
+            - mx * mx - my * my
+        return pa.table({key_col: pa.array(keys[new].tolist(),
+                                           type=key_type),
+                         "n": pa.array(sums["n"].astype(np.int64)),
+                         "rg2": pa.array(rg2)})
+
+    return ds.select_columns([key_col, x_col, y_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(fold, batch_format="pyarrow")
