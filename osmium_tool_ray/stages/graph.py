@@ -812,7 +812,7 @@ def bfs_hops(edges, sources, a_col: str = "a", b_col: str = "b",
 
 def label_propagation(edges, iters: int = 5, a_col: str = "a",
                       b_col: str = "b", partitions: int | None = None,
-                      buckets: int = 64):
+                      buckets: int = 64, mode: str = "broadcast"):
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007): every node starts as its own label; each round every
     node adopts the most frequent label among its neighbours' PREVIOUS
@@ -843,24 +843,31 @@ def label_propagation(edges, iters: int = 5, a_col: str = "a",
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         keep = lo != hi
         key = np.unique((lo[keep] << np.int64(32)) | hi[keep])
-        return pa.table({"lo": pa.array(key >> np.int64(32)),
-                         "hi": pa.array(key & np.int64(0xFFFFFFFF))})
+        return pa.table({"key": pa.array(key),
+                         "_db": pa.array((key % np.int64(buckets))
+                                         .astype(np.int32))})
 
-    def doubled(batch: pa.Table) -> pa.Table:
-        lo = batch["lo"].to_numpy(zero_copy_only=False)
-        hi = batch["hi"].to_numpy(zero_copy_only=False)
+    # GLOBAL distinct before doubling: label votes count edge
+    # multiplicity, so per-batch dedup alone would let an edge that
+    # spans blocks vote more than once (the triangle_count dedup).
+    # ONE packed-key bucket fold replaces the two-column native groupby
+    # (the dup_spans sort-shuffle-overhead rewrite) and emits the
+    # doubled adjacency directly.
+    def dedup_double(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "key" not in g.schema.names:
+            return pa.table({"ctr": pa.array([], type=pa.int64()),
+                             "nbr": pa.array([], type=pa.int64()),
+                             "_b": pa.array([], type=pa.int32())})
+        key = np.unique(g["key"].to_numpy(zero_copy_only=False))
+        lo, hi = key >> np.int64(32), key & np.int64(0xFFFFFFFF)
         ctr = np.concatenate([lo, hi])
         nbr = np.concatenate([hi, lo])
         return pa.table({"ctr": pa.array(ctr), "nbr": pa.array(nbr),
                          "_b": pa.array((ctr % np.int64(buckets))
                                         .astype(np.int32))})
 
-    # GLOBAL distinct before doubling: label votes count edge
-    # multiplicity, so per-batch dedup alone would let an edge that
-    # spans blocks vote more than once (the triangle_count dedup)
     adj = edges.map_batches(canon, batch_format="pyarrow") \
-        .groupby(["lo", "hi"]).count().select_columns(["lo", "hi"]) \
-        .map_batches(doubled, batch_format="pyarrow") \
+        .groupby("_db").map_groups(dedup_double, batch_format="pyarrow") \
         .repartition(partitions).materialize()
 
     def init_label(batch: pa.Table) -> pa.Table:
@@ -870,12 +877,13 @@ def label_propagation(edges, iters: int = 5, a_col: str = "a",
         u = np.unique(batch["ctr"].to_numpy(zero_copy_only=False))
         return pa.table({"node": pa.array(u), "label": pa.array(u)})
 
-    labels = adj.map_batches(init_label, batch_format="pyarrow") \
-        .groupby("node").max("label") \
-        .map_batches(lambda t: pa.table({
-            "node": t["node"].cast(pa.int64()),
-            "label": t["max(label)"].cast(pa.int64())}),
-            batch_format="pyarrow").materialize()
+    if mode != "broadcast":
+        labels = adj.map_batches(init_label, batch_format="pyarrow") \
+            .groupby("node").max("label") \
+            .map_batches(lambda t: pa.table({
+                "node": t["node"].cast(pa.int64()),
+                "label": t["max(label)"].cast(pa.int64())}),
+                batch_format="pyarrow").materialize()
 
     def label_b(batch: pa.Table) -> pa.Table:
         v = batch["node"].to_numpy(zero_copy_only=False)
@@ -933,6 +941,49 @@ def label_propagation(edges, iters: int = 5, a_col: str = "a",
         first[1:] = sn[1:] != sn[:-1]
         return pa.table({"node": pa.array(sn[first]),
                          "label": pa.array(ul[order][first])})
+
+    if mode == "broadcast":
+        # labels are node-scale: pin the adjacency once, broadcast the
+        # sorted label array per round, fold the (nbr, label) count
+        # partials on the driver — the bfs_hops broadcast discipline
+        # (same declared PageRank-class seam); the dataset mode below
+        # remains for node sets beyond driver RAM. Parity is pinned by
+        # pytest on random graphs.
+        nparts = adj.map_batches(init_label, batch_format="pyarrow") \
+            .take_all()
+        lnodes = np.unique(np.asarray([r["node"] for r in nparts],
+                                      dtype=np.int64))
+        llabs = lnodes.copy()
+        for _ in range(iters):
+            ref = ray.put((lnodes, llabs))
+
+            def partial(batch: pa.Table, _r=ref) -> pa.Table:
+                ln, ll = ray.get(_r)
+                ctr = batch["ctr"].to_numpy(zero_copy_only=False)
+                nbr = batch["nbr"].to_numpy(zero_copy_only=False)
+                lab = ll[np.searchsorted(ln, ctr)]
+                key = (nbr << np.int64(32)) | lab
+                uk, cnt = np.unique(key, return_counts=True)
+                return pa.table({"key": pa.array(uk),
+                                 "cnt": pa.array(cnt.astype(np.int64))})
+
+            parts = adj.map_batches(partial, batch_format="pyarrow") \
+                .take_all()
+            key = np.asarray([r["key"] for r in parts], dtype=np.int64)
+            cnt = np.asarray([r["cnt"] for r in parts], dtype=np.int64)
+            uk, inv = np.unique(key, return_inverse=True)
+            tot = np.bincount(inv, weights=cnt.astype(np.float64)) \
+                .astype(np.int64)
+            un = uk >> np.int64(32)
+            ul = uk & np.int64(0xFFFFFFFF)
+            order = np.lexsort((ul, -tot, un))
+            sn = un[order]
+            first = np.ones(len(sn), dtype=bool)
+            first[1:] = sn[1:] != sn[:-1]
+            lnodes, llabs = sn[first], ul[order][first]
+        import ray.data as rd
+        return rd.from_arrow(pa.table({"node": pa.array(lnodes),
+                                       "label": pa.array(llabs)}))
 
     for _ in range(iters):
         lb = labels.map_batches(label_b, batch_format="pyarrow")

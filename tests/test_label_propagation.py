@@ -57,3 +57,19 @@ def test_lpa_planted_cliques(ray_session):
     assert got == _ref(pairs, iters=6)
     assert len({got[i] for i in range(5)}) == 1       # clique 1 coheres
     assert len({got[i] for i in range(11, 16)}) == 1  # clique 2 coheres
+
+
+def test_lpa_modes_identical(ray_session):
+    """broadcast (default) and dataset modes produce identical labels."""
+    rng = np.random.default_rng(21)
+    pairs = [(int(x), int(y))
+             for x, y in rng.integers(0, 70, size=(220, 2))]
+    tbl = pa.table({"a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                    "b": pa.array([p[1] for p in pairs], type=pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(4)
+    bc = label_propagation(ds, iters=3, buckets=8,
+                           mode="broadcast").to_pandas()
+    dt = label_propagation(ds, iters=3, buckets=8,
+                           mode="dataset").to_pandas()
+    key = lambda df: sorted(map(tuple, df[["node", "label"]].values))
+    assert key(bc) == key(dt) != []
