@@ -627,11 +627,88 @@ def ngram_jaccard_pairs(docs, text_col: str = "text", id_col: str = "doc_id",
                               text_col, id_col, threshold)
 
 
+_POPCNT8_J = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                           axis=1).sum(axis=1).astype(np.int64)
+
+
+def _jaccard_join_bitmask(docs, text_col, id_col, threshold, sets_fn,
+                          vocab, id_type, row_chunk_elems=4_000_000):
+    """Small-universe fast path: token universe <= 64, so every key's
+    set is ONE uint64 bitmask and the exact verify is popcount(AND) —
+    the regime where prefix filtering degenerates (every token is in
+    most prefixes, candidates ~ all-pairs) is exactly where bitmask
+    all-pairs is optimal. The (id, mask, size) table is broadcast
+    (valid while keys fit worker RAM — the generic prefix path covers
+    everything else); each map task compares its rows against the full
+    table in row chunks, emitting a pair only from the row with the
+    SMALLER id so output pairs are distinct by construction."""
+    import ray
+
+    def mask_rows(batch: pa.Table) -> pa.Table:
+        sets = sets_fn(batch[text_col].to_pylist())
+        m = len(sets)
+        sizes = np.asarray([s.size for s in sets], dtype=np.int64)
+        masks = np.zeros(m, dtype=np.uint64)
+        if m and sizes.sum():
+            flat = np.concatenate(sets)
+            doc = np.repeat(np.arange(m), sizes)
+            bits = np.searchsorted(vocab, flat).astype(np.uint64)
+            np.bitwise_or.at(masks, doc, np.uint64(1) << bits)
+        return pa.table({id_col: batch[id_col],
+                         "_mask": pa.array(masks.view(np.int64)),
+                         "_sz": pa.array(sizes)})
+
+    masks = docs.map_batches(mask_rows, batch_format="pyarrow") \
+        .materialize()
+    rows = masks.take_all()
+    aid = np.asarray([r[id_col] for r in rows])
+    amask = np.asarray([r["_mask"] for r in rows],
+                       dtype=np.int64).view(np.uint64)
+    asz = np.asarray([r["_sz"] for r in rows], dtype=np.int64)
+    o = np.argsort(aid)
+    ref = ray.put((aid[o], amask[o], asz[o]))
+
+    empty = pa.table({"a": pa.array([], type=id_type),
+                      "b": pa.array([], type=id_type),
+                      "inter_sz": pa.array([], type=pa.int64()),
+                      "union_sz": pa.array([], type=pa.int64()),
+                      "jacc": pa.array([], type=pa.float64())})
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, masks_all, sz_all = ray.get(ref)
+        nall = len(ids_all)
+        rid = np.asarray(batch[id_col].to_pylist())
+        rmask = batch["_mask"].to_numpy(zero_copy_only=False) \
+            .view(np.uint64)
+        rsz = batch["_sz"].to_numpy(zero_copy_only=False)
+        out = []
+        step = max(1, row_chunk_elems // max(nall, 1))
+        for lo in range(0, len(rid), step):
+            hi = min(lo + step, len(rid))
+            mm = rmask[lo:hi, None] & masks_all[None, :]
+            inter = _POPCNT8_J[mm.view(np.uint8)
+                               .reshape(hi - lo, nall, 8)].sum(axis=2)
+            union = rsz[lo:hi, None] + sz_all[None, :] - inter
+            jacc = inter / np.maximum(union, 1)
+            keep = (jacc >= threshold) & (rid[lo:hi, None] < ids_all[None, :])
+            ri, ci = np.nonzero(keep)
+            if len(ri):
+                out.append(pa.table({
+                    "a": pa.array(rid[lo:hi][ri].tolist(), type=id_type),
+                    "b": pa.array(ids_all[ci].tolist(), type=id_type),
+                    "inter_sz": pa.array(inter[ri, ci]),
+                    "union_sz": pa.array(union[ri, ci]),
+                    "jacc": pa.array(jacc[ri, ci])}))
+        return pa.concat_tables(out) if out else empty
+
+    return masks.map_batches(pairs, batch_format="pyarrow")
+
+
 def jaccard_join(docs, text_col: str = "text", id_col: str = "doc_id",
                  threshold: float = 0.5, n: int = 3,
                  coarse: int | None = None,
                  df_broadcast_cap: int = 4_000_000,
-                 sets_fn=None):
+                 sets_fn=None, small_universe_cap: int = 64):
     """EXACT Jaccard set-similarity self-join over word-n-gram shingle
     sets via prefix filtering (Chaudhuri et al. 2006 SSJoin / Bayardo et
     al. 2007 All-Pairs — public algorithms): every pair with shingle-set
@@ -704,8 +781,19 @@ def jaccard_join(docs, text_col: str = "text", id_col: str = "doc_id",
     dfd = docs.map_batches(df_partial, batch_format="pyarrow") \
         .groupby("_b").map_groups(df_fold, batch_format="pyarrow") \
         .materialize()
+    nv = dfd.count()
+    if 0 < nv <= small_universe_cap:
+        # tiny token universe: prefix filtering degenerates (every
+        # token sits in most prefixes) — switch to the exact bitmask
+        # all-pairs path
+        tbls = list(dfd.iter_batches(batch_size=None,
+                                     batch_format="pyarrow"))
+        vocab = np.sort(pa.concat_tables(tbls)["sh"]
+                        .to_numpy(zero_copy_only=False).view(np.uint64))
+        return _jaccard_join_bitmask(docs, text_col, id_col, threshold,
+                                     sets_fn, vocab, id_type)
     rank_ref = None
-    if dfd.count() <= df_broadcast_cap:
+    if nv <= df_broadcast_cap:
         tbls = [r for r in dfd.iter_batches(batch_size=None,
                                             batch_format="pyarrow")]
         dft = pa.concat_tables(tbls) if tbls else None

@@ -72,3 +72,25 @@ def test_set_jaccard_vs_duckdb(ray_session):
         FROM inter JOIN sz sa ON sa.k = ia JOIN sz sb ON sb.k = ib
         WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= {t}""").fetchall()
     assert mine == {(a, b): (i, u, j) for a, b, i, u, j in oracle}
+
+
+def test_set_jaccard_bitmask_matches_generic(ray_session):
+    """Universe <= 64 triggers the bitmask all-pairs path; forcing the
+    generic prefix path (small_universe_cap=0) must give identical
+    results."""
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.dedup import jaccard_join, key_token_sets, \
+        _unpack_u64_sets
+
+    tbl = _rows(seed=79, keys=25, universe=40)
+    sets_ds = key_token_sets(rd.from_arrow(tbl), "k", "tok").materialize()
+    t = 0.45
+    kw = dict(text_col="_packed", id_col="k", threshold=t,
+              coarse=3, sets_fn=_unpack_u64_sets)
+    bm = jaccard_join(sets_ds, **kw)
+    gen = jaccard_join(sets_ds, small_universe_cap=0, **kw)
+    key = lambda rows: sorted((r["a"], r["b"], r["inter_sz"],
+                               r["union_sz"]) for r in rows)
+    assert key(bm.take_all()) == key(gen.take_all()) == \
+        sorted((a, b, i, u) for (a, b), (i, u) in _brute(tbl, t).items())
