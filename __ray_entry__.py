@@ -2067,6 +2067,17 @@ def q_track_length(sf_dir: str):
                         tie_col="event_id")
 
 
+def q_sliding_distinct(sf_dir: str):
+    """Sliding-window exact distinct users (pipelines/windows
+    .sliding_distinct): per-batch (window, user) dedup before the
+    explode shuffle, one window-hash bucket, single-lexsort finish."""
+    from osmium_tool_ray.pipelines.windows import sliding_distinct
+
+    ev = _events(sf_dir, ["ts", "user_id"])
+    return sliding_distinct(ev, "ts", "user_id", width_s=3 * 7200,
+                            hop_s=7200)
+
+
 def q_gyration(sf_dir: str):
     """Per-user radius of gyration (pipelines/windows.gyration_per_key):
     the mobility-range metric from exact int64 moment sums over
@@ -3780,6 +3791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_counts_user": q_turn_counts,
         "scd2_intervals_user": q_scd2_intervals,
         "gyration_user": q_gyration,
+        "sliding_distinct_users": q_sliding_distinct,
         "track_sectors_user": q_track_sectors,
         "track_simplify": q_track_simplify,
         "funnel_counts": q_funnel_counts,
@@ -4587,6 +4599,12 @@ def oracle_sql() -> dict[str, str]:
                       <= 400000000000000))
             SELECT event_id FROM events
             WHERE event_id NOT IN (SELECT m FROM matched)""",
+        "sliding_distinct_users": """
+            SELECT (epoch_us(ts) // (7200::BIGINT * 1000000) - i) * 7200
+                       AS "window",
+                   COUNT(DISTINCT user_id) AS n_distinct
+            FROM events CROSS JOIN range(3) t(i)
+            GROUP BY "window\"""",
         "gyration_user": """
             WITH pts AS (SELECT user_id,
                    (event_id * 7919) % 36000 - 18000 AS xq,

@@ -1279,3 +1279,65 @@ def gyration_per_key(ds, key_col: str, x_col: str, y_col: str,
     return ds.select_columns([key_col, x_col, y_col]) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("_b").map_groups(fold, batch_format="pyarrow")
+
+
+def sliding_distinct(ds, ts_col: str, val_col: str, width_s: int,
+                     hop_s: int, buckets: int | None = None):
+    """Exact COUNT(DISTINCT val) per hopping window — the sliding-window
+    active-users metric (tumbling DAU generalized; the raw-count twin is
+    sliding_window_aggregate). Distinct cannot pre-aggregate across
+    windows, so each row explodes into its width/hop windows map-side
+    WITH per-batch (window, val) dedup first, then ONE
+    hash(window)%buckets shuffle; a single lexsort per bucket finishes
+    the global distinct and the per-window count in one pass.
+
+    Returns (window:int64 epoch-seconds start, n_distinct:int64)."""
+    import ray
+
+    if width_s % hop_s:
+        raise ValueError("hop_s must divide width_s")
+    k = width_s // hop_s
+    if buckets is None:
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    from ..functions.hashing import hash_str_u64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        base = (us // np.int64(hop_s * 1_000_000)) * np.int64(hop_s)
+        vals = batch[val_col]
+        n = len(base)
+        win = (np.repeat(base, k)
+               - np.tile(np.arange(k, dtype=np.int64) * hop_s, n))
+        t = pa.table({"window": pa.array(win),
+                      val_col: vals.take(pa.array(
+                          np.repeat(np.arange(n, dtype=np.int64), k)))}) \
+            .group_by(["window", val_col]).aggregate([])
+        w = t["window"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_b", pa.array((w.astype(np.uint64) % np.uint64(buckets))
+                           .astype(np.int32)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({"window": pa.array([], type=pa.int64()),
+                          "n_distinct": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "window" not in g.schema.names:
+            return empty
+        w = g["window"].to_numpy(zero_copy_only=False)
+        v = np.asarray(g[val_col].to_pylist())
+        o = np.lexsort((v, w))
+        w, v = w[o], v[o]
+        first = np.ones(len(w), dtype=bool)
+        first[1:] = (w[1:] != w[:-1]) | (v[1:] != v[:-1])
+        w = w[first]
+        neww = np.ones(len(w), dtype=bool)
+        neww[1:] = w[1:] != w[:-1]
+        starts = np.flatnonzero(neww)
+        cnt = np.diff(np.append(starts, len(w)))
+        return pa.table({"window": pa.array(w[neww]),
+                         "n_distinct": pa.array(cnt.astype(np.int64))})
+
+    return ds.select_columns([ts_col, val_col]) \
+        .map_batches(explode, batch_format="pyarrow") \
+        .groupby("_b").map_groups(fold, batch_format="pyarrow")
