@@ -3425,6 +3425,23 @@ def q_isolated_points(sf_dir: str):
     return semi_join_bloom(ev, "event_id", matched, invert=True)
 
 
+def q_fuzzy_contamination(sf_dir: str):
+    """Near-dup benchmark decontamination (stages/dedup
+    .fuzzy_contamination): every 101st doc is the eval stand-in; flag
+    corpus docs whose word-3-gram set Jaccard vs any bench doc >= 0.3 —
+    broadcast bench token table, one shuffle-free corpus pass."""
+    from osmium_tool_ray.stages.dedup import fuzzy_contamination
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def pick_bench(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 101 == 0))
+
+    bench = docs.map_batches(pick_bench, batch_format="pyarrow")
+    return fuzzy_contamination(docs, bench, threshold=0.3, n=3)
+
+
 def q_word_pair_lift(sf_dir: str):
     """Collocation mining by association lift (stages/text.word_pair_lift):
     linear-form PMI N*c_ab/(c_a*c_b) — exact BIGINT products, one IEEE
@@ -3877,6 +3894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_pair_lift": q_word_pair_lift,
         "visited_cells_jaccard": q_visited_cells_jaccard,
         "isolated_points": q_isolated_points,
+        "fuzzy_contamination_docs": q_fuzzy_contamination,
         "ann_embeddings": q_ann_embeddings,
         "psnr_verify": q_psnr_verify,
         "frame_sample": q_frame_sample,
@@ -5406,8 +5424,8 @@ def oracle_sql() -> dict[str, str]:
         # nprobe=nlist is pytest-gated instead (tests/test_ann_variants.py).
     }
     from osmium_tool_ray.oracles import (
-        char_shingle_pairs_sql, jaccard_join_sql, langid_sql,
-        rasterize_convex_sql, simhash_sql, word_ngram_pairs_sql,
+        char_shingle_pairs_sql, fuzzy_contamination_sql, jaccard_join_sql,
+        langid_sql, rasterize_convex_sql, simhash_sql, word_ngram_pairs_sql,
     )
 
     # sketch/model queries: exact SQL twins generated from the engine's own
@@ -5432,6 +5450,8 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN pairs p USING (doc_id)"""
     out["ngram_dup_pairs"] = word_ngram_pairs_sql(threshold=0.35, n=3)
     out["jaccard_join_docs"] = jaccard_join_sql(threshold=0.35, n=3)
+    out["fuzzy_contamination_docs"] = fuzzy_contamination_sql(
+        threshold=0.3, n=3, bench_pred="id % 101 = 0")
     # the planted near-dups (q_embedding_neardup augment) are the provable
     # full recall set: an exact-scaled copy shares every hyperplane-LSH
     # bucket (signs of dot products are scale-invariant), and no random

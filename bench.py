@@ -77,7 +77,7 @@ QUERY_NAMES = [
     "radius_join_events", "word_pair_lift", "gini_impurity_user",
     "mad_value_user", "visited_cells_jaccard", "longest_streak_user",
     "isolated_points", "turn_counts_user", "scd2_intervals_user",
-    "gyration_user", "sliding_distinct_users",
+    "gyration_user", "sliding_distinct_users", "fuzzy_contamination_docs",
 ]
 
 

@@ -236,6 +236,48 @@ def jaccard_join_sql(threshold: float, n: int = 3,
     WHERE CAST(i.i AS DOUBLE) / (sa.ns + sb.ns - i.i) >= {threshold}"""
 
 
+def fuzzy_contamination_sql(threshold: float, n: int = 3,
+                            bench_pred: str = "id % 101 = 0",
+                            table: str = "documents",
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> str:
+    """Ground-truth fuzzy benchmark decontamination — the definitional
+    twin of stages/dedup.fuzzy_contamination: per corpus doc, the best
+    (jacc desc, bench id asc) benchmark match with word-n-gram set
+    Jaccard >= threshold."""
+    return f"""
+    WITH tok AS (
+        SELECT {id_col} AS id,
+               list_filter(string_split_regex(lower({text_col}), '[^a-z0-9_]+'),
+                           _t -> _t <> '') AS ts,
+               lower({text_col}) AS lt
+        FROM {table}
+    ),
+    grams AS (
+        SELECT DISTINCT id,
+               list_aggregate(ts[i : i + {n - 1}], 'string_agg', ' ') AS sh
+        FROM tok, unnest(range(1, len(ts) - {n - 1} + 1)) AS u(i)
+        WHERE len(ts) >= {n}
+        UNION
+        SELECT DISTINCT id, lt AS sh FROM tok WHERE len(ts) < {n}
+    ),
+    sizes AS (SELECT id, COUNT(*) AS ns FROM grams GROUP BY id),
+    inter AS (
+        SELECT d.id AS did, b.id AS bid, COUNT(*) AS i
+        FROM grams d JOIN grams b ON d.sh = b.sh
+        WHERE b.{bench_pred}
+        GROUP BY 1, 2
+    )
+    SELECT did AS {id_col}, bid AS bench_id, i.i AS inter_sz,
+           sd.ns + sb.ns - i.i AS union_sz,
+           CAST(i.i AS DOUBLE) / (sd.ns + sb.ns - i.i) AS jacc
+    FROM inter i
+    JOIN sizes sd ON sd.id = i.did JOIN sizes sb ON sb.id = i.bid
+    WHERE CAST(i.i AS DOUBLE) / (sd.ns + sb.ns - i.i) >= {threshold}
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY did
+                               ORDER BY jacc DESC, bid ASC) = 1"""
+
+
 def word_ngram_pairs_sql(threshold: float, n: int = 3,
                          table: str = "documents", id_col: str = "doc_id",
                          text_col: str = "text") -> str:

@@ -1989,3 +1989,88 @@ def set_jaccard_join(rows, key_col: str, token_col: str,
                         threshold=threshold, coarse=coarse,
                         df_broadcast_cap=df_broadcast_cap,
                         sets_fn=_unpack_u64_sets)
+
+
+def fuzzy_contamination(docs, bench, threshold: float = 0.5, n: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """NEAR-DUP benchmark decontamination: flag corpus documents whose
+    word-n-gram SET Jaccard against ANY benchmark document reaches
+    `threshold`, reporting each flagged doc's best match — the fuzzy
+    companion of contamination_check (which needs one shared n-gram;
+    this needs overall similarity, catching lightly-edited eval leaks
+    that share no long window verbatim is the n<=3 regime).
+
+    Scale shape: the benchmark folds to the driver ONCE (eval suites
+    are small by definition — contamination_check's declared seam) as a
+    flat token-sorted (token, owner) array + per-bench sizes, broadcast
+    via ray.put; each corpus batch then computes ALL (doc x bench)
+    intersection counts in one searchsorted + range-expand + bincount
+    pass — no shuffle, exact, O(batch tokens x avg bench hits).
+
+    Returns (id_col, bench_id, inter_sz, union_sz, jacc) for flagged
+    docs only; best match breaks jacc ties to the smallest bench id."""
+    import ray
+
+    rows = bench.select_columns([id_col, text_col]).take_all()
+    bids = np.asarray([r[id_col] for r in rows])
+    border = np.argsort(bids, kind="stable")       # id-ascending ties
+    bids = bids[border]
+    bsets = [s for s in np.asarray(
+        _word_ngram_sets([rows[i][text_col] for i in border], n),
+        dtype=object)]
+    bsize = np.asarray([s.size for s in bsets], dtype=np.int64)
+    flat_b = np.concatenate(bsets) if bsets else np.empty(0, np.uint64)
+    own_b = np.repeat(np.arange(len(bsets), dtype=np.int64), bsize)
+    o = np.argsort(flat_b, kind="stable")
+    ref = ray.put((flat_b[o], own_b[o], bids, bsize))
+
+    s = docs.schema()
+    id_type = dict(zip(s.names, s.types))[id_col]
+    empty = pa.table({id_col: pa.array([], type=id_type),
+                      "bench_id": pa.array([], type=bids.dtype == object
+                                           and pa.string() or pa.int64()),
+                      "inter_sz": pa.array([], type=pa.int64()),
+                      "union_sz": pa.array([], type=pa.int64()),
+                      "jacc": pa.array([], type=pa.float64())})
+
+    def score(batch: pa.Table) -> pa.Table:
+        btok, bown, bid, bsz = ray.get(ref)
+        nb = len(bid)
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col]
+        sets = _word_ngram_sets(texts, n)
+        nd = len(sets)
+        if nd == 0 or nb == 0:
+            return empty
+        dsize = np.asarray([s_.size for s_ in sets], dtype=np.int64)
+        flat = np.concatenate(sets)
+        didx = np.repeat(np.arange(nd, dtype=np.int64), dsize)
+        lo = np.searchsorted(btok, flat, side="left")
+        hi = np.searchsorted(btok, flat, side="right")
+        m = hi - lo
+        tot = int(m.sum())
+        if tot == 0:
+            return empty
+        rowi = np.repeat(np.arange(len(flat), dtype=np.int64), m)
+        ends = np.cumsum(m)
+        pos = np.arange(tot, dtype=np.int64) - np.repeat(ends - m, m) \
+            + lo[rowi]
+        key = didx[rowi] * nb + bown[pos]
+        inter = np.bincount(key, minlength=nd * nb).reshape(nd, nb) \
+            .astype(np.int64)
+        union = dsize[:, None] + bsz[None, :] - inter
+        jacc = inter / np.maximum(union, 1)
+        best = np.argmax(jacc, axis=1)      # first max = smallest bench id
+        bj = jacc[np.arange(nd), best]
+        keep = bj >= threshold
+        if not keep.any():
+            return empty
+        ki = np.flatnonzero(keep)
+        return pa.table({
+            id_col: ids.take(pa.array(ki)),
+            "bench_id": pa.array(bid[best[ki]].tolist()),
+            "inter_sz": pa.array(inter[ki, best[ki]]),
+            "union_sz": pa.array(union[ki, best[ki]]),
+            "jacc": pa.array(bj[ki])})
+
+    return docs.map_batches(score, batch_format="pyarrow")
