@@ -2139,6 +2139,16 @@ def q_longest_streak(sf_dir: str):
     return longest_streak_per_key(ev, "user_id", "ts")
 
 
+def q_winsorize(sf_dir: str):
+    """Per-user winsorized event values (pipelines/stats
+    .winsorize_per_key): clip to per-key [P5, P95] discrete quantiles —
+    one key-hash shuffle, quantiles and clip in the same lexsort fold."""
+    from osmium_tool_ray.pipelines.stats import winsorize_per_key
+
+    ev = _events(sf_dir, ["event_id", "user_id", "value"])
+    return winsorize_per_key(ev, "user_id", "value", "event_id")
+
+
 def q_mad_value(sf_dir: str):
     """Per-user robust dispersion of event values — discrete median +
     MAD (pipelines/stats.mad_per_key): one key-hash shuffle, both passes
@@ -3804,6 +3814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_length_user": q_track_length,
         "gini_impurity_user": q_gini_impurity,
         "mad_value_user": q_mad_value,
+        "winsorize_value_user": q_winsorize,
         "longest_streak_user": q_longest_streak,
         "turn_counts_user": q_turn_counts,
         "scd2_intervals_user": q_scd2_intervals,
@@ -4691,6 +4702,14 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sz sa ON sa.user_id = ia
                        JOIN sz sb ON sb.user_id = ib
             WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= 0.7""",
+        "winsorize_value_user": """
+            WITH q AS (SELECT user_id,
+                              quantile_disc(value, 0.05) lo,
+                              quantile_disc(value, 0.95) hi
+                       FROM events GROUP BY user_id)
+            SELECT e.event_id, e.user_id,
+                   LEAST(GREATEST(e.value, q.lo), q.hi) AS value_w
+            FROM events e JOIN q USING (user_id)""",
         "mad_value_user": """
             WITH med AS (SELECT user_id, COUNT(*) AS n,
                                 quantile_disc(value, 0.5) AS median

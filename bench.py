@@ -78,6 +78,7 @@ QUERY_NAMES = [
     "mad_value_user", "visited_cells_jaccard", "longest_streak_user",
     "isolated_points", "turn_counts_user", "scd2_intervals_user",
     "gyration_user", "sliding_distinct_users", "fuzzy_contamination_docs",
+    "winsorize_value_user",
 ]
 
 

@@ -752,3 +752,66 @@ def mad_per_key(ds, key_col: str, col: str, buckets: int | None = None):
 
     return ds.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("_b").map_groups(fold, batch_format="pyarrow")
+
+
+def winsorize_per_key(ds, key_col: str, col: str, id_col: str,
+                      lo_q: float = 0.05, hi_q: float = 0.95,
+                      buckets: int | None = None):
+    """Per-key winsorization: clip each row's value to its key's
+    [quantile_disc(lo_q), quantile_disc(hi_q)] — the standard outlier
+    taming step before per-key normalization (quantile convention:
+    value at sorted index max(ceil(q*n)-1, 0), matching
+    quantiles_per_key / DuckDB quantile_disc).
+
+    Scale shape: ONE hash(key)%buckets shuffle of the (key, id, value)
+    projection; inside a bucket one lexsort yields every key's both
+    quantiles by index arithmetic and the clip is one np.clip — no
+    second pass, no join back. Returns (id_col, key_col, value_w)."""
+    import ray
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import hash_str_u64
+
+    if buckets is None:
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+    s = ds.schema()
+    types = dict(zip(s.names, s.types))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = batch.select([id_col, key_col, col])
+        k = t[key_col]
+        if pa.types.is_integer(k.type):
+            b = (k.to_numpy(zero_copy_only=False).astype(np.uint64)
+                 % np.uint64(buckets)).astype(np.int32)
+        else:
+            b = (hash_str_u64(k) % np.uint64(buckets)).astype(np.int32)
+        return t.append_column("_b", pa.array(b))
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], type=types[id_col]),
+                          key_col: pa.array([], type=types[key_col]),
+                          "value_w": pa.array([], type=pa.float64())})
+        if g.num_rows == 0 or key_col not in g.schema.names:
+            return empty
+        keys = np.asarray(g[key_col].to_pylist())
+        ids = np.asarray(g[id_col].to_pylist())
+        v = g[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        o = np.lexsort((v, keys))
+        keys, ids, v = keys[o], ids[o], v[o]
+        new = np.ones(len(keys), dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.append(starts, len(keys)))
+        runi = np.cumsum(new) - 1
+        lo_i = starts + np.maximum(np.ceil(lo_q * n).astype(np.int64) - 1, 0)
+        hi_i = starts + np.maximum(np.ceil(hi_q * n).astype(np.int64) - 1, 0)
+        vw = np.clip(v, v[lo_i][runi], v[hi_i][runi])
+        return pa.table({id_col: pa.array(ids.tolist(), type=types[id_col]),
+                         key_col: pa.array(keys.tolist(),
+                                           type=types[key_col]),
+                         "value_w": pa.array(vw)})
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(fold, batch_format="pyarrow")
