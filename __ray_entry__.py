@@ -213,6 +213,28 @@ def q_cell_top_fmt(sf_dir: str):
                         level=TILE_LEVEL, key_col="fmt")
 
 
+def q_cell_peak_hour(sf_dir: str):
+    """Dominant hour-of-day per grid cell — temporal hotspot profile of
+    every tile via the same cell_top_key majority-class fold (operator
+    reuse: key swapped from fmt to the event hour)."""
+    from osmium_tool_ray.stages.tiles import cell_top_key
+
+    ev = _events(sf_dir, ["event_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        hr = ((us // 3_600_000_000) % 24).astype(np.int64)
+        return pa.table({
+            "lon": pa.array(((eid * 7919) % 36000) / 100.0 - 180.0),
+            "lat": pa.array(((eid * 104729) % 17000) / 100.0 - 85.0),
+            "hr": pa.array(hr.astype(str), type=pa.string())})
+
+    pts = ev.map_batches(prep, batch_format="pyarrow")
+    return cell_top_key(pts, level=TILE_LEVEL, key_col="hr")
+
+
 def q_fileinfo(sf_dir: str):
     from osmium_tool_ray.pipelines.stats import fileinfo
 
@@ -3736,6 +3758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hotspot_tiles": q_hotspot_tiles,
         "tile_counts_salted": q_tile_counts_salted,
         "cell_top_fmt": q_cell_top_fmt,
+        "cell_peak_hour": q_cell_peak_hour,
         "fileinfo": q_fileinfo,
         "caption_tags_count": q_caption_tags_count,
         "getid_semi": q_getid_semi,
@@ -3959,6 +3982,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_x, cell_y, fmt, cnt FROM ck
             QUALIFY ROW_NUMBER() OVER (PARTITION BY cell_x, cell_y
                                        ORDER BY cnt DESC, fmt ASC) = 1""",
+        "cell_peak_hour": f"""
+            WITH pts AS (SELECT
+                   ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+                   ((event_id * 104729) % 17000) / 100.0 - 85.0 AS lat,
+                   CAST(EXTRACT(hour FROM ts) AS VARCHAR) AS hr
+                 FROM events),
+            ck AS (SELECT cell_x, cell_y, hr, COUNT(*) AS cnt
+                   FROM (SELECT {cells6}, hr FROM pts)
+                   GROUP BY cell_x, cell_y, hr)
+            SELECT cell_x, cell_y, hr, cnt FROM ck
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY cell_x, cell_y
+                                       ORDER BY cnt DESC, hr ASC) = 1""",
         "hotspot_tiles": f"""{cte}
             , c AS (SELECT cell_x, cell_y, count(*) AS n
                     FROM (SELECT {cells6} FROM images)

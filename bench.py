@@ -73,7 +73,7 @@ QUERY_NAMES = [
     "pricing_summary", "fuzzy_caption_pairs", "dominant_colors",
     # r03 seventh wave: heading-rose sectors, per-cell majority class,
     # exact prefix-filtered Jaccard join
-    "track_sectors_user", "cell_top_fmt", "jaccard_join_docs",
+    "track_sectors_user", "cell_top_fmt", "cell_peak_hour", "jaccard_join_docs",
     "radius_join_events", "word_pair_lift", "gini_impurity_user",
     "mad_value_user", "visited_cells_jaccard", "longest_streak_user",
     "isolated_points", "turn_counts_user", "scd2_intervals_user",
