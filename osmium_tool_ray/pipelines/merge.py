@@ -507,8 +507,18 @@ def scd2_intervals(ds, key_col: str, ts_col: str, tie_col: str | None = None,
         keys = np.asarray(g[key_col].to_pylist())
         ts = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
-        tie = (g[tie_col].to_numpy(zero_copy_only=False) if tie_col
-               else np.zeros(len(ts), dtype=np.int64))
+        if tie_col:
+            tie = g[tie_col].to_numpy(zero_copy_only=False)
+        elif carry_cols:
+            # no explicit tiebreak: derive one from the carry payload so
+            # duplicate (key, ts) rows order deterministically (block
+            # order varies run to run; a content hash does not)
+            comp = ["\x1f".join(map(str, vals))
+                    for vals in zip(*(g[c].to_pylist()
+                                      for c in carry_cols))]
+            tie = hash_str_u64(comp).view(np.int64)
+        else:
+            tie = np.zeros(len(ts), dtype=np.int64)
         o = np.lexsort((tie, ts, keys.astype(str)))
         keys, ts = keys[o], ts[o]
         same = np.zeros(len(keys), dtype=bool)

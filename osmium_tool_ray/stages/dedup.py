@@ -918,20 +918,21 @@ def jaccard_join(docs, text_col: str = "text", id_col: str = "doc_id",
     prefixes = docs.map_batches(prefix_rows, batch_format="pyarrow")
     raw_pairs = prefixes.groupby("_cb").map_groups(
         emit, batch_format="pyarrow")
-    pairs = _drop_empty_blocks(raw_pairs).map_batches(
-        add_pb, batch_format="pyarrow").groupby("_pb").map_groups(
-        pair_distinct, batch_format="pyarrow")
-    pairs = _drop_empty_blocks(pairs)
+    pruned = _drop_empty_blocks(raw_pairs)
+    pairs = None if pruned is None else _drop_empty_blocks(
+        pruned.map_batches(add_pb, batch_format="pyarrow")
+        .groupby("_pb").map_groups(pair_distinct, batch_format="pyarrow"))
     if pairs is not None:
         # narrow (a, b) rows; materialize so the count guard and the
         # payload joins don't each re-execute the whole pair lineage
         pairs = pairs.materialize()
     if pairs is None or pairs.count() == 0:
-        return pa.table({"a": pa.array([], type=id_type),
-                         "b": pa.array([], type=id_type),
-                         "inter_sz": pa.array([], type=pa.int64()),
-                         "union_sz": pa.array([], type=pa.int64()),
-                         "jacc": pa.array([], type=pa.float64())})
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], type=id_type),
+            "b": pa.array([], type=id_type),
+            "inter_sz": pa.array([], type=pa.int64()),
+            "union_sz": pa.array([], type=pa.int64()),
+            "jacc": pa.array([], type=pa.float64())}))
     with_texts = _attach_pair_payload(pairs, docs, id_col, text_col)
 
     def verify(batch: pa.Table) -> pa.Table:

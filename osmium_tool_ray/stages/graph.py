@@ -666,6 +666,14 @@ def bfs_hops(edges, sources, a_col: str = "a", b_col: str = "b",
     if partitions is None:
         partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
 
+    sources = list(sources)
+    if len(sources) == 0:
+        # empty source set reaches nothing; the broadcast probe below
+        # would index an empty frontier array (fr[pos_c] with fr empty)
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "hops": pa.array([], type=pa.int64())}))
+
     def canon(batch: pa.Table) -> pa.Table:
         a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -71,3 +71,15 @@ def test_bfs_modes_identical(ray_session):
         .to_pandas()
     key = lambda df: sorted(map(tuple, df[["node", "hops"]].values))
     assert key(bc) == key(dt) != []
+
+
+def test_bfs_empty_sources(ray_session):
+    """Empty source set reaches nothing — broadcast mode used to
+    IndexError probing an empty frontier array (round-3 ADVICE)."""
+    tbl = pa.table({"a": pa.array([1, 2], type=pa.int64()),
+                    "b": pa.array([2, 3], type=pa.int64())})
+    for mode in ("broadcast", "dataset"):
+        out = bfs_hops(rd.from_arrow(tbl), [], buckets=8,
+                       frontier_mode=mode).to_pandas()
+        assert len(out) == 0
+        assert list(out.columns) == ["node", "hops"]

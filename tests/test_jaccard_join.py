@@ -116,3 +116,25 @@ def test_jaccard_join_short_docs_exact_text(ray_session):
     out = jaccard_join(rd.from_arrow(tbl), threshold=0.9, coarse=2)
     rows = {(r["a"], r["b"]): r["jacc"] for r in out.take_all()}
     assert rows == {("a", "b"): 1.0}
+
+
+def test_jaccard_join_zero_candidates(ray_session):
+    """Two dissimilar docs at a high threshold: the prefix stage emits
+    ZERO candidate pairs — must return an empty Dataset, not crash
+    (round-3 ADVICE: _drop_empty_blocks returning None was used
+    unchecked)."""
+    import ray.data as rd
+
+    tbl = pa.table({
+        "doc_id": pa.array(["a", "b"], type=pa.string()),
+        "text": pa.array(["alpha beta gamma delta epsilon zeta",
+                          "one two three four five six seven"],
+                         type=pa.string()),
+    })
+    out = jaccard_join(rd.from_arrow(tbl).repartition(2),
+                       threshold=0.9, coarse=4)
+    # uniform return type: a Dataset chainable with map_batches
+    assert hasattr(out, "map_batches")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"a", "b", "inter_sz",
+                                       "union_sz", "jacc"}

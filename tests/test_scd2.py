@@ -58,3 +58,27 @@ def test_scd2_hand_fixture(ray_session):
         ("a", 2): (t0 + dt.timedelta(days=1), sent),
         ("b", 3): (t0, sent),
     }
+
+
+def test_scd2_dup_key_ts_deterministic_without_tie(ray_session):
+    """Duplicate (key, ts) rows with tie_col=None: the carry-derived
+    tiebreak makes repeated runs emit identical carry/valid_to pairings
+    (round-3 ADVICE: lexsort ties fell back to block order)."""
+    import ray.data as rd
+
+    t0 = dt.datetime(2024, 1, 1)
+    tbl = pa.table({
+        "k": pa.array(["a"] * 4 + ["b"] * 2),
+        "v": pa.array([10, 20, 30, 40, 1, 2], type=pa.int64()),
+        "ts": pa.array([t0, t0, t0, t0 + dt.timedelta(days=1), t0, t0],
+                       type=pa.timestamp("us")),
+    })
+    runs = []
+    for i in range(3):
+        out = scd2_intervals(
+            rd.from_arrow(tbl).repartition(3 + i), "k", "ts",
+            tie_col=None, carry_cols=["v"], buckets=4)
+        runs.append(sorted((r["k"], r["v"], r["valid_from"],
+                            r["valid_to"]) for r in out.take_all()))
+    assert runs[0] == runs[1] == runs[2]
+    assert len(runs[0]) == 6
