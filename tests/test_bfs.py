@@ -80,6 +80,6 @@ def test_bfs_empty_sources(ray_session):
                     "b": pa.array([2, 3], type=pa.int64())})
     for mode in ("broadcast", "dataset"):
         out = bfs_hops(rd.from_arrow(tbl), [], buckets=8,
-                       frontier_mode=mode).to_pandas()
-        assert len(out) == 0
-        assert list(out.columns) == ["node", "hops"]
+                       frontier_mode=mode)
+        assert out.count() == 0
+        assert list(out.schema().names) == ["node", "hops"]
