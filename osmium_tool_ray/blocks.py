@@ -81,3 +81,58 @@ def strip_schema_metadata(t):
     but it buries real warnings in driver logs. Zero-copy (schema swap
     only). Apply in per-group UDFs that echo slices of their input."""
     return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def group_by_key_bucket(ds, key_cols, fold, buckets: int | None = None,
+                        batch_format: str = "pyarrow"):
+    """The segmented-fold replacement for per-key `groupby(key)
+    .map_groups`: ONE hash(keys)%buckets int32 shuffle, then `fold` runs
+    once per BUCKET over a multi-key table (the `_b` column is stripped
+    before the fold sees it). Per-key `map_groups` pays ~5 ms of Python/
+    pandas overhead per DISTINCT key (memory: spatial_knn 131 s -> 34 s
+    from this exact conversion); bucketing pays it per partition —
+    O(CPUs), not O(keys). `fold` must therefore be multi-key vectorized:
+    every key's rows arrive in the same bucket, several keys per call,
+    unsorted (fold does its own lexsort).
+
+    Hash collisions are harmless — fold compares real key values. Works
+    for pyarrow folds (fold(pa.Table) -> pa.Table) and pandas folds
+    (batch_format="pandas")."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .functions.hashing import hash_str_u64, splitmix64
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if buckets is None:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        buckets = 4 * max(2, cpus)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = np.zeros(b.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in key_cols:
+                col = b[c]
+                if pa.types.is_string(col.type) or \
+                        pa.types.is_large_string(col.type):
+                    h = splitmix64(h ^ hash_str_u64(col))
+                else:
+                    v = col.cast(pa.int64()).to_numpy(
+                        zero_copy_only=False)
+                    h = splitmix64(h ^ v.view(np.uint64))
+        return b.append_column(
+            "_b", pa.array((h % np.uint64(buckets)).astype(np.int32)))
+
+    if batch_format == "pandas":
+        def wrap(g):
+            if "_b" in g.columns:
+                g = g.drop(columns=["_b"])
+            return fold(g)
+    else:
+        def wrap(g: pa.Table):
+            if "_b" in g.schema.names:
+                g = g.drop_columns(["_b"])
+            return fold(g)
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(wrap, batch_format=batch_format)

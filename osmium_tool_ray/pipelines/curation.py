@@ -48,14 +48,14 @@ def curate_survivors(docs, min_chars: int = 64,
 
     printed = docs.map_batches(prep, batch_format="pyarrow")
 
-    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
-        if g.empty:
-            return g[[id_col, "sz"]]
-        w = g.sort_values(id_col, kind="stable").head(1)
-        return w[[id_col, "sz"]]
+    # keep-first by fingerprint (lowest id wins): map-side pre-prune +
+    # ONE hash(fp)%buckets bucket fold via dedup_exact — the old
+    # groupby(fp).map_groups(pandas head) paid ~5 ms per distinct
+    # fingerprint (group_by_key_bucket discipline)
+    from .merge import dedup_exact
 
-    return printed.groupby("fp").map_groups(first_wins,
-                                            batch_format="pandas")
+    return dedup_exact(printed, ["fp"], order_col=id_col) \
+        .select_columns([id_col, "sz"])
 
 
 def pack_survivors(survivors, budget: int = 8192, id_col: str = "doc_id"):
@@ -120,16 +120,13 @@ def prep_chunks(docs, size: int = 256, stride: int = 192,
 
     printed = chunks.map_batches(fp_narrow, batch_format="pyarrow")
 
-    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
-        cols = [id_col, "chunk_id", "n_chars"]
-        if g.empty:
-            return g[cols] if set(cols) <= set(g.columns) else \
-                pd.DataFrame({c: [] for c in cols})
-        return g.sort_values([id_col, "chunk_id"], kind="stable") \
-            .head(1)[cols]
+    # keep-first by chunk fingerprint (lowest (id, chunk_id) wins):
+    # dedup_exact's pre-prune + bucket fold, not per-fp pandas groups
+    from .merge import dedup_exact
 
-    surv = printed.groupby("fp").map_groups(first_wins,
-                                            batch_format="pandas")
+    surv = dedup_exact(printed, ["fp"],
+                       order_col=[id_col, "chunk_id"]) \
+        .select_columns([id_col, "chunk_id", "n_chars"])
     packed = pack_bins(surv, [id_col, "chunk_id"], "n_chars", budget)
 
     def fin(batch: pa.Table) -> pa.Table:

@@ -51,10 +51,14 @@ def merge(datasets: list, key_cols: list[str]):
 def argmax_rows(ds, key_cols: list[str], order_cols: list[str]):
     """Per key, the single row maximizing the order_cols tuple.
 
-    Map-side combiner first: each batch reduces to one candidate row per key
-    (vectorized pandas sort + drop_duplicates), so the shuffle and the final
-    per-group pick see at most one row per key per input batch instead of
-    the full table."""
+    Map-side combiner first: each batch reduces to one candidate row per
+    key (vectorized pandas sort + drop_duplicates), so the shuffle and
+    the finisher see at most one row per key per input batch instead of
+    the full table. The finisher groups by hash(keys)%buckets and runs
+    the SAME multi-key pick once per bucket — Python overhead per
+    partition, not per distinct key (group_by_key_bucket)."""
+    from ..blocks import group_by_key_bucket
+
     asc = [True] * len(key_cols) + [False] * len(order_cols)
     cols = key_cols + order_cols
 
@@ -69,7 +73,8 @@ def argmax_rows(ds, key_cols: list[str], order_cols: list[str]):
             .replace_schema_metadata(None)
 
     reduced = ds.map_batches(local, batch_format="pandas")
-    return reduced.groupby(key_cols).map_groups(local, batch_format="pandas")
+    return group_by_key_bucket(reduced, key_cols, local,
+                               batch_format="pandas")
 
 
 def topk_per_key(ds, key_cols: list[str], order_cols: list[str], k: int):
@@ -79,10 +84,13 @@ def topk_per_key(ds, key_cols: list[str], order_cols: list[str], k: int):
 
     Same partial+final shape: each batch first prunes to at most k
     candidate rows per key (one vectorized sort + grouped head), so the
-    shuffle carries <= k rows per key per input block; the final
-    per-group pick repeats the prune on the merged candidates. Ties
+    shuffle carries <= k rows per key per input block; the finisher
+    repeats the multi-key prune once per hash(keys)%buckets bucket
+    (group_by_key_bucket — per-partition Python, not per-key). Ties
     resolve by the full sort-key tuple, so add a unique tiebreaker
     column to order_cols for byte-stable output."""
+    from ..blocks import group_by_key_bucket
+
     asc = [True] * len(key_cols) + [False] * len(order_cols)
     cols = key_cols + order_cols
 
@@ -94,7 +102,8 @@ def topk_per_key(ds, key_cols: list[str], order_cols: list[str], k: int):
             .replace_schema_metadata(None)   # see argmax_rows
 
     reduced = ds.map_batches(local, batch_format="pandas")
-    return reduced.groupby(key_cols).map_groups(local, batch_format="pandas")
+    return group_by_key_bucket(reduced, key_cols, local,
+                               batch_format="pandas")
 
 
 def _pack_order(batch: pa.Table, order_cols: list[str]) -> pa.Array:
@@ -167,14 +176,54 @@ def argmax_rows_native(ds, key_cols: list[str], order_cols: list[str],
     return joined.map_batches(keep_max, batch_format="pyarrow")
 
 
-def dedup_exact(ds, key_cols: list[str], order_col: str | None = None):
-    """Exact dedup: one row per key (lowest order_col wins when given)."""
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        if order_col is not None:
-            g = g.sort_values(order_col, kind="stable")
-        return g.head(1)
+def _sortable(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Numpy array preserving the column's NATIVE sort order (numeric /
+    timestamp values stay numeric — stringifying would rank 10 < 2)."""
+    t = col.type
+    if pa.types.is_timestamp(t):
+        col = col.cast(pa.int64())
+        t = col.type
+    if pa.types.is_integer(t) or pa.types.is_floating(t) \
+            or pa.types.is_boolean(t):
+        return col.to_numpy(zero_copy_only=False)
+    return np.asarray(col.to_pylist(), dtype=object).astype(str)
 
-    return ds.groupby(key_cols).map_groups(pick, batch_format="pandas")
+
+def dedup_exact(ds, key_cols: list[str],
+                order_col: str | list[str] | None = None):
+    """Exact dedup: one row per key (lowest order_col tuple wins when
+    given — a str or list of columns).
+
+    In-batch keep-first pre-prune (at most one row per key leaves each
+    input block, bounding shuffle volume by distinct keys x blocks) then
+    ONE hash(keys)%buckets shuffle and the same vectorized lexsort
+    keep-first per bucket — Python overhead per partition, never per
+    distinct key (the group_by_key_bucket discipline; the old
+    groupby(key).map_groups paid ~5 ms pandas per key)."""
+    from ..blocks import group_by_key_bucket
+
+    key_cols = list(key_cols)
+    if order_col is None:
+        order_cols = []
+    elif isinstance(order_col, str):
+        order_cols = [order_col]
+    else:
+        order_cols = list(order_col)
+    sort_cols = key_cols + order_cols
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g
+        arrs = tuple(_sortable(g[c]) for c in sort_cols)
+        order = np.lexsort(arrs[::-1])
+        new = np.zeros(len(order), dtype=bool)
+        new[0] = True
+        for a in (a[order] for a in arrs[:len(key_cols)]):
+            new[1:] |= a[1:] != a[:-1]
+        return g.take(pa.array(order[new], type=pa.int64()))
+
+    pruned = ds.map_batches(keep_first, batch_format="pyarrow")
+    return group_by_key_bucket(pruned, key_cols, keep_first)
 
 
 def sort_dataset(ds, keys: list[str], descending=False):

@@ -117,9 +117,12 @@ def stratified_sample(ds, key_cols: list[str], id_col: str, n_per_key: int,
         return pa.Table.from_pandas(out, preserve_index=False) \
             .replace_schema_metadata(None)
 
+    from ..blocks import group_by_key_bucket
+
     tagged = ds.map_batches(with_hash, batch_format="pyarrow")
     pruned = tagged.map_batches(local, batch_format="pandas")
-    final = pruned.groupby(key_cols).map_groups(local, batch_format="pandas")
+    final = group_by_key_bucket(pruned, key_cols, local,
+                                batch_format="pandas")
     return final.drop_columns(["_hsh"])
 
 
@@ -317,7 +320,8 @@ def per_key_sample(ds, id_col: str, key_col: str, k: int,
         sel = order[rank < k]
         return batch.take(pa.array(np.sort(sel)))
 
+    from ..blocks import group_by_key_bucket
+
     pruned = ds.map_batches(_prune_topk, batch_format="pyarrow")
-    return pruned.groupby(key_col) \
-        .map_groups(_prune_topk, batch_format="pyarrow") \
+    return group_by_key_bucket(pruned, key_col, _prune_topk) \
         .drop_columns(["_h"])

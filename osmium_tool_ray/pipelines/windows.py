@@ -96,11 +96,13 @@ def sessionize(ds, key_col: str, ts_col: str, gap_s: int,
     ids are 0-based per key (deterministic given the data, independent
     of partitioning).
 
-    One hash shuffle on the key, then a per-key vectorized pass: sort
-    timestamps, diff, cumsum — the standard lag()+running-sum window
-    translated to numpy. Same per-key-fits-a-task assumption as
-    asof_join; the output keeps the input columns plus the session id."""
-    from ..blocks import strip_schema_metadata
+    ONE hash(key)%buckets shuffle, then a multi-key vectorized pass per
+    BUCKET: lexsort (key, ts), diff, segmented cumsum — the standard
+    lag()+running-sum window translated to numpy, with Python overhead
+    per partition instead of per distinct key (the group_by_key_bucket
+    discipline). The output keeps the input columns plus the session
+    id."""
+    from ..blocks import group_by_key_bucket, strip_schema_metadata
 
     def per_group(g: pa.Table) -> pa.Table:
         g = strip_schema_metadata(g)
@@ -126,7 +128,7 @@ def sessionize(ds, key_col: str, ts_col: str, gap_s: int,
         out = g.take(pa.array(order, type=pa.int64()))
         return out.append_column(out_col, pa.array(session))
 
-    return ds.groupby(key_col).map_groups(per_group, batch_format="pyarrow")
+    return group_by_key_bucket(ds, key_col, per_group)
 
 
 def range_join(left, bands, value_col: str, lo_col: str = "lo",
@@ -176,9 +178,14 @@ def asof_join(left, right, key_col: str, ts_col: str,
     next-event/lead lookup) for the same key. Unmatched left rows keep
     nulls.
 
-    Both sides are tagged and unioned so ONE hash shuffle co-locates each
-    key; the per-group merge is a numpy searchsorted over the sorted
-    right timestamps (vectorized across all left rows of the group)."""
+    Both sides are tagged and unioned so ONE hash(key)%buckets shuffle
+    co-locates each key; each BUCKET then lexsorts (key, ts, side) once
+    and computes every left row's match with a single maximum/minimum
+    .accumulate forward-fill over the sorted rows — no per-key Python at
+    all (the group_by_key_bucket discipline), exact across any number of
+    keys per bucket. At equal timestamps backward picks the last right
+    row with rts <= lts and forward the first with rts >= lts, matching
+    the searchsorted formulation bit-for-bit."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown asof direction: {direction!r}")
     lschema = left.schema()
@@ -207,57 +214,65 @@ def asof_join(left, right, key_col: str, ts_col: str,
             return pa.table(cols)
         return f
 
-    def merge_group(g: pa.Table) -> pa.Table:
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        # ONE lexsort of the whole bucket by (key, ts, side), then a
+        # single accumulate pass forward-fills each left row's matching
+        # right-row position; a filled position belonging to a DIFFERENT
+        # key invalidates the match (keys are contiguous after the sort,
+        # so the carried candidate can only be wrong at key boundaries)
+        if g.num_rows == 0 or "_side" not in g.schema.names:
+            return out_schema.empty_table()
         side = np.asarray(g["_side"].to_pylist(), dtype=object)
-        lmask = side == "l"
-        lg = g.filter(pa.array(lmask))
-        rg = g.filter(pa.array(~lmask))
-        n = lg.num_rows
-        out_cols = {c: lg[c].combine_chunks() for c in lcols}
-        if rg.num_rows == 0 or n == 0:
-            for c in right_cols:
-                out_cols[c + suffix] = pa.nulls(n, type=rtypes[c])
-            return pa.table(out_cols, schema=out_schema)
-        lts = lg[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+        is_left = side == "l"
+        keys = np.asarray(g[key_col].to_pylist(), dtype=object) \
+            .astype(str)
+        ts = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
-        rts = rg[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        order = np.argsort(rts, kind="stable")
+        n = len(ts)
         if direction == "backward":
-            idx = np.searchsorted(rts[order], lts, side="right") - 1
-            found = idx >= 0
+            # right sorts before left at equal ts (rts <= lts inclusive);
+            # max-accumulate carries the LAST right row at or before
+            srank = np.where(is_left, 1, 0)
+            order = np.lexsort((srank, ts, keys))
+            ko, lo = keys[order], is_left[order]
+            cand = np.where(~lo, np.arange(n), -1)
+            fill = np.maximum.accumulate(cand)
+            valid = fill >= 0
+            fidx = np.maximum(fill, 0)
         else:
-            idx = np.searchsorted(rts[order], lts, side="left")
-            found = idx < len(rts)
-        take = order[np.clip(idx, 0, len(rts) - 1)]
+            # left sorts before right at equal ts (rts >= lts inclusive);
+            # reversed min-accumulate carries the FIRST right row at or
+            # after
+            srank = np.where(is_left, 0, 1)
+            order = np.lexsort((srank, ts, keys))
+            ko, lo = keys[order], is_left[order]
+            cand = np.where(~lo, np.arange(n), n)
+            fill = np.minimum.accumulate(cand[::-1])[::-1]
+            valid = fill < n
+            fidx = np.minimum(fill, n - 1)
+        valid &= ko[fidx] == ko
+        lpos = np.flatnonzero(lo)
+        if len(lpos) == 0:
+            return out_schema.empty_table()
+        found = pa.array(valid[lpos])
+        lg = g.take(pa.array(order[lpos], type=pa.int64()))
+        rg = g.take(pa.array(order[fidx[lpos]], type=pa.int64()))
+        out_cols = {c: lg[c].combine_chunks() for c in lcols}
         for c in right_cols:
-            vals = rg[c].take(pa.array(take, type=pa.int64()))
+            vals = rg[c]
             vals = vals.combine_chunks() if isinstance(
                 vals, pa.ChunkedArray) else vals
             out_cols[c + suffix] = pc.if_else(
-                pa.array(found), vals, pa.nulls(n, type=vals.type))
+                found, vals, pa.nulls(len(lpos), type=vals.type))
         return pa.table(out_cols, schema=out_schema)
 
-    def merge_batch(batch: pa.Table) -> pa.Table:
-        # grouped rows arrive key-contiguous; split on key boundaries and
-        # merge each key's run vectorized
-        if batch.num_rows == 0:
-            return out_schema.empty_table()
-        keys = np.asarray(batch[key_col].to_pylist(), dtype=object)
-        bounds = np.flatnonzero(
-            np.concatenate([[True], keys[1:] != keys[:-1]]))
-        ends = np.concatenate([bounds[1:], [len(keys)]])
-        pieces = [merge_group(batch.slice(s, e - s))
-                  for s, e in zip(bounds, ends)]
-        return pa.concat_tables(pieces) if pieces \
-            else out_schema.empty_table()
+    from ..blocks import group_by_key_bucket
 
     lt = left.map_batches(widen("l"), batch_format="pyarrow")
     rt = right.select_columns(
         list(dict.fromkeys([key_col, ts_col, *right_cols]))) \
         .map_batches(widen("r"), batch_format="pyarrow")
-    return lt.union(rt).groupby(key_col).map_groups(
-        merge_batch, batch_format="pyarrow")
+    return group_by_key_bucket(lt.union(rt), key_col, merge_bucket)
 
 
 def running_total(ds, order_cols: list[str], value_col: str,
@@ -265,9 +280,12 @@ def running_total(ds, order_cols: list[str], value_col: str,
     """Distributed prefix scan: SUM(value) OVER ([PARTITION BY key]
     ORDER BY order_cols ROWS UNBOUNDED PRECEDING).
 
-    key_col given — one key-hash shuffle, then each group sorts and
-    cumsums vectorized (group sizes are per-key bounded, the same
-    assumption sessionize documents).
+    key_col given — ONE hash(key)%buckets shuffle, then each BUCKET
+    lexsorts (key, order_cols) and runs a SEGMENTED cumsum (global
+    cumsum minus each key's base — exact for sums), so Python overhead
+    is per partition, not per distinct key (the group_by_key_bucket
+    discipline; per-key group sizes stay bounded as sessionize
+    documents).
 
     key_col None — the GLOBAL scan: distributed sort by order_cols,
     per-block sequential cumsum, then an exclusive scan of per-block
@@ -280,19 +298,30 @@ def running_total(ds, order_cols: list[str], value_col: str,
     order_cols = list(order_cols)
 
     if key_col is not None:
-        from ..blocks import strip_schema_metadata
+        from ..blocks import group_by_key_bucket, strip_schema_metadata
 
-        def per_group(g: pa.Table) -> pa.Table:
+        def per_bucket(g: pa.Table) -> pa.Table:
             g = strip_schema_metadata(g)
+            if g.num_rows == 0:
+                return g.append_column(
+                    out_col, pa.array([], type=pa.int64()))
+            keys = np.asarray(g[key_col].to_pylist(), dtype=object) \
+                .astype(str)
             idx = np.lexsort(tuple(
                 g[c].to_numpy(zero_copy_only=False)
-                for c in reversed(order_cols)))
+                for c in reversed(order_cols)) + (keys,))
             g = g.take(pa.array(idx))
-            run = np.cumsum(g[value_col].to_numpy(zero_copy_only=False))
-            return g.append_column(out_col, pa.array(run))
+            ks = keys[idx]
+            v = g[value_col].to_numpy(zero_copy_only=False)
+            total = np.cumsum(v)
+            new = np.ones(len(ks), dtype=bool)
+            new[1:] = ks[1:] != ks[:-1]
+            starts = np.flatnonzero(new)
+            lens = np.diff(np.append(starts, len(ks)))
+            base = np.repeat(total[starts] - v[starts], lens)
+            return g.append_column(out_col, pa.array(total - base))
 
-        return ds.groupby(key_col).map_groups(per_group,
-                                              batch_format="pyarrow")
+        return group_by_key_bucket(ds, key_col, per_bucket)
 
     from ..blocks import _remote_num_rows
 
@@ -363,14 +392,16 @@ def track_length(ds, key_col: str, ts_col: str, x_col: str, y_col: str,
     timestamp order (GPS-track mileage per user, in fixed-point units
     when x/y are int64 fixed coords so the distributed sum is exact).
 
-    One key-hash shuffle of the narrow (key, ts, x, y) projection, then
-    a per-key vectorized lexsort + diff + abs-sum (the sessionize
-    shape). Ties in ts break on `tie_col` for determinism.
-    Returns (key, n_points:int64, track_fix:int64)."""
+    ONE hash(key)%buckets shuffle of the narrow (key, ts, x, y)
+    projection, then a multi-key vectorized lexsort + diff + masked
+    reduceat fold per bucket (the track_sectors shape — Python overhead
+    per partition, not per key). Ties in ts break on `tie_col` for
+    determinism. Returns (key, n_points:int64, track_fix:int64)."""
+    key_type = dict(zip(ds.schema().names, ds.schema().types))[key_col]
+
     def per_group(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return pa.table({key_col: pa.array([], type=g.schema
-                                               .field(key_col).type),
+        if g.num_rows == 0 or key_col not in g.schema.names:
+            return pa.table({key_col: pa.array([], type=key_type),
                              "n_points": pa.array([], type=pa.int64()),
                              "track_fix": pa.array([], type=pa.int64())})
         keys = np.asarray(g[key_col].to_pylist(), dtype=object)
@@ -396,11 +427,12 @@ def track_length(ds, key_col: str, ts_col: str, x_col: str, y_col: str,
             "track_fix": pa.array(tot.astype(np.int64)),
         })
 
+    from ..blocks import group_by_key_bucket
+
     narrow = ds.select_columns(
         list(dict.fromkeys([key_col, ts_col, x_col, y_col]
                            + ([tie_col] if tie_col else []))))
-    return narrow.groupby(key_col).map_groups(per_group,
-                                              batch_format="pyarrow")
+    return group_by_key_bucket(narrow, key_col, per_group)
 
 
 _SECTOR_COLS = ("n_e", "n_ne", "n_n", "n_nw",
