@@ -243,7 +243,10 @@ def leakage_safe_split(docs, text_col: str = "text",
 def leakage_safe_split_neardup(docs, text_col: str = "text",
                                id_col: str = "doc_id",
                                val_pct: int = 10, test_pct: int = 10,
-                               threshold: float = 0.7):
+                               threshold: float = 0.7,
+                               attach_mode: str = "auto",
+                               broadcast_cap: int = 2_000_000,
+                               buckets: int | None = None):
     """NEAR-dup-aware train/val/test split: the split key is the MinHash
     cluster representative (smallest id of the near-duplicate cluster,
     stages/dedup.minhash_dedup), so paraphrased/boilerplate variants of
@@ -251,16 +254,31 @@ def leakage_safe_split_neardup(docs, text_col: str = "text",
     discipline eval suites actually need (exact-hash splitting, above,
     misses every near-dup pair).
 
-    The verified dup table is proportional to the TRUE dup rate, not the
-    corpus; it broadcasts as two sorted arrays and the assignment is one
-    streaming searchsorted pass (swap for semi_join_bucketed if a corpus
-    ever dedups to billions of pairs). Returns (id_col, split, rep)."""
+    Representative attach (identical results, pinned by pytest):
+      * "broadcast": the dup table rides ray.put as two sorted arrays;
+        one streaming searchsorted pass. Right while the VERIFIED pair
+        table fits worker RAM.
+      * "bucketed": the dup table stays a DATASET; docs and pairs
+        hash-bucket on the id and the rep lookup runs per bucket — web
+        corpora dedup at 20-50%, so the pair table IS corpus-scale and
+        must never be driver/worker-resident in full.
+      * "auto" (default): bucketed past `broadcast_cap` pairs.
+
+    Returns (id_col, split, rep)."""
     import ray
 
     from ..stages.dedup import minhash_dedup
 
     pairs = minhash_dedup(docs, text_col=text_col, id_col=id_col,
                           threshold=threshold)
+    if attach_mode == "auto":
+        attach_mode = "broadcast" if pairs.num_rows <= broadcast_cap \
+            else "bucketed"
+
+    if attach_mode == "bucketed":
+        return _neardup_split_bucketed(docs, pairs, id_col, val_pct,
+                                       test_pct, buckets)
+
     dup_ids = np.asarray(pairs[id_col].to_pylist(), dtype=np.int64)
     dup_rep = np.asarray(pairs["dup_of"].to_pylist(), dtype=np.int64)
     order = np.argsort(dup_ids)
@@ -285,6 +303,71 @@ def leakage_safe_split_neardup(docs, text_col: str = "text",
 
     return docs.select_columns([id_col]) \
         .map_batches(assign, batch_format="pyarrow")
+
+
+def _neardup_split_bucketed(docs, pairs, id_col: str, val_pct: int,
+                            test_pct: int, buckets: int | None):
+    """The scale path of leakage_safe_split_neardup: the (id, dup_of)
+    table joins the doc ids through ONE hash(id)%buckets shuffle (the
+    semi_join_bucketed shape with a carried payload) — neither side is
+    ever driver- or worker-resident in full. `pairs` may be a pa.Table
+    (minhash_dedup's return) or a Dataset."""
+    import ray
+    import ray.data as rd
+
+    if buckets is None:
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+    pairs_ds = rd.from_arrow(pairs) if isinstance(pairs, pa.Table) \
+        else pairs
+
+    def tag(is_pair: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].cast(pa.int64())
+            iv = ids.to_numpy(zero_copy_only=False)
+            dup = batch["dup_of"].cast(pa.int64()) if is_pair \
+                else pa.nulls(batch.num_rows, type=pa.int64())
+            return pa.table({
+                id_col: ids, "dup_of": dup,
+                "_side": pa.array(np.full(batch.num_rows,
+                                          1 if is_pair else 0,
+                                          dtype=np.int8)),
+                "_b": pa.array((iv.view(np.uint64) % np.uint64(buckets))
+                               .astype(np.int32))})
+        return f
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                          "split": pa.array([], type=pa.string()),
+                          "rep": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or id_col not in g.schema.names:
+            return empty
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        is_pair = side == 1
+        rep = ids[~is_pair].copy()
+        if is_pair.any():
+            pid = ids[is_pair]
+            pdup = g["dup_of"].to_numpy(zero_copy_only=False)[is_pair] \
+                .astype(np.int64)
+            o = np.argsort(pid)
+            pid, pdup = pid[o], pdup[o]
+            pos = np.searchsorted(pid, rep)
+            hit = (pos < len(pid)) & \
+                (pid[np.minimum(pos, len(pid) - 1)] == rep)
+            rep[hit] = pdup[np.minimum(pos, len(pid) - 1)][hit]
+        b = rep % 100
+        split = np.where(b < test_pct, "test",
+                         np.where(b < test_pct + val_pct, "val",
+                                  "train"))
+        return pa.table({id_col: pa.array(ids[~is_pair]),
+                         "split": pa.array(split, type=pa.string()),
+                         "rep": pa.array(rep.astype(np.int64))})
+
+    doc_ids = docs.select_columns([id_col]) \
+        .map_batches(tag(False), batch_format="pyarrow")
+    pair_rows = pairs_ds.map_batches(tag(True), batch_format="pyarrow")
+    return doc_ids.union(pair_rows).groupby("_b").map_groups(
+        fold, batch_format="pyarrow")
 
 
 def per_key_sample(ds, id_col: str, key_col: str, k: int,

@@ -89,3 +89,39 @@ def test_neardup_split_groups_paraphrases(ray_session):
         assert len(group) == 1, (b, group)
     # reps of the three groups are the three seed docs
     assert {rows[i][1] for i in (0, 1, 2)} == {0, 1, 2}
+
+
+def test_neardup_split_bucketed_path_identical(ray_session):
+    """Forced bucketed rep-attach (broadcast_cap=0) must match the
+    broadcast path row for row — the round-4 de-driver of the dup
+    table (pipelines/sampling._neardup_split_bucketed)."""
+    import ray.data as rd
+
+    from osmium_tool_ray.pipelines.sampling import leakage_safe_split_neardup
+
+    rng = np.random.default_rng(7)
+    base = ["the quick brown fox jumps over the lazy dog again and again",
+            "pack my box with five dozen liquor jugs every single day",
+            "how vexingly quick daft zebras jump over anything at all"]
+    texts = []
+    for i in range(90):
+        t = base[i % 3]
+        if i >= 3:
+            words = t.split()
+            words[int(rng.integers(0, len(words)))] = f"w{i}"
+            t = " ".join(words)
+        texts.append(t)
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl).repartition(3)
+    broad = leakage_safe_split_neardup(ds, threshold=0.5,
+                                       attach_mode="broadcast")
+    buck = leakage_safe_split_neardup(ds, threshold=0.5,
+                                      attach_mode="auto",
+                                      broadcast_cap=0, buckets=8)
+    rb = sorted((r["doc_id"], r["split"], r["rep"])
+                for r in broad.take_all())
+    rk = sorted((r["doc_id"], r["split"], r["rep"])
+                for r in buck.take_all())
+    assert rb == rk
+    assert len(rb) == len(texts)
