@@ -1250,6 +1250,102 @@ def bpe_apply(docs, merges, text_col: str = "text",
     return docs.map_batches(count, batch_format="pyarrow")
 
 
+def _pair_lift_bucketed(pair_counts, dfd, n_docs: int, min_count: int,
+                        buckets: int = 64):
+    """word_pair_lift's scale path: no driver/broadcast df map. Each
+    side's document frequency attaches through ONE word-hash-bucketed
+    union join against the (word, df) Dataset (the _tfidf_topk_bucketed
+    shape, twice — once per pair member). Identical values to the
+    broadcast path (pinned by a forced-cap pytest)."""
+    from ..functions.hashing import hash_str_u64
+
+    out_schema = pa.schema([
+        ("word_a", pa.string()), ("word_b", pa.string()),
+        ("c_ab", pa.int64()), ("c_a", pa.int64()),
+        ("c_b", pa.int64()), ("lift", pa.float64())])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch["c_ab"], pa.scalar(min_count)))
+
+    pruned = pair_counts.map_batches(prune, batch_format="pyarrow")
+
+    def attach_side(ds_pairs, word_col: str, out_col: str):
+        payload = ds_pairs.schema()
+        pcols = list(zip(payload.names, payload.types))
+
+        def tag_pairs(batch: pa.Table) -> pa.Table:
+            w = batch[word_col].cast(pa.string())
+            b = (hash_str_u64(w) % np.uint64(buckets)).astype(np.int32)
+            out = {"_w": w,
+                   "_v": pa.nulls(batch.num_rows, type=pa.int64()),
+                   "_side": pa.array(np.zeros(batch.num_rows,
+                                              dtype=np.int8)),
+                   "_b": pa.array(b)}
+            for c, _ in pcols:
+                out[c] = batch[c]
+            return pa.table(out)
+
+        def tag_df(batch: pa.Table) -> pa.Table:
+            w = batch["word"].cast(pa.string())
+            b = (hash_str_u64(w) % np.uint64(buckets)).astype(np.int32)
+            out = {"_w": w, "_v": batch["df"].cast(pa.int64()),
+                   "_side": pa.array(np.ones(batch.num_rows,
+                                             dtype=np.int8)),
+                   "_b": pa.array(b)}
+            for c, t in pcols:
+                out[c] = pa.nulls(batch.num_rows, type=t)
+            return pa.table(out)
+
+        def fold(g: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {c: pa.array([], type=t) for c, t in pcols}
+                | {out_col: pa.array([], type=pa.int64())})
+            if g.num_rows == 0 or "_w" not in g.schema.names:
+                return empty
+            side = g["_side"].to_numpy(zero_copy_only=False)
+            w = np.asarray(g["_w"].to_pylist(), dtype=str)
+            is_df = side == 1
+            vw = w[is_df]
+            vn = g["_v"].to_numpy(zero_copy_only=False)[is_df] \
+                .astype(np.int64)
+            o = np.argsort(vw, kind="stable")
+            vw, vn = vw[o], vn[o]
+            rows = np.flatnonzero(~is_df)
+            if not len(rows):
+                return empty
+            # every pair word exists in the df table (same corpus):
+            # searchsorted hit guaranteed
+            pos = np.searchsorted(vw, w[rows])
+            kept = g.take(pa.array(rows, type=pa.int64()))
+            out = {c: kept[c] for c, _ in pcols}
+            out[out_col] = pa.array(vn[pos])
+            return pa.table(out)
+
+        tagged = ds_pairs.map_batches(tag_pairs, batch_format="pyarrow") \
+            .union(dfd.map_batches(tag_df, batch_format="pyarrow"))
+        return tagged.groupby("_b").map_groups(fold,
+                                               batch_format="pyarrow")
+
+    with_ca = attach_side(pruned, "word_a", "c_a")
+    with_cb = attach_side(with_ca, "word_b", "c_b")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        cab = batch["c_ab"].to_numpy(zero_copy_only=False)
+        ca = batch["c_a"].to_numpy(zero_copy_only=False)
+        cb = batch["c_b"].to_numpy(zero_copy_only=False)
+        lift = (np.int64(n_docs) * cab).astype(np.float64) / (ca * cb)
+        return pa.table({"word_a": batch["word_a"],
+                         "word_b": batch["word_b"],
+                         "c_ab": batch["c_ab"],
+                         "c_a": batch["c_a"], "c_b": batch["c_b"],
+                         "lift": pa.array(lift)}).cast(out_schema)
+
+    return with_cb.map_batches(fin, batch_format="pyarrow")
+
+
 def word_pair_lift(docs, text_col: str = "text", id_col: str = "doc_id",
                    min_count: int = 10, n_docs: int | None = None,
                    df_broadcast_cap: int = 4_000_000):
@@ -1324,16 +1420,13 @@ def word_pair_lift(docs, text_col: str = "text", id_col: str = "doc_id",
     dfd = docs.map_batches(df_partial, batch_format="pyarrow") \
         .groupby("_b").map_groups(df_fold, batch_format="pyarrow") \
         .materialize()
-    if dfd.count() > df_broadcast_cap:
-        raise NotImplementedError(
-            "word_pair_lift above df_broadcast_cap needs the bucketed "
-            "df join (tfidf _tfidf_topk_bucketed shape); raise the cap "
-            "or pre-prune the vocabulary")
-    rows = dfd.take_all()
-    dwords = np.asarray([r["word"] for r in rows], dtype=str)
-    dfs = np.asarray([r["df"] for r in rows], dtype=np.int64)
-    o = np.argsort(dwords)
-    df_ref = ray.put((dwords[o], dfs[o]))
+    broadcast_df = dfd.count() <= df_broadcast_cap
+    if broadcast_df:
+        rows = dfd.take_all()
+        dwords = np.asarray([r["word"] for r in rows], dtype=str)
+        dfs = np.asarray([r["df"] for r in rows], dtype=np.int64)
+        o = np.argsort(dwords)
+        df_ref = ray.put((dwords[o], dfs[o]))
 
     # pass 2: co-pair partial counts (triu per doc, batch pre-agg)
     def pair_partial(batch: pa.Table) -> pa.Table:
@@ -1375,6 +1468,13 @@ def word_pair_lift(docs, text_col: str = "text", id_col: str = "doc_id",
 
     pair_counts = docs.map_batches(pair_partial, batch_format="pyarrow") \
         .groupby(["word_a", "word_b"]).aggregate(Sum("n", alias_name="c_ab"))
+
+    if not broadcast_df:
+        # scale path: the df map never leaves the object store — two
+        # word-hash-bucketed union joins attach c_a then c_b (the
+        # _tfidf_topk_bucketed shape); one extra narrow shuffle per side
+        # buys unbounded vocabulary
+        return _pair_lift_bucketed(pair_counts, dfd, n_docs, min_count)
 
     def attach(batch: pa.Table) -> pa.Table:
         out_schema = pa.schema([

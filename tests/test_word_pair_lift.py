@@ -60,3 +60,23 @@ def test_word_pair_lift_hand_fixture(ray_session):
             for r in out.take_all()}
     assert rows[("x", "y")] == (2, 3, 2, 4 * 2 / (3 * 2))
     assert rows[("x", "z")] == (2, 3, 3, 4 * 2 / (3 * 3))
+
+
+def test_word_pair_lift_bucketed_df_identical(ray_session):
+    """Forced df_broadcast_cap=0 routes through _pair_lift_bucketed
+    (the no-driver-df scale path) — values must match the broadcast
+    path bit for bit (round-4: the cap used to raise
+    NotImplementedError)."""
+    import ray.data as rd
+
+    tbl = _docs(seed=9)
+    ds = rd.from_arrow(tbl).repartition(5)
+    broad = word_pair_lift(ds, min_count=5)
+    buck = word_pair_lift(ds, min_count=5, df_broadcast_cap=0)
+    key = lambda r: (r["word_a"], r["word_b"])  # noqa: E731
+    mb = {key(r): (r["c_ab"], r["c_a"], r["c_b"], r["lift"])
+          for r in broad.take_all()}
+    mk = {key(r): (r["c_ab"], r["c_a"], r["c_b"], r["lift"])
+          for r in buck.take_all()}
+    assert mb == mk
+    assert len(mk) > 10
