@@ -136,3 +136,99 @@ def group_by_key_bucket(ds, key_cols, fold, buckets: int | None = None,
 
     return ds.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("_b").map_groups(wrap, batch_format=batch_format)
+
+
+def attach_lookup_bucketed(ds, lookup, key_col: str, val_col: str,
+                           out_col: str, lookup_key: str | None = None,
+                           buckets: int | None = None):
+    """Equality-attach a (key, value) lookup Dataset's `val_col` onto
+    every `ds` row as `out_col` through ONE hash(key)%buckets union
+    shuffle — the scale twin of the ray.put broadcast-lookup pattern for
+    lookup tables beyond worker RAM (the semi_join_bucketed union shape
+    with a carried value). Neither side ever materializes on the driver.
+    Rows whose key is absent from the lookup get a null `out_col`;
+    duplicate lookup keys resolve to the first in sorted order. `ds`
+    payload columns pass through untouched."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .functions.hashing import hash_str_u64
+
+    lookup_key = lookup_key or key_col
+    if buckets is None:
+        buckets = 4 * max(2, int(_ray.cluster_resources().get("CPU", 8)))
+
+    pschema = ds.schema()
+    pcols = list(zip(pschema.names, pschema.types))
+    lschema = lookup.schema()
+    val_type = dict(zip(lschema.names, lschema.types))[val_col]
+    key_type = dict(zip(pschema.names, pschema.types))[key_col]
+    int_key = pa.types.is_integer(key_type)
+
+    def keyarr(col):
+        if int_key:
+            return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return np.asarray(col.to_pylist(), dtype=object).astype(str)
+
+    def bucket_of(col):
+        if int_key:
+            v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return (v.view(np.uint64) % np.uint64(buckets)) \
+                .astype(np.int32)
+        return (hash_str_u64(col.cast(pa.string()))
+                % np.uint64(buckets)).astype(np.int32)
+
+    def tag_ds(batch: pa.Table) -> pa.Table:
+        out = {"_v": pa.nulls(batch.num_rows, type=val_type),
+               "_side": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+               "_b": pa.array(bucket_of(batch[key_col]))}
+        for c, _ in pcols:
+            out[c] = batch[c]
+        return pa.table(out)
+
+    def tag_lookup(batch: pa.Table) -> pa.Table:
+        out = {"_v": batch[val_col].cast(val_type),
+               "_side": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+               "_b": pa.array(bucket_of(batch[lookup_key]))}
+        for c, t in pcols:
+            out[c] = batch[lookup_key].cast(key_type) if c == key_col \
+                else pa.nulls(batch.num_rows, type=t)
+        return pa.table(out)
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {c: pa.array([], type=t) for c, t in pcols}
+            | {out_col: pa.array([], type=val_type)})
+        if g.num_rows == 0 or "_side" not in g.schema.names:
+            return empty
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        is_l = side == 1
+        rows = np.flatnonzero(~is_l)
+        if not len(rows):
+            return empty
+        k = keyarr(g[key_col])
+        lk = k[is_l]
+        # the ds-side "_v" nulls float the whole numpy column; the
+        # lookup-side values are all non-null, so cast back to the
+        # declared type after selection
+        lv = g["_v"].to_numpy(zero_copy_only=False)[is_l]
+        if pa.types.is_integer(val_type):
+            lv = lv.astype(np.int64)
+        o = np.argsort(lk, kind="stable")
+        lk, lv = lk[o], lv[o]
+        pk = k[rows]
+        kept = g.take(pa.array(rows, type=pa.int64()))
+        out = {c: kept[c] for c, _ in pcols}
+        if len(lk):
+            pos = np.searchsorted(lk, pk)
+            cl = np.minimum(pos, len(lk) - 1)
+            hit = (pos < len(lk)) & (lk[cl] == pk)
+            out[out_col] = pa.array(lv[cl], type=val_type,
+                                    mask=~hit)
+        else:
+            out[out_col] = pa.nulls(len(rows), type=val_type)
+        return pa.table(out)
+
+    tagged = ds.map_batches(tag_ds, batch_format="pyarrow") \
+        .union(lookup.map_batches(tag_lookup, batch_format="pyarrow"))
+    return tagged.groupby("_b").map_groups(fold, batch_format="pyarrow")

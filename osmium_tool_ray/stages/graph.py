@@ -254,9 +254,11 @@ def triangle_count(edges, a_col: str = "a", b_col: str = "b",
     membership test is a bucketed sorted-array probe — wedges and edges
     hash-partition by the packed (v, w) key into the same buckets, so
     each group does ONE searchsorted, no driver set. Degrees fold
-    through a native Sum and broadcast under `deg_cap` (a
-    billion-node graph swaps this for the bucketed join —
-    pagerank_distributed's deg path above is the in-repo pattern).
+    through a native Sum and broadcast under `deg_cap`; past the cap
+    the degree table stays a DATASET and each endpoint's degree
+    attaches through a node-hash bucketed union join
+    (blocks.attach_lookup_bucketed) — identical results, pinned by a
+    forced-cap pytest.
 
     Returns a 1-row (n_triangles:int64) table."""
     import ray
@@ -289,36 +291,61 @@ def triangle_count(edges, a_col: str = "a", b_col: str = "b",
         return pa.table({"node": pa.array(u),
                          "d": pa.array(c.astype(np.int64))})
 
-    deg_rows = dedup.map_batches(deg_partial, batch_format="pyarrow") \
-        .groupby("node").aggregate(Sum("d", alias_name="d")).take_all()
-    if len(deg_rows) > deg_cap:
-        raise NotImplementedError(
-            "degree table exceeds deg_cap — wire the bucketed degree "
-            "join (pagerank_distributed deg path) for graphs this size")
-    dnodes = np.asarray([r["node"] for r in deg_rows], dtype=np.int64)
-    dvals = np.asarray([r["d"] for r in deg_rows], dtype=np.int64)
-    order = np.argsort(dnodes)
-    dref = ray.put((dnodes[order], dvals[order]))
+    deg_ds = dedup.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("d", alias_name="d")) \
+        .materialize()
 
-    def orient(batch: pa.Table) -> pa.Table:
-        dn, dv = ray.get(dref)
-        lo = batch["lo"].to_numpy(zero_copy_only=False)
-        hi = batch["hi"].to_numpy(zero_copy_only=False)
-        dlo = dv[np.searchsorted(dn, lo)]
-        dhi = dv[np.searchsorted(dn, hi)]
+    def _orient_arrays(lo, hi, dlo, dhi):
         # orient from (deg, id)-smaller -> larger
         fwd = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
         src = np.where(fwd, lo, hi)
         dst = np.where(fwd, hi, lo)
-        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
-
-    def orient_bucket(batch: pa.Table) -> pa.Table:
-        out = orient(batch)
-        src = out["src"].to_numpy(zero_copy_only=False)
         sb = (src % np.int64(buckets)).astype(np.int32)
-        return out.append_column("_sb", pa.array(sb))
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                         "_sb": pa.array(sb)})
 
-    oriented = dedup.map_batches(orient_bucket, batch_format="pyarrow")
+    if deg_ds.count() <= deg_cap:
+        deg_rows = deg_ds.take_all()
+        dnodes = np.asarray([r["node"] for r in deg_rows],
+                            dtype=np.int64)
+        dvals = np.asarray([r["d"] for r in deg_rows], dtype=np.int64)
+        order = np.argsort(dnodes)
+        dref = ray.put((dnodes[order], dvals[order]))
+
+        def orient_bucket(batch: pa.Table) -> pa.Table:
+            dn, dv = ray.get(dref)
+            lo = batch["lo"].to_numpy(zero_copy_only=False)
+            hi = batch["hi"].to_numpy(zero_copy_only=False)
+            return _orient_arrays(lo, hi, dv[np.searchsorted(dn, lo)],
+                                  dv[np.searchsorted(dn, hi)])
+
+        oriented = dedup.map_batches(orient_bucket,
+                                     batch_format="pyarrow")
+    else:
+        # scale path: the degree table never leaves the object store —
+        # two node-hash-bucketed union joins attach each endpoint's
+        # degree (blocks.attach_lookup_bucketed), then orientation is a
+        # stateless map
+        from ..blocks import attach_lookup_bucketed
+
+        with_dlo = attach_lookup_bucketed(dedup, deg_ds, "lo", "d",
+                                          "_dlo", lookup_key="node",
+                                          buckets=buckets)
+        with_deg = attach_lookup_bucketed(with_dlo, deg_ds, "hi", "d",
+                                          "_dhi", lookup_key="node",
+                                          buckets=buckets)
+
+        def orient_joined(batch: pa.Table) -> pa.Table:
+            lo = batch["lo"].to_numpy(zero_copy_only=False)
+            hi = batch["hi"].to_numpy(zero_copy_only=False)
+            dlo = batch["_dlo"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            dhi = batch["_dhi"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return _orient_arrays(lo, hi, dlo, dhi)
+
+        oriented = with_deg.map_batches(orient_joined,
+                                        batch_format="pyarrow")
 
     def wedges(g: pa.Table) -> pa.Table:
         empty = pa.table({"v": pa.array([], type=pa.int64()),
@@ -510,8 +537,9 @@ def common_neighbors(edges, a_col: str = "a", b_col: str = "b",
     SQL oracle; at a cap above the true max degree the result is exact.
 
     Shapes: distinct undirected edges (one groupby), native-Sum degree
-    fold broadcast under `deg_cap` (billion-node graphs swap in the
-    pagerank_distributed bucketed deg join), per-center triu explode
+    fold broadcast under `deg_cap` (past the cap the degree table stays
+    a Dataset and attaches via node-hash bucketed union joins —
+    blocks.attach_lookup_bucketed, forced-cap pytest-pinned), per-center triu explode
     inside center-hash bucket groups with in-group pair pre-aggregation,
     then ONE pair-hash bucket shuffle sums partials and attaches degrees
     for the Jaccard = common / (deg_x + deg_y - common).
@@ -547,16 +575,17 @@ def common_neighbors(edges, a_col: str = "a", b_col: str = "b",
         return pa.table({"node": pa.array(u),
                          "d": pa.array(c.astype(np.int64))})
 
-    deg_rows = dedup.map_batches(deg_partial, batch_format="pyarrow") \
-        .groupby("node").aggregate(Sum("d", alias_name="d")).take_all()
-    if len(deg_rows) > deg_cap:
-        raise NotImplementedError(
-            "degree table exceeds deg_cap — wire the bucketed degree "
-            "join (pagerank_distributed deg path) for graphs this size")
-    dnodes = np.asarray([r["node"] for r in deg_rows], dtype=np.int64)
-    dvals = np.asarray([r["d"] for r in deg_rows], dtype=np.int64)
-    order = np.argsort(dnodes)
-    dref = ray.put((dnodes[order], dvals[order]))
+    deg_ds = dedup.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("d", alias_name="d")) \
+        .materialize()
+    broadcast_deg = deg_ds.count() <= deg_cap
+    if broadcast_deg:
+        deg_rows = deg_ds.take_all()
+        dnodes = np.asarray([r["node"] for r in deg_rows],
+                            dtype=np.int64)
+        dvals = np.asarray([r["d"] for r in deg_rows], dtype=np.int64)
+        order = np.argsort(dnodes)
+        dref = ray.put((dnodes[order], dvals[order]))
 
     def doubled(batch: pa.Table) -> pa.Table:
         """Each distinct edge witnessed from both endpoints as center,
@@ -609,8 +638,7 @@ def common_neighbors(edges, a_col: str = "a", b_col: str = "b",
     def merge_pairs(g: pa.Table) -> pa.Table:
         empty = pa.table({"node_a": pa.array([], type=pa.int64()),
                           "node_b": pa.array([], type=pa.int64()),
-                          "n_common": pa.array([], type=pa.int64()),
-                          "jaccard": pa.array([], type=pa.float64())})
+                          "n_common": pa.array([], type=pa.int64())})
         if g.num_rows == 0 or "x" not in g.schema.names:
             return empty
         key = ((g["x"].to_numpy(zero_copy_only=False) << np.int64(32))
@@ -621,17 +649,89 @@ def common_neighbors(edges, a_col: str = "a", b_col: str = "b",
             .astype(np.int64)
         x = (uk >> np.int64(32)).astype(np.int64)
         y = (uk & np.int64(0xFFFFFFFF)).astype(np.int64)
-        dn, dv = ray.get(dref)
-        dx = dv[np.searchsorted(dn, x)]
-        dy = dv[np.searchsorted(dn, y)]
-        jac = tot.astype(np.float64) / (dx + dy - tot)
         return pa.table({"node_a": pa.array(x), "node_b": pa.array(y),
-                         "n_common": pa.array(tot),
-                         "jaccard": pa.array(jac)})
+                         "n_common": pa.array(tot)})
 
-    return dedup.map_batches(doubled, batch_format="pyarrow") \
-        .groupby("_cb").map_groups(wedge_pairs, batch_format="pyarrow") \
+    if broadcast_deg:
+        centers = dedup.map_batches(doubled, batch_format="pyarrow")
+    else:
+        # scale path: no driver degree table — explode both centers
+        # stateless, attach the center degree through ONE node-hash
+        # bucketed union join, filter the cap map-side
+        from ..blocks import attach_lookup_bucketed
+
+        def explode_both(batch: pa.Table) -> pa.Table:
+            lo = batch["lo"].to_numpy(zero_copy_only=False)
+            hi = batch["hi"].to_numpy(zero_copy_only=False)
+            return pa.table({"ctr": pa.array(np.concatenate([lo, hi])),
+                             "nbr": pa.array(np.concatenate([hi, lo]))})
+
+        raw = dedup.map_batches(explode_both, batch_format="pyarrow")
+        with_dc = attach_lookup_bucketed(raw, deg_ds, "ctr", "d", "_dc",
+                                         lookup_key="node",
+                                         buckets=buckets)
+
+        def cap_filter(batch: pa.Table) -> pa.Table:
+            dc = batch["_dc"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            kept = batch.filter(pa.array(dc <= max_center_degree)) \
+                .drop_columns(["_dc"])
+            cb = (kept["ctr"].to_numpy(zero_copy_only=False)
+                  % np.int64(buckets)).astype(np.int32)
+            return kept.append_column("_cb", pa.array(cb))
+
+        centers = with_dc.map_batches(cap_filter, batch_format="pyarrow")
+
+    pairs = centers.groupby("_cb") \
+        .map_groups(wedge_pairs, batch_format="pyarrow") \
         .groupby("_pb").map_groups(merge_pairs, batch_format="pyarrow")
+
+    if broadcast_deg:
+        def jac_broadcast(batch: pa.Table) -> pa.Table:
+            out_schema = pa.schema([
+                ("node_a", pa.int64()), ("node_b", pa.int64()),
+                ("n_common", pa.int64()), ("jaccard", pa.float64())])
+            if batch.num_rows == 0:
+                return out_schema.empty_table()
+            dn, dv = ray.get(dref)
+            x = batch["node_a"].to_numpy(zero_copy_only=False)
+            y = batch["node_b"].to_numpy(zero_copy_only=False)
+            tot = batch["n_common"].to_numpy(zero_copy_only=False)
+            dx = dv[np.searchsorted(dn, x)]
+            dy = dv[np.searchsorted(dn, y)]
+            jac = tot.astype(np.float64) / (dx + dy - tot)
+            return batch.append_column("jaccard", pa.array(jac)) \
+                .cast(out_schema)
+
+        return pairs.map_batches(jac_broadcast, batch_format="pyarrow")
+
+    from ..blocks import attach_lookup_bucketed
+
+    with_dx = attach_lookup_bucketed(pairs, deg_ds, "node_a", "d",
+                                     "_dx", lookup_key="node",
+                                     buckets=buckets)
+    with_dxy = attach_lookup_bucketed(with_dx, deg_ds, "node_b", "d",
+                                      "_dy", lookup_key="node",
+                                      buckets=buckets)
+
+    def jac_joined(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            ("node_a", pa.int64()), ("node_b", pa.int64()),
+            ("n_common", pa.int64()), ("jaccard", pa.float64())])
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        tot = batch["n_common"].to_numpy(zero_copy_only=False)
+        dx = batch["_dx"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dy = batch["_dy"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        jac = tot.astype(np.float64) / (dx + dy - tot)
+        return pa.table({"node_a": batch["node_a"],
+                         "node_b": batch["node_b"],
+                         "n_common": batch["n_common"],
+                         "jaccard": pa.array(jac)}).cast(out_schema)
+
+    return with_dxy.map_batches(jac_joined, batch_format="pyarrow")
 
 
 def bfs_hops(edges, sources, a_col: str = "a", b_col: str = "b",

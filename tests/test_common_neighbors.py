@@ -65,3 +65,27 @@ def test_common_neighbors_hub_excluded(ray_session):
     assert got == want
     assert (1, 2) not in got          # only common neighbor is the hub
     assert got[(11, 12)][0] == 1      # witnessed through center 10
+
+
+def test_common_neighbors_bucketed_deg_path_identical(ray_session):
+    """Forced deg_cap=0: the center-cap filter and the Jaccard degree
+    attach run through bucketed union joins — results must match the
+    broadcast path exactly (round-4: the cap used to raise)."""
+    rng = np.random.default_rng(23)
+    n = 40
+    a = rng.integers(0, n, 300)
+    b = rng.integers(0, n, 300)
+    pairs = list(zip(a.tolist(), b.tolist()))
+    broad = _run(pairs, cap=10)
+    buck_map = {}
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({
+        "a": np.array([p[0] for p in pairs], dtype=np.int64),
+        "b": np.array([p[1] for p in pairs], dtype=np.int64),
+    })).repartition(7)
+    df = common_neighbors(ds, max_center_degree=10, deg_cap=0).to_pandas()
+    for r in df.itertuples():
+        buck_map[(int(r.node_a), int(r.node_b))] = (int(r.n_common),
+                                                    float(r.jaccard))
+    assert broad == buck_map
+    assert broad == _reference(pairs, 10)

@@ -44,3 +44,22 @@ def test_triangles_random_vs_numpy(ray_session):
                     "b": pa.array(np.concatenate([b, a]), type=pa.int64())})
     out = triangle_count(rd.from_arrow(tbl).repartition(5), buckets=7)
     assert _count(out) == _exact(list(zip(a.tolist(), b.tolist())), n)
+
+
+def test_triangles_bucketed_deg_path_identical(ray_session):
+    """Forced deg_cap=0 routes the degree attach through the bucketed
+    union join (blocks.attach_lookup_bucketed) — count must match the
+    broadcast path (round-4: the cap used to raise)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    n = 50
+    a = rng.integers(0, n, 500)
+    b = rng.integers(0, n, 500)
+    edges = list(zip(a.tolist(), b.tolist()))
+    tbl = pa.table({"a": pa.array(a, type=pa.int64()),
+                    "b": pa.array(b, type=pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(5)
+    broad = _count(triangle_count(ds, buckets=4))
+    buck = _count(triangle_count(ds, buckets=4, deg_cap=0))
+    assert broad == buck == _exact(edges, n)
