@@ -708,7 +708,8 @@ def jaccard_join(docs, text_col: str = "text", id_col: str = "doc_id",
                  threshold: float = 0.5, n: int = 3,
                  coarse: int | None = None,
                  df_broadcast_cap: int = 4_000_000,
-                 sets_fn=None, small_universe_cap: int = 64):
+                 sets_fn=None, small_universe_cap: int = 64,
+                 bitmask_key_cap: int = 2_000_000):
     """EXACT Jaccard set-similarity self-join over word-n-gram shingle
     sets via prefix filtering (Chaudhuri et al. 2006 SSJoin / Bayardo et
     al. 2007 All-Pairs — public algorithms): every pair with shingle-set
@@ -782,10 +783,14 @@ def jaccard_join(docs, text_col: str = "text", id_col: str = "doc_id",
         .groupby("_b").map_groups(df_fold, batch_format="pyarrow") \
         .materialize()
     nv = dfd.count()
-    if 0 < nv <= small_universe_cap:
+    if 0 < nv <= small_universe_cap and docs.count() <= bitmask_key_cap:
         # tiny token universe: prefix filtering degenerates (every
         # token sits in most prefixes) — switch to the exact bitmask
-        # all-pairs path
+        # all-pairs path. Gated on KEY COUNT too: the bitmask table
+        # broadcasts one row per key and each task compares all-pairs,
+        # so a billion-key table with 50 distinct tokens must NOT
+        # auto-route here — past the cap the generic prefix path runs
+        # (coarser pruning, but bucketed end to end)
         tbls = list(dfd.iter_batches(batch_size=None,
                                      batch_format="pyarrow"))
         vocab = np.sort(pa.concat_tables(tbls)["sh"]

@@ -138,3 +138,30 @@ def test_jaccard_join_zero_candidates(ray_session):
     assert out.count() == 0
     assert set(out.schema().names) == {"a", "b", "inter_sz",
                                        "union_sz", "jacc"}
+
+
+def test_jaccard_join_bitmask_key_cap_guard(ray_session):
+    """Tiny token universe but bitmask_key_cap=0: must route through
+    the generic prefix path (bucketed) and produce pairs identical to
+    the bitmask path (round-4: the <=64-token trigger said nothing
+    about key count)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(8)]      # tiny universe
+    texts = [" ".join(rng.choice(words, rng.integers(4, 10)))
+             for _ in range(50)]
+    tbl = pa.table({"doc_id": pa.array([f"d{i}" for i in range(50)],
+                                       type=pa.string()),
+                    "text": pa.array(texts, type=pa.string())})
+    ds = rd.from_arrow(tbl).repartition(4)
+    t = 0.5
+    bit = jaccard_join(ds, threshold=t, n=1, coarse=4)
+    pre = jaccard_join(ds, threshold=t, n=1, coarse=4,
+                       bitmask_key_cap=0)
+    kb = {(r["a"], r["b"]): (r["inter_sz"], r["union_sz"], r["jacc"])
+          for r in bit.take_all()}
+    kp = {(r["a"], r["b"]): (r["inter_sz"], r["union_sz"], r["jacc"])
+          for r in pre.take_all()}
+    assert kb == kp
+    assert len(kb) > 0
