@@ -113,30 +113,54 @@ class Normalizer:
 
 class LangId:
     """Stopword-vote language id over a fixed tiny lexicon (deterministic
-    heuristic; a real model would load in __init__ the same way)."""
+    heuristic; this class is the declared seam where a real fasttext-
+    style model would load in __init__ the same way).
+
+    Fully vectorized vote (no per-row Python): flat token array ->
+    sorted-lexicon searchsorted -> one (doc, lang) bincount -> argmax.
+    np.argmax takes the FIRST maximum, which reproduces the
+    smallest-lang-index tie rule of the scalar formulation exactly."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.token_re = re.compile(TOKEN_PATTERN)
         self.langs = sorted(_LANG_STOPWORDS)
-        self.lexicon = {w: lang for lang in self.langs
-                        for w in _LANG_STOPWORDS[lang]}
+        lex = {w: lang for lang in self.langs
+               for w in _LANG_STOPWORDS[lang]}
+        words = sorted(lex)
+        self._lex_words = np.asarray(words, dtype=str)   # U-dtype
+        self._lex_lang = np.asarray(
+            [self.langs.index(lex[w]) for w in words], dtype=np.int64)
+        self._lang_arr = np.asarray(self.langs, dtype=object)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch[self.text_col].str.lower().str.findall(self.token_re)
-        lex = self.lexicon
-        langs = self.langs
-
-        def vote(words):
-            counts = dict.fromkeys(langs, 0)
-            for w in words:
-                lang = lex.get(w)
-                if lang:
-                    counts[lang] += 1
-            best = max(langs, key=lambda l: (counts[l], -langs.index(l)))
-            return best if counts[best] > 0 else "unknown"
-
-        batch["lang_pred"] = toks.map(vote)
+        n_docs = len(batch)
+        if n_docs == 0:
+            batch["lang_pred"] = pd.Series([], dtype=object)
+            return batch
+        lower = pc.utf8_lower(pa.array(batch[self.text_col]
+                                       .astype(str)))
+        # split on the token-pattern complement == findall(TOKEN_PATTERN)
+        # on lowered text (empties at boundaries dropped below)
+        toks = pc.split_pattern_regex(lower, pattern=r"[^a-z0-9_]+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False) \
+            .astype(str)
+        doc = np.repeat(np.arange(n_docs), lens)
+        keep = flat != ""
+        flat, doc = flat[keep], doc[keep]
+        L = len(self.langs)
+        counts = np.zeros((n_docs, L), dtype=np.int64)
+        if len(flat):
+            pos = np.searchsorted(self._lex_words, flat)
+            cl = np.minimum(pos, len(self._lex_words) - 1)
+            hit = self._lex_words[cl] == flat
+            counts = np.bincount(
+                doc[hit] * L + self._lex_lang[cl[hit]],
+                minlength=n_docs * L).reshape(n_docs, L)
+        best = counts.argmax(axis=1)
+        bestc = counts[np.arange(n_docs), best]
+        batch["lang_pred"] = np.where(bestc > 0, self._lang_arr[best],
+                                      "unknown")
         return batch
 
 
