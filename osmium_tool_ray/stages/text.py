@@ -7,7 +7,6 @@ buffers) or actor classes compiling their regexes once per actor
 
 from __future__ import annotations
 
-import re
 
 import numpy as np
 import pandas as pd
