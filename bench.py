@@ -209,6 +209,21 @@ def main():
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }))
+    # short summary line AFTER the full line: the full per-query dict is
+    # ~7 KB and a tail-window capture can truncate it mid-dict (r03's
+    # BENCH capture lost the headline that way) — the last line always
+    # parses whatever the capture window
+    print(json.dumps({
+        "metric": "images_per_sec",
+        "value": round(hl["images_per_sec"], 1),
+        "unit": "sec",
+        "headline_wall_s": round(hl["wall_s"], 3),
+        "headline_rows": hl["rows"],
+        "n_queries": len(queries),
+        "queries_total_s": round(sum(queries.values()), 3),
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
     ray.shutdown()
 
 
@@ -272,8 +287,86 @@ def scaling():
     }))
 
 
+SCALE_QUERIES = ("jaccard_join_docs", "crossmodal_neardup",
+                 "minhash_dup_pairs", "extract_cw_dataset",
+                 "dominant_colors")
+
+
+def queries_once():
+    """Child mode of --scaling-queries: time SCALE_QUERIES once at
+    NUM_CPUS and print one short JSON line."""
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR",
+                 log_to_driver=False)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    rd.range(100_000, override_num_blocks=8) \
+        .map_batches(lambda b: b, batch_format="pyarrow").count()  # warm
+    qs = entrymod.queries()
+    walls = {}
+    for name in SCALE_QUERIES:
+        t0 = time.monotonic()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "count"):
+            res.count()
+        walls[name] = round(time.monotonic() - t0, 3)
+    print(json.dumps({"cpus": NUM_CPUS, "walls": walls}))
+    ray.shutdown()
+
+
+def scaling_queries():
+    """Two-parallelism evidence for the WIDE operators, not just the
+    headline: interleaved lo/hi pairs over 5 representative heavy
+    queries (the --scaling protocol applied per query; same
+    SMT-boundary reasoning for the default 4-vs-16 pairing)."""
+    lo = int(os.environ.get("BENCH_SCALE_LO", "4"))
+    hi = int(os.environ.get("BENCH_SCALE_HI", "16"))
+    repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "2"))
+
+    def run_once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--queries-once"],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])["walls"]
+
+    pair_ratios = {q: [] for q in SCALE_QUERIES}
+    best = {lo: {}, hi: {}}
+    for _ in range(repeats):
+        w_lo = run_once(lo)
+        time.sleep(2)
+        w_hi = run_once(hi)
+        time.sleep(2)
+        for q in SCALE_QUERIES:
+            pair_ratios[q].append(round(w_lo[q] / w_hi[q], 3))
+            best[lo][q] = min(best[lo].get(q, w_lo[q]), w_lo[q])
+            best[hi][q] = min(best[hi].get(q, w_hi[q]), w_hi[q])
+    out = {}
+    for q in SCALE_QUERIES:
+        pr = sorted(pair_ratios[q])
+        med = pr[len(pr) // 2] if len(pr) % 2 else \
+            (pr[len(pr) // 2 - 1] + pr[len(pr) // 2]) / 2
+        out[q] = {f"sec_{lo}": best[lo][q], f"sec_{hi}": best[hi][q],
+                  "pair_ratios": pr,
+                  "best_eff": round(best[lo][q] / best[hi][q] / (hi / lo), 3),
+                  "median_pair_eff": round(med / (hi / lo), 3)}
+    print(json.dumps({"lo": lo, "hi": hi, "queries": out}))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--scaling-queries" in sys.argv:
+        scaling_queries()
+    elif "--queries-once" in sys.argv:
+        queries_once()
     else:
         main()
