@@ -105,42 +105,59 @@ def render_wkt_ways(members_with_locations, tags_by_way=None,
                     closed_as_polygon: bool = False):
     """The export `-f text` way form: `LINESTRING(x y,...) @id=<way>` (or
     `MULTIPOLYGON(((...)))` for closed rings when closed_as_polygon).
-    Per-way assembly mirrors render_geojson_ways' groupby; tags_by_way is
-    an optional small broadcastable {way_id: 'k=v,...'} suffix map."""
+    Per-way assembly runs per hash(group_id)%buckets BUCKET (one sorted
+    pass, ways as contiguous runs — per-partition pandas overhead, not
+    per way; the group_by_key_bucket discipline); tags_by_way is an
+    optional small broadcastable {way_id: 'k=v,...'} suffix map."""
     import ray
+
+    from ..blocks import group_by_key_bucket
 
     tags_ref = ray.put(tags_by_way or {})
 
-    def assemble(g) -> "pa.Table":
+    def fold(df) -> "pd.DataFrame":
         import pandas as pd
 
-        g = g.sort_values("seq", kind="stable")
-        coords = [(lo, la) for lo, la in zip(g["lon"], g["lat"])
-                  if not (np.isnan(lo) or np.isnan(la))]
-        if len(coords) < 2:
+        if df.empty:
             return pd.DataFrame({"line": []})
-        wid = g["group_id"].iloc[0]
+        tags_map = ray.get(tags_ref)
+        df = df.sort_values(["group_id", "seq"], kind="stable")
+        gid = df["group_id"].to_numpy()
+        lon = df["lon"].to_numpy()
+        lat = df["lat"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate([[True], gid[1:] != gid[:-1]]))
+        ends = np.append(starts[1:], len(gid))
 
         def fmt(v):
-            s = f"{v:g}"
-            return s
-        pts = ",".join(f"{fmt(lo)} {fmt(la)}" for lo, la in coords)
-        closed = coords[0] == coords[-1] and len(coords) >= 4
-        tags = ray.get(tags_ref).get(wid, "")
-        suffix = f" @id={wid}" + ("," + tags if tags else "")
-        if closed and closed_as_polygon:
-            from ..functions.geometry import is_ccw
+            return f"{v:g}"
 
-            ring_pts = coords if is_ccw(np.asarray(coords)) \
-                else coords[::-1]  # outer rings CCW (geometry_util.cpp:22-34)
-            ring = ",".join(f"{fmt(lo)} {fmt(la)}" for lo, la in ring_pts)
-            line = f"MULTIPOLYGON((({ring}))){suffix}"
-        else:
-            line = f"LINESTRING({pts}){suffix}"
-        return pd.DataFrame({"line": [line]})
+        lines = []
+        for s, e in zip(starts, ends):
+            coords = [(lo, la) for lo, la in zip(lon[s:e], lat[s:e])
+                      if not (np.isnan(lo) or np.isnan(la))]
+            if len(coords) < 2:
+                continue
+            wid = gid[s]
+            pts = ",".join(f"{fmt(lo)} {fmt(la)}" for lo, la in coords)
+            closed = coords[0] == coords[-1] and len(coords) >= 4
+            tags = tags_map.get(wid, "")
+            suffix = f" @id={wid}" + ("," + tags if tags else "")
+            if closed and closed_as_polygon:
+                from ..functions.geometry import is_ccw
 
-    return members_with_locations.groupby("group_id").map_groups(
-        assemble, batch_format="pandas")
+                # outer rings CCW (geometry_util.cpp:22-34)
+                ring_pts = coords if is_ccw(np.asarray(coords)) \
+                    else coords[::-1]
+                ring = ",".join(f"{fmt(lo)} {fmt(la)}"
+                                for lo, la in ring_pts)
+                lines.append(f"MULTIPOLYGON((({ring}))){suffix}")
+            else:
+                lines.append(f"LINESTRING({pts}){suffix}")
+        return pd.DataFrame({"line": lines})
+
+    return group_by_key_bucket(members_with_locations, "group_id",
+                               fold, batch_format="pandas")
 
 
 def add_type_id(batch: pa.Table, kind_col: str = "kind",
@@ -213,30 +230,44 @@ def render_geojson_ways(members_with_locations, closed_as_polygon: bool = False)
     ring closes and closed_as_polygon is set.
 
     Input: the add_locations_to_members output (group_id, seq, lon, lat).
-    The per-way assembly is a groupby(group_id).map_groups — the Ray
-    restatement of the NodeLocationsForWays + ExportHandler pass
-    (command_export.cpp:620-632)."""
+    Per-way assembly runs per hash(group_id)%buckets bucket (ways as
+    contiguous runs of one sorted pass — per-partition pandas overhead,
+    not per way) — the Ray restatement of the NodeLocationsForWays +
+    ExportHandler pass (command_export.cpp:620-632)."""
     import json
 
     import pandas as pd
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("seq", kind="stable")
-        coords = [[lo, la] for lo, la in zip(g["lon"], g["lat"])
-                  if not (np.isnan(lo) or np.isnan(la))]
-        if len(coords) < 2:
-            return pd.DataFrame({"line": []})
-        closed = coords[0] == coords[-1] and len(coords) >= 4
-        if closed and closed_as_polygon:
-            geom = {"type": "Polygon", "coordinates": [coords]}
-        else:
-            geom = {"type": "LineString", "coordinates": coords}
-        feat = {"type": "Feature", "id": str(g["group_id"].iloc[0]),
-                "geometry": geom, "properties": {}}
-        return pd.DataFrame({"line": [json.dumps(feat, separators=(",", ":"))]})
+    from ..blocks import group_by_key_bucket
 
-    return members_with_locations.groupby("group_id").map_groups(
-        assemble, batch_format="pandas")
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"line": []})
+        df = df.sort_values(["group_id", "seq"], kind="stable")
+        gid = df["group_id"].to_numpy()
+        lon = df["lon"].to_numpy()
+        lat = df["lat"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate([[True], gid[1:] != gid[:-1]]))
+        ends = np.append(starts[1:], len(gid))
+        lines = []
+        for s, e in zip(starts, ends):
+            coords = [[lo, la] for lo, la in zip(lon[s:e], lat[s:e])
+                      if not (np.isnan(lo) or np.isnan(la))]
+            if len(coords) < 2:
+                continue
+            closed = coords[0] == coords[-1] and len(coords) >= 4
+            if closed and closed_as_polygon:
+                geom = {"type": "Polygon", "coordinates": [coords]}
+            else:
+                geom = {"type": "LineString", "coordinates": coords}
+            feat = {"type": "Feature", "id": str(gid[s]),
+                    "geometry": geom, "properties": {}}
+            lines.append(json.dumps(feat, separators=(",", ":")))
+        return pd.DataFrame({"line": lines})
+
+    return group_by_key_bucket(members_with_locations, "group_id",
+                               fold, batch_format="pandas")
 
 
 # per-worker-process cache for the broadcast fragment dict: a nested
@@ -305,28 +336,46 @@ def render_geojson_multipolygons(rel_members, way_members_with_locations):
 
     from ..functions.geometry import ensure_closed, is_ccw
 
+    from ..blocks import group_by_key_bucket
+
     _, frags_ref = _member_way_fragments(rel_members,
                                          way_members_with_locations)
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        rings_of = _cached_frags(frags_ref)
-        g = g[g["mtype"] == "way"].sort_values("seq", kind="stable")
-        outers, inners = [], []
-        for ref in g["ref"]:
-            pts = rings_of.get(ref)
-            if not pts or len(pts) < 3:
-                continue
-            ring = ensure_closed(np.asarray(pts, dtype=np.float64))
-            (outers if is_ccw(ring) else inners).append(ring.tolist())
-        if not outers:
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
             return pd.DataFrame({"line": []})
-        polys = [[o] + inners for o in outers[:1]] + [[o] for o in outers[1:]]
-        feat = {"type": "Feature", "id": str(g["group_id"].iloc[0]),
-                "geometry": {"type": "MultiPolygon", "coordinates": polys},
-                "properties": {}}
-        return pd.DataFrame({"line": [json.dumps(feat, separators=(",", ":"))]})
+        rings_of = _cached_frags(frags_ref)
+        df = df[df["mtype"] == "way"] \
+            .sort_values(["group_id", "seq"], kind="stable")
+        if df.empty:
+            return pd.DataFrame({"line": []})
+        gid = df["group_id"].to_numpy()
+        refs = df["ref"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate([[True], gid[1:] != gid[:-1]]))
+        ends = np.append(starts[1:], len(gid))
+        lines = []
+        for s, e in zip(starts, ends):
+            outers, inners = [], []
+            for ref in refs[s:e]:
+                pts = rings_of.get(ref)
+                if not pts or len(pts) < 3:
+                    continue
+                ring = ensure_closed(np.asarray(pts, dtype=np.float64))
+                (outers if is_ccw(ring) else inners).append(ring.tolist())
+            if not outers:
+                continue
+            polys = [[o] + inners for o in outers[:1]] \
+                + [[o] for o in outers[1:]]
+            feat = {"type": "Feature", "id": str(gid[s]),
+                    "geometry": {"type": "MultiPolygon",
+                                 "coordinates": polys},
+                    "properties": {}}
+            lines.append(json.dumps(feat, separators=(",", ":")))
+        return pd.DataFrame({"line": lines})
 
-    return rel_members.groupby("group_id").map_groups(assemble, batch_format="pandas")
+    return group_by_key_bucket(rel_members, "group_id", fold,
+                               batch_format="pandas")
 
 
 def render_geojson_areas(rel_members, way_members_with_locations):
@@ -339,8 +388,9 @@ def render_geojson_areas(rel_members, way_members_with_locations):
     normalized (outer CCW, inner CW — geometry_util.cpp:22-34).
 
     rel_members: (group_id, seq, mtype, ref); way geometry from
-    add_locations_to_members output. The per-relation assembly runs in
-    groupby(group_id).map_groups; way fragments are keyed driver-side only
+    add_locations_to_members output. The per-relation assembly runs per
+    hash(group_id)%buckets bucket (relations as contiguous runs of one
+    sorted pass); way fragments are keyed driver-side only
     for the member ways of the exported relations (narrow projection,
     filtered distributed; shipped to group tasks via the object store)."""
     import json
@@ -353,21 +403,22 @@ def render_geojson_areas(rel_members, way_members_with_locations):
         assemble_rings, normalize_ring, point_in_ring,
     )
 
+    from ..blocks import group_by_key_bucket
+
     _, frags_ref = _member_way_fragments(rel_members,
                                          way_members_with_locations)
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        frags_of = _cached_frags(frags_ref)
-        g = g[g["mtype"] == "way"].sort_values("seq", kind="stable")
+    def _one(gid, refs, frags_of):
         fragments = [np.asarray(frags_of[ref], dtype=np.float64)
-                     for ref in g["ref"]
+                     for ref in refs
                      if len(frags_of.get(ref) or []) >= 2]
         if not fragments:
-            return pd.DataFrame({"line": []})
+            return None
         rings, _leftover = assemble_rings(fragments)
         if not rings:
-            return pd.DataFrame({"line": []})
-        # nesting depth via even-odd containment of a representative vertex
+            return None
+        # nesting depth via even-odd containment of a representative
+        # vertex
         depth = np.zeros(len(rings), dtype=np.int64)
         for i, r in enumerate(rings):
             for j, other in enumerate(rings):
@@ -382,13 +433,32 @@ def render_geojson_areas(rel_members, way_members_with_locations):
                      if depth[ii] == depth[oi] + 1
                      and point_in_ring(rings[ii][0], rings[oi])]
             polys.append([shell.tolist()] + [h.tolist() for h in holes])
-        feat = {"type": "Feature", "id": str(g["group_id"].iloc[0]),
-                "geometry": {"type": "MultiPolygon", "coordinates": polys},
+        feat = {"type": "Feature", "id": str(gid),
+                "geometry": {"type": "MultiPolygon",
+                             "coordinates": polys},
                 "properties": {}}
-        return pd.DataFrame({"line": [json.dumps(feat, separators=(",", ":"))]})
+        return json.dumps(feat, separators=(",", ":"))
 
-    return rel_members.groupby("group_id").map_groups(assemble,
-                                                      batch_format="pandas")
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"line": []})
+        frags_of = _cached_frags(frags_ref)
+        df = df[df["mtype"] == "way"] \
+            .sort_values(["group_id", "seq"], kind="stable")
+        if df.empty:
+            return pd.DataFrame({"line": []})
+        gid = df["group_id"].to_numpy()
+        refs = df["ref"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate([[True], gid[1:] != gid[:-1]]))
+        ends = np.append(starts[1:], len(gid))
+        lines = [ln for s, e in zip(starts, ends)
+                 if (ln := _one(gid[s], refs[s:e], frags_of))
+                 is not None]
+        return pd.DataFrame({"line": lines})
+
+    return group_by_key_bucket(rel_members, "group_id", fold,
+                               batch_format="pandas")
 
 
 def export_lines(ds, out_dir: str, renderer, **renderer_kwargs) -> str:
