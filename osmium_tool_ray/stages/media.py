@@ -106,11 +106,12 @@ class FrameSample:
     """Actor stage: sample every `stride`-th frame from a video byte stream
     (equal-size encoded frame records back-to-back, the fake container
     above) — one OUTPUT ROW PER SAMPLED FRAME, the video->frames explode
-    of a real training pipeline. A real deployment swaps the record
-    slicing for an ffmpeg keyframe decode inside the same actor method;
-    the Ray-side shape (binary in, exploded rows out, small batch_size)
-    is the real thing. Frame bytes are sliced, not re-encoded — memcpy
-    only."""
+    of a real training pipeline. REAL containers (anything without the
+    fake-frame magic) decode per record through PyAV when installed
+    (functions/avcodec seam, skipif-gated pytest); decoded frames
+    re-encode into the deterministic fake-png records so downstream
+    pixel stages consume both sources identically. Fake-container frame
+    bytes are sliced, not re-encoded — memcpy only."""
 
     def __init__(self, stride: int = 2, bytes_col: str = "video",
                  id_col: str = "video_id"):
@@ -120,8 +121,9 @@ class FrameSample:
         self.bytes_col, self.id_col = bytes_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.imagecodec import HEADER_LEN
+        from ..functions.imagecodec import HEADER_LEN, MAGIC
 
+        fake_magics = tuple(MAGIC.values())
         arr = batch[self.bytes_col]
         arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
         arr = arr.cast(pa.large_binary())
@@ -133,6 +135,24 @@ class FrameSample:
         for i in range(len(arr)):
             start, end = int(offs[i]), int(offs[i + 1])
             if end - start < HEADER_LEN:
+                continue
+            if buf[start:start + 4].tobytes() not in fake_magics:
+                # real container: PyAV decode (avcodec seam), frames
+                # re-encoded as fake-png records
+                from ..functions import avcodec
+
+                w, h, frames = avcodec.decode_video_record(
+                    buf[start:end].tobytes(), stride=self.stride)
+                if frames:
+                    pix = np.stack([p for _, p in frames])
+                    recs = self.codec.encode_batch(
+                        pix, np.full(len(frames), "png"), w, h)
+                    for (fno, _), rec in zip(frames, recs.to_pylist()):
+                        out_id.append(ids[i])
+                        out_frame.append(fno)
+                        out_bytes.append(rec)
+                        out_w.append(w)
+                        out_h.append(h)
                 continue
             w = int(buf[start + 4] | (buf[start + 5] << 8))
             h = int(buf[start + 6] | (buf[start + 7] << 8))
@@ -224,6 +244,13 @@ class AudioFeatures:
     zero-crossing rate. Header fields are metadata (SQL-checkable);
     RMS/ZCR are computed from the PCM body (pytest-checked vs numpy).
 
+    Container dispatch (the functions/avcodec seam): fake-magic records
+    decode via the vectorized flat-buffer path; REAL audio bytes decode
+    per record through soundfile (or the stdlib-wave PCM16 fallback) —
+    pytest round-trips a real WAV through this path. Mixed fake/real
+    batches raise (upstream readers keep formats per-partition, the
+    pilcodec contract).
+
     Decode state (none for the fake codec; a resampler/filterbank for a
     real one) lives in __init__ — once per actor, not per batch. Blobs
     never leave the map task: output is the input minus the audio bytes
@@ -231,6 +258,31 @@ class AudioFeatures:
 
     def __init__(self, bytes_col: str = "audio"):
         self.bytes_col = bytes_col
+
+    @staticmethod
+    def _feats(batch, bytes_col, pcm: np.ndarray, ns: np.ndarray,
+               srs: np.ndarray) -> pa.Table:
+        """Vectorized RMS/ZCR over ONE flat float64 PCM vector with
+        per-record segment bounds (shared by the fake and real paths)."""
+        bounds = np.concatenate([[0], np.cumsum(ns.astype(np.int64))])
+        sq_sums = np.add.reduceat(pcm * pcm, bounds[:-1])
+        rms = np.sqrt(sq_sums / ns)
+        sb = np.signbit(pcm)
+        flips = (sb[1:] != sb[:-1]).astype(np.int64)
+        # zero out flips that straddle record boundaries
+        flips[bounds[1:-1] - 1] = 0
+        cum = np.concatenate([[0], np.cumsum(flips)])
+        per_rec = cum[np.minimum(bounds[1:] - 1, len(cum) - 1)] \
+            - cum[bounds[:-1]]
+        zcr = per_rec / np.maximum(ns - 1, 1)
+        out = batch.drop_columns([bytes_col])
+        return out.append_column("sr", pa.array(srs, type=pa.int32())) \
+            .append_column("n_samples",
+                           pa.array(ns.astype(np.int32), type=pa.int32())) \
+            .append_column("duration_s",
+                           pa.array(ns.astype(np.float64) / srs)) \
+            .append_column("rms", pa.array(rms)) \
+            .append_column("zcr", pa.array(zcr))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.bytes_col]
@@ -252,8 +304,26 @@ class AudioFeatures:
         starts = offs[:-1]
         magic = buf[(starts[:, None] + np.arange(4)[None, :]).ravel()] \
             .reshape(-1, 4)
-        if not (magic == np.frombuffer(_AUDIO_MAGIC, dtype=np.uint8)).all():
-            raise ValueError("bad audio magic")
+        fake = (magic == np.frombuffer(_AUDIO_MAGIC,
+                                       dtype=np.uint8)).all(axis=1)
+        if not fake.all():
+            if fake.any():
+                raise ValueError(
+                    "mixed fake/real audio records in one batch")
+            # real audio bytes: per-record codec calls (avcodec seam),
+            # then the same vectorized feature fold
+            from ..functions import avcodec
+
+            srs_l, pcms = [], []
+            for rec in col.to_pylist():
+                sr, p = avcodec.decode_audio_record(rec)
+                srs_l.append(sr)
+                pcms.append(p)
+            srs = np.asarray(srs_l, dtype=np.int32)
+            ns = np.asarray([len(p) for p in pcms], dtype=np.int64)
+            pcm = (np.concatenate(pcms).astype(np.float64) if ns.sum()
+                   else np.empty(0, np.float64))
+            return self._feats(batch, self.bytes_col, pcm, ns, srs)
         hdr_idx = (starts[:, None] + 4 + np.arange(8)[None, :]).ravel()
         hdr = buf[hdr_idx].reshape(-1, 8).copy().view(np.int32)
         srs, ns = hdr[:, 0].copy(), hdr[:, 1].copy()
@@ -263,24 +333,7 @@ class AudioFeatures:
         flat_idx = np.concatenate(
             [np.arange(s, s + l) for s, l in zip(seg_starts, seg_len_b)])
         pcm = buf[flat_idx].copy().view(np.int16).astype(np.float64)
-        bounds = np.concatenate([[0], np.cumsum(ns.astype(np.int64))])
-        sq_sums = np.add.reduceat(pcm * pcm, bounds[:-1])
-        rms = np.sqrt(sq_sums / ns)
-        sb = np.signbit(pcm)
-        flips = (sb[1:] != sb[:-1]).astype(np.int64)
-        # zero out flips that straddle record boundaries
-        flips[bounds[1:-1] - 1] = 0
-        cum = np.concatenate([[0], np.cumsum(flips)])
-        per_rec = cum[np.minimum(bounds[1:] - 1, len(cum) - 1)] \
-            - cum[bounds[:-1]]
-        zcr = per_rec / np.maximum(ns - 1, 1)
-        out = batch.drop_columns([self.bytes_col])
-        return out.append_column("sr", pa.array(srs, type=pa.int32())) \
-            .append_column("n_samples", pa.array(ns, type=pa.int32())) \
-            .append_column("duration_s",
-                           pa.array(ns.astype(np.float64) / srs)) \
-            .append_column("rms", pa.array(rms)) \
-            .append_column("zcr", pa.array(zcr))
+        return self._feats(batch, self.bytes_col, pcm, ns, srs)
 
 
 class Augment:
