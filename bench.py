@@ -292,6 +292,57 @@ SCALE_QUERIES = ("jaccard_join_docs", "crossmodal_neardup",
                  "dominant_colors")
 
 
+def _scaled_sf_dir(sf_dir: str, k_docs: int, k_events: int) -> str:
+    """Deterministic scaled-up twin of sf_dir for the query-scaling
+    evidence: at sf0.1 the five heavy queries read 5k docs / 100k
+    events, so their walls are FIXED-COST dominated and a 4-vs-16
+    pairing measures scheduler overhead, not the operators. The twin
+    replicates documents x k_docs (every word suffixed with the copy
+    index, so copies share ZERO shingles — intra-copy dup structure is
+    preserved, cross-copy similarity is exactly 0 and the pair count
+    scales LINEARLY) and events x k_events (event_id offset per copy —
+    image ids/content/phash all derive from the id, so copies are
+    distinct images at the same coordinates). Built once, cached on
+    disk."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join("/tmp", f"bench_qscale_d{k_docs}_e{k_events}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+    texts = docs["text"].to_pylist()
+    parts = []
+    for i in range(k_docs):
+        t_i = [" ".join(w + f"x{i}" for w in t.split()) for t in texts] \
+            if i else texts
+        parts.append(pa.table({
+            "doc_id": pa.array(ids + i * 100_000_000, type=pa.int64()),
+            "text": pa.array(t_i, type=pa.string()),
+        }))
+    pq.write_table(pa.concat_tables(parts),
+                   os.path.join(out, "documents.parquet"))
+
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    eid = ev["event_id"].to_numpy(zero_copy_only=False)
+    eparts = []
+    for i in range(k_events):
+        cols = {"event_id": pa.array(eid + i * 100_000_000,
+                                     type=pa.int64())}
+        for c in ev.schema.names:
+            if c != "event_id":
+                cols[c] = ev[c]
+        eparts.append(pa.table(cols))
+    pq.write_table(pa.concat_tables(eparts),
+                   os.path.join(out, "events.parquet"))
+    open(marker, "w").write("ok")
+    return out
+
+
 def queries_once():
     """Child mode of --scaling-queries: time SCALE_QUERIES once at
     NUM_CPUS and print one short JSON line."""
@@ -307,17 +358,22 @@ def queries_once():
 
     import __ray_entry__ as entrymod
 
+    k_docs = int(os.environ.get("BENCH_QSCALE_DOCS", "4"))
+    k_events = int(os.environ.get("BENCH_QSCALE_EVENTS", "4"))
+    sf = _scaled_sf_dir(SF_DIR, k_docs, k_events) \
+        if (k_docs > 1 or k_events > 1) else SF_DIR
+
     rd.range(100_000, override_num_blocks=8) \
         .map_batches(lambda b: b, batch_format="pyarrow").count()  # warm
     qs = entrymod.queries()
     walls = {}
     for name in SCALE_QUERIES:
         t0 = time.monotonic()
-        res = qs[name](SF_DIR)
+        res = qs[name](sf)
         if hasattr(res, "count"):
             res.count()
         walls[name] = round(time.monotonic() - t0, 3)
-    print(json.dumps({"cpus": NUM_CPUS, "walls": walls}))
+    print(json.dumps({"cpus": NUM_CPUS, "walls": walls, "sf": sf}))
     ray.shutdown()
 
 
@@ -328,7 +384,10 @@ def scaling_queries():
     SMT-boundary reasoning for the default 4-vs-16 pairing)."""
     lo = int(os.environ.get("BENCH_SCALE_LO", "4"))
     hi = int(os.environ.get("BENCH_SCALE_HI", "16"))
-    repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "2"))
+    # scaled inputs make each run compute-dominated (minutes, not the
+    # ~1-3 s/op fixed floor), so noise matters proportionally less than
+    # in --scaling; default ONE interleaved pair, raise for more
+    repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "1"))
 
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))

@@ -95,9 +95,10 @@ def stratified_sample(ds, key_cols: list[str], id_col: str, n_per_key: int,
 
     Same partial+final shape as topk_per_key (pipelines/merge.py:71):
     each block prunes to <= n candidates per key map-side, so the
-    shuffle carries n x keys x blocks rows at most, then the per-group
-    final repeats the prune. Deterministic: the winning ids are a pure
-    function of the data."""
+    shuffle carries n x keys x blocks rows at most, then the finisher
+    repeats the multi-key prune once per hash(keys)%buckets bucket
+    (group_by_key_bucket — per-partition Python, not per key).
+    Deterministic: the winning ids are a pure function of the data."""
     key_cols = list(key_cols)
 
     def with_hash(batch: pa.Table) -> pa.Table:
@@ -379,9 +380,10 @@ def per_key_sample(ds, id_col: str, key_col: str, k: int,
 
     Scale shape: each batch prunes map-side to its k smallest
     (hash, id) rows PER KEY (one lexsort + run-length cumcount — no
-    per-key Python), so the single groupby(key) final fold sees at most
-    k rows per key per input block. Hot keys cost k x blocks rows, not
-    their full cardinality."""
+    per-key Python), so the finisher — the same multi-key prune run
+    once per hash(key)%buckets bucket (group_by_key_bucket) — sees at
+    most k rows per key per input block. Hot keys cost k x blocks rows,
+    not their full cardinality."""
     def _prune_topk(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
