@@ -324,8 +324,11 @@ def _scaled_sf_dir(sf_dir: str, k_docs: int, k_events: int) -> str:
             "doc_id": pa.array(ids + i * 100_000_000, type=pa.int64()),
             "text": pa.array(t_i, type=pa.string()),
         }))
-    pq.write_table(pa.concat_tables(parts),
-                   os.path.join(out, "documents.parquet"))
+    big_docs = pa.concat_tables(parts)
+    # small row groups: ONE row group would serialize the parquet read
+    # into a single task and the 4-vs-16 pairing would measure nothing
+    pq.write_table(big_docs, os.path.join(out, "documents.parquet"),
+                   row_group_size=max(512, big_docs.num_rows // 64))
 
     ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
     eid = ev["event_id"].to_numpy(zero_copy_only=False)
@@ -337,8 +340,9 @@ def _scaled_sf_dir(sf_dir: str, k_docs: int, k_events: int) -> str:
             if c != "event_id":
                 cols[c] = ev[c]
         eparts.append(pa.table(cols))
-    pq.write_table(pa.concat_tables(eparts),
-                   os.path.join(out, "events.parquet"))
+    big_ev = pa.concat_tables(eparts)
+    pq.write_table(big_ev, os.path.join(out, "events.parquet"),
+                   row_group_size=max(4096, big_ev.num_rows // 64))
     open(marker, "w").write("ok")
     return out
 

@@ -405,32 +405,32 @@ def hll_distinct_per_key(ds, key_col: str, col: str, p: int = 12,
                          "regs": pa.array(out_r, type=pa.binary())})
 
     def merge(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return pa.table({key_col: pa.array([], g.schema
-                                               .field(key_col).type),
+        # multi-key segmented register max: ONE (rows, m) matrix +
+        # np.maximum.reduceat per bucket (group_by_key_bucket pays
+        # Python per partition, not per key)
+        if g.num_rows == 0 or key_col not in g.schema.names:
+            return pa.table({key_col: pa.array([], key_type),
                              "n_est": pa.array([], type=pa.float64())})
         keys = np.asarray(g[key_col].to_pylist())
         order = np.argsort(keys, kind="stable")
         ks = keys[order]
-        regs = [g["regs"][int(i)].as_py() for i in order]
+        mat = np.frombuffer(b"".join(g["regs"].to_pylist()),
+                            dtype=np.uint8).reshape(-1, m)[order]
         starts = np.flatnonzero(
             np.concatenate([[True], ks[1:] != ks[:-1]]))
-        ends = np.concatenate([starts[1:], [len(ks)]])
-        out_k, out_e = [], []
-        for s, e in zip(starts, ends):
-            acc = np.zeros(m, dtype=np.uint8)
-            for r in regs[s:e]:
-                acc = np.maximum(acc, np.frombuffer(r, dtype=np.uint8))
-            out_k.append(ks[s])
-            out_e.append(hll_estimate(acc))
-        return pa.table({key_col: pa.array(list(out_k),
-                                           type=g.schema
-                                           .field(key_col).type),
-                         "n_est": pa.array(out_e, type=pa.float64())})
+        acc = np.maximum.reduceat(mat, starts, axis=0)
+        est = [hll_estimate(acc[i]) for i in range(len(starts))]
+        return pa.table({key_col: pa.array(ks[starts].tolist(),
+                                           type=key_type),
+                         "n_est": pa.array(est, type=pa.float64())})
 
-    return ds.select_columns([key_col, col]) \
-        .map_batches(fold, batch_format="pyarrow") \
-        .groupby(key_col).map_groups(merge, batch_format="pyarrow")
+    from ..blocks import group_by_key_bucket
+
+    narrow = ds.select_columns([key_col, col])
+    sch = narrow.schema()
+    key_type = dict(zip(sch.names, sch.types))[key_col]
+    return group_by_key_bucket(
+        narrow.map_batches(fold, batch_format="pyarrow"), key_col, merge)
 
 
 def approx_quantiles_per_key(ds, key_col: str, value_col: str, qs,
@@ -480,11 +480,10 @@ def approx_quantiles_per_key(ds, key_col: str, value_col: str, qs,
                          "w": pa.array(out_w, type=pa.binary())})
 
     def merge(g: pa.Table) -> pa.Table:
-        empty = pa.table({key_col: pa.array([], g.schema
-                                            .field(key_col).type),
+        empty = pa.table({key_col: pa.array([], qk_type),
                           "q": pa.array([], type=pa.float64()),
                           "value": pa.array([], type=pa.float64())})
-        if g.num_rows == 0:
+        if g.num_rows == 0 or key_col not in g.schema.names:
             return empty
         keys = np.asarray(g[key_col].to_pylist())
         order = np.argsort(keys, kind="stable")
@@ -512,14 +511,17 @@ def approx_quantiles_per_key(ds, key_col: str, value_col: str, qs,
                 out_q.append(q)
                 out_v.append(v[np.searchsorted(cw, target)])
         return pa.table({key_col: pa.array(list(out_k),
-                                           type=g.schema
-                                           .field(key_col).type),
+                                           type=qk_type),
                          "q": pa.array(out_q, type=pa.float64()),
                          "value": pa.array(out_v, type=pa.float64())})
 
-    return ds.select_columns([key_col, value_col]) \
-        .map_batches(fold, batch_format="pyarrow") \
-        .groupby(key_col).map_groups(merge, batch_format="pyarrow")
+    from ..blocks import group_by_key_bucket
+
+    narrow = ds.select_columns([key_col, value_col])
+    _s = narrow.schema()
+    qk_type = dict(zip(_s.names, _s.types))[key_col]
+    return group_by_key_bucket(
+        narrow.map_batches(fold, batch_format="pyarrow"), key_col, merge)
 
 
 def heavy_hitters_per_key(ds, key_col: str, col: str, min_frac: float = 0.02,
