@@ -360,6 +360,56 @@ def _attach_pair_payload(pairs, source, id_col: str, payload_col: str,
         .rename_columns({payload_col: f"{payload_col}_b"})
 
 
+def _pair_set_inters(ids_a, ids_b, set_of, mask=None,
+                     flat_budget: int = 2_000_000):
+    """Exact set-intersection sizes for a batch of id pairs, vectorized:
+    concatenate each pair's two (sorted unique) token-hash sets tagged by
+    pair index; a (pair, token) appearing twice means the token is in
+    BOTH sets — one lexsort + adjacent-equal + bincount replaces a
+    per-pair intersect1d loop (~20-60 us x pairs). CHUNKED at ~16k
+    pairs: a full-batch flat array is hundreds of MB of lexsort
+    temporaries per task and N concurrent tasks mmap/munmap-ing that
+    churns page-zeroing + TLB shootdowns (measured 8.7x per-task
+    slowdown at 14 concurrent verifies); chunks keep the working set
+    tens of MB and cache-resident.
+
+    Returns (na, nb, inter) int64 arrays; pairs outside `mask` get
+    inter=0 (their sizes are still filled)."""
+    npairs = len(ids_a)
+    na = np.empty(npairs, dtype=np.int64)
+    nb = np.empty(npairs, dtype=np.int64)
+    for i in range(npairs):
+        na[i] = set_of[ids_a[i]].size
+        nb[i] = set_of[ids_b[i]].size
+    inter = np.zeros(npairs, dtype=np.int64)
+    idxs = np.flatnonzero(mask) if mask is not None \
+        else np.arange(npairs, dtype=np.int64)
+    # chunk boundaries by FLAT ELEMENT budget, not pair count — set
+    # sizes vary 50x across callers (word-3-gram ~100/pair vs char-5-
+    # shingle ~600/pair) and the memory ceiling is what matters
+    sz = na[idxs] + nb[idxs]
+    cum = np.cumsum(sz)
+    s = 0
+    while s < len(idxs):
+        e = int(np.searchsorted(
+            cum, (cum[s - 1] if s else 0) + flat_budget, side="left")) + 1
+        e = min(max(e, s + 1), len(idxs))
+        sub = idxs[s:e]
+        m = len(sub)
+        chunks = []
+        for i in sub:                     # list appends + memcpy only
+            chunks.append(set_of[ids_a[i]])
+            chunks.append(set_of[ids_b[i]])
+        tok = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)
+        prep = np.repeat(np.arange(m, dtype=np.int64), na[sub] + nb[sub])
+        o = np.lexsort((tok, prep))
+        toko, prepo = tok[o], prep[o]
+        dup = (prepo[1:] == prepo[:-1]) & (toko[1:] == toko[:-1])
+        inter[sub] = np.bincount(prepo[1:][dup], minlength=m)
+        s = e
+    return na, nb, inter
+
+
 def minhash_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
                   num_perm: int = 64, bands: int = 16, k: int = 5,
                   threshold: float = 0.7, concurrency=4):
@@ -403,38 +453,54 @@ def _text_lsh_clusters(docs, bander, sets_fn, text_col: str, id_col: str,
                           id_type, sig_col="sig64")
     if pairs is None:
         return empty
-    with_texts = _attach_pair_payload(pairs, docs, id_col, text_col)
+
+    # shingle each doc ONCE map-side and attach the PACKED uint64 sets
+    # to the pairs instead of raw text: star-shaped candidate lists put
+    # most docs in most verify batches, so a text attach makes every
+    # verify task re-shingle nearly the whole corpus (measured 16 x
+    # 3.5 s of redundant CPU on 20k docs at 16 tasks); a packed-set
+    # attach is one frombuffer view per (task, doc). Binary packing is
+    # the same idiom as set_jaccard_join's visited-cells payload.
+    def pack_sets(batch: pa.Table) -> pa.Table:
+        sets = sets_fn(batch[text_col].to_pylist())
+        return pa.table({
+            id_col: batch[id_col],
+            "packed": pa.array([st.tobytes() for st in sets],
+                               type=pa.binary())})
+
+    packed = docs.map_batches(pack_sets, batch_format="pyarrow")
+    with_sets = _attach_pair_payload(pairs, packed, id_col, "packed")
 
     def verify(batch: pa.Table) -> pa.Table:
         ids_a = batch["a"].to_pylist()
         ids_b = batch["b"].to_pylist()
-        ta = batch[f"{text_col}_a"].to_pylist()
-        tb = batch[f"{text_col}_b"].to_pylist()
-        # shingle each distinct doc of the batch ONCE (star-shaped pair
-        # lists repeat the hub doc in most rows)
-        text_of: dict = {}
-        for i, t in zip(ids_a, ta):
-            text_of.setdefault(i, t)
-        for i, t in zip(ids_b, tb):
-            text_of.setdefault(i, t)
-        uniq_ids = list(text_of)
-        sets = sets_fn([text_of[i] for i in uniq_ids])
-        set_of = dict(zip(uniq_ids, sets))
-        sizes = {i: s.size for i, s in set_of.items()}
-        keep = np.zeros(batch.num_rows, dtype=bool)
-        for i in range(batch.num_rows):
-            na, nb = sizes[ids_a[i]], sizes[ids_b[i]]
-            # J <= min/max — skip the intersect when the size bound alone
-            # already rules the pair out
-            if max(na, nb) > 0 and min(na, nb) / max(na, nb) < threshold:
-                continue
-            sa, sb = set_of[ids_a[i]], set_of[ids_b[i]]
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = na + nb - inter
-            keep[i] = union == 0 or inter / union >= threshold
+        pka = batch["packed_a"].to_pylist()
+        pkb = batch["packed_b"].to_pylist()
+        set_of: dict = {}
+        for i, buf in zip(ids_a, pka):
+            if i not in set_of:
+                set_of[i] = np.frombuffer(buf, dtype=np.uint64)
+        for i, buf in zip(ids_b, pkb):
+            if i not in set_of:
+                set_of[i] = np.frombuffer(buf, dtype=np.uint64)
+        # J <= min/max — skip the intersect where the size bound alone
+        # already rules the pair out; the rest verify via the chunked
+        # vectorized flat-lexsort intersection (_pair_set_inters)
+        na0 = np.fromiter((set_of[i].size for i in ids_a), np.int64,
+                          batch.num_rows)
+        nb0 = np.fromiter((set_of[i].size for i in ids_b), np.int64,
+                          batch.num_rows)
+        mx = np.maximum(na0, nb0)
+        bound_ok = (mx == 0) | (np.minimum(na0, nb0) >=
+                                threshold * mx - 1e-9)
+        na, nb, inter = _pair_set_inters(ids_a, ids_b, set_of,
+                                         mask=bound_ok)
+        union = na + nb - inter
+        jacc = inter / np.maximum(union, 1)
+        keep = bound_ok & ((union == 0) | (jacc >= threshold))
         return batch.select(["a", "b"]).filter(pa.array(keep))
 
-    vtbls = _pair_tables(with_texts.map_batches(verify, batch_format="pyarrow"))
+    vtbls = _pair_tables(with_sets.map_batches(verify, batch_format="pyarrow"))
     verified = [(a, b) for t in vtbls
                 for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist())]
     out = _minlabel_union(verified)
@@ -952,27 +1018,9 @@ def jaccard_join(docs, text_col: str = "text", id_col: str = "doc_id",
             text_of.setdefault(i, t)
         uniq = list(text_of)
         set_of = dict(zip(uniq, sets_fn([text_of[i] for i in uniq])))
-        # fully vectorized intersection counting: concatenate every
-        # pair's two (unique) sets tagged by pair index; a (pair, token)
-        # value appearing twice means the token is in BOTH sets — one
-        # lexsort + adjacent-equal + bincount replaces a per-pair
-        # intersect1d loop (~20 us x pairs)
-        npairs = batch.num_rows
-        chunks = []
-        na = np.empty(npairs, dtype=np.int64)
-        nb = np.empty(npairs, dtype=np.int64)
-        for i in range(npairs):           # list appends + memcpy only
-            sa, sb = set_of[ids_a[i]], set_of[ids_b[i]]
-            na[i], nb[i] = sa.size, sb.size
-            chunks.append(sa)
-            chunks.append(sb)
-        tok = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)
-        prep = np.repeat(np.arange(npairs, dtype=np.int64), na + nb)
-        o = np.lexsort((tok, prep))
-        toko, prepo = tok[o], prep[o]
-        dup = (prepo[1:] == prepo[:-1]) & (toko[1:] == toko[:-1])
-        inter = np.bincount(prepo[1:][dup], minlength=npairs) \
-            .astype(np.int64)
+        # chunked vectorized exact intersection — see _pair_set_inters
+        # for the memory/TLB rationale
+        na, nb, inter = _pair_set_inters(ids_a, ids_b, set_of)
         union = na + nb - inter
         jacc = inter / np.maximum(union, 1)
         jacc[union == 0] = 1.0

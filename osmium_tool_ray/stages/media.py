@@ -954,20 +954,34 @@ class DominantColors:
         rgb = pix.reshape(n, npx, 3).astype(np.int32)
         q = ((rgb[:, :, 0] >> 4) << 8) | ((rgb[:, :, 1] >> 4) << 4) \
             | (rgb[:, :, 2] >> 4)                       # (n, npx) 12-bit
-        offset = (np.arange(n, dtype=np.int32)[:, None] * np.int32(4096)
-                  + q).ravel()
-        hist = np.bincount(offset, minlength=n * 4096) \
-            .reshape(n, 4096)
-        # top-k by (count desc, code asc) via ONE composite key that is
-        # UNIQUE per bin (code disambiguates), so argpartition's k-th
-        # boundary can never split a tie group: key = cnt*4096 + ~code
-        ckey = hist.astype(np.int32) * np.int32(4096) \
-            + (np.int32(4095) - np.arange(4096, dtype=np.int32))[None, :]
-        part = np.argpartition(-ckey, k - 1, axis=1)[:, :k]
-        pkey = np.take_along_axis(ckey, part, axis=1)
-        order = np.argsort(-pkey, axis=1, kind="stable")
-        codes = np.take_along_axis(part, order, axis=1)
-        cnts = np.take_along_axis(hist, codes, axis=1)
+        # chunk the (rows x 4096-bin) histogram: at full batch width the
+        # hist+key temporaries are ~50 KB/row (vs 256 px of input!) and
+        # N concurrent tasks each mmap/munmap hundreds of MB per batch —
+        # measured 2.4x ANTI-scaling 4->16 CPUs from page-zero + TLB-
+        # shootdown churn. 256-row chunks keep the working set ~12 MB so
+        # the same math runs cache-resident and scales.
+        codes = np.empty((n, k), dtype=np.int64)
+        cnts = np.empty((n, k), dtype=np.int64)
+        neg_code = (np.int32(4095)
+                    - np.arange(4096, dtype=np.int32))[None, :]
+        for s in range(0, n, 256):
+            qc = q[s:s + 256]
+            m = qc.shape[0]
+            offset = (np.arange(m, dtype=np.int32)[:, None]
+                      * np.int32(4096) + qc).ravel()
+            hist = np.bincount(offset, minlength=m * 4096) \
+                .reshape(m, 4096)
+            # top-k by (count desc, code asc) via ONE composite key that
+            # is UNIQUE per bin (code disambiguates), so argpartition's
+            # k-th boundary can never split a tie group:
+            # key = cnt*4096 + ~code
+            ckey = hist.astype(np.int32) * np.int32(4096) + neg_code
+            part = np.argpartition(-ckey, k - 1, axis=1)[:, :k]
+            pkey = np.take_along_axis(ckey, part, axis=1)
+            order = np.argsort(-pkey, axis=1, kind="stable")
+            codes[s:s + 256] = np.take_along_axis(part, order, axis=1)
+            cnts[s:s + 256] = np.take_along_axis(
+                hist, codes[s:s + 256], axis=1)
         cols = {self.id_col: batch[self.id_col]}
         for i in range(k):
             cols[f"c{i+1}"] = pa.array(codes[:, i].astype(np.int64))
