@@ -291,6 +291,19 @@ SCALE_QUERIES = ("jaccard_join_docs", "crossmodal_neardup",
                  "minhash_dup_pairs", "extract_cw_dataset",
                  "dominant_colors")
 
+# per-query input scale (k_docs, k_events): each query gets an input
+# big enough that its wall is COMPUTE-dominated at both parallelism
+# levels (the round-4 verify/histogram optimizations made the old
+# uniform x4 inputs fixed-cost-bound again). Docs-only queries don't
+# pay for scaled events and vice versa.
+SQ_SCALE = {
+    "jaccard_join_docs": (8, 1),
+    "minhash_dup_pairs": (8, 1),
+    "crossmodal_neardup": (1, 4),
+    "extract_cw_dataset": (1, 16),
+    "dominant_colors": (1, 16),
+}
+
 
 def _scaled_sf_dir(sf_dir: str, k_docs: int, k_events: int) -> str:
     """Deterministic scaled-up twin of sf_dir for the query-scaling
@@ -362,22 +375,22 @@ def queries_once():
 
     import __ray_entry__ as entrymod
 
-    k_docs = int(os.environ.get("BENCH_QSCALE_DOCS", "4"))
-    k_events = int(os.environ.get("BENCH_QSCALE_EVENTS", "4"))
-    sf = _scaled_sf_dir(SF_DIR, k_docs, k_events) \
-        if (k_docs > 1 or k_events > 1) else SF_DIR
-
     rd.range(100_000, override_num_blocks=8) \
         .map_batches(lambda b: b, batch_format="pyarrow").count()  # warm
     qs = entrymod.queries()
     walls = {}
     for name in SCALE_QUERIES:
+        k_docs, k_events = SQ_SCALE[name]
+        sf = _scaled_sf_dir(SF_DIR, k_docs, k_events) \
+            if (k_docs > 1 or k_events > 1) else SF_DIR
         t0 = time.monotonic()
         res = qs[name](sf)
         if hasattr(res, "count"):
             res.count()
         walls[name] = round(time.monotonic() - t0, 3)
-    print(json.dumps({"cpus": NUM_CPUS, "walls": walls, "sf": sf}))
+    print(json.dumps({"cpus": NUM_CPUS, "walls": walls,
+                      "scales": {q: list(SQ_SCALE[q])
+                                 for q in SCALE_QUERIES}}))
     ray.shutdown()
 
 
