@@ -42,6 +42,16 @@ def read_parquet_clean(path, columns: list[str] | None = None, **kwargs):
             names = columns if columns is not None else sch.names
             kwargs["schema"] = pa.schema(
                 [sch.field(c).remove_metadata() for c in names])
+            # Ray sizes read tasks by the (compressed, column-pruned)
+            # scan estimate, so a single multi-row-group file whose
+            # in-memory footprint sits under the block target is read by
+            # ONE task and only split AFTER decompression — a serial
+            # ~seconds term in front of every consumer. When the file
+            # offers row groups, ask for real read-task fan-out.
+            if "override_num_blocks" not in kwargs:
+                rgs = pq.ParquetFile(path).metadata.num_row_groups
+                if rgs >= 8:
+                    kwargs["override_num_blocks"] = min(rgs, 64)
         except Exception:
             pass  # directory/glob inputs: fall back to the fused strip
     return rd.read_parquet(path, columns=columns, **kwargs) \

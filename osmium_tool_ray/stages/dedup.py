@@ -271,6 +271,13 @@ def _attach_pair_payload(pairs, source, id_col: str, payload_col: str,
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, cpus // 4)
+    # pairs fans out to TWO consumers here (the candidate-id fold below
+    # and the attach/join), and an unmaterialized pair Dataset re-runs
+    # its whole upstream lineage — including the pair-distinct shuffle —
+    # once per consumer (measured 8 s of the 20 s minhash wall at 16
+    # CPUs on 1M pairs). Pair tables are O(candidates), object-store
+    # resident and spillable, so pinning them is the cheap side.
+    pairs = pairs.materialize()
     payload = source.select_columns([id_col, payload_col])
     # filter the payload side down to candidate ids before the joins when
     # the candidate set is broadcastable — the joins then shuffle
