@@ -297,11 +297,11 @@ SCALE_QUERIES = ("jaccard_join_docs", "crossmodal_neardup",
 # uniform x4 inputs fixed-cost-bound again). Docs-only queries don't
 # pay for scaled events and vice versa.
 SQ_SCALE = {
-    "jaccard_join_docs": (8, 1),
-    "minhash_dup_pairs": (8, 1),
+    "jaccard_join_docs": (16, 1),
+    "minhash_dup_pairs": (32, 1),
     "crossmodal_neardup": (1, 4),
-    "extract_cw_dataset": (1, 16),
-    "dominant_colors": (1, 16),
+    "extract_cw_dataset": (1, 64),
+    "dominant_colors": (1, 64),
 }
 
 
