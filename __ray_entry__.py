@@ -612,7 +612,10 @@ def _user_adjacency(sf_dir: str):
         return pa.table({
             "group_id": pc.binary_join_element_wise(
                 pa.array(["u"] * batch.num_rows), batch["user_id"].cast(pa.string()), ""),
-            "seq": batch["event_id"].cast(pa.int32()),
+            # int32-safe: scaled bench twins offset event_id by i*1e8 per
+            # copy (beyond 2^31 at copy>=22); seq only orders members
+            # within a way and the closure is order-independent
+            "seq": pa.array((ids % (2 ** 31)).astype(np.int32)),
             "mtype": pa.array(["node"] * batch.num_rows, type=pa.string()),
             "ref": pa.array(_img_ids(ids), type=pa.string()),
         })
@@ -764,7 +767,7 @@ def q_extract_cw_history(sf_dir: str):
             "group_id": pc.binary_join_element_wise(
                 pa.array(["u"] * batch.num_rows),
                 batch["user_id"].cast(pa.string()), ""),
-            "seq": batch["event_id"].cast(pa.int32()),
+            "seq": pa.array((eids % (2 ** 31)).astype(np.int32)),
             "mtype": pa.array(["node"] * batch.num_rows, type=pa.string()),
             "ref": pa.array(_img_ids(vids), type=pa.string()),
         })
