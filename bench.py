@@ -320,11 +320,29 @@ def _scaled_sf_dir(sf_dir: str, k_docs: int, k_events: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = os.path.join("/tmp", f"bench_qscale_d{k_docs}_e{k_events}")
+    # v2: tables are SHARDED DIRECTORIES (<name>.parquet/part-NN.parquet),
+    # not single multi-row-group files — Ray sizes read TASKS by the
+    # compressed scan estimate, so a small-on-disk single file reads in
+    # ONE serial task regardless of override_num_blocks (the planner
+    # only appends SplitBlocks, observed as a ~3.4 s serial prefix at
+    # 16 CPUs). One file per shard fans the read tasks out for real,
+    # and is the shape a 100 TB corpus has anyway.
+    out = os.path.join("/tmp", f"bench_qscale_v2_d{k_docs}_e{k_events}")
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
     os.makedirs(out, exist_ok=True)
+
+    def write_sharded(tbl: pa.Table, name: str, shards: int) -> None:
+        d = os.path.join(out, name)
+        os.makedirs(d, exist_ok=True)
+        n = tbl.num_rows
+        step = (n + shards - 1) // shards
+        for s in range(shards):
+            part = tbl.slice(s * step, step)
+            if part.num_rows:
+                pq.write_table(
+                    part, os.path.join(d, f"part-{s:03d}.parquet"))
 
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
     ids = docs["doc_id"].to_numpy(zero_copy_only=False)
@@ -338,10 +356,8 @@ def _scaled_sf_dir(sf_dir: str, k_docs: int, k_events: int) -> str:
             "text": pa.array(t_i, type=pa.string()),
         }))
     big_docs = pa.concat_tables(parts)
-    # small row groups: ONE row group would serialize the parquet read
-    # into a single task and the 4-vs-16 pairing would measure nothing
-    pq.write_table(big_docs, os.path.join(out, "documents.parquet"),
-                   row_group_size=max(512, big_docs.num_rows // 64))
+    write_sharded(big_docs, "documents.parquet",
+                  min(64, max(8, big_docs.num_rows // 10_000)))
 
     ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
     eid = ev["event_id"].to_numpy(zero_copy_only=False)
@@ -354,8 +370,8 @@ def _scaled_sf_dir(sf_dir: str, k_docs: int, k_events: int) -> str:
                 cols[c] = ev[c]
         eparts.append(pa.table(cols))
     big_ev = pa.concat_tables(eparts)
-    pq.write_table(big_ev, os.path.join(out, "events.parquet"),
-                   row_group_size=max(4096, big_ev.num_rows // 64))
+    write_sharded(big_ev, "events.parquet",
+                  min(64, max(8, big_ev.num_rows // 100_000)))
     open(marker, "w").write("ok")
     return out
 

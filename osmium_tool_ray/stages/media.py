@@ -930,17 +930,20 @@ class DominantColors:
 
     Vectorized with temporaries proportional to PIXELS, not bins: a
     per-row in-place sort of the quantized codes turns each image into
-    contiguous runs; run boundaries + lengths come from one diff, and a
-    single composite-key argsort (row, count desc, code asc) ranks the
-    runs so the first `k` per row are the palette. The earlier
-    4096-bin offset-bincount version allocated+zeroed ~50 KB of
-    histogram per ROW (hundreds of MB per batch across chunks), which
-    page-zero/TLB churn turned into 2.4x ANTI-scaling at 16 concurrent
-    workers; the run-length form's working set is ~6x the pixel bytes.
-    Ties rank by smaller color code; rows with fewer than `k` distinct
-    colors pad with the smallest ABSENT codes at count 0 (the exact
-    order the full-histogram ranking produced). Coverage fractions are
-    exact int/int float64 divisions."""
+    contiguous runs; run boundaries + lengths come from one diff, and
+    `k` segmented-argmax passes (`np.maximum.reduceat` over an int32
+    (count desc, code asc) composite key, one equality sweep per pass)
+    pick the top `k` runs per row. Two earlier forms lost to memory
+    contention at 16 concurrent workers: a 4096-bin offset-bincount
+    (50 KB of zeroed histogram per ROW — page-zero/TLB churn, 2.4x
+    ANTI-scaling) and a global composite-key `argsort` over all runs
+    (noise images have ~one run per pixel, so the argsort touched
+    ~n*npx int64 keys with random access — measured 2.15x per-task
+    inflation at 16-way; the reduceat passes are sequential int32
+    sweeps and inflate ~1x). Ties rank by smaller color code; rows
+    with fewer than `k` distinct colors pad with the smallest ABSENT
+    codes at count 0 (the exact order the full-histogram ranking
+    produced). Coverage fractions are exact int/int float64 divisions."""
 
     def __init__(self, k: int = 4, bytes_col: str = "bytes",
                  id_col: str = "image_id"):
@@ -974,22 +977,27 @@ class DominantColors:
         run_cnt = np.diff(starts, append=np.int64(total))
         run_code = flat[starts].astype(np.int64)
         run_row = starts // npx
-        # rank runs within each row by (count desc, code asc) with ONE
-        # argsort of a composite key that is unique per run (codes are
-        # distinct within a row after the sort): high bits row, then
-        # inverted count, then code.
-        gkey = (run_row << np.int64(44)) \
-            | ((np.int64(npx) - run_cnt) << np.int64(12)) | run_code
-        order = np.argsort(gkey)
-        row_off = np.searchsorted(run_row, np.arange(n, dtype=np.int64))
-        pos = np.arange(len(order), dtype=np.int64) - row_off[run_row[order]]
-        keep = pos < k
-        kept, kpos = order[keep], pos[keep]
-        krow = run_row[kept]
+        # k segmented-argmax passes over an int32 composite key that is
+        # unique per run within a row (codes are distinct after the
+        # sort): count desc in the high bits, inverted code in the low
+        # 12 so count ties prefer the smaller code. Chosen runs drop to
+        # -1 (every live key >= 1<<12 > 0, so "key >= 0" masks them and
+        # exhausted rows out of later passes).
+        kdt = np.int32 if npx < (1 << 18) else np.int64  # cnt<<12 must fit
+        key = (run_cnt.astype(kdt) << kdt(12)) \
+            | (kdt(4095) - run_code.astype(kdt))
+        row_starts = np.searchsorted(run_row, np.arange(n, dtype=np.int64))
         codes = np.zeros((n, k), dtype=np.int64)
         cnts = np.zeros((n, k), dtype=np.int64)
-        codes[krow, kpos] = run_code[kept]
-        cnts[krow, kpos] = run_cnt[kept]
+        for i in range(k):
+            rowmax = np.maximum.reduceat(key, row_starts)
+            win = np.flatnonzero((key == rowmax[run_row]) & (key >= 0))
+            if len(win) == 0:
+                break
+            wrow = run_row[win]
+            codes[wrow, i] = run_code[win]
+            cnts[wrow, i] = run_cnt[win]
+            key[win] = -1
         # rows with < k distinct colors: pad with the smallest codes NOT
         # in the palette (what ranking all 4096 bins produced). Rare by
         # construction, so the per-row loop is off the hot path.
