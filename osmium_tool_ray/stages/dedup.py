@@ -238,7 +238,14 @@ def _bucket_pairs(rows, bucket_keys: list[str], id_col: str, id_type,
             return schema.empty_table()
         return batch.select(["a", "b"]).cast(schema)
 
-    tagged = rows.map_batches(add_coarse, batch_format="pyarrow")
+    # pin the tagged rows before the groupby: with a lazy expensive
+    # upstream (shingle/minhash/decode maps), the streaming executor
+    # throttles the map while the Sort barrier waits — measured 6.6/16
+    # effective map parallelism fused vs ~13/16 pinned (2x chain wall).
+    # `rows` is the narrow banded projection by contract, so the pin is
+    # object-store cheap and spillable at scale.
+    tagged = rows.map_batches(add_coarse,
+                              batch_format="pyarrow").materialize()
     pairs = tagged.groupby("_cb").map_groups(emit, batch_format="pyarrow") \
         .map_batches(norm, batch_format="pyarrow")
     return _drop_empty_blocks(pairs)
@@ -256,10 +263,33 @@ _ATTACH_CACHE: dict = {}
 
 def _attach_pair_payload(pairs, source, id_col: str, payload_col: str,
                          num_partitions: int | None = None,
-                         broadcast_cap: int = 1_000_000):
+                         broadcast_cap: int = 1_000_000,
+                         consume=None, consume_indexed=None,
+                         decode_payload=None):
     """pairs(a, b) -> pairs + (payload_a, payload_b) via two native
     hash-partitioned joins (Dataset.join) — the no-driver candidate
     gather.
+
+    `consume` (optional, a pa.Table -> pa.Table verify function over the
+    attached batch) is applied INSIDE the attach task on the broadcast
+    path, so per-pair payload blobs never enter the object store: a
+    star-shaped candidate list attaches ~KB of packed set per pair SIDE,
+    and materializing that was a flat ~17 s object-store-bandwidth wall
+    regardless of CPU count (measured 16.1 s at 4 CPUs / 18.3 s at 16 on
+    4.3M candidate pairs). With the verify fused, only the narrow
+    (a, b[, stats]) survivor rows leave the task. On the join fallback
+    path it runs as a map right after the second join — same result,
+    payloads ride the join shuffle (no broadcast state to fuse into).
+
+    `consume_indexed` (optional, broadcast path only) goes one step
+    further: called as `consume_indexed(sub, pos_a, pos_b, state)` where
+    `sub` is the narrow matched (a, b) batch, pos_* index the worker's
+    payload lookup, and `state = decode_payload(payload_column)` is
+    decoded ONCE per worker and cached — the per-pair `pcol.take` +
+    `to_pylist` blob materialization (measured ~100 us/pair of pure
+    copy/Python-object churn, 432 s CPU on 4.3M pairs) never happens.
+    When both are given, `consume` is the join-fallback-path form and
+    `consume_indexed` the broadcast-path form of the SAME verify.
 
     num_partitions defaults to a fraction of the cluster CPUs: each join
     holds `num_partitions` aggregator actors alive for its lifetime, and
@@ -283,15 +313,26 @@ def _attach_pair_payload(pairs, source, id_col: str, payload_col: str,
     # the candidate set is broadcastable — the joins then shuffle
     # O(candidates) payload rows instead of the whole corpus (above the
     # cap, fall back to the full hash join, which needs no driver state)
-    cand_ids: set = set()
+    # the fold stays in Arrow C++ (per-table pc.unique, re-uniqued into a
+    # bounded accumulator) — the earlier Python set over to_pylist paid
+    # seconds of driver time per million pairs; memory stays O(cap +
+    # largest table) and the bail to the join path is unchanged
+    import pyarrow.compute as pc
+
+    acc = None
+    over_cap = False
     for t in _pair_tables(pairs):
-        cand_ids.update(t["a"].to_pylist())
-        cand_ids.update(t["b"].to_pylist())
-        if len(cand_ids) > broadcast_cap:
-            cand_ids = None
+        u = pc.unique(pa.chunked_array(list(t["a"].chunks)
+                                       + list(t["b"].chunks)))
+        acc = u if acc is None else pc.unique(pa.chunked_array([acc, u]))
+        if len(acc) > broadcast_cap:
+            acc = None
+            over_cap = True
             break
-    if cand_ids is not None:
-        sorted_ids = np.sort(np.asarray(list(cand_ids)).astype(str))
+    if not over_cap:
+        ids_list = acc.to_pylist() if acc is not None else []
+        sorted_ids = np.sort(np.asarray(ids_list).astype(str)) \
+            if ids_list else np.empty(0, dtype=str)
         cref = ray.put(sorted_ids)
 
         def keep_candidates(batch: pa.Table) -> pa.Table:
@@ -321,14 +362,18 @@ def _attach_pair_payload(pairs, source, id_col: str, payload_col: str,
                 tbls = [t for t in ray.get(list(prefs)) if t.num_rows]
                 tbl = pa.concat_tables(tbls) if tbls else None
                 if tbl is None:
-                    state = (np.empty(0, dtype=str), None)
+                    state = (np.empty(0, dtype=str), None, None)
                 else:
                     pids = np.asarray(tbl[id_col].to_pylist()).astype(str)
                     order = np.argsort(pids, kind="stable")
-                    state = (pids[order], tbl[payload_col].take(pa.array(order)))
+                    pcol_sorted = tbl[payload_col].take(pa.array(order))
+                    decoded = decode_payload(pcol_sorted) \
+                        if (consume_indexed is not None
+                            and decode_payload is not None) else None
+                    state = (pids[order], pcol_sorted, decoded)
                 _ATTACH_CACHE.clear()   # one live payload per worker
                 _ATTACH_CACHE[key] = state
-            pids, pcol = state
+            pids, pcol, decoded = state
 
             def gather(col):
                 vals = np.asarray(col.to_pylist()).astype(str)
@@ -344,17 +389,22 @@ def _attach_pair_payload(pairs, source, id_col: str, payload_col: str,
             pos_b, ok_b = gather(batch["b"])
             keep = ok_a & ok_b
             sub = batch.filter(pa.array(keep))
+            if consume_indexed is not None:
+                return consume_indexed(sub, pos_a[keep], pos_b[keep],
+                                       decoded)
             if sub.num_rows == 0 or pcol is None:
-                return pa.table({
+                out = pa.table({
                     "a": sub["a"], "b": sub["b"],
                     f"{payload_col}_a": pa.array([], type=ptype),
                     f"{payload_col}_b": pa.array([], type=ptype),
                 }) if sub.num_rows == 0 else sub
-            return pa.table({
-                "a": sub["a"], "b": sub["b"],
-                f"{payload_col}_a": pcol.take(pa.array(pos_a[keep])),
-                f"{payload_col}_b": pcol.take(pa.array(pos_b[keep])),
-            })
+            else:
+                out = pa.table({
+                    "a": sub["a"], "b": sub["b"],
+                    f"{payload_col}_a": pcol.take(pa.array(pos_a[keep])),
+                    f"{payload_col}_b": pcol.take(pa.array(pos_b[keep])),
+                })
+            return consume(out) if consume is not None else out
 
         return pairs.map_batches(attach, batch_format="pyarrow")
     j = pairs.join(payload, join_type="inner", num_partitions=num_partitions,
@@ -363,8 +413,10 @@ def _attach_pair_payload(pairs, source, id_col: str, payload_col: str,
         .rename_columns({payload_col: f"{payload_col}_a"})
     j = j.join(payload, join_type="inner", num_partitions=num_partitions,
                on=("b",), right_on=(id_col,))
-    return j.select_columns(["a", "b", f"{payload_col}_a", payload_col]) \
+    j = j.select_columns(["a", "b", f"{payload_col}_a", payload_col]) \
         .rename_columns({payload_col: f"{payload_col}_b"})
+    return j.map_batches(consume, batch_format="pyarrow") \
+        if consume is not None else j
 
 
 def _pair_set_inters(ids_a, ids_b, set_of, mask=None):
@@ -399,6 +451,45 @@ def _pair_set_inters(ids_a, ids_b, set_of, mask=None):
         pos[pos == sb.size] = sb.size - 1
         inter[i] = int(np.count_nonzero(sb[pos] == sa))
     return na, nb, inter
+
+
+def _pair_set_inters_idx(pos_a, pos_b, sets, mask=None):
+    """Positional form of `_pair_set_inters` for the indexed verify:
+    `sets` is the per-worker list of sorted-unique uint64 token arrays
+    (decoded ONCE from the broadcast payload), pos_* index into it.
+    Returns the int64 intersection sizes; pairs outside `mask` get 0."""
+    npairs = len(pos_a)
+    inter = np.zeros(npairs, dtype=np.int64)
+    run_all = mask is None
+    for i in range(npairs):
+        if not (run_all or mask[i]):
+            continue
+        sa = sets[pos_a[i]]
+        sb = sets[pos_b[i]]
+        if sa.size > sb.size:
+            sa, sb = sb, sa
+        if sb.size == 0:
+            continue
+        pos = np.searchsorted(sb, sa)
+        pos[pos == sb.size] = sb.size - 1
+        inter[i] = int(np.count_nonzero(sb[pos] == sa))
+    return inter
+
+
+def _decode_packed_u64(pcol):
+    """Binary column of packed uint64 sets -> (list of zero-copy numpy
+    views, int64 sizes array). One pass over the Arrow buffers; no
+    per-row Python bytes objects."""
+    arr = pcol.combine_chunks() if isinstance(pcol, pa.ChunkedArray) \
+        else pcol
+    arr = arr.cast(pa.large_binary())
+    n = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                         count=n + 1, offset=8 * arr.offset)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    sets = [data[offs[i]:offs[i + 1]].view(np.uint64) for i in range(n)]
+    sizes = ((offs[1:] - offs[:-1]) // 8).astype(np.int64)
+    return sets, sizes
 
 
 def minhash_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
@@ -460,7 +551,6 @@ def _text_lsh_clusters(docs, bander, sets_fn, text_col: str, id_col: str,
                                type=pa.binary())})
 
     packed = docs.map_batches(pack_sets, batch_format="pyarrow")
-    with_sets = _attach_pair_payload(pairs, packed, id_col, "packed")
 
     def verify(batch: pa.Table) -> pa.Table:
         ids_a = batch["a"].to_pylist()
@@ -491,10 +581,27 @@ def _text_lsh_clusters(docs, bander, sets_fn, text_col: str, id_col: str,
         keep = bound_ok & ((union == 0) | (jacc >= threshold))
         return batch.select(["a", "b"]).filter(pa.array(keep))
 
-    vtbls = _pair_tables(with_sets.map_batches(verify, batch_format="pyarrow"))
-    verified = [(a, b) for t in vtbls
-                for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist())]
-    out = _minlabel_union(verified)
+    def verify_indexed(sub: pa.Table, pos_a, pos_b, state) -> pa.Table:
+        # broadcast-path twin of `verify`: sizes come from the decoded
+        # per-worker state, sets are zero-copy views — no blob take()
+        if sub.num_rows == 0 or state is None:
+            return sub
+        sets, sz = state
+        na0, nb0 = sz[pos_a], sz[pos_b]
+        mx = np.maximum(na0, nb0)
+        bound_ok = (mx == 0) | (np.minimum(na0, nb0) >=
+                                threshold * mx - 1e-9)
+        inter = _pair_set_inters_idx(pos_a, pos_b, sets, mask=bound_ok)
+        union = na0 + nb0 - inter
+        jacc = inter / np.maximum(union, 1)
+        keep = bound_ok & ((union == 0) | (jacc >= threshold))
+        return sub.filter(pa.array(keep))
+
+    survivors = _attach_pair_payload(pairs, packed, id_col, "packed",
+                                     consume=verify,
+                                     consume_indexed=verify_indexed,
+                                     decode_payload=_decode_packed_u64)
+    out = _minlabel_union_tables(_pair_tables(survivors))
     if not out:
         return empty
     return pa.table({"doc_id": pa.array([o[0] for o in out]),
@@ -507,7 +614,20 @@ def _minlabel_union(verified: list) -> list:
     canonical id, consistent across chains. Labels compare in their
     NATURAL order (int ids numerically — a string comparison would make
     9 > 59 and flip cluster roots), falling back to str for mixed
-    types."""
+    types.
+
+    Homogeneous id types take the vectorized path: dense-rank via
+    np.unique, then scatter-min label propagation with pointer jumping
+    to fixpoint — O(E) numpy work per round, O(log diameter) rounds
+    (the dict walk cost ~2.4 s of driver time per 2.5M pairs; this is
+    ~60 ms). Fixpoint labels ARE the component minima, identical to the
+    union-by-min-root dict result. Mixed-type pairs (str + int ids)
+    keep the dict loop."""
+    if verified:
+        a_vals = np.asarray([p[0] for p in verified])
+        b_vals = np.asarray([p[1] for p in verified])
+        if a_vals.dtype != object and b_vals.dtype != object:
+            return _minlabel_union_np(a_vals, b_vals)
     parent: dict = {}
 
     def find(x):
@@ -544,6 +664,53 @@ def _pair_tables(ds) -> list[pa.Table]:
     import ray
 
     return [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+
+
+def _minlabel_union_tables(vtbls: list) -> list:
+    """`_minlabel_union` straight off the verified-pair Arrow tables —
+    int64 id columns reach the vectorized core via to_numpy (no Python
+    tuple list; the list build alone cost ~2 s per 2.5M pairs), string
+    ids via one U-dtype conversion."""
+    if not vtbls:
+        return []
+    typ = vtbls[0].schema.field("a").type
+    if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+        cols = [(t["a"].to_numpy(zero_copy_only=False),
+                 t["b"].to_numpy(zero_copy_only=False)) for t in vtbls]
+        a = np.concatenate([c[0] for c in cols])
+        b = np.concatenate([c[1] for c in cols])
+    else:
+        a = np.asarray([x for t in vtbls for x in t["a"].to_pylist()])
+        b = np.asarray([x for t in vtbls for x in t["b"].to_pylist()])
+        if a.dtype == object or b.dtype == object:   # mixed types
+            return _minlabel_union(
+                [(x, y) for x, y in zip(a.tolist(), b.tolist())])
+    return _minlabel_union_np(a, b)
+
+
+def _minlabel_union_np(a: np.ndarray, b: np.ndarray) -> list:
+    """Vectorized min-label union core (see _minlabel_union docstring):
+    dense-rank, scatter-min label propagation, pointer jumping."""
+    arr = np.concatenate([a, b])
+    uniq, inv = np.unique(arr, return_inverse=True)
+    ia, ib = inv[:len(a)], inv[len(a):]
+    label = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        before = label.copy()
+        mn = np.minimum(label[ia], label[ib])
+        np.minimum.at(label, ia, mn)
+        np.minimum.at(label, ib, mn)
+        while True:
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(label, before):
+            break
+    def _py(v):
+        return v.item() if hasattr(v, "item") else v
+    return [(_py(uniq[i]), _py(uniq[label[i]]))
+            for i in np.flatnonzero(label != np.arange(len(uniq)))]
 
 
 class SimHash:
@@ -1006,7 +1173,6 @@ def jaccard_join(docs, text_col: str = "text", id_col: str = "doc_id",
                                type=pa.binary())})
 
     packed = docs.map_batches(pack_sets, batch_format="pyarrow")
-    with_sets = _attach_pair_payload(pairs, packed, id_col, "packed")
 
     def verify(batch: pa.Table) -> pa.Table:
         ids_a = batch["a"].to_pylist()
@@ -1030,7 +1196,28 @@ def jaccard_join(docs, text_col: str = "text", id_col: str = "doc_id",
             "inter_sz": pa.array(inter), "union_sz": pa.array(union),
             "jacc": pa.array(jacc)}).filter(keep)
 
-    return with_sets.map_batches(verify, batch_format="pyarrow")
+    def verify_indexed(sub: pa.Table, pos_a, pos_b, state) -> pa.Table:
+        if sub.num_rows == 0 or state is None:
+            return pa.table({
+                "a": sub["a"], "b": sub["b"],
+                "inter_sz": pa.array([], type=pa.int64()),
+                "union_sz": pa.array([], type=pa.int64()),
+                "jacc": pa.array([], type=pa.float64())})
+        sets, sz = state
+        inter = _pair_set_inters_idx(pos_a, pos_b, sets)
+        union = sz[pos_a] + sz[pos_b] - inter
+        jacc = inter / np.maximum(union, 1)
+        jacc[union == 0] = 1.0
+        keep = pa.array(jacc >= threshold)
+        return pa.table({
+            "a": sub["a"], "b": sub["b"],
+            "inter_sz": pa.array(inter), "union_sz": pa.array(union),
+            "jacc": pa.array(jacc)}).filter(keep)
+
+    return _attach_pair_payload(pairs, packed, id_col, "packed",
+                                consume=verify,
+                                consume_indexed=verify_indexed,
+                                decode_payload=_decode_packed_u64)
 
 
 class HyperplaneSig:
@@ -1109,7 +1296,6 @@ def embedding_neardup(embeddings, dim: int, threshold: float = 0.95,
                          vec_col: pa.array(blobs, type=pa.binary())})
 
     packed = embeddings.map_batches(pack, batch_format="pyarrow")
-    with_vecs = _attach_pair_payload(pairs, packed, id_col, vec_col)
 
     def _unpack(col) -> np.ndarray:
         rows = [np.frombuffer(b, dtype=np.float64) for b in col.to_pylist()]
@@ -1127,10 +1313,22 @@ def embedding_neardup(embeddings, dim: int, threshold: float = 0.95,
             keep = cos >= threshold
         return batch.select(["a", "b"]).filter(pa.array(keep))
 
-    vtbls = _pair_tables(with_vecs.map_batches(verify, batch_format="pyarrow"))
-    verified = [(a, b) for t in vtbls
-                for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist())]
-    out = _minlabel_union(verified)
+    def decode_vecs(pcol):
+        # (n, d) matrix + precomputed row norms, built once per worker
+        m = _unpack(pcol)
+        return m, np.maximum(np.linalg.norm(m, axis=1), 1e-30)
+
+    def verify_indexed(sub: pa.Table, pos_a, pos_b, state) -> pa.Table:
+        if sub.num_rows == 0 or state is None:
+            return sub
+        m, norms = state
+        va, vb = m[pos_a], m[pos_b]
+        cos = np.einsum("ij,ij->i", va, vb) / (norms[pos_a] * norms[pos_b])
+        return sub.filter(pa.array(cos >= threshold))
+
+    out = _minlabel_union_tables(_pair_tables(_attach_pair_payload(
+        pairs, packed, id_col, vec_col, consume=verify,
+        consume_indexed=verify_indexed, decode_payload=decode_vecs)))
     if not out:
         return pa.table({id_col: pa.array([], type=id_type),
                          "dup_of": pa.array([], type=id_type)})
