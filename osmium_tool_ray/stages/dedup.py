@@ -306,8 +306,12 @@ def _attach_pair_payload(pairs, source, id_col: str, payload_col: str,
     # its whole upstream lineage — including the pair-distinct shuffle —
     # once per consumer (measured 8 s of the 20 s minhash wall at 16
     # CPUs on 1M pairs). Pair tables are O(candidates), object-store
-    # resident and spillable, so pinning them is the cheap side.
-    pairs = pairs.materialize()
+    # resident and spillable, so pinning them is the cheap side. Skip
+    # the boundary when the caller already pinned (every executor
+    # start/stop costs ~1 s of driver latency at ANY cpu count).
+    from ray.data.dataset import MaterializedDataset
+    if not isinstance(pairs, MaterializedDataset):
+        pairs = pairs.materialize()
     payload = source.select_columns([id_col, payload_col])
     # filter the payload side down to candidate ids before the joins when
     # the candidate set is broadcastable — the joins then shuffle
