@@ -2010,6 +2010,38 @@ def q_fuzzy_caption_pairs(sf_dir: str):
                            width=16)
 
 
+def q_fuzzy_caption_pairs_k2(sf_dir: str):
+    """Edit-distance-<=2 fuzzy join (stages/dedup.fuzzy_pairs_edk,
+    PassJoin segment blocking + vectorized banded-DP verify) over
+    16-char doc prefixes, with planted TWO-substitution variants at
+    doc_id+10^6 for every 25th doc. Exact brute-force Levenshtein
+    oracle."""
+    from osmium_tool_ray.stages.dedup import fuzzy_pairs_edk
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = pc.utf8_slice_codeunits(batch["text"], 0, 16)
+        base = pa.table({"doc_id": pa.array(ids), "s": s})
+        pl = ids % 25 == 0
+        if not pl.any():
+            return base
+        keep = pa.array(pl)
+        sk = s.filter(keep)
+        sv = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(sk, 0, 2), "x",
+            pc.utf8_slice_codeunits(sk, 3, 7), "q",
+            pc.utf8_slice_codeunits(sk, 8, 16), "")
+        var = pa.table({"doc_id": pa.array(ids[pl] + 1_000_000),
+                        "s": sv})
+        return pa.concat_tables([base, var])
+
+    return fuzzy_pairs_edk(docs.map_batches(prep, batch_format="pyarrow"),
+                           k=2, width=16)
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped pricing summary (pipelines/analytics
     .pricing_summary): per-batch Arrow group_by pre-agg + one tiny
@@ -3880,6 +3912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_quantity": q_zscore_quantity,
         "pricing_summary": q_pricing_summary,
         "fuzzy_caption_pairs": q_fuzzy_caption_pairs,
+        "fuzzy_caption_pairs_k2": q_fuzzy_caption_pairs_k2,
         "key_skew": q_key_skew,
         "daily_active_users": q_daily_active_users,
         "weekly_retention": q_weekly_retention,
@@ -4553,6 +4586,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
             FROM base a JOIN base b ON a.doc_id < b.doc_id
             WHERE levenshtein(a.s, b.s) <= 1""",
+        "fuzzy_caption_pairs_k2": """
+            WITH base AS (
+                SELECT doc_id, substr(text, 1, 16) AS s FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       substr(substr(text, 1, 16), 1, 2) || 'x'
+                           || substr(substr(text, 1, 16), 4, 4) || 'q'
+                           || substr(substr(text, 1, 16), 9)
+                FROM documents WHERE doc_id % 25 = 0)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+            FROM base a JOIN base b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.s, b.s) <= 2""",
         "pricing_summary": """
             WITH v AS (SELECT l_returnflag, l_linestatus,
                           CAST(l_quantity AS BIGINT) AS q,

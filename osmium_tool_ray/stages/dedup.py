@@ -2173,6 +2173,315 @@ def fuzzy_pairs_ed1(ds, id_col: str = "doc_id", str_col: str = "s",
         .groupby("_pb").map_groups(verify, batch_format="pyarrow")
 
 
+def _banded_lev(ma: np.ndarray, mb: np.ndarray, la: np.ndarray,
+                lb: np.ndarray, k: int) -> np.ndarray:
+    """Levenshtein distance per row pair, vectorized ACROSS pairs via
+    the Ukkonen band |j - i| <= k: a (n, 2k+1) int16 DP matrix updated
+    column-by-column over at most max(la) rows, all char compares
+    fixed-column numpy ops over the padded byte matrices. Returns
+    int64 distances; -1 where |la - lb| > k (distance certainly > k).
+    Band property: the returned value equals the true distance whenever
+    that distance is <= k, and exceeds k otherwise — callers filter
+    `0 <= dist <= k`. O(max_len * (2k+1)) vector ops total."""
+    n = len(la)
+    out = np.full(n, -1, dtype=np.int64)
+    if n == 0:
+        return out
+    valid = np.abs(la - lb) <= k
+    if not valid.any():
+        return out
+    vi = np.flatnonzero(valid)
+    la_, lb_ = la[vi], lb[vi]
+    zc = np.zeros((len(vi), k), dtype=np.uint8)  # +k cols: band col
+    A = np.concatenate([ma[vi], zc], axis=1)     # reads never go OOB
+    Bm = np.concatenate([mb[vi], zc], axis=1)
+    B = 2 * k + 1
+    INF = np.int16(4096)
+    dprev = np.full((len(vi), B), INF, dtype=np.int16)
+    for d in range(0, k + 1):                    # row i=0: D[0][j] = j
+        dprev[:, d + k] = d
+    res = np.full(len(vi), -1, dtype=np.int64)
+    z0 = la_ == 0
+    res[z0] = lb_[z0]
+    for i in range(1, int(la_.max(initial=0)) + 1):
+        dcur = np.full((len(vi), B), INF, dtype=np.int16)
+        a_ch = A[:, i - 1]
+        for o in range(B):
+            j = i + o - k
+            if j < 0:
+                continue
+            if j == 0:
+                dcur[:, o] = i
+                continue
+            best = dprev[:, o] + (a_ch != Bm[:, j - 1])       # subst
+            if o + 1 < B:
+                best = np.minimum(best, dprev[:, o + 1] + 1)  # del
+            if o - 1 >= 0:
+                best = np.minimum(best, dcur[:, o - 1] + 1)   # ins
+            dcur[:, o] = best
+        hit = np.flatnonzero(la_ == i)
+        if len(hit):
+            res[hit] = dcur[hit, lb_[hit] - i + k]
+        dprev = dcur
+    out[vi] = res
+    return out
+
+
+def _even_segments(L: int, parts: int) -> list[tuple[int, int]]:
+    """PassJoin even partition of a length-L string into `parts`
+    segments: the first parts-rem get floor(L/parts) chars, the last
+    rem get one more. Returns [(start, seg_len), ...]."""
+    base, rem = divmod(L, parts)
+    out, st = [], 0
+    for i in range(parts):
+        sl = base + (1 if i >= parts - rem else 0)
+        out.append((st, sl))
+        st += sl
+    return out
+
+
+def fuzzy_pairs_edk(ds, id_col: str = "doc_id", str_col: str = "s",
+                    k: int = 2, width: int = 24,
+                    buckets: int | None = None):
+    """Edit-distance-<=k similarity JOIN for general k — every id pair
+    whose strings are within k Levenshtein edits (the fuzzy-title /
+    typo-cluster dedup operator; `fuzzy_pairs_ed1` is the k=1 special
+    case with a cheaper blocking scheme).
+
+    Blocking: partition-based segment signatures (PassJoin — Li, Deng,
+    Feng, Wang, "PASS-JOIN: A Partition-based Method for Similarity
+    Joins", public 2011 algorithm). Every string of length L >= k+1 is
+    INDEXED on its k+1 even segments under key (L, slot, seg bytes);
+    every string PROBES, for each candidate partner length L' in
+    [L-k, L+k] and slot i, its own substrings of the slot's length at
+    the slot's start +-k shifts. k edits destroy at most k of the k+1
+    segments (pigeonhole) and shift any surviving segment by at most k
+    positions, so every qualifying pair shares >= 1 key with the
+    shorter side indexed — the block join is COMPLETE and the exact
+    verify only prunes. Strings shorter than k+1 chars share one
+    constant index key probed by all strings of length <= 2k (any
+    partner of a short string is itself short).
+
+    Verify: banded Levenshtein DP vectorized ACROSS pairs — the DP
+    band |j - i| <= k is a (n_pairs, 2k+1) int16 matrix updated
+    column-by-column over at most `width` rows; all char compares are
+    fixed-column numpy ops over the padded byte matrices (no per-pair
+    Python). O(width * (2k+1)) vector ops per verify bucket.
+
+    Scale shape mirrors fuzzy_pairs_ed1: key emission is numpy slicing
+    over the padded byte matrix inside map_batches; candidates explode
+    probe x index per blocking key inside key-hash bucket groups with
+    in-bucket pair pre-dedup; ONE pair-key groupby dedups globally and
+    verifies. Strings are caller-bounded to `width` bytes. Key count
+    per string is O(k^2 * min(2k+1, width)) — keep k small (2-3), as
+    the published algorithm does.
+
+    Returns (id_a, id_b, dist:int64) with id_a < id_b, dist <= k.
+    Reference analogy: the typo-tolerant tag matching the reference's
+    matcher family approximates with explicit alternatives
+    (/root/reference/src/command_tags_filter.cpp:95).
+    """
+    import ray
+    from ..functions.hashing import splitmix64 as _sm
+
+    if buckets is None:
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+    parts = k + 1
+    short_key = np.int64(0x5A17C0DE)  # constant block for len <= k
+
+    def _slice_hash(mat: np.ndarray, rows: np.ndarray, st: int,
+                    sl: int, salt: int) -> np.ndarray:
+        h = _rowhash(np.ascontiguousarray(mat[rows, st:st + sl]))
+        return _sm(h ^ _sm(np.full(len(rows), np.uint64(salt))))
+
+    def keys(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], type=pa.int64()),
+                          "id": pa.array([], type=pa.int64()),
+                          "role": pa.array([], type=pa.int8()),
+                          "pad": pa.array([], type=pa.binary()),
+                          "ln": pa.array([], type=pa.int64()),
+                          "_b": pa.array([], type=pa.int32())})
+        if batch.num_rows == 0:
+            return empty
+        mat, lens = _pad_matrix(batch[str_col], width)
+        n = len(lens)
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ks, rid, rol = [], [], []
+
+        def emit(kk: np.ndarray, rows: np.ndarray, role: int) -> None:
+            ks.append(kk.astype(np.int64) & np.int64(2**63 - 1))
+            rid.append(rows)
+            rol.append(np.full(len(rows), role, dtype=np.int8))
+
+        # short-string carve-out (index: len <= k; probe: len <= 2k)
+        si = np.flatnonzero(lens <= k)
+        if len(si):
+            emit(np.full(len(si), short_key, dtype=np.int64), si, 0)
+        sp = np.flatnonzero(lens <= 2 * k)
+        if len(sp):
+            emit(np.full(len(sp), short_key, dtype=np.int64), sp, 1)
+        # index: own-length segments (L >= k+1)
+        for L in np.unique(lens[lens >= parts]):
+            rows = np.flatnonzero(lens == L)
+            for i, (st, sl) in enumerate(_even_segments(int(L), parts)):
+                emit(_slice_hash(mat, rows, st, sl,
+                                 int(L) * 131 + i), rows, 0)
+        # probe: partner-length segment windows
+        for Lp in range(parts, width + 1):
+            near = np.flatnonzero(np.abs(lens - Lp) <= k)
+            if not len(near):
+                continue
+            for i, (st, sl) in enumerate(_even_segments(Lp, parts)):
+                for sh in range(-k, k + 1):
+                    st2 = st + sh
+                    if st2 < 0 or st2 + sl > width:
+                        continue
+                    rows = near[st2 + sl <= lens[near]]
+                    if len(rows):
+                        emit(_slice_hash(mat, rows, st2, sl,
+                                         Lp * 131 + i), rows, 1)
+        if not ks:
+            return empty
+        kk = np.concatenate(ks)
+        r = np.concatenate(rid)
+        pad = pa.Array.from_buffers(
+            pa.binary(width), n,
+            [None, pa.py_buffer(np.ascontiguousarray(mat).tobytes())]) \
+            .cast(pa.binary())
+        return pa.table({"k": pa.array(kk),
+                         "id": pa.array(ids[r]),
+                         "role": pa.array(np.concatenate(rol)),
+                         "pad": pad.take(pa.array(r, type=pa.int64())),
+                         "ln": pa.array(lens[r]),
+                         "_b": pa.array((kk % np.int64(buckets))
+                                        .astype(np.int32))})
+
+    def cand(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "pa_": pa.array([], type=pa.binary()),
+                          "pb_": pa.array([], type=pa.binary()),
+                          "la": pa.array([], type=pa.int64()),
+                          "lb": pa.array([], type=pa.int64()),
+                          "_pb": pa.array([], type=pa.int32())})
+        if g.num_rows == 0 or "k" not in g.schema.names:
+            return empty
+        kk = g["k"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        role = g["role"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, role, kk))
+        kk, ids, role = kk[order], ids[order], role[order]
+        pad = g["pad"].take(pa.array(order, type=pa.int64()))
+        ln = g["ln"].to_numpy(zero_copy_only=False)[order]
+        first = np.ones(len(kk), dtype=bool)
+        first[1:] = kk[1:] != kk[:-1]
+        starts = np.flatnonzero(first)
+        glens = np.diff(np.append(starts, len(kk)))
+        ia, ib = [], []
+        for st, gl in zip(starts, glens):
+            r = role[st:st + gl]
+            nidx = int(np.searchsorted(r, 1))    # roles sorted 0 then 1
+            nprb = gl - nidx
+            if nidx == 0 or nprb == 0:
+                continue
+            # dedup repeated (id, role) rows within the key group
+            # (one string can probe the same key at several shifts)
+            iu = st + np.flatnonzero(np.r_[True, ids[st + 1:st + nidx]
+                                           != ids[st:st + nidx - 1]]) \
+                if nidx > 1 else np.array([st])
+            pu = st + nidx + np.flatnonzero(
+                np.r_[True, ids[st + nidx + 1:st + gl]
+                      != ids[st + nidx:st + gl - 1]]) \
+                if nprb > 1 else np.array([st + nidx])
+            ia.append(np.repeat(iu, len(pu)))
+            ib.append(np.tile(pu, len(iu)))
+        if not ia:
+            return empty
+        ia, ib = np.concatenate(ia), np.concatenate(ib)
+        keep = ids[ia] != ids[ib]
+        ia, ib = ia[keep], ib[keep]
+        if not len(ia):
+            return empty
+        swap = ids[ia] > ids[ib]
+        ia2 = np.where(swap, ib, ia)
+        ib2 = np.where(swap, ia, ib)
+        pk = (ids[ia2] << np.int64(32)) | ids[ib2]
+        uk, idx = np.unique(pk, return_index=True)
+        ia2, ib2 = ia2[idx], ib2[idx]
+        pb = (uk % np.int64(buckets)).astype(np.int32)
+        return pa.table({
+            "id_a": pa.array(ids[ia2]), "id_b": pa.array(ids[ib2]),
+            "pa_": pad.take(pa.array(ia2, type=pa.int64())),
+            "pb_": pad.take(pa.array(ib2, type=pa.int64())),
+            "la": pa.array(ln[ia2]), "lb": pa.array(ln[ib2]),
+            "_pb": pa.array(pb)})
+
+    def verify(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "dist": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "id_a" not in g.schema.names:
+            return empty
+        ida = g["id_a"].to_numpy(zero_copy_only=False)
+        idb = g["id_b"].to_numpy(zero_copy_only=False)
+        pk = (ida << np.int64(32)) | idb
+        _, idx = np.unique(pk, return_index=True)   # global pair dedup
+        la = g["la"].to_numpy(zero_copy_only=False)[idx]
+        lb = g["lb"].to_numpy(zero_copy_only=False)[idx]
+        lok = np.abs(la - lb) <= k                  # length filter
+        idx = idx[lok]
+        if not len(idx):
+            return empty
+        ida, idb = ida[idx], idb[idx]
+        la, lb = la[lok], lb[lok]
+        take = pa.array(idx, type=pa.int64())
+        n = len(idx)
+        zc = np.zeros((n, k), dtype=np.uint8)       # +k cols so the
+        ma = np.concatenate([np.frombuffer(                 # band never
+            b"".join(g["pa_"].take(take).to_pylist()),      # reads OOB
+            dtype=np.uint8).reshape(n, width), zc], axis=1)
+        mb = np.concatenate([np.frombuffer(
+            b"".join(g["pb_"].take(take).to_pylist()),
+            dtype=np.uint8).reshape(n, width), zc], axis=1)
+        B = 2 * k + 1
+        INF = np.int16(4096)
+        dprev = np.full((n, B), INF, dtype=np.int16)
+        for d in range(0, k + 1):                   # row i=0: D[0][j]=j
+            dprev[:, d + k] = d
+        res = np.full(n, -1, dtype=np.int64)
+        z0 = la == 0
+        res[z0] = lb[z0]
+        for i in range(1, int(la.max(initial=0)) + 1):
+            dcur = np.full((n, B), INF, dtype=np.int16)
+            a_ch = ma[:, i - 1]
+            for o in range(B):
+                j = i + o - k
+                if j < 0:
+                    continue
+                if j == 0:
+                    dcur[:, o] = i
+                    continue
+                best = dprev[:, o] + (a_ch != mb[:, j - 1])  # subst
+                if o + 1 < B:
+                    best = np.minimum(best, dprev[:, o + 1] + 1)  # del
+                if o - 1 >= 0:
+                    best = np.minimum(best, dcur[:, o - 1] + 1)   # ins
+                dcur[:, o] = best
+            hit = np.flatnonzero(la == i)
+            if len(hit):
+                res[hit] = dcur[hit, lb[hit] - i + k]
+            dprev = dcur
+        keep = (res >= 0) & (res <= k)
+        return pa.table({"id_a": pa.array(ida[keep]),
+                         "id_b": pa.array(idb[keep]),
+                         "dist": pa.array(res[keep])})
+
+    return ds.map_batches(keys, batch_format="pyarrow") \
+        .groupby("_b").map_groups(cand, batch_format="pyarrow") \
+        .groupby("_pb").map_groups(verify, batch_format="pyarrow")
+
+
 def _unpack_u64_sets(payloads: list) -> list[np.ndarray]:
     """Inverse of key_token_sets' packing: binary -> sorted uint64 set."""
     return [np.frombuffer(b, dtype=np.uint64) if b else
