@@ -334,53 +334,87 @@ def _attach_pair_payload(pairs, source, id_col: str, payload_col: str,
             over_cap = True
             break
     if not over_cap:
-        ids_list = acc.to_pylist() if acc is not None else []
-        sorted_ids = np.sort(np.asarray(ids_list).astype(str)) \
-            if ids_list else np.empty(0, dtype=str)
+        int_ids = acc is not None and pa.types.is_integer(acc.type)
+        if acc is not None and len(acc):
+            if int_ids:
+                sorted_ids = np.sort(
+                    acc.to_numpy(zero_copy_only=False).astype(np.int64))
+            else:
+                sorted_ids = np.sort(
+                    np.asarray(acc.to_pylist()).astype(str))
+        else:
+            sorted_ids = np.empty(0, dtype=np.int64 if int_ids else str)
         cref = ray.put(sorted_ids)
+
+        def _id_np(col):
+            # batch ids -> searchsorted-comparable numpy, matching the
+            # candidate array's dtype family (int64 ids never round-trip
+            # through Python objects / U-strings)
+            if int_ids:
+                return col.to_numpy(zero_copy_only=False) \
+                    .astype(np.int64, copy=False)
+            return np.asarray(col.to_pylist()).astype(str)
 
         def keep_candidates(batch: pa.Table) -> pa.Table:
             ids = ray.get(cref)
-            vals = np.asarray(batch[id_col].to_pylist()).astype(str)
-            if len(ids) == 0 or len(vals) == 0:
+            if len(ids) == 0 or batch.num_rows == 0:
                 return batch.slice(0, 0)
+            vals = _id_np(batch[id_col])
             pos = np.searchsorted(ids, vals)
             pos[pos == len(ids)] = len(ids) - 1
             return batch.filter(pa.array(ids[pos] == vals))
 
         payload = payload.map_batches(keep_candidates,
                                       batch_format="pyarrow").materialize()
-        # candidate payload fits the broadcast cap: attach it map-side —
-        # workers ray.get the payload BLOCKS straight from the object
-        # store (the driver only ever holds refs), build one sorted
-        # lookup per worker, and searchsorted-take both pair sides. Two
-        # hash joins cost ~2 aggregator-pool spinups; this is one map.
+        # candidate payload fits the broadcast cap: attach it map-side.
+        # The lookup state (sorted id array + payload column in id order
+        # + decoded flat payload) is built in ONE Ray task and shipped
+        # through the object store; every attach worker ray.gets it
+        # ZERO-COPY (numpy int64/U arrays and Arrow tables deserialize
+        # as shared-memory views). Building it per worker instead
+        # (concat + Python-object id cast + argsort + full payload take,
+        # ~7 s each on a 400 MB payload) made the stage scale WITH
+        # worker count — measured 19.5 s at 4 CPUs vs 58.7 s at 16 on
+        # 4.3M pairs — because N workers redo the same build while
+        # saturating memory bandwidth. Two hash joins cost ~2
+        # aggregator-pool spinups; this is one task + one map.
         prefs = tuple(payload.to_arrow_refs())
         pschema = payload.schema()
         ptype = dict(zip(pschema.names, pschema.types))[payload_col]
+        keep_pcol = consume_indexed is None or decode_payload is None
+        want_decode = (consume_indexed is not None
+                       and decode_payload is not None)
+
+        def _build_state(*blocks):
+            tbls = [t for t in blocks if t.num_rows]
+            if not tbls:
+                return (np.empty(0, dtype=np.int64 if int_ids else str),
+                        None, None)
+            tbl = pa.concat_tables(tbls)
+            pids = _id_np(tbl[id_col])
+            order = np.argsort(pids, kind="stable")
+            pcol_sorted = tbl[payload_col].take(pa.array(order))
+            if isinstance(pcol_sorted, pa.ChunkedArray):
+                pcol_sorted = pcol_sorted.combine_chunks()
+            decoded = decode_payload(pcol_sorted) if want_decode else None
+            ptbl = pa.table({payload_col: pcol_sorted}) \
+                if keep_pcol else None
+            return pids[order], ptbl, decoded
+
+        sref = ray.remote(num_cpus=1)(_build_state).remote(*prefs)
 
         def attach(batch: pa.Table) -> pa.Table:
-            key = ("pair_payload", tuple(r.hex() for r in prefs))
+            key = ("pair_payload", sref.hex())
             state = _ATTACH_CACHE.get(key)
             if state is None:
-                tbls = [t for t in ray.get(list(prefs)) if t.num_rows]
-                tbl = pa.concat_tables(tbls) if tbls else None
-                if tbl is None:
-                    state = (np.empty(0, dtype=str), None, None)
-                else:
-                    pids = np.asarray(tbl[id_col].to_pylist()).astype(str)
-                    order = np.argsort(pids, kind="stable")
-                    pcol_sorted = tbl[payload_col].take(pa.array(order))
-                    decoded = decode_payload(pcol_sorted) \
-                        if (consume_indexed is not None
-                            and decode_payload is not None) else None
-                    state = (pids[order], pcol_sorted, decoded)
+                state = ray.get(sref)
                 _ATTACH_CACHE.clear()   # one live payload per worker
                 _ATTACH_CACHE[key] = state
-            pids, pcol, decoded = state
+            pids, ptbl, decoded = state
+            pcol = ptbl[payload_col] if ptbl is not None else None
 
             def gather(col):
-                vals = np.asarray(col.to_pylist()).astype(str)
+                vals = _id_np(col)
                 pos = np.searchsorted(pids, vals)
                 if len(pids):
                     pos[pos == len(pids)] = len(pids) - 1
@@ -457,23 +491,26 @@ def _pair_set_inters(ids_a, ids_b, set_of, mask=None):
     return na, nb, inter
 
 
-def _pair_set_inters_idx(pos_a, pos_b, sets, mask=None):
+def _pair_set_inters_idx(pos_a, pos_b, state, mask=None):
     """Positional form of `_pair_set_inters` for the indexed verify:
-    `sets` is the per-worker list of sorted-unique uint64 token arrays
-    (decoded ONCE from the broadcast payload), pos_* index into it.
-    Returns the int64 intersection sizes; pairs outside `mask` get 0."""
+    `state = (vals, offs, sizes)` is the FLAT decoded payload from
+    `_decode_packed_u64` (decoded ONCE in the broadcast-build task),
+    pos_* index rows. Returns int64 intersection sizes; pairs outside
+    `mask` get 0."""
+    vals, offs, sizes = state
     npairs = len(pos_a)
     inter = np.zeros(npairs, dtype=np.int64)
     run_all = mask is None
     for i in range(npairs):
         if not (run_all or mask[i]):
             continue
-        sa = sets[pos_a[i]]
-        sb = sets[pos_b[i]]
-        if sa.size > sb.size:
-            sa, sb = sb, sa
-        if sb.size == 0:
+        p, q = pos_a[i], pos_b[i]
+        if sizes[p] > sizes[q]:
+            p, q = q, p
+        if sizes[q] == 0:
             continue
+        sa = vals[offs[p]:offs[p + 1]]
+        sb = vals[offs[q]:offs[q + 1]]
         pos = np.searchsorted(sb, sa)
         pos[pos == sb.size] = sb.size - 1
         inter[i] = int(np.count_nonzero(sb[pos] == sa))
@@ -481,19 +518,24 @@ def _pair_set_inters_idx(pos_a, pos_b, sets, mask=None):
 
 
 def _decode_packed_u64(pcol):
-    """Binary column of packed uint64 sets -> (list of zero-copy numpy
-    views, int64 sizes array). One pass over the Arrow buffers; no
-    per-row Python bytes objects."""
+    """Binary column of packed uint64 sets -> (flat uint64 value array,
+    int64 ELEMENT offsets, int64 sizes). One pass over the Arrow
+    buffers; no per-row Python bytes objects. Flat numpy (not a list of
+    per-row views) so the whole state ships ZERO-COPY through the
+    object store — the broadcast-attach build task decodes once and
+    every verify worker ray.gets the same shared-memory arrays."""
     arr = pcol.combine_chunks() if isinstance(pcol, pa.ChunkedArray) \
         else pcol
     arr = arr.cast(pa.large_binary())
     n = len(arr)
-    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64,
-                         count=n + 1, offset=8 * arr.offset)
-    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-    sets = [data[offs[i]:offs[i + 1]].view(np.uint64) for i in range(n)]
-    sizes = ((offs[1:] - offs[:-1]) // 8).astype(np.int64)
-    return sets, sizes
+    boffs = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                          count=n + 1, offset=8 * arr.offset)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8,
+                         count=int(boffs[-1]) if n else 0)
+    vals = data.view(np.uint64)
+    offs = (boffs // 8).astype(np.int64)
+    sizes = offs[1:] - offs[:-1]
+    return vals, offs, sizes
 
 
 def minhash_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
@@ -590,12 +632,12 @@ def _text_lsh_clusters(docs, bander, sets_fn, text_col: str, id_col: str,
         # per-worker state, sets are zero-copy views — no blob take()
         if sub.num_rows == 0 or state is None:
             return sub
-        sets, sz = state
+        sz = state[2]
         na0, nb0 = sz[pos_a], sz[pos_b]
         mx = np.maximum(na0, nb0)
         bound_ok = (mx == 0) | (np.minimum(na0, nb0) >=
                                 threshold * mx - 1e-9)
-        inter = _pair_set_inters_idx(pos_a, pos_b, sets, mask=bound_ok)
+        inter = _pair_set_inters_idx(pos_a, pos_b, state, mask=bound_ok)
         union = na0 + nb0 - inter
         jacc = inter / np.maximum(union, 1)
         keep = bound_ok & ((union == 0) | (jacc >= threshold))
@@ -1207,8 +1249,8 @@ def jaccard_join(docs, text_col: str = "text", id_col: str = "doc_id",
                 "inter_sz": pa.array([], type=pa.int64()),
                 "union_sz": pa.array([], type=pa.int64()),
                 "jacc": pa.array([], type=pa.float64())})
-        sets, sz = state
-        inter = _pair_set_inters_idx(pos_a, pos_b, sets)
+        sz = state[2]
+        inter = _pair_set_inters_idx(pos_a, pos_b, state)
         union = sz[pos_a] + sz[pos_b] - inter
         jacc = inter / np.maximum(union, 1)
         jacc[union == 0] = 1.0
