@@ -35,6 +35,28 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z
 
 
+def splitmix64_into(x: np.ndarray, out: np.ndarray,
+                    t: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer with caller-provided buffers: writes the mix
+    of `x` into `out` using `t` as scratch — ZERO allocations (`out` may
+    alias `x`). Hot stages that mix the same large buffer many times per
+    batch (the 64 minhash permutations over the flat shingle array) call
+    this with two reused scratch arrays: per-call fresh multi-MB
+    temporaries are mmap/munmap'd by numpy, and at worker concurrency the
+    page-zeroing + TLB shootdowns anti-scale the whole map stage (the
+    same pathology measured on DominantColors' per-chunk histograms)."""
+    np.add(x, _SM_GAMMA, out=out)
+    np.right_shift(out, _U64(30), out=t)
+    out ^= t
+    out *= _SM_M1
+    np.right_shift(out, _U64(27), out=t)
+    out ^= t
+    out *= _SM_M2
+    np.right_shift(out, _U64(31), out=t)
+    out ^= t
+    return out
+
+
 def hash64(x: np.ndarray, seed: int = 0) -> np.ndarray:
     """Seeded 64-bit mix of an integer array."""
     with np.errstate(over="ignore"):

@@ -17,7 +17,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import hash64, hash_str_u64, splitmix64
+from ..functions.hashing import (hash64, hash_str_u64, splitmix64,
+                                 splitmix64_into)
+
+_U64 = np.uint64
 
 
 def _flat_shingle_hashes(texts: list[str], k: int = 5):
@@ -37,10 +40,20 @@ def _flat_shingle_hashes(texts: list[str], k: int = 5):
                 else np.zeros(len(texts), dtype=np.uint64)).copy()
         offs = np.arange(len(texts) + 1, dtype=np.int64)
         return flat, offs
-    win = np.lib.stride_tricks.sliding_window_view(buf, k).astype(np.uint64)
-    weights = (np.uint64(257) ** np.arange(k, dtype=np.uint64))
+    # polynomial hash sum(buf[i+j] * 257^j) via descending Horner — k
+    # vectorized passes over ONE reused uint64 buffer. The former
+    # (nwin, k) uint64 window matrix (astype of a sliding_window_view)
+    # was ~100 MB of fresh allocation per 10k-doc batch; at worker
+    # concurrency the mmap churn anti-scaled the whole band map.
+    nwin = len(buf) - k + 1
+    h = np.zeros(nwin, dtype=np.uint64)
+    t = np.empty(nwin, dtype=np.uint64)
+    c257 = _U64(257)
     with np.errstate(over="ignore"):
-        h = splitmix64(win @ weights)
+        for j in range(k - 1, -1, -1):
+            np.multiply(h, c257, out=h)
+            np.add(h, buf[j:j + nwin], out=h, casting="unsafe")
+        splitmix64_into(h, h, t)
     doc_starts = np.concatenate([[0], np.cumsum(lens)])
     counts = np.maximum(lens - k + 1, 1)
     offs = np.concatenate([[0], np.cumsum(counts)])
@@ -70,10 +83,16 @@ def minhash_signature(texts: list[str], num_perm: int = 64, k: int = 5,
     n = len(texts)
     sigs = np.empty((n, num_perm), dtype=np.uint64)
     starts = offs[:-1]
+    # two reused scratch buffers across all permutations: 64 fresh
+    # (xor + splitmix) temporaries per batch were ~3 GB of allocation
+    # churn per task, anti-scaling the band map at worker concurrency
+    z = np.empty_like(flat)
+    t = np.empty_like(flat)
     with np.errstate(over="ignore"):
         for p in range(num_perm):
-            m = splitmix64(flat ^ salts[p])
-            sigs[:, p] = np.minimum.reduceat(m, starts)
+            np.bitwise_xor(flat, salts[p], out=z)
+            splitmix64_into(z, z, t)
+            sigs[:, p] = np.minimum.reduceat(z, starts)
     return sigs
 
 
