@@ -442,6 +442,20 @@ def run_extract_cw_dataset(images, regions: list[Region], groups, members,
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, cpus // 4)
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+    _prof = _os.environ.get("OSMRAY_PROF") == "1"
+    _tprev = [_time.monotonic()]
+
+    def _tick(label: str) -> None:
+        # stage walls to stderr under OSMRAY_PROF=1 (scaling forensics)
+        if _prof:
+            now = _time.monotonic()
+            print(f"[cw_dataset] {label}: {now - _tprev[0]:.2f}s",
+                  file=_sys.stderr)
+            _tprev[0] = now
+
     def _mat(ds, id_name="image_id"):
         """Materialize between joins (each Dataset.join pins
         num_partitions aggregator actors for the DAG's lifetime, and a
@@ -471,6 +485,7 @@ def run_extract_cw_dataset(images, regions: list[Region], groups, members,
         from ..blocks import hash_distinct
         matched = hash_distinct(matched, ["image_id", "extract_id"])
     node_ids = _mat(matched)
+    _tick("match+mat")
 
     # narrow node-member projection, materialized: Ray 2.49's join builds
     # schema-less (crashing) empty partitions when an input's schema is
@@ -483,6 +498,7 @@ def run_extract_cw_dataset(images, regions: list[Region], groups, members,
 
     node_members = members.map_batches(_node_proj,
                                        batch_format="pyarrow").materialize()
+    _tick("node_members mat")
 
     # group hits: node members whose ref is a recorded node. The join
     # output is image-scale, but its DISTINCT (group_id, extract_id)
@@ -507,6 +523,7 @@ def run_extract_cw_dataset(images, regions: list[Region], groups, members,
         hits = _collect_table(wj.map_batches(_pair_partial,
                                              batch_format="pyarrow")) \
             .group_by(["group_id", "extract_id"]).aggregate([])
+    _tick("join1+hits")
     hit_gids = _np_str(hits["group_id"])
     hit_eids = hits["extract_id"].to_numpy(zero_copy_only=False).astype(np.int64)
 
@@ -549,6 +566,7 @@ def run_extract_cw_dataset(images, regions: list[Region], groups, members,
     from ..blocks import hash_distinct
     final_ids = _mat(hash_distinct(node_ids.union(extra),
                                    ["image_id", "extract_id"]))
+    _tick("extra+union+distinct")
 
     # id set (schema-known) on the LEFT — see node_members note; empty
     # side short-circuited (same Ray 2.49 empty-join crash as above)
@@ -627,6 +645,7 @@ def run_extract_cw_dataset(images, regions: list[Region], groups, members,
         "kind": pa.array([r[1] for r in group_rows], type=pa.string()),
         "extract_id": pa.array([int(r[2]) for r in group_rows], type=pa.int32()),
     })
+    _tick("relations+final-join-build")
     return {"images_out": images_out, "group_rows": group_tbl}
 
 
