@@ -72,20 +72,19 @@ def _shingle_hashes(texts: list[str], k: int = 5) -> list[np.ndarray]:
     return [np.unique(flat[offs[i]:offs[i + 1]]) for i in range(len(texts))]
 
 
-def minhash_signature(texts: list[str], num_perm: int = 64, k: int = 5,
-                      seed: int = 7) -> np.ndarray:
-    """(n_docs, num_perm) uint64 MinHash signatures. Permutations are the
-    universal-hash family h_i(x) = splitmix64(x ^ salt_i); per-doc minima
-    via segmented minimum.reduceat over the flat shingle buffer — fully
-    vectorized across all docs of the batch."""
+def _sigs_from_flat(flat: np.ndarray, offs: np.ndarray, num_perm: int,
+                    seed: int) -> np.ndarray:
+    """(n_docs, num_perm) MinHash signatures from a flat token-hash
+    buffer + per-doc offsets. Permutations are the universal-hash family
+    h_i(x) = splitmix64(x ^ salt_i); per-doc minima via segmented
+    minimum.reduceat — fully vectorized across the batch. Two reused
+    scratch buffers across all permutations: 64 fresh (xor + splitmix)
+    temporaries per batch were ~3 GB of allocation churn per task,
+    anti-scaling the band map at worker concurrency."""
     salts = hash64(np.arange(num_perm, dtype=np.uint64), seed=seed)
-    flat, offs = _flat_shingle_hashes(texts, k)
-    n = len(texts)
+    n = len(offs) - 1
     sigs = np.empty((n, num_perm), dtype=np.uint64)
     starts = offs[:-1]
-    # two reused scratch buffers across all permutations: 64 fresh
-    # (xor + splitmix) temporaries per batch were ~3 GB of allocation
-    # churn per task, anti-scaling the band map at worker concurrency
     z = np.empty_like(flat)
     t = np.empty_like(flat)
     with np.errstate(over="ignore"):
@@ -94,6 +93,14 @@ def minhash_signature(texts: list[str], num_perm: int = 64, k: int = 5,
             splitmix64_into(z, z, t)
             sigs[:, p] = np.minimum.reduceat(z, starts)
     return sigs
+
+
+def minhash_signature(texts: list[str], num_perm: int = 64, k: int = 5,
+                      seed: int = 7) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signatures over char-k-shingle
+    hashes (see _sigs_from_flat for the permutation scheme)."""
+    flat, offs = _flat_shingle_hashes(texts, k)
+    return _sigs_from_flat(flat, offs, num_perm, seed)
 
 
 def _fold_sig64(sigs: np.ndarray) -> np.ndarray:
@@ -901,9 +908,15 @@ def _flat_word_ngram_hashes(texts: list[str], n: int = 3):
     if len(th) >= n:
         win = np.lib.stride_tricks.sliding_window_view(th, n)
         acc = win[:, 0].copy()
+        z = np.empty_like(acc)
+        t = np.empty_like(acc)
         with np.errstate(over="ignore"):
             for j in range(1, n):
-                acc = splitmix64(splitmix64(acc) ^ win[:, j])
+                # acc = splitmix64(splitmix64(acc) ^ win[:, j]), through
+                # reused scratch (same values, zero fresh temporaries)
+                splitmix64_into(acc, z, t)
+                np.bitwise_xor(z, win[:, j], out=z)
+                splitmix64_into(z, acc, t)
     else:
         acc = np.empty(0, dtype=np.uint64)
     starts = np.concatenate([[0], np.cumsum(vcounts)])
@@ -943,15 +956,9 @@ class WordNgramBands:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        salts = hash64(np.arange(self.num_perm, dtype=np.uint64), seed=self.seed)
         flat, offs = _flat_word_ngram_hashes(texts, self.n)
         m = len(texts)
-        sigs = np.empty((m, self.num_perm), dtype=np.uint64)
-        starts = offs[:-1]
-        with np.errstate(over="ignore"):
-            for p in range(self.num_perm):
-                h = splitmix64(flat ^ salts[p])
-                sigs[:, p] = np.minimum.reduceat(h, starts)
+        sigs = _sigs_from_flat(flat, offs, self.num_perm, self.seed)
         bh = np.empty((m, self.bands), dtype=np.uint64)
         for b in range(self.bands):
             seg = sigs[:, b * self.rows_per_band:(b + 1) * self.rows_per_band]
