@@ -92,12 +92,27 @@ def hash_str_u64(values, seed: int = 0) -> np.ndarray:
     lens = (offs[1:] - offs[:-1]).astype(np.int64)
     max_len = int(lens.max()) if n else 0
     with np.errstate(over="ignore"):
-        for i in range(max_len):
-            active = lens > i
-            if not active.any():
-                break
-            idx = starts[active] + i
-            h[active] = (h[active] ^ buf[idx].astype(_U64)) * prime
+        if max_len:
+            # rows sorted longest-first: the per-char active set is then
+            # a CONTIGUOUS prefix, so each round is in-place ops on
+            # views + one small byte gather — the former per-char
+            # boolean mask + four fancy-indexed u64 temporaries were
+            # ~6n fresh bytes x max_len rounds of allocation churn
+            # (this runs on every string-keyed shuffle's hash)
+            order = np.argsort(-lens, kind="stable")
+            starts_o = starts[order]
+            neg = -lens[order]                  # ascending
+            ho = h[order]
+            idxbuf = np.empty(n, dtype=np.int64)
+            for i in range(max_len):
+                m = int(np.searchsorted(neg, -(i + 1), side="right"))
+                if m == 0:
+                    break
+                np.add(starts_o[:m], i, out=idxbuf[:m])
+                hv = ho[:m]
+                np.bitwise_xor(hv, buf[idxbuf[:m]], out=hv)
+                np.multiply(hv, prime, out=hv)
+            h[order] = ho
         return splitmix64(h ^ (_U64(seed & 0xFFFFFFFFFFFFFFFF) * _SM_GAMMA))
 
 
