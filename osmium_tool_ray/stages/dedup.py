@@ -737,7 +737,13 @@ def _text_lsh_clusters(docs, bander, sets_fn, text_col: str, id_col: str,
                                      consume=verify,
                                      consume_indexed=verify_indexed,
                                      decode_payload=_decode_packed_u64)
-    out = _minlabel_union_tables(_pair_tables(survivors))
+    # per-block star contraction: the driver fixpoint ingests <=
+    # #distinct-ids star edges per block, not the full verified-pair
+    # volume (2.5M pairs -> ~150k edges on the bench twin)
+    contracted = survivors.map_batches(_star_contract,
+                                       batch_format="pyarrow",
+                                       batch_size=None)
+    out = _minlabel_union_tables(_pair_tables(contracted))
     if not out:
         return empty
     return pa.table({"doc_id": pa.array([o[0] for o in out]),
@@ -824,9 +830,10 @@ def _minlabel_union_tables(vtbls: list) -> list:
     return _minlabel_union_np(a, b)
 
 
-def _minlabel_union_np(a: np.ndarray, b: np.ndarray) -> list:
-    """Vectorized min-label union core (see _minlabel_union docstring):
-    dense-rank, scatter-min label propagation, pointer jumping."""
+def _minlabel_core(a: np.ndarray, b: np.ndarray):
+    """Vectorized min-label fixpoint (see _minlabel_union docstring):
+    dense-rank, scatter-min label propagation, pointer jumping.
+    Returns (uniq ids, fixpoint label indices into uniq)."""
     arr = np.concatenate([a, b])
     uniq, inv = np.unique(arr, return_inverse=True)
     ia, ib = inv[:len(a)], inv[len(a):]
@@ -843,10 +850,48 @@ def _minlabel_union_np(a: np.ndarray, b: np.ndarray) -> list:
             label = nl
         if np.array_equal(label, before):
             break
+    return uniq, label
+
+
+def _minlabel_union_np(a: np.ndarray, b: np.ndarray) -> list:
+    """_minlabel_core + the (member, root) list build."""
+    uniq, label = _minlabel_core(a, b)
+
     def _py(v):
         return v.item() if hasattr(v, "item") else v
     return [(_py(uniq[i]), _py(uniq[label[i]]))
             for i in np.flatnonzero(label != np.arange(len(uniq)))]
+
+
+def _star_contract(batch: pa.Table) -> pa.Table:
+    """Map-side component contraction ahead of the driver min-label
+    union: run the vectorized union-find WITHIN the block and emit each
+    block-local component as a star (member -> block-local root) —
+    <= #distinct-ids rows instead of #pairs. A union of per-block
+    spanning stars preserves GLOBAL components (ids shared between
+    blocks bridge them), so the driver fixpoint ingests 10-20x fewer
+    edges on dup-heavy candidate sets. Mixed-type id blocks pass
+    through unchanged (they take the dict path driver-side)."""
+    if batch.num_rows == 0 or "a" not in batch.schema.names:
+        return batch
+    typ = batch.schema.field("a").type
+    numeric = pa.types.is_integer(typ) or pa.types.is_floating(typ)
+    if numeric:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+    else:
+        a = np.asarray(batch["a"].to_pylist())
+        b = np.asarray(batch["b"].to_pylist())
+        if a.dtype == object or b.dtype == object:
+            return batch.select(["a", "b"])
+    uniq, label = _minlabel_core(a, b)
+    nz = np.flatnonzero(label != np.arange(len(uniq)))
+    mem, root = uniq[nz], uniq[label[nz]]
+    if numeric:
+        return pa.table({"a": pa.array(mem).cast(typ),
+                         "b": pa.array(root).cast(typ)})
+    return pa.table({"a": pa.array(mem.tolist(), type=typ),
+                     "b": pa.array(root.tolist(), type=typ)})
 
 
 class SimHash:
@@ -1481,7 +1526,9 @@ def embedding_neardup(embeddings, dim: int, threshold: float = 0.95,
 
     out = _minlabel_union_tables(_pair_tables(_attach_pair_payload(
         pairs, packed, id_col, vec_col, consume=verify,
-        consume_indexed=verify_indexed, decode_payload=decode_vecs)))
+        consume_indexed=verify_indexed, decode_payload=decode_vecs)
+        .map_batches(_star_contract, batch_format="pyarrow",
+                     batch_size=None)))
     if not out:
         return pa.table({id_col: pa.array([], type=id_type),
                          "dup_of": pa.array([], type=id_type)})
