@@ -2955,6 +2955,18 @@ def q_sorted_check(sf_dir: str):
                                             type=pa.int64())})
 
 
+def q_bm25_topk(sf_dir: str):
+    """Okapi BM25 top-10 documents per query term (stages/text
+    .bm25_topk, linear-idf variant so scores are bit-identical to the
+    SQL twin): one emit pass over docs, tiny partial folds for
+    N/avgdl/df, map-side scoring, block-level per-term top-k partials
+    folded once — no shuffle."""
+    from osmium_tool_ray.stages.text import bm25_topk
+
+    return bm25_topk(_docs(sf_dir, ["doc_id", "text"]),
+                     ["hash", "join", "scan"], topk=10)
+
+
 def q_tfidf_terms(sf_dir: str):
     """Per-document top-3 TF-IDF terms (stages/text.tfidf_top_terms):
     map-side tf (one doc per row), bucketed df fold, broadcast idf,
@@ -3847,6 +3859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_moments": q_embedding_moments,
         "heavy_words": q_heavy_words,
         "tfidf_terms": q_tfidf_terms,
+        "bm25_topk": q_bm25_topk,
         "sorted_check": q_sorted_check,
         "stratified_sample_docs": q_stratified_sample,
         "weighted_sample_docs": q_weighted_sample_docs,
@@ -5470,6 +5483,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT value, count(*) AS cnt FROM words
             GROUP BY value
             HAVING count(*) >= ceil(0.02 * (SELECT count(*) FROM words))""",
+        "bm25_topk": r"""
+            WITH words AS (
+                SELECT doc_id, t.w AS word
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '\s+')) t(w)
+                WHERE t.w <> ''),
+            stats AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+                      FROM words GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents),
+            avg AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM words)
+                           / (SELECT nn FROM n) AS avgdl),
+            tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+                   FROM words WHERE word IN ('hash','join','scan')
+                   GROUP BY 1, 2),
+            df AS (SELECT word, CAST(count(DISTINCT doc_id) AS DOUBLE)
+                       AS df
+                   FROM words WHERE word IN ('hash','join','scan')
+                   GROUP BY 1)
+            SELECT term, doc_id, score, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT tf.word AS term, tf.doc_id,
+                     ((nn - df.df + 0.5) / (df.df + 0.5))
+                       * ((tf.tf * (1.5 + 1.0))
+                          / (tf.tf + 1.5 * ((1.0 - 0.75)
+                             + 0.75 * (stats.dl / avgdl)))) AS score,
+                     row_number() OVER (PARTITION BY tf.word
+                         ORDER BY ((nn - df.df + 0.5) / (df.df + 0.5))
+                       * ((tf.tf * (1.5 + 1.0))
+                          / (tf.tf + 1.5 * ((1.0 - 0.75)
+                             + 0.75 * (stats.dl / avgdl)))) DESC,
+                                  tf.doc_id) AS rank
+              FROM tf JOIN df USING (word) JOIN stats USING (doc_id),
+                   n, avg)
+            WHERE rank <= 10""",
         "tfidf_terms": r"""
             WITH words AS (
                 SELECT doc_id, t.w AS word

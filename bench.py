@@ -71,7 +71,7 @@ QUERY_NAMES = [
     "kmv_set_ops", "common_neighbors", "zscore_quantity",
     "resample_tracks", "bfs_hops", "label_propagation",
     "pricing_summary", "fuzzy_caption_pairs", "fuzzy_caption_pairs_k2",
-    "dominant_colors",
+    "bm25_topk", "dominant_colors",
     # r03 seventh wave: heading-rose sectors, per-cell majority class,
     # exact prefix-filtered Jaccard join
     "track_sectors_user", "cell_top_fmt", "cell_peak_hour", "jaccard_join_docs",

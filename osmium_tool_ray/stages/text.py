@@ -410,6 +410,166 @@ def _tfidf_topk_bucketed(docs, dfd, words_of, text_col: str, id_col: str,
     return scored.groupby("_db").map_groups(seg_topk, batch_format="pyarrow")
 
 
+def bm25_topk(docs, terms: list[str], k1: float = 1.5, b: float = 0.75,
+              topk: int = 10, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """BM25 relevance scoring (Robertson & Sparck Jones probabilistic
+    ranking, the Okapi BM25 formula — public) of every document against
+    a SMALL fixed query-term set, top-`topk` docs per term.
+
+    score(d, t) = idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    idf uses the LINEAR variant (N - df + 0.5) / (df + 0.5) — rational
+    IEEE ops only, so scores are bit-identical to the SQL twin (ln()'s
+    last ulp is implementation-defined; same rationale as
+    tfidf_top_terms). Tokens are whitespace-split lowered words (the
+    tfidf tokenization).
+
+    Scale shape: ONE pass over docs emits narrow (doc_id, term, tf, dl)
+    rows — per-doc stats are complete map-side because a document's
+    text lives in one row; a sentinel term='' row per doc carries dl so
+    N / avgdl / df fold from tiny per-block partials (terms is a
+    broadcast-small list by construction — it is the QUERY). Scoring is
+    map-side against the folded constants; the global per-term top-k
+    folds block-level top-k partials (<= blocks * |terms| * topk rows)
+    — no shuffle anywhere. Ties rank (score DESC, doc_id ASC).
+
+    Returns (term, doc_id, score, rank<=topk). Reference analogy: the
+    ranked counterpart of tags-count's --min-count filtering
+    (/root/reference/src/command_tags_count.cpp)."""
+    import ray
+    import pyarrow.compute as pc
+
+    tset = np.sort(np.asarray(sorted(set(terms)), dtype=str))
+    k1f, bf = np.float64(k1), np.float64(b)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col].cast(pa.string())), r"\s+")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        w = np.asarray(pc.list_flatten(words).to_pylist()).astype(str) \
+            if len(lens) else np.empty(0, dtype=str)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        keep = w != ""
+        w, doc_idx = w[keep], doc_idx[keep]
+        dl = np.bincount(doc_idx, minlength=batch.num_rows) \
+            .astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # query-term frequencies: searchsorted membership + bincount
+        # over (doc, term-slot) composite — no per-doc Python
+        if len(w) and len(tset):
+            pos = np.searchsorted(tset, w)
+            pos[pos == len(tset)] = len(tset) - 1
+            hit = tset[pos] == w
+            comp = doc_idx[hit] * len(tset) + pos[hit]
+            tf = np.bincount(comp,
+                             minlength=batch.num_rows * len(tset))
+            nz = np.flatnonzero(tf)
+        else:
+            tf, nz = np.zeros(0, np.int64), np.empty(0, np.int64)
+        d_i = nz // len(tset) if len(nz) else np.empty(0, np.int64)
+        t_i = nz % len(tset) if len(nz) else np.empty(0, np.int64)
+        return pa.table({
+            id_col: pa.array(np.concatenate([ids, ids[d_i]])),
+            "term": pa.array(np.concatenate(
+                [np.full(batch.num_rows, "", dtype=object),
+                 tset[t_i].astype(object)]).tolist(), type=pa.string()),
+            "tf": pa.array(np.concatenate(
+                [np.zeros(batch.num_rows, np.int64), tf[nz]])),
+            "dl": pa.array(np.concatenate([dl, dl[d_i]])),
+        })
+
+    rows = docs.map_batches(emit, batch_format="pyarrow").materialize()
+
+    # tiny per-block partials -> driver constants (N, sum dl, df per term)
+    def partials(t: pa.Table) -> pa.Table:
+        term = np.asarray(t["term"].to_pylist()).astype(str)
+        dl = t["dl"].to_numpy(zero_copy_only=False)
+        sent = term == ""
+        dfp = np.zeros(len(tset), dtype=np.int64)
+        if (~sent).any():
+            p = np.searchsorted(tset, term[~sent])
+            dfp = np.bincount(p, minlength=len(tset)).astype(np.int64)
+        return pa.table({"n": pa.array([int(sent.sum())]),
+                         "tok": pa.array([int(dl[sent].sum())]),
+                         "df": pa.array([dfp.tobytes()],
+                                        type=pa.binary())})
+
+    n_docs, total_tok = 0, 0
+    dfv = np.zeros(len(tset), dtype=np.int64)
+    for t in ray.get(rows.map_batches(
+            partials, batch_format="pyarrow").to_arrow_refs()):
+        if t.num_rows:
+            n_docs += int(pc.sum(t["n"]).as_py() or 0)
+            total_tok += int(pc.sum(t["tok"]).as_py() or 0)
+            for buf in t["df"].to_pylist():
+                dfv += np.frombuffer(buf, dtype=np.int64)
+    avgdl = np.float64(total_tok) / np.float64(max(n_docs, 1))
+    nn = np.float64(n_docs)
+    idf = (nn - dfv + np.float64(0.5)) / (dfv + np.float64(0.5))
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.array([], type=pa.string()),
+                          id_col: pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.float64()),
+                          "rank": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        term = np.asarray(t["term"].to_pylist()).astype(str)
+        real = term != ""
+        if not real.any():
+            return empty
+        term = term[real]
+        ids = t[id_col].to_numpy(zero_copy_only=False)[real]
+        tf = t["tf"].to_numpy(zero_copy_only=False)[real] \
+            .astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False)[real] \
+            .astype(np.float64)
+        ti = np.searchsorted(tset, term)
+        # operation order mirrors the SQL twin exactly (bit-stable)
+        score = idf[ti] * ((tf * (k1f + 1.0))
+                           / (tf + k1f * ((1.0 - bf) + bf * (dl / avgdl))))
+        # block-level per-term top-k partial (ties: score DESC, id ASC)
+        o = np.lexsort((ids, -score, ti))
+        ti_s = ti[o]
+        new = np.concatenate([[True], ti_s[1:] != ti_s[:-1]])
+        rank = np.arange(len(o)) - np.maximum.accumulate(
+            np.where(new, np.arange(len(o)), -1))
+        sel = o[rank < topk]
+        return pa.table({"term": pa.array(term[sel].tolist(),
+                                          type=pa.string()),
+                         id_col: pa.array(ids[sel]),
+                         "score": pa.array(score[sel]),
+                         "rank": pa.array(np.zeros(len(sel), np.int64))})
+
+    parts = [t for t in ray.get(rows.map_batches(
+        score_topk, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    if not parts:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         id_col: pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.float64()),
+                         "rank": pa.array([], type=pa.int64())})
+    # final fold over <= blocks * |terms| * topk partial rows
+    allt = pa.concat_tables(parts)
+    term = np.asarray(allt["term"].to_pylist()).astype(str)
+    ids = allt[id_col].to_numpy(zero_copy_only=False)
+    score = allt["score"].to_numpy(zero_copy_only=False)
+    ti = np.searchsorted(tset, term)
+    o = np.lexsort((ids, -score, ti))
+    ti_s = ti[o]
+    new = np.concatenate([[True], ti_s[1:] != ti_s[:-1]])
+    rank = np.arange(len(o)) - np.maximum.accumulate(
+        np.where(new, np.arange(len(o)), -1))
+    mask = rank < topk
+    sel = o[mask]
+    return pa.table({"term": pa.array(term[sel].tolist(),
+                                      type=pa.string()),
+                     id_col: pa.array(ids[sel]),
+                     "score": pa.array(score[sel]),
+                     "rank": pa.array(rank[mask] + 1)})
+
+
 def vocab_build(docs, text_col: str = "text", min_count: int = 2):
     """Vocabulary construction — the word2id table a tokenizer-training /
     embedding pipeline needs: whitespace tokens -> corpus frequency ->
