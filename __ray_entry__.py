@@ -2955,6 +2955,17 @@ def q_sorted_check(sf_dir: str):
                                             type=pa.int64())})
 
 
+def q_cosine_tf_join(sf_dir: str):
+    """Exact sparse TF-vector cosine self-join (stages/dedup
+    .cosine_tf_join) over the pair-capable vocabulary 2<=df<=380:
+    integer dot/norm sums (order-free), cos via three correctly-rounded
+    IEEE ops — float scores bit-match the SQL twin."""
+    from osmium_tool_ray.stages.dedup import cosine_tf_join
+
+    return cosine_tf_join(_docs(sf_dir, ["doc_id", "text"]),
+                          threshold=0.9, df_cap=380)
+
+
 def q_bm25_topk(sf_dir: str):
     """Okapi BM25 top-10 documents per query term (stages/text
     .bm25_topk, linear-idf variant so scores are bit-identical to the
@@ -3860,6 +3871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_words": q_heavy_words,
         "tfidf_terms": q_tfidf_terms,
         "bm25_topk": q_bm25_topk,
+        "cosine_tf_join": q_cosine_tf_join,
         "sorted_check": q_sorted_check,
         "stratified_sample_docs": q_stratified_sample,
         "weighted_sample_docs": q_weighted_sample_docs,
@@ -5483,6 +5495,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT value, count(*) AS cnt FROM words
             GROUP BY value
             HAVING count(*) >= ceil(0.02 * (SELECT count(*) FROM words))""",
+        "cosine_tf_join": r"""
+            WITH words AS (
+                SELECT doc_id, t.w AS word
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '\s+')) t(w)
+                WHERE t.w <> ''),
+            tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                   FROM words GROUP BY 1, 2),
+            df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+            elig AS (SELECT word FROM df WHERE df BETWEEN 2 AND 380),
+            etf AS (SELECT tf.* FROM tf JOIN elig USING (word)),
+            nrm AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS nrm
+                    FROM etf GROUP BY 1),
+            dot AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                           CAST(SUM(a.tf*b.tf) AS BIGINT) AS dot
+                    FROM etf a JOIN etf b USING (word)
+                    WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT ia AS id_a, ib AS id_b, dot,
+                   CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na.nrm AS DOUBLE))
+                        * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos
+            FROM dot JOIN nrm na ON na.doc_id = ia
+                     JOIN nrm nb ON nb.doc_id = ib
+            WHERE CAST(dot AS DOUBLE)
+                    / (sqrt(CAST(na.nrm AS DOUBLE))
+                       * sqrt(CAST(nb.nrm AS DOUBLE))) >= 0.9""",
         "bm25_topk": r"""
             WITH words AS (
                 SELECT doc_id, t.w AS word

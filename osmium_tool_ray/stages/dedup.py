@@ -1418,6 +1418,228 @@ def jaccard_join(docs, text_col: str = "text", id_col: str = "doc_id",
                                 decode_payload=_decode_packed_u64)
 
 
+def cosine_tf_join(docs, threshold: float = 0.6, df_cap: int = 200,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   coarse: int | None = None,
+                   elig_broadcast_cap: int = 4_000_000):
+    """EXACT cosine similarity self-join over sparse TERM-FREQUENCY
+    vectors (whitespace-lowered words): every doc pair whose TF-vector
+    cosine reaches `threshold`, restricted to the PAIR-CAPABLE
+    vocabulary 2 <= df <= df_cap — words above the cap are stopwords
+    whose per-word pair explosion is quadratic (the phash_neardup
+    hot-bucket cap precedent: the cap is part of the operator contract
+    and replicated by the SQL twin), df=1 words cannot co-occur.
+    Norms use the same capped vocabulary, so scores are true cosines in
+    the pruned term space.
+
+    Exactness across engines: dot products and norms are INTEGER sums
+    (order-free, overflow-free at int64 for tf*len envelopes up to
+    ~3e9); cos = dot / (sqrt(na) * sqrt(nb)) is three correctly-rounded
+    IEEE ops, so floats stringify bit-identically to SQL.
+
+    Scale shape: per-doc tf is complete map-side (one text row per
+    doc); df folds through the tfidf-style 32-bucket word shuffle; the
+    eligible-word set broadcasts (<= df-capped vocab; above
+    `elig_broadcast_cap` swap for the bucketed join — tfidf precedent,
+    documented); per-word pair partials emit inside O(CPUs) word-hash
+    coarse groups (bounded df_cap^2/2 per word); ONE pair-hash bucket
+    fold sums dot partials and filters. No doc row reaches the driver.
+
+    Returns (id_a, id_b, dot:int64, cos:float64) with id_a < id_b,
+    cos >= threshold. Reference analogy: the weighted counterpart of
+    tags-filter's exact co-occurrence semantics
+    (/root/reference/src/command_tags_filter.cpp)."""
+    import ray
+    import pyarrow.compute as pc
+
+    if coarse is None:
+        coarse = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def _tf_rows(batch: pa.Table):
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col].cast(pa.string())), r"\s+")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        w = np.asarray(pc.list_flatten(words).to_pylist()).astype(str) \
+            if len(lens) else np.empty(0, dtype=str)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        keep = w != ""
+        w, doc_idx = w[keep], doc_idx[keep]
+        if len(w) == 0:
+            return (np.empty(0, dtype=str), np.empty(0, np.int64),
+                    np.empty(0, np.int64))
+        o = np.lexsort((w, doc_idx))
+        w, doc_idx = w[o], doc_idx[o]
+        first = np.concatenate([[True], (w[1:] != w[:-1])
+                                | (doc_idx[1:] != doc_idx[:-1])])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.append(starts, len(w))).astype(np.int64)
+        return w[starts], doc_idx[starts], tf
+
+    # pass 1: document frequencies over per-doc-distinct words
+    def df_partial(batch: pa.Table) -> pa.Table:
+        uw, _, _ = _tf_rows(batch)
+        uw.sort()
+        neww = np.concatenate([[True], uw[1:] != uw[:-1]]) \
+            if len(uw) else np.empty(0, bool)
+        vals = uw[neww]
+        cnt = np.diff(np.append(np.flatnonzero(neww), len(uw))) \
+            if len(uw) else np.empty(0, np.int64)
+        b = (hash_str_u64(pa.array(vals.tolist(), type=pa.string()))
+             % np.uint64(32)).astype(np.int32) \
+            if len(vals) else np.empty(0, np.int32)
+        return pa.table({"word": pa.array(vals.tolist(), type=pa.string()),
+                         "df": pa.array(cnt.astype(np.int64)),
+                         "_b": pa.array(b)})
+
+    def df_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "word" not in g.schema.names:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        agg = g.select(["word", "df"]).group_by("word") \
+            .aggregate([("df", "sum")])
+        return pa.table({"word": agg["word"].cast(pa.string()),
+                         "df": agg["df_sum"].cast(pa.int64())})
+
+    dfd = docs.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(df_fold, batch_format="pyarrow") \
+        .materialize()
+    elig_tbls = [t for t in ray.get(dfd.to_arrow_refs()) if t.num_rows]
+    if elig_tbls:
+        et = pa.concat_tables(elig_tbls)
+        dfv = et["df"].to_numpy(zero_copy_only=False)
+        ew = np.asarray(et["word"].to_pylist()).astype(str)
+        elig = np.sort(ew[(dfv >= 2) & (dfv <= df_cap)])
+    else:
+        elig = np.empty(0, dtype=str)
+    if len(elig) > elig_broadcast_cap:
+        raise NotImplementedError(
+            "eligible vocabulary exceeds elig_broadcast_cap="
+            f"{elig_broadcast_cap}; wire the bucketed word-hash join "
+            "(_tfidf_topk_bucketed shape) for open-web vocabularies")
+    eref = ray.put(elig)
+
+    s = docs.schema()
+    id_type = dict(zip(s.names, s.types))[id_col]
+    out_schema = pa.schema([("id_a", id_type), ("id_b", id_type),
+                            ("dot", pa.int64()), ("cos", pa.float64())])
+
+    # pass 2: eligible tf rows + per-doc capped-space norm, map-side
+    def tf_emit(batch: pa.Table) -> pa.Table:
+        ev = ray.get(eref)
+        w, doc_idx, tf = _tf_rows(batch)
+        empty = pa.table({"word": pa.array([], type=pa.string()),
+                          id_col: pa.array([], type=id_type),
+                          "tf": pa.array([], type=pa.int64()),
+                          "nrm": pa.array([], type=pa.int64()),
+                          "_cb": pa.array([], type=pa.int32())})
+        if len(w) == 0 or len(ev) == 0:
+            return empty
+        pos = np.searchsorted(ev, w)
+        pos[pos == len(ev)] = len(ev) - 1
+        ok = ev[pos] == w
+        w, doc_idx, tf = w[ok], doc_idx[ok], tf[ok]
+        if len(w) == 0:
+            return empty
+        nrm = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(nrm, doc_idx, tf * tf)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        hb = (hash_str_u64(pa.array(w.tolist(), type=pa.string()))
+              % np.uint64(coarse)).astype(np.int32)
+        return pa.table({"word": pa.array(w.tolist(), type=pa.string()),
+                         id_col: pa.array(ids[doc_idx].tolist(),
+                                          type=id_type),
+                         "tf": pa.array(tf),
+                         "nrm": pa.array(nrm[doc_idx]),
+                         "_cb": pa.array(hb)})
+
+    # pass 3: per-word pair dot partials inside coarse word groups
+    def pair_partials(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=id_type),
+                          "b": pa.array([], type=id_type),
+                          "dp": pa.array([], type=pa.int64()),
+                          "na": pa.array([], type=pa.int64()),
+                          "nb": pa.array([], type=pa.int64()),
+                          "_pb": pa.array([], type=pa.int32())})
+        if g.num_rows == 0 or "word" not in g.schema.names:
+            return empty
+        w = np.asarray(g["word"].to_pylist()).astype(str)
+        ids = np.asarray(g[id_col].to_pylist())
+        tf = g["tf"].to_numpy(zero_copy_only=False)
+        nrm = g["nrm"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ids, w))
+        w, ids, tf, nrm = w[o], ids[o], tf[o], nrm[o]
+        new = np.concatenate([[True], w[1:] != w[:-1]])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(w))
+        oa, ob, odp, ona, onb = [], [], [], [], []
+        for st, en in zip(starts, ends):
+            m = en - st
+            if m < 2:
+                continue
+            ai, bi = np.triu_indices(m, k=1)
+            ai += st
+            bi += st
+            oa.append(ids[ai])
+            ob.append(ids[bi])
+            odp.append(tf[ai] * tf[bi])
+            ona.append(nrm[ai])
+            onb.append(nrm[bi])
+        if not oa:
+            return empty
+        a_ = np.concatenate(oa)
+        b_ = np.concatenate(ob)
+        dp = np.concatenate(odp)
+        na = np.concatenate(ona)
+        nb = np.concatenate(onb)
+        ha = hash_str_u64(pa.array([str(x) for x in a_],
+                                   type=pa.string()))
+        hbb = hash_str_u64(pa.array([str(x) for x in b_],
+                                    type=pa.string()))
+        with np.errstate(over="ignore"):
+            pb = (splitmix64(ha ^ splitmix64(hbb))
+                  % np.uint64(coarse)).astype(np.int32)
+        return pa.table({"a": pa.array(a_.tolist(), type=id_type),
+                         "b": pa.array(b_.tolist(), type=id_type),
+                         "dp": pa.array(dp), "na": pa.array(na),
+                         "nb": pa.array(nb), "_pb": pa.array(pb)})
+
+    # pass 4: pair-bucket fold -> dot sums, cosine filter
+    def fold_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "a" not in g.schema.names:
+            return out_schema.empty_table()
+        agg = g.select(["a", "b", "dp", "na", "nb"]) \
+            .group_by(["a", "b"]).aggregate([("dp", "sum"),
+                                             ("na", "min"),
+                                             ("nb", "min")])
+        dot = agg["dp_sum"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        na = agg["na_min"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        nb = agg["nb_min"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        # same op order as the SQL twin: dot / (sqrt(na) * sqrt(nb))
+        cos = dot.astype(np.float64) / (np.sqrt(na) * np.sqrt(nb))
+        keep = cos >= threshold
+        return pa.table({
+            "id_a": agg["a"].cast(id_type).filter(pa.array(keep)),
+            "id_b": agg["b"].cast(id_type).filter(pa.array(keep)),
+            "dot": pa.array(dot[keep]),
+            "cos": pa.array(cos[keep])})
+
+    tfr = docs.map_batches(tf_emit, batch_format="pyarrow")
+    parts = tfr.groupby("_cb").map_groups(pair_partials,
+                                          batch_format="pyarrow")
+    pruned = _drop_empty_blocks(parts)
+    if pruned is None:
+        return ray.data.from_arrow(out_schema.empty_table())
+    out = _drop_empty_blocks(
+        pruned.groupby("_pb").map_groups(fold_pairs,
+                                         batch_format="pyarrow"))
+    if out is None:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return out
+
+
 class HyperplaneSig:
     """map_batches actor: b-bit random-hyperplane signatures of an embedding
     column (cosine LSH), `tables` independent hash tables (multi-probe
