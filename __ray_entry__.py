@@ -3801,6 +3801,83 @@ def q_heavy_words_per_lang(sf_dir: str):
     return heavy_hitters_per_key(tokens, "lang", "word", min_frac=0.02)
 
 
+def q_moran_i_cells(sf_dir: str):
+    """Global Moran's I spatial autocorrelation of the image-density
+    raster under queen adjacency (stages/raster.moran_i): all-integer
+    folds (point-scale Sum groupby + cell-scale neighbor explode),
+    floating point deferred to ONE final double division so the SQL
+    twin matches bit-for-bit."""
+    from osmium_tool_ray.stages.raster import moran_i
+
+    return moran_i(images_dataset(sf_dir, columns=["lon", "lat"]),
+                   level=TILE_LEVEL)
+
+
+def q_getis_gi_star(sf_dir: str):
+    """Per-cell Getis-Ord Gi* hotspot z-scores over the in-set density
+    raster (stages/raster.getis_gi_cells): integer neighborhood sums +
+    a fixed IEEE expression tree (divide/multiply/sqrt only) mirrored
+    literally in the SQL twin — the bm25/cosine float-exact
+    precedent."""
+    from osmium_tool_ray.stages.raster import getis_gi_cells
+
+    return getis_gi_cells(images_dataset(sf_dir, columns=["lon", "lat"]),
+                          level=TILE_LEVEL)
+
+
+def q_skyline_events(sf_dir: str):
+    """Skyline / Pareto front (pipelines/stats.skyline, Borzsony et al.
+    ICDE 2001): events not strictly dominated in (value, ts) — local
+    per-block fronts then one tiny merge fold, no shuffle. Exact
+    NOT-EXISTS SQL twin."""
+    from osmium_tool_ray.pipelines.stats import skyline
+
+    ev = _events(sf_dir, ["event_id", "ts", "value"])
+    return skyline(ev, "value", "ts", carry_cols=["event_id"])
+
+
+def q_transition_counts(sf_dir: str):
+    """Per-user first-order Markov transition counts of event types
+    (pipelines/windows.transition_counts): the LEAD() + GROUP BY
+    sequence statistic, ONE key-bucket shuffle, vectorized segmented
+    fold."""
+    from osmium_tool_ray.pipelines.windows import transition_counts
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+    return transition_counts(ev, "user_id", "ts", "event_type",
+                             tie_col="event_id")
+
+
+def q_rrf_fusion_docs(sf_dir: str):
+    """Reciprocal-rank fusion of two document rankings (pipelines/stats
+    .global_rank + .rrf_fuse, Cormack et al. 2009): rank by n_chars and
+    by regex token count, fuse 1/(60+ra)+1/(60+rb), top-100. Distributed
+    ROW_NUMBER via sort + block offsets; ONE bucketed rank attach;
+    float scores bit-match the SQL twin (fixed two-term order)."""
+    from osmium_tool_ray.pipelines.stats import global_rank, rrf_fuse
+    from osmium_tool_ray.stages.text import TokenCount
+
+    docs = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+    base = docs.map_batches(TokenCount,
+                            fn_constructor_kwargs={"text_col": "text"},
+                            batch_format="pyarrow", concurrency=2) \
+        .select_columns(["doc_id", "n_chars", "n_tokens"]).materialize()
+    ra = global_rank(base.select_columns(["doc_id", "n_chars"]),
+                     ["n_chars", "doc_id"], descending=[True, False],
+                     out_col="rank_chars") \
+        .select_columns(["doc_id", "rank_chars"])
+    rb = global_rank(base.select_columns(["doc_id", "n_tokens"]),
+                     ["n_tokens", "doc_id"], descending=[True, False],
+                     out_col="rank_tokens") \
+        .select_columns(["doc_id", "rank_tokens"])
+    fused = rrf_fuse(ra, rb, "doc_id", "rank_chars", "rank_tokens")
+    return fused.sort(["rrf", "doc_id"], descending=[True, False]) \
+        .limit(100) \
+        .map_batches(lambda b: b.select(
+            ["doc_id", "rank_chars", "rank_tokens", "rrf"]),
+            batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_bbox": q_extract_bbox,
@@ -3993,6 +4070,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_embeddings": q_ann_embeddings,
         "psnr_verify": q_psnr_verify,
         "frame_sample": q_frame_sample,
+        "moran_i_cells": q_moran_i_cells,
+        "getis_gi_star": q_getis_gi_star,
+        "skyline_events": q_skyline_events,
+        "transition_counts_user": q_transition_counts,
+        "rrf_fusion_docs": q_rrf_fusion_docs,
     }
 
 
@@ -5610,6 +5692,78 @@ def oracle_sql() -> dict[str, str]:
         # ivf_ann: intentionally no oracle (k-means centroids are not
         # SQL-expressible) -> rows-only; its parity with brute force at
         # nprobe=nlist is pytest-gated instead (tests/test_ann_variants.py).
+        # Moran's I: integer aggregates end-to-end (HUGEINT-safe), ONE
+        # CAST-to-DOUBLE quotient at the end — mirrors stages/raster
+        # .moran_i's Python-int fold exactly.
+        "moran_i_cells": f"""{cte}
+            , c AS (SELECT cell_x, cell_y, COUNT(*) AS x
+                    FROM (SELECT {cells6} FROM images) GROUP BY 1, 2),
+            p AS (SELECT a.x AS xi, b.x AS xj FROM c a JOIN c b
+                  ON b.cell_x BETWEEN a.cell_x - 1 AND a.cell_x + 1
+                 AND b.cell_y BETWEEN a.cell_y - 1 AND a.cell_y + 1
+                 AND NOT (a.cell_x = b.cell_x AND a.cell_y = b.cell_y)),
+            s AS (SELECT COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2
+                  FROM c),
+            t AS (SELECT COUNT(*) AS w, COALESCE(SUM(xi * xj), 0) AS c_,
+                         COALESCE(SUM(xj), 0) AS d FROM p)
+            SELECT CAST(s.n AS BIGINT) AS n_cells,
+                   CAST(t.w AS BIGINT) AS w_pairs,
+                   CAST(t.c_ * s.n * s.n - 2 * s.s1 * t.d * s.n
+                        + t.w * s.s1 * s.s1 AS DOUBLE)
+                     / CAST(t.w * (s.n * s.s2 - s.s1 * s.s1) AS DOUBLE)
+                       AS moran_i
+            FROM s, t""",
+        # Gi*: the SQL expression tree mirrors stages/raster
+        # .getis_gi_cells' numpy kernel op-for-op (correctly-rounded
+        # IEEE divide/multiply/subtract/sqrt only).
+        "getis_gi_star": f"""{cte}
+            , c AS (SELECT cell_x, cell_y, COUNT(*) AS x
+                    FROM (SELECT {cells6} FROM images) GROUP BY 1, 2),
+            mo AS (SELECT COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2
+                   FROM c),
+            nb AS (SELECT a.cell_x, a.cell_y, ANY_VALUE(a.x) AS x,
+                          CAST(SUM(b.x) AS BIGINT) AS wsum,
+                          COUNT(*) AS wdeg
+                   FROM c a JOIN c b
+                     ON b.cell_x BETWEEN a.cell_x - 1 AND a.cell_x + 1
+                    AND b.cell_y BETWEEN a.cell_y - 1 AND a.cell_y + 1
+                   GROUP BY 1, 2)
+            SELECT cell_x, cell_y, CAST(x AS BIGINT) AS n_images,
+                   (wsum - (CAST(s1 AS DOUBLE) / n) * wdeg)
+                   / (sqrt(CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n)
+                             * (CAST(s1 AS DOUBLE) / n))
+                      * sqrt((n * wdeg - wdeg * wdeg)
+                             / CAST(n - 1 AS DOUBLE))) AS gi_star
+            FROM nb, mo""",
+        "skyline_events": """
+            SELECT event_id, value, ts FROM events a
+            WHERE NOT EXISTS (SELECT 1 FROM events b
+                WHERE b.value >= a.value AND b.ts >= a.ts
+                  AND (b.value > a.value OR b.ts > a.ts))""",
+        "transition_counts_user": """
+            SELECT user_id, from_state, to_state,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM (
+                SELECT user_id, event_type AS from_state,
+                       LEAD(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS to_state
+                FROM events)
+            WHERE to_state IS NOT NULL GROUP BY 1, 2, 3""",
+        "rrf_fusion_docs": """
+            WITH t AS (SELECT doc_id, n_chars,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                        AS BIGINT) AS n_tokens FROM documents),
+            ra AS (SELECT doc_id, ROW_NUMBER() OVER
+                       (ORDER BY n_chars DESC, doc_id) AS rank_chars
+                   FROM t),
+            rb AS (SELECT doc_id, ROW_NUMBER() OVER
+                       (ORDER BY n_tokens DESC, doc_id) AS rank_tokens
+                   FROM t)
+            SELECT ra.doc_id, rank_chars, rank_tokens,
+                   1.0 / (60 + rank_chars) + 1.0 / (60 + rank_tokens)
+                       AS rrf
+            FROM ra JOIN rb ON ra.doc_id = rb.doc_id
+            ORDER BY rrf DESC, ra.doc_id LIMIT 100""",
     }
     from osmium_tool_ray.oracles import (
         char_shingle_pairs_sql, fuzzy_contamination_sql, jaccard_join_sql,

@@ -815,3 +815,126 @@ def winsorize_per_key(ds, key_col: str, col: str, id_col: str,
 
     return ds.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("_b").map_groups(fold, batch_format="pyarrow")
+
+
+def _skyline_keep(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Indices of the 2D maxima (Pareto front, maximize both, strict
+    dominance — rows equal in both coordinates all survive). One lexsort
+    (x desc, y desc) then segmented group-max + running cummax over
+    strictly-greater-x groups; fully vectorized."""
+    o = np.lexsort((-y, -x))
+    xs, ys = x[o], y[o]
+    newg = np.ones(len(xs), dtype=bool)
+    newg[1:] = xs[1:] != xs[:-1]
+    gidx = np.cumsum(newg) - 1
+    gmax = ys[newg]                      # per-group max y (y desc in group)
+    before = np.empty_like(gmax)
+    if len(gmax):
+        before[0] = gmax[0]              # unused for group 0 (masked below)
+        np.maximum.accumulate(gmax[:-1], out=before[1:])
+    keep = (ys == gmax[gidx]) & ((gidx == 0) | (gmax[gidx] > before[gidx]))
+    return o[keep]
+
+
+def skyline(ds, x_col: str, y_col: str, carry_cols: list[str] | None = None):
+    """Skyline / Pareto-front query: rows not strictly dominated in the
+    (maximize x_col, maximize y_col) plane — the classic multi-criteria
+    operator (Borzsony et al., ICDE 2001 "The Skyline Operator");
+    'newest AND highest-value' rows with no better-on-both competitor.
+
+    Scale shape: the skyline of a union is the skyline of the union of
+    per-block skylines, so each block reduces to its LOCAL front
+    map-side (output ~O(log n) rows per block for random data), and one
+    final single-partition fold merges them — no all-to-all shuffle,
+    driver never holds row-scale data. Exact-oracle-able as a SQL
+    NOT EXISTS anti-join. Ties: rows equal on BOTH axes are mutually
+    non-dominating and all survive (matching the SQL semantics).
+    Returns carry_cols + (x_col, y_col)."""
+    carry_cols = list(carry_cols or [])
+    cols = list(dict.fromkeys(carry_cols + [x_col, y_col]))
+    s = ds.schema()
+    types = dict(zip(s.names, s.types))
+    schema = pa.schema([(c, types[c]) for c in cols])
+
+    def _xy(t: pa.Table):
+        x = t[x_col]
+        if pa.types.is_timestamp(x.type):
+            x = x.cast(pa.timestamp("us")).cast(pa.int64())
+        y = t[y_col]
+        if pa.types.is_timestamp(y.type):
+            y = y.cast(pa.timestamp("us")).cast(pa.int64())
+        return (x.to_numpy(zero_copy_only=False),
+                y.to_numpy(zero_copy_only=False))
+
+    def local(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        if t.num_rows == 0:
+            return schema.empty_table()
+        x, y = _xy(t)
+        return t.take(pa.array(np.sort(_skyline_keep(x, y))))
+
+    return ds.map_batches(local, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(local, batch_size=None, batch_format="pyarrow")
+
+
+def global_rank(ds, order_cols: list[str], descending=None,
+                out_col: str = "rank"):
+    """Distributed ROW_NUMBER() OVER (ORDER BY order_cols): ONE
+    distributed sort, then each block's ranks are its global offset +
+    local position — the offsets are an exclusive scan of per-block ROW
+    COUNTS on the driver (scalars only, blocks x 8 bytes; the
+    running_total global-scan shape with value==1 specialized away).
+    Deterministic whenever order_cols form a total order (callers pass
+    a unique tiebreak column last). Returns the input columns +
+    out_col (1-based int64)."""
+    import ray
+    import ray.data as rd
+
+    from ..blocks import _remote_num_rows
+
+    sorted_ds = ds.sort(order_cols, descending=descending).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    nrows = ray.get([_remote_num_rows.remote(r) for r in refs])
+    pairs = [(r, n) for r, n in zip(refs, nrows) if n]
+    offsets = np.concatenate([[0], np.cumsum([n for _, n in pairs])])
+
+    @ray.remote(num_cpus=0)
+    def stamp(tbl: pa.Table, off: int):
+        return tbl.append_column(
+            out_col, pa.array(off + 1 + np.arange(tbl.num_rows,
+                                                  dtype=np.int64)))
+
+    out = [stamp.remote(r, int(o)) for (r, _), o in zip(pairs, offsets)]
+    if not out:
+        return sorted_ds
+    return rd.from_arrow_refs(out)
+
+
+def rrf_fuse(ranked_a, ranked_b, id_col: str, rank_a_col: str,
+             rank_b_col: str, k: int = 60, out_col: str = "rrf"):
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009): combine two
+    rankings of the same id universe into one score
+        rrf = 1/(k + rank_a) + 1/(k + rank_b)
+    — the standard hybrid-search merge (BM25 list + embedding list).
+
+    Scale shape: ONE bucketed equality attach of ranking B onto ranking
+    A (blocks.attach_lookup_bucketed — neither side driver-resident),
+    then a shuffle-free vectorized score map. The two-term sum is
+    evaluated left-to-right in both the numpy kernel and the SQL twin,
+    so scores match bit-for-bit (correctly-rounded IEEE divide/add
+    only). Ids absent from ranking B get a null score."""
+    from ..blocks import attach_lookup_bucketed
+
+    joined = attach_lookup_bucketed(ranked_a, ranked_b, id_col,
+                                    rank_b_col, rank_b_col,
+                                    lookup_key=id_col)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ra = batch[rank_a_col].to_numpy(zero_copy_only=False)
+        rb = batch[rank_b_col].to_numpy(zero_copy_only=False)
+        s = 1.0 / (float(k) + ra) + 1.0 / (float(k) + rb)
+        return batch.append_column(out_col, pa.array(s,
+                                                     type=pa.float64()))
+
+    return joined.map_batches(score, batch_format="pyarrow")

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.cells import cell_bounds, cell_encode
 from ..state.regions import Region, region_cover
@@ -208,3 +209,181 @@ def smooth_cell_counts(points, level: int, lon_col: str = "lon",
         })
 
     return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def _exact_cell_counts(points, level: int, lon_col: str, lat_col: str):
+    """Exact per-cell point counts keyed by packed (x<<32|y) int64 —
+    per-batch np.unique pre-agg then ONE native Sum groupby (the
+    smooth_cell_counts head, shared by the spatial-statistics ops
+    below). Returns a Dataset of (_k:int64, x:int64)."""
+    from ray.data.aggregate import Sum
+
+    n = np.int64(1) << np.int64(level)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+        y = np.floor((lat + 90.0) / 180.0 * n).astype(np.int64)
+        np.clip(x, 0, n - 1, out=x)
+        np.clip(y, 0, n - 1, out=y)
+        key = (x << np.int64(32)) | y
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"_k": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return points.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_k").aggregate(Sum("n", alias_name="x"))
+
+
+def _neighbor_fold(cells, level: int, include_self: bool):
+    """Shared queen-adjacency fold: every in-set cell emits its own count
+    to each neighbor in the 3x3 window (8-neighborhood, optionally
+    including itself), plus a self-marker row carrying its own count;
+    ONE Sum groupby then yields, per cell, its exact count `x`, the
+    neighborhood count sum `wsum` and the number of in-set contributing
+    neighbors `wdeg`. Runs on CELL-scale data (after _exact_cell_counts'
+    point-scale reduction), so the x9 explode is cheap. Cells with
+    x == 0 (pure receivers outside the set) are dropped — the sparse
+    in-set universe both spatial statistics are defined over."""
+    from ray.data.aggregate import Sum
+
+    n = np.int64(1) << np.int64(level)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        k = batch["_k"].to_numpy(zero_copy_only=False)
+        x = batch["x"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cx, cy = k >> np.int64(32), k & np.int64(0xFFFFFFFF)
+        u = len(k)
+        off = np.array([-1, 0, 1], dtype=np.int64)
+        nx = np.broadcast_to(cx[:, None, None] + off[None, :, None],
+                             (u, 3, 3)).reshape(-1)
+        ny = np.broadcast_to(cy[:, None, None] + off[None, None, :],
+                             (u, 3, 3)).reshape(-1)
+        nc = np.repeat(x, 9)
+        ok = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+        if not include_self:
+            self_pos = np.zeros((u, 3, 3), dtype=bool)
+            self_pos[:, 1, 1] = True
+            ok &= ~self_pos.reshape(-1)
+        nkey = (nx[ok] << np.int64(32)) | ny[ok]
+        ncnt = nc[ok]
+        zs = np.zeros(len(nkey), dtype=np.int64)
+        zc = np.zeros(u, dtype=np.int64)
+        return pa.table({
+            "_k": pa.array(np.concatenate([k, nkey])),
+            "sx": pa.array(np.concatenate([x, zs])),
+            "wx": pa.array(np.concatenate([zc, ncnt])),
+            "wd": pa.array(np.concatenate(
+                [zc, np.ones(len(nkey), dtype=np.int64)]))})
+
+    folded = cells.map_batches(explode, batch_format="pyarrow") \
+        .groupby("_k").aggregate(Sum("sx", alias_name="x"),
+                                 Sum("wx", alias_name="wsum"),
+                                 Sum("wd", alias_name="wdeg"))
+    return folded.filter(expr="x > 0")
+
+
+def _int_scalar_fold(ds, exprs):
+    """Fold integer scalar aggregates to the driver exactly: per-batch
+    partial sums (one short row per block) -> take_all -> Python-int
+    fold (arbitrary precision, so products in the callers never wrap).
+    `exprs` maps output name -> fn(batch)->int."""
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({k: pa.array([int(fn(batch))], type=pa.int64())
+                         for k, fn in exprs.items()})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return {k: sum(int(r[k]) for r in rows) for k in exprs}
+
+
+def moran_i(points, level: int, lon_col: str = "lon",
+            lat_col: str = "lat"):
+    """Global Moran's I spatial autocorrelation of the point-density
+    raster under queen (8-neighbor) adjacency over the in-set cells —
+    THE textbook clustered/dispersed statistic GIS suites report for a
+    density grid (the scalar complement of hotspot_tiles' per-cell
+    rule; ESDA's measure of whether dense image tiles border dense
+    tiles). I = (N/W) * sum_ij w_ij (x_i-m)(x_j-m) / sum_i (x_i-m)^2.
+
+    Exactness: every aggregate (N, W, S1=sum x, S2=sum x^2,
+    C=sum_ij x_i x_j, D=sum_i deg_i x_i) is integer; the identity
+      I = (C*N^2 - 2*S1*D*N + W*S1^2) / (W * (N*S2 - S1^2))
+    defers ALL floating point to one final double division, so the SQL
+    twin (HUGEINT arithmetic, one CAST AS DOUBLE quotient) matches
+    bit-for-bit. The driver fold is Python-int (arbitrary precision).
+
+    Scale shape: point-scale work is ONE Sum groupby (exact cell
+    counts); the x8 neighbor explode + second Sum groupby run on
+    CELL-scale data; the final fold moves one short row per block.
+    Returns one row (n_cells, w_pairs, moran_i:float64)."""
+    cells = _exact_cell_counts(points, level, lon_col, lat_col)
+    folded = _neighbor_fold(cells, level, include_self=False)
+    s = _int_scalar_fold(folded, {
+        "n": lambda b: b.num_rows,
+        "s1": lambda b: pc.sum(b["x"]).as_py() or 0,
+        "s2": lambda b: pc.sum(pc.multiply(b["x"], b["x"])).as_py() or 0,
+        "c": lambda b: pc.sum(pc.multiply(b["x"], b["wsum"])).as_py() or 0,
+        "d": lambda b: pc.sum(pc.multiply(b["x"], b["wdeg"])).as_py() or 0,
+        "w": lambda b: pc.sum(b["wdeg"]).as_py() or 0,
+    })
+    n, s1, s2, c, d, w = (s[k] for k in ["n", "s1", "s2", "c", "d", "w"])
+    num = c * n * n - 2 * s1 * d * n + w * s1 * s1
+    den = w * (n * s2 - s1 * s1)
+    val = float(num) / float(den) if den else float("nan")
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "n_cells": pa.array([n], type=pa.int64()),
+        "w_pairs": pa.array([w], type=pa.int64()),
+        "moran_i": pa.array([val], type=pa.float64())}))
+
+
+def getis_gi_cells(points, level: int, lon_col: str = "lon",
+                   lat_col: str = "lat"):
+    """Getis-Ord Gi* hotspot z-score per cell (star variant: the 3x3
+    window INCLUDES the cell itself) over the in-set point-density
+    raster — the per-cell statistical-significance upgrade of
+    hotspot_tiles' fixed mean+z*sd rule, the statistic behind
+    "hot spot analysis" layers in GIS dashboards.
+
+      Gi*_i = (wsum_i - m*wdeg_i)
+              / (s * sqrt((N*wdeg_i - wdeg_i^2) / (N-1)))
+      with m = S1/N, s = sqrt(S2/N - m^2), all of N/S1/S2/wsum/wdeg
+      exact integers.
+
+    Exactness: only correctly-rounded IEEE ops (divide, multiply,
+    subtract, sqrt) applied in a fixed expression tree mirrored
+    literally by the SQL twin — the bm25/cosine precedent; no
+    transcendentals. Scale shape: identical to moran_i (ONE point-scale
+    Sum groupby, cell-scale x9 explode + Sum groupby, 3-integer moment
+    fold, then a shuffle-free vectorized map). Returns (cell_x, cell_y,
+    n_images:int64, gi_star:float64) for every in-set cell."""
+    import math
+
+    cells = _exact_cell_counts(points, level, lon_col, lat_col)
+    moments = _int_scalar_fold(cells, {
+        "n": lambda b: b.num_rows,
+        "s1": lambda b: pc.sum(b["x"]).as_py() or 0,
+        "s2": lambda b: pc.sum(pc.multiply(b["x"], b["x"])).as_py() or 0,
+    })
+    n, s1, s2 = moments["n"], moments["s1"], moments["s2"]
+    m = float(s1) / float(n)
+    sdev = math.sqrt(float(s2) / float(n) - m * m)
+    folded = _neighbor_fold(cells, level, include_self=True)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        k = batch["_k"].to_numpy(zero_copy_only=False)
+        x = batch["x"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        wsum = batch["wsum"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        wdeg = batch["wdeg"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        num = wsum - m * wdeg
+        den = sdev * np.sqrt((n * wdeg - wdeg * wdeg) / float(n - 1))
+        return pa.table({
+            "cell_x": pa.array(k >> np.int64(32)),
+            "cell_y": pa.array(k & np.int64(0xFFFFFFFF)),
+            "n_images": pa.array(x),
+            "gi_star": pa.array(num / den, type=pa.float64())})
+
+    return folded.map_batches(finish, batch_format="pyarrow")
