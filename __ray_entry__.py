@@ -3838,14 +3838,15 @@ def q_skyline_events(sf_dir: str):
 
 def q_transition_counts(sf_dir: str):
     """Per-user first-order Markov transition counts of event types
-    (pipelines/windows.transition_counts): the LEAD() + GROUP BY
-    sequence statistic, ONE key-bucket shuffle, vectorized segmented
-    fold."""
-    from osmium_tool_ray.pipelines.windows import transition_counts
+    (pipelines/windows.keyed_transition_counts): the LEAD() + GROUP BY
+    sequence statistic KEPT PER KEY (the cross-key-summed OD-matrix
+    variant is od_tile_flows); ONE key-bucket shuffle, vectorized
+    segmented fold."""
+    from osmium_tool_ray.pipelines.windows import keyed_transition_counts
 
     ev = _events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
-    return transition_counts(ev, "user_id", "ts", "event_type",
-                             tie_col="event_id")
+    return keyed_transition_counts(ev, "user_id", "ts", "event_type",
+                                   tie_col="event_id")
 
 
 def q_rrf_fusion_docs(sf_dir: str):
@@ -3876,6 +3877,17 @@ def q_rrf_fusion_docs(sf_dir: str):
         .map_batches(lambda b: b.select(
             ["doc_id", "rank_chars", "rank_tokens", "rrf"]),
             batch_format="pyarrow")
+
+
+def q_importance_docs(sf_dir: str):
+    """DSIR-style data-selection importance score (stages/text
+    .importance_score, Xie et al. 2023): target = lang='en' docs vs the
+    raw corpus, integer-linear surrogate of the unigram log-ratio —
+    order-free integer sums + ONE final division, bit-exact vs SQL."""
+    from osmium_tool_ray.stages.text import importance_score
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    return importance_score(docs, "lang", "en")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -4075,6 +4087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_events": q_skyline_events,
         "transition_counts_user": q_transition_counts,
         "rrf_fusion_docs": q_rrf_fusion_docs,
+        "importance_docs": q_importance_docs,
     }
 
 
@@ -5764,6 +5777,28 @@ def oracle_sql() -> dict[str, str]:
                        AS rrf
             FROM ra JOIN rb ON ra.doc_id = rb.doc_id
             ORDER BY rrf DESC, ra.doc_id LIMIT 100""",
+        # integer-linear DSIR surrogate: HUGEINT sums are order-free, so
+        # the only float is the final normalized division (mirrors
+        # stages/text.importance_score's int64 np.add.at fold).
+        "importance_docs": r"""
+            WITH toks AS (
+                SELECT doc_id, lang, t.w AS w
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '\s+')) t(w)
+                WHERE t.w <> ''),
+            f AS (SELECT w, COUNT(*) AS fr,
+                         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0
+                                  END) AS BIGINT) AS ft
+                  FROM toks GROUP BY w),
+            tot AS (SELECT CAST(SUM(fr) AS BIGINT) AS nr,
+                           CAST(SUM(ft) AS BIGINT) AS nt FROM f)
+            SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+                   CAST(SUM(f.ft * tot.nr - f.fr * tot.nt) AS BIGINT)
+                       AS score_num,
+                   CAST(SUM(f.ft * tot.nr - f.fr * tot.nt) AS DOUBLE)
+                       / CAST(tot.nt * tot.nr AS DOUBLE) AS score
+            FROM toks t JOIN f ON t.w = f.w, tot
+            GROUP BY t.doc_id, tot.nt, tot.nr""",
     }
     from osmium_tool_ray.oracles import (
         char_shingle_pairs_sql, fuzzy_contamination_sql, jaccard_join_sql,

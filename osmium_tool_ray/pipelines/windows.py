@@ -1375,7 +1375,7 @@ def sliding_distinct(ds, ts_col: str, val_col: str, width_s: int,
         .groupby("_b").map_groups(fold, batch_format="pyarrow")
 
 
-def transition_counts(ds, key_col: str, ts_col: str, state_col: str,
+def keyed_transition_counts(ds, key_col: str, ts_col: str, state_col: str,
                       tie_col: str | None = None):
     """Per-key first-order Markov transition counts: for each key, order
     events by (ts, tie) and count every consecutive (from_state ->

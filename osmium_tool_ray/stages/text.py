@@ -1683,3 +1683,183 @@ def word_pair_lift(docs, text_col: str = "text", id_col: str = "doc_id",
                          "lift": pa.array(lift)}).cast(out_schema)
 
     return pair_counts.map_batches(attach, batch_format="pyarrow")
+
+
+def importance_score(docs, target_col: str, target_val: str,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     broadcast_cap: int = 2_000_000,
+                     buckets: int | None = None):
+    """Data-selection importance score (the DSIR shape — Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score each document by how much its unigram profile
+    looks like a TARGET subcorpus (rows where target_col == target_val)
+    versus the RAW corpus, then resample top-scored docs.
+
+    DSIR's log-ratio sum sum_w c_dw * log(p_t(w)/p_r(w)) is replaced by
+    the integer-linear surrogate
+        score_num(d) = sum_{w in d} (f_t(w) * N_r - f_r(w) * N_t)
+    (c_dw-weighted because the sum runs over token OCCURRENCES), the
+    first-order expansion of the ratio around 1 — same sign structure,
+    order-free integer addition, so the SQL twin matches bit-for-bit;
+    the normalized float `score` = score_num / (N_t * N_r) spends ONE
+    correctly-rounded division (the linear-idf / linear-PMI precedent).
+    int64-exact while f*N products stay under 2^63 (~10^9-token counts
+    per side); the SQL twin rides HUGEINT.
+
+    Scale shape: ONE token-scale pass builds per-batch-unique
+    (word, f_r, f_t) partials folded through an int32 word-hash bucket;
+    totals fold as one short row per block. Scoring is map-side against
+    the broadcast sorted vocab (np.add.at int64 segmented sum) while
+    |vocab| <= broadcast_cap; past the cap the per-doc distinct
+    (doc, word, c) postings attach f_t/f_r through bucketed lookup
+    joins and fold per doc in ONE doc-key bucket shuffle — nothing
+    driver-resident. Zero-token docs are absent from the output (both
+    paths, and the SQL twin's inner join).
+
+    Returns (id_col, n_toks:int64, score_num:int64, score:float64)."""
+    import ray
+
+    from ..blocks import attach_lookup_bucketed, group_by_key_bucket
+
+    if buckets is None:
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def _words_of(batch: pa.Table):
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col].cast(pa.string())), r"\s+")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        w = flat.to_numpy(zero_copy_only=False).astype(str)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        keep = w != ""
+        return w[keep], doc_idx[keep]
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        w, doc_idx = _words_of(batch)
+        empty = pa.table({"word": pa.array([], type=pa.string()),
+                          "fr": pa.array([], type=pa.int64()),
+                          "ft": pa.array([], type=pa.int64()),
+                          "_b": pa.array([], type=pa.int32())})
+        if len(w) == 0:
+            return empty
+        tmask = (np.asarray(batch[target_col].to_pylist(), dtype=object)
+                 .astype(str) == target_val)[doc_idx]
+        uw, inv = np.unique(w, return_inverse=True)
+        fr = np.bincount(inv, minlength=len(uw)).astype(np.int64)
+        ft = np.bincount(inv[tmask], minlength=len(uw)).astype(np.int64)
+        b = (hash_str_u64(pa.array(uw, type=pa.string()))
+             % np.uint64(buckets)).astype(np.int32)
+        return pa.table({"word": pa.array(uw, type=pa.string()),
+                         "fr": pa.array(fr), "ft": pa.array(ft),
+                         "_b": pa.array(b)})
+
+    def vocab_fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({"word": pa.array([], type=pa.string()),
+                          "fr": pa.array([], type=pa.int64()),
+                          "ft": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "word" not in g.schema.names:
+            return empty
+        agg = g.select(["word", "fr", "ft"]).group_by("word") \
+            .aggregate([("fr", "sum"), ("ft", "sum")])
+        return pa.table({"word": agg["word"].cast(pa.string()),
+                         "fr": agg["fr_sum"].cast(pa.int64()),
+                         "ft": agg["ft_sum"].cast(pa.int64())})
+
+    vocab = docs.map_batches(vocab_partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(vocab_fold, batch_format="pyarrow") \
+        .materialize()
+
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nr": pa.array([pc.sum(batch["fr"]).as_py() or 0],
+                           type=pa.int64()),
+            "nt": pa.array([pc.sum(batch["ft"]).as_py() or 0],
+                           type=pa.int64())})
+
+    tot = vocab.map_batches(tot_partial, batch_format="pyarrow") \
+        .take_all()
+    n_r = sum(int(r["nr"]) for r in tot)
+    n_t = sum(int(r["nt"]) for r in tot)
+    id_type = dict(zip(docs.schema().names, docs.schema().types))[id_col]
+    out_schema = pa.schema([(id_col, id_type), ("n_toks", pa.int64()),
+                            ("score_num", pa.int64()),
+                            ("score", pa.float64())])
+    denom = float(n_t * n_r) if n_t and n_r else 1.0
+
+    if vocab.count() <= broadcast_cap:
+        rows = vocab.take_all()
+        vwords = np.asarray([r["word"] for r in rows], dtype=str)
+        order = np.argsort(vwords)
+        vwords = vwords[order]
+        wt = (np.asarray([r["ft"] for r in rows], dtype=np.int64)[order]
+              * n_r
+              - np.asarray([r["fr"] for r in rows],
+                           dtype=np.int64)[order] * n_t)
+        wt_ref = ray.put((vwords, wt))
+
+        def score_map(batch: pa.Table) -> pa.Table:
+            vw, weights = ray.get(wt_ref)
+            w, doc_idx = _words_of(batch)
+            n = batch.num_rows
+            num = np.zeros(n, dtype=np.int64)
+            ntok = np.zeros(n, dtype=np.int64)
+            if len(w):
+                pos = np.searchsorted(vw, w)
+                np.add.at(num, doc_idx, weights[pos])
+                ntok = np.bincount(doc_idx, minlength=n).astype(np.int64)
+            has = ntok > 0
+            ids = batch[id_col].filter(pa.array(has))
+            return pa.table({
+                id_col: ids, "n_toks": pa.array(ntok[has]),
+                "score_num": pa.array(num[has]),
+                "score": pa.array(num[has].astype(np.float64) / denom)}) \
+                .cast(out_schema)
+
+        return docs.map_batches(score_map, batch_format="pyarrow")
+
+    # bucketed path: per-doc distinct postings + two lookup attaches +
+    # ONE doc-key bucket fold (vocab beyond worker RAM)
+    def postings(batch: pa.Table) -> pa.Table:
+        w, doc_idx = _words_of(batch)
+        empty = pa.table({id_col: pa.array([], type=id_type),
+                          "word": pa.array([], type=pa.string()),
+                          "c": pa.array([], type=pa.int64())})
+        if len(w) == 0:
+            return empty
+        o = np.lexsort((w, doc_idx))
+        w, doc_idx = w[o], doc_idx[o]
+        new = np.ones(len(w), dtype=bool)
+        new[1:] = (w[1:] != w[:-1]) | (doc_idx[1:] != doc_idx[:-1])
+        starts = np.flatnonzero(new)
+        c = np.diff(np.append(starts, len(w))).astype(np.int64)
+        ids = batch[id_col].take(pa.array(doc_idx[starts]))
+        return pa.table({id_col: ids,
+                         "word": pa.array(w[starts], type=pa.string()),
+                         "c": pa.array(c)})
+
+    post = docs.map_batches(postings, batch_format="pyarrow")
+    post = attach_lookup_bucketed(post, vocab, "word", "ft", "_ft",
+                                  lookup_key="word", buckets=buckets)
+    post = attach_lookup_bucketed(post, vocab, "word", "fr", "_fr",
+                                  lookup_key="word", buckets=buckets)
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or id_col not in g.schema.names:
+            return out_schema.empty_table()
+        ids = np.asarray(g[id_col].to_pylist())
+        c = g["c"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ft = g["_ft"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        fr = g["_fr"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        part = c * (ft * n_r - fr * n_t)
+        uid, inv = np.unique(ids, return_inverse=True)
+        num = np.zeros(len(uid), dtype=np.int64)
+        ntok = np.zeros(len(uid), dtype=np.int64)
+        np.add.at(num, inv, part)
+        np.add.at(ntok, inv, c)
+        return pa.table({
+            id_col: pa.array(uid.tolist(), type=id_type),
+            "n_toks": pa.array(ntok), "score_num": pa.array(num),
+            "score": pa.array(num.astype(np.float64) / denom)}) \
+            .cast(out_schema)
+
+    return group_by_key_bucket(post, id_col, fold, buckets=buckets)

@@ -7,7 +7,7 @@ import numpy as np
 import pyarrow as pa
 
 from osmium_tool_ray.pipelines.stats import global_rank, rrf_fuse
-from osmium_tool_ray.pipelines.windows import transition_counts
+from osmium_tool_ray.pipelines.windows import keyed_transition_counts
 
 
 def test_transitions_vs_duckdb(ray_session):
@@ -23,7 +23,7 @@ def test_transitions_vs_duckdb(ray_session):
         "st": pa.array(np.char.add("s", rng.integers(0, 5, n).astype(str)),
                        type=pa.string()),
     })
-    out = transition_counts(rd.from_arrow(tbl).repartition(7),
+    out = keyed_transition_counts(rd.from_arrow(tbl).repartition(7),
                             "k", "ts", "st", tie_col="tie")
     mine = {(r["k"], r["from_state"], r["to_state"]): r["n"]
             for r in out.take_all()}
@@ -45,7 +45,7 @@ def test_transitions_hand_fixture(ray_session):
         "tie": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
         "st": pa.array(["a", "b", "a", "x", "x", "z"]),
     })
-    out = transition_counts(rd.from_arrow(t), "k", "ts", "st",
+    out = keyed_transition_counts(rd.from_arrow(t), "k", "ts", "st",
                             tie_col="tie")
     rows = {(r["k"], r["from_state"], r["to_state"]): r["n"]
             for r in out.take_all()}
@@ -63,7 +63,7 @@ def test_transitions_ts_tie_ordered_by_tiebreak(ray_session):
         "tie": pa.array([3, 1, 2], type=pa.int64()),
         "st": pa.array(["c", "a", "b"]),
     })
-    out = transition_counts(rd.from_arrow(t), "k", "ts", "st",
+    out = keyed_transition_counts(rd.from_arrow(t), "k", "ts", "st",
                             tie_col="tie")
     rows = {(r["from_state"], r["to_state"]) for r in out.take_all()}
     assert rows == {("a", "b"), ("b", "c")}
