@@ -3879,6 +3879,19 @@ def q_rrf_fusion_docs(sf_dir: str):
             batch_format="pyarrow")
 
 
+def q_local_moran(sf_dir: str):
+    """Local Moran's I (LISA, Anselin 1995) per cell (stages/raster
+    .local_moran_cells): integer numerator (N x_i - S1)(N wsum_i -
+    S1 wdeg_i), floats only in the fixed final tree — high-high /
+    low-low cluster detection, the local decomposition of
+    moran_i_cells."""
+    from osmium_tool_ray.stages.raster import local_moran_cells
+
+    return local_moran_cells(images_dataset(sf_dir,
+                                            columns=["lon", "lat"]),
+                             level=TILE_LEVEL)
+
+
 def q_importance_docs(sf_dir: str):
     """DSIR-style data-selection importance score (stages/text
     .importance_score, Xie et al. 2023): target = lang='en' docs vs the
@@ -4088,6 +4101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_counts_user": q_transition_counts,
         "rrf_fusion_docs": q_rrf_fusion_docs,
         "importance_docs": q_importance_docs,
+        "local_moran_cells": q_local_moran,
     }
 
 
@@ -5799,6 +5813,30 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(tot.nt * tot.nr AS DOUBLE) AS score
             FROM toks t JOIN f ON t.w = f.w, tot
             GROUP BY t.doc_id, tot.nt, tot.nr""",
+        # LISA: integer numerator, the same fixed float tree as the
+        # numpy kernel; cells with no in-set neighbor keep wsum=wdeg=0
+        # (LEFT JOIN) and land exactly at 0.0, matching the engine.
+        "local_moran_cells": f"""{cte}
+            , c AS (SELECT cell_x, cell_y, COUNT(*) AS x
+                    FROM (SELECT {cells6} FROM images) GROUP BY 1, 2),
+            mo AS (SELECT COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2
+                   FROM c),
+            nb AS (SELECT a.cell_x, a.cell_y, ANY_VALUE(a.x) AS x,
+                          CAST(COALESCE(SUM(b.x), 0) AS BIGINT) AS wsum,
+                          CAST(COUNT(b.x) AS BIGINT) AS wdeg
+                   FROM c a LEFT JOIN c b
+                     ON b.cell_x BETWEEN a.cell_x - 1 AND a.cell_x + 1
+                    AND b.cell_y BETWEEN a.cell_y - 1 AND a.cell_y + 1
+                    AND NOT (a.cell_x = b.cell_x
+                             AND a.cell_y = b.cell_y)
+                   GROUP BY 1, 2)
+            SELECT cell_x, cell_y, CAST(x AS BIGINT) AS n_images,
+                   CAST((n * x - s1) * (n * wsum - s1 * wdeg) AS DOUBLE)
+                       / (n * n)
+                       / ((CAST(s2 AS DOUBLE)
+                           - CAST(s1 * s1 AS DOUBLE) / n) / n)
+                       AS local_i
+            FROM nb, mo""",
     }
     from osmium_tool_ray.oracles import (
         char_shingle_pairs_sql, fuzzy_contamination_sql, jaccard_join_sql,

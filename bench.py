@@ -80,6 +80,11 @@ QUERY_NAMES = [
     "isolated_points", "turn_counts_user", "scd2_intervals_user",
     "gyration_user", "sliding_distinct_users", "fuzzy_contamination_docs",
     "winsorize_value_user",
+    # r04 final-session wave: spatial statistics, skyline, Markov
+    # transitions, rank fusion, DSIR importance, cosine TF join
+    "moran_i_cells", "getis_gi_star", "skyline_events",
+    "transition_counts_user", "rrf_fusion_docs", "importance_docs",
+    "cosine_tf_join", "local_moran_cells",
 ]
 
 

@@ -387,3 +387,49 @@ def getis_gi_cells(points, level: int, lon_col: str = "lon",
             "gi_star": pa.array(num / den, type=pa.float64())})
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def local_moran_cells(points, level: int, lon_col: str = "lon",
+                      lat_col: str = "lat"):
+    """Local Moran's I (LISA, Anselin 1995) per cell — the local
+    decomposition of moran_i above: which cells sit in high-high /
+    low-low clusters vs high-low outliers.
+
+        I_i = (x_i - m) * (wsum_i - m * wdeg_i) / s2m
+        with m = S1/N and s2m = (S2 - S1^2/N) / N  (the mean squared
+        deviation), all of N/S1/S2/wsum/wdeg exact integers.
+
+    Exactness: the numerator expands to the integer
+        (N x_i - S1) * (N wsum_i - S1 wdeg_i)
+    over N^2, so the kernel computes num_i exactly in int64 and spends
+    floats only on the fixed tree num / N^2 / s2m mirrored literally in
+    SQL — no subtraction of rounded doubles. Scale shape identical to
+    moran_i (the x8 neighbor fold, excluding self). Returns (cell_x,
+    cell_y, n_images:int64, local_i:float64) for in-set cells."""
+    cells = _exact_cell_counts(points, level, lon_col, lat_col)
+    moments = _int_scalar_fold(cells, {
+        "n": lambda b: b.num_rows,
+        "s1": lambda b: pc.sum(b["x"]).as_py() or 0,
+        "s2": lambda b: pc.sum(pc.multiply(b["x"], b["x"])).as_py() or 0,
+    })
+    n, s1, s2 = moments["n"], moments["s1"], moments["s2"]
+    s2m = (float(s2) - float(s1 * s1) / float(n)) / float(n)
+    n2 = float(n * n)
+    folded = _neighbor_fold(cells, level, include_self=False)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        k = batch["_k"].to_numpy(zero_copy_only=False)
+        x = batch["x"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        wsum = batch["wsum"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        wdeg = batch["wdeg"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        num = (n * x - s1) * (n * wsum - s1 * wdeg)
+        li = num / n2 / s2m
+        return pa.table({
+            "cell_x": pa.array(k >> np.int64(32)),
+            "cell_y": pa.array(k & np.int64(0xFFFFFFFF)),
+            "n_images": pa.array(x),
+            "local_i": pa.array(li, type=pa.float64())})
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -174,3 +174,55 @@ def test_skyline_empty(ray_session):
                   "y": pa.array([], type=pa.int64())})
     out = skyline(rd.from_arrow(t), "x", "y", carry_cols=["id"])
     assert out.count() == 0
+
+
+def test_local_moran_vs_brute(ray_session):
+    """LISA per cell vs the textbook per-cell formula."""
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.raster import local_moran_cells
+
+    rng = np.random.default_rng(47)
+    xs = rng.integers(3, 30, 50)
+    ys = rng.integers(3, 30, 50)
+    key = xs * 1000 + ys
+    _, idx = np.unique(key, return_index=True)
+    xs, ys = xs[idx], ys[idx]
+    counts = rng.integers(1, 8, len(xs))
+    ds = _cells_ds(rd, xs, ys, counts, level=6)
+    out = {(r["cell_x"], r["cell_y"]): r["local_i"]
+           for r in local_moran_cells(ds, level=6).take_all()}
+
+    pts = {(int(a), int(b)): int(c) for a, b, c in zip(xs, ys, counts)}
+    x = np.array(list(pts.values()), dtype=np.float64)
+    m = x.mean()
+    s2m = ((x - m) ** 2).mean()
+    for (a, b), c in pts.items():
+        nsum = sum((pts.get((a + da, b + db), 0) - m)
+                   for da in (-1, 0, 1) for db in (-1, 0, 1)
+                   if not (da == 0 and db == 0)
+                   and (a + da, b + db) in pts)
+        li = (c - m) * nsum / s2m
+        assert abs(out[(a, b)] - li) < 1e-9, ((a, b), out[(a, b)], li)
+    assert len(out) == len(pts)
+
+
+def test_local_moran_sums_to_global(ray_session):
+    """Anselin's identity: sum_i I_i == N * global Moran numerator /
+    denominator scaling — concretely sum(local_i) / W == global I."""
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.raster import local_moran_cells
+
+    rng = np.random.default_rng(53)
+    xs = rng.integers(3, 25, 45)
+    ys = rng.integers(3, 25, 45)
+    key = xs * 1000 + ys
+    _, idx = np.unique(key, return_index=True)
+    xs, ys = xs[idx], ys[idx]
+    counts = rng.integers(1, 9, len(xs))
+    ds = _cells_ds(rd, xs, ys, counts, level=6)
+    local = sum(r["local_i"]
+                for r in local_moran_cells(ds, level=6).take_all())
+    g = moran_i(ds, level=6).take_all()[0]
+    assert abs(local / g["w_pairs"] - g["moran_i"]) < 1e-9
