@@ -3856,13 +3856,21 @@ def q_rrf_fusion_docs(sf_dir: str):
     ROW_NUMBER via sort + block offsets; ONE bucketed rank attach;
     float scores bit-match the SQL twin (fixed two-term order)."""
     from osmium_tool_ray.pipelines.stats import global_rank, rrf_fuse
-    from osmium_tool_ray.stages.text import TokenCount
 
     docs = _docs(sf_dir, ["doc_id", "text", "n_chars"])
-    base = docs.map_batches(TokenCount,
-                            fn_constructor_kwargs={"text_col": "text"},
-                            batch_format="pyarrow", concurrency=2) \
-        .select_columns(["doc_id", "n_chars", "n_tokens"]).materialize()
+
+    def ntok(batch: pa.Table) -> pa.Table:
+        # stateless vectorized count (no actor pool for one regex count):
+        # count_substring_regex == len(regexp_extract_all) for this
+        # pattern (non-overlapping matches, RE2 both sides)
+        import pyarrow.compute as _pc
+        n = _pc.count_substring_regex(batch["text"].cast(pa.string()),
+                                      "[A-Za-z0-9_]+")
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_chars": batch["n_chars"],
+                         "n_tokens": n.cast(pa.int64())})
+
+    base = docs.map_batches(ntok, batch_format="pyarrow").materialize()
     ra = global_rank(base.select_columns(["doc_id", "n_chars"]),
                      ["n_chars", "doc_id"], descending=[True, False],
                      out_col="rank_chars") \
