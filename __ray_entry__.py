@@ -3900,6 +3900,29 @@ def q_local_moran(sf_dir: str):
                              level=TILE_LEVEL)
 
 
+def q_join_counts(sf_dir: str):
+    """Join-count statistics (stages/raster.join_count_stats, Cliff &
+    Ord 1981): hot-hot / hot-cold / cold-cold neighbor-pair counts for
+    the binary "cell count >= 3" raster — ALL-integer, the categorical
+    sibling of moran_i_cells."""
+    from osmium_tool_ray.stages.raster import join_count_stats
+
+    return join_count_stats(images_dataset(sf_dir,
+                                           columns=["lon", "lat"]),
+                            level=TILE_LEVEL, hot_threshold=3)
+
+
+def q_semivariogram(sf_dir: str):
+    """Empirical semivariogram at Chebyshev lags 1-3 (stages/raster
+    .semivariogram_cells, Matheron 1963): integer ordered-pair identity
+    sum(x_i-x_j)^2 = 2(D2-C), ONE double division per lag."""
+    from osmium_tool_ray.stages.raster import semivariogram_cells
+
+    return semivariogram_cells(images_dataset(sf_dir,
+                                              columns=["lon", "lat"]),
+                               level=TILE_LEVEL, max_lag=3)
+
+
 def q_importance_docs(sf_dir: str):
     """DSIR-style data-selection importance score (stages/text
     .importance_score, Xie et al. 2023): target = lang='en' docs vs the
@@ -4110,6 +4133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion_docs": q_rrf_fusion_docs,
         "importance_docs": q_importance_docs,
         "local_moran_cells": q_local_moran,
+        "join_counts_cells": q_join_counts,
+        "semivariogram_cells": q_semivariogram,
     }
 
 
@@ -5845,6 +5870,41 @@ def oracle_sql() -> dict[str, str]:
                            - CAST(s1 * s1 AS DOUBLE) / n) / n)
                        AS local_i
             FROM nb, mo""",
+        # join counts: all-integer; undirected = ordered // 2
+        "join_counts_cells": f"""{cte}
+            , c AS (SELECT cell_x, cell_y, COUNT(*) AS x
+                    FROM (SELECT {cells6} FROM images) GROUP BY 1, 2),
+            h AS (SELECT cell_x, cell_y, CAST(x >= 3 AS BIGINT) AS hot
+                  FROM c),
+            p AS (SELECT a.hot AS ha, b.hot AS hb FROM h a JOIN h b
+                  ON b.cell_x BETWEEN a.cell_x - 1 AND a.cell_x + 1
+                 AND b.cell_y BETWEEN a.cell_y - 1 AND a.cell_y + 1
+                 AND NOT (a.cell_x = b.cell_x AND a.cell_y = b.cell_y))
+            SELECT CAST((SELECT SUM(hot) FROM h) AS BIGINT) AS n_hot,
+                   CAST((SELECT COUNT(*) - SUM(hot) FROM h) AS BIGINT)
+                       AS n_cold,
+                   CAST(SUM(ha * hb) // 2 AS BIGINT) AS bb,
+                   CAST(SUM(CASE WHEN ha <> hb THEN 1 ELSE 0 END) // 2
+                        AS BIGINT) AS bw,
+                   CAST(SUM((1 - ha) * (1 - hb)) // 2 AS BIGINT) AS ww,
+                   CAST(COUNT(*) // 2 AS BIGINT) AS w_pairs
+            FROM p""",
+        # semivariogram: SUM(diff^2)//2 is the exact integer D2-C, so
+        # the quotient matches the engine's (D2-C)/W bit-for-bit
+        "semivariogram_cells": f"""{cte}
+            , c AS (SELECT cell_x, cell_y, COUNT(*) AS x
+                    FROM (SELECT {cells6} FROM images) GROUP BY 1, 2),
+            p AS (SELECT GREATEST(abs(a.cell_x - b.cell_x),
+                                  abs(a.cell_y - b.cell_y)) AS lag,
+                         a.x AS xi, b.x AS xj
+                  FROM c a JOIN c b
+                  ON b.cell_x BETWEEN a.cell_x - 3 AND a.cell_x + 3
+                 AND b.cell_y BETWEEN a.cell_y - 3 AND a.cell_y + 3)
+            SELECT CAST(lag AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS w_pairs,
+                   CAST(SUM((xi - xj) * (xi - xj)) // 2 AS DOUBLE)
+                       / COUNT(*) AS gamma
+            FROM p WHERE lag >= 1 GROUP BY lag ORDER BY lag""",
     }
     from osmium_tool_ray.oracles import (
         char_shingle_pairs_sql, fuzzy_contamination_sql, jaccard_join_sql,

@@ -84,7 +84,8 @@ QUERY_NAMES = [
     # transitions, rank fusion, DSIR importance, cosine TF join
     "moran_i_cells", "getis_gi_star", "skyline_events",
     "transition_counts_user", "rrf_fusion_docs", "importance_docs",
-    "cosine_tf_join", "local_moran_cells",
+    "cosine_tf_join", "local_moran_cells", "join_counts_cells",
+    "semivariogram_cells",
 ]
 
 

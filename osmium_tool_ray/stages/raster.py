@@ -433,3 +433,197 @@ def local_moran_cells(points, level: int, lon_col: str = "lon",
             "local_i": pa.array(li, type=pa.float64())})
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def join_count_stats(points, level: int, hot_threshold: int,
+                     lon_col: str = "lon", lat_col: str = "lat"):
+    """Join-count statistics (Cliff & Ord 1981) for the binary raster
+    "hot" = cell count >= hot_threshold under queen adjacency: how many
+    hot-hot / hot-cold / cold-cold neighboring cell pairs the in-set
+    grid contains — the categorical counterpart of moran_i (clustered
+    hot cells => BB high, checkerboard => BW high). ALL-integer (no
+    floats anywhere), so the SQL twin is trivially exact.
+
+    Scale shape: the moran_i two-shuffle shape with the hot FLAG
+    folded alongside the count; undirected pair counts halve the
+    ordered sums (always even). Returns one row (n_hot, n_cold, bb,
+    bw, ww, w_pairs — undirected)."""
+    from ray.data.aggregate import Sum
+
+    cells = _exact_cell_counts(points, level, lon_col, lat_col)
+    n = np.int64(1) << np.int64(level)
+    thr = np.int64(hot_threshold)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        k = batch["_k"].to_numpy(zero_copy_only=False)
+        x = batch["x"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hot = (x >= thr).astype(np.int64)
+        cx, cy = k >> np.int64(32), k & np.int64(0xFFFFFFFF)
+        u = len(k)
+        off = np.array([-1, 0, 1], dtype=np.int64)
+        nx = np.broadcast_to(cx[:, None, None] + off[None, :, None],
+                             (u, 3, 3)).reshape(-1)
+        ny = np.broadcast_to(cy[:, None, None] + off[None, None, :],
+                             (u, 3, 3)).reshape(-1)
+        self_pos = np.zeros((u, 3, 3), dtype=bool)
+        self_pos[:, 1, 1] = True
+        ok = ((nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+              & ~self_pos.reshape(-1))
+        nkey = (nx[ok] << np.int64(32)) | ny[ok]
+        nhot = np.repeat(hot, 9)[ok]
+        zs = np.zeros(len(nkey), dtype=np.int64)
+        zc = np.zeros(u, dtype=np.int64)
+        return pa.table({
+            "_k": pa.array(np.concatenate([k, nkey])),
+            "shot": pa.array(np.concatenate([hot + 1, zs])),  # 1=cold,2=hot
+            "nhot": pa.array(np.concatenate([zc, nhot])),
+            "nd": pa.array(np.concatenate(
+                [zc, np.ones(len(nkey), dtype=np.int64)]))})
+
+    folded = cells.map_batches(explode, batch_format="pyarrow") \
+        .groupby("_k").aggregate(Sum("shot", alias_name="shot"),
+                                 Sum("nhot", alias_name="nhot"),
+                                 Sum("nd", alias_name="nd")) \
+        .filter(expr="shot > 0")
+    s = _int_scalar_fold(folded, {
+        "n_hot": lambda b: pc.sum(pc.cast(pc.equal(b["shot"], 2),
+                                          pa.int64())).as_py() or 0,
+        "n_cold": lambda b: pc.sum(pc.cast(pc.equal(b["shot"], 1),
+                                           pa.int64())).as_py() or 0,
+        # ordered hot->hot / cold->any-hot / total arrivals
+        "bb2": lambda b: pc.sum(pc.multiply(
+            pc.cast(pc.equal(b["shot"], 2), pa.int64()),
+            b["nhot"])).as_py() or 0,
+        "cold_hot": lambda b: pc.sum(pc.multiply(
+            pc.cast(pc.equal(b["shot"], 1), pa.int64()),
+            b["nhot"])).as_py() or 0,
+        "hot_deg": lambda b: pc.sum(pc.multiply(
+            pc.cast(pc.equal(b["shot"], 2), pa.int64()),
+            b["nd"])).as_py() or 0,
+        "cold_deg": lambda b: pc.sum(pc.multiply(
+            pc.cast(pc.equal(b["shot"], 1), pa.int64()),
+            b["nd"])).as_py() or 0,
+    })
+    # ordered arrivals: bb2 = hot->hot (2x undirected BB); hot cells'
+    # non-hot arrivals (hot_deg - bb2) are cold->hot, and cold cells'
+    # hot arrivals (cold_hot) are hot->cold — together 2x undirected BW
+    bb = s["bb2"] // 2
+    bw = ((s["hot_deg"] - s["bb2"]) + s["cold_hot"]) // 2
+    ww = (s["cold_deg"] - s["cold_hot"]) // 2
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "n_hot": pa.array([s["n_hot"]], type=pa.int64()),
+        "n_cold": pa.array([s["n_cold"]], type=pa.int64()),
+        "bb": pa.array([bb], type=pa.int64()),
+        "bw": pa.array([bw], type=pa.int64()),
+        "ww": pa.array([ww], type=pa.int64()),
+        "w_pairs": pa.array([bb + bw + ww], type=pa.int64())}))
+
+
+def semivariogram_cells(points, level: int, max_lag: int = 3,
+                        lon_col: str = "lon", lat_col: str = "lat"):
+    """Empirical semivariogram of the cell-count surface at Chebyshev
+    lags 1..max_lag — kriging's first artifact (Matheron 1963):
+    gamma(h) = sum over pairs at lag h of (x_i - x_j)^2 / (2 N(h)).
+    Spatially-correlated data shows gamma rising with lag toward a
+    sill; noise is flat.
+
+    Exactness: per lag, the ordered-pair identity
+    sum (x_i-x_j)^2 = 2 * (D2_h - C_h) with D2_h = sum deg_i x_i^2 and
+    C_h = sum x_i nbrsum_i keeps everything integer; gamma =
+    (D2_h - C_h) / W_h spends ONE double division per lag (the SQL twin
+    computes SUM(diff^2)//2 / COUNT — the same exact integer ratio).
+    Scale shape: ONE cell-scale explode over the (2L+1)^2-1 ring
+    offsets + ONE Sum groupby on the packed (cell, lag) key, then a
+    per-lag Python-int fold of one short row per block. Level must be
+    <= 20 (packed key is x:24 | y:24 | lag:4... actually x<<28|y<<4|lag
+    with x, y < 2^24). Returns (lag:int64, w_pairs:int64,
+    gamma:float64), one row per non-empty lag."""
+    from ray.data.aggregate import Sum
+
+    if level > 20:
+        raise ValueError("semivariogram_cells packs (x, y, lag) into "
+                         "int64; level must be <= 20")
+    cells = _exact_cell_counts(points, level, lon_col, lat_col)
+    n = np.int64(1) << np.int64(level)
+    L = int(max_lag)
+
+    offs = []
+    for dx in range(-L, L + 1):
+        for dy in range(-L, L + 1):
+            lag = max(abs(dx), abs(dy))
+            if lag >= 1:
+                offs.append((dx, dy, lag))
+    odx = np.array([o[0] for o in offs], dtype=np.int64)
+    ody = np.array([o[1] for o in offs], dtype=np.int64)
+    olag = np.array([o[2] for o in offs], dtype=np.int64)
+    m = len(offs)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        k = batch["_k"].to_numpy(zero_copy_only=False)
+        x = batch["x"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cx, cy = k >> np.int64(32), k & np.int64(0xFFFFFFFF)
+        u = len(k)
+        nx = (cx[:, None] + odx[None, :]).reshape(-1)
+        ny = (cy[:, None] + ody[None, :]).reshape(-1)
+        nl = np.broadcast_to(olag[None, :], (u, m)).reshape(-1)
+        nc = np.repeat(x, m)
+        ok = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+        nkey = (((nx[ok] << np.int64(24)) | ny[ok]) << np.int64(4)) \
+            | nl[ok]
+        # self rows: one per (cell, lag) so the receiver's own count
+        # rides the same groupby
+        skey = (((cx[:, None] << np.int64(24)) | cy[:, None])
+                << np.int64(4)) + np.arange(1, L + 1,
+                                            dtype=np.int64)[None, :]
+        skey = skey.reshape(-1)
+        sx = np.repeat(x, L)
+        zn = np.zeros(len(nkey), dtype=np.int64)
+        zs = np.zeros(len(skey), dtype=np.int64)
+        return pa.table({
+            "_kl": pa.array(np.concatenate([skey, nkey])),
+            "sx": pa.array(np.concatenate([sx, zn])),
+            "nsum": pa.array(np.concatenate([zs, nc[ok]])),
+            "nd": pa.array(np.concatenate(
+                [zs, np.ones(len(nkey), dtype=np.int64)]))})
+
+    folded = cells.map_batches(explode, batch_format="pyarrow") \
+        .groupby("_kl").aggregate(Sum("sx", alias_name="x"),
+                                  Sum("nsum", alias_name="nsum"),
+                                  Sum("nd", alias_name="nd")) \
+        .filter(expr="x > 0")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kl = batch["_kl"].to_numpy(zero_copy_only=False)
+        x = batch["x"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ns = batch["nsum"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        nd = batch["nd"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lag = (kl & np.int64(0xF)).astype(np.int64)
+        rows = {"lag": [], "c": [], "d2": [], "w": []}
+        for lg in np.unique(lag):
+            mk = lag == lg
+            rows["lag"].append(int(lg))
+            rows["c"].append(int(np.sum(x[mk] * ns[mk])))
+            rows["d2"].append(int(np.sum(nd[mk] * x[mk] * x[mk])))
+            rows["w"].append(int(np.sum(nd[mk])))
+        return pa.table({k: pa.array(v, type=pa.int64())
+                         for k, v in rows.items()})
+
+    parts = folded.map_batches(partial, batch_format="pyarrow") \
+        .take_all()
+    agg: dict = {}
+    for r in parts:
+        a = agg.setdefault(int(r["lag"]), [0, 0, 0])
+        a[0] += int(r["c"])
+        a[1] += int(r["d2"])
+        a[2] += int(r["w"])
+    lags = sorted(lg for lg, v in agg.items() if v[2])
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "lag": pa.array(lags, type=pa.int64()),
+        "w_pairs": pa.array([agg[lg][2] for lg in lags],
+                            type=pa.int64()),
+        "gamma": pa.array([float(agg[lg][1] - agg[lg][0])
+                           / float(agg[lg][2]) for lg in lags],
+                          type=pa.float64())}))

@@ -226,3 +226,111 @@ def test_local_moran_sums_to_global(ray_session):
                 for r in local_moran_cells(ds, level=6).take_all())
     g = moran_i(ds, level=6).take_all()[0]
     assert abs(local / g["w_pairs"] - g["moran_i"]) < 1e-9
+
+
+def test_join_counts_vs_brute(ray_session):
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.raster import join_count_stats
+
+    rng = np.random.default_rng(59)
+    xs = rng.integers(3, 20, 60)
+    ys = rng.integers(3, 20, 60)
+    key = xs * 1000 + ys
+    _, idx = np.unique(key, return_index=True)
+    xs, ys = xs[idx], ys[idx]
+    counts = rng.integers(1, 6, len(xs))
+    ds = _cells_ds(rd, xs, ys, counts, level=6)
+    row = join_count_stats(ds, level=6, hot_threshold=3).take_all()[0]
+
+    pts = {(int(a), int(b)): int(c) for a, b, c in zip(xs, ys, counts)}
+    hot = {k: v >= 3 for k, v in pts.items()}
+    bb = bw = ww = 0
+    keys = list(pts)
+    for i, (a, b) in enumerate(keys):
+        for (a2, b2) in keys[i + 1:]:
+            if max(abs(a - a2), abs(b - b2)) == 1 or \
+                    (abs(a - a2) <= 1 and abs(b - b2) <= 1
+                     and (a, b) != (a2, b2)):
+                if hot[(a, b)] and hot[(a2, b2)]:
+                    bb += 1
+                elif hot[(a, b)] != hot[(a2, b2)]:
+                    bw += 1
+                else:
+                    ww += 1
+    assert (row["bb"], row["bw"], row["ww"]) == (bb, bw, ww)
+    assert row["w_pairs"] == bb + bw + ww
+    assert row["n_hot"] == sum(hot.values())
+    assert row["n_cold"] == len(pts) - sum(hot.values())
+
+
+def test_join_counts_checkerboard_all_bw(ray_session):
+    """Rook-adjacent checkerboard of hot/cold: every ROOK pair is BW;
+    diagonals are same-class."""
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.raster import join_count_stats
+
+    xs, ys, counts = [], [], []
+    for a in range(10, 14):
+        for b in range(10, 14):
+            xs.append(a)
+            ys.append(b)
+            counts.append(5 if (a + b) % 2 == 0 else 1)
+    ds = _cells_ds(rd, xs, ys, counts, level=6)
+    row = join_count_stats(ds, level=6, hot_threshold=3).take_all()[0]
+    # 4x4 grid: 24 rook pairs (all BW), 18 diagonal pairs (same class)
+    assert row["bw"] == 24
+    assert row["bb"] + row["ww"] == 18
+
+
+def test_semivariogram_vs_brute(ray_session):
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.raster import semivariogram_cells
+
+    rng = np.random.default_rng(61)
+    xs = rng.integers(3, 18, 50)
+    ys = rng.integers(3, 18, 50)
+    key = xs * 1000 + ys
+    _, idx = np.unique(key, return_index=True)
+    xs, ys = xs[idx], ys[idx]
+    counts = rng.integers(1, 9, len(xs))
+    ds = _cells_ds(rd, xs, ys, counts, level=6)
+    got = {r["lag"]: (r["w_pairs"], r["gamma"])
+           for r in semivariogram_cells(ds, level=6,
+                                        max_lag=3).take_all()}
+
+    pts = {(int(a), int(b)): int(c) for a, b, c in zip(xs, ys, counts)}
+    for lg in (1, 2, 3):
+        tot = 0
+        w = 0
+        for (a, b), xi in pts.items():
+            for (a2, b2), xj in pts.items():
+                if max(abs(a - a2), abs(b - b2)) == lg:
+                    tot += (xi - xj) ** 2
+                    w += 1
+        if w:
+            assert got[lg][0] == w
+            assert abs(got[lg][1] - tot / (2 * w)) < 1e-12
+        else:
+            assert lg not in got
+
+
+def test_semivariogram_smooth_gradient_rises(ray_session):
+    """A linear ramp surface: gamma grows ~quadratically with lag."""
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.raster import semivariogram_cells
+
+    xs, ys, counts = [], [], []
+    for a in range(10, 22):
+        for b in range(10, 22):
+            xs.append(a)
+            ys.append(b)
+            counts.append(1 + (a - 10))       # ramp in x
+    ds = _cells_ds(rd, xs, ys, counts, level=6)
+    got = {r["lag"]: r["gamma"]
+           for r in semivariogram_cells(ds, level=6,
+                                        max_lag=3).take_all()}
+    assert got[1] < got[2] < got[3]
