@@ -2124,6 +2124,28 @@ def q_track_length(sf_dir: str):
                         tie_col="event_id")
 
 
+def q_ring_area(sf_dir: str):
+    """Per-user signed shoelace ring area (pipelines/windows
+    .ring_area_per_key): the closed polygon each user's points trace in
+    timestamp order, exact int64 cross-product sums over the small
+    quantized grid — one narrow key shuffle, branch-free wraparound
+    closure per bucket."""
+    from osmium_tool_ray.pipelines.windows import ring_area_per_key
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        xq = (eid * 7919) % 36000 - 18000
+        yq = (eid * 104729) % 17000 - 8500
+        return batch.append_column("xq", pa.array(xq)) \
+                    .append_column("yq", pa.array(yq))
+
+    pts = ev.map_batches(coords, batch_format="pyarrow")
+    return ring_area_per_key(pts, "user_id", "ts", "xq", "yq",
+                             tie_col="event_id")
+
+
 def q_sliding_distinct(sf_dir: str):
     """Sliding-window exact distinct users (pipelines/windows
     .sliding_distinct): per-batch (window, user) dedup before the
@@ -4028,6 +4050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_value": q_approx_quantiles,
         "curate_docs": q_curate_docs,
         "track_length_user": q_track_length,
+        "ring_area_user": q_ring_area,
         "gini_impurity_user": q_gini_impurity,
         "mad_value_user": q_mad_value,
         "winsorize_value_user": q_winsorize,
@@ -4833,6 +4856,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n_points,
                    CAST(COALESCE(SUM(step), 0) AS BIGINT) AS track_fix
             FROM st GROUP BY user_id""",
+        "ring_area_user": """
+            WITH pts AS (SELECT user_id, ts, event_id,
+                   (event_id * 7919) % 36000 - 18000 AS xq,
+                   (event_id * 104729) % 17000 - 8500 AS yq
+                 FROM events),
+            s AS (SELECT user_id,
+                   xq * COALESCE(lead(yq) OVER w, FIRST_VALUE(yq) OVER w)
+                 - COALESCE(lead(xq) OVER w, FIRST_VALUE(xq) OVER w) * yq
+                       AS cr
+                 FROM pts
+                 WINDOW w AS (PARTITION BY user_id
+                              ORDER BY ts, event_id))
+            SELECT user_id, COUNT(*) AS n_points,
+                   CAST(SUM(cr) AS BIGINT) AS area2
+            FROM s GROUP BY user_id""",
         "track_sectors_user": """
             WITH pts AS (SELECT user_id, ts, event_id,
                    ((event_id * 7919) % 36000) * 100000 - 1800000000 AS xf,

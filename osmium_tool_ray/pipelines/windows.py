@@ -1443,3 +1443,61 @@ def keyed_transition_counts(ds, key_col: str, ts_col: str, state_col: str,
 
     return group_by_key_bucket(ds.select_columns(cols), key_col,
                                per_group)
+
+
+def ring_area_per_key(ds, key_col: str, ts_col: str, x_col: str,
+                      y_col: str, tie_col: str | None = None):
+    """Per-key signed doubled shoelace area of the closed ring each
+    key's points trace in timestamp order, the polygon closed by
+    joining the last point back to the first — EXACT int64 cross-
+    product sums, so the distributed fold is bit-identical to the SQL
+    LEAD/FIRST_VALUE window oracle (reference relative: osmium's area
+    assembly computes ring areas for orientation the same shoelace way,
+    /root/reference/src/exporter via functions/geometry.assemble_rings;
+    this is its per-track analytics twin).
+
+    Inputs must be pre-scaled small ints (|x|,|y| <= ~1e6) so each
+    cross term and the per-key sum stay far inside int64.
+
+    Scale shape: ONE hash(key)%buckets shuffle of the narrow (key, ts,
+    x, y) projection (the track_length shape), then a multi-key
+    vectorized lexsort fold per bucket: a next-index array with run
+    wraparound (each run's last row points at its first) makes the ring
+    closure branch-free. Returns (key, n_points:int64, area2:int64) —
+    area2 positive for counter-clockwise rings, negative clockwise."""
+    key_type = dict(zip(ds.schema().names, ds.schema().types))[key_col]
+
+    def per_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or key_col not in g.schema.names:
+            return pa.table({key_col: pa.array([], type=key_type),
+                             "n_points": pa.array([], type=pa.int64()),
+                             "area2": pa.array([], type=pa.int64())})
+        keys = np.asarray(g[key_col].to_pylist(), dtype=object)
+        ts = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        tie = (g[tie_col].to_numpy(zero_copy_only=False) if tie_col
+               else np.zeros(len(ts), dtype=np.int64))
+        x = g[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = g[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tie, ts, keys.astype(str)))
+        ks, xs, ys = keys[order], x[order], y[order]
+        n = len(ks)
+        same = np.concatenate([[False], ks[1:] == ks[:-1]])
+        starts = np.flatnonzero(~same)
+        ends = np.concatenate([starts[1:], [n]])
+        nxt = np.arange(1, n + 1, dtype=np.int64)
+        nxt[ends - 1] = starts               # close each ring
+        cross = xs * ys[nxt] - xs[nxt] * ys
+        area2 = np.add.reduceat(cross, starts)
+        return pa.table({
+            key_col: pa.array(ks[starts].tolist(), type=key_type),
+            "n_points": pa.array((ends - starts).astype(np.int64)),
+            "area2": pa.array(area2.astype(np.int64)),
+        })
+
+    from ..blocks import group_by_key_bucket
+
+    narrow = ds.select_columns(
+        list(dict.fromkeys([key_col, ts_col, x_col, y_col]
+                           + ([tie_col] if tie_col else []))))
+    return group_by_key_bucket(narrow, key_col, per_group)
