@@ -2146,6 +2146,36 @@ def q_ring_area(sf_dir: str):
                              tie_col="event_id")
 
 
+def q_segment_crossings(sf_dir: str):
+    """Cross-user track-crossing join (stages/spatial.track_segments +
+    segment_crossings): per unordered user pair, how many of their
+    track segments properly intersect — strict integer orientation
+    tests, cell-blocked candidates with the min-overlap-corner owner
+    rule (pairs distinct by construction). The event_id%20 subset keeps
+    the synthetic global-span segments (random endpoints — worst case
+    for spatial blocking; real GPS segments are cell-local) at a sane
+    candidate volume."""
+    from osmium_tool_ray.stages.spatial import (segment_crossings,
+                                                track_segments)
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        keep = eid % 20 == 0
+        eid = eid[keep]
+        t = batch.filter(pa.array(keep))
+        xq = (eid * 7919) % 36000 - 18000
+        yq = (eid * 104729) % 17000 - 8500
+        return t.append_column("xq", pa.array(xq)) \
+                .append_column("yq", pa.array(yq))
+
+    pts = ev.map_batches(coords, batch_format="pyarrow")
+    segs = track_segments(pts, "user_id", "ts", "xq", "yq",
+                          tie_col="event_id")
+    return segment_crossings(segs, "user_id", cell=6000)
+
+
 def q_sliding_distinct(sf_dir: str):
     """Sliding-window exact distinct users (pipelines/windows
     .sliding_distinct): per-batch (window, user) dedup before the
@@ -4051,6 +4081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs": q_curate_docs,
         "track_length_user": q_track_length,
         "ring_area_user": q_ring_area,
+        "segment_crossings": q_segment_crossings,
         "gini_impurity_user": q_gini_impurity,
         "mad_value_user": q_mad_value,
         "winsorize_value_user": q_winsorize,
@@ -4856,6 +4887,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n_points,
                    CAST(COALESCE(SUM(step), 0) AS BIGINT) AS track_fix
             FROM st GROUP BY user_id""",
+        "segment_crossings": """
+            WITH pts AS (SELECT user_id, ts, event_id,
+                   (event_id * 7919) % 36000 - 18000 AS xq,
+                   (event_id * 104729) % 17000 - 8500 AS yq
+                 FROM events WHERE event_id % 20 = 0),
+            seg AS (SELECT user_id, xq AS x1, yq AS y1,
+                       lead(xq) OVER w AS x2, lead(yq) OVER w AS y2
+                    FROM pts
+                    WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY ts, event_id)),
+            s AS (SELECT * FROM seg WHERE x2 IS NOT NULL),
+            d AS (SELECT sa.user_id AS a, sb.user_id AS b,
+                   (sb.x2-sb.x1)*(sa.y1-sb.y1)
+                 - (sa.x1-sb.x1)*(sb.y2-sb.y1) AS d1,
+                   (sb.x2-sb.x1)*(sa.y2-sb.y1)
+                 - (sa.x2-sb.x1)*(sb.y2-sb.y1) AS d2,
+                   (sa.x2-sa.x1)*(sb.y1-sa.y1)
+                 - (sb.x1-sa.x1)*(sa.y2-sa.y1) AS d3,
+                   (sa.x2-sa.x1)*(sb.y2-sa.y1)
+                 - (sb.x2-sa.x1)*(sa.y2-sa.y1) AS d4
+                  FROM s sa JOIN s sb ON sa.user_id < sb.user_id)
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_crossings
+            FROM d
+            WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+              AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+            GROUP BY a, b""",
         "ring_area_user": """
             WITH pts AS (SELECT user_id, ts, event_id,
                    (event_id * 7919) % 36000 - 18000 AS xq,

@@ -686,3 +686,189 @@ def radius_join(ds, id_col: str, x_col: str, y_col: str, radius: int,
     return ds.select_columns([id_col, x_col, y_col]) \
         .map_batches(explode, batch_format="pyarrow") \
         .groupby("_cb").map_groups(per_group, batch_format="pyarrow")
+
+
+def track_segments(ds, key_col: str, ts_col: str, x_col: str,
+                   y_col: str, tie_col: str | None = None):
+    """Consecutive-point segments of each key's track in timestamp
+    order: (key, x1, y1, x2, y2), one row per consecutive pair — the
+    shared front end of segment_crossings / corridor ops. ONE
+    hash(key)%buckets shuffle of the narrow projection, multi-key
+    vectorized lexsort fold per bucket (the track_length shape)."""
+    key_type = dict(zip(ds.schema().names, ds.schema().types))[key_col]
+
+    def per_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or key_col not in g.schema.names:
+            return pa.table({key_col: pa.array([], type=key_type)}
+                            | {c: pa.array([], type=pa.int64())
+                               for c in ("x1", "y1", "x2", "y2")})
+        keys = np.asarray(g[key_col].to_pylist(), dtype=object)
+        ts = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        tie = (g[tie_col].to_numpy(zero_copy_only=False) if tie_col
+               else np.zeros(len(ts), dtype=np.int64))
+        x = g[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = g[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tie, ts, keys.astype(str)))
+        ks, xs, ys = keys[order], x[order], y[order]
+        same = ks[1:] == ks[:-1]             # row i starts a segment
+        i = np.flatnonzero(same)
+        return pa.table({
+            key_col: pa.array(ks[i].tolist(), type=key_type),
+            "x1": pa.array(xs[i]), "y1": pa.array(ys[i]),
+            "x2": pa.array(xs[i + 1]), "y2": pa.array(ys[i + 1])})
+
+    from ..blocks import group_by_key_bucket
+
+    narrow = ds.select_columns(
+        list(dict.fromkeys([key_col, ts_col, x_col, y_col]
+                           + ([tie_col] if tie_col else []))))
+    return group_by_key_bucket(narrow, key_col, per_group)
+
+
+def segment_crossings(segs, key_col: str, cell: int,
+                      coarse: int | None = None,
+                      pair_chunk: int = 4_000_000,
+                      offset: int = 2_147_483_648):
+    """EXACT proper-intersection join between track segments of
+    DIFFERENT keys: for every unordered key pair, the number of segment
+    pairs that properly cross (strict orientation test — endpoints
+    touching or collinear overlap do not count). All arithmetic is
+    integer sign tests on int64 cross products, so the distributed
+    result is bit-identical to a SQL CASE oracle (reference relative:
+    osmium extract's banded segment/ray crossing rule,
+    /root/reference/src/extract/extract_polygon.cpp:150-210, turned
+    into a segment-vs-segment join).
+
+    Scale shape: each segment explodes map-side to the grid cells its
+    bbox covers at `cell` resolution, then ONE hash(cell)%coarse
+    shuffle. Inside a group every cell run generates ordered cartesian
+    candidate pairs in `pair_chunk` slices (the radius_join chunking);
+    a pair is TESTED only in the cell at the min corner of the two
+    bboxes' intersection — that cell is in both covers whenever the
+    bboxes meet, so pairs are distinct by construction and no dedup
+    shuffle runs. Cell-level pair counts pre-aggregate in-group before
+    the final (a, b) Sum. Real GPS segments are short relative to any
+    sensible `cell`, so covers are O(1) cells; a segment spanning many
+    cells degrades fan-out linearly, never correctness.
+
+    `segs` must have (key, x1, y1, x2, y2) int64 columns — the
+    track_segments output. Coordinates plus `offset` must be
+    nonnegative. Returns (a, b, n_crossings) with a < b."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if coarse is None:
+        coarse = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+    C = np.int64(cell)
+    OFF = np.int64(offset)
+    s = segs.schema()
+    key_type = dict(zip(s.names, s.types))[key_col]
+    empty = pa.table({"a": pa.array([], type=key_type),
+                      "b": pa.array([], type=key_type),
+                      "n_crossings": pa.array([], type=pa.int64())})
+    from ..functions.hashing import splitmix64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key_col].to_pylist())
+        x1 = batch["x1"].to_numpy(zero_copy_only=False) + OFF
+        y1 = batch["y1"].to_numpy(zero_copy_only=False) + OFF
+        x2 = batch["x2"].to_numpy(zero_copy_only=False) + OFF
+        y2 = batch["y2"].to_numpy(zero_copy_only=False) + OFF
+        cx0 = np.minimum(x1, x2) // C
+        cx1 = np.maximum(x1, x2) // C
+        cy0 = np.minimum(y1, y2) // C
+        cy1 = np.maximum(y1, y2) // C
+        nx = (cx1 - cx0 + 1)
+        cnt = nx * (cy1 - cy0 + 1)
+        rep = np.repeat(np.arange(len(keys), dtype=np.int64), cnt)
+        ends = np.cumsum(cnt)
+        local = np.arange(int(ends[-1]), dtype=np.int64) \
+            - np.repeat(ends - cnt, cnt)
+        ccx = cx0[rep] + local % nx[rep]
+        ccy = cy0[rep] + local // nx[rep]
+        cellk = (ccx << np.int64(32)) | ccy
+        return pa.table({
+            "cell": pa.array(cellk),
+            key_col: pa.array(keys[rep].tolist(), type=key_type),
+            "x1": pa.array(x1[rep]), "y1": pa.array(y1[rep]),
+            "x2": pa.array(x2[rep]), "y2": pa.array(y2[rep]),
+            "cx0": pa.array(cx0[rep]), "cy0": pa.array(cy0[rep]),
+            "_cb": pa.array((splitmix64(cellk.view(np.uint64))
+                             % np.uint64(coarse)).astype(np.int32))})
+
+    def per_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "cell" not in g.schema.names:
+            return empty
+        ck = g["cell"].to_numpy(zero_copy_only=False)
+        keys = np.asarray(g[key_col].to_pylist())
+        x1 = g["x1"].to_numpy(zero_copy_only=False)
+        y1 = g["y1"].to_numpy(zero_copy_only=False)
+        x2 = g["x2"].to_numpy(zero_copy_only=False)
+        y2 = g["y2"].to_numpy(zero_copy_only=False)
+        cx0 = g["cx0"].to_numpy(zero_copy_only=False)
+        cy0 = g["cy0"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, ck))
+        ck, keys, x1, y1, x2, y2, cx0, cy0 = (
+            a[order] for a in (ck, keys, x1, y1, x2, y2, cx0, cy0))
+        new = np.ones(len(ck), dtype=bool)
+        new[1:] = ck[1:] != ck[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(ck)))
+        multi = lens > 1
+        if not multi.any():
+            return empty
+        starts, lens = starts[multi], lens[multi]
+        cells = ck[starts]
+        m = lens * lens
+        ends = np.cumsum(m)
+        tot = int(ends[-1])
+        out = []
+        lo = 0
+        while lo < tot:
+            hi = min(lo + pair_chunk, tot)
+            flat = np.arange(lo, hi, dtype=np.int64)
+            runi = np.searchsorted(ends, flat, side="right")
+            local = flat - (ends[runi] - m[runi])
+            li = starts[runi] + local // lens[runi]
+            ri = starts[runi] + local % lens[runi]
+            up = li < ri
+            li, ri, runi = li[up], ri[up], runi[up]
+            diff = keys[li] != keys[ri]
+            li, ri, runi = li[diff], ri[diff], runi[diff]
+            # owner rule: test only at the min corner of the bbox
+            # intersection (in both covers whenever the bboxes meet)
+            ox = np.maximum(cx0[li], cx0[ri])
+            oy = np.maximum(cy0[li], cy0[ri])
+            own = ((ox << np.int64(32)) | oy) == cells[runi]
+            li, ri = li[own], ri[own]
+            if len(li):
+                d1 = ((x2[ri] - x1[ri]) * (y1[li] - y1[ri])
+                      - (x1[li] - x1[ri]) * (y2[ri] - y1[ri]))
+                d2 = ((x2[ri] - x1[ri]) * (y2[li] - y1[ri])
+                      - (x2[li] - x1[ri]) * (y2[ri] - y1[ri]))
+                d3 = ((x2[li] - x1[li]) * (y1[ri] - y1[li])
+                      - (x1[ri] - x1[li]) * (y2[li] - y1[li]))
+                d4 = ((x2[li] - x1[li]) * (y2[ri] - y1[li])
+                      - (x2[ri] - x1[li]) * (y2[li] - y1[li]))
+                cross = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) \
+                    & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+                if cross.any():
+                    ka, kb = keys[li[cross]], keys[ri[cross]]
+                    swap = ka > kb
+                    a_ = np.where(swap, kb, ka)
+                    b_ = np.where(swap, ka, kb)
+                    pk = np.stack([a_, b_], axis=1)
+                    u, c = np.unique(pk, axis=0, return_counts=True)
+                    out.append(pa.table({
+                        "a": pa.array(u[:, 0].tolist(), type=key_type),
+                        "b": pa.array(u[:, 1].tolist(), type=key_type),
+                        "n_crossings": pa.array(c.astype(np.int64))}))
+            lo = hi
+        return pa.concat_tables(out) if out else empty
+
+    cands = segs.select_columns([key_col, "x1", "y1", "x2", "y2"]) \
+        .map_batches(explode, batch_format="pyarrow") \
+        .groupby("_cb").map_groups(per_group, batch_format="pyarrow")
+    return cands.groupby(["a", "b"]) \
+        .aggregate(Sum("n_crossings", alias_name="n_crossings"))
