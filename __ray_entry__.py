@@ -2176,6 +2176,35 @@ def q_segment_crossings(sf_dir: str):
     return segment_crossings(segs, "user_id", cell=6000)
 
 
+def q_corridor_points(sf_dir: str):
+    """Corridor membership (stages/spatial.corridor_points): all event
+    points within radius 150 (quantized units) of user 7's track
+    polyline — exact integer point-segment distance, reference polyline
+    broadcast once via ray.put (it is ONE track: small by nature),
+    points stream through a stateless map."""
+    from osmium_tool_ray.stages.spatial import (corridor_points,
+                                                track_segments)
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        xq = (eid * 7919) % 36000 - 18000
+        yq = (eid * 104729) % 17000 - 8500
+        return batch.append_column("xq", pa.array(xq)) \
+                    .append_column("yq", pa.array(yq))
+
+    pts = ev.map_batches(coords, batch_format="pyarrow")
+    ref = pts.filter(expr="user_id == 7")
+    segs = track_segments(ref, "user_id", "ts", "xq", "yq",
+                          tie_col="event_id")
+    rows = segs.take_all()          # ONE user's track: small by nature
+    seg_tbl = {k: np.array([r[k] for r in rows], dtype=np.int64)
+               for k in ("x1", "y1", "x2", "y2")}
+    return corridor_points(pts.select_columns(["event_id", "xq", "yq"]),
+                           "xq", "yq", seg_tbl, radius=150)
+
+
 def q_sliding_distinct(sf_dir: str):
     """Sliding-window exact distinct users (pipelines/windows
     .sliding_distinct): per-batch (window, user) dedup before the
@@ -4082,6 +4111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_length_user": q_track_length,
         "ring_area_user": q_ring_area,
         "segment_crossings": q_segment_crossings,
+        "corridor_points": q_corridor_points,
         "gini_impurity_user": q_gini_impurity,
         "mad_value_user": q_mad_value,
         "winsorize_value_user": q_winsorize,
@@ -4887,6 +4917,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n_points,
                    CAST(COALESCE(SUM(step), 0) AS BIGINT) AS track_fix
             FROM st GROUP BY user_id""",
+        "corridor_points": """
+            WITH pts AS (SELECT event_id, user_id, ts,
+                   (event_id * 7919) % 36000 - 18000 AS xq,
+                   (event_id * 104729) % 17000 - 8500 AS yq
+                 FROM events),
+            ref AS (SELECT xq AS x1, yq AS y1,
+                       lead(xq) OVER w AS x2, lead(yq) OVER w AS y2
+                    FROM pts WHERE user_id = 7
+                    WINDOW w AS (ORDER BY ts, event_id)),
+            seg AS (SELECT * FROM ref WHERE x2 IS NOT NULL)
+            SELECT p.event_id, p.xq, p.yq FROM pts p
+            WHERE EXISTS (SELECT 1 FROM seg s WHERE
+              CASE
+                WHEN (s.x2-s.x1)*(s.x2-s.x1)+(s.y2-s.y1)*(s.y2-s.y1) = 0
+                  OR (s.x2-s.x1)*(p.xq-s.x1)+(s.y2-s.y1)*(p.yq-s.y1) <= 0
+                THEN (p.xq-s.x1)*(p.xq-s.x1)
+                   + (p.yq-s.y1)*(p.yq-s.y1) <= 22500
+                WHEN (s.x2-s.x1)*(p.xq-s.x1)+(s.y2-s.y1)*(p.yq-s.y1)
+                  >= (s.x2-s.x1)*(s.x2-s.x1)+(s.y2-s.y1)*(s.y2-s.y1)
+                THEN (p.xq-s.x2)*(p.xq-s.x2)
+                   + (p.yq-s.y2)*(p.yq-s.y2) <= 22500
+                ELSE ((s.x2-s.x1)*(p.yq-s.y1)-(s.y2-s.y1)*(p.xq-s.x1))
+                   * ((s.x2-s.x1)*(p.yq-s.y1)-(s.y2-s.y1)*(p.xq-s.x1))
+                  <= 22500 * ((s.x2-s.x1)*(s.x2-s.x1)
+                              + (s.y2-s.y1)*(s.y2-s.y1))
+              END)""",
         "segment_crossings": """
             WITH pts AS (SELECT user_id, ts, event_id,
                    (event_id * 7919) % 36000 - 18000 AS xq,

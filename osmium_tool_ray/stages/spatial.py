@@ -872,3 +872,71 @@ def segment_crossings(segs, key_col: str, cell: int,
         .groupby("_cb").map_groups(per_group, batch_format="pyarrow")
     return cands.groupby(["a", "b"]) \
         .aggregate(Sum("n_crossings", alias_name="n_crossings"))
+
+
+def corridor_points(ds, x_col: str, y_col: str, segments, radius: int,
+                    seg_chunk: int = 512):
+    """Filter points to those within `radius` of ANY segment of a
+    reference polyline — the corridor / buffer-membership join
+    (reference relative: osmium extract's polygon containment test,
+    /root/reference/src/extract/extract_polygon.cpp:150-210, with the
+    region swapped for a distance buffer around a line).
+
+    EXACT integer arithmetic, no sqrt or division: with d = b - a,
+    dot = d.(p - a), len2 = |d|^2, the squared point-segment distance
+    test is  |p-a|^2 <= r^2        when dot <= 0 (or len2 == 0),
+             |p-b|^2 <= r^2        when dot >= len2,
+             cross(d, p-a)^2 <= r^2 * len2   otherwise
+    — bit-identical to the SQL CASE oracle.
+
+    Scale shape: the polyline is the SMALL side — shipped once via
+    ray.put and read zero-copy by every map task (the broadcast-lookup
+    pattern); points stream through a stateless map_batches, testing
+    `seg_chunk` segments at a time so the (batch x chunk) temporaries
+    stay bounded however long the polyline is. All input columns pass
+    through unchanged."""
+    import ray
+
+    if isinstance(segments, pa.Table):
+        sx1 = segments["x1"].to_numpy(zero_copy_only=False)
+        sy1 = segments["y1"].to_numpy(zero_copy_only=False)
+        sx2 = segments["x2"].to_numpy(zero_copy_only=False)
+        sy2 = segments["y2"].to_numpy(zero_copy_only=False)
+    else:
+        sx1, sy1, sx2, sy2 = (np.asarray(segments[k], dtype=np.int64)
+                              for k in ("x1", "y1", "x2", "y2"))
+    r2 = np.int64(radius) * np.int64(radius)
+    seg_ref = ray.put((sx1.astype(np.int64), sy1.astype(np.int64),
+                       sx2.astype(np.int64), sy2.astype(np.int64)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ax1, ay1, ax2, ay2 = ray.get(seg_ref)
+        px = batch[x_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[:, None]
+        py = batch[y_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[:, None]
+        hit = np.zeros(len(px), dtype=bool)
+        for lo in range(0, len(ax1), seg_chunk):
+            todo = ~hit
+            if not todo.any():
+                break
+            x1 = ax1[None, lo:lo + seg_chunk]
+            y1 = ay1[None, lo:lo + seg_chunk]
+            dx = ax2[None, lo:lo + seg_chunk] - x1
+            dy = ay2[None, lo:lo + seg_chunk] - y1
+            qx = px[todo] - x1
+            qy = py[todo] - y1
+            len2 = dx * dx + dy * dy
+            dot = dx * qx + dy * qy
+            da2 = qx * qx + qy * qy                    # |p - a|^2
+            ex = qx - dx                               # p - b
+            ey = qy - dy
+            db2 = ex * ex + ey * ey
+            cr = dx * qy - dy * qx
+            near = np.where(
+                (dot <= 0) | (len2 == 0), da2 <= r2,
+                np.where(dot >= len2, db2 <= r2, cr * cr <= r2 * len2))
+            hit[todo] = near.any(axis=1)
+        return batch.filter(pa.array(hit))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
