@@ -2205,6 +2205,27 @@ def q_corridor_points(sf_dir: str):
                            "xq", "yq", seg_tbl, radius=150)
 
 
+def q_ripley_counts(sf_dir: str):
+    """Ripley's K pair counts (stages/spatial.ripley_pair_counts) at
+    radii 200/400/800 over the event_id%10 point subset: ONE grid-
+    blocked radius_join at the max radius, constant-size cumulative
+    partials, tiny groupby(r) finish."""
+    from osmium_tool_ray.stages.spatial import ripley_pair_counts
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        eid = eid[eid % 10 == 0]
+        xq = (eid * 7919) % 36000 - 18000
+        yq = (eid * 104729) % 17000 - 8500
+        return pa.table({"id": pa.array(eid), "xq": pa.array(xq),
+                         "yq": pa.array(yq)})
+
+    pts = ev.map_batches(coords, batch_format="pyarrow")
+    return ripley_pair_counts(pts, "id", "xq", "yq", [200, 400, 800])
+
+
 def q_sliding_distinct(sf_dir: str):
     """Sliding-window exact distinct users (pipelines/windows
     .sliding_distinct): per-batch (window, user) dedup before the
@@ -4112,6 +4133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ring_area_user": q_ring_area,
         "segment_crossings": q_segment_crossings,
         "corridor_points": q_corridor_points,
+        "ripley_pair_counts": q_ripley_counts,
         "gini_impurity_user": q_gini_impurity,
         "mad_value_user": q_mad_value,
         "winsorize_value_user": q_winsorize,
@@ -4917,6 +4939,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n_points,
                    CAST(COALESCE(SUM(step), 0) AS BIGINT) AS track_fix
             FROM st GROUP BY user_id""",
+        "ripley_pair_counts": """
+            WITH pts AS (SELECT event_id AS id,
+                   (event_id * 7919) % 36000 - 18000 AS xq,
+                   (event_id * 104729) % 17000 - 8500 AS yq
+                 FROM events WHERE event_id % 10 = 0),
+            d AS (SELECT (a.xq - b.xq) * (a.xq - b.xq)
+                       + (a.yq - b.yq) * (a.yq - b.yq) AS d2
+                  FROM pts a JOIN pts b ON a.id < b.id)
+            SELECT r.r, CAST(COALESCE(SUM(
+                     CASE WHEN d.d2 <= r.r * r.r THEN 1 ELSE 0 END),
+                   0) AS BIGINT) AS n_pairs
+            FROM (VALUES (200), (400), (800)) r(r)
+            LEFT JOIN d ON d.d2 <= r.r * r.r
+            GROUP BY r.r""",
         "corridor_points": """
             WITH pts AS (SELECT event_id, user_id, ts,
                    (event_id * 7919) % 36000 - 18000 AS xq,

@@ -940,3 +940,45 @@ def corridor_points(ds, x_col: str, y_col: str, segments, radius: int,
         return batch.filter(pa.array(hit))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def ripley_pair_counts(ds, id_col: str, x_col: str, y_col: str,
+                       radii, coarse: int | None = None,
+                       pair_chunk: int = 4_000_000):
+    """Ripley's K-function numerator: for each radius r in `radii`, the
+    EXACT number of unordered point pairs with squared L2 distance
+    <= r^2 (Ripley 1976's sum_{i<j} 1[d_ij <= r]; the K estimate is
+    n_pairs * 2 * A / n^2 — left to the caller since A is a modeling
+    choice). The spatial point-pattern clustering statistic companion
+    of moran_i (stages/raster.py).
+
+    Scale shape: ONE radius_join at max(radii) — grid-blocked, owner
+    rule, pair-chunked — then each pair's d2 bins into the cumulative
+    radius counts per batch (searchsorted + bincount + suffix cumsum:
+    len(radii) partial rows per block, a constant-size mergeable
+    partial), ONE tiny groupby(r) Sum finish. A zeros table unions in
+    so every radius appears even with no qualifying pairs.
+
+    Returns (r:int64, n_pairs:int64), one row per radius."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    rad = np.sort(np.asarray(list(radii), dtype=np.int64))
+    r2s = rad * rad
+    pairs = radius_join(ds, id_col, x_col, y_col, int(rad[-1]),
+                        coarse=coarse, pair_chunk=pair_chunk)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d2 = batch["d2"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(r2s, d2, side="left")
+        cnt = np.bincount(idx, minlength=len(r2s) + 1)[:len(r2s)]
+        cum = np.cumsum(cnt)
+        return pa.table({"r": pa.array(rad),
+                         "n_pairs": pa.array(cum.astype(np.int64))})
+
+    zeros = rd.from_arrow(pa.table({
+        "r": pa.array(rad),
+        "n_pairs": pa.array(np.zeros(len(rad), dtype=np.int64))}))
+    return pairs.map_batches(partial, batch_format="pyarrow") \
+        .union(zeros).groupby("r") \
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
