@@ -2644,6 +2644,25 @@ def q_triangle_count(sf_dir: str):
     return triangle_count(ev.map_batches(edges, batch_format="pyarrow"))
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Per-node local clustering coefficient (stages/graph
+    .clustering_coefficient): triangle_count's compact-forward wedges
+    with the apex carried through the bucketed edge probe; every closed
+    wedge credits all three corners, counts attach onto the degree
+    Dataset via a node-hash bucketed union join."""
+    from osmium_tool_ray.stages.graph import clustering_coefficient
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array((eid * 7919) % 200),
+                         "b": pa.array((eid * 104729) % 200)})
+
+    return clustering_coefficient(
+        ev.map_batches(edges, batch_format="pyarrow"))
+
+
 def q_label_propagation(sf_dir: str):
     """Synchronous label-propagation communities (stages/graph
     .label_propagation), 4 fixed rounds with min-label ties over the
@@ -4146,6 +4165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_simplify": q_track_simplify,
         "funnel_counts": q_funnel_counts,
         "triangle_count": q_triangle_count,
+        "clustering_coeff": q_clustering_coeff,
         "window_dedup": q_window_dedup,
         "interval_coverage": q_interval_coverage,
         "trend_per_user": q_trend_per_user,
@@ -5427,6 +5447,35 @@ def oracle_sql() -> dict[str, str]:
                   FROM p CROSS JOIN s)
             SELECT site_id, CAST(count(*) AS BIGINT) AS n_points
             FROM d WHERE rk = 1 GROUP BY 1""",
+        "clustering_coeff": """
+            WITH raw AS (
+                SELECT LEAST((event_id * 7919) % 200,
+                             (event_id * 104729) % 200) AS a,
+                       GREATEST((event_id * 7919) % 200,
+                                (event_id * 104729) % 200) AS b
+                FROM events),
+            e AS (SELECT DISTINCT a, b FROM raw WHERE a <> b),
+            adj AS (SELECT a AS ctr, b AS nbr FROM e
+                    UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT ctr AS node, COUNT(*) AS degree FROM adj
+                    GROUP BY ctr),
+            t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                  FROM e e1
+                  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+            corners AS (SELECT x AS node FROM t
+                        UNION ALL SELECT y FROM t
+                        UNION ALL SELECT z FROM t),
+            tc AS (SELECT node, COUNT(*) AS triangles FROM corners
+                   GROUP BY node)
+            SELECT d.node, d.degree,
+                   CAST(COALESCE(tc.triangles, 0) AS BIGINT)
+                       AS triangles,
+                   CASE WHEN d.degree >= 2
+                        THEN 2.0 * COALESCE(tc.triangles, 0)
+                             / (d.degree * (d.degree - 1))
+                        ELSE 0.0 END AS coeff
+            FROM deg d LEFT JOIN tc USING (node)""",
         "triangle_count": """
             WITH raw AS (
                 SELECT LEAST((event_id * 7919) % 200,

@@ -237,35 +237,18 @@ def pagerank_distributed(edges, n_nodes: int, src_col: str = "src",
                      "rank": pa.array([r["rank"] for r in out])})
 
 
-def triangle_count(edges, a_col: str = "a", b_col: str = "b",
-                   buckets: int | None = None, deg_cap: int = 50_000_000):
-    """Distributed triangle counting — wedge generation + edge
-    membership join (the compact-forward / node-iterator algorithm,
-    Latapy 2008). Edges are first canonicalized (undirected, distinct,
-    self-loops dropped), then ORIENTED from the (degree, id)-smaller to
-    the larger endpoint: every triangle forms exactly one wedge at its
-    smallest-degree corner, and each node's oriented out-degree is
-    O(sqrt(m)), which bounds the wedge explosion even on power-law hubs
-    (the hot-key guard — a raw adjacency explode at a celebrity node is
-    quadratic; the oriented one is not).
-
-    Shapes: ONE groupby(src) builds oriented adjacency and explodes
-    wedges (v, w) in-group (vectorized triu indexing); the wedge->edge
-    membership test is a bucketed sorted-array probe — wedges and edges
-    hash-partition by the packed (v, w) key into the same buckets, so
-    each group does ONE searchsorted, no driver set. Degrees fold
-    through a native Sum and broadcast under `deg_cap`; past the cap
-    the degree table stays a DATASET and each endpoint's degree
-    attaches through a node-hash bucketed union join
-    (blocks.attach_lookup_bucketed) — identical results, pinned by a
-    forced-cap pytest.
-
-    Returns a 1-row (n_triangles:int64) table."""
+def _canon_deg_oriented(edges, a_col: str, b_col: str, buckets: int,
+                        deg_cap: int):
+    """Shared triangle-family front end: canonicalize to distinct
+    undirected (lo, hi) edges, fold the degree Dataset, and orient each
+    edge from its (degree, id)-smaller endpoint (compact-forward rule —
+    bounds every node's oriented out-degree by O(sqrt(m))). Degrees
+    broadcast under `deg_cap`, else attach through node-hash bucketed
+    union joins (blocks.attach_lookup_bucketed) so the degree table
+    never leaves the object store. Returns (dedup_edges, deg_ds,
+    oriented) — oriented has (src, dst, _sb=src%buckets)."""
     import ray
     from ray.data.aggregate import Sum
-
-    if buckets is None:
-        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
 
     def canon(batch: pa.Table) -> pa.Table:
         a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -346,6 +329,41 @@ def triangle_count(edges, a_col: str = "a", b_col: str = "b",
 
         oriented = with_deg.map_batches(orient_joined,
                                         batch_format="pyarrow")
+    return dedup, deg_ds, oriented
+
+
+def triangle_count(edges, a_col: str = "a", b_col: str = "b",
+                   buckets: int | None = None, deg_cap: int = 50_000_000):
+    """Distributed triangle counting — wedge generation + edge
+    membership join (the compact-forward / node-iterator algorithm,
+    Latapy 2008). Edges are first canonicalized (undirected, distinct,
+    self-loops dropped), then ORIENTED from the (degree, id)-smaller to
+    the larger endpoint: every triangle forms exactly one wedge at its
+    smallest-degree corner, and each node's oriented out-degree is
+    O(sqrt(m)), which bounds the wedge explosion even on power-law hubs
+    (the hot-key guard — a raw adjacency explode at a celebrity node is
+    quadratic; the oriented one is not).
+
+    Shapes: ONE groupby(src) builds oriented adjacency and explodes
+    wedges (v, w) in-group (vectorized triu indexing); the wedge->edge
+    membership test is a bucketed sorted-array probe — wedges and edges
+    hash-partition by the packed (v, w) key into the same buckets, so
+    each group does ONE searchsorted, no driver set. Degrees fold
+    through a native Sum and broadcast under `deg_cap`; past the cap
+    the degree table stays a DATASET and each endpoint's degree
+    attaches through a node-hash bucketed union join
+    (blocks.attach_lookup_bucketed) — identical results, pinned by a
+    forced-cap pytest.
+
+    Returns a 1-row (n_triangles:int64) table."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if buckets is None:
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    dedup, deg_ds, oriented = _canon_deg_oriented(
+        edges, a_col, b_col, buckets, deg_cap)
 
     def wedges(g: pa.Table) -> pa.Table:
         empty = pa.table({"v": pa.array([], type=pa.int64()),
@@ -1100,3 +1118,147 @@ def label_propagation(edges, iters: int = 5, a_col: str = "a",
             .groupby("_b2").map_groups(vote, batch_format="pyarrow") \
             .repartition(partitions).materialize()
     return labels
+
+
+def clustering_coefficient(edges, a_col: str = "a", b_col: str = "b",
+                           buckets: int | None = None,
+                           deg_cap: int = 50_000_000):
+    """Per-node local clustering coefficient: coeff(v) = 2*t(v) /
+    (d(v)*(d(v)-1)) where t(v) is the number of triangles through v —
+    the per-node refinement of triangle_count (same compact-forward
+    wedge machinery, Latapy 2008): each wedge is generated once, at its
+    (degree, id)-smallest corner, and every CLOSED wedge credits all
+    THREE corners of the triangle, so each triangle contributes exactly
+    +1 to each of its nodes.
+
+    Scale shape (triangle_count's, with the apex carried through): the
+    wedge->edge membership probe is a bucketed sorted-array searchsorted
+    over the packed (v, w) key; per-bucket hits fold into (node, count)
+    partials (constant-size unique+bincount, 3 rows per triangle before
+    the fold), ONE groupby(node) Sum, then the triangle counts attach
+    onto the degree Dataset through a node-hash bucketed union join
+    (blocks.attach_lookup_bucketed — no driver-side table at any size).
+
+    Returns (node:int64, degree:int64, triangles:int64, coeff:float64);
+    nodes in no triangle get 0 / 0.0, degree-1 nodes coeff 0.0. The
+    float expression is exactly `2.0 * triangles / (degree*(degree-1))`
+    so the SQL twin reproduces it bit-for-bit."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if buckets is None:
+        buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    dedup, deg_ds, oriented = _canon_deg_oriented(
+        edges, a_col, b_col, buckets, deg_cap)
+
+    def wedges(g: pa.Table) -> pa.Table:
+        empty = pa.table({"v": pa.array([], type=pa.int64()),
+                          "w": pa.array([], type=pa.int64()),
+                          "u": pa.array([], type=pa.int64()),
+                          "_b": pa.array([], type=pa.int32()),
+                          "_e": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "src" not in g.schema.names:
+            return empty
+        src = g["src"].to_numpy(zero_copy_only=False)
+        dst = g["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        s, d = src[order], dst[order]
+        first = np.ones(len(s), dtype=bool)
+        first[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(s)))
+        vs, ws, us = [], [], []
+        for st, ln in zip(starts, lens):       # per-node triu explode
+            if ln < 2:
+                continue
+            adj = d[st:st + ln]
+            iu, ju = np.triu_indices(ln, k=1)
+            vs.append(adj[iu])
+            ws.append(adj[ju])
+            us.append(np.full(len(iu), s[st], dtype=np.int64))
+        if not vs:
+            return empty
+        v = np.concatenate(vs)
+        w = np.concatenate(ws)
+        u = np.concatenate(us)
+        vv, ww = np.minimum(v, w), np.maximum(v, w)
+        b = (((vv << np.int64(32)) | ww)
+             % np.int64(buckets)).astype(np.int32)
+        return pa.table({"v": pa.array(vv), "w": pa.array(ww),
+                         "u": pa.array(u), "_b": pa.array(b),
+                         "_e": pa.array(np.zeros(len(vv), np.int64))})
+
+    def edge_keyed(batch: pa.Table) -> pa.Table:
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        hi = batch["hi"].to_numpy(zero_copy_only=False)
+        key = (lo << np.int64(32)) | hi
+        b = (key % np.int64(buckets)).astype(np.int32)
+        return pa.table({"v": pa.array(lo), "w": pa.array(hi),
+                         "u": pa.array(np.full(len(lo), -1, np.int64)),
+                         "_b": pa.array(b),
+                         "_e": pa.array(np.ones(len(lo), np.int64))})
+
+    wedge_ds = oriented.groupby("_sb").map_groups(
+        wedges, batch_format="pyarrow")
+    edge_ds = dedup.map_batches(edge_keyed, batch_format="pyarrow")
+
+    def probe(g: pa.Table) -> pa.Table:
+        empty = pa.table({"node": pa.array([], type=pa.int64()),
+                          "t": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "v" not in g.schema.names:
+            return empty
+        is_edge = g["_e"].to_numpy(zero_copy_only=False) == 1
+        key = ((g["v"].to_numpy(zero_copy_only=False) << np.int64(32))
+               | g["w"].to_numpy(zero_copy_only=False))
+        ek = np.sort(key[is_edge])
+        wk = key[~is_edge]
+        if not len(ek) or not len(wk):
+            return empty
+        pos = np.searchsorted(ek, wk)
+        hit = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == wk)
+        if not hit.any():
+            return empty
+        wedge = g.filter(pa.array(~is_edge))
+        nodes = np.concatenate([
+            wedge["u"].to_numpy(zero_copy_only=False)[hit],
+            wedge["v"].to_numpy(zero_copy_only=False)[hit],
+            wedge["w"].to_numpy(zero_copy_only=False)[hit]])
+        un, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(un),
+                         "t": pa.array(c.astype(np.int64))})
+
+    tri = wedge_ds.union(edge_ds).groupby("_b") \
+        .map_groups(probe, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("t", alias_name="t"))
+
+    from ..blocks import _drop_empty_blocks, attach_lookup_bucketed
+
+    tri = _drop_empty_blocks(tri.materialize())
+    if tri is None:
+        def zero(batch: pa.Table) -> pa.Table:
+            d = batch["d"].to_numpy(zero_copy_only=False)
+            n = len(d)
+            return pa.table({
+                "node": batch["node"],
+                "degree": pa.array(d.astype(np.int64)),
+                "triangles": pa.array(np.zeros(n, np.int64)),
+                "coeff": pa.array(np.zeros(n, np.float64))})
+        return deg_ds.map_batches(zero, batch_format="pyarrow")
+
+    with_t = attach_lookup_bucketed(deg_ds, tri, "node", "t", "tri",
+                                    lookup_key="node", buckets=buckets)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pc.fill_null(batch["tri"], 0).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        denom = d * (d - 1)
+        coeff = np.where(denom > 0,
+                         (2.0 * t) / np.where(denom > 0, denom, 1), 0.0)
+        return pa.table({"node": batch["node"],
+                         "degree": pa.array(d),
+                         "triangles": pa.array(t),
+                         "coeff": pa.array(coeff.astype(np.float64))})
+
+    return with_t.map_batches(finish, batch_format="pyarrow")
