@@ -1368,6 +1368,39 @@ def q_normalize_docs(sf_dir: str):
         .select_columns(["doc_id", "clean", "n_redacted"])
 
 
+def q_pii_redact_docs(sf_dir: str):
+    """PII scrubbing (stages/text.PiiRedactor): emails -> IPv4 -> phone
+    numbers detected and rewritten with class tokens, per-class counts.
+    The synthetic corpus carries no PII, so the query plants a
+    deterministic doc_id-derived contact line in BOTH engines (the
+    IMAGES_SQL_CTE derive-side pattern) before the redactor runs — the
+    redaction then does real work and counts vary with the text."""
+    from osmium_tool_ray.stages.text import PiiRedactor
+
+    def plant(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        txt = np.asarray(batch["text"].to_pylist(), dtype=object)
+        suf = np.char.add(np.char.add(np.char.add(np.char.add(
+            np.char.add(np.char.add(np.char.add(
+                " reach user", did.astype("U")), "@example.com or 10."),
+                (did % 200).astype("U")), ".0."),
+                (did % 250).astype("U")), " tel 555-"),
+            np.char.add(np.char.add(
+                np.char.zfill((did % 1000).astype("U"), 3), "-"),
+                np.char.zfill((did % 10000).astype("U"), 4)))
+        planted = txt + suf.astype(object)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(planted.tolist(),
+                                          type=pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(plant, batch_format="pyarrow") \
+        .map_batches(PiiRedactor, fn_constructor_kwargs={"text_col": "text"},
+                     batch_format="pyarrow", concurrency=2) \
+        .select_columns(["doc_id", "clean", "n_emails", "n_ips",
+                         "n_phones"])
+
+
 def q_sliding_window_counts(sf_dir: str):
     """Hopping windowed aggregate (pipelines/windows
     .sliding_window_aggregate): 6h windows every 2h per event_type —
@@ -4130,6 +4163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": q_stratified_sample,
         "weighted_sample_docs": q_weighted_sample_docs,
         "normalize_docs": q_normalize_docs,
+        "pii_redact_docs": q_pii_redact_docs,
         "sliding_window_counts": q_sliding_window_counts,
         "region_revenue": q_region_revenue,
         "docs_rollup": q_docs_rollup,
@@ -4698,6 +4732,44 @@ def oracle_sql() -> dict[str, str]:
                         '\b(?:customer|supplier|part)\b')) AS BIGINT)
                        AS n_redacted
             FROM documents""",
+        "pii_redact_docs": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text || ' reach user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or 10.'
+                            || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                            || CAST(doc_id % 250 AS VARCHAR)
+                            || ' tel 555-'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           AS t
+                FROM documents),
+            e AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(t,
+                            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+                           AS BIGINT) AS n_emails,
+                       regexp_replace(t,
+                            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                            '<EMAIL>', 'g') AS t
+                FROM planted),
+            i AS (
+                SELECT doc_id, n_emails,
+                       CAST(len(regexp_extract_all(t,
+                            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                           AS BIGINT) AS n_ips,
+                       regexp_replace(t,
+                            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                            '<IP>', 'g') AS t
+                FROM e)
+            SELECT doc_id,
+                   regexp_replace(t, '\b\d{3}-\d{3}-\d{4}\b',
+                                  '<PHONE>', 'g') AS clean,
+                   n_emails, n_ips,
+                   CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b'))
+                       AS BIGINT) AS n_phones
+            FROM i""",
         "sliding_window_counts": """
             SELECT (CAST(floor(epoch(ts) / 7200) AS BIGINT) - i) * 7200
                        AS "window",

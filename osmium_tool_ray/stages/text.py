@@ -110,6 +110,49 @@ class Normalizer:
                     .append_column("n_redacted", hits)
 
 
+class PiiRedactor:
+    """PII scrubbing — the safety-filter stage every web-scale training
+    corpus runs before anything else ships: detect and rewrite emails,
+    IPv4 addresses and phone numbers with class tokens, reporting a
+    per-class hit count so downstream curation can threshold on PII
+    density. Three sequential RE2 rewrites; each class is counted on the
+    text AS IT STANDS when that class is scanned (email first, then IP on
+    the email-redacted text, then phone), so the engine and a nested
+    regexp_replace(..., 'g') SQL twin agree token-for-token — both
+    engines run RE2 with identical leftmost non-overlapping semantics.
+
+    Pure map-side zero-copy Arrow (pc.count_substring_regex /
+    pc.replace_substring_regex); no shuffle, retry/partition stable.
+    The reference's analogous content rewrite is the tags-filter tag
+    strip (/root/reference/src/command_tags_filter.cpp:346-366)."""
+
+    EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+    def __init__(self, text_col: str = "text", out_col: str = "clean"):
+        self.text_col, self.out_col = text_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = batch[self.text_col]
+        n_email = pc.count_substring_regex(t, pattern=self.EMAIL) \
+            .cast(pa.int64())
+        t = pc.replace_substring_regex(t, pattern=self.EMAIL,
+                                       replacement="<EMAIL>")
+        n_ip = pc.count_substring_regex(t, pattern=self.IPV4) \
+            .cast(pa.int64())
+        t = pc.replace_substring_regex(t, pattern=self.IPV4,
+                                       replacement="<IP>")
+        n_phone = pc.count_substring_regex(t, pattern=self.PHONE) \
+            .cast(pa.int64())
+        t = pc.replace_substring_regex(t, pattern=self.PHONE,
+                                       replacement="<PHONE>")
+        return batch.append_column(self.out_col, t) \
+                    .append_column("n_emails", n_email) \
+                    .append_column("n_ips", n_ip) \
+                    .append_column("n_phones", n_phone)
+
+
 class LangId:
     """Stopword-vote language id over a fixed tiny lexicon (deterministic
     heuristic; this class is the declared seam where a real fasttext-
