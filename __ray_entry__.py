@@ -187,6 +187,33 @@ def q_cell_grid_counts(sf_dir: str):
         .groupby(["cell_x", "cell_y"]).aggregate(Sum("n", alias_name="n_images"))
 
 
+def q_hex_bin_counts(sf_dir: str):
+    """H3-style hexagonal binning (functions/cells.hex_encode): image
+    positions assigned to the Voronoi cell of an offset hex lattice
+    (pointy-top, 1-degree pitch) entirely in int64, then counted.
+    Map-side partial np.unique pre-agg + ONE native Sum groupby — the
+    cell_grid_counts shape on a hex lattice; the SQL twin evaluates the
+    identical two-row nearest-center CASE with exact integer distances."""
+    from ray.data.aggregate import Sum
+    from osmium_tool_ray.functions.cells import hex_encode
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        x = (eid * 7919) % 36000 - 18000
+        y = (eid * 104729) % 17000 - 8500
+        hq, hr = hex_encode(x, y)
+        key = ((hq + 512) << 16) | (hr + 512)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"hq": pa.array((uk >> 16) - 512, type=pa.int64()),
+                         "hr": pa.array((uk & 0xFFFF) - 512,
+                                        type=pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return _events(sf_dir, ["event_id"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["hq", "hr"]).aggregate(Sum("n", alias_name="n_images"))
+
+
 def q_tile_counts_salted(sf_dir: str):
     from osmium_tool_ray.functions.cells import cell_to_xy
     from osmium_tool_ray.stages.tiles import salted_counts
@@ -4096,6 +4123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_pruned_bbox": q_zorder_pruned_bbox,
         "extract_multi_fanout": q_extract_multi_fanout,
         "cell_grid_counts": q_cell_grid_counts,
+        "hex_bin_counts": q_hex_bin_counts,
         "smooth_cell_counts": q_smooth_cell_counts,
         "geohash_counts": q_geohash_counts,
         "geojson_roundtrip": q_geojson_roundtrip,
@@ -4335,6 +4363,31 @@ def oracle_sql() -> dict[str, str]:
         "cell_grid_counts": f"""{cte}
             SELECT cell_x, cell_y, COUNT(*) AS n_images
             FROM (SELECT {cells10} FROM images) GROUP BY cell_x, cell_y""",
+        "hex_bin_counts": """
+            WITH pts AS (SELECT
+                   (event_id * 7919) % 36000 - 18000 AS x,
+                   (event_id * 104729) % 17000 - 8500 AS y
+                 FROM events),
+            c0 AS (SELECT x, y, CAST(floor(y / 87.0) AS BIGINT) AS j0,
+                          ((CAST(floor(y / 87.0) AS BIGINT) % 2) + 2) % 2
+                              AS p0
+                   FROM pts),
+            c1 AS (SELECT x, y, j0, p0,
+                     CAST(floor((2 * (x - p0 * 50) + 100) / 200.0)
+                          AS BIGINT) AS i0,
+                     CAST(floor((2 * (x - (1 - p0) * 50) + 100) / 200.0)
+                          AS BIGINT) AS i1
+                   FROM c0),
+            c2 AS (SELECT j0, i0, i1,
+                     (x - (i0*100 + p0*50)) * (x - (i0*100 + p0*50))
+                       + (y - j0*87) * (y - j0*87) AS d0,
+                     (x - (i1*100 + (1-p0)*50)) * (x - (i1*100 + (1-p0)*50))
+                       + (y - (j0+1)*87) * (y - (j0+1)*87) AS d1
+                   FROM c1)
+            SELECT CASE WHEN d1 < d0 THEN i1 ELSE i0 END AS hq,
+                   CASE WHEN d1 < d0 THEN j0 + 1 ELSE j0 END AS hr,
+                   COUNT(*) AS n_images
+            FROM c2 GROUP BY hq, hr""",
         "tile_counts_salted": f"""{cte}
             SELECT cell_x, cell_y, COUNT(*) AS n_images
             FROM (SELECT {cells6} FROM images) GROUP BY cell_x, cell_y""",

@@ -183,3 +183,47 @@ def geohash_encode(lon: np.ndarray, lat: np.ndarray,
                                   & np.uint64(0x1F)).astype(np.int64)]
     return chars.reshape(n * precision).view(f"S{precision}") \
         .astype(str)
+
+
+def hex_encode(x: np.ndarray, y: np.ndarray,
+               w: int = 100, h: int = 87) -> tuple[np.ndarray, np.ndarray]:
+    """H3-style hexagonal binning: assign integer points to the Voronoi
+    cell of an offset hex lattice — centers at (i*w + (j&1)*w/2, j*h) —
+    entirely in int64 (pointy-top hexagons when h ≈ w*sqrt(3)/2; the
+    87/100 default is that ratio in centi-degree units, kept integral so
+    the SQL twin is exact).
+
+    Assignment needs only the two bracketing rows: for y in
+    [j0*h, (j0+1)*h) any row-(j0-1) center is farther than the best
+    row-j0 center because (dy+h)^2 - dy^2 = h^2 + 2*h*dy >= h^2 > (w/2)^2
+    whenever h > w/2 — true for every hex-ish aspect. Ties in squared
+    distance resolve to the LOWER row (candidate A wins unless strictly
+    closer), matching a CASE WHEN d1 < d0 SQL twin; within a row the
+    center index i = floor((2*(x-ox)+w) / (2*w)) rounds half-up.
+
+    `w` must be even so the odd-row offset w/2 stays integral.
+    Returns (hq, hr) = (center column index i, row index j), int64.
+    """
+    if w % 2 or h <= w // 2:
+        raise ValueError("w must be even and h > w/2")
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    j0 = np.floor_divide(y, h)
+    out_i = np.empty(len(x), dtype=np.int64)
+    out_j = np.empty(len(x), dtype=np.int64)
+    best = None
+    for k, j in enumerate((j0, j0 + 1)):
+        ox = (j & 1) * (w // 2)
+        i = np.floor_divide(2 * (x - ox) + w, 2 * w)
+        dx = x - (i * w + ox)
+        dy = y - j * h
+        d2 = dx * dx + dy * dy
+        if k == 0:
+            out_i[:] = i
+            out_j[:] = j
+            best = d2
+        else:
+            closer = d2 < best
+            out_i[closer] = i[closer]
+            out_j[closer] = j[closer]
+    return out_i, out_j
