@@ -2236,6 +2236,30 @@ def q_segment_crossings(sf_dir: str):
     return segment_crossings(segs, "user_id", cell=6000)
 
 
+def q_hausdorff_tracks(sf_dir: str):
+    """Trajectory similarity (stages/spatial.hausdorff_to_ref): directed
+    + symmetric squared Hausdorff distance of every user's point set to
+    user 7's track, exact int64. Points stream through one stateless
+    partial map; only O(users x |ref|) mergeable partials shuffle."""
+    from osmium_tool_ray.stages.spatial import hausdorff_to_ref
+
+    ev = _events(sf_dir, ["event_id", "user_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        xq = (eid * 7919) % 36000 - 18000
+        yq = (eid * 104729) % 17000 - 8500
+        return pa.table({"user_id": batch["user_id"],
+                         "xq": pa.array(xq), "yq": pa.array(yq)})
+
+    pts = ev.map_batches(coords, batch_format="pyarrow")
+    ref_rows = pts.filter(expr="user_id == 7") \
+        .take_all()                  # ONE user's track: small by nature
+    ref_xy = np.array([[r["xq"], r["yq"]] for r in ref_rows],
+                      dtype=np.int64).reshape(-1, 2)
+    return hausdorff_to_ref(pts, "user_id", "xq", "yq", ref_xy)
+
+
 def q_corridor_points(sf_dir: str):
     """Corridor membership (stages/spatial.corridor_points): all event
     points within radius 150 (quantized units) of user 7's track
@@ -4214,6 +4238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ring_area_user": q_ring_area,
         "segment_crossings": q_segment_crossings,
         "corridor_points": q_corridor_points,
+        "hausdorff_tracks": q_hausdorff_tracks,
         "ripley_pair_counts": q_ripley_counts,
         "gini_impurity_user": q_gini_impurity,
         "mad_value_user": q_mad_value,
@@ -5098,6 +5123,27 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (200), (400), (800)) r(r)
             LEFT JOIN d ON d.d2 <= r.r * r.r
             GROUP BY r.r""",
+        "hausdorff_tracks": """
+            WITH pts AS (SELECT event_id, user_id,
+                   (event_id * 7919) % 36000 - 18000 AS xq,
+                   (event_id * 104729) % 17000 - 8500 AS yq
+                 FROM events),
+            ref AS (SELECT xq AS rx, yq AS ry FROM pts
+                    WHERE user_id = 7),
+            da AS (SELECT p.user_id, p.event_id,
+                     MIN((p.xq-r.rx)*(p.xq-r.rx)
+                         + (p.yq-r.ry)*(p.yq-r.ry)) AS m
+                   FROM pts p CROSS JOIN ref r GROUP BY 1, 2),
+            hab AS (SELECT user_id, MAX(m) AS h_ab FROM da GROUP BY 1),
+            rr AS (SELECT rx, ry, ROW_NUMBER() OVER () AS rn FROM ref),
+            db AS (SELECT p.user_id, r.rn,
+                     MIN((p.xq-r.rx)*(p.xq-r.rx)
+                         + (p.yq-r.ry)*(p.yq-r.ry)) AS m
+                   FROM pts p CROSS JOIN rr r GROUP BY 1, 2),
+            hba AS (SELECT user_id, MAX(m) AS h_ba FROM db GROUP BY 1)
+            SELECT a.user_id, a.h_ab, b.h_ba,
+                   GREATEST(a.h_ab, b.h_ba) AS h_sym
+            FROM hab a JOIN hba b USING (user_id)""",
         "corridor_points": """
             WITH pts AS (SELECT event_id, user_id, ts,
                    (event_id * 7919) % 36000 - 18000 AS xq,

@@ -982,3 +982,119 @@ def ripley_pair_counts(ds, id_col: str, x_col: str, y_col: str,
     return pairs.map_batches(partial, batch_format="pyarrow") \
         .union(zeros).groupby("r") \
         .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+
+
+def hausdorff_to_ref(ds, key_col: str, x_col: str, y_col: str,
+                     ref_xy: np.ndarray, chunk: int = 8192,
+                     buckets: int | None = None):
+    """Trajectory similarity vs a query track: per-key directed and
+    symmetric Hausdorff distances (squared, exact int64) between each
+    key's point set A and a broadcast reference point set R —
+    h(A,R) = max_{a} min_{r} d2(a,r), h(R,A) = max_{r} min_{a} d2(a,r),
+    H = max of the two (Alt & Godau's discrete Hausdorff; the distance
+    every trajectory-clustering survey baselines against).
+
+    Scale shape: R is ONE track (small by nature — the corridor_points
+    broadcast argument); points stream through a stateless map that
+    emits two mergeable partials per batch:
+      * per-key max of per-point min-over-R      (ridx = -1, Max-merge)
+      * per-(key, ridx) min over the batch's points (Min-merge)
+    then ONE native (key, ridx) groupby folds partials losslessly, a
+    narrow (key, side) Max groupby collapses the R-side mins, and one
+    group_by_key_bucket pivot emits a single row per key. Intermediate
+    volume is O(keys x |R|) — never O(points x |R|) past the map.
+
+    The reference's closest operation is the extract polygon distance
+    test (/root/reference/src/extract/geojson_file_parser.cpp ring
+    handling); the quantized-integer exactness contract matches
+    corridor_points/segment_crossings (stages/spatial.py above).
+    """
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    from ..blocks import group_by_key_bucket
+
+    rx = np.ascontiguousarray(ref_xy[:, 0], dtype=np.int64)
+    ry = np.ascontiguousarray(ref_xy[:, 1], dtype=np.int64)
+    nref = len(rx)
+    if nref == 0:
+        return ray.data.from_arrow(pa.table({
+            key_col: pa.array([], type=pa.int64()),
+            "h_ab": pa.array([], type=pa.int64()),
+            "h_ba": pa.array([], type=pa.int64()),
+            "h_sym": pa.array([], type=pa.int64())}))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(k, kind="stable")
+        k, x, y = k[o], x[o], y[o]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        uk = k[starts]
+        amax = np.zeros(len(uk), dtype=np.int64)       # h(A,R) partial
+        rmin = np.full((len(uk), nref), np.int64(1) << 62)
+        for lo in range(0, len(k), chunk):
+            hi = min(lo + chunk, len(k))
+            dx = x[lo:hi, None] - rx[None, :]
+            dy = y[lo:hi, None] - ry[None, :]
+            d2 = dx * dx + dy * dy
+            pmin = d2.min(axis=1)
+            # segment boundaries restricted to this chunk
+            seg = np.unique(np.clip(starts, lo, hi)) - lo
+            seg = seg[seg < (hi - lo)]
+            first_seg = np.searchsorted(starts, lo, side="right") - 1
+            idx = first_seg + np.arange(len(seg))
+            np.maximum.at(amax, idx,
+                          np.maximum.reduceat(pmin, seg))
+            np.minimum.at(rmin, idx,
+                          np.minimum.reduceat(d2, seg, axis=0))
+        keys_out = np.concatenate([uk, np.repeat(uk, nref)])
+        ridx_out = np.concatenate([
+            np.full(len(uk), -1, dtype=np.int64),
+            np.tile(np.arange(nref, dtype=np.int64), len(uk))])
+        m_out = np.concatenate([amax, rmin.ravel()])
+        return pa.table({key_col: pa.array(keys_out),
+                         "ridx": pa.array(ridx_out),
+                         "m": pa.array(m_out)})
+
+    g1 = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([key_col, "ridx"]) \
+        .aggregate(Min("m", alias_name="mn"), Max("m", alias_name="mx"))
+
+    def to_sides(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             "side": pa.array([], type=pa.int64()),
+                             "h": pa.array([], type=pa.int64())})
+        ridx = batch["ridx"].to_numpy(zero_copy_only=False)
+        mn = batch["mn"].to_numpy(zero_copy_only=False)
+        mx = batch["mx"].to_numpy(zero_copy_only=False)
+        side = (ridx >= 0).astype(np.int64)
+        h = np.where(ridx < 0, mx, mn).astype(np.int64)
+        return pa.table({key_col: batch[key_col],
+                         "side": pa.array(side), "h": pa.array(h)})
+
+    sides = g1.map_batches(to_sides, batch_format="pyarrow") \
+        .groupby([key_col, "side"]).aggregate(Max("h", alias_name="hm"))
+
+    def pivot(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             "h_ab": pa.array([], type=pa.int64()),
+                             "h_ba": pa.array([], type=pa.int64()),
+                             "h_sym": pa.array([], type=pa.int64())})
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        s = g["side"].to_numpy(zero_copy_only=False)
+        h = g["hm"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((s, k))
+        k, s, h = k[o], s[o], h[o]
+        # exactly two rows per key (side 0 then side 1)
+        ab, ba = h[0::2], h[1::2]
+        return pa.table({key_col: pa.array(k[0::2]),
+                         "h_ab": pa.array(ab.astype(np.int64)),
+                         "h_ba": pa.array(ba.astype(np.int64)),
+                         "h_sym": pa.array(np.maximum(ab, ba)
+                                           .astype(np.int64))})
+
+    return group_by_key_bucket(sides, key_col, pivot, buckets=buckets)
