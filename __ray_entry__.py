@@ -2236,6 +2236,16 @@ def q_segment_crossings(sf_dir: str):
     return segment_crossings(segs, "user_id", cell=6000)
 
 
+def q_mann_kendall_user(sf_dir: str):
+    """Per-user Mann-Kendall trend statistic (pipelines/stats
+    .mann_kendall_per_key): exact integer S over ts-ordered pairs in
+    O(n log^2 n) level-wise merge counting vs the O(n^2) SQL self-join."""
+    from osmium_tool_ray.pipelines.stats import mann_kendall_per_key
+
+    ev = _events(sf_dir, ["user_id", "ts", "value"])
+    return mann_kendall_per_key(ev, "user_id", "ts", "value")
+
+
 def q_hausdorff_tracks(sf_dir: str):
     """Trajectory similarity (stages/spatial.hausdorff_to_ref): directed
     + symmetric squared Hausdorff distance of every user's point set to
@@ -4239,6 +4249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_crossings": q_segment_crossings,
         "corridor_points": q_corridor_points,
         "hausdorff_tracks": q_hausdorff_tracks,
+        "mann_kendall_user": q_mann_kendall_user,
         "ripley_pair_counts": q_ripley_counts,
         "gini_impurity_user": q_gini_impurity,
         "mad_value_user": q_mad_value,
@@ -5123,6 +5134,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (200), (400), (800)) r(r)
             LEFT JOIN d ON d.d2 <= r.r * r.r
             GROUP BY r.r""",
+        "mann_kendall_user": """
+            SELECT a.user_id,
+                   CAST(SUM(CASE WHEN b.value > a.value THEN 1
+                                 WHEN b.value < a.value THEN -1
+                                 ELSE 0 END) AS BIGINT) AS s_stat,
+                   COUNT(*) AS n_pairs
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.ts < b.ts
+            GROUP BY a.user_id""",
         "hausdorff_tracks": """
             WITH pts AS (SELECT event_id, user_id,
                    (event_id * 7919) % 36000 - 18000 AS xq,

@@ -938,3 +938,111 @@ def rrf_fuse(ranked_a, ranked_b, id_col: str, rank_a_col: str,
                                                      type=pa.float64()))
 
     return joined.map_batches(score, batch_format="pyarrow")
+
+
+def mann_kendall_per_key(ds, key_col: str, ts_col: str, val_col: str,
+                         buckets: int | None = None):
+    """Per-key Mann-Kendall trend statistic S = sum over pairs with
+    ts_i < ts_j of sign(v_j - v_i), plus the qualifying pair count —
+    the standard nonparametric monotonic-trend test (Mann 1945, Kendall
+    1975). Exact integers; pairs with equal timestamps do not qualify,
+    v-ties contribute 0.
+
+    The SQL twin is the O(n^2) self-join; this fold is O(n log^2 n):
+    ONE group_by_key_bucket shuffle, then level-wise merge counting of
+    ascent pairs across ALL keys of a bucket at once — at level L,
+    pairs whose per-key time ranks first diverge at bit L are counted
+    via one lexsort by (key, rank>>L+1, v) and a cumulative count of
+    left-half elements with strictly smaller v (run-start cumsum
+    arithmetic, no per-key Python). v-tie and ts-tie pair counts come
+    from run-length C(c,2) folds; the identity
+    S = 2*ascents + vties - C(n,2) - equal_ts_ascents assembles S.
+
+    Keys with zero qualifying pairs (single point, or all points at one
+    timestamp) are dropped, matching the join-based SQL twin row set.
+    """
+    import numpy as np
+
+    from ..blocks import group_by_key_bucket
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], type=pa.int64()),
+                          "s_stat": pa.array([], type=pa.int64()),
+                          "n_pairs": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        ts = g[ts_col].to_numpy(zero_copy_only=False)
+        if ts.dtype.kind == "M":
+            ts = ts.view(np.int64)
+        v = g[val_col].to_numpy(zero_copy_only=False)
+        n = len(k)
+        o = np.lexsort((v, ts, k))
+        k, ts, v = k[o], ts[o], v[o]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        uk = k[starts]
+        nseg = np.diff(np.r_[starts, n])
+        r = np.arange(n) - np.repeat(starts, nseg)
+        seg_id = np.repeat(np.arange(len(uk)), nseg)
+        c2 = nseg.astype(np.int64) * (nseg - 1) // 2
+
+        def run_pair_counts(*cols):
+            diff = np.zeros(n - 1, dtype=bool) if n > 1 else \
+                np.zeros(0, dtype=bool)
+            for c in (k,) + cols:
+                diff |= c[1:] != c[:-1]
+            rs = np.flatnonzero(np.r_[True, diff])
+            rl = np.diff(np.r_[rs, n]).astype(np.int64)
+            return np.bincount(seg_id[rs], weights=rl * (rl - 1) // 2,
+                               minlength=len(uk)).astype(np.int64)
+
+        ts_pairs = run_pair_counts(ts)
+        tsv_pairs = run_pair_counts(ts, v)
+        # v-tie pairs need (key, v) runs regardless of ts: resort
+        ov = np.lexsort((v, k))
+        kv, vv = k[ov], v[ov]
+        rs = np.flatnonzero(np.r_[True, (kv[1:] != kv[:-1])
+                                  | (vv[1:] != vv[:-1])]) \
+            if n > 1 else np.array([0])
+        rl = np.diff(np.r_[rs, n]).astype(np.int64)
+        t_v = np.bincount(np.searchsorted(uk, kv[rs]),
+                          weights=rl * (rl - 1) // 2,
+                          minlength=len(uk)).astype(np.int64)
+
+        ascents = np.zeros(len(uk), dtype=np.int64)
+        max_n = int(nseg.max())
+        lev = 0
+        while (1 << lev) < max_n:
+            parent = r >> (lev + 1)
+            half = (r >> lev) & 1
+            oo = np.lexsort((half, v, parent, k))
+            kk, pp, vv2, hh = k[oo], parent[oo], v[oo], half[oo]
+            segl = np.flatnonzero(np.r_[True, (kk[1:] != kk[:-1])
+                                        | (pp[1:] != pp[:-1])]) \
+                if n > 1 else np.array([0])
+            left = (hh == 0).astype(np.int64)
+            cl = np.cumsum(left)
+            base = np.repeat(cl[segl] - left[segl],
+                             np.diff(np.r_[segl, n]))
+            vrs = np.flatnonzero(np.r_[True, (kk[1:] != kk[:-1])
+                                       | (pp[1:] != pp[:-1])
+                                       | (vv2[1:] != vv2[:-1])]) \
+                if n > 1 else np.array([0])
+            vstart = np.repeat(vrs, np.diff(np.r_[vrs, n]))
+            cl_before = np.where(vstart > 0,
+                                 cl[np.maximum(vstart - 1, 0)], 0)
+            contrib = cl_before - base
+            right = hh == 1
+            np.add.at(ascents, np.searchsorted(uk, kk[right]),
+                      contrib[right])
+            lev += 1
+
+        s = 2 * ascents + t_v - c2 - (ts_pairs - tsv_pairs)
+        n_pairs = c2 - ts_pairs
+        keep = n_pairs > 0
+        return pa.table({key_col: pa.array(uk[keep]),
+                         "s_stat": pa.array(s[keep]),
+                         "n_pairs": pa.array(n_pairs[keep])})
+
+    narrow = ds.select_columns([key_col, ts_col, val_col])
+    return group_by_key_bucket(narrow, key_col, fold, buckets=buckets)
