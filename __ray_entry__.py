@@ -2236,6 +2236,16 @@ def q_segment_crossings(sf_dir: str):
     return segment_crossings(segs, "user_id", cell=6000)
 
 
+def q_gap_fill_user(sf_dir: str):
+    """Regular-grid forward fill (pipelines/windows.gap_fill): 6h grid
+    per user, latest-observation-at-or-before semantics, event_id tie;
+    ONE bucket shuffle, coverage-interval emit (no per-key work)."""
+    from osmium_tool_ray.pipelines.windows import gap_fill
+
+    ev = _events(sf_dir, ["user_id", "ts", "value", "event_id"])
+    return gap_fill(ev, "user_id", "ts", "value", 21600, "event_id")
+
+
 def q_mann_kendall_user(sf_dir: str):
     """Per-user Mann-Kendall trend statistic (pipelines/stats
     .mann_kendall_per_key): exact integer S over ts-ordered pairs in
@@ -4250,6 +4260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corridor_points": q_corridor_points,
         "hausdorff_tracks": q_hausdorff_tracks,
         "mann_kendall_user": q_mann_kendall_user,
+        "gap_fill_user": q_gap_fill_user,
         "ripley_pair_counts": q_ripley_counts,
         "gini_impurity_user": q_gini_impurity,
         "mad_value_user": q_mad_value,
@@ -5134,6 +5145,26 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (200), (400), (800)) r(r)
             LEFT JOIN d ON d.d2 <= r.r * r.r
             GROUP BY r.r""",
+        "gap_fill_user": """
+            WITH e2 AS (SELECT user_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                          value, event_id
+                        FROM events),
+            obs AS (SELECT user_id, es, arg_max(value, event_id) AS v
+                    FROM e2 GROUP BY 1, 2),
+            rng AS (SELECT user_id,
+                      (MIN(es) + 21599) // 21600 AS mn,
+                      MAX(es) // 21600 AS mx
+                    FROM obs GROUP BY 1),
+            grid AS (SELECT user_id,
+                       unnest(generate_series(mn, mx)) AS m
+                     FROM rng WHERE mx >= mn),
+            j AS (SELECT g.user_id, g.m * 21600 AS grid_ts, o.v,
+                    ROW_NUMBER() OVER (PARTITION BY g.user_id, g.m
+                                       ORDER BY o.es DESC) AS rn
+                  FROM grid g JOIN obs o
+                    ON o.user_id = g.user_id AND o.es <= g.m * 21600)
+            SELECT user_id, grid_ts, v AS value FROM j WHERE rn = 1""",
         "mann_kendall_user": """
             SELECT a.user_id,
                    CAST(SUM(CASE WHEN b.value > a.value THEN 1

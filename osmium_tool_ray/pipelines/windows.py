@@ -1501,3 +1501,75 @@ def ring_area_per_key(ds, key_col: str, ts_col: str, x_col: str,
         list(dict.fromkeys([key_col, ts_col, x_col, y_col]
                            + ([tie_col] if tie_col else []))))
     return group_by_key_bucket(narrow, key_col, per_group)
+
+
+def gap_fill(ds, key_col: str, ts_col: str, val_col: str, step_s: int,
+             tie_col: str, buckets: int | None = None):
+    """Per-key regular-time-grid forward fill — the time-series
+    gap-filling / resampling primitive (grid points every `step_s`
+    seconds from the key's first observation to its last; each grid
+    point carries the value of the latest observation at or before it;
+    at equal timestamps the larger `tie_col` wins, making repeated runs
+    byte-identical).
+
+    Scale shape: ONE group_by_key_bucket shuffle of the narrow
+    (key, epoch-second, value, tie) projection, then a fold that never
+    does per-key work: forward fill onto a REGULAR grid means
+    observation i covers exactly the grid indices
+    [ceil(es_i/step), ceil(es_{i+1}/step)), so the fold is a lexsort,
+    one run-length dedup, a clipped count per observation, and one
+    repeat + segmented-arange emit — output rows stream out proportional
+    to grid coverage, no searchsorted per key, no Python per key.
+
+    The SQL twin is the independent top-1-per-grid-point formulation
+    (ROW_NUMBER over obs with es <= grid ts). resample_tracks
+    (stages/spatial.py) is the positional cousin; this is the
+    value-carrying one."""
+    import numpy as np
+
+    from ..blocks import group_by_key_bucket
+
+    def pre(batch: pa.Table) -> pa.Table:
+        es = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // 10**6
+        return pa.table({key_col: batch[key_col],
+                         "es": pa.array(es),
+                         "v": batch[val_col],
+                         "t": batch[tie_col]})
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], type=pa.int64()),
+                          "grid_ts": pa.array([], type=pa.int64()),
+                          "value": pa.array([], type=pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        es = g["es"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        o = np.lexsort((t, es, k))
+        k, es, v = k[o], es[o], v[o]
+        # last row of each equal (key, es) run wins (max tie there)
+        last = np.r_[(k[:-1] != k[1:]) | (es[:-1] != es[1:]), True]
+        k, es, v = k[last], es[last], v[last]
+        n = len(k)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], n] - 1
+        start_m = (es + step_s - 1) // step_s       # es >= 0 (epoch)
+        end_m = np.empty(n, dtype=np.int64)
+        end_m[:-1] = start_m[1:]
+        end_m[ends] = es[ends] // step_s + 1
+        cnt = np.maximum(end_m - start_m, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        rep = np.repeat(np.arange(n), cnt)
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        grid_ts = (start_m[rep] + offs) * step_s
+        return pa.table({key_col: pa.array(k[rep]),
+                         "grid_ts": pa.array(grid_ts),
+                         "value": pa.array(v[rep])})
+
+    narrow = ds.map_batches(pre, batch_format="pyarrow")
+    return group_by_key_bucket(narrow, key_col, fold, buckets=buckets)
