@@ -2236,6 +2236,17 @@ def q_segment_crossings(sf_dir: str):
     return segment_crossings(segs, "user_id", cell=6000)
 
 
+def q_changepoint_user(sf_dir: str):
+    """CUSUM changepoint per user (pipelines/stats
+    .cusum_changepoint_per_key): exact-integer mean-shift scan, one
+    bucket shuffle, lexsort argmax across all keys per bucket."""
+    from osmium_tool_ray.pipelines.stats import cusum_changepoint_per_key
+
+    ev = _events(sf_dir, ["user_id", "ts", "value", "event_id"])
+    return cusum_changepoint_per_key(ev, "user_id", "ts", "value",
+                                     "event_id")
+
+
 def q_gap_fill_user(sf_dir: str):
     """Regular-grid forward fill (pipelines/windows.gap_fill): 6h grid
     per user, latest-observation-at-or-before semantics, event_id tie;
@@ -4261,6 +4272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hausdorff_tracks": q_hausdorff_tracks,
         "mann_kendall_user": q_mann_kendall_user,
         "gap_fill_user": q_gap_fill_user,
+        "changepoint_user": q_changepoint_user,
         "ripley_pair_counts": q_ripley_counts,
         "gini_impurity_user": q_gini_impurity,
         "mad_value_user": q_mad_value,
@@ -5145,6 +5157,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (200), (400), (800)) r(r)
             LEFT JOIN d ON d.d2 <= r.r * r.r
             GROUP BY r.r""",
+        "changepoint_user": """
+            WITH e AS (SELECT user_id, ts, event_id,
+                         CAST(round(value * 100) AS BIGINT) AS vc
+                       FROM events),
+            w AS (SELECT user_id,
+                    CAST(SUM(vc) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS BIGINT) AS s,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS i,
+                    CAST(SUM(vc) OVER (PARTITION BY user_id)
+                         AS BIGINT) AS stot,
+                    COUNT(*) OVER (PARTITION BY user_id) AS n
+                  FROM e)
+            SELECT user_id, i AS cp_i, abs(n*s - i*stot) AS d_stat
+            FROM w WHERE i < n
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY abs(n*s - i*stot) DESC, i ASC) = 1""",
         "gap_fill_user": """
             WITH e2 AS (SELECT user_id,
                           CAST(floor(epoch(ts)) AS BIGINT) AS es,

@@ -1046,3 +1046,67 @@ def mann_kendall_per_key(ds, key_col: str, ts_col: str, val_col: str,
 
     narrow = ds.select_columns([key_col, ts_col, val_col])
     return group_by_key_bucket(narrow, key_col, fold, buckets=buckets)
+
+
+def cusum_changepoint_per_key(ds, key_col: str, ts_col: str,
+                              val_col: str, tie_col: str,
+                              buckets: int | None = None):
+    """Per-key CUSUM changepoint detection (Page 1954 / the standard
+    at-most-one-changepoint scan): order each key's series by
+    (ts, tie), form prefix sums S_i of integer cents, and report the
+    split index maximizing |n*S_i - i*S_n| (the mean-shift CUSUM
+    statistic scaled by n to stay in exact int64; ties resolve to the
+    smallest index, i ranges over 1..n-1 so keys with one point drop).
+
+    ONE group_by_key_bucket shuffle of the narrow projection; the fold
+    is segmented cumsum + one lexsort argmax across every key of the
+    bucket at once. The SQL twin is the window-function prefix-sum +
+    top-1 QUALIFY formulation."""
+    import numpy as np
+
+    from ..blocks import group_by_key_bucket
+
+    def pre(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        vc = pc.round(pc.multiply(batch[val_col], 100.0)) \
+            .cast(pa.int64())
+        us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({key_col: batch[key_col], "us": us,
+                         "vc": vc, "t": batch[tie_col]})
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], type=pa.int64()),
+                          "cp_i": pa.array([], type=pa.int64()),
+                          "d_stat": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        us = g["us"].to_numpy(zero_copy_only=False)
+        vc = g["vc"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        o = np.lexsort((t, us, k))
+        k, vc = k[o], vc[o]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        nseg = np.diff(np.r_[starts, n])
+        seg = np.repeat(np.arange(len(starts)), nseg)
+        cs = np.cumsum(vc)
+        base = np.repeat(np.r_[0, cs[starts[1:] - 1]], nseg)
+        s = cs - base                                  # per-key prefix
+        stot = np.repeat(s[np.r_[starts[1:], n] - 1], nseg)
+        nn = np.repeat(nseg.astype(np.int64), nseg)
+        i = np.arange(n) - np.repeat(starts, nseg) + 1
+        dd = np.abs(nn * s - i * stot)
+        cand = i < nn                                  # split 1..n-1
+        if not cand.any():
+            return empty
+        segc, ic, ddc, kc = seg[cand], i[cand], dd[cand], k[cand]
+        o2 = np.lexsort((ic, -ddc, segc))
+        first = np.flatnonzero(np.r_[True, segc[o2][1:] != segc[o2][:-1]])
+        pick = o2[first]
+        return pa.table({key_col: pa.array(kc[pick]),
+                         "cp_i": pa.array(ic[pick]),
+                         "d_stat": pa.array(ddc[pick])})
+
+    narrow = ds.map_batches(pre, batch_format="pyarrow")
+    return group_by_key_bucket(narrow, key_col, fold, buckets=buckets)
