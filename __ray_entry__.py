@@ -2464,6 +2464,54 @@ def q_track_sectors(sf_dir: str):
                          tie_col="event_id")
 
 
+def q_colocation_pairs(sf_dir: str):
+    """Bivariate co-location counts (Ripley cross-K numerator per type
+    pair): every within-radius event pair from radius_join, event types
+    attached through TWO bucketed lookup shuffles (attach_lookup_bucketed
+    — never a driver-side id->type table), pair types canonicalized
+    (lexicographic min/max) and counted with a map-side partial."""
+    from ray.data.aggregate import Sum
+    from osmium_tool_ray.blocks import attach_lookup_bucketed
+    from osmium_tool_ray.stages.spatial import radius_join
+
+    ev = _events(sf_dir, ["event_id", "event_type"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        xf = ((eid * 7919) % 36000) * 100000 - 1800000000
+        yf = ((eid * 104729) % 17000) * 100000 - 850000000
+        return pa.table({"event_id": batch["event_id"],
+                         "xf": pa.array(xf), "yf": pa.array(yf)})
+
+    pts = ev.map_batches(coords, batch_format="pyarrow")
+    pairs = radius_join(pts, "event_id", "xf", "yf", radius=20_000_000) \
+        .select_columns(["a", "b"])
+    types = ev.select_columns(["event_id", "event_type"])
+    pairs = attach_lookup_bucketed(pairs, types, "a", "event_type",
+                                   "ta", lookup_key="event_id")
+    pairs = attach_lookup_bucketed(pairs, types, "b", "event_type",
+                                   "tb", lookup_key="event_id")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ta = np.asarray(batch["ta"].to_pylist(), dtype=object).astype(str)
+        tb = np.asarray(batch["tb"].to_pylist(), dtype=object).astype(str)
+        swap = tb < ta                  # np.minimum has no U-dtype loop
+        lo = np.where(swap, tb, ta)
+        hi = np.where(swap, ta, tb)
+        key = np.char.add(np.char.add(lo, "|"), hi)
+        uk, cnt = np.unique(key, return_counts=True)
+        split = np.char.partition(uk, "|")
+        return pa.table({"type_a": pa.array(split[:, 0].tolist(),
+                                            type=pa.string()),
+                         "type_b": pa.array(split[:, 2].tolist(),
+                                            type=pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return pairs.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["type_a", "type_b"]) \
+        .aggregate(Sum("n", alias_name="n_pairs"))
+
+
 def q_radius_join(sf_dir: str):
     """Exact within-radius pair join over the event lattice
     (stages/spatial.radius_join): grid blocking at cell=radius, 9x
@@ -4366,6 +4414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dup_pairs": q_ngram_dup_pairs,
         "jaccard_join_docs": q_jaccard_join,
         "radius_join_events": q_radius_join,
+        "colocation_pairs": q_colocation_pairs,
         "word_pair_lift": q_word_pair_lift,
         "visited_cells_jaccard": q_visited_cells_jaccard,
         "isolated_points": q_isolated_points,
@@ -5435,6 +5484,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c)*SUM(c) - SUM(c*c) AS DOUBLE)
                        / CAST(SUM(c)*SUM(c) AS DOUBLE) AS impurity
             FROM c GROUP BY user_id""",
+        "colocation_pairs": """
+            WITH pts AS (SELECT event_id AS id,
+                   ((event_id * 7919) % 36000) * 100000 - 1800000000 AS xf,
+                   ((event_id * 104729) % 17000) * 100000 - 850000000 AS yf
+                 FROM events),
+            c AS (SELECT id, xf, yf,
+                    (xf + 2147483648) // 20000000 AS cx,
+                    (yf + 2147483648) // 20000000 AS cy FROM pts),
+            n AS (SELECT id, xf, yf, cx + dx.o AS cx, cy + dy.o AS cy
+                  FROM c, (VALUES (-1),(0),(1)) dx(o),
+                          (VALUES (-1),(0),(1)) dy(o)),
+            prs AS (SELECT n.id AS a, b.id AS b
+                    FROM n JOIN c b
+                      ON b.cx = n.cx AND b.cy = n.cy AND n.id < b.id
+                    WHERE (n.xf-b.xf)*(n.xf-b.xf)
+                          + (n.yf-b.yf)*(n.yf-b.yf) <= 400000000000000)
+            SELECT LEAST(ea.event_type, eb.event_type) AS type_a,
+                   GREATEST(ea.event_type, eb.event_type) AS type_b,
+                   COUNT(*) AS n_pairs
+            FROM prs JOIN events ea ON ea.event_id = prs.a
+                     JOIN events eb ON eb.event_id = prs.b
+            GROUP BY 1, 2""",
         "radius_join_events": """
             WITH pts AS (SELECT event_id AS id,
                    ((event_id * 7919) % 36000) * 100000 - 1800000000 AS xf,
