@@ -2236,6 +2236,16 @@ def q_segment_crossings(sf_dir: str):
     return segment_crossings(segs, "user_id", cell=6000)
 
 
+def q_theilsen_user(sf_dir: str):
+    """Theil-Sen robust slope per user (pipelines/stats
+    .theil_sen_per_key): median of pairwise cent/microsecond slopes,
+    exact pairwise semantics, no per-key Python."""
+    from osmium_tool_ray.pipelines.stats import theil_sen_per_key
+
+    ev = _events(sf_dir, ["user_id", "ts", "value"])
+    return theil_sen_per_key(ev, "user_id", "ts", "value")
+
+
 def q_changepoint_user(sf_dir: str):
     """CUSUM changepoint per user (pipelines/stats
     .cusum_changepoint_per_key): exact-integer mean-shift scan, one
@@ -4321,6 +4331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall_user": q_mann_kendall_user,
         "gap_fill_user": q_gap_fill_user,
         "changepoint_user": q_changepoint_user,
+        "theilsen_user": q_theilsen_user,
         "ripley_pair_counts": q_ripley_counts,
         "gini_impurity_user": q_gini_impurity,
         "mad_value_user": q_mad_value,
@@ -5206,6 +5217,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (200), (400), (800)) r(r)
             LEFT JOIN d ON d.d2 <= r.r * r.r
             GROUP BY r.r""",
+        "theilsen_user": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+                         CAST(round(value * 100) AS BIGINT) AS vc
+                       FROM events),
+            p AS (SELECT a.user_id,
+                    (b.vc - a.vc) / CAST(b.us - a.us AS DOUBLE) AS sl
+                  FROM e a JOIN e b
+                    ON a.user_id = b.user_id AND a.us < b.us)
+            SELECT user_id, median(sl) AS ts_slope,
+                   COUNT(*) AS n_pairs
+            FROM p GROUP BY user_id""",
         "changepoint_user": """
             WITH e AS (SELECT user_id, ts, event_id,
                          CAST(round(value * 100) AS BIGINT) AS vc

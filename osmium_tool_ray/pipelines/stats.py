@@ -1110,3 +1110,78 @@ def cusum_changepoint_per_key(ds, key_col: str, ts_col: str,
 
     narrow = ds.map_batches(pre, batch_format="pyarrow")
     return group_by_key_bucket(narrow, key_col, fold, buckets=buckets)
+
+
+def theil_sen_per_key(ds, key_col: str, ts_col: str, val_col: str,
+                      buckets: int | None = None):
+    """Per-key Theil-Sen estimator (Theil 1950 / Sen 1968): the median
+    of all pairwise slopes (v_j - v_i)/(t_j - t_i) over pairs with
+    strictly increasing timestamps — the standard robust trend slope
+    (50% breakdown point, vs least-squares' zero).
+
+    Exact pairwise semantics (O(n^2) slopes per key — the estimator's
+    own cost; the ripley/fuzzy-join precedent for inherently quadratic
+    verify work), but NO per-key Python: ONE group_by_key_bucket
+    shuffle, then a stride loop d = 1..max_run emitting all (i, i+d)
+    same-key pairs of the whole bucket per step, and one lexsort +
+    run-boundary gather for every key's median at once. Slopes divide
+    exact integer cents by exact integer microseconds in double; the
+    median interpolates as lo + (hi-lo)*0.5, bit-matching DuckDB's
+    quantile_cont(0.5). Keys with no qualifying pair drop."""
+    import numpy as np
+
+    from ..blocks import group_by_key_bucket
+
+    def pre(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        vc = pc.round(pc.multiply(batch[val_col], 100.0)) \
+            .cast(pa.int64())
+        us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({key_col: batch[key_col], "us": us, "vc": vc})
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], type=pa.int64()),
+                          "ts_slope": pa.array([], type=pa.float64()),
+                          "n_pairs": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        us = g["us"].to_numpy(zero_copy_only=False)
+        vc = g["vc"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        o = np.lexsort((us, k))
+        k, us, vc = k[o], us[o], vc[o]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        nseg = np.diff(np.r_[starts, n])
+        seg = np.repeat(np.arange(len(starts)), nseg)
+        max_m = int(nseg.max())
+        sl_parts, seg_parts = [], []
+        for d in range(1, max_m):
+            i = np.arange(n - d)
+            ok = (seg[i] == seg[i + d]) & (us[i + d] > us[i])
+            if not ok.any():
+                continue
+            i = i[ok]
+            dt = (us[i + d] - us[i]).astype(np.float64)
+            dv = (vc[i + d] - vc[i]).astype(np.float64)
+            sl_parts.append(dv / dt)
+            seg_parts.append(seg[i])
+        if not sl_parts:
+            return empty
+        sl = np.concatenate(sl_parts)
+        sg = np.concatenate(seg_parts)
+        o2 = np.lexsort((sl, sg))
+        sl, sg = sl[o2], sg[o2]
+        s2 = np.flatnonzero(np.r_[True, sg[1:] != sg[:-1]])
+        sizes = np.diff(np.r_[s2, len(sg)])
+        lo = sl[s2 + (sizes - 1) // 2]
+        hi = sl[s2 + sizes // 2]
+        med = lo + (hi - lo) * 0.5
+        uk = k[starts][sg[s2]]
+        return pa.table({key_col: pa.array(uk),
+                         "ts_slope": pa.array(med),
+                         "n_pairs": pa.array(sizes.astype(np.int64))})
+
+    narrow = ds.select_columns([key_col, ts_col, val_col]) \
+        .map_batches(pre, batch_format="pyarrow")
+    return group_by_key_bucket(narrow, key_col, fold, buckets=buckets)
