@@ -3890,6 +3890,23 @@ def q_frame_sample(sf_dir: str):
     return out.select_columns(["video_id", "frame_no", "w", "h"])
 
 
+def q_ssim_images(sf_dir: str):
+    """Global SSIM decode verification (stages/media.SsimVerify): the
+    perceptual twin of psnr_verify; one vectorized moment pass per
+    batch, fused stateless task. Rows-only (pixel op); pytest pins a
+    per-image scalar reference."""
+    from osmium_tool_ray.stages.media import SsimVerify
+
+    ds = images_dataset(sf_dir, with_bytes=True,
+                        columns=["image_id", "bytes", "fmt"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return SsimVerify()(batch)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=4096) \
+        .select_columns(["image_id", "fmt", "ssim", "ssim_ok"])
+
+
 def q_psnr_verify(sf_dir: str):
     from osmium_tool_ray.stages.media import DecodeVerify
 
@@ -4364,6 +4381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equalize_images": q_equalize_images,
         "patchify_images": q_patchify_images,
         "sharpness_images": q_sharpness_images,
+        "ssim_images": q_ssim_images,
         "dominant_colors": q_dominant_colors,
         "od_tile_flows": q_od_tile_flows,
         "twa_value": q_twa_value,

@@ -1012,3 +1012,51 @@ class DominantColors:
             cols[f"f{i+1}"] = pa.array(cnts[:, i] / npx,
                                        type=pa.float64())
         return pa.table(cols)
+
+
+class SsimVerify:
+    """Global SSIM between the decoded pixels and the deterministic
+    source pixels — the perceptual companion of DecodeVerify's PSNR
+    (Wang et al. 2004, single-window global-statistics form: mean /
+    variance / covariance over the whole pixel vector with the standard
+    C1=(0.01*255)^2, C2=(0.03*255)^2 stabilizers; population variance).
+    A real skimage.metrics.structural_similarity would slot in at this
+    seam exactly like the PIL codec seam (functions/pilcodec.py).
+
+    Fully vectorized across the batch: one (n, w*h*3) float64 moment
+    pass, no per-image Python. Rows-only operator (pixel payloads never
+    reach SQL); the pytest pins a per-image scalar reference."""
+
+    C1 = (0.01 * 255.0) ** 2
+    C2 = (0.03 * 255.0) ** 2
+
+    def __init__(self, min_ssim: float = 0.9, bytes_col: str = "bytes",
+                 id_col: str = "image_id"):
+        self.codec = _load_codec()
+        self.min_ssim = min_ssim
+        self.bytes_col, self.id_col = bytes_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pix, w, h = self.codec.decode_batch(batch[self.bytes_col])
+        idx = pc.cast(pc.utf8_slice_codeunits(
+            batch[self.id_col].cast(pa.string()), 3, 32), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if not len(idx):
+            return batch.append_column(
+                "ssim", pa.array([], type=pa.float64())) \
+                .append_column("ssim_ok", pa.array([], type=pa.bool_()))
+        src = self.codec.gen_pixels(idx, int(w[0]), int(h[0]))
+        x = src.astype(np.float64)
+        y = pix.astype(np.float64)
+        mx = x.mean(axis=1)
+        my = y.mean(axis=1)
+        vx = x.var(axis=1)
+        vy = y.var(axis=1)
+        cov = ((x - mx[:, None]) * (y - my[:, None])).mean(axis=1)
+        ssim = ((2 * mx * my + self.C1) * (2 * cov + self.C2)) \
+            / ((mx * mx + my * my + self.C1) * (vx + vy + self.C2))
+        return batch.append_column("ssim", pa.array(ssim)) \
+                    .append_column("ssim_ok",
+                                   pa.array(ssim >= self.min_ssim))
