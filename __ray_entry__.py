@@ -2875,6 +2875,30 @@ def q_bfs_hops(sf_dir: str):
                     sources=[119], max_iters=32)
 
 
+def q_sssp_weighted(sf_dir: str):
+    """Hop-bounded weighted shortest paths (stages/graph.sssp_weighted)
+    from node 119 over the event-derived graph with deterministic edge
+    weights ((lo*31 + hi*17) % 9 + 1): 4-round frontier Bellman-Ford
+    (adjacency pinned once, frontier broadcast per round) — exact
+    min-over-<=4-hop-paths semantics matched by a bounded recursive
+    CTE. Convergence mode (max_hops=None) is Dijkstra-pinned in pytest."""
+    from osmium_tool_ray.stages.graph import sssp_weighted
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        a = (eid * 7919) % 200
+        b = (eid * 104729) % 200
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        w = (lo * 31 + hi * 17) % 9 + 1
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "w": pa.array(w)})
+
+    return sssp_weighted(ev.map_batches(edges, batch_format="pyarrow"),
+                         sources=[119], max_hops=4)
+
+
 def q_common_neighbors(sf_dir: str):
     """Link-prediction scores (stages/graph.common_neighbors): common-
     neighbor counts + Jaccard for every node pair of the event-derived
@@ -4377,6 +4401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_hist": q_degree_hist,
         "common_neighbors": q_common_neighbors,
         "bfs_hops": q_bfs_hops,
+        "sssp_weighted": q_sssp_weighted,
         "label_propagation": q_label_propagation,
         "equalize_images": q_equalize_images,
         "patchify_images": q_patchify_images,
@@ -5850,6 +5875,25 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
             JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""",
+        "sssp_weighted": """
+            WITH RECURSIVE raw AS (
+                SELECT LEAST((event_id * 7919) % 200,
+                             (event_id * 104729) % 200) AS lo,
+                       GREATEST((event_id * 7919) % 200,
+                                (event_id * 104729) % 200) AS hi
+                FROM events),
+            e AS (SELECT DISTINCT lo, hi FROM raw WHERE lo <> hi),
+            ew AS (SELECT lo, hi, (lo*31 + hi*17) % 9 + 1 AS w FROM e),
+            adj AS (SELECT lo AS ctr, hi AS nbr, w FROM ew
+                    UNION ALL SELECT hi, lo, w FROM ew),
+            reach(node, h, d) AS (
+                SELECT 119 AS node, 0 AS h, 0 AS d
+                UNION
+                SELECT a.nbr, r.h + 1, r.d + a.w
+                FROM reach r JOIN adj a ON a.ctr = r.node
+                WHERE r.h < 4)
+            SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+            FROM reach GROUP BY node""",
         "bfs_hops": """
             WITH RECURSIVE raw AS (
                 SELECT LEAST((event_id * 7919) % 200,

@@ -1262,3 +1262,119 @@ def clustering_coefficient(edges, a_col: str = "a", b_col: str = "b",
                          "coeff": pa.array(coeff.astype(np.float64))})
 
     return with_t.map_batches(finish, batch_format="pyarrow")
+
+
+def sssp_weighted(edges, sources, a_col: str = "a", b_col: str = "b",
+                  w_col: str = "w", max_hops: int | None = None,
+                  partitions: int | None = None):
+    """Weighted single-source(+multi) shortest paths over the undirected
+    distinct edge set — Bellman-Ford with the frontier optimization
+    (only nodes improved last round relax this round), which on
+    nonnegative weights converges to Dijkstra's fixpoint in at most
+    eccentricity-many rounds. With `max_hops` set, distances are the
+    exact minimum over paths of <= max_hops edges (the k-round
+    Bellman-Ford semantics), which a bounded recursive CTE reproduces
+    row-for-row — the exact-oracle mode; max_hops=None runs to
+    convergence (true SSSP, pinned against a heapq Dijkstra in pytest).
+
+    Scale shape (the bfs_hops broadcast-mode discipline): the weighted
+    adjacency shuffles ONCE into pinned blocks; each round broadcasts
+    the sorted frontier (nodes + tentative distances) via ray.put, one
+    shuffle-free map emits per-block (nbr, candidate) MIN partials, and
+    the driver folds one short row set per block. Driver memory is
+    O(nodes) — the declared node-scale seam bfs_hops/pagerank carry;
+    the dataset-resident twin follows their documented pattern when the
+    node table outgrows the driver.
+
+    Edge weights must be nonnegative int64. Parallel edges keep the
+    lightest weight. Returns (node, dist) for every reached node."""
+    import ray
+    import ray.data as rd
+
+    if partitions is None:
+        partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    src = np.unique(np.asarray(list(sources), dtype=np.int64))
+    if len(src) == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "dist": pa.array([], type=pa.int64())}))
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[w_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        lo, hi, w = lo[keep], hi[keep], w[keep]
+        # lightest parallel edge: sort by (lo, hi, w), keep first
+        key = (lo << np.int64(32)) | hi
+        o = np.lexsort((w, key))
+        key, w = key[o], w[o]
+        first = np.r_[True, key[1:] != key[:-1]]
+        key, w = key[first], w[first]
+        lo, hi = key >> np.int64(32), key & np.int64(0xFFFFFFFF)
+        ctr = np.concatenate([lo, hi])
+        nbr = np.concatenate([hi, lo])
+        return pa.table({"ctr": pa.array(ctr), "nbr": pa.array(nbr),
+                         "w": pa.array(np.concatenate([w, w]))})
+
+    adj = edges.map_batches(canon, batch_format="pyarrow") \
+        .repartition(partitions).materialize()
+
+    best_n = src.copy()                       # sorted node ids
+    best_d = np.zeros(len(src), dtype=np.int64)
+    frontier_n = src.copy()
+    frontier_d = np.zeros(len(src), dtype=np.int64)
+    hop = 0
+    while len(frontier_n) and (max_hops is None or hop < max_hops):
+        hop += 1
+        o = np.argsort(frontier_n)
+        fref = ray.put((frontier_n[o], frontier_d[o]))
+
+        def relax(batch: pa.Table, _f=fref) -> pa.Table:
+            fn, fd = ray.get(_f)
+            ctr = batch["ctr"].to_numpy(zero_copy_only=False)
+            if len(fn) == 0:
+                return pa.table({"node": pa.array([], type=pa.int64()),
+                                 "d": pa.array([], type=pa.int64())})
+            pos = np.searchsorted(fn, ctr)
+            pos_c = np.minimum(pos, len(fn) - 1)
+            hit = (pos < len(fn)) & (fn[pos_c] == ctr)
+            nbr = batch["nbr"].to_numpy(zero_copy_only=False)[hit]
+            cand = fd[pos_c[hit]] + \
+                batch["w"].to_numpy(zero_copy_only=False)[hit]
+            o2 = np.lexsort((cand, nbr))
+            nbr, cand = nbr[o2], cand[o2]
+            first = np.r_[True, nbr[1:] != nbr[:-1]] if len(nbr) \
+                else np.array([], dtype=bool)
+            return pa.table({"node": pa.array(nbr[first]),
+                             "d": pa.array(cand[first])})
+
+        parts = adj.map_batches(relax, batch_format="pyarrow").take_all()
+        if not parts:
+            break
+        nodes = np.asarray([r["node"] for r in parts], dtype=np.int64)
+        ds_ = np.asarray([r["d"] for r in parts], dtype=np.int64)
+        o3 = np.lexsort((ds_, nodes))
+        nodes, ds_ = nodes[o3], ds_[o3]
+        first = np.r_[True, nodes[1:] != nodes[:-1]] if len(nodes) \
+            else np.array([], dtype=bool)
+        nodes, ds_ = nodes[first], ds_[first]
+        pos = np.searchsorted(best_n, nodes)
+        pos_c = np.minimum(pos, len(best_n) - 1)
+        known = (pos < len(best_n)) & (best_n[pos_c] == nodes)
+        imp_known = known & (ds_ < best_d[pos_c])
+        best_d[pos_c[imp_known]] = ds_[imp_known]
+        new = ~known
+        frontier_n = np.concatenate([nodes[imp_known], nodes[new]])
+        frontier_d = np.concatenate([ds_[imp_known], ds_[new]])
+        if new.any():
+            merged = np.argsort(np.concatenate([best_n, nodes[new]]),
+                                kind="stable")
+            all_n = np.concatenate([best_n, nodes[new]])[merged]
+            all_d = np.concatenate([best_d, ds_[new]])[merged]
+            best_n, best_d = all_n, all_d
+    return rd.from_arrow(pa.table({
+        "node": pa.array(best_n, type=pa.int64()),
+        "dist": pa.array(best_d, type=pa.int64())}))
