@@ -86,6 +86,14 @@ QUERY_NAMES = [
     "transition_counts_user", "rrf_fusion_docs", "importance_docs",
     "cosine_tf_join", "local_moran_cells", "join_counts_cells",
     "semivariogram_cells",
+    # r04 continuation: PII scrub, hex binning, trajectory Hausdorff,
+    # Mann-Kendall / Theil-Sen / CUSUM trend family, gap fill,
+    # co-location, SSIM, weighted SSSP, geometric stats
+    "pii_redact_docs", "hex_bin_counts", "hausdorff_tracks",
+    "mann_kendall_user", "theilsen_user", "changepoint_user",
+    "gap_fill_user", "colocation_pairs", "ssim_images", "sssp_weighted",
+    "ring_area_user", "segment_crossings", "corridor_points",
+    "ripley_pair_counts", "clustering_coeff",
 ]
 
 
