@@ -1483,6 +1483,29 @@ def q_region_revenue(sf_dir: str):
         np.datetime64("1995-01-01"), np.datetime64("1999-01-01"))
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-shaped top-k (pipelines/analytics.shipping_priority):
+    segment bitmap broadcast, date-pruned orders side broadcast under
+    the cap (zero joins; hash-partitioned join past it), per-orderkey
+    map-side pre-agg, exact 1e-4-unit revenue, deterministic
+    (revenue DESC, date, orderkey) top-10."""
+    import pyarrow.parquet as pq
+    from osmium_tool_ray.pipelines.analytics import shipping_priority
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+    customer = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+    return shipping_priority(lineitem, orders, customer, "BUILDING",
+                             np.datetime64("1995-03-15"))
+
+
 def q_vocab_top(sf_dir: str):
     """Vocabulary build (stages/text.vocab_build): corpus word counts
     with min-count pruning and dense (count DESC, word) ids — per-batch
@@ -4348,6 +4371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact_docs": q_pii_redact_docs,
         "sliding_window_counts": q_sliding_window_counts,
         "region_revenue": q_region_revenue,
+        "shipping_priority": q_shipping_priority,
         "docs_rollup": q_docs_rollup,
         "event_type_pivot": q_event_type_pivot,
         "props_k_by_type": q_props_k_by_type,
@@ -4993,6 +5017,20 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS total
             FROM events CROSS JOIN range(3) t(i)
             GROUP BY "window", event_type""",
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS BIGINT) AS revenue_c4,
+                   o_orderdate, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_c4 DESC, o_orderdate, l_orderkey
+            LIMIT 10""",
         "region_revenue": """
             SELECT n_name,
                    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)

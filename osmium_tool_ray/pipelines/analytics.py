@@ -438,3 +438,140 @@ def pricing_summary(lineitem, cutoff_date: str = "1998-09-01"):
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def shipping_priority(lineitem, orders, customer: pa.Table,
+                      segment: str, cutoff: np.datetime64, k: int = 10,
+                      num_partitions: int = 8,
+                      broadcast_cap: int = 2_000_000):
+    """TPC-H Q3 semantics: the k unshipped orders (placed before
+    `cutoff` by a `segment` customer, with lineitems shipping after it)
+    with the highest outstanding revenue — GROUP BY l_orderkey,
+    o_orderdate, o_orderpriority, ORDER BY revenue DESC, o_orderdate,
+    l_orderkey LIMIT k (the extra l_orderkey tiebreak makes the top-k
+    deterministic; revenue in exact integer 1e-4 units, the
+    region_revenue convention).
+
+    Scale shape mirrors region_revenue: the segment membership is a
+    broadcast dense bitmap; the segment+date-pruned orders side under
+    `broadcast_cap` broadcasts as sorted (orderkey, date, priority)
+    arrays and the lineitem fact folds in ONE pass with per-batch
+    per-orderkey pre-agg (zero joins); past the cap the hash-partitioned
+    Dataset.join takes over. The final sort runs on the tiny
+    (qualifying orders) aggregate, then limit(k)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    seg_cust = customer.filter(
+        pc.equal(customer["c_mktsegment"], segment))["c_custkey"] \
+        .to_numpy()
+    in_seg = _dense_map(seg_cust, np.ones(len(seg_cust), dtype=np.int64),
+                        fill=0)
+    seg_ref = ray.put(in_seg)
+    cut_us = np.int64(cutoff.astype("datetime64[us]").astype(np.int64))
+
+    empty = pa.table({"l_orderkey": pa.array([], type=pa.int64()),
+                      "revenue_c4": pa.array([], type=pa.int64()),
+                      "o_orderdate": pa.array(
+                          [], type=pa.timestamp("us")),
+                      "o_orderpriority": pa.array([], type=pa.string())})
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        ts = batch["o_orderdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        keep = (ts < cut_us) & (_lookup(seg, ck) == 1)
+        return pa.table({
+            "o_orderkey": pa.array(
+                batch["o_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+            "odate_us": pa.array(ts[keep]),
+            "o_orderpriority": pa.array(
+                np.asarray(batch["o_orderpriority"].to_pylist(),
+                           dtype=object)[keep].tolist(),
+                type=pa.string()),
+        })
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        ts = batch["l_shipdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ts > cut_us
+        price = batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        rev = (np.rint(price * 100.0).astype(np.int64)
+               * (100 - np.rint(disc * 100.0).astype(np.int64)))
+        return pa.table({
+            "l_orderkey": pa.array(
+                batch["l_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+            "rev_c4": pa.array(rev),
+        })
+
+    def finish_sorted(agg):
+        def fin(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                "revenue_c4": batch["revenue_c4"].cast(pa.int64()),
+                "o_orderdate": batch["odate_us"].cast(pa.int64())
+                    .cast(pa.timestamp("us")),
+                "o_orderpriority": batch["o_orderpriority"].cast(pa.string()),
+            })
+
+        return agg.sort(["revenue_c4", "odate_us", "l_orderkey"],
+                        descending=[True, False, False]).limit(k) \
+            .map_batches(fin, batch_format="pyarrow")
+
+    o_proj = orders.map_batches(orders_side,
+                                batch_format="pyarrow").materialize()
+    n_orders = o_proj.count()
+    if n_orders == 0:
+        return rd.from_arrow(empty)
+
+    if n_orders <= broadcast_cap:
+        rows = o_proj.take_all()
+        ok_arr = np.asarray([r["o_orderkey"] for r in rows],
+                            dtype=np.int64)
+        od_arr = np.asarray([r["odate_us"] for r in rows], dtype=np.int64)
+        sp_arr = np.asarray([r["o_orderpriority"] for r in rows],
+                            dtype=object)
+        order = np.argsort(ok_arr, kind="stable")
+        omap_ref = ray.put((ok_arr[order], od_arr[order], sp_arr[order]))
+
+        def fold(batch: pa.Table) -> pa.Table:
+            okeys, odates, oprios = ray.get(omap_ref)
+            t = lineitem_side(batch)
+            lk = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(okeys, lk)
+            pos_c = np.minimum(pos, len(okeys) - 1)
+            hit = (pos < len(okeys)) & (okeys[pos_c] == lk)
+            lk = lk[hit]
+            rev = t["rev_c4"].to_numpy(zero_copy_only=False)[hit]
+            p = pos_c[hit]
+            un, inv = np.unique(lk, return_inverse=True)
+            first = np.zeros(len(un), dtype=np.int64)
+            first[inv] = p                       # any hit of the key
+            return pa.table({
+                "l_orderkey": pa.array(un),
+                "rev_c4": pa.array(np.bincount(inv, weights=rev)
+                                   .astype(np.int64)),
+                "odate_us": pa.array(odates[first]),
+                "o_orderpriority": pa.array(oprios[first].tolist(),
+                                            type=pa.string()),
+            })
+
+        agg = lineitem.map_batches(fold, batch_format="pyarrow") \
+            .groupby(["l_orderkey", "odate_us", "o_orderpriority"]) \
+            .aggregate(Sum("rev_c4", alias_name="revenue_c4"))
+        return finish_sorted(agg)
+
+    l_proj = lineitem.map_batches(lineitem_side,
+                                  batch_format="pyarrow").materialize()
+    if l_proj.count() == 0:
+        return rd.from_arrow(empty)
+    joined = l_proj.join(o_proj, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = joined.groupby(["l_orderkey", "odate_us", "o_orderpriority"]) \
+        .aggregate(Sum("rev_c4", alias_name="revenue_c4"))
+    return finish_sorted(agg)
