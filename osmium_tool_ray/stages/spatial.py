@@ -1058,43 +1058,51 @@ def hausdorff_to_ref(ds, key_col: str, x_col: str, y_col: str,
                          "ridx": pa.array(ridx_out),
                          "m": pa.array(m_out)})
 
-    g1 = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby([key_col, "ridx"]) \
-        .aggregate(Min("m", alias_name="mn"), Max("m", alias_name="mx"))
-
-    def to_sides(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({key_col: pa.array([], type=pa.int64()),
-                             "side": pa.array([], type=pa.int64()),
-                             "h": pa.array([], type=pa.int64())})
-        ridx = batch["ridx"].to_numpy(zero_copy_only=False)
-        mn = batch["mn"].to_numpy(zero_copy_only=False)
-        mx = batch["mx"].to_numpy(zero_copy_only=False)
-        side = (ridx >= 0).astype(np.int64)
-        h = np.where(ridx < 0, mx, mn).astype(np.int64)
-        return pa.table({key_col: batch[key_col],
-                         "side": pa.array(side), "h": pa.array(h)})
-
-    sides = g1.map_batches(to_sides, batch_format="pyarrow") \
-        .groupby([key_col, "side"]).aggregate(Max("h", alias_name="hm"))
-
-    def pivot(g: pa.Table) -> pa.Table:
+    def fold(g: pa.Table) -> pa.Table:
+        # merge the mergeable partials and finish, all keys of the
+        # bucket at once: per (key, ridx) run -> max for the ridx=-1
+        # rows (h(A,R) partials), min for the ridx>=0 rows (per-ref-
+        # point candidate mins), then per key -> h_ba = max over the
+        # ridx>=0 mins. Ray's native multi-key Min/Max aggregate paid
+        # ~35 s of remote time on 97k groups here; this ONE bucket
+        # shuffle + reduceat fold does the same merge in milliseconds.
         if g.num_rows == 0:
             return pa.table({key_col: pa.array([], type=pa.int64()),
                              "h_ab": pa.array([], type=pa.int64()),
                              "h_ba": pa.array([], type=pa.int64()),
                              "h_sym": pa.array([], type=pa.int64())})
         k = g[key_col].to_numpy(zero_copy_only=False)
-        s = g["side"].to_numpy(zero_copy_only=False)
-        h = g["hm"].to_numpy(zero_copy_only=False)
-        o = np.lexsort((s, k))
-        k, s, h = k[o], s[o], h[o]
-        # exactly two rows per key (side 0 then side 1)
-        ab, ba = h[0::2], h[1::2]
-        return pa.table({key_col: pa.array(k[0::2]),
+        ridx = g["ridx"].to_numpy(zero_copy_only=False)
+        m = g["m"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ridx, k))
+        k, ridx, m = k[o], ridx[o], m[o]
+        n = len(k)
+        runs = np.flatnonzero(np.r_[True, (k[1:] != k[:-1])
+                                    | (ridx[1:] != ridx[:-1])])
+        rk, rr = k[runs], ridx[runs]
+        rmax = np.maximum.reduceat(m, runs)
+        rmin = np.minimum.reduceat(m, runs)
+        merged = np.where(rr < 0, rmax, rmin)
+        # per key: first run is ridx=-1 (sorted ascending) = h_ab;
+        # the rest are the per-ref mins -> h_ba = their max
+        kstart = np.flatnonzero(np.r_[True, rk[1:] != rk[:-1]])
+        ab = merged[kstart]                       # ridx=-1 run
+        # max over the remaining runs of each key segment: neutralize
+        # the first run (distances are >= 0, so -1 is a safe neutral)
+        # and reduce over the key boundaries themselves
+        nrun = np.diff(np.r_[kstart, len(rk)])
+        merged2 = merged.copy()
+        merged2[kstart] = -1
+        ba = np.maximum.reduceat(merged2, kstart)
+        ba = np.where(nrun > 1, ba, ab)           # lone-run safety
+        return pa.table({key_col: pa.array(rk[kstart]),
                          "h_ab": pa.array(ab.astype(np.int64)),
                          "h_ba": pa.array(ba.astype(np.int64)),
                          "h_sym": pa.array(np.maximum(ab, ba)
                                            .astype(np.int64))})
 
-    return group_by_key_bucket(sides, key_col, pivot, buckets=buckets)
+    # large batches: every batch emits O(keys_in_batch x |R|) partial
+    # rows, so fewer/bigger batches shrink the shuffle multiplicatively
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=32768)
+    return group_by_key_bucket(partials, key_col, fold, buckets=buckets)
