@@ -870,8 +870,28 @@ def segment_crossings(segs, key_col: str, cell: int,
     cands = segs.select_columns([key_col, "x1", "y1", "x2", "y2"]) \
         .map_batches(explode, batch_format="pyarrow") \
         .groupby("_cb").map_groups(per_group, batch_format="pyarrow")
-    return cands.groupby(["a", "b"]) \
-        .aggregate(Sum("n_crossings", alias_name="n_crossings"))
+
+    def fold(g: pa.Table) -> pa.Table:
+        # the same track pair can cross in many cells, so the per-group
+        # partials need one final (a, b) sum. Ray's native groupby paid
+        # ~85 s of remote time on 516k pair groups at sf0.1; this ONE
+        # hash(a,b)-bucket shuffle + lexsort/reduceat fold replaces it.
+        if g.num_rows == 0:
+            return empty
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        n = g["n_crossings"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((b, a))
+        a, b, n = a[o], b[o], n[o]
+        runs = np.flatnonzero(np.r_[True, (a[1:] != a[:-1])
+                                    | (b[1:] != b[:-1])])
+        tot = np.add.reduceat(n, runs)
+        return pa.table({"a": pa.array(a[runs].tolist(), type=key_type),
+                         "b": pa.array(b[runs].tolist(), type=key_type),
+                         "n_crossings": pa.array(tot.astype(np.int64))})
+
+    from ..blocks import group_by_key_bucket
+    return group_by_key_bucket(cands, ["a", "b"], fold)
 
 
 def corridor_points(ds, x_col: str, y_col: str, segments, radius: int,
