@@ -2517,11 +2517,14 @@ def q_colocation_pairs(sf_dir: str):
                          "xf": pa.array(xf), "yf": pa.array(yf)})
 
     pts = ev.map_batches(coords, batch_format="pyarrow")
+    # pin the narrow pair table: both attaches and their empty-side
+    # probes would otherwise re-run the whole cell-blocked join lineage
     pairs = radius_join(pts, "event_id", "xf", "yf", radius=20_000_000) \
-        .select_columns(["a", "b"])
+        .select_columns(["a", "b"]).materialize()
     types = ev.select_columns(["event_id", "event_type"])
     pairs = attach_lookup_bucketed(pairs, types, "a", "event_type",
-                                   "ta", lookup_key="event_id")
+                                   "ta", lookup_key="event_id") \
+        .materialize()              # attach-b's probe re-runs it otherwise
     pairs = attach_lookup_bucketed(pairs, types, "b", "event_type",
                                    "tb", lookup_key="event_id")
 
