@@ -214,6 +214,96 @@ def q_hex_bin_counts(sf_dir: str):
         .groupby(["hq", "hr"]).aggregate(Sum("n", alias_name="n_images"))
 
 
+def q_isochrone_cells(sf_dir: str):
+    """Isochrone / cost-distance over the occupied tile raster — the
+    raster-to-vector composition the north rule names: cell counts
+    (vector points -> raster) feed a weighted cell graph (4-neighbor
+    edges between occupied cells, symmetric cost 1 + (na+nb) % 7) and
+    sssp_weighted walks it from the densest cell (ties to smallest
+    (cell_x, cell_y)), hop-bounded at 6 so a bounded recursive CTE is
+    the exact oracle. Counts materialize ONCE (seed probe + both edge
+    sides reuse the same raster); edges attach the destination count
+    through one bucketed lookup — nothing cell-scale on the driver but
+    the single seed row."""
+    from ray.data.aggregate import Sum
+    from osmium_tool_ray.blocks import attach_lookup_bucketed
+    from osmium_tool_ray.stages.graph import sssp_weighted
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x, y = _cell_xy(batch, TILE_LEVEL)
+        key = (x << 32) | y
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"cell_x": pa.array(uk >> 32, type=pa.int64()),
+                         "cell_y": pa.array(uk & 0xFFFFFFFF,
+                                            type=pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = images_dataset(sf_dir, columns=["lon", "lat"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["cell_x", "cell_y"]) \
+        .aggregate(Sum("n", alias_name="n")).materialize()
+
+    seed = counts.sort(["n", "cell_x", "cell_y"],
+                       descending=[True, False, False]).limit(1) \
+        .take_all()[0]
+    seed_pack = (int(seed["cell_x"]) << 16) | int(seed["cell_y"])
+
+    def emit_edges(batch: pa.Table) -> pa.Table:
+        cx = batch["cell_x"].to_numpy(zero_copy_only=False)
+        cy = batch["cell_y"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        outs = []
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            outs.append(pa.table({
+                "a": pa.array((cx << 16) | cy),
+                "bx": pa.array(cx + dx), "by": pa.array(cy + dy),
+                "na": pa.array(n)}))
+        return pa.concat_tables(outs)
+
+    cand = counts.map_batches(emit_edges, batch_format="pyarrow")
+
+    def pack_b(batch: pa.Table) -> pa.Table:
+        bx = batch["bx"].to_numpy(zero_copy_only=False)
+        by = batch["by"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bkey", pa.array((bx << 32) | by))
+
+    # destination occupancy + count through ONE bucketed lookup (the
+    # raster never sits on the driver); unoccupied neighbors -> null
+    ckey = counts.map_batches(
+        lambda b: pa.table({
+            "bkey": pa.array(
+                (b["cell_x"].to_numpy(zero_copy_only=False) << 32)
+                | b["cell_y"].to_numpy(zero_copy_only=False)),
+            "n": b["n"]}), batch_format="pyarrow")
+    edges = attach_lookup_bucketed(
+        cand.map_batches(pack_b, batch_format="pyarrow"), ckey,
+        "bkey", "n", "nb")
+
+    def finish_edges(batch: pa.Table) -> pa.Table:
+        nb = batch["nb"]
+        keep = pc.is_valid(nb)
+        t = batch.filter(keep)
+        bx = t["bx"].to_numpy(zero_copy_only=False)
+        by = t["by"].to_numpy(zero_copy_only=False)
+        na = t["na"].to_numpy(zero_copy_only=False)
+        nbv = t["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": t["a"],
+                         "b": pa.array((bx << 16) | by),
+                         "w": pa.array(1 + (na + nbv) % 7)})
+
+    g = edges.map_batches(finish_edges, batch_format="pyarrow")
+    out = sssp_weighted(g, [seed_pack], max_hops=6)
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.table({"cell_x": pa.array(node >> 16),
+                         "cell_y": pa.array(node & 0xFFFF),
+                         "dist": batch["dist"].cast(pa.int64())})
+
+    return out.map_batches(unpack, batch_format="pyarrow")
+
+
 def q_tile_counts_salted(sf_dir: str):
     from osmium_tool_ray.functions.cells import cell_to_xy
     from osmium_tool_ray.stages.tiles import salted_counts
@@ -4304,6 +4394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_multi_fanout": q_extract_multi_fanout,
         "cell_grid_counts": q_cell_grid_counts,
         "hex_bin_counts": q_hex_bin_counts,
+        "isochrone_cells": q_isochrone_cells,
         "smooth_cell_counts": q_smooth_cell_counts,
         "geohash_counts": q_geohash_counts,
         "geojson_roundtrip": q_geojson_roundtrip,
@@ -4580,6 +4671,27 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts_salted": f"""{cte}
             SELECT cell_x, cell_y, COUNT(*) AS n_images
             FROM (SELECT {cells6} FROM images) GROUP BY cell_x, cell_y""",
+        "isochrone_cells": f"""WITH RECURSIVE {IMAGES_SQL_CTE.strip()}
+            , cnt AS (SELECT cell_x, cell_y, COUNT(*) AS n
+                      FROM (SELECT {cells6} FROM images)
+                      GROUP BY cell_x, cell_y),
+            seed AS (SELECT cell_x, cell_y FROM cnt
+                     ORDER BY n DESC, cell_x, cell_y LIMIT 1),
+            e0 AS (SELECT a.cell_x AS ax, a.cell_y AS ay,
+                          b.cell_x AS bx, b.cell_y AS bz,
+                          1 + (a.n + b.n) % 7 AS w
+                   FROM cnt a JOIN cnt b
+                     ON abs(a.cell_x - b.cell_x)
+                        + abs(a.cell_y - b.cell_y) = 1),
+            reach(x, y, h, d) AS (
+                SELECT cell_x, cell_y, 0, 0 FROM seed
+                UNION
+                SELECT e.bx, e.bz, r.h + 1, r.d + e.w
+                FROM reach r JOIN e0 e ON e.ax = r.x AND e.ay = r.y
+                WHERE r.h < 6)
+            SELECT x AS cell_x, y AS cell_y,
+                   CAST(MIN(d) AS BIGINT) AS dist
+            FROM reach GROUP BY 1, 2""",
         "cell_top_fmt": f"""{cte}
             , ck AS (SELECT cell_x, cell_y, fmt, COUNT(*) AS cnt
                      FROM (SELECT {cells6}, fmt FROM images)
