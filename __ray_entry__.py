@@ -913,18 +913,116 @@ def q_extract_cw_history(sf_dir: str):
 # -- documents / text ----------------------------------------------------------
 
 def q_dedup_exact_docs(sf_dir: str):
-    import pandas as pd
+    """Exact dedup with group sizes: keeper = min doc_id per content
+    fingerprint, n = group size. In-batch (fp -> min id, count) partial
+    pre-agg, then ONE group_by_key_bucket fold merging the mergeable
+    partials (min, sum) — Python per partition, never per fingerprint."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
     from osmium_tool_ray.stages.text import Fingerprint
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         Fingerprint, fn_constructor_kwargs={"text_col": "text"},
         batch_format="pyarrow", concurrency=2)
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [g["doc_id"].min()], "n": [len(g)]})
+    def _merge(g: pa.Table, partial: bool) -> pa.Table:
+        fp = g["fp"].to_numpy(zero_copy_only=False)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False) if "n" in g.schema.names \
+            else np.ones(len(fp), dtype=np.int64)
+        o = np.lexsort((did, fp))
+        fp, did, n = fp[o], did[o], n[o]
+        runs = np.flatnonzero(np.r_[True, fp[1:] != fp[:-1]]) \
+            if len(fp) else np.array([], dtype=np.int64)
+        cols = {"fp": pa.array(fp[runs]),
+                "doc_id": pa.array(did[runs]),
+                "n": pa.array(np.add.reduceat(n, runs).astype(np.int64)
+                              if len(fp) else n)}
+        if not partial:
+            del cols["fp"]
+        return pa.table(cols)
 
-    return ds.groupby("fp").map_groups(pick, batch_format="pandas") \
-        .select_columns(["doc_id", "n"])
+    partials = ds.select_columns(["fp", "doc_id"]) \
+        .map_batches(lambda g: _merge(g, True), batch_format="pyarrow")
+    return group_by_key_bucket(partials, "fp",
+                               lambda g: _merge(g, False))
+
+
+def q_dup_stats_by_source(sf_dir: str):
+    """Dedup observability — the per-source scorecard a corpus curation
+    run reports before dropping anything: docs, distinct content
+    fingerprints, duplicate rows, and fingerprints shared with another
+    source (cross-source contamination). Per-batch (fp, source) count
+    partials, ONE fp-bucket fold (distinct-source flags need all of a
+    fingerprint's rows together), then a tiny native per-source Sum."""
+    from ray.data.aggregate import Sum
+    from osmium_tool_ray.blocks import group_by_key_bucket
+    from osmium_tool_ray.stages.text import Fingerprint
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        Fingerprint, fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pyarrow", concurrency=2)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        fp = batch["fp"].to_numpy(zero_copy_only=False)
+        src = np.asarray(batch["source"].to_pylist(), dtype=object) \
+            .astype(str)
+        o = np.lexsort((src, fp))
+        fp, src = fp[o], src[o]
+        runs = np.flatnonzero(np.r_[True, (fp[1:] != fp[:-1])
+                                    | (src[1:] != src[:-1])]) \
+            if len(fp) else np.array([], dtype=np.int64)
+        cnt = np.diff(np.r_[runs, len(fp)]).astype(np.int64) \
+            if len(fp) else np.array([], dtype=np.int64)
+        return pa.table({"fp": pa.array(fp[runs]),
+                         "source": pa.array(src[runs].tolist(),
+                                            type=pa.string()),
+                         "n": pa.array(cnt)})
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64()),
+                          "d": pa.array([], type=pa.int64()),
+                          "sh": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        fp = g["fp"].to_numpy(zero_copy_only=False)
+        src = np.asarray(g["source"].to_pylist(), dtype=object) \
+            .astype(str)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((src, fp))
+        fp, src, n = fp[o], src[o], n[o]
+        runs = np.flatnonzero(np.r_[True, (fp[1:] != fp[:-1])
+                                    | (src[1:] != src[:-1])])
+        rn = np.add.reduceat(n, runs)
+        rfp, rsrc = fp[runs], src[runs]
+        fstart = np.flatnonzero(np.r_[True, rfp[1:] != rfp[:-1]])
+        nsrc = np.diff(np.r_[fstart, len(rfp)])
+        shared = (np.repeat(nsrc, nsrc) > 1).astype(np.int64)
+        return pa.table({"source": pa.array(rsrc.tolist(),
+                                            type=pa.string()),
+                         "n": pa.array(rn.astype(np.int64)),
+                         "d": pa.array(np.ones(len(rfp), np.int64)),
+                         "sh": pa.array(shared)})
+
+    per_fp = group_by_key_bucket(
+        ds.select_columns(["fp", "source"])
+          .map_batches(partial, batch_format="pyarrow"), "fp", fold)
+    agg = per_fp.groupby("source").aggregate(
+        Sum("n", alias_name="n_docs"),
+        Sum("d", alias_name="n_distinct_fp"),
+        Sum("sh", alias_name="shared_fps"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        nd = batch["n_docs"].cast(pa.int64())
+        df_ = batch["n_distinct_fp"].cast(pa.int64())
+        return pa.table({
+            "source": batch["source"],
+            "n_docs": nd,
+            "n_distinct_fp": df_,
+            "dup_rows": pc.subtract(nd, df_),
+            "shared_fps": batch["shared_fps"].cast(pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
 
 
 def q_token_count_docs(sf_dir: str):
@@ -4577,6 +4675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
         "dedup_exact_docs": q_dedup_exact_docs,
+        "dup_stats_by_source": q_dup_stats_by_source,
         "token_count_docs": q_token_count_docs,
         "quality_docs": q_quality_docs,
         "knn_points": q_knn_points,
@@ -6374,6 +6473,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_x, cell_y, LEAST(COUNT(*), 64) AS n_members
             FROM (SELECT {_CELL_XY_SQL.format(n=8, m=7)} FROM images)
             GROUP BY cell_x, cell_y""",
+        "dup_stats_by_source": """
+            WITH f AS (SELECT source, text, COUNT(*) AS n
+                       FROM documents GROUP BY 1, 2),
+            s AS (SELECT text, COUNT(*) AS nsrc FROM f GROUP BY text)
+            SELECT f.source,
+                   CAST(SUM(f.n) AS BIGINT) AS n_docs,
+                   COUNT(*) AS n_distinct_fp,
+                   CAST(SUM(f.n) - COUNT(*) AS BIGINT) AS dup_rows,
+                   CAST(SUM(CASE WHEN s.nsrc > 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS shared_fps
+            FROM f JOIN s USING (text) GROUP BY f.source""",
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n
             FROM documents GROUP BY text""",
