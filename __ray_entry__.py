@@ -2468,6 +2468,16 @@ def q_changepoint_user(sf_dir: str):
                                      "event_id")
 
 
+def q_gap_outliers_user(sf_dir: str):
+    """Inter-arrival anomaly gaps per user (pipelines/windows
+    .gap_outliers): gaps > 3x the user's median gap; exact integer
+    microseconds, quantile_cont-parity median."""
+    from osmium_tool_ray.pipelines.windows import gap_outliers
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_id"])
+    return gap_outliers(ev, "user_id", "ts", "event_id")
+
+
 def q_gap_fill_user(sf_dir: str):
     """Regular-grid forward fill (pipelines/windows.gap_fill): 6h grid
     per user, latest-observation-at-or-before semantics, event_id tie;
@@ -4587,6 +4597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hausdorff_tracks": q_hausdorff_tracks,
         "mann_kendall_user": q_mann_kendall_user,
         "gap_fill_user": q_gap_fill_user,
+        "gap_outliers_user": q_gap_outliers_user,
         "changepoint_user": q_changepoint_user,
         "theilsen_user": q_theilsen_user,
         "ripley_pair_counts": q_ripley_counts,
@@ -5540,6 +5551,17 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE i < n
             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                 ORDER BY abs(n*s - i*stot) DESC, i ASC) = 1""",
+        "gap_outliers_user": """
+            WITH w AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS pus
+                       FROM events),
+            g AS (SELECT user_id, event_id, us - pus AS gap
+                  FROM w WHERE pus IS NOT NULL),
+            m AS (SELECT user_id, median(gap) AS mg FROM g GROUP BY 1)
+            SELECT g.user_id, g.event_id, g.gap AS gap_us
+            FROM g JOIN m USING (user_id)
+            WHERE g.gap > 3 * m.mg""",
         "gap_fill_user": """
             WITH e2 AS (SELECT user_id,
                           CAST(floor(epoch(ts)) AS BIGINT) AS es,

@@ -1573,3 +1573,64 @@ def gap_fill(ds, key_col: str, ts_col: str, val_col: str, step_s: int,
 
     narrow = ds.map_batches(pre, batch_format="pyarrow")
     return group_by_key_bucket(narrow, key_col, fold, buckets=buckets)
+
+
+def gap_outliers(ds, key_col: str, ts_col: str, tie_col: str,
+                 factor: float = 3.0, buckets: int | None = None):
+    """Per-key inter-arrival anomaly detection: flag every gap between
+    consecutive observations that exceeds `factor` x the key's median
+    gap — the heartbeat/dropout detector of telemetry pipelines.
+    Gaps are exact integer microseconds; the median interpolates as
+    lo + (hi-lo)*0.5 (DuckDB quantile_cont bit-parity, the theil_sen
+    precedent), and the comparison promotes to double identically in
+    both engines.
+
+    ONE group_by_key_bucket shuffle; the fold is two lexsorts (time
+    order for gaps, gap order for the segmented median) — Python per
+    partition, never per key. Returns (key, tie-of-later-observation,
+    gap_us) for flagged gaps."""
+    import numpy as np
+
+    from ..blocks import group_by_key_bucket
+
+    def pre(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({key_col: batch[key_col], "us": us,
+                         "t": batch[tie_col]})
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], type=pa.int64()),
+                          tie_col: pa.array([], type=pa.int64()),
+                          "gap_us": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        us = g["us"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((t, us, k))
+        k, us, t = k[o], us[o], t[o]
+        n = len(k)
+        same = np.zeros(n, dtype=bool)
+        same[1:] = k[1:] == k[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[1:] = us[1:] - us[:-1]
+        gk, gt, gv = k[same], t[same], gap[same]
+        if not len(gk):
+            return empty
+        o2 = np.lexsort((gv, gk))
+        sk, sv = gk[o2], gv[o2]
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        sizes = np.diff(np.r_[starts, len(sk)])
+        lo = sv[starts + (sizes - 1) // 2].astype(np.float64)
+        hi = sv[starts + sizes // 2].astype(np.float64)
+        med = lo + (hi - lo) * 0.5
+        uk = sk[starts]
+        pos = np.searchsorted(uk, gk)
+        keep = gv.astype(np.float64) > factor * med[pos]
+        return pa.table({key_col: pa.array(gk[keep]),
+                         tie_col: pa.array(gt[keep]),
+                         "gap_us": pa.array(gv[keep])})
+
+    narrow = ds.select_columns([key_col, ts_col, tie_col]) \
+        .map_batches(pre, batch_format="pyarrow")
+    return group_by_key_bucket(narrow, key_col, fold, buckets=buckets)
