@@ -56,4 +56,4 @@ def test_gap_outliers_planted_dropout(ray_session):
     t = np.arange(len(us))
     got = gap_outliers(_mk(k, us, t), "k", "ts", "t").to_pandas()
     assert len(got) == 1
-    assert got.iloc[0].gap_us == 60 * 10**6
+    assert got.iloc[0].gap_us == 61 * 10**6    # 90s - 29s
