@@ -214,6 +214,32 @@ def q_hex_bin_counts(sf_dir: str):
         .groupby(["hq", "hr"]).aggregate(Sum("n", alias_name="n_images"))
 
 
+def q_raster_equalize_cells(sf_dir: str):
+    """Raster histogram stretch: remap the per-cell density raster onto
+    8 equal-population levels (NTILE over (count, cell) with the cell
+    as deterministic tiebreaker) — the contrast-equalization step of a
+    density-map renderer, reusing the distributed ntile machinery
+    (pipelines/stats.ntile_buckets: ONE sort, block-offset stamping)."""
+    from ray.data.aggregate import Sum
+    from osmium_tool_ray.pipelines.stats import ntile_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x, y = _cell_xy(batch, TILE_LEVEL)
+        key = (x << 32) | y
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"cell_x": pa.array(uk >> 32, type=pa.int64()),
+                         "cell_y": pa.array(uk & 0xFFFFFFFF,
+                                            type=pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = images_dataset(sf_dir, columns=["lon", "lat"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["cell_x", "cell_y"]) \
+        .aggregate(Sum("n", alias_name="n"))
+    return ntile_buckets(counts, ["n", "cell_x", "cell_y"], 8,
+                         out_col="level")
+
+
 def q_isochrone_cells(sf_dir: str):
     """Isochrone / cost-distance over the occupied tile raster — the
     raster-to-vector composition the north rule names: cell counts
@@ -4503,6 +4529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_grid_counts": q_cell_grid_counts,
         "hex_bin_counts": q_hex_bin_counts,
         "isochrone_cells": q_isochrone_cells,
+        "raster_equalize_cells": q_raster_equalize_cells,
         "smooth_cell_counts": q_smooth_cell_counts,
         "geohash_counts": q_geohash_counts,
         "geojson_roundtrip": q_geojson_roundtrip,
@@ -4781,6 +4808,14 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts_salted": f"""{cte}
             SELECT cell_x, cell_y, COUNT(*) AS n_images
             FROM (SELECT {cells6} FROM images) GROUP BY cell_x, cell_y""",
+        "raster_equalize_cells": f"""{cte}
+            , cnt AS (SELECT cell_x, cell_y, COUNT(*) AS n
+                      FROM (SELECT {cells6} FROM images)
+                      GROUP BY cell_x, cell_y)
+            SELECT cell_x, cell_y, n,
+                   CAST(ntile(8) OVER (ORDER BY n, cell_x, cell_y)
+                        AS BIGINT) AS level
+            FROM cnt""",
         "isochrone_cells": f"""WITH RECURSIVE {IMAGES_SQL_CTE.strip()}
             , cnt AS (SELECT cell_x, cell_y, COUNT(*) AS n
                       FROM (SELECT {cells6} FROM images)
