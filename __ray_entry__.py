@@ -2524,6 +2524,35 @@ def q_mann_kendall_user(sf_dir: str):
     return mann_kendall_per_key(ev, "user_id", "ts", "value")
 
 
+def q_map_match_users(sf_dir: str):
+    """HMM map matching (stages/spatial.map_match_viterbi): every
+    user's track Viterbi-aligned to user 7's segments with a constant
+    switch penalty. Rows-only: sequential DP isn't SQL-expressible;
+    pytest pins a per-key scalar Viterbi (test_map_match.py)."""
+    from osmium_tool_ray.stages.spatial import (map_match_viterbi,
+                                                track_segments)
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        xq = (eid * 7919) % 36000 - 18000
+        yq = (eid * 104729) % 17000 - 8500
+        return batch.append_column("xq", pa.array(xq)) \
+                    .append_column("yq", pa.array(yq))
+
+    pts = ev.map_batches(coords, batch_format="pyarrow")
+    ref = pts.filter(expr="user_id == 7")
+    segs = track_segments(ref, "user_id", "ts", "xq", "yq",
+                          tie_col="event_id")
+    rows = segs.take_all()          # ONE user's track: small by nature
+    seg_xy = np.array([[r["x1"], r["y1"], r["x2"], r["y2"]]
+                       for r in rows], dtype=np.float64).reshape(-1, 4)
+    sid = np.arange(len(seg_xy), dtype=np.int64)
+    return map_match_viterbi(pts, "user_id", "ts", "event_id",
+                             "xq", "yq", seg_xy, sid, penalty=1e6)
+
+
 def q_hausdorff_tracks(sf_dir: str):
     """Trajectory similarity (stages/spatial.hausdorff_to_ref): directed
     + symmetric squared Hausdorff distance of every user's point set to
@@ -4622,6 +4651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_crossings": q_segment_crossings,
         "corridor_points": q_corridor_points,
         "hausdorff_tracks": q_hausdorff_tracks,
+        "map_match_users": q_map_match_users,
         "mann_kendall_user": q_mann_kendall_user,
         "gap_fill_user": q_gap_fill_user,
         "gap_outliers_user": q_gap_outliers_user,

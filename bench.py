@@ -94,6 +94,8 @@ QUERY_NAMES = [
     "gap_fill_user", "colocation_pairs", "ssim_images", "sssp_weighted",
     "ring_area_user", "segment_crossings", "corridor_points",
     "ripley_pair_counts", "clustering_coeff",
+    "shipping_priority", "isochrone_cells", "dup_stats_by_source",
+    "gap_outliers_user", "raster_equalize_cells", "map_match_users",
 ]
 
 

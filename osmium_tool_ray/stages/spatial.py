@@ -1126,3 +1126,109 @@ def hausdorff_to_ref(ds, key_col: str, x_col: str, y_col: str,
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=32768)
     return group_by_key_bucket(partials, key_col, fold, buckets=buckets)
+
+
+def map_match_viterbi(ds, key_col: str, ts_col: str, tie_col: str,
+                      x_col: str, y_col: str, segments: np.ndarray,
+                      seg_ids: np.ndarray, penalty: float,
+                      buckets: int | None = None):
+    """HMM map matching (Newson & Krumm 2009, the standard GPS-trace ->
+    road-segment aligner, simplified to a constant switch penalty):
+    per key, the Viterbi-optimal segment assignment minimizing
+    sum(point-to-segment d2) + penalty * (#segment switches). Emission
+    distances use the snap_to_segments kernel (clamped projection,
+    float64, deterministic IEEE); the constant-penalty transition makes
+    the DP step min(prev[c], min_all_prev + penalty) — exact, O(S) per
+    step instead of O(S^2).
+
+    Scale shape: the road set broadcasts ONCE via ray.put (bounded by
+    worker RAM — the snap_to_segments contract; cell-bucket both sides
+    past it); points take ONE group_by_key_bucket shuffle, and the fold
+    runs the DP vectorized ACROSS every key of the bucket at once —
+    rows sort by (key, ts, tie), so a row's predecessor is literally
+    the previous row, and stepping per-key RANK r advances all keys'
+    r-th points in one numpy slice; the backtrack walks the same ranks
+    in reverse. No per-key Python. Sequential-DP semantics are not
+    SQL-expressible (rows-only operator; pytest pins a scalar Viterbi).
+
+    Returns (key, tie, seg_id, emit_d2)."""
+    import ray
+
+    from ..blocks import group_by_key_bucket
+
+    order = np.argsort(seg_ids, kind="stable")
+    segs = np.asarray(segments, dtype=np.float64)[order]
+    ref = ray.put((segs, np.asarray(seg_ids, dtype=np.int64)[order],
+                   float(penalty)))
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return pa.table({key_col: batch[key_col],
+                         "ts": batch[ts_col].cast(pa.timestamp("us"))
+                         .cast(pa.int64()),
+                         "t": batch[tie_col],
+                         "x": batch[x_col], "y": batch[y_col]})
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], type=pa.int64()),
+                          tie_col: pa.array([], type=pa.int64()),
+                          "seg_id": pa.array([], type=pa.int64()),
+                          "emit_d2": pa.array([], type=pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        seg, sid, pen = ray.get(ref)
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        x = g["x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = g["y"].to_numpy(zero_copy_only=False).astype(np.float64)
+        o = np.lexsort((t, ts, k))
+        k, t, x, y = k[o], t[o], x[o], y[o]
+        n = len(k)
+        ax, ay, bx, by = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
+        dxs, dys = bx - ax, by - ay
+        len2 = dxs * dxs + dys * dys
+        px = x[:, None] - ax[None, :]
+        py = y[:, None] - ay[None, :]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            tt = (px * dxs[None, :] + py * dys[None, :]) / len2[None, :]
+        tt = np.nan_to_num(tt, nan=0.0)
+        np.clip(tt, 0.0, 1.0, out=tt)
+        ex = px - tt * dxs[None, :]
+        ey = py - tt * dys[None, :]
+        emit = ex * ex + ey * ey                       # (n, S)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        nseg = np.diff(np.r_[starts, n])
+        r = np.arange(n) - np.repeat(starts, nseg)
+        cost = emit.copy()
+        jumped = np.zeros(emit.shape, dtype=bool)
+        for step in range(1, int(nseg.max())):
+            idx = np.flatnonzero(r == step)
+            if not len(idx):
+                break
+            prev = idx - 1
+            pmin = cost[prev].min(axis=1)
+            jump = pmin[:, None] + pen
+            stay = cost[prev]
+            jumped[idx] = jump < stay
+            cost[idx] += np.minimum(stay, jump)
+        sel = np.empty(n, dtype=np.int64)
+        lasts = np.r_[starts[1:] - 1, n - 1]
+        sel[lasts] = np.argmin(cost[lasts], axis=1)
+        for step in range(int(nseg.max()) - 1, 0, -1):
+            idx = np.flatnonzero(r == step)
+            if not len(idx):
+                continue
+            prev = idx - 1
+            came_jump = jumped[idx, sel[idx]]
+            pargmin = np.argmin(cost[prev], axis=1)
+            sel[prev] = np.where(came_jump, pargmin, sel[idx])
+        rows = np.arange(n)
+        return pa.table({key_col: pa.array(k),
+                         tie_col: pa.array(t),
+                         "seg_id": pa.array(sid[sel]),
+                         "emit_d2": pa.array(emit[rows, sel])})
+
+    narrow = ds.select_columns(
+        list(dict.fromkeys([key_col, ts_col, tie_col, x_col, y_col]))) \
+        .map_batches(pre, batch_format="pyarrow")
+    return group_by_key_bucket(narrow, key_col, fold, buckets=buckets)
