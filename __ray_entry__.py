@@ -214,6 +214,17 @@ def q_hex_bin_counts(sf_dir: str):
         .groupby(["hq", "hr"]).aggregate(Sum("n", alias_name="n_images"))
 
 
+def q_adaptive_quadtree(sf_dir: str):
+    """Adaptive quadtree binning (stages/tiles.adaptive_quadtree):
+    levels (4, 6, 8), split threshold 32 — points read once and
+    pre-aggregated at the finest level, coarser counts roll up by
+    integer shifts, hot sets bounded by the grid."""
+    from osmium_tool_ray.stages.tiles import adaptive_quadtree
+
+    pts = images_dataset(sf_dir, columns=["lon", "lat"])
+    return adaptive_quadtree(pts, (4, 6, 8), 32)
+
+
 def q_raster_equalize_cells(sf_dir: str):
     """Raster histogram stretch: remap the per-cell density raster onto
     8 equal-population levels (NTILE over (count, cell) with the cell
@@ -4559,6 +4570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hex_bin_counts": q_hex_bin_counts,
         "isochrone_cells": q_isochrone_cells,
         "raster_equalize_cells": q_raster_equalize_cells,
+        "adaptive_quadtree": q_adaptive_quadtree,
         "smooth_cell_counts": q_smooth_cell_counts,
         "geohash_counts": q_geohash_counts,
         "geojson_roundtrip": q_geojson_roundtrip,
@@ -4838,6 +4850,31 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts_salted": f"""{cte}
             SELECT cell_x, cell_y, COUNT(*) AS n_images
             FROM (SELECT {cells6} FROM images) GROUP BY cell_x, cell_y""",
+        "adaptive_quadtree": f"""{cte}
+            , c8 AS (SELECT cell_x, cell_y, COUNT(*) AS n
+                     FROM (SELECT {_CELL_XY_SQL.format(n=256, m=255)}
+                           FROM images)
+                     GROUP BY cell_x, cell_y),
+            c6 AS (SELECT cell_x, cell_y, COUNT(*) AS n
+                   FROM (SELECT {cells6} FROM images)
+                   GROUP BY cell_x, cell_y),
+            c4 AS (SELECT cell_x, cell_y, COUNT(*) AS n
+                   FROM (SELECT {cells4} FROM images)
+                   GROUP BY cell_x, cell_y)
+            SELECT CAST(4 AS BIGINT) AS level, cell_x, cell_y, n
+            FROM c4 WHERE n <= 32
+            UNION ALL
+            SELECT 6, b.cell_x, b.cell_y, b.n FROM c6 b
+            JOIN c4 a ON a.cell_x = b.cell_x // 4
+                     AND a.cell_y = b.cell_y // 4
+            WHERE a.n > 32 AND b.n <= 32
+            UNION ALL
+            SELECT 8, c.cell_x, c.cell_y, c.n FROM c8 c
+            JOIN c6 b ON b.cell_x = c.cell_x // 4
+                     AND b.cell_y = c.cell_y // 4
+            JOIN c4 a ON a.cell_x = b.cell_x // 4
+                     AND a.cell_y = b.cell_y // 4
+            WHERE a.n > 32 AND b.n > 32""",
         "raster_equalize_cells": f"""{cte}
             , cnt AS (SELECT cell_x, cell_y, COUNT(*) AS n
                       FROM (SELECT {cells6} FROM images)

@@ -315,3 +315,114 @@ def hotspot_tiles(points, level: int, z: int = 2,
         })
 
     return counts.map_batches(threshold, batch_format="pyarrow")
+
+
+def adaptive_quadtree(points, levels: tuple[int, int, int],
+                      threshold: int,
+                      lon_col: str = "lon", lat_col: str = "lat"):
+    """Adaptive multi-resolution binning — the quadtree refinement a
+    tile server uses to keep every emitted cell under a row budget:
+    count at the coarse level, split any cell over `threshold` into its
+    descendants at the next level, and again at the finest level (three
+    levels, e.g. (4, 6, 8)). Returns (level, cell_x, cell_y, n) where
+    every output cell is either under threshold or at max depth — the
+    adaptive cousin of tile_pyramid's uniform rollup (reference
+    relative: the zoom-level file splitting of man/osmium-export.md).
+
+    Scale shape: points are read ONCE, pre-aggregated per batch at the
+    FINEST level; coarser counts roll up from the finest aggregate by
+    integer shifts (never re-reading points). The hot-cell sets that
+    gate splitting are bounded by the GRID (<= 4^coarse cells), not the
+    data, so their driver materialization is a constant (the
+    salted_counts hot-set discipline)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    l0, l1, l2 = levels
+    if not (l0 < l1 < l2):
+        raise ValueError("levels must be strictly increasing")
+    s01, s12 = l1 - l0, l2 - l1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..functions.cells import lonlat_to_xy
+
+        x, y = lonlat_to_xy(
+            batch[lon_col].to_numpy(zero_copy_only=False),
+            batch[lat_col].to_numpy(zero_copy_only=False), l2)
+        key = (x << 32) | y
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"cell_x": pa.array(uk >> 32),
+                         "cell_y": pa.array(uk & 0xFFFFFFFF),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    c2 = points.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["cell_x", "cell_y"]) \
+        .aggregate(Sum("n", alias_name="n")).materialize()
+
+    def rollup(shift: int):
+        def f(batch: pa.Table) -> pa.Table:
+            x = batch["cell_x"].to_numpy(zero_copy_only=False)
+            y = batch["cell_y"].to_numpy(zero_copy_only=False)
+            n = batch["n"].to_numpy(zero_copy_only=False)
+            key = ((x >> shift) << 32) | (y >> shift)
+            uk = np.unique(key)
+            pos = np.searchsorted(uk, key)
+            tot = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(tot, pos, n)
+            return pa.table({"cell_x": pa.array(uk >> 32),
+                             "cell_y": pa.array(uk & 0xFFFFFFFF),
+                             "n": pa.array(tot)})
+        return f
+
+    c1 = c2.map_batches(rollup(s12), batch_format="pyarrow") \
+        .groupby(["cell_x", "cell_y"]) \
+        .aggregate(Sum("n", alias_name="n")).materialize()
+    c0 = c1.map_batches(rollup(s01), batch_format="pyarrow") \
+        .groupby(["cell_x", "cell_y"]) \
+        .aggregate(Sum("n", alias_name="n")).materialize()
+
+    def hot_set(ds):
+        rows = ds.take_all()        # bounded by the grid, not the data
+        return {(int(r["cell_x"]), int(r["cell_y"])) for r in rows
+                if r["n"] > threshold}
+
+    hot0 = hot_set(c0)
+    # hot level-1 cells only matter under a hot level-0 parent
+    hot1 = {(x, y) for (x, y) in hot_set(c1)
+            if (x >> s01, y >> s01) in hot0}
+
+    def emit(level, pred):
+        def f(batch: pa.Table) -> pa.Table:
+            x = batch["cell_x"].to_numpy(zero_copy_only=False)
+            y = batch["cell_y"].to_numpy(zero_copy_only=False)
+            n = batch["n"].to_numpy(zero_copy_only=False)
+            keep = pred(x, y, n)
+            return pa.table({
+                "level": pa.array(np.full(int(keep.sum()), level,
+                                          dtype=np.int64)),
+                "cell_x": pa.array(x[keep]),
+                "cell_y": pa.array(y[keep]),
+                "n": pa.array(n[keep])})
+        return f
+
+    def in_set(xs, ys, s):
+        if not s:
+            return np.zeros(len(xs), dtype=bool)
+        arr = np.array(sorted((a << 32) | b for a, b in s),
+                       dtype=np.int64)
+        key = (xs << 32) | ys
+        pos = np.searchsorted(arr, key)
+        pos_c = np.minimum(pos, len(arr) - 1)
+        return (pos < len(arr)) & (arr[pos_c] == key)
+
+    f0 = c0.map_batches(
+        emit(l0, lambda x, y, n: n <= threshold),
+        batch_format="pyarrow")
+    f1 = c1.map_batches(
+        emit(l1, lambda x, y, n: (n <= threshold)
+             & in_set(x >> s01, y >> s01, hot0)),
+        batch_format="pyarrow")
+    f2 = c2.map_batches(
+        emit(l2, lambda x, y, n: in_set(x >> s12, y >> s12, hot1)),
+        batch_format="pyarrow")
+    return f0.union(f1).union(f2)
