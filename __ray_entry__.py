@@ -2564,6 +2564,32 @@ def q_map_match_users(sf_dir: str):
                              "xq", "yq", seg_xy, sid, penalty=1e6)
 
 
+def q_dtw_tracks(sf_dir: str):
+    """DTW distance of every user's track to user 7's (stages/spatial
+    .dtw_to_ref): exact int64 alignment cost, rank-stepped DP across
+    all keys per bucket. Rows-only: sequential DP isn't
+    SQL-expressible; pytest pins a scalar DTW (test_dtw.py)."""
+    from osmium_tool_ray.stages.spatial import dtw_to_ref
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        xq = (eid * 7919) % 36000 - 18000
+        yq = (eid * 104729) % 17000 - 8500
+        return batch.append_column("xq", pa.array(xq)) \
+                    .append_column("yq", pa.array(yq))
+
+    pts = ev.map_batches(coords, batch_format="pyarrow")
+    ref_rows = pts.filter(expr="user_id == 7") \
+        .select_columns(["ts", "event_id", "xq", "yq"]).take_all()
+    ref_rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+    ref_xy = np.array([[r["xq"], r["yq"]] for r in ref_rows],
+                      dtype=np.int64).reshape(-1, 2)
+    return dtw_to_ref(pts, "user_id", "ts", "event_id", "xq", "yq",
+                      ref_xy)
+
+
 def q_hausdorff_tracks(sf_dir: str):
     """Trajectory similarity (stages/spatial.hausdorff_to_ref): directed
     + symmetric squared Hausdorff distance of every user's point set to
@@ -4664,6 +4690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corridor_points": q_corridor_points,
         "hausdorff_tracks": q_hausdorff_tracks,
         "map_match_users": q_map_match_users,
+        "dtw_tracks": q_dtw_tracks,
         "mann_kendall_user": q_mann_kendall_user,
         "gap_fill_user": q_gap_fill_user,
         "gap_outliers_user": q_gap_outliers_user,

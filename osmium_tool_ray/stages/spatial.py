@@ -1232,3 +1232,110 @@ def map_match_viterbi(ds, key_col: str, ts_col: str, tie_col: str,
         list(dict.fromkeys([key_col, ts_col, tie_col, x_col, y_col]))) \
         .map_batches(pre, batch_format="pyarrow")
     return group_by_key_bucket(narrow, key_col, fold, buckets=buckets)
+
+
+def dtw_to_ref(ds, key_col: str, ts_col: str, tie_col: str,
+               x_col: str, y_col: str, ref_xy: np.ndarray,
+               band: int | None = None, buckets: int | None = None):
+    """Dynamic-time-warping distance of every key's (ts, tie)-ordered
+    track to a broadcast reference track (Sakoe & Chiba 1978; the
+    sequential-alignment companion of hausdorff_to_ref — Hausdorff
+    ignores order, DTW charges for it). Cost = sum of exact int64
+    squared distances along the optimal monotone alignment; optional
+    Sakoe-Chiba band constraint |i*m/n - j| <= band.
+
+    Same scale shape as map_match_viterbi: the reference broadcasts
+    ONCE, points take ONE group_by_key_bucket shuffle, and the DP runs
+    vectorized ACROSS every key of a bucket — after the (key, ts, tie)
+    lexsort a row's predecessor is the previous row, so stepping per-key
+    rank r advances all keys' r-th points at once; the inner loop runs
+    over the |R| reference positions (the DP's own data dependency).
+    All-integer costs make results bit-stable. Sequential DP is not
+    SQL-expressible (rows-only; pytest pins a scalar DTW).
+
+    Returns one row per key: (key, dtw_d2, n_points)."""
+    import ray
+
+    from ..blocks import group_by_key_bucket
+
+    rx = np.ascontiguousarray(ref_xy[:, 0], dtype=np.int64)
+    ry = np.ascontiguousarray(ref_xy[:, 1], dtype=np.int64)
+    ref = ray.put((rx, ry))
+    m = len(rx)
+    BIG = np.int64(1) << 60
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return pa.table({key_col: batch[key_col],
+                         "ts": batch[ts_col].cast(pa.timestamp("us"))
+                         .cast(pa.int64()),
+                         "t": batch[tie_col],
+                         "x": batch[x_col], "y": batch[y_col]})
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], type=pa.int64()),
+                          "dtw_d2": pa.array([], type=pa.int64()),
+                          "n_points": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or m == 0:
+            return empty
+        rxa, rya = ray.get(ref)
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        x = g["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = g["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((t, ts, k))
+        k, x, y = k[o], x[o], y[o]
+        n = len(k)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        nseg = np.diff(np.r_[starts, n])
+        nk = len(starts)
+        r = np.arange(n) - np.repeat(starts, nseg)
+        # DP state per KEY: one row of m costs, advanced rank by rank
+        state = np.full((nk, m), BIG)
+        out = np.full(nk, BIG)
+        maxr = int(nseg.max())
+        seg_of = np.repeat(np.arange(nk), nseg)
+        for step in range(maxr):
+            idx = np.flatnonzero(r == step)
+            if not len(idx):
+                break
+            ks = seg_of[idx]
+            dx = x[idx, None] - rxa[None, :]
+            dy = y[idx, None] - rya[None, :]
+            d2 = dx * dx + dy * dy
+            if band is not None:
+                # Sakoe-Chiba: |step * m / n_k - j| <= band
+                ctr = (step * m) // nseg[ks]
+                j = np.arange(m)[None, :]
+                d2 = np.where(np.abs(j - ctr[:, None]) <= band, d2, BIG)
+            prev = state[ks]
+            cur = np.empty_like(prev)
+            if step == 0:
+                # classic DTW anchors (0,0): D(0, j) = D(0, j-1) + d(0, j)
+                cur[:, 0] = d2[:, 0]
+                for j in range(1, m):
+                    cur[:, j] = cur[:, j - 1] + d2[:, j]
+            else:
+                diag = np.empty_like(prev)
+                diag[:, 0] = BIG
+                diag[:, 1:] = prev[:, :-1]
+                best = np.minimum(prev, diag)
+                cur[:, 0] = prev[:, 0] + d2[:, 0]
+                for j in range(1, m):
+                    b = np.minimum(best[:, j], cur[:, j - 1])
+                    cur[:, j] = b + d2[:, j]
+            # saturate: chained out-of-band BIG penalties would overflow
+            # int64; any cost >= BIG means "unreachable"
+            np.minimum(cur, BIG, out=cur)
+            state[ks] = cur
+            ends = nseg[ks] - 1 == step
+            if ends.any():
+                out[ks[ends]] = cur[ends, m - 1]
+        return pa.table({key_col: pa.array(k[starts]),
+                         "dtw_d2": pa.array(out),
+                         "n_points": pa.array(nseg.astype(np.int64))})
+
+    narrow = ds.select_columns(
+        list(dict.fromkeys([key_col, ts_col, tie_col, x_col, y_col]))) \
+        .map_batches(pre, batch_format="pyarrow")
+    return group_by_key_bucket(narrow, key_col, fold, buckets=buckets)
