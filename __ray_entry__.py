@@ -214,6 +214,59 @@ def q_hex_bin_counts(sf_dir: str):
         .groupby(["hq", "hr"]).aggregate(Sum("n", alias_name="n_images"))
 
 
+def q_cell_change_detection(sf_dir: str):
+    """Temporal raster change detection: per level-6 cell, event counts
+    before/after a mid-month cutoff plus delta and growth ratio — the
+    two-epoch diff a change-monitoring pipeline renders. ONE point
+    pass with conditional per-batch partials (both epochs in the same
+    row, so ONE groupby carries both), ratio as one fixed float
+    division of exact ints (the getis/bm25 float-exactness precedent)."""
+    from ray.data.aggregate import Sum
+
+    cut_us = np.datetime64("2024-01-16").astype("datetime64[us]") \
+        .astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = ((eid * 7919) % 36000) / 100.0 - 180.0
+        lat = ((eid * 104729) % 17000) / 100.0 - 85.0
+        t2 = pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+        x, y = _cell_xy(t2, TILE_LEVEL)
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        late = us >= cut_us
+        key = (x << 32) | y
+        uk = np.unique(key)
+        pos = np.searchsorted(uk, key)
+        early_n = np.zeros(len(uk), dtype=np.int64)
+        late_n = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(early_n, pos[~late], 1)
+        np.add.at(late_n, pos[late], 1)
+        return pa.table({"cell_x": pa.array(uk >> 32),
+                         "cell_y": pa.array(uk & 0xFFFFFFFF),
+                         "e": pa.array(early_n), "l": pa.array(late_n)})
+
+    agg = _events(sf_dir, ["event_id", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["cell_x", "cell_y"]) \
+        .aggregate(Sum("e", alias_name="n_early"),
+                   Sum("l", alias_name="n_late"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        e = batch["n_early"].cast(pa.int64())
+        lt = batch["n_late"].cast(pa.int64())
+        en = e.to_numpy(zero_copy_only=False)
+        ln = lt.to_numpy(zero_copy_only=False)
+        ratio = ln / np.maximum(en, 1).astype(np.float64)
+        return pa.table({"cell_x": batch["cell_x"],
+                         "cell_y": batch["cell_y"],
+                         "n_early": e, "n_late": lt,
+                         "delta": pc.subtract(lt, e),
+                         "growth": pa.array(ratio)})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def q_adaptive_quadtree(sf_dir: str):
     """Adaptive quadtree binning (stages/tiles.adaptive_quadtree):
     levels (4, 6, 8), split threshold 32 — points read once and
@@ -4597,6 +4650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isochrone_cells": q_isochrone_cells,
         "raster_equalize_cells": q_raster_equalize_cells,
         "adaptive_quadtree": q_adaptive_quadtree,
+        "cell_change_detection": q_cell_change_detection,
         "smooth_cell_counts": q_smooth_cell_counts,
         "geohash_counts": q_geohash_counts,
         "geojson_roundtrip": q_geojson_roundtrip,
@@ -4877,6 +4931,24 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts_salted": f"""{cte}
             SELECT cell_x, cell_y, COUNT(*) AS n_images
             FROM (SELECT {cells6} FROM images) GROUP BY cell_x, cell_y""",
+        "cell_change_detection": f"""
+            WITH pts AS (SELECT
+                   ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+                   ((event_id * 104729) % 17000) / 100.0 - 85.0 AS lat,
+                   ts
+                 FROM events),
+            c AS (SELECT {cells6},
+                    CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                         THEN 1 ELSE 0 END AS late
+                  FROM pts)
+            SELECT cell_x, cell_y,
+                   CAST(SUM(1 - late) AS BIGINT) AS n_early,
+                   CAST(SUM(late) AS BIGINT) AS n_late,
+                   CAST(SUM(late) - SUM(1 - late) AS BIGINT) AS delta,
+                   CAST(SUM(late) AS DOUBLE)
+                     / GREATEST(CAST(SUM(1 - late) AS DOUBLE), 1.0)
+                       AS growth
+            FROM c GROUP BY cell_x, cell_y""",
         "adaptive_quadtree": f"""{cte}
             , c8 AS (SELECT cell_x, cell_y, COUNT(*) AS n
                      FROM (SELECT {_CELL_XY_SQL.format(n=256, m=255)}

@@ -96,7 +96,7 @@ QUERY_NAMES = [
     "ripley_pair_counts", "clustering_coeff",
     "shipping_priority", "isochrone_cells", "dup_stats_by_source",
     "gap_outliers_user", "raster_equalize_cells", "map_match_users",
-    "adaptive_quadtree", "dtw_tracks",
+    "adaptive_quadtree", "dtw_tracks", "cell_change_detection",
 ]
 
 
