@@ -3966,6 +3966,67 @@ def q_smooth_cell_counts(sf_dir: str):
                               level=TILE_LEVEL)
 
 
+def q_home_cells_user(sf_dir: str):
+    """Home-location detection: each user's most-visited level-6 cell
+    (ties -> smallest cell) with its visit count — the anchor primitive
+    of mobility analytics (stay_points/gyration_user build on it).
+    Per-batch (user, cell) count partials, ONE user-bucket fold doing
+    the count merge + argmax in two lexsorts."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = ((eid * 7919) % 36000) / 100.0 - 180.0
+        lat = ((eid * 104729) % 17000) / 100.0 - 85.0
+        t2 = pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+        x, y = _cell_xy(t2, TILE_LEVEL)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        key = (uid << 32) | (x << 16) | y     # uid < 2^31, cells < 64
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"user_id": pa.array(uk >> 32),
+                         "cell": pa.array(uk & 0xFFFFFFFF),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "cell_x": pa.array([], type=pa.int64()),
+                          "cell_y": pa.array([], type=pa.int64()),
+                          "n_visits": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        c = g["cell"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((c, u))
+        u, c, n = u[o], c[o], n[o]
+        runs = np.flatnonzero(np.r_[True, (u[1:] != u[:-1])
+                                    | (c[1:] != c[:-1])])
+        ru, rc = u[runs], c[runs]
+        rn = np.add.reduceat(n, runs)
+        o2 = np.lexsort((rc, -rn, ru))
+        first = np.flatnonzero(np.r_[True, ru[o2][1:] != ru[o2][:-1]])
+        pick = o2[first]
+        return pa.table({"user_id": pa.array(ru[pick]),
+                         "cell_x": pa.array(rc[pick] >> 16),
+                         "cell_y": pa.array(rc[pick] & 0xFFFF),
+                         "n_visits": pa.array(rn[pick])})
+
+    partials = _events(sf_dir, ["event_id", "user_id"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    return group_by_key_bucket(partials, "user_id", fold)
+
+
+def q_gaussian_smooth_cells(sf_dir: str):
+    """5x5 binomial-kernel smoothed density raster (stages/raster
+    .gaussian_smooth_cells): exact separable [1,4,6,4,1] integer
+    weights, sparse x25 explode, one packed-key Sum groupby."""
+    from osmium_tool_ray.stages.raster import gaussian_smooth_cells
+
+    return gaussian_smooth_cells(
+        images_dataset(sf_dir, columns=["lon", "lat"]),
+        level=TILE_LEVEL)
+
+
 def q_rasterize_coverage(sf_dir: str):
     """Vector->raster: polygon rasterized to per-cell coverage. Exact
     oracle: the midpoint-lattice coordinates are dyadic rationals, so the
@@ -4651,6 +4712,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_equalize_cells": q_raster_equalize_cells,
         "adaptive_quadtree": q_adaptive_quadtree,
         "cell_change_detection": q_cell_change_detection,
+        "gaussian_smooth_cells": q_gaussian_smooth_cells,
+        "home_cells_user": q_home_cells_user,
         "smooth_cell_counts": q_smooth_cell_counts,
         "geohash_counts": q_geohash_counts,
         "geojson_roundtrip": q_geojson_roundtrip,
@@ -4931,6 +4994,34 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts_salted": f"""{cte}
             SELECT cell_x, cell_y, COUNT(*) AS n_images
             FROM (SELECT {cells6} FROM images) GROUP BY cell_x, cell_y""",
+        "home_cells_user": f"""
+            WITH pts AS (SELECT user_id,
+                   ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+                   ((event_id * 104729) % 17000) / 100.0 - 85.0 AS lat
+                 FROM events),
+            c AS (SELECT user_id, cell_x, cell_y, COUNT(*) AS n_visits
+                  FROM (SELECT user_id, {cells6} FROM pts)
+                  GROUP BY 1, 2, 3)
+            SELECT user_id, cell_x, cell_y, n_visits FROM c
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY n_visits DESC, cell_x, cell_y) = 1""",
+        "gaussian_smooth_cells": f"""{cte}
+            , c AS (SELECT cell_x, cell_y, COUNT(*) AS n
+                    FROM (SELECT {cells6} FROM images)
+                    GROUP BY cell_x, cell_y),
+            nb AS (SELECT c.cell_x + dx.i AS cell_x,
+                          c.cell_y + dy.j AS cell_y,
+                          n * (CASE abs(dx.i) WHEN 0 THEN 6
+                               WHEN 1 THEN 4 ELSE 1 END)
+                            * (CASE abs(dy.j) WHEN 0 THEN 6
+                               WHEN 1 THEN 4 ELSE 1 END) AS wn
+                   FROM c, unnest(generate_series(-2, 2)) AS dx(i),
+                        unnest(generate_series(-2, 2)) AS dy(j))
+            SELECT cell_x, cell_y, CAST(SUM(wn) AS BIGINT) AS smoothed
+            FROM nb
+            WHERE cell_x BETWEEN 0 AND 63
+              AND cell_y BETWEEN 0 AND 63
+            GROUP BY cell_x, cell_y""",
         "cell_change_detection": f"""
             WITH pts AS (SELECT
                    ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,

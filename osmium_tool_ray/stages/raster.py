@@ -627,3 +627,59 @@ def semivariogram_cells(points, level: int, max_lag: int = 3,
         "gamma": pa.array([float(agg[lg][1] - agg[lg][0])
                            / float(agg[lg][2]) for lg in lags],
                           type=pa.float64())}))
+
+
+def gaussian_smooth_cells(points, level: int, lon_col: str = "lon",
+                          lat_col: str = "lat"):
+    """5x5 binomial (Gaussian-approximating) smoothing over the sparse
+    point-density raster: separable [1,4,6,4,1] kernel, so the weight
+    of offset (dx, dy) is w[dx+2]*w[dy+2] (sum 256) — the standard
+    integer Gaussian blur of image pipelines applied to the density
+    raster, exact in int64 end to end (smooth_cell_counts' box filter
+    is the 3x3 uniform cousin). Sparse-explode semantics: clipped at
+    the grid edge, empty cells receiving mass appear in the output.
+
+    Scale shape identical to smooth_cell_counts: per-batch np.unique
+    pre-agg, x25 weighted explode in the same map task, ONE packed-key
+    Sum groupby — never a dense raster. Returns (cell_x, cell_y,
+    smoothed:int64)."""
+    from ray.data.aggregate import Sum
+
+    n = np.int64(1) << np.int64(level)
+    w = np.array([1, 4, 6, 4, 1], dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+        y = np.floor((lat + 90.0) / 180.0 * n).astype(np.int64)
+        np.clip(x, 0, n - 1, out=x)
+        np.clip(y, 0, n - 1, out=y)
+        key = (x << np.int64(32)) | y
+        uk, cnt = np.unique(key, return_counts=True)
+        ux, uy = uk >> np.int64(32), uk & np.int64(0xFFFFFFFF)
+        off = np.arange(-2, 3, dtype=np.int64)
+        u = len(uk)
+        nx = np.broadcast_to(ux[:, None, None] + off[None, :, None],
+                             (u, 5, 5)).reshape(-1)
+        ny = np.broadcast_to(uy[:, None, None] + off[None, None, :],
+                             (u, 5, 5)).reshape(-1)
+        wgt = np.broadcast_to((w[:, None] * w[None, :])[None, :, :],
+                              (u, 5, 5)).reshape(-1)
+        nc = np.repeat(cnt.astype(np.int64), 25) * wgt
+        ok = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+        nkey = (nx[ok] << np.int64(32)) | ny[ok]
+        fk, inv = np.unique(nkey, return_inverse=True)
+        fc = np.bincount(inv, weights=nc[ok]).astype(np.int64)
+        return pa.table({"_k": pa.array(fk), "n": pa.array(fc)})
+
+    agg = points.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_k").aggregate(Sum("n", alias_name="smoothed"))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        k = batch["_k"].to_numpy(zero_copy_only=False)
+        return pa.table({"cell_x": pa.array(k >> np.int64(32)),
+                         "cell_y": pa.array(k & np.int64(0xFFFFFFFF)),
+                         "smoothed": batch["smoothed"].cast(pa.int64())})
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
