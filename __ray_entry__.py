@@ -2558,6 +2558,17 @@ def q_changepoint_user(sf_dir: str):
                                      "event_id")
 
 
+def q_trailing_window_user(sf_dir: str):
+    """Per-event trailing 1h window count/sum (pipelines/windows
+    .trailing_window): SQL RANGE-window peer semantics, one bucket
+    shuffle, composite-key searchsorted + prefix-sum fold."""
+    from osmium_tool_ray.pipelines.windows import trailing_window
+
+    ev = _events(sf_dir, ["user_id", "ts", "value", "event_id"])
+    return trailing_window(ev, "user_id", "ts", "value", "event_id",
+                           3600)
+
+
 def q_gap_outliers_user(sf_dir: str):
     """Inter-arrival anomaly gaps per user (pipelines/windows
     .gap_outliers): gaps > 3x the user's median gap; exact integer
@@ -4811,6 +4822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall_user": q_mann_kendall_user,
         "gap_fill_user": q_gap_fill_user,
         "gap_outliers_user": q_gap_outliers_user,
+        "trailing_window_user": q_trailing_window_user,
         "changepoint_user": q_changepoint_user,
         "theilsen_user": q_theilsen_user,
         "ripley_pair_counts": q_ripley_counts,
@@ -5843,6 +5855,16 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE i < n
             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                 ORDER BY abs(n*s - i*stot) DESC, i ASC) = 1""",
+        "trailing_window_user": """
+            SELECT user_id, event_id,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+                   CAST(SUM(vc) OVER w AS BIGINT) AS sum_win_c
+            FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
+                         CAST(round(value * 100) AS BIGINT) AS vc
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN 3600000000 PRECEDING
+                         AND CURRENT ROW)""",
         "gap_outliers_user": """
             WITH w AS (SELECT user_id, event_id, epoch_us(ts) AS us,
                          LAG(epoch_us(ts)) OVER (PARTITION BY user_id

@@ -97,7 +97,7 @@ QUERY_NAMES = [
     "shipping_priority", "isochrone_cells", "dup_stats_by_source",
     "gap_outliers_user", "raster_equalize_cells", "map_match_users",
     "adaptive_quadtree", "dtw_tracks", "cell_change_detection",
-    "gaussian_smooth_cells", "home_cells_user",
+    "gaussian_smooth_cells", "home_cells_user", "trailing_window_user",
 ]
 
 
