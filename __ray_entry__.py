@@ -3977,6 +3977,31 @@ def q_smooth_cell_counts(sf_dir: str):
                               level=TILE_LEVEL)
 
 
+def q_quadkey_counts(sf_dir: str):
+    """Bing-maps quadkey tile addressing: every level-6 tile rendered
+    as its 6-digit quadkey string (digit d_i = 2*y_bit + x_bit at each
+    zoom, MSB first — the industry-standard string key tile servers
+    shard by) with image counts. Vectorized digit extraction per batch
+    (np.char joins, no per-row Python); the SQL twin concatenates six
+    CASE digits from the same bit arithmetic."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x, y = _cell_xy(batch, TILE_LEVEL)
+        digs = None
+        for lvl in range(TILE_LEVEL - 1, -1, -1):
+            d = (((y >> lvl) & 1) * 2 + ((x >> lvl) & 1)).astype("U1")
+            digs = d if digs is None else np.char.add(digs, d)
+        uk, cnt = np.unique(digs, return_counts=True)
+        return pa.table({"quadkey": pa.array(uk.tolist(),
+                                             type=pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return images_dataset(sf_dir, columns=["lon", "lat"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("quadkey").aggregate(Sum("n", alias_name="n_images"))
+
+
 def q_home_cells_user(sf_dir: str):
     """Home-location detection: each user's most-visited level-6 cell
     (ties -> smallest cell) with its visit count — the anchor primitive
@@ -4725,6 +4750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_change_detection": q_cell_change_detection,
         "gaussian_smooth_cells": q_gaussian_smooth_cells,
         "home_cells_user": q_home_cells_user,
+        "quadkey_counts": q_quadkey_counts,
         "smooth_cell_counts": q_smooth_cell_counts,
         "geohash_counts": q_geohash_counts,
         "geojson_roundtrip": q_geojson_roundtrip,
@@ -5006,6 +5032,22 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts_salted": f"""{cte}
             SELECT cell_x, cell_y, COUNT(*) AS n_images
             FROM (SELECT {cells6} FROM images) GROUP BY cell_x, cell_y""",
+        "quadkey_counts": f"""{cte}
+            , c AS (SELECT {cells6} FROM images)
+            SELECT CAST((cell_y // 32) % 2 * 2 + (cell_x // 32) % 2
+                        AS VARCHAR)
+                || CAST((cell_y // 16) % 2 * 2 + (cell_x // 16) % 2
+                        AS VARCHAR)
+                || CAST((cell_y // 8) % 2 * 2 + (cell_x // 8) % 2
+                        AS VARCHAR)
+                || CAST((cell_y // 4) % 2 * 2 + (cell_x // 4) % 2
+                        AS VARCHAR)
+                || CAST((cell_y // 2) % 2 * 2 + (cell_x // 2) % 2
+                        AS VARCHAR)
+                || CAST(cell_y % 2 * 2 + cell_x % 2 AS VARCHAR)
+                   AS quadkey,
+                   COUNT(*) AS n_images
+            FROM c GROUP BY quadkey""",
         "home_cells_user": f"""
             WITH pts AS (SELECT user_id,
                    ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
