@@ -3977,6 +3977,55 @@ def q_smooth_cell_counts(sf_dir: str):
                               level=TILE_LEVEL)
 
 
+def q_contrastive_negatives(sf_dir: str):
+    """Negative sampling for contrastive image-caption training: each
+    image gets K=3 deterministic mismatched captions (stride-coprime
+    modular walk (eid + r*7919) mod N — never the true caption, no RNG
+    so retries are stable), captions attached through ONE bucketed
+    lookup (attach_lookup_bucketed — the negatives table is corpus-
+    scale, never driver-resident)."""
+    from osmium_tool_ray.blocks import attach_lookup_bucketed
+
+    ev = _events(sf_dir, ["event_id", "event_type"])
+    n_total = ev.count()
+
+    def emit(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        m = len(eid)
+        reps = np.repeat(eid, 3)
+        rank = np.tile(np.arange(1, 4, dtype=np.int64), m)
+        neg = (reps + rank * 7919) % n_total
+        return pa.table({"event_id": pa.array(reps),
+                         "rank": pa.array(rank),
+                         "neg_eid": pa.array(neg)})
+
+    def captions(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object) \
+            .astype(str)
+        cap = np.char.add(np.char.add(np.char.add(
+            "caption ", eid.astype("U")), " "), et)
+        return pa.table({"event_id": batch["event_id"],
+                         "caption": pa.array(cap.tolist(),
+                                             type=pa.string())})
+
+    caps = ev.map_batches(captions, batch_format="pyarrow")
+    pairs = ev.select_columns(["event_id"]) \
+        .map_batches(emit, batch_format="pyarrow")
+    out = attach_lookup_bucketed(pairs, caps, "neg_eid", "caption",
+                                 "neg_caption", lookup_key="event_id")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        img = np.char.add("img", np.char.zfill(eid.astype("U"), 10))
+        return pa.table({"image_id": pa.array(img.tolist(),
+                                              type=pa.string()),
+                         "rank": batch["rank"],
+                         "neg_caption": batch["neg_caption"]})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_quadkey_counts(sf_dir: str):
     """Bing-maps quadkey tile addressing: every level-6 tile rendered
     as its 6-digit quadkey string (digit d_i = 2*y_bit + x_bit at each
@@ -4751,6 +4800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gaussian_smooth_cells": q_gaussian_smooth_cells,
         "home_cells_user": q_home_cells_user,
         "quadkey_counts": q_quadkey_counts,
+        "contrastive_negatives": q_contrastive_negatives,
         "smooth_cell_counts": q_smooth_cell_counts,
         "geohash_counts": q_geohash_counts,
         "geojson_roundtrip": q_geojson_roundtrip,
@@ -5032,6 +5082,18 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts_salted": f"""{cte}
             SELECT cell_x, cell_y, COUNT(*) AS n_images
             FROM (SELECT {cells6} FROM images) GROUP BY cell_x, cell_y""",
+        "contrastive_negatives": """
+            WITH n AS (SELECT COUNT(*) AS total FROM events),
+            p AS (SELECT e.event_id, r.rank,
+                    (e.event_id + r.rank * 7919) % n.total AS neg_eid
+                  FROM events e, n,
+                       (VALUES (1), (2), (3)) r(rank))
+            SELECT 'img' || lpad(CAST(p.event_id AS VARCHAR), 10, '0')
+                       AS image_id,
+                   CAST(p.rank AS BIGINT) AS rank,
+                   'caption ' || CAST(g.event_id AS VARCHAR) || ' '
+                       || g.event_type AS neg_caption
+            FROM p JOIN events g ON g.event_id = p.neg_eid""",
         "quadkey_counts": f"""{cte}
             , c AS (SELECT {cells6} FROM images)
             SELECT CAST((cell_y // 32) % 2 * 2 + (cell_x // 32) % 2
