@@ -4250,6 +4250,71 @@ def q_ivf_ann(sf_dir: str):
     return ivf_ann_topk(corpus, qm, qids, cents, k=5, nprobe=3, concurrency=2)
 
 
+def q_ann_recall(sf_dir: str):
+    """ANN quality audit: recall@5 of the IVF index against the exact
+    cosine top-5, per query — the measurement every ANN deployment
+    reports before trusting the index. Both rankings stream from their
+    existing operators; ONE query-bucket fold intersects the id sets
+    (lexsort + run-length-2 count). Rows-only (IVF routing isn't
+    SQL-expressible); pytest pins recall == 1.0 at nprobe == nlist
+    and [0, 1] bounds (test_ann_recall.py)."""
+    import pyarrow.parquet as pq
+    from osmium_tool_ray.blocks import group_by_key_bucket
+    from osmium_tool_ray.stages.knn import (ann_topk, ivf_ann_topk,
+                                            train_ivf_centroids)
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy(zero_copy_only=False)
+    qsel = t.filter(pa.array(vid % 100 == 0))
+    qm = np.asarray(qsel["embedding"].to_pylist(), dtype=np.float64)
+    qids = qsel["vec_id"].to_numpy(zero_copy_only=False)
+    corpus = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    k = 5
+    exact = ann_topk(corpus, qm, qids, k=k, concurrency=2) \
+        .select_columns(["query_id", "vec_id"])
+    cents = train_ivf_centroids(corpus, dim=qm.shape[1], nlist=8,
+                                iters=2)
+    approx = ivf_ann_topk(corpus, qm, qids, cents, k=k, nprobe=3,
+                          concurrency=2) \
+        .select_columns(["query_id", "vec_id"])
+
+    def tag(side):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array(np.full(batch.num_rows, side,
+                                         dtype=np.int8)))
+        return f
+
+    # materialize each tiny ranking BEFORE the union: executed together
+    # the two fixed-size actor pools (2 CPUs each) can reserve every
+    # CPU of a small session and starve the union's tasks (CLAUDE.md
+    # actor-pool landmine); sequential materialization sidesteps it
+    both = exact.map_batches(tag(0), batch_format="pyarrow") \
+        .materialize() \
+        .union(approx.map_batches(tag(1), batch_format="pyarrow")
+               .materialize())
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "recall": pa.array([], type=pa.float64())})
+        q = g["query_id"].to_numpy(zero_copy_only=False)
+        v = g["vec_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((v, q))
+        q, v = q[o], v[o]
+        dup = np.zeros(len(q), dtype=np.int64)
+        dup[1:] = (q[1:] == q[:-1]) & (v[1:] == v[:-1])
+        uq = np.unique(q)
+        hits = np.bincount(np.searchsorted(uq, q), weights=dup) \
+            .astype(np.int64)
+        return pa.table({"query_id": pa.array(uq),
+                         "recall": pa.array(hits / float(k))})
+
+    return group_by_key_bucket(both, "query_id", fold)
+
+
 def q_langid_docs(sf_dir: str):
     from osmium_tool_ray.stages.text import LangId
 
@@ -4801,6 +4866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "home_cells_user": q_home_cells_user,
         "quadkey_counts": q_quadkey_counts,
         "contrastive_negatives": q_contrastive_negatives,
+        "ann_recall": q_ann_recall,
         "smooth_cell_counts": q_smooth_cell_counts,
         "geohash_counts": q_geohash_counts,
         "geojson_roundtrip": q_geojson_roundtrip,

@@ -98,7 +98,7 @@ QUERY_NAMES = [
     "gap_outliers_user", "raster_equalize_cells", "map_match_users",
     "adaptive_quadtree", "dtw_tracks", "cell_change_detection",
     "gaussian_smooth_cells", "home_cells_user", "trailing_window_user",
-    "quadkey_counts", "contrastive_negatives",
+    "quadkey_counts", "contrastive_negatives", "ann_recall",
 ]
 
 
