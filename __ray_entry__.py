@@ -2569,6 +2569,73 @@ def q_trailing_window_user(sf_dir: str):
                            3600)
 
 
+def q_trip_stats_user(sf_dir: str):
+    """Trip extraction: split each user's track where the inter-event
+    gap exceeds 1h, then per-trip point count and exact integer
+    squared-step path sum (the sessionize x track-geometry composition
+    of mobility pipelines; track_length_user is the whole-track
+    cousin). ONE bucket fold: lexsort, gap-flag cumsum for trip ids,
+    run-boundary reduceat sums."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    GAP = 3600 * 10**6
+
+    def pre(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        xq = (eid * 7919) % 36000 - 18000
+        yq = (eid * 104729) % 17000 - 8500
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"user_id": batch["user_id"], "us": us,
+                         "eid": batch["event_id"],
+                         "xq": pa.array(xq), "yq": pa.array(yq)})
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "trip_id": pa.array([], type=pa.int64()),
+                          "n_points": pa.array([], type=pa.int64()),
+                          "path_d2_sum": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["us"].to_numpy(zero_copy_only=False)
+        e = g["eid"].to_numpy(zero_copy_only=False)
+        x = g["xq"].to_numpy(zero_copy_only=False)
+        y = g["yq"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((e, us, u))
+        u, us, x, y = u[o], us[o], x[o], y[o]
+        n = len(u)
+        new_user = np.zeros(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.zeros(n, dtype=bool)
+        gap[1:] = us[1:] - us[:-1] > GAP
+        new_trip = new_user | gap
+        # per-user 1-based trip ids: cumulative trips minus the count
+        # at the user's first row
+        trips_cum = np.cumsum(new_trip)
+        ustart = np.flatnonzero(new_user)
+        base = np.repeat(trips_cum[ustart] - 1,
+                         np.diff(np.r_[ustart, n]))
+        trip = trips_cum - base
+        # per-step squared distance, zeroed at trip boundaries
+        d2 = np.zeros(n, dtype=np.int64)
+        dx = x[1:] - x[:-1]
+        dy = y[1:] - y[:-1]
+        d2[1:] = dx * dx + dy * dy
+        d2[new_trip] = 0
+        starts = np.flatnonzero(new_trip)
+        cnt = np.diff(np.r_[starts, n]).astype(np.int64)
+        sums = np.add.reduceat(d2, starts)
+        return pa.table({"user_id": pa.array(u[starts]),
+                         "trip_id": pa.array(trip[starts]),
+                         "n_points": pa.array(cnt),
+                         "path_d2_sum": pa.array(sums.astype(np.int64))})
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_id"]) \
+        .map_batches(pre, batch_format="pyarrow")
+    return group_by_key_bucket(ev, "user_id", fold)
+
+
 def q_gap_outliers_user(sf_dir: str):
     """Inter-arrival anomaly gaps per user (pipelines/windows
     .gap_outliers): gaps > 3x the user's median gap; exact integer
@@ -4965,6 +5032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_fill_user": q_gap_fill_user,
         "gap_outliers_user": q_gap_outliers_user,
         "trailing_window_user": q_trailing_window_user,
+        "trip_stats_user": q_trip_stats_user,
         "changepoint_user": q_changepoint_user,
         "theilsen_user": q_theilsen_user,
         "ripley_pair_counts": q_ripley_counts,
@@ -6025,6 +6093,28 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE i < n
             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                 ORDER BY abs(n*s - i*stot) DESC, i ASC) = 1""",
+        "trip_stats_user": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                    (event_id * 7919) % 36000 - 18000 AS xq,
+                    (event_id * 104729) % 17000 - 8500 AS yq
+                 FROM events),
+            w AS (SELECT user_id, us, event_id, xq, yq,
+                    CASE WHEN LAG(us) OVER pw IS NULL
+                         OR us - LAG(us) OVER pw > 3600000000
+                         THEN 1 ELSE 0 END AS nt,
+                    LAG(xq) OVER pw AS px, LAG(yq) OVER pw AS py
+                  FROM e WINDOW pw AS (PARTITION BY user_id
+                                       ORDER BY us, event_id)),
+            t AS (SELECT user_id,
+                    CAST(SUM(nt) OVER (PARTITION BY user_id
+                         ORDER BY us, event_id) AS BIGINT) AS trip_id,
+                    CASE WHEN nt = 1 THEN 0
+                         ELSE (xq - px) * (xq - px)
+                              + (yq - py) * (yq - py) END AS d2
+                  FROM w)
+            SELECT user_id, trip_id, COUNT(*) AS n_points,
+                   CAST(SUM(d2) AS BIGINT) AS path_d2_sum
+            FROM t GROUP BY 1, 2""",
         "trailing_window_user": """
             SELECT user_id, event_id,
                    CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
