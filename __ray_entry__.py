@@ -141,6 +141,60 @@ def q_extract_multi_fanout(sf_dir: str):
     return matched.select_columns(["extract_id", "image_id"])
 
 
+def q_region_density(sf_dir: str):
+    """Zonal statistics: per extract region, image count, exact polygon
+    area (shoelace over the region's vertices — a constant both engines
+    compute from the same literals) and the density count/area — the
+    summary an extract run reports per output. One RegionMatcher
+    fan-out pass + a tiny count groupby; one fixed float division."""
+    import ray
+    from ray.data.aggregate import Sum
+    from osmium_tool_ray.stages.extract import RegionMatcher
+
+    regions = parse_extract_config({"extracts": [
+        {"output": "west", "bbox": [-150, -60, -30, 60]},
+        {"output": "east", "bbox": [30, -60, 150, 60]},
+        {"output": "diamond", "polygon": [POLY]},
+    ]})
+    # exact areas in deg^2: bboxes analytically, the diamond by
+    # shoelace over the same POLY literals the oracle uses
+    # left-associated scalar shoelace so the SQL twin's default
+    # left-to-right float sum is the identical IEEE expression tree
+    t = [POLY[i][0] * POLY[i + 1][1] - POLY[i + 1][0] * POLY[i][1]
+         for i in range(4)]
+    diamond_area = 0.5 * abs(((t[0] + t[1]) + t[2]) + t[3])
+    areas = np.array([120.0 * 120.0, 120.0 * 120.0, diamond_area])
+
+    ds = images_dataset(sf_dir, columns=["image_id", "lon", "lat"])
+    matched = ds.map_batches(RegionMatcher,
+                             fn_constructor_args=(ray.put(regions),),
+                             batch_format="pyarrow", concurrency=2)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch["extract_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uk, cnt = np.unique(eid, return_counts=True)
+        return pa.table({"extract_id": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = matched.map_batches(partial, batch_format="pyarrow") \
+        .groupby("extract_id").aggregate(Sum("n", alias_name="n_images"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        eid = batch["extract_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = batch["n_images"].cast(pa.int64())
+        a = areas[eid]
+        return pa.table({
+            "extract_id": pa.array(eid),
+            "n_images": n,
+            "area_deg2": pa.array(a),
+            "density": pa.array(
+                n.to_numpy(zero_copy_only=False) / a)})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def q_outside_regions(sf_dir: str):
     """Spatial ANTI-join — images inside NO region (the extract
     complement the reference leaves to `osmium removeid` chains;
@@ -4923,6 +4977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outside_regions": q_outside_regions,
         "zorder_pruned_bbox": q_zorder_pruned_bbox,
         "extract_multi_fanout": q_extract_multi_fanout,
+        "region_density": q_region_density,
         "cell_grid_counts": q_cell_grid_counts,
         "hex_bin_counts": q_hex_bin_counts,
         "isochrone_cells": q_isochrone_cells,
@@ -5185,6 +5240,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(1 AS INTEGER) AS extract_id, image_id FROM images
             WHERE lon >= 30 AND lon <= 150 AND lat >= -60 AND lat <= 60""",
+        "region_density": f"""{cte}
+            , m AS (
+              SELECT 0 AS extract_id FROM images
+              WHERE lon >= -150 AND lon <= -30
+                AND lat >= -60 AND lat <= 60
+              UNION ALL
+              SELECT 1 FROM images
+              WHERE lon >= 30 AND lon <= 150
+                AND lat >= -60 AND lat <= 60
+              UNION ALL
+              SELECT 2 FROM images WHERE {poly_pred}),
+            c AS (SELECT extract_id, COUNT(*) AS n_images
+                  FROM m GROUP BY 1),
+            a AS (SELECT * FROM (VALUES
+                    (0, 14400.0e0), (1, 14400.0e0),
+                    (2, 0.5e0 * abs(
+                        (0.0e0 * 0.0e0 - 60.005e0 * -40.005e0)
+                        + (60.005e0 * 40.005e0 - 0.0e0 * 0.0e0)
+                        + (0.0e0 * 0.0e0 - -60.005e0 * 40.005e0)
+                        + (-60.005e0 * -40.005e0 - 0.0e0 * 0.0e0))))
+                  t(extract_id, area_deg2))
+            SELECT CAST(c.extract_id AS BIGINT) AS extract_id,
+                   c.n_images, a.area_deg2,
+                   CAST(c.n_images AS DOUBLE) / a.area_deg2 AS density
+            FROM c JOIN a USING (extract_id)""",
         "cell_grid_counts": f"""{cte}
             SELECT cell_x, cell_y, COUNT(*) AS n_images
             FROM (SELECT {cells10} FROM images) GROUP BY cell_x, cell_y""",
