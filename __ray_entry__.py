@@ -4222,6 +4222,56 @@ def q_home_cells_user(sf_dir: str):
     return group_by_key_bucket(partials, "user_id", fold)
 
 
+def q_coverage_gaps(sf_dir: str):
+    """Coverage-gap frontier: level-6 cells that are EMPTY but 4-adjacent
+    to an occupied cell — the "where is data missing next to data" map a
+    collection-planning pipeline renders. Occupied cells pre-agg per
+    batch, 4-neighbor explode, hash-distinct on the candidate set, then
+    ONE bucketed occupancy attach and a null filter (the anti-join stays
+    distributed; grid bounds clip map-side)."""
+    from ray.data.aggregate import Sum
+    from osmium_tool_ray.blocks import attach_lookup_bucketed, \
+        hash_distinct
+
+    n_grid = 1 << TILE_LEVEL
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x, y = _cell_xy(batch, TILE_LEVEL)
+        key = (x << 32) | y
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"cell": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    occ = images_dataset(sf_dir, columns=["lon", "lat"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("cell").aggregate(Sum("n", alias_name="n")) \
+        .materialize()
+
+    def neighbors(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False)
+        x, y = c >> 32, c & 0xFFFFFFFF
+        outs = []
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nx, ny = x + dx, y + dy
+            ok = (nx >= 0) & (nx < n_grid) & (ny >= 0) & (ny < n_grid)
+            outs.append(pa.table({"cell": pa.array(
+                (nx[ok] << 32) | ny[ok])}))
+        return pa.concat_tables(outs)
+
+    cand = hash_distinct(
+        occ.map_batches(neighbors, batch_format="pyarrow"), ["cell"])
+    tagged = attach_lookup_bucketed(cand, occ, "cell", "n", "occ_n")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        keep = pc.is_null(batch["occ_n"])
+        t = batch.filter(keep)
+        c = t["cell"].to_numpy(zero_copy_only=False)
+        return pa.table({"cell_x": pa.array(c >> 32),
+                         "cell_y": pa.array(c & 0xFFFFFFFF)})
+
+    return tagged.map_batches(fin, batch_format="pyarrow")
+
+
 def q_gaussian_smooth_cells(sf_dir: str):
     """5x5 binomial-kernel smoothed density raster (stages/raster
     .gaussian_smooth_cells): exact separable [1,4,6,4,1] integer
@@ -4985,6 +5035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_quadtree": q_adaptive_quadtree,
         "cell_change_detection": q_cell_change_detection,
         "gaussian_smooth_cells": q_gaussian_smooth_cells,
+        "coverage_gaps": q_coverage_gaps,
         "home_cells_user": q_home_cells_user,
         "quadkey_counts": q_quadkey_counts,
         "contrastive_negatives": q_contrastive_negatives,
@@ -5335,6 +5386,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, cell_x, cell_y, n_visits FROM c
             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                 ORDER BY n_visits DESC, cell_x, cell_y) = 1""",
+        "coverage_gaps": f"""{cte}
+            , c AS (SELECT DISTINCT cell_x, cell_y
+                    FROM (SELECT {cells6} FROM images)),
+            nb AS (SELECT DISTINCT c.cell_x + dx.i AS cell_x,
+                          c.cell_y + dy.j AS cell_y
+                   FROM c, (VALUES (1, 0), (-1, 0), (0, 1), (0, -1))
+                        d(a, b),
+                        LATERAL (SELECT d.a AS i) dx,
+                        LATERAL (SELECT d.b AS j) dy
+                   WHERE c.cell_x + dx.i BETWEEN 0 AND 63
+                     AND c.cell_y + dy.j BETWEEN 0 AND 63)
+            SELECT n.cell_x, n.cell_y FROM nb n
+            WHERE NOT EXISTS (SELECT 1 FROM c
+                              WHERE c.cell_x = n.cell_x
+                                AND c.cell_y = n.cell_y)""",
         "gaussian_smooth_cells": f"""{cte}
             , c AS (SELECT cell_x, cell_y, COUNT(*) AS n
                     FROM (SELECT {cells6} FROM images)
