@@ -1176,6 +1176,8 @@ def map_match_viterbi(ds, key_col: str, ts_col: str, tie_col: str,
         if g.num_rows == 0:
             return empty
         seg, sid, pen = ray.get(ref)
+        if len(seg) == 0:       # empty road set matches nothing
+            return empty
         k = g[key_col].to_numpy(zero_copy_only=False)
         ts = g["ts"].to_numpy(zero_copy_only=False)
         t = g["t"].to_numpy(zero_copy_only=False)
