@@ -4495,6 +4495,38 @@ def q_langid_docs(sf_dir: str):
         .select_columns(["doc_id", "lang_pred"])
 
 
+def q_langid_confusion(sf_dir: str):
+    """Language-ID evaluation: the (truth lang, predicted lang)
+    confusion matrix over the corpus — the accuracy report any
+    classifier stage ships with. LangId predicts map-side (the same
+    vectorized vote as langid_docs), then per-batch pair-count partials
+    and ONE tiny native groupby."""
+    from ray.data.aggregate import Sum
+    from osmium_tool_ray.stages.text import LangId
+
+    pred = _docs(sf_dir, ["doc_id", "text", "lang"]) \
+        .map_batches(LangId, fn_constructor_kwargs={"text_col": "text"},
+                     batch_format="pandas", concurrency=2)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch["lang"].to_pylist(), dtype=object) \
+            .astype(str)
+        p = np.asarray(batch["lang_pred"].to_pylist(), dtype=object) \
+            .astype(str)
+        key = np.char.add(np.char.add(t, "|"), p)
+        uk, cnt = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "|")
+        return pa.table({"lang": pa.array(sp[:, 0].tolist(),
+                                          type=pa.string()),
+                         "lang_pred": pa.array(sp[:, 2].tolist(),
+                                               type=pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return pred.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang", "lang_pred"]) \
+        .aggregate(Sum("n", alias_name="n_docs"))
+
+
 def q_simhash_docs(sf_dir: str):
     from osmium_tool_ray.stages.dedup import SimHash
 
@@ -5232,6 +5264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": q_quality_docs,
         "knn_points": q_knn_points,
         "langid_docs": q_langid_docs,
+        "langid_confusion": q_langid_confusion,
         "simhash_docs": q_simhash_docs,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "ngram_dup_pairs": q_ngram_dup_pairs,
@@ -7563,6 +7596,11 @@ def oracle_sql() -> dict[str, str]:
     # HUGEINT arithmetic) or from the ground-truth similarity definition.
     out["simhash_docs"] = simhash_sql()
     out["langid_docs"] = langid_sql()
+    out["langid_confusion"] = f"""
+        WITH preds AS ({langid_sql()})
+        SELECT d.lang, p.lang_pred, COUNT(*) AS n_docs
+        FROM documents d JOIN preds p USING (doc_id)
+        GROUP BY 1, 2"""
     # LSH banding recall is complete on this corpus (verified: pipeline
     # output == all-pairs ground truth) and the exact verify stage makes
     # precision exact, so the definitional oracle is the true twin.
