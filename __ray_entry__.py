@@ -141,6 +141,41 @@ def q_extract_multi_fanout(sf_dir: str):
     return matched.select_columns(["extract_id", "image_id"])
 
 
+def q_extract_bounds(sf_dir: str):
+    """Per-extract manifest — row count and exact data bbox of every
+    extract output (the header osmium writes per extract file,
+    src/command_extract.cpp / fileinfo's extent report, as one grouped
+    multi-aggregate). RegionMatcher fan-out, then ONE native groupby
+    with Count+Min+Max (min/max are order-free exact on doubles)."""
+    import ray
+    from ray.data.aggregate import Count, Max, Min
+    from osmium_tool_ray.stages.extract import RegionMatcher
+
+    regions = parse_extract_config({"extracts": [
+        {"output": "west", "bbox": [-150, -60, -30, 60]},
+        {"output": "east", "bbox": [30, -60, 150, 60]},
+        {"output": "diamond", "polygon": [POLY]},
+    ]})
+    ds = images_dataset(sf_dir, columns=["image_id", "lon", "lat"])
+    matched = ds.map_batches(RegionMatcher,
+                             fn_constructor_args=(ray.put(regions),),
+                             batch_format="pyarrow", concurrency=2)
+
+    out = matched.groupby("extract_id").aggregate(
+        Count(alias_name="n_images"),
+        Min("lon", alias_name="min_lon"), Max("lon", alias_name="max_lon"),
+        Min("lat", alias_name="min_lat"), Max("lat", alias_name="max_lat"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "extract_id": batch["extract_id"].cast(pa.int64()),
+            "n_images": batch["n_images"].cast(pa.int64()),
+            "min_lon": batch["min_lon"], "max_lon": batch["max_lon"],
+            "min_lat": batch["min_lat"], "max_lat": batch["max_lat"]})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_region_density(sf_dir: str):
     """Zonal statistics: per extract region, image count, exact polygon
     area (shoelace over the region's vertices — a constant both engines
@@ -5060,6 +5095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_pruned_bbox": q_zorder_pruned_bbox,
         "extract_multi_fanout": q_extract_multi_fanout,
         "region_density": q_region_density,
+        "extract_bounds": q_extract_bounds,
         "cell_grid_counts": q_cell_grid_counts,
         "hex_bin_counts": q_hex_bin_counts,
         "isochrone_cells": q_isochrone_cells,
@@ -5324,6 +5360,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(1 AS INTEGER) AS extract_id, image_id FROM images
             WHERE lon >= 30 AND lon <= 150 AND lat >= -60 AND lat <= 60""",
+        "extract_bounds": f"""{cte}
+            , m AS (
+              SELECT 0 AS extract_id, lon, lat FROM images
+              WHERE lon >= -150 AND lon <= -30
+                AND lat >= -60 AND lat <= 60
+              UNION ALL
+              SELECT 1, lon, lat FROM images
+              WHERE lon >= 30 AND lon <= 150
+                AND lat >= -60 AND lat <= 60
+              UNION ALL
+              SELECT 2, lon, lat FROM images WHERE {poly_pred})
+            SELECT CAST(extract_id AS BIGINT) AS extract_id,
+                   COUNT(*) AS n_images,
+                   MIN(lon) AS min_lon, MAX(lon) AS max_lon,
+                   MIN(lat) AS min_lat, MAX(lat) AS max_lat
+            FROM m GROUP BY extract_id""",
         "region_density": f"""{cte}
             , m AS (
               SELECT 0 AS extract_id FROM images
