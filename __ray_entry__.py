@@ -2647,6 +2647,48 @@ def q_changepoint_user(sf_dir: str):
                                      "event_id")
 
 
+def q_decayed_value_user(sf_dir: str):
+    """Recency-weighted value per user: half-life decay by whole days
+    before a fixed reference date, kept EXACT by scaling to the common
+    denominator — weight 2^(20 - min(age_days, 20)) is an integer, so
+    the decayed sum is one int64 Sum groupby (no float accumulation
+    order anywhere; the final score divides once by 2^20). Map-side
+    per-batch partials, ONE tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    ref_us = np.datetime64("2024-02-01").astype("datetime64[us]") \
+        .astype(np.int64)
+    DAY = np.int64(86_400_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        vc = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        age = np.minimum(np.maximum((ref_us - us) // DAY, 0), 20)
+        w = np.int64(1) << (20 - age)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        uk = np.unique(uid)
+        pos = np.searchsorted(uk, uid)
+        tot = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(tot, pos, vc * w)
+        return pa.table({"user_id": pa.array(uk),
+                         "s": pa.array(tot)})
+
+    agg = _events(sf_dir, ["user_id", "ts", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("s", alias_name="s"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        s = batch["s"].cast(pa.int64())
+        return pa.table({
+            "user_id": batch["user_id"],
+            "decayed_c": pa.array(
+                s.to_numpy(zero_copy_only=False) / float(1 << 20))})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def q_trailing_window_user(sf_dir: str):
     """Per-event trailing 1h window count/sum (pipelines/windows
     .trailing_window): SQL RANGE-window peer semantics, one bucket
@@ -5206,6 +5248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_fill_user": q_gap_fill_user,
         "gap_outliers_user": q_gap_outliers_user,
         "trailing_window_user": q_trailing_window_user,
+        "decayed_value_user": q_decayed_value_user,
         "trip_stats_user": q_trip_stats_user,
         "changepoint_user": q_changepoint_user,
         "theilsen_user": q_theilsen_user,
@@ -6346,6 +6389,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, trip_id, COUNT(*) AS n_points,
                    CAST(SUM(d2) AS BIGINT) AS path_d2_sum
             FROM t GROUP BY 1, 2""",
+        "decayed_value_user": """
+            WITH e AS (SELECT user_id,
+                    CAST(round(value * 100) AS BIGINT) AS vc,
+                    LEAST(GREATEST(
+                        (epoch_us(TIMESTAMP '2024-02-01')
+                         - epoch_us(ts)) // 86400000000, 0), 20) AS age
+                 FROM events)
+            SELECT user_id,
+                   CAST(SUM(vc * (1::BIGINT << (20 - age)))
+                        AS BIGINT) / CAST(1048576 AS DOUBLE)
+                       AS decayed_c
+            FROM e GROUP BY user_id""",
         "trailing_window_user": """
             SELECT user_id, event_id,
                    CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
