@@ -4299,6 +4299,44 @@ def q_home_cells_user(sf_dir: str):
     return group_by_key_bucket(partials, "user_id", fold)
 
 
+def q_cell_distinct_users(sf_dir: str):
+    """Distinct-cardinality raster: exact distinct users per level-6
+    cell (the deduplicated-density map; hll_distinct_counts is the
+    sketch cousin). Per-batch (cell, user) pair dedup bounds the
+    shuffle by distinct pairs x blocks, then hash_distinct + a count
+    partial + ONE tiny Sum groupby."""
+    from ray.data.aggregate import Sum
+    from osmium_tool_ray.blocks import hash_distinct
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = ((eid * 7919) % 36000) / 100.0 - 180.0
+        lat = ((eid * 104729) % 17000) / 100.0 - 85.0
+        t2 = pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+        x, y = _cell_xy(t2, TILE_LEVEL)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        key = ((x << 16) | y) << 32 | uid          # uid < 2^31
+        uk = np.unique(key)
+        return pa.table({"cell": pa.array(uk >> 32),
+                         "user_id": pa.array(uk & 0xFFFFFFFF)})
+
+    distinct = hash_distinct(
+        _events(sf_dir, ["event_id", "user_id"])
+        .map_batches(pairs, batch_format="pyarrow"),
+        ["cell", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(c, return_counts=True)
+        return pa.table({"cell_x": pa.array(uk >> 16),
+                         "cell_y": pa.array(uk & 0xFFFF),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return distinct.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["cell_x", "cell_y"]) \
+        .aggregate(Sum("n", alias_name="n_users"))
+
+
 def q_coverage_gaps(sf_dir: str):
     """Coverage-gap frontier: level-6 cells that are EMPTY but 4-adjacent
     to an occupied cell — the "where is data missing next to data" map a
@@ -5146,6 +5184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_change_detection": q_cell_change_detection,
         "gaussian_smooth_cells": q_gaussian_smooth_cells,
         "coverage_gaps": q_coverage_gaps,
+        "cell_distinct_users": q_cell_distinct_users,
         "home_cells_user": q_home_cells_user,
         "quadkey_counts": q_quadkey_counts,
         "contrastive_negatives": q_contrastive_negatives,
@@ -5514,6 +5553,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, cell_x, cell_y, n_visits FROM c
             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                 ORDER BY n_visits DESC, cell_x, cell_y) = 1""",
+        "cell_distinct_users": f"""
+            WITH pts AS (SELECT user_id,
+                   ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+                   ((event_id * 104729) % 17000) / 100.0 - 85.0 AS lat
+                 FROM events)
+            SELECT cell_x, cell_y,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM (SELECT user_id, {cells6} FROM pts)
+            GROUP BY cell_x, cell_y""",
         "coverage_gaps": f"""{cte}
             , c AS (SELECT DISTINCT cell_x, cell_y
                     FROM (SELECT {cells6} FROM images)),
