@@ -1126,6 +1126,95 @@ def q_dedup_exact_docs(sf_dir: str):
                                lambda g: _merge(g, False))
 
 
+def q_novelty_docs(sf_dir: str):
+    """Lexical novelty score: per doc, how many of its distinct tokens
+    appear NOWHERE else in the corpus (df == 1), and the ratio to its
+    distinct-token count — the boilerplate/duplication-adjacent
+    curation signal (a doc full of corpus-unique vocabulary is novel;
+    one whose every token is shared is boilerplate-like). Distinct
+    (doc, token) pairs map-side; ONE token-bucket fold emits each
+    df==1 token's single doc; per-doc distinct counts ride the same
+    rows tagged by side; one final doc-bucket fold divides once."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"].cast(pa.string())),
+            pattern="[^a-z0-9_]+")
+        toks = toks.combine_chunks() if isinstance(
+            toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        counts = pc.list_value_length(toks) \
+            .to_numpy(zero_copy_only=False)
+        did = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False),
+                        counts)
+        tk = np.asarray(flat.to_pylist(), dtype=object).astype(str)
+        ok = np.char.str_len(tk) > 0
+        did, tk = did[ok], tk[ok]
+        key = np.char.add(np.char.add(tk, "\x1f"),
+                          did.astype("U"))
+        uk = np.unique(key)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"token": pa.array(sp[:, 0].tolist(),
+                                           type=pa.string()),
+                         "doc_id": pa.array(
+                             sp[:, 2].astype(np.int64))})
+
+    dpairs = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(pairs, batch_format="pyarrow")
+
+    def df_fold(g: pa.Table) -> pa.Table:
+        # per token: df; emit (doc, uniq=1) for df==1 tokens and
+        # (doc, uniq=0) for every (doc, token) row -> distinct counts
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "uniq": pa.array([], type=pa.int64()),
+                             "tot": pa.array([], type=pa.int64())})
+        tk = np.asarray(g["token"].to_pylist(), dtype=object) \
+            .astype(str)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        o = np.argsort(tk, kind="stable")
+        tk, did = tk[o], did[o]
+        starts = np.flatnonzero(np.r_[True, tk[1:] != tk[:-1]])
+        df = np.diff(np.r_[starts, len(tk)])
+        uniq = np.zeros(len(tk), dtype=np.int64)
+        uniq[starts[df == 1]] = 1
+        # per-doc partial: total distinct tokens seen in this bucket +
+        # unique-token hits
+        uk = np.unique(did)
+        pos = np.searchsorted(uk, did)
+        tot = np.bincount(pos, minlength=len(uk)).astype(np.int64)
+        un = np.bincount(pos, weights=uniq,
+                         minlength=len(uk)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(uk),
+                         "uniq": pa.array(un), "tot": pa.array(tot)})
+
+    parts = group_by_key_bucket(dpairs, "token", df_fold)
+
+    def doc_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_unique_tokens": pa.array([], type=pa.int64()),
+                "n_distinct_tokens": pa.array([], type=pa.int64()),
+                "novelty": pa.array([], type=pa.float64())})
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        un = g["uniq"].to_numpy(zero_copy_only=False)
+        tot = g["tot"].to_numpy(zero_copy_only=False)
+        uk = np.unique(did)
+        pos = np.searchsorted(uk, did)
+        su = np.bincount(pos, weights=un).astype(np.int64)
+        st = np.bincount(pos, weights=tot).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(uk),
+            "n_unique_tokens": pa.array(su),
+            "n_distinct_tokens": pa.array(st),
+            "novelty": pa.array(su / np.maximum(st, 1)
+                                .astype(np.float64))})
+
+    return group_by_key_bucket(parts, "doc_id", doc_fold)
+
+
 def q_dup_stats_by_source(sf_dir: str):
     """Dedup observability — the per-source scorecard a corpus curation
     run reports before dropping anything: docs, distinct content
@@ -5378,6 +5467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_ann": q_pq_ann,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dup_stats_by_source": q_dup_stats_by_source,
+        "novelty_docs": q_novelty_docs,
         "token_count_docs": q_token_count_docs,
         "quality_docs": q_quality_docs,
         "knn_points": q_knn_points,
@@ -7403,6 +7493,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_x, cell_y, LEAST(COUNT(*), 64) AS n_members
             FROM (SELECT {_CELL_XY_SQL.format(n=8, m=7)} FROM images)
             GROUP BY cell_x, cell_y""",
+        "novelty_docs": r"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_filter(string_split_regex(
+                           lower(text), '[^a-z0-9_]+'),
+                           _t -> _t <> '')) AS tok
+                FROM documents),
+            df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok)
+            SELECT t.doc_id,
+                   CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_unique_tokens,
+                   COUNT(*) AS n_distinct_tokens,
+                   CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT)
+                     / CAST(GREATEST(COUNT(*), 1) AS DOUBLE)
+                       AS novelty
+            FROM toks t JOIN df USING (tok)
+            GROUP BY t.doc_id""",
         "dup_stats_by_source": """
             WITH f AS (SELECT source, text, COUNT(*) AS n
                        FROM documents GROUP BY 1, 2),
