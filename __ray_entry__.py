@@ -1126,6 +1126,65 @@ def q_dedup_exact_docs(sf_dir: str):
                                lambda g: _merge(g, False))
 
 
+def q_source_drift(sf_dir: str):
+    """Corpus-mix drift report: per source, event counts in the early
+    vs late half of the collection window, the expected late count
+    under the early mix, and the per-source surprise term
+    (o-e)^2/e — reported PER ROW (never float-summed, so every value
+    is one fixed IEEE tree over exact integers; a chi-square total
+    would float-sum in nondeterministic order). Conditional one-pass
+    partials like cell_change_detection; the totals are two scalars."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["source"].to_pylist(), dtype=object) \
+            .astype(str)
+        # documents carry no ts; a deterministic doc_id % 3 split
+        # stands in for the two collection epochs (mirrored in SQL)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        late = (did % 3) != 0
+        key = np.char.add(np.where(late, "l\x1f", "e\x1f"), src)
+        uk, cnt = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        e = sp[:, 0] == "e"
+        return pa.table({"source": pa.array(sp[:, 2].tolist(),
+                                            type=pa.string()),
+                         "ne": pa.array(np.where(e, cnt, 0)
+                                        .astype(np.int64)),
+                         "nl": pa.array(np.where(e, 0, cnt)
+                                        .astype(np.int64))})
+
+    agg = _docs(sf_dir, ["doc_id", "source"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("ne", alias_name="n_early"),
+                                     Sum("nl", alias_name="n_late")) \
+        .materialize()
+
+    tot = agg.map_batches(
+        lambda b: pa.table({
+            "te": pa.array([int(np.sum(
+                b["n_early"].to_numpy(zero_copy_only=False)))]),
+            "tl": pa.array([int(np.sum(
+                b["n_late"].to_numpy(zero_copy_only=False)))])}),
+        batch_format="pyarrow").to_pandas()
+    te, tl = int(tot.te.sum()), int(tot.tl.sum())
+
+    def fin(batch: pa.Table) -> pa.Table:
+        ne = batch["n_early"].cast(pa.int64())
+        nl = batch["n_late"].cast(pa.int64())
+        nev = ne.to_numpy(zero_copy_only=False).astype(np.float64)
+        nlv = nl.to_numpy(zero_copy_only=False).astype(np.float64)
+        expected = nev * (float(tl) / float(te))
+        d = nlv - expected
+        surprise = d * d / np.maximum(expected, 1.0)
+        return pa.table({"source": batch["source"],
+                         "n_early": ne, "n_late": nl,
+                         "expected_late": pa.array(expected),
+                         "surprise": pa.array(surprise)})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def q_novelty_docs(sf_dir: str):
     """Lexical novelty score: per doc, how many of its distinct tokens
     appear NOWHERE else in the corpus (df == 1), and the ratio to its
@@ -5468,6 +5527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "dup_stats_by_source": q_dup_stats_by_source,
         "novelty_docs": q_novelty_docs,
+        "source_drift": q_source_drift,
         "token_count_docs": q_token_count_docs,
         "quality_docs": q_quality_docs,
         "knn_points": q_knn_points,
@@ -7493,6 +7553,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT cell_x, cell_y, LEAST(COUNT(*), 64) AS n_members
             FROM (SELECT {_CELL_XY_SQL.format(n=8, m=7)} FROM images)
             GROUP BY cell_x, cell_y""",
+        "source_drift": """
+            WITH e AS (SELECT source,
+                         CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END
+                             AS late
+                       FROM documents),
+            c AS (SELECT source,
+                    CAST(SUM(1 - late) AS BIGINT) AS n_early,
+                    CAST(SUM(late) AS BIGINT) AS n_late
+                  FROM e GROUP BY 1),
+            t AS (SELECT CAST(SUM(n_early) AS BIGINT) AS te,
+                         CAST(SUM(n_late) AS BIGINT) AS tl
+                  FROM c),
+            x AS (SELECT c.source, c.n_early, c.n_late,
+                    CAST(c.n_early AS DOUBLE)
+                      * (CAST(t.tl AS DOUBLE) / CAST(t.te AS DOUBLE))
+                        AS expected_late
+                  FROM c, t)
+            SELECT source, n_early, n_late, expected_late,
+                   (CAST(n_late AS DOUBLE) - expected_late)
+                     * (CAST(n_late AS DOUBLE) - expected_late)
+                     / GREATEST(expected_late, 1.0e0) AS surprise
+            FROM x""",
         "novelty_docs": r"""
             WITH toks AS (
                 SELECT DISTINCT doc_id,
