@@ -3197,6 +3197,89 @@ def q_track_sectors(sf_dir: str):
                          tie_col="event_id")
 
 
+def q_copresence_pairs(sf_dir: str):
+    """Co-presence contact graph: unordered user pairs sharing a
+    (level-3 cell, day) slot, with meeting counts — the
+    contact-tracing / social-tie primitive (colocation_pairs is the
+    event-type cousin; this one pairs USERS). Distinct (cell, slot,
+    user) presence rows map-side, ONE slot-bucket fold emitting each
+    slot's pairs by ordered cartesian (pairs of one slot are distinct
+    by construction; a dense slot's quadratic output is the operator's
+    own semantics — the radius_join note), then ONE (a, b) bucket fold
+    sums meeting counts."""
+    from osmium_tool_ray.blocks import group_by_key_bucket, \
+        hash_distinct
+
+    def pre(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = ((eid * 7919) % 36000) / 100.0 - 180.0
+        lat = ((eid * 104729) % 17000) / 100.0 - 85.0
+        t2 = pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+        x, y = _cell_xy(t2, 3)
+        hb = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // (86400 * 10**6)
+        slot = ((x << 16) | y) << 24 | (hb & 0xFFFFFF)
+        return pa.table({"slot": pa.array(slot),
+                         "user_id": batch["user_id"]})
+
+    presence = hash_distinct(
+        _events(sf_dir, ["event_id", "ts", "user_id"])
+        .map_batches(pre, batch_format="pyarrow"),
+        ["slot", "user_id"])
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        s = g["slot"].to_numpy(zero_copy_only=False)
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((u, s))
+        s, u = s[o], u[o]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        lens = np.diff(np.r_[starts, len(s)])
+        m = lens * lens
+        ends = np.cumsum(m)
+        tot = int(ends[-1])
+        flat = np.arange(tot, dtype=np.int64)
+        runi = np.searchsorted(ends, flat, side="right")
+        local = flat - (ends[runi] - m[runi])
+        li = starts[runi] + local // lens[runi]
+        ri = starts[runi] + local % lens[runi]
+        up = li < ri
+        a_, b_ = u[li[up]], u[ri[up]]
+        swap = a_ > b_
+        lo = np.where(swap, b_, a_)
+        hi = np.where(swap, a_, b_)
+        key = (lo << 32) | hi
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"a": pa.array(uk >> 32),
+                         "b": pa.array(uk & 0xFFFFFFFF),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    pairs = group_by_key_bucket(presence, "slot", emit_pairs)
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "n_meets": pa.array([], type=pa.int64())})
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((b, a))
+        a, b, n = a[o], b[o], n[o]
+        runs = np.flatnonzero(np.r_[True, (a[1:] != a[:-1])
+                                    | (b[1:] != b[:-1])])
+        return pa.table({"a": pa.array(a[runs]),
+                         "b": pa.array(b[runs]),
+                         "n_meets": pa.array(
+                             np.add.reduceat(n, runs).astype(np.int64))})
+
+    return group_by_key_bucket(pairs, ["a", "b"], fold)
+
+
 def q_colocation_pairs(sf_dir: str):
     """Bivariate co-location counts (Ripley cross-K numerator per type
     pair): every within-radius event pair from radius_join, event types
@@ -5539,6 +5622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join_docs": q_jaccard_join,
         "radius_join_events": q_radius_join,
         "colocation_pairs": q_colocation_pairs,
+        "copresence_pairs": q_copresence_pairs,
         "word_pair_lift": q_word_pair_lift,
         "visited_cells_jaccard": q_visited_cells_jaccard,
         "isolated_points": q_isolated_points,
@@ -6881,6 +6965,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c)*SUM(c) - SUM(c*c) AS DOUBLE)
                        / CAST(SUM(c)*SUM(c) AS DOUBLE) AS impurity
             FROM c GROUP BY user_id""",
+        "copresence_pairs": f"""
+            WITH pts AS (SELECT user_id, ts,
+                   ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+                   ((event_id * 104729) % 17000) / 100.0 - 85.0 AS lat
+                 FROM events),
+            p AS (SELECT DISTINCT user_id, cell_x, cell_y,
+                    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS hb
+                  FROM (SELECT user_id, ts,
+                        {_CELL_XY_SQL.format(n=8, m=7)} FROM pts))
+            SELECT a.user_id AS a, b.user_id AS b,
+                   COUNT(*) AS n_meets
+            FROM p a JOIN p b
+              ON a.cell_x = b.cell_x AND a.cell_y = b.cell_y
+             AND a.hb = b.hb AND a.user_id < b.user_id
+            GROUP BY 1, 2""",
         "colocation_pairs": """
             WITH pts AS (SELECT event_id AS id,
                    ((event_id * 7919) % 36000) * 100000 - 1800000000 AS xf,
