@@ -3197,6 +3197,62 @@ def q_track_sectors(sf_dir: str):
                          tie_col="event_id")
 
 
+def q_burst_windows(sf_dir: str):
+    """Burst detection: 6h windows where an event type fires at more
+    than 1.5x its own average windowed rate — the integer-exact
+    predicate 2 * n_window * total_windows > 3 * total_type (no float
+    rates; the
+    Kleinberg burst model's threshold level collapsed to one exact
+    comparison). Per-batch (type, window) partials, one groupby, a
+    tiny per-type totals fold, and a scalar distinct-window count."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(),
+                        dtype=object).astype(str)
+        w = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // (21600 * 10**6)
+        key = np.char.add(np.char.add(et, "\x1f"), w.astype("U"))
+        uk, cnt = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"event_type": pa.array(sp[:, 0].tolist(),
+                                                type=pa.string()),
+                         "w": pa.array(sp[:, 2].astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = _events(sf_dir, ["event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "w"]) \
+        .aggregate(Sum("n", alias_name="n")).materialize()
+
+    # scalars/small folds: distinct windows overall + totals per type
+    wdf = counts.groupby("w").aggregate(Sum("n", alias_name="_")) \
+        .count()
+    totals = {r["event_type"]: r["total"]
+              for r in counts.groupby("event_type")
+              .aggregate(Sum("n", alias_name="total")).take_all()}
+    tot_ref = None
+    import ray
+    tot_ref = ray.put(totals)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        tt = ray.get(tot_ref)
+        et = np.asarray(batch["event_type"].to_pylist(),
+                        dtype=object).astype(str)
+        n = batch["n"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        tot = np.array([tt[e] for e in et], dtype=np.int64)
+        keep = 2 * n * np.int64(wdf) > 3 * tot
+        t = pa.table({"event_type": pa.array(et.tolist(),
+                                             type=pa.string()),
+                      "w": batch["w"],
+                      "n": pa.array(n),
+                      "total_type": pa.array(tot)})
+        return t.filter(pa.array(keep))
+
+    return counts.map_batches(flag, batch_format="pyarrow")
+
+
 def q_copresence_pairs(sf_dir: str):
     """Co-presence contact graph: unordered user pairs sharing a
     (level-3 cell, day) slot, with meeting counts — the
@@ -5623,6 +5679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_join_events": q_radius_join,
         "colocation_pairs": q_colocation_pairs,
         "copresence_pairs": q_copresence_pairs,
+        "burst_windows": q_burst_windows,
         "word_pair_lift": q_word_pair_lift,
         "visited_cells_jaccard": q_visited_cells_jaccard,
         "isolated_points": q_isolated_points,
@@ -6965,6 +7022,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c)*SUM(c) - SUM(c*c) AS DOUBLE)
                        / CAST(SUM(c)*SUM(c) AS DOUBLE) AS impurity
             FROM c GROUP BY user_id""",
+        "burst_windows": """
+            WITH c AS (SELECT event_type,
+                         CAST(floor(epoch(ts) / 21600) AS BIGINT) AS w,
+                         COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            wd AS (SELECT COUNT(DISTINCT w) AS nw FROM c),
+            t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+                  FROM c GROUP BY 1)
+            SELECT c.event_type, c.w, c.n, t.total AS total_type
+            FROM c JOIN t USING (event_type), wd
+            WHERE 2 * c.n * wd.nw > 3 * t.total""",
         "copresence_pairs": f"""
             WITH pts AS (SELECT user_id, ts,
                    ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
