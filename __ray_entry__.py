@@ -3339,11 +3339,11 @@ def q_copresence_pairs(sf_dir: str):
 def q_colocation_pairs(sf_dir: str):
     """Bivariate co-location counts (Ripley cross-K numerator per type
     pair): every within-radius event pair from radius_join, event types
-    attached through TWO bucketed lookup shuffles (attach_lookup_bucketed
-    — never a driver-side id->type table), pair types canonicalized
-    (lexicographic min/max) and counted with a map-side partial."""
+    resolved for BOTH pair sides in ONE node-bucket shuffle (pair rows
+    explode to two probe rows unioned with the type side — never a
+    driver-side id->type table), re-paired by exact packed pair id,
+    canonicalized (lexicographic min/max) and counted map-side."""
     from ray.data.aggregate import Sum
-    from osmium_tool_ray.blocks import attach_lookup_bucketed
     from osmium_tool_ray.stages.spatial import radius_join
 
     ev = _events(sf_dir, ["event_id", "event_type"])
@@ -3355,35 +3355,92 @@ def q_colocation_pairs(sf_dir: str):
         return pa.table({"event_id": batch["event_id"],
                          "xf": pa.array(xf), "yf": pa.array(yf)})
 
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
     pts = ev.map_batches(coords, batch_format="pyarrow")
-    # pin the narrow pair table: both attaches and their empty-side
-    # probes would otherwise re-run the whole cell-blocked join lineage
+    # pin the narrow pair table: the downstream folds' probes would
+    # otherwise re-run the whole cell-blocked join lineage
     pairs = radius_join(pts, "event_id", "xf", "yf", radius=20_000_000) \
         .select_columns(["a", "b"]).materialize()
-    types = ev.select_columns(["event_id", "event_type"])
-    pairs = attach_lookup_bucketed(pairs, types, "a", "event_type",
-                                   "ta", lookup_key="event_id") \
-        .materialize()              # attach-b's probe re-runs it otherwise
-    pairs = attach_lookup_bucketed(pairs, types, "b", "event_type",
-                                   "tb", lookup_key="event_id")
 
-    def partial(batch: pa.Table) -> pa.Table:
-        ta = np.asarray(batch["ta"].to_pylist(), dtype=object).astype(str)
-        tb = np.asarray(batch["tb"].to_pylist(), dtype=object).astype(str)
-        swap = tb < ta                  # np.minimum has no U-dtype loop
+    # BOTH pair sides resolve their event_type in ONE node-bucket
+    # shuffle: each pair explodes to two (node, pair-id, slot) probe
+    # rows, unioned with the (node, type) side; the fold assigns types
+    # per node run, and one pair-id fold re-pairs the two slots (was:
+    # two sequential attach_lookup_bucketed passes + materialize)
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        pid = (a << 32) | b          # exact pair id: event ids < 2^32
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b])),
+            "pid": pa.array(np.concatenate([pid, pid])),
+            "slot": pa.array(np.r_[np.zeros(len(a), np.int8),
+                                   np.ones(len(b), np.int8)]),
+            "etype": pa.array([None] * (2 * len(a)), type=pa.string())})
+
+    def type_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "node": batch["event_id"].cast(pa.int64()),
+            "pid": pa.array(np.zeros(n, np.int64)),
+            "slot": pa.array(np.full(n, -1, np.int8)),
+            "etype": batch["event_type"].cast(pa.string())})
+
+    both = pairs.map_batches(explode, batch_format="pyarrow") \
+        .union(ev.map_batches(type_side, batch_format="pyarrow"))
+
+    def assign(g: pa.Table) -> pa.Table:
+        empty = pa.table({"pid": pa.array([], type=pa.int64()),
+                          "slot": pa.array([], type=pa.int8()),
+                          "etype": pa.array([], type=pa.string())})
+        if g.num_rows == 0:
+            return empty
+        node = g["node"].to_numpy(zero_copy_only=False)
+        slot = g["slot"].to_numpy(zero_copy_only=False)
+        pid = g["pid"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["etype"].to_pylist(), dtype=object)
+        o = np.lexsort((slot, node))        # type row (slot -1) first
+        node, slot, pid, et = node[o], slot[o], pid[o], et[o]
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        nrun = np.diff(np.r_[starts, len(node)])
+        run_type = et[starts]               # slot -1 sorts first
+        probe = slot >= 0
+        typed = np.repeat(run_type, nrun)[probe]
+        return pa.table({"pid": pa.array(pid[probe]),
+                         "slot": pa.array(slot[probe]),
+                         "etype": pa.array(typed.tolist(),
+                                           type=pa.string())})
+
+    typed = group_by_key_bucket(both, "node", assign)
+
+    def pair_up(g: pa.Table) -> pa.Table:
+        empty = pa.table({"type_a": pa.array([], type=pa.string()),
+                          "type_b": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        pid = g["pid"].to_numpy(zero_copy_only=False)
+        slot = g["slot"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["etype"].to_pylist(), dtype=object) \
+            .astype(str)
+        o = np.lexsort((slot, pid))
+        pid, et = pid[o], et[o]
+        ta, tb = et[0::2], et[1::2]         # two rows per pid
+        swap = tb < ta
         lo = np.where(swap, tb, ta)
         hi = np.where(swap, ta, tb)
         key = np.char.add(np.char.add(lo, "|"), hi)
         uk, cnt = np.unique(key, return_counts=True)
-        split = np.char.partition(uk, "|")
-        return pa.table({"type_a": pa.array(split[:, 0].tolist(),
+        sp = np.char.partition(uk, "|")
+        return pa.table({"type_a": pa.array(sp[:, 0].tolist(),
                                             type=pa.string()),
-                         "type_b": pa.array(split[:, 2].tolist(),
+                         "type_b": pa.array(sp[:, 2].tolist(),
                                             type=pa.string()),
                          "n": pa.array(cnt.astype(np.int64))})
 
-    return pairs.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["type_a", "type_b"]) \
+    partials = group_by_key_bucket(typed, "pid", pair_up)
+    return partials.groupby(["type_a", "type_b"]) \
         .aggregate(Sum("n", alias_name="n_pairs"))
 
 
