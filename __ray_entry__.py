@@ -2795,6 +2795,57 @@ def q_changepoint_user(sf_dir: str):
                                      "event_id")
 
 
+def q_activity_span_user(sf_dir: str):
+    """Per-user activity calendar: distinct active days, first/last
+    day, and the activity ratio active/(span+1) — the engagement
+    summary every DAU dashboard drills into. Distinct (user, day)
+    pairs map-side, ONE bucket fold (run counts + min/max + one fixed
+    division)."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    DAY = np.int64(86_400_000_000)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        d = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // DAY
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        key = (uid << 20) | d                # epoch days < 2^20
+        uk = np.unique(key)
+        return pa.table({"user_id": pa.array(uk >> 20),
+                         "day": pa.array(uk & 0xFFFFF)})
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "active_days": pa.array([], type=pa.int64()),
+                "first_day": pa.array([], type=pa.int64()),
+                "last_day": pa.array([], type=pa.int64()),
+                "activity": pa.array([], type=pa.float64())})
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        d = g["day"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, u))
+        u, d = u[o], d[o]
+        # blocks may repeat (user, day) pairs: drop run duplicates
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        u, d = u[keep], d[keep]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        nact = np.diff(np.r_[starts, len(u)]).astype(np.int64)
+        first = d[starts]
+        last = d[np.r_[starts[1:], len(u)] - 1]
+        span = last - first + 1
+        return pa.table({
+            "user_id": pa.array(u[starts]),
+            "active_days": pa.array(nact),
+            "first_day": pa.array(first),
+            "last_day": pa.array(last),
+            "activity": pa.array(nact / span.astype(np.float64))})
+
+    pairs = _events(sf_dir, ["user_id", "ts"]) \
+        .map_batches(pre, batch_format="pyarrow")
+    return group_by_key_bucket(pairs, "user_id", fold)
+
+
 def q_decayed_value_user(sf_dir: str):
     """Recency-weighted value per user: half-life decay by whole days
     before a fixed reference date, kept EXACT by scaling to the common
@@ -5632,6 +5683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_outliers_user": q_gap_outliers_user,
         "trailing_window_user": q_trailing_window_user,
         "decayed_value_user": q_decayed_value_user,
+        "activity_span_user": q_activity_span_user,
         "trip_stats_user": q_trip_stats_user,
         "changepoint_user": q_changepoint_user,
         "theilsen_user": q_theilsen_user,
@@ -6785,6 +6837,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, trip_id, COUNT(*) AS n_points,
                    CAST(SUM(d2) AS BIGINT) AS path_d2_sum
             FROM t GROUP BY 1, 2""",
+        "activity_span_user": """
+            WITH d AS (SELECT DISTINCT user_id,
+                         epoch_us(ts) // 86400000000 AS day
+                       FROM events)
+            SELECT user_id,
+                   COUNT(*) AS active_days,
+                   CAST(MIN(day) AS BIGINT) AS first_day,
+                   CAST(MAX(day) AS BIGINT) AS last_day,
+                   CAST(COUNT(*) AS DOUBLE)
+                     / CAST(MAX(day) - MIN(day) + 1 AS DOUBLE)
+                       AS activity
+            FROM d GROUP BY user_id""",
         "decayed_value_user": """
             WITH e AS (SELECT user_id,
                     CAST(round(value * 100) AS BIGINT) AS vc,
