@@ -2795,6 +2795,40 @@ def q_changepoint_user(sf_dir: str):
                                      "event_id")
 
 
+def q_seasonality_dow(sf_dir: str):
+    """Day-of-week seasonality profile per event type: exact counts and
+    cent totals per (type, weekday) — the weekly rhythm panel of any
+    activity dashboard. Weekday from epoch days ((day+4) % 7, 0=Sunday,
+    matching DuckDB's dayofweek); per-batch partials, one groupby."""
+    from ray.data.aggregate import Sum
+
+    DAY = np.int64(86_400_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // DAY
+        dow = (day + 4) % 7                    # epoch day 0 = Thursday
+        vc = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        et = np.asarray(batch["event_type"].to_pylist(),
+                        dtype=object).astype(str)
+        key = np.char.add(np.char.add(et, "\x1f"), dow.astype("U"))
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        tot = np.bincount(inv, weights=vc).astype(np.int64)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"event_type": pa.array(sp[:, 0].tolist(),
+                                                type=pa.string()),
+                         "dow": pa.array(sp[:, 2].astype(np.int64)),
+                         "n": pa.array(n), "tc": pa.array(tot)})
+
+    return _events(sf_dir, ["event_type", "ts", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "dow"]) \
+        .aggregate(Sum("n", alias_name="n_events"),
+                   Sum("tc", alias_name="total_c"))
+
+
 def q_activity_span_user(sf_dir: str):
     """Per-user activity calendar: distinct active days, first/last
     day, and the activity ratio active/(span+1) — the engagement
@@ -5684,6 +5718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_window_user": q_trailing_window_user,
         "decayed_value_user": q_decayed_value_user,
         "activity_span_user": q_activity_span_user,
+        "seasonality_dow": q_seasonality_dow,
         "trip_stats_user": q_trip_stats_user,
         "changepoint_user": q_changepoint_user,
         "theilsen_user": q_theilsen_user,
@@ -6837,6 +6872,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, trip_id, COUNT(*) AS n_points,
                    CAST(SUM(d2) AS BIGINT) AS path_d2_sum
             FROM t GROUP BY 1, 2""",
+        "seasonality_dow": """
+            SELECT event_type,
+                   (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                       AS BIGINT) AS total_c
+            FROM events GROUP BY 1, 2""",
         "activity_span_user": """
             WITH d AS (SELECT DISTINCT user_id,
                          epoch_us(ts) // 86400000000 AS day
