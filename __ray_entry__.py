@@ -2795,6 +2795,58 @@ def q_changepoint_user(sf_dir: str):
                                      "event_id")
 
 
+def q_order_price_quartiles(sf_dir: str):
+    """Exact price quartiles per order priority: p25/p50/p75 of integer
+    cents with DuckDB quantile_cont interpolation (position (n-1)*q,
+    value lo + (hi-lo)*frac — the theil_sen/gap_outliers float-parity
+    precedent extended to three quantiles). ONE bucket fold; one sort
+    per bucket serves all three quantiles for all its priorities."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    def pre(batch: pa.Table) -> pa.Table:
+        vc = np.rint(batch["o_totalprice"]
+                     .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return pa.table({"prio": batch["o_orderpriority"],
+                         "vc": pa.array(vc)})
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "prio": pa.array([], type=pa.string()),
+                "p25": pa.array([], type=pa.float64()),
+                "p50": pa.array([], type=pa.float64()),
+                "p75": pa.array([], type=pa.float64()),
+                "n_orders": pa.array([], type=pa.int64())})
+        p = np.asarray(g["prio"].to_pylist(), dtype=object).astype(str)
+        v = g["vc"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((v, p))
+        p, v = p[o], v[o]
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        sizes = np.diff(np.r_[starts, len(p)])
+        out = {}
+        for q, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            h = (sizes - 1) * q
+            lo_i = np.floor(h).astype(np.int64)
+            frac = h - lo_i
+            lo = v[starts + lo_i].astype(np.float64)
+            hi = v[starts + np.minimum(lo_i + 1, sizes - 1)] \
+                .astype(np.float64)
+            out[name] = lo + (hi - lo) * frac
+        return pa.table({"prio": pa.array(p[starts].tolist(),
+                                          type=pa.string()),
+                         "p25": pa.array(out["p25"]),
+                         "p50": pa.array(out["p50"]),
+                         "p75": pa.array(out["p75"]),
+                         "n_orders": pa.array(sizes.astype(np.int64))})
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderpriority",
+                                         "o_totalprice"]) \
+        .map_batches(pre, batch_format="pyarrow")
+    return group_by_key_bucket(orders, "prio", fold)
+
+
 def q_seasonality_dow(sf_dir: str):
     """Day-of-week seasonality profile per event type: exact counts and
     cent totals per (type, weekday) — the weekly rhythm panel of any
@@ -5719,6 +5771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_value_user": q_decayed_value_user,
         "activity_span_user": q_activity_span_user,
         "seasonality_dow": q_seasonality_dow,
+        "order_price_quartiles": q_order_price_quartiles,
         "trip_stats_user": q_trip_stats_user,
         "changepoint_user": q_changepoint_user,
         "theilsen_user": q_theilsen_user,
@@ -6872,6 +6925,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, trip_id, COUNT(*) AS n_points,
                    CAST(SUM(d2) AS BIGINT) AS path_d2_sum
             FROM t GROUP BY 1, 2""",
+        "order_price_quartiles": """
+            WITH o AS (SELECT o_orderpriority AS prio,
+                         CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS vc
+                       FROM orders)
+            SELECT prio,
+                   quantile_cont(vc, 0.25) AS p25,
+                   quantile_cont(vc, 0.5) AS p50,
+                   quantile_cont(vc, 0.75) AS p75,
+                   COUNT(*) AS n_orders
+            FROM o GROUP BY prio""",
         "seasonality_dow": """
             SELECT event_type,
                    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
