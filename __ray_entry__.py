@@ -3581,6 +3581,86 @@ def q_colocation_pairs(sf_dir: str):
         .aggregate(Sum("n", alias_name="n_pairs"))
 
 
+def q_mutual_nn_pairs(sf_dir: str):
+    """Reciprocal nearest neighbors within the join radius: pairs where
+    each point is the other's closest within-radius partner (ties to
+    the smaller id) — the classic RNN pairing primitive of hierarchical
+    clustering. Built on the exact radius_join: pairs explode to both
+    directions, ONE src-bucket argmin fold picks each point's NN, ONE
+    unordered-pair fold keeps pairs present in both directions."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+    from osmium_tool_ray.stages.spatial import radius_join
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        xf = ((eid * 7919) % 36000) * 100000 - 1800000000
+        yf = ((eid * 104729) % 17000) * 100000 - 850000000
+        return pa.table({"event_id": batch["event_id"],
+                         "xf": pa.array(xf), "yf": pa.array(yf)})
+
+    pts = ev.map_batches(coords, batch_format="pyarrow")
+    pairs = radius_join(pts, "event_id", "xf", "yf",
+                        radius=20_000_000).materialize()
+
+    def bidir(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        d2 = batch["d2"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a])),
+                         "d2": pa.array(np.concatenate([d2, d2]))})
+
+    def nn_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"src": pa.array([], type=pa.int64()),
+                             "dst": pa.array([], type=pa.int64()),
+                             "d2": pa.array([], type=pa.int64())})
+        s = g["src"].to_numpy(zero_copy_only=False)
+        d = g["dst"].to_numpy(zero_copy_only=False)
+        w = g["d2"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, w, s))
+        s, d, w = s[o], d[o], w[o]
+        first = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        return pa.table({"src": pa.array(s[first]),
+                         "dst": pa.array(d[first]),
+                         "d2": pa.array(w[first])})
+
+    nn = group_by_key_bucket(
+        pairs.map_batches(bidir, batch_format="pyarrow"), "src", nn_fold)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        return pa.table({"a": pa.array(lo), "b": pa.array(hi),
+                         "d2": batch["d2"]})
+
+    def mutual(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "d2": pa.array([], type=pa.int64())})
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        w = g["d2"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((b, a))
+        a, b, w = a[o], b[o], w[o]
+        runs = np.flatnonzero(np.r_[True, (a[1:] != a[:-1])
+                                    | (b[1:] != b[:-1])])
+        lens = np.diff(np.r_[runs, len(a)])
+        keep = runs[lens == 2]             # both directions agreed
+        return pa.table({"a": pa.array(a[keep]),
+                         "b": pa.array(b[keep]),
+                         "d2": pa.array(w[keep])})
+
+    return group_by_key_bucket(
+        nn.map_batches(canon, batch_format="pyarrow"), ["a", "b"],
+        mutual)
+
+
 def q_radius_join(sf_dir: str):
     """Exact within-radius pair join over the event lattice
     (stages/spatial.radius_join): grid blocking at cell=radius, 9x
@@ -5875,6 +5955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join_docs": q_jaccard_join,
         "radius_join_events": q_radius_join,
         "colocation_pairs": q_colocation_pairs,
+        "mutual_nn_pairs": q_mutual_nn_pairs,
         "copresence_pairs": q_copresence_pairs,
         "burst_windows": q_burst_windows,
         "word_pair_lift": q_word_pair_lift,
@@ -7275,6 +7356,32 @@ def oracle_sql() -> dict[str, str]:
               ON a.cell_x = b.cell_x AND a.cell_y = b.cell_y
              AND a.hb = b.hb AND a.user_id < b.user_id
             GROUP BY 1, 2""",
+        "mutual_nn_pairs": """
+            WITH pts AS (SELECT event_id AS id,
+                   ((event_id * 7919) % 36000) * 100000 - 1800000000 AS xf,
+                   ((event_id * 104729) % 17000) * 100000 - 850000000 AS yf
+                 FROM events),
+            c AS (SELECT id, xf, yf,
+                    (xf + 2147483648) // 20000000 AS cx,
+                    (yf + 2147483648) // 20000000 AS cy FROM pts),
+            n AS (SELECT id, xf, yf, cx + dx.o AS cx, cy + dy.o AS cy
+                  FROM c, (VALUES (-1),(0),(1)) dx(o),
+                          (VALUES (-1),(0),(1)) dy(o)),
+            prs AS (SELECT n.id AS a, b.id AS b,
+                      (n.xf-b.xf)*(n.xf-b.xf)
+                        + (n.yf-b.yf)*(n.yf-b.yf) AS d2
+                    FROM n JOIN c b
+                      ON b.cx = n.cx AND b.cy = n.cy AND n.id < b.id
+                    WHERE (n.xf-b.xf)*(n.xf-b.xf)
+                          + (n.yf-b.yf)*(n.yf-b.yf) <= 400000000000000),
+            bidir AS (SELECT a AS src, b AS dst, d2 FROM prs
+                      UNION ALL SELECT b, a, d2 FROM prs),
+            nn AS (SELECT src, dst, d2 FROM bidir
+                   QUALIFY ROW_NUMBER() OVER (PARTITION BY src
+                       ORDER BY d2, dst) = 1)
+            SELECT x.src AS a, x.dst AS b, x.d2
+            FROM nn x JOIN nn y
+              ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst""",
         "colocation_pairs": """
             WITH pts AS (SELECT event_id AS id,
                    ((event_id * 7919) % 36000) * 100000 - 1800000000 AS xf,
