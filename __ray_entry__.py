@@ -2795,6 +2795,88 @@ def q_changepoint_user(sf_dir: str):
                                      "event_id")
 
 
+def q_fulfillment_lag_quartiles(sf_dir: str):
+    """Fulfillment lag quartiles: days from order date to each
+    lineitem's ship date, p25/p50/p75 per order priority — the SLA
+    panel of an order pipeline. The orders side attaches through ONE
+    bucketed lookup carrying BOTH order date and priority in a single
+    packed int64 (days << 3 | priority index — attach once, not
+    twice); then the order_price_quartiles sorted-bucket fold."""
+    from osmium_tool_ray.blocks import (attach_lookup_bucketed,
+                                        group_by_key_bucket)
+
+    DAY = np.int64(86_400_000_000)
+    PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+             "5-LOW"]
+
+    def pack_orders(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False) // DAY
+        pr = np.asarray(batch["o_orderpriority"].to_pylist(),
+                        dtype=object).astype(str)
+        pidx = np.searchsorted(np.array(sorted(PRIOS)), pr)
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "packed": pa.array((od << 3)
+                                            | pidx.astype(np.int64))})
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(pack_orders, batch_format="pyarrow")
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+    attached = attach_lookup_bucketed(li, orders, "l_orderkey",
+                                      "packed", "opk",
+                                      lookup_key="o_orderkey")
+
+    def lag(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch["opk"])
+        t = batch.filter(keep)
+        sd = t["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // DAY
+        opk = t["opk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = opk >> 3
+        pidx = opk & 7
+        prios_sorted = np.array(sorted(PRIOS))
+        return pa.table({"prio": pa.array(
+            prios_sorted[pidx].tolist(), type=pa.string()),
+            "lag_days": pa.array(sd - od)})
+
+    lags = attached.map_batches(lag, batch_format="pyarrow")
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "prio": pa.array([], type=pa.string()),
+                "p25": pa.array([], type=pa.float64()),
+                "p50": pa.array([], type=pa.float64()),
+                "p75": pa.array([], type=pa.float64()),
+                "n_items": pa.array([], type=pa.int64())})
+        p = np.asarray(g["prio"].to_pylist(), dtype=object).astype(str)
+        v = g["lag_days"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((v, p))
+        p, v = p[o], v[o]
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        sizes = np.diff(np.r_[starts, len(p)])
+        out = {}
+        for q, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            h = (sizes - 1) * q
+            lo_i = np.floor(h).astype(np.int64)
+            frac = h - lo_i
+            lo = v[starts + lo_i].astype(np.float64)
+            hi = v[starts + np.minimum(lo_i + 1, sizes - 1)] \
+                .astype(np.float64)
+            out[name] = lo + (hi - lo) * frac
+        return pa.table({"prio": pa.array(p[starts].tolist(),
+                                          type=pa.string()),
+                         "p25": pa.array(out["p25"]),
+                         "p50": pa.array(out["p50"]),
+                         "p75": pa.array(out["p75"]),
+                         "n_items": pa.array(sizes.astype(np.int64))})
+
+    return group_by_key_bucket(lags, "prio", fold)
+
+
 def q_order_price_quartiles(sf_dir: str):
     """Exact price quartiles per order priority: p25/p50/p75 of integer
     cents with DuckDB quantile_cont interpolation (position (n-1)*q,
@@ -5852,6 +5934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_span_user": q_activity_span_user,
         "seasonality_dow": q_seasonality_dow,
         "order_price_quartiles": q_order_price_quartiles,
+        "fulfillment_lag_quartiles": q_fulfillment_lag_quartiles,
         "trip_stats_user": q_trip_stats_user,
         "changepoint_user": q_changepoint_user,
         "theilsen_user": q_theilsen_user,
@@ -7006,6 +7089,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, trip_id, COUNT(*) AS n_points,
                    CAST(SUM(d2) AS BIGINT) AS path_d2_sum
             FROM t GROUP BY 1, 2""",
+        "fulfillment_lag_quartiles": """
+            WITH j AS (SELECT o.o_orderpriority AS prio,
+                    epoch_us(l.l_shipdate) // 86400000000
+                    - epoch_us(o.o_orderdate) // 86400000000 AS lag_days
+                  FROM lineitem l JOIN orders o
+                    ON l.l_orderkey = o.o_orderkey)
+            SELECT prio,
+                   quantile_cont(lag_days, 0.25) AS p25,
+                   quantile_cont(lag_days, 0.5) AS p50,
+                   quantile_cont(lag_days, 0.75) AS p75,
+                   COUNT(*) AS n_items
+            FROM j GROUP BY prio""",
         "order_price_quartiles": """
             WITH o AS (SELECT o_orderpriority AS prio,
                          CAST(round(o_totalprice * 100) AS BIGINT)
