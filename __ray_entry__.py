@@ -1418,6 +1418,58 @@ def q_knn_points(sf_dir: str):
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def q_knn_regression(sf_dir: str):
+    """k-NN regression / spatial interpolation: the predicted value at
+    each query point is the mean of its 3 nearest corpus points'
+    values (exact integer cent sum, ONE division) — the simplest
+    geostatistical interpolator (nearest-neighbor averaging; IDW's
+    order-free cousin). Composes the exact spatial kNN with one
+    bucketed value attach and a per-query fold."""
+    from osmium_tool_ray.blocks import (attach_lookup_bucketed,
+                                        group_by_key_bucket)
+
+    knn = q_knn_points(sf_dir)
+
+    def neigh_eid(batch: pa.Table) -> pa.Table:
+        nid = pc.cast(pc.utf8_slice_codeunits(
+            batch["neighbor_id"].cast(pa.string()), 3, 32), pa.int64())
+        return pa.table({"query_id": batch["query_id"],
+                         "neid": nid})
+
+    probes = knn.map_batches(neigh_eid, batch_format="pyarrow")
+
+    def vals(batch: pa.Table) -> pa.Table:
+        vc = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"event_id": batch["event_id"],
+                         "vc": pa.array(vc)})
+
+    ev = _events(sf_dir, ["event_id", "value"]) \
+        .map_batches(vals, batch_format="pyarrow")
+    attached = attach_lookup_bucketed(probes, ev, "neid", "vc", "nvc",
+                                      lookup_key="event_id")
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "pred_c": pa.array([], type=pa.float64()),
+                "k_used": pa.array([], type=pa.int64())})
+        q = g["query_id"].to_numpy(zero_copy_only=False)
+        v = g["nvc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(q, kind="stable")
+        q, v = q[o], v[o]
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        cnt = np.diff(np.r_[starts, len(q)]).astype(np.int64)
+        s = np.add.reduceat(v, starts)
+        return pa.table({"query_id": pa.array(q[starts]),
+                         "pred_c": pa.array(s.astype(np.float64)
+                                            / cnt.astype(np.float64)),
+                         "k_used": pa.array(cnt)})
+
+    return group_by_key_bucket(attached, "query_id", fold)
+
+
 def q_cat_clean(sf_dir: str):
     from osmium_tool_ray.pipelines.cat import cat
     from osmium_tool_ray.state.regions import Region
@@ -6030,6 +6082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_docs": q_token_count_docs,
         "quality_docs": q_quality_docs,
         "knn_points": q_knn_points,
+        "knn_regression": q_knn_regression,
         "langid_docs": q_langid_docs,
         "langid_confusion": q_langid_confusion,
         "simhash_docs": q_simhash_docs,
@@ -8370,6 +8423,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM q CROSS JOIN images i
                 WHERE i.image_id <> 'img' || lpad(CAST(q.query_id AS VARCHAR), 10, '0'))
             WHERE rank <= 3""",
+        "knn_regression": f"""{cte},
+            q AS (SELECT event_id AS query_id,
+                         ((event_id * 7919) % 36000) / 100.0 - 180.0 AS qlon,
+                         ((event_id * 104729) % 17000) / 100.0 - 85.0 AS qlat
+                  FROM events WHERE event_id % 997 = 0),
+            knn AS (SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, i.image_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY (q.qlon - i.lon) * (q.qlon - i.lon)
+                                  + (q.qlat - i.lat) * (q.qlat - i.lat),
+                                    i.image_id) AS rank
+                FROM q CROSS JOIN images i
+                WHERE i.image_id <> 'img'
+                    || lpad(CAST(q.query_id AS VARCHAR), 10, '0'))
+                WHERE rank <= 3),
+            e AS (SELECT event_id,
+                    CAST(round(value * 100) AS BIGINT) AS vc
+                  FROM events)
+            SELECT k.query_id,
+                   CAST(CAST(SUM(e.vc) AS BIGINT) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS pred_c,
+                   COUNT(*) AS k_used
+            FROM knn k JOIN e
+              ON e.event_id = CAST(substr(k.neighbor_id, 4) AS BIGINT)
+            GROUP BY k.query_id""",
         # ivf_ann: intentionally no oracle (k-means centroids are not
         # SQL-expressible) -> rows-only; its parity with brute force at
         # nprobe=nlist is pytest-gated instead (tests/test_ann_variants.py).
