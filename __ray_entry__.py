@@ -3119,6 +3119,66 @@ def q_trailing_window_user(sf_dir: str):
                            3600)
 
 
+def q_dwell_time_user(sf_dir: str):
+    """Geofence dwell time: per user, total microseconds spent inside
+    the diamond region, counting a track step iff BOTH endpoints lie
+    inside (the conservative geofencing convention), plus the step
+    count. Exact integer point-in-convex-polygon tests (the extract
+    half-plane algebra on the raw lattice coordinates) and exact µs
+    sums; ONE bucket fold (lexsort + shifted masks)."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    # diamond vertices in the same degree space as POLY, evaluated on
+    # scaled-integer coords (x = lon*100 exactly on the event lattice)
+    P = [(int(round(x * 100)), int(round(y * 100)))
+         for x, y in POLY]
+
+    def pre(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        x = (eid * 7919) % 36000 - 18000
+        y = (eid * 104729) % 17000 - 8500
+        inside = np.ones(len(x), dtype=bool)
+        for (x1, y1), (x2, y2) in zip(P[:-1], P[1:]):
+            inside &= ((x2 - x1) * (y - y1)
+                       - (x - x1) * (y2 - y1)) >= 0
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"user_id": batch["user_id"], "us": us,
+                         "eid": batch["event_id"],
+                         "inside": pa.array(inside)})
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "dwell_us": pa.array([], type=pa.int64()),
+                "n_steps": pa.array([], type=pa.int64())})
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["us"].to_numpy(zero_copy_only=False)
+        e = g["eid"].to_numpy(zero_copy_only=False)
+        ins = g["inside"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((e, us, u))
+        u, us, ins = u[o], us[o], ins[o]
+        n = len(u)
+        step = np.zeros(n, dtype=bool)
+        step[1:] = (u[1:] == u[:-1]) & ins[1:] & ins[:-1]
+        dur = np.zeros(n, dtype=np.int64)
+        dur[1:] = us[1:] - us[:-1]
+        dur[~step] = 0
+        uk = np.unique(u)
+        pos = np.searchsorted(uk, u)
+        dwell = np.bincount(pos, weights=dur).astype(np.int64)
+        nst = np.bincount(pos, weights=step.astype(np.int64)) \
+            .astype(np.int64)
+        keep = nst > 0
+        return pa.table({"user_id": pa.array(uk[keep]),
+                         "dwell_us": pa.array(dwell[keep]),
+                         "n_steps": pa.array(nst[keep])})
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_id"]) \
+        .map_batches(pre, batch_format="pyarrow")
+    return group_by_key_bucket(ev, "user_id", fold)
+
+
 def q_trip_stats_user(sf_dir: str):
     """Trip extraction: split each user's track where the inter-event
     gap exceeds 1h, then per-trip point count and exact integer
@@ -5988,6 +6048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_quartiles": q_order_price_quartiles,
         "fulfillment_lag_quartiles": q_fulfillment_lag_quartiles,
         "trip_stats_user": q_trip_stats_user,
+        "dwell_time_user": q_dwell_time_user,
         "changepoint_user": q_changepoint_user,
         "theilsen_user": q_theilsen_user,
         "ripley_pair_counts": q_ripley_counts,
@@ -7120,6 +7181,36 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE i < n
             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                 ORDER BY abs(n*s - i*stot) DESC, i ASC) = 1""",
+        "dwell_time_user": f"""
+            WITH pts AS (SELECT user_id, ts, event_id,
+                   (event_id * 7919) % 36000 - 18000 AS xq,
+                   (event_id * 104729) % 17000 - 8500 AS yq
+                 FROM events),
+            f AS (SELECT user_id, ts, event_id,
+                    ({" AND ".join(
+                        f"(({x2} - {x1}) * (yq - {y1})"
+                        f" - (xq - {x1}) * ({y2} - {y1})) >= 0"
+                        for (x1, y1), (x2, y2) in zip(
+                            [(int(round(px * 100)), int(round(py * 100)))
+                             for px, py in POLY][:-1],
+                            [(int(round(px * 100)), int(round(py * 100)))
+                             for px, py in POLY][1:]))}) AS inside,
+                    epoch_us(ts) AS us
+                  FROM pts),
+            w AS (SELECT user_id, us, inside,
+                    LAG(us) OVER pw AS pus,
+                    LAG(inside) OVER pw AS pin
+                  FROM f WINDOW pw AS (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN inside AND pin
+                            THEN us - pus ELSE 0 END) AS BIGINT)
+                       AS dwell_us,
+                   CAST(SUM(CASE WHEN inside AND pin THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_steps
+            FROM w GROUP BY user_id
+            HAVING SUM(CASE WHEN inside AND pin THEN 1 ELSE 0 END)
+                   > 0""",
         "trip_stats_user": """
             WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
                     (event_id * 7919) % 36000 - 18000 AS xq,

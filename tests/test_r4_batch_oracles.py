@@ -23,7 +23,7 @@ BATCH = [
     "cell_distinct_users", "novelty_docs", "source_drift",
     "copresence_pairs", "burst_windows", "activity_span_user",
     "seasonality_dow", "order_price_quartiles", "mutual_nn_pairs",
-    "fulfillment_lag_quartiles", "knn_regression",
+    "fulfillment_lag_quartiles", "knn_regression", "dwell_time_user",
 ]
 
 
