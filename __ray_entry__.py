@@ -3179,6 +3179,62 @@ def q_dwell_time_user(sf_dir: str):
     return group_by_key_bucket(ev, "user_id", fold)
 
 
+def q_fence_crossings_user(sf_dir: str):
+    """Geofence crossing counts: per user, how many track steps ENTER
+    the diamond (outside -> inside) and how many EXIT — dwell_time_user's
+    companion statistic (alert/billing triggers). Same exact half-plane
+    inside tests, ONE bucket fold, users with no crossings dropped."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    P = [(int(round(x * 100)), int(round(y * 100)))
+         for x, y in POLY]
+
+    def pre(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        x = (eid * 7919) % 36000 - 18000
+        y = (eid * 104729) % 17000 - 8500
+        inside = np.ones(len(x), dtype=bool)
+        for (x1, y1), (x2, y2) in zip(P[:-1], P[1:]):
+            inside &= ((x2 - x1) * (y - y1)
+                       - (x - x1) * (y2 - y1)) >= 0
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"user_id": batch["user_id"], "us": us,
+                         "eid": batch["event_id"],
+                         "inside": pa.array(inside)})
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "n_entries": pa.array([], type=pa.int64()),
+                "n_exits": pa.array([], type=pa.int64())})
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["us"].to_numpy(zero_copy_only=False)
+        e = g["eid"].to_numpy(zero_copy_only=False)
+        ins = g["inside"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((e, us, u))
+        u, ins = u[o], ins[o]
+        n = len(u)
+        same = np.zeros(n, dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        enter = np.zeros(n, dtype=np.int64)
+        exit_ = np.zeros(n, dtype=np.int64)
+        enter[1:] = (same[1:] & ins[1:] & ~ins[:-1]).astype(np.int64)
+        exit_[1:] = (same[1:] & ~ins[1:] & ins[:-1]).astype(np.int64)
+        uk = np.unique(u)
+        pos = np.searchsorted(uk, u)
+        ne = np.bincount(pos, weights=enter).astype(np.int64)
+        nx = np.bincount(pos, weights=exit_).astype(np.int64)
+        keep = (ne + nx) > 0
+        return pa.table({"user_id": pa.array(uk[keep]),
+                         "n_entries": pa.array(ne[keep]),
+                         "n_exits": pa.array(nx[keep])})
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_id"]) \
+        .map_batches(pre, batch_format="pyarrow")
+    return group_by_key_bucket(ev, "user_id", fold)
+
+
 def q_trip_stats_user(sf_dir: str):
     """Trip extraction: split each user's track where the inter-event
     gap exceeds 1h, then per-trip point count and exact integer
@@ -6049,6 +6105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulfillment_lag_quartiles": q_fulfillment_lag_quartiles,
         "trip_stats_user": q_trip_stats_user,
         "dwell_time_user": q_dwell_time_user,
+        "fence_crossings_user": q_fence_crossings_user,
         "changepoint_user": q_changepoint_user,
         "theilsen_user": q_theilsen_user,
         "ripley_pair_counts": q_ripley_counts,
@@ -7181,6 +7238,33 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE i < n
             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                 ORDER BY abs(n*s - i*stot) DESC, i ASC) = 1""",
+        "fence_crossings_user": f"""
+            WITH pts AS (SELECT user_id, ts, event_id,
+                   (event_id * 7919) % 36000 - 18000 AS xq,
+                   (event_id * 104729) % 17000 - 8500 AS yq
+                 FROM events),
+            f AS (SELECT user_id, ts, event_id,
+                    ({" AND ".join(
+                        f"(({x2} - {x1}) * (yq - {y1})"
+                        f" - (xq - {x1}) * ({y2} - {y1})) >= 0"
+                        for (x1, y1), (x2, y2) in zip(
+                            [(int(round(px * 100)), int(round(py * 100)))
+                             for px, py in POLY][:-1],
+                            [(int(round(px * 100)), int(round(py * 100)))
+                             for px, py in POLY][1:]))}) AS inside
+                  FROM pts),
+            w AS (SELECT user_id, inside,
+                    LAG(inside) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS pin
+                  FROM f)
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN inside AND NOT pin
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_entries,
+                   CAST(SUM(CASE WHEN NOT inside AND pin
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_exits
+            FROM w WHERE pin IS NOT NULL GROUP BY user_id
+            HAVING SUM(CASE WHEN inside <> pin THEN 1 ELSE 0 END)
+                   > 0""",
         "dwell_time_user": f"""
             WITH pts AS (SELECT user_id, ts, event_id,
                    (event_id * 7919) % 36000 - 18000 AS xq,
