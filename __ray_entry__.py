@@ -2826,6 +2826,66 @@ def q_segment_crossings(sf_dir: str):
     return segment_crossings(segs, "user_id", cell=6000)
 
 
+def q_autocorr_user(sf_dir: str):
+    """Lag-1 autocorrelation per user: Pearson r over consecutive
+    (v_t, v_{t+1}) cent pairs — the persistence/momentum statistic of a
+    telemetry series. ALL moments are exact int64 sums (n*Sxy - Sx*Sy
+    etc.); floats appear only in the one final expression tree
+    (divide/multiply/sqrt — the getis/bm25 float-parity precedent).
+    ONE bucket fold; degenerate keys (n<2 pairs or zero variance)
+    drop, matching the SQL HAVING."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    def pre(batch: pa.Table) -> pa.Table:
+        vc = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"user_id": batch["user_id"], "us": us,
+                         "eid": batch["event_id"], "vc": pa.array(vc)})
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "r1": pa.array([], type=pa.float64()),
+                          "n_pairs": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["us"].to_numpy(zero_copy_only=False)
+        e = g["eid"].to_numpy(zero_copy_only=False)
+        v = g["vc"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((e, us, u))
+        u, v = u[o], v[o]
+        n = len(u)
+        pair = np.zeros(n, dtype=bool)
+        pair[1:] = u[1:] == u[:-1]
+        x = v[:-1][pair[1:]]
+        y = v[1:][pair[1:]]
+        ku = u[1:][pair[1:]]
+        if not len(ku):
+            return empty
+        uk = np.unique(ku)
+        pos = np.searchsorted(uk, ku)
+        cnt = np.bincount(pos).astype(np.int64)
+        sx = np.bincount(pos, weights=x).astype(np.int64)
+        sy = np.bincount(pos, weights=y).astype(np.int64)
+        sxx = np.bincount(pos, weights=x * x).astype(np.int64)
+        syy = np.bincount(pos, weights=y * y).astype(np.int64)
+        sxy = np.bincount(pos, weights=x * y).astype(np.int64)
+        vx = cnt * sxx - sx * sx
+        vy = cnt * syy - sy * sy
+        keep = (cnt >= 2) & (vx > 0) & (vy > 0)
+        num = (cnt * sxy - sx * sy)[keep].astype(np.float64)
+        den = np.sqrt(vx[keep].astype(np.float64)) \
+            * np.sqrt(vy[keep].astype(np.float64))
+        return pa.table({"user_id": pa.array(uk[keep]),
+                         "r1": pa.array(num / den),
+                         "n_pairs": pa.array(cnt[keep])})
+
+    ev = _events(sf_dir, ["user_id", "ts", "value", "event_id"]) \
+        .map_batches(pre, batch_format="pyarrow")
+    return group_by_key_bucket(ev, "user_id", fold)
+
+
 def q_theilsen_user(sf_dir: str):
     """Theil-Sen robust slope per user (pipelines/stats
     .theil_sen_per_key): median of pairwise cent/microsecond slopes,
@@ -6108,6 +6168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fence_crossings_user": q_fence_crossings_user,
         "changepoint_user": q_changepoint_user,
         "theilsen_user": q_theilsen_user,
+        "autocorr_user": q_autocorr_user,
         "ripley_pair_counts": q_ripley_counts,
         "gini_impurity_user": q_gini_impurity,
         "mad_value_user": q_mad_value,
@@ -7210,6 +7271,30 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (200), (400), (800)) r(r)
             LEFT JOIN d ON d.d2 <= r.r * r.r
             GROUP BY r.r""",
+        "autocorr_user": """
+            WITH e AS (SELECT user_id,
+                    CAST(round(value * 100) AS BIGINT) AS vc,
+                    LEAD(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nv
+                  FROM events),
+            p AS (SELECT user_id, vc AS x, nv AS y FROM e
+                  WHERE nv IS NOT NULL),
+            m AS (SELECT user_id, COUNT(*) AS n,
+                    CAST(SUM(x) AS BIGINT) AS sx,
+                    CAST(SUM(y) AS BIGINT) AS sy,
+                    CAST(SUM(x*x) AS BIGINT) AS sxx,
+                    CAST(SUM(y*y) AS BIGINT) AS syy,
+                    CAST(SUM(x*y) AS BIGINT) AS sxy
+                  FROM p GROUP BY user_id)
+            SELECT user_id,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                     / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                        * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS r1,
+                   n AS n_pairs
+            FROM m
+            WHERE n >= 2 AND n*sxx - sx*sx > 0
+              AND n*syy - sy*sy > 0""",
         "theilsen_user": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS us,
                          CAST(round(value * 100) AS BIGINT) AS vc
