@@ -5258,6 +5258,63 @@ def q_coverage_gaps(sf_dir: str):
     return tagged.map_batches(fin, batch_format="pyarrow")
 
 
+def q_cell_diversity(sf_dir: str):
+    """Simpson diversity raster: per level-6 cell, 1 - sum(n_i^2)/N^2
+    over event types — the ecology diversity index as a map layer
+    (gini_impurity_user is the per-user cousin). Integer (cell, type)
+    partials, ONE groupby, the square-sum fold per cell, one final
+    float tree."""
+    from ray.data.aggregate import Sum
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = ((eid * 7919) % 36000) / 100.0 - 180.0
+        lat = ((eid * 104729) % 17000) / 100.0 - 85.0
+        t2 = pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+        x, y = _cell_xy(t2, TILE_LEVEL)
+        et = np.asarray(batch["event_type"].to_pylist(),
+                        dtype=object).astype(str)
+        cell = (x << 16) | y
+        key = np.char.add(np.char.add(cell.astype("U"), "\x1f"), et)
+        uk, cnt = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"cell": pa.array(sp[:, 0].astype(np.int64)),
+                         "event_type": pa.array(sp[:, 2].tolist(),
+                                                type=pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = _events(sf_dir, ["event_id", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["cell", "event_type"]) \
+        .aggregate(Sum("n", alias_name="n"))
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "cell_x": pa.array([], type=pa.int64()),
+                "cell_y": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "simpson": pa.array([], type=pa.float64())})
+        c = g["cell"].to_numpy(zero_copy_only=False)
+        n = g["n"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        o = np.argsort(c, kind="stable")
+        c, n = c[o], n[o]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        uk = c[starts]
+        pos = np.searchsorted(uk, c)
+        tot = np.bincount(pos, weights=n).astype(np.int64)
+        sq = np.bincount(pos, weights=n * n).astype(np.int64)
+        simpson = 1.0 - sq.astype(np.float64) \
+            / (tot * tot).astype(np.float64)
+        return pa.table({"cell_x": pa.array(uk >> 16),
+                         "cell_y": pa.array(uk & 0xFFFF),
+                         "n_events": pa.array(tot),
+                         "simpson": pa.array(simpson)})
+
+    return group_by_key_bucket(counts, "cell", fold)
+
+
 def q_gaussian_smooth_cells(sf_dir: str):
     """5x5 binomial-kernel smoothed density raster (stages/raster
     .gaussian_smooth_cells): exact separable [1,4,6,4,1] integer
@@ -6054,6 +6111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_quadtree": q_adaptive_quadtree,
         "cell_change_detection": q_cell_change_detection,
         "gaussian_smooth_cells": q_gaussian_smooth_cells,
+        "cell_diversity": q_cell_diversity,
         "coverage_gaps": q_coverage_gaps,
         "cell_distinct_users": q_cell_distinct_users,
         "home_cells_user": q_home_cells_user,
@@ -6461,6 +6519,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM c
                               WHERE c.cell_x = n.cell_x
                                 AND c.cell_y = n.cell_y)""",
+        "cell_diversity": f"""
+            WITH pts AS (SELECT event_type,
+                   ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+                   ((event_id * 104729) % 17000) / 100.0 - 85.0 AS lat
+                 FROM events),
+            c AS (SELECT cell_x, cell_y, event_type, COUNT(*) AS n
+                  FROM (SELECT event_type, {cells6} FROM pts)
+                  GROUP BY 1, 2, 3)
+            SELECT cell_x, cell_y,
+                   CAST(SUM(n) AS BIGINT) AS n_events,
+                   1.0e0 - CAST(SUM(n*n) AS BIGINT)
+                     / CAST(CAST(SUM(n) AS BIGINT)
+                            * CAST(SUM(n) AS BIGINT) AS DOUBLE)
+                       AS simpson
+            FROM c GROUP BY cell_x, cell_y""",
         "gaussian_smooth_cells": f"""{cte}
             , c AS (SELECT cell_x, cell_y, COUNT(*) AS n
                     FROM (SELECT {cells6} FROM images)

@@ -99,7 +99,7 @@ QUERY_NAMES = [
     "adaptive_quadtree", "dtw_tracks", "cell_change_detection",
     "gaussian_smooth_cells", "home_cells_user", "trailing_window_user",
     "quadkey_counts", "contrastive_negatives", "ann_recall",
-    "trip_stats_user", "region_density", "coverage_gaps", "langid_confusion", "extract_bounds", "decayed_value_user", "cell_distinct_users", "novelty_docs", "source_drift", "copresence_pairs", "burst_windows", "activity_span_user", "seasonality_dow", "order_price_quartiles", "mutual_nn_pairs", "fulfillment_lag_quartiles", "knn_regression", "dwell_time_user", "fence_crossings_user", "autocorr_user",
+    "trip_stats_user", "region_density", "coverage_gaps", "langid_confusion", "extract_bounds", "decayed_value_user", "cell_distinct_users", "novelty_docs", "source_drift", "copresence_pairs", "burst_windows", "activity_span_user", "seasonality_dow", "order_price_quartiles", "mutual_nn_pairs", "fulfillment_lag_quartiles", "knn_regression", "dwell_time_user", "fence_crossings_user", "autocorr_user", "cell_diversity",
 ]
 
 

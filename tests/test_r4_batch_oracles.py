@@ -24,7 +24,7 @@ BATCH = [
     "copresence_pairs", "burst_windows", "activity_span_user",
     "seasonality_dow", "order_price_quartiles", "mutual_nn_pairs",
     "fulfillment_lag_quartiles", "knn_regression", "dwell_time_user",
-    "fence_crossings_user", "autocorr_user",
+    "fence_crossings_user", "autocorr_user", "cell_diversity",
 ]
 
 
