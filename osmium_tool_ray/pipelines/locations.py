@@ -10,9 +10,12 @@
     here a sorted parquet lookup table + filter-pushdown point reads.
 
 Join shape: the location table ships once per worker as sorted arrays
-(ray.put broadcast + searchsorted per batch). Scale path: when the node
-table exceeds worker memory, switch to the bucketed hash join (partition
-both sides by hash(node_id) % B and join per bucket — SURVEY.md §7.3)."""
+(ray.put broadcast + searchsorted per batch) WHILE it fits under
+`broadcast_cap` rows; above the cap add_locations_to_members
+auto-routes to the bucketed hash-partitioned searchsorted join
+(add_locations_bucketed) — the reference likewise selects its index
+strategy by scale (--index-type,
+command_add_locations_to_ways.cpp:188-196 / man/osmium-index-types.md)."""
 
 from __future__ import annotations
 
@@ -21,27 +24,42 @@ import pyarrow as pa
 
 
 def _location_arrays(images, id_col="image_id", lon_col="lon", lat_col="lat"):
-    rows = images.select_columns([id_col, lon_col, lat_col]).take_all()
-    ids = np.asarray([r[id_col] for r in rows], dtype=object).astype(str)
-    lon = np.asarray([r[lon_col] for r in rows], dtype=np.float64)
-    lat = np.asarray([r[lat_col] for r in rows], dtype=np.float64)
+    import ray
+
+    tbls = [t for t in ray.get(
+        images.select_columns([id_col, lon_col, lat_col])
+        .to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return (np.empty(0, dtype=str), np.empty(0, np.float64),
+                np.empty(0, np.float64))
+    t = pa.concat_tables(tbls)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(str)
+    lon = t[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    lat = t[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
     order = np.argsort(ids, kind="stable")
     return ids[order], lon[order], lat[order]
 
 
-def add_locations_to_members(members, images, keep_missing: bool = False):
+def add_locations_to_members(members, images, keep_missing: bool = False,
+                             broadcast_cap: int = 5_000_000):
     """members(group_id, seq, mtype, ref) x images(image_id, lon, lat) ->
     members + (lon, lat); node-type members only. Missing refs are dropped
-    (or kept as nulls with keep_missing)."""
+    (or kept as nulls with keep_missing). Location sides above
+    `broadcast_cap` rows never touch the driver: the call auto-routes to
+    add_locations_bucketed (identical output, hash-bucket shuffle)."""
     import ray
+
+    if images.count() > broadcast_cap:
+        return add_locations_bucketed(members, images,
+                                      keep_missing=keep_missing)
 
     ids, lon, lat = _location_arrays(images)
     ref = ray.put((ids, lon, lat))
 
     def enrich(batch: pa.Table) -> pa.Table:
         sids, slon, slat = ray.get(ref)
-        mt = np.asarray(batch["mtype"].to_pylist(), dtype=object)
-        refs = np.asarray(batch["ref"].to_pylist(), dtype=object).astype(str)
+        mt = batch["mtype"].to_numpy(zero_copy_only=False).astype(str)
+        refs = batch["ref"].to_numpy(zero_copy_only=False).astype(str)
         is_node = mt == "node"
         pos = np.searchsorted(sids, refs)
         pos_c = np.minimum(pos, len(sids) - 1) if len(sids) else pos
@@ -55,6 +73,97 @@ def add_locations_to_members(members, images, keep_missing: bool = False):
         return batch
 
     return members.map_batches(enrich, batch_format="pyarrow")
+
+
+def add_locations_bucketed(members, images, keep_missing: bool = False,
+                           buckets: int = 64):
+    """add_locations_to_members' scale path: both sides hash-partition by
+    the join key (ref == image_id) into `buckets` groups; each group does
+    the same sorted-searchsorted attach the broadcast path does per batch.
+    No driver materialization, no broadcast — the location side rides ONE
+    narrow (id, lon, lat) shuffle. Output columns and semantics match the
+    broadcast variant exactly (node-type members only; missing refs
+    dropped, or kept as null lon/lat with keep_missing)."""
+    import ray
+    from ..functions.hashing import hash_str_u64
+    from ..blocks import _drop_empty_blocks
+
+    m_schema = members.schema()
+    m_names = list(m_schema.names)
+    m_types = dict(zip(m_schema.names, m_schema.types))
+    out_fields = [(n, m_types[n]) for n in m_names] + \
+        [("lon", pa.float64()), ("lat", pa.float64())]
+    out_schema = pa.schema(out_fields)
+
+    def tag_members(batch: pa.Table) -> pa.Table:
+        b = (hash_str_u64(batch["ref"].cast(pa.string()))
+             % np.uint64(buckets)).astype(np.int32)
+        n = batch.num_rows
+        batch = batch.append_column("lon", pa.nulls(n, pa.float64()))
+        batch = batch.append_column("lat", pa.nulls(n, pa.float64()))
+        batch = batch.append_column("_b", pa.array(b))
+        return batch.append_column(
+            "_side", pa.array(np.zeros(n, dtype=np.int8)))
+
+    def tag_locs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for name in m_names:
+            if name == "ref":
+                cols[name] = batch["image_id"].cast(m_types["ref"])
+            else:
+                cols[name] = pa.nulls(n, m_types[name])
+        cols["lon"] = batch["lon"].cast(pa.float64())
+        cols["lat"] = batch["lat"].cast(pa.float64())
+        b = (hash_str_u64(batch["image_id"].cast(pa.string()))
+             % np.uint64(buckets)).astype(np.int32)
+        cols["_b"] = pa.array(b)
+        cols["_side"] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
+
+    def join_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "_side" not in g.schema.names:
+            return out_schema.empty_table()
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        refs = g["ref"].to_numpy(zero_copy_only=False).astype(str)
+        lrows = np.flatnonzero(side == 1)
+        mrows = np.flatnonzero(side == 0)
+        if not len(mrows):
+            return out_schema.empty_table()
+        lids = refs[lrows]
+        o = np.argsort(lids, kind="stable")
+        lids = lids[o]
+        slon = g["lon"].to_numpy(zero_copy_only=False)[lrows][o]
+        slat = g["lat"].to_numpy(zero_copy_only=False)[lrows][o]
+        mt = g["mtype"].to_numpy(zero_copy_only=False).astype(str)[mrows]
+        mrefs = refs[mrows]
+        is_node = mt == "node"
+        if len(lids):
+            pos_c = np.minimum(np.searchsorted(lids, mrefs),
+                               len(lids) - 1)
+            found = is_node & (lids[pos_c] == mrefs)
+            out_lon = np.where(found, slon[pos_c], np.nan)
+            out_lat = np.where(found, slat[pos_c], np.nan)
+        else:
+            found = np.zeros(len(mrefs), dtype=bool)
+            out_lon = np.full(len(mrefs), np.nan)
+            out_lat = np.full(len(mrefs), np.nan)
+        sub = g.take(pa.array(mrows)).select(m_names)
+        sub = sub.append_column("lon", pa.array(out_lon))
+        sub = sub.append_column("lat", pa.array(out_lat))
+        if not keep_missing:
+            sub = sub.filter(pa.array(found))
+        return sub
+
+    locs = images.select_columns(["image_id", "lon", "lat"])
+    tagged = members.map_batches(tag_members, batch_format="pyarrow") \
+        .union(locs.map_batches(tag_locs, batch_format="pyarrow"))
+    out = _drop_empty_blocks(
+        tagged.groupby("_b").map_groups(join_group,
+                                        batch_format="pyarrow"))
+    if out is None:
+        return ray.data.from_arrow(out_schema.empty_table())
+    return out
 
 
 def retained_nodes(images, tagged_col: str = "tagged",

@@ -1439,11 +1439,14 @@ def cosine_tf_join(docs, threshold: float = 0.6, df_cap: int = 200,
 
     Scale shape: per-doc tf is complete map-side (one text row per
     doc); df folds through the tfidf-style 32-bucket word shuffle; the
-    eligible-word set broadcasts (<= df-capped vocab; above
-    `elig_broadcast_cap` swap for the bucketed join — tfidf precedent,
-    documented); per-word pair partials emit inside O(CPUs) word-hash
-    coarse groups (bounded df_cap^2/2 per word); ONE pair-hash bucket
-    fold sums dot partials and filters. No doc row reaches the driver.
+    eligible-word set broadcasts while it fits (`elig_broadcast_cap`
+    rows) and AUTO-ROUTES to a fully-distributed word-hash bucketed
+    semi-join + doc-hash norm fold above it (no driver/broadcast vocab
+    — the _tfidf_topk_bucketed precedent; both paths bit-identical
+    because every partial is an integer sum); per-word pair partials
+    emit inside O(CPUs) word-hash coarse groups (bounded df_cap^2/2 per
+    word); ONE pair-hash bucket fold sums dot partials and filters. No
+    doc row reaches the driver on either path.
 
     Returns (id_a, id_b, dot:int64, cos:float64) with id_a < id_b,
     cos >= threshold. Reference analogy: the weighted counterpart of
@@ -1503,20 +1506,17 @@ def cosine_tf_join(docs, threshold: float = 0.6, df_cap: int = 200,
     dfd = docs.map_batches(df_partial, batch_format="pyarrow") \
         .groupby("_b").map_groups(df_fold, batch_format="pyarrow") \
         .materialize()
-    elig_tbls = [t for t in ray.get(dfd.to_arrow_refs()) if t.num_rows]
-    if elig_tbls:
-        et = pa.concat_tables(elig_tbls)
-        dfv = et["df"].to_numpy(zero_copy_only=False)
-        ew = np.asarray(et["word"].to_pylist()).astype(str)
-        elig = np.sort(ew[(dfv >= 2) & (dfv <= df_cap)])
-    else:
-        elig = np.empty(0, dtype=str)
-    if len(elig) > elig_broadcast_cap:
-        raise NotImplementedError(
-            "eligible vocabulary exceeds elig_broadcast_cap="
-            f"{elig_broadcast_cap}; wire the bucketed word-hash join "
-            "(_tfidf_topk_bucketed shape) for open-web vocabularies")
-    eref = ray.put(elig)
+
+    def _elig_filter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "word" not in batch.schema.names:
+            return pa.table({"word": pa.array([], type=pa.string())})
+        dfv = batch["df"].to_numpy(zero_copy_only=False)
+        keep = pa.array((dfv >= 2) & (dfv <= df_cap))
+        return batch.select(["word"]).filter(keep)
+
+    elig_ds = dfd.map_batches(_elig_filter,
+                              batch_format="pyarrow").materialize()
+    n_elig = elig_ds.count()
 
     s = docs.schema()
     id_type = dict(zip(s.names, s.types))[id_col]
@@ -1626,18 +1626,133 @@ def cosine_tf_join(docs, threshold: float = 0.6, df_cap: int = 200,
             "dot": pa.array(dot[keep]),
             "cos": pa.array(cos[keep])})
 
-    tfr = docs.map_batches(tf_emit, batch_format="pyarrow")
-    parts = tfr.groupby("_cb").map_groups(pair_partials,
-                                          batch_format="pyarrow")
-    pruned = _drop_empty_blocks(parts)
-    if pruned is None:
+    def _pair_tail(tfn):
+        parts = tfn.groupby("_cb").map_groups(pair_partials,
+                                              batch_format="pyarrow")
+        pruned = _drop_empty_blocks(parts)
+        if pruned is None:
+            return ray.data.from_arrow(out_schema.empty_table())
+        out = _drop_empty_blocks(
+            pruned.groupby("_pb").map_groups(fold_pairs,
+                                             batch_format="pyarrow"))
+        if out is None:
+            return ray.data.from_arrow(out_schema.empty_table())
+        return out
+
+    if n_elig <= elig_broadcast_cap:
+        # broadcast path: capped vocab fits one object — norms map-side
+        elig_tbls = [t for t in ray.get(elig_ds.to_arrow_refs())
+                     if t.num_rows]
+        elig = np.sort(np.concatenate(
+            [np.asarray(t["word"].to_pylist()).astype(str)
+             for t in elig_tbls])) if elig_tbls \
+            else np.empty(0, dtype=str)
+        eref = ray.put(elig)
+        return _pair_tail(docs.map_batches(tf_emit,
+                                           batch_format="pyarrow"))
+
+    # ------- bucketed scale path (open-web vocabulary) -------
+    # No driver/broadcast vocab: tf rows and eligible words co-locate by
+    # word-hash bucket for a sorted semi-join (the _tfidf_topk_bucketed
+    # union shape, stages/text.py:350); surviving rows re-bucket by doc
+    # hash so each doc's capped-space norm folds AND attaches inside one
+    # group (all of a doc's eligible tf rows land together). Values are
+    # integer sums either way, so both paths are bit-identical.
+    buckets = 64
+
+    def tf_side(batch: pa.Table) -> pa.Table:
+        w, doc_idx, tf = _tf_rows(batch)
+        if len(w) == 0:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             id_col: pa.array([], type=id_type),
+                             "tf": pa.array([], type=pa.int64()),
+                             "_b": pa.array([], type=pa.int32()),
+                             "_side": pa.array([], type=pa.int8())})
+        b = (hash_str_u64(pa.array(w.tolist(), type=pa.string()))
+             % np.uint64(buckets)).astype(np.int32)
+        return pa.table({"word": pa.array(w.tolist(), type=pa.string()),
+                         id_col: batch[id_col].take(pa.array(doc_idx)),
+                         "tf": pa.array(tf),
+                         "_b": pa.array(b),
+                         "_side": pa.array(np.zeros(len(w),
+                                                    dtype=np.int8))})
+
+    def elig_side(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "word" not in batch.schema.names:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             id_col: pa.array([], type=id_type),
+                             "tf": pa.array([], type=pa.int64()),
+                             "_b": pa.array([], type=pa.int32()),
+                             "_side": pa.array([], type=pa.int8())})
+        wcol = batch["word"].cast(pa.string())
+        b = (hash_str_u64(wcol) % np.uint64(buckets)).astype(np.int32)
+        n = batch.num_rows
+        return pa.table({"word": wcol,
+                         id_col: pa.nulls(n, id_type),
+                         "tf": pa.array(np.zeros(n, dtype=np.int64)),
+                         "_b": pa.array(b),
+                         "_side": pa.array(np.ones(n, dtype=np.int8))})
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"word": pa.array([], type=pa.string()),
+                          id_col: pa.array([], type=id_type),
+                          "tf": pa.array([], type=pa.int64()),
+                          "_db": pa.array([], type=pa.int32())})
+        if g.num_rows == 0 or "word" not in g.schema.names:
+            return empty
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        w = np.asarray(g["word"].to_pylist()).astype(str)
+        ew = np.sort(w[side == 1])
+        rows = np.flatnonzero(side == 0)
+        if not len(rows) or not len(ew):
+            return empty
+        tw = w[rows]
+        pos = np.searchsorted(ew, tw)
+        pos[pos == len(ew)] = len(ew) - 1
+        sel = pa.array(rows[ew[pos] == tw])
+        d = g[id_col].take(sel)
+        db = (hash_str_u64(d.cast(pa.string()))
+              % np.uint64(buckets)).astype(np.int32)
+        return pa.table({"word": g["word"].take(sel).cast(pa.string()),
+                         id_col: d,
+                         "tf": g["tf"].take(sel).cast(pa.int64()),
+                         "_db": pa.array(db)})
+
+    def norm_attach(g: pa.Table) -> pa.Table:
+        empty = pa.table({"word": pa.array([], type=pa.string()),
+                          id_col: pa.array([], type=id_type),
+                          "tf": pa.array([], type=pa.int64()),
+                          "nrm": pa.array([], type=pa.int64()),
+                          "_cb": pa.array([], type=pa.int32())})
+        if g.num_rows == 0 or "word" not in g.schema.names:
+            return empty
+        ids_np = g[id_col].to_numpy(zero_copy_only=False)
+        key = ids_np.astype(str) if ids_np.dtype == object else ids_np
+        _, inv = np.unique(key, return_inverse=True)
+        tf = g["tf"].to_numpy(zero_copy_only=False)
+        nrms = np.zeros(int(inv.max()) + 1, dtype=np.int64)
+        np.add.at(nrms, inv, tf * tf)
+        cb = (hash_str_u64(g["word"].cast(pa.string()))
+              % np.uint64(coarse)).astype(np.int32)
+        return pa.table({"word": g["word"].cast(pa.string()),
+                         id_col: g[id_col],
+                         "tf": pa.array(tf.astype(np.int64)),
+                         "nrm": pa.array(nrms[inv]),
+                         "_cb": pa.array(cb)})
+
+    tagged = docs.map_batches(tf_side, batch_format="pyarrow") \
+        .union(elig_ds.map_batches(elig_side, batch_format="pyarrow"))
+    joined = _drop_empty_blocks(
+        tagged.groupby("_b").map_groups(join_bucket,
+                                        batch_format="pyarrow"))
+    if joined is None:
         return ray.data.from_arrow(out_schema.empty_table())
-    out = _drop_empty_blocks(
-        pruned.groupby("_pb").map_groups(fold_pairs,
+    tfn = _drop_empty_blocks(
+        joined.groupby("_db").map_groups(norm_attach,
                                          batch_format="pyarrow"))
-    if out is None:
+    if tfn is None:
         return ray.data.from_arrow(out_schema.empty_table())
-    return out
+    return _pair_tail(tfn)
 
 
 class HyperplaneSig:

@@ -49,6 +49,41 @@ def test_add_locations(ray_session):
     assert len(kept) == 4
 
 
+def test_add_locations_bucketed_parity(ray_session):
+    """Forced scale path: broadcast_cap=0 routes through the hash-bucket
+    searchsorted join. Rows, columns and values must match the broadcast
+    path exactly on both keep_missing settings."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    images = rd.from_items([{"image_id": f"n{i}", "lon": float(i) / 7,
+                             "lat": -float(i) / 3} for i in range(200)])
+    members = rd.from_items([
+        {"group_id": f"w{i % 9}", "seq": i,
+         "mtype": "node" if i % 5 else "way",
+         "ref": f"n{int(rng.integers(0, 260))}"}
+        for i in range(500)])
+
+    def canon(rows):
+        return sorted(
+            [(r["group_id"], r["seq"], r["mtype"], r["ref"],
+              None if r["lon"] is None or (isinstance(r["lon"], float)
+                                           and np.isnan(r["lon"]))
+              else r["lon"],
+              None if r["lat"] is None or (isinstance(r["lat"], float)
+                                           and np.isnan(r["lat"]))
+              else r["lat"]) for r in rows],
+            key=lambda t: (t[0], t[1]))
+
+    for km in (False, True):
+        broad = add_locations_to_members(members, images,
+                                         keep_missing=km).take_all()
+        bucketed = add_locations_to_members(members, images,
+                                            keep_missing=km,
+                                            broadcast_cap=0).take_all()
+        assert canon(bucketed) == canon(broad)
+
+
 def test_locations_index_roundtrip(ray_session, tmp_path):
     import ray.data as rd
 

@@ -37,12 +37,12 @@ def _ref(texts, threshold, df_cap):
     return out
 
 
-def _run(texts, threshold, df_cap):
+def _run(texts, threshold, df_cap, **kw):
     tbl = pa.table({"doc_id": pa.array(range(len(texts)),
                                        type=pa.int64()),
                     "text": pa.array(texts)})
     res = cosine_tf_join(rd.from_arrow(tbl).repartition(3),
-                         threshold=threshold, df_cap=df_cap)
+                         threshold=threshold, df_cap=df_cap, **kw)
     df = res.to_pandas()
     return {(int(r.id_a), int(r.id_b)): (int(r.dot), float(r.cos))
             for r in df.itertuples()}
@@ -77,3 +77,35 @@ def test_cosine_tf_join_cap_excludes_stopwords(ray_session):
 
 def test_cosine_tf_join_empty(ray_session):
     assert _run(["", "x", "y"], 0.5, 10) == {}
+
+
+def test_cosine_tf_join_bucketed_parity(ray_session):
+    """Forced scale path: elig_broadcast_cap=0 routes every eligible
+    word through the word-hash semi-join + doc-hash norm fold. Must be
+    bit-identical to the broadcast path (integer partials both ways)."""
+    rng = np.random.default_rng(7)
+    vocab = ["hash", "join", "scan", "row", "col", "rare1", "rare2"]
+    p = np.array([0.3, 0.25, 0.2, 0.1, 0.1, 0.03, 0.02])
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 25), p=p))
+             for _ in range(50)]
+    texts += ["", "rare1 rare1 rare2", "rare1 rare1 rare2"]
+    broad = _run(texts, threshold=0.7, df_cap=30)
+    bucketed = _run(texts, threshold=0.7, df_cap=30,
+                    elig_broadcast_cap=0)
+    assert set(bucketed) == set(broad)
+    for k in broad:
+        assert bucketed[k][0] == broad[k][0]
+        assert bucketed[k][1] == broad[k][1]  # bit-identical floats
+    want = _ref(texts, 0.7, 30)
+    assert set(bucketed) == set(want)
+
+
+def test_cosine_tf_join_bucketed_stopword_cap(ray_session):
+    got = _run(["the alpha", "the alpha", "the beta", "the beta", "the"],
+               threshold=0.5, df_cap=3, elig_broadcast_cap=0)
+    assert set(got) == {(0, 1), (2, 3)}
+    assert all(v[1] == 1.0 for v in got.values())
+
+
+def test_cosine_tf_join_bucketed_empty(ray_session):
+    assert _run(["", "x", "y"], 0.5, 10, elig_broadcast_cap=0) == {}
