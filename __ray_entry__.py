@@ -25,6 +25,16 @@ from osmium_tool_ray.sources.corpus import (
 from osmium_tool_ray.state.regions import Region, parse_extract_config
 from osmium_tool_ray.sources.readers import read_parquet_clean
 
+
+def _pool(frac: int = 8) -> int:
+    """Actor-pool size for query-def map_batches stages: a fraction of
+    the cluster's CPUs (floored at 2 for tiny sessions) instead of a
+    hardcoded constant — pools reserve their CPUs, and a fixed 2-actor
+    pool would cap a large cluster's whole pipeline."""
+    from osmium_tool_ray.blocks import pool_size
+    return pool_size(None, frac=frac)
+
+
 # -- shared fixtures -----------------------------------------------------------
 
 BBOX = (-60.0, -40.0, 60.0, 40.0)
@@ -137,7 +147,7 @@ def q_extract_multi_fanout(sf_dir: str):
     ]})
     ds = images_dataset(sf_dir, columns=["image_id", "lon", "lat"])
     matched = ds.map_batches(RegionMatcher, fn_constructor_args=(ray.put(regions),),
-                             batch_format="pyarrow", concurrency=2)
+                             batch_format="pyarrow", concurrency=_pool())
     return matched.select_columns(["extract_id", "image_id"])
 
 
@@ -159,7 +169,7 @@ def q_extract_bounds(sf_dir: str):
     ds = images_dataset(sf_dir, columns=["image_id", "lon", "lat"])
     matched = ds.map_batches(RegionMatcher,
                              fn_constructor_args=(ray.put(regions),),
-                             batch_format="pyarrow", concurrency=2)
+                             batch_format="pyarrow", concurrency=_pool())
 
     out = matched.groupby("extract_id").aggregate(
         Count(alias_name="n_images"),
@@ -203,7 +213,7 @@ def q_region_density(sf_dir: str):
     ds = images_dataset(sf_dir, columns=["image_id", "lon", "lat"])
     matched = ds.map_batches(RegionMatcher,
                              fn_constructor_args=(ray.put(regions),),
-                             batch_format="pyarrow", concurrency=2)
+                             batch_format="pyarrow", concurrency=_pool())
 
     def partial(batch: pa.Table) -> pa.Table:
         eid = batch["extract_id"].to_numpy(zero_copy_only=False) \
@@ -247,7 +257,7 @@ def q_outside_regions(sf_dir: str):
     masked = ds.map_batches(
         RegionMatcher, fn_constructor_args=(ray.put(regions),),
         fn_constructor_kwargs={"mode": "mask"},
-        batch_format="pyarrow", concurrency=2)
+        batch_format="pyarrow", concurrency=_pool())
 
     def anti(batch: pa.Table) -> pa.Table:
         keep = np.ones(batch.num_rows, dtype=bool)
@@ -936,7 +946,7 @@ def q_extract_ways_simple(sf_dir: str):
     groups, members = _user_adjacency(sf_dir)
     res = run_extract(images_dataset(sf_dir, columns=["image_id", "lon", "lat"]),
                       regions, groups=groups,
-                      members=members, strategy="simple", concurrency=2)
+                      members=members, strategy="simple", concurrency=_pool())
     gr = res["group_rows"]
     return gr.filter(pc.equal(gr["kind"], "way")).select(["group_id"])
 
@@ -948,7 +958,7 @@ def q_extract_cw_nodes(sf_dir: str):
     groups, members = _user_adjacency(sf_dir)
     res = run_extract(images_dataset(sf_dir, columns=["image_id", "lon", "lat"]),
                       regions, groups=groups,
-                      members=members, strategy="complete_ways", concurrency=2)
+                      members=members, strategy="complete_ways", concurrency=_pool())
     return res["images_out"].select_columns(["image_id"])
 
 
@@ -963,7 +973,7 @@ def q_extract_cw_dataset(sf_dir: str):
     groups, members = _user_adjacency(sf_dir)
     res = run_extract_cw_dataset(
         images_dataset(sf_dir, columns=["image_id", "lon", "lat"]), regions,
-        groups=groups, members=members, concurrency=2)
+        groups=groups, members=members, concurrency=_pool())
     return res["images_out"].select_columns(["image_id"])
 
 
@@ -1041,7 +1051,7 @@ def q_extract_smart_mp(sf_dir: str):
     members = members_n.union(rel_members)
     res = run_extract(images_dataset(sf_dir, columns=["image_id", "lon", "lat"]),
                       regions, groups=groups,
-                      members=members, strategy="smart", concurrency=2)
+                      members=members, strategy="smart", concurrency=_pool())
     return res["images_out"].select_columns(["image_id"])
 
 
@@ -1085,7 +1095,7 @@ def q_extract_cw_history(sf_dir: str):
     vimages = versioned_images_dataset(sf_dir).materialize()
     res = run_extract(vimages, regions,
                       groups=groups, members=members,
-                      strategy="complete_ways_with_history", concurrency=2)
+                      strategy="complete_ways_with_history", concurrency=_pool())
     return res["images_out"].select_columns(["image_id", "version"])
 
 
@@ -1101,7 +1111,7 @@ def q_dedup_exact_docs(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         Fingerprint, fn_constructor_kwargs={"text_col": "text"},
-        batch_format="pyarrow", concurrency=2)
+        batch_format="pyarrow", concurrency=_pool())
 
     def _merge(g: pa.Table, partial: bool) -> pa.Table:
         fp = g["fp"].to_numpy(zero_copy_only=False)
@@ -1287,7 +1297,7 @@ def q_dup_stats_by_source(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
         Fingerprint, fn_constructor_kwargs={"text_col": "text"},
-        batch_format="pyarrow", concurrency=2)
+        batch_format="pyarrow", concurrency=_pool())
 
     def partial(batch: pa.Table) -> pa.Table:
         fp = batch["fp"].to_numpy(zero_copy_only=False)
@@ -1357,7 +1367,7 @@ def q_token_count_docs(sf_dir: str):
 
     return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(TokenCount, fn_constructor_kwargs={"text_col": "text"},
-                     batch_format="pyarrow", concurrency=2) \
+                     batch_format="pyarrow", concurrency=_pool()) \
         .select_columns(["doc_id", "n_tokens", "n_bpe_tokens"])
 
 
@@ -1366,7 +1376,7 @@ def q_quality_docs(sf_dir: str):
 
     return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(QualityScore, fn_constructor_kwargs={"text_col": "text"},
-                     batch_format="pyarrow", concurrency=2) \
+                     batch_format="pyarrow", concurrency=_pool()) \
         .select_columns(["doc_id", "punct_ratio", "space_ratio",
                          "stopword_ratio"])
 
@@ -1958,7 +1968,7 @@ def q_normalize_docs(sf_dir: str):
 
     return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(Normalizer, fn_constructor_kwargs={"text_col": "text"},
-                     batch_format="pyarrow", concurrency=2) \
+                     batch_format="pyarrow", concurrency=_pool()) \
         .select_columns(["doc_id", "clean", "n_redacted"])
 
 
@@ -1990,7 +2000,7 @@ def q_pii_redact_docs(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(plant, batch_format="pyarrow") \
         .map_batches(PiiRedactor, fn_constructor_kwargs={"text_col": "text"},
-                     batch_format="pyarrow", concurrency=2) \
+                     batch_format="pyarrow", concurrency=_pool()) \
         .select_columns(["doc_id", "clean", "n_emails", "n_ips",
                          "n_phones"])
 
@@ -2398,7 +2408,7 @@ def q_augment_images(sf_dir: str):
                          fn_constructor_kwargs={"mode": "hflip+crop",
                                                 "crop_w": 8, "crop_h": 8},
                          batch_format="pyarrow", batch_size=4096,
-                         concurrency=2)
+                         concurrency=_pool())
     return out.select_columns(["image_id", "w", "h", "fmt"])
 
 
@@ -4600,7 +4610,7 @@ def q_region_centroids(sf_dir: str):
     ds = images_dataset(sf_dir, columns=["lon", "lat"])
     matched = ds.map_batches(RegionMatcher,
                              fn_constructor_args=(ray.put(regions),),
-                             batch_format="pyarrow", concurrency=2)
+                             batch_format="pyarrow", concurrency=_pool())
 
     def fixed(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -4692,7 +4702,7 @@ def q_props_k_by_type(sf_dir: str):
     flat = ev.map_batches(JsonFieldExtract,
                           fn_constructor_kwargs={"props_col": "props",
                                                  "key": "k"},
-                          batch_format="pyarrow", concurrency=2)
+                          batch_format="pyarrow", concurrency=_pool())
     agg = flat.groupby("event_type").aggregate(
         Count(alias_name="n"), Sum("k", alias_name="k_total"))
 
@@ -4872,7 +4882,7 @@ def q_audio_features(sf_dir: str):
 
     audio = ev.map_batches(as_audio, batch_format="pyarrow")
     out = audio.map_batches(AudioFeatures, batch_format="pyarrow",
-                            batch_size=128, concurrency=2)
+                            batch_size=128, concurrency=_pool())
     return out.select_columns(["audio_id", "sr", "n_samples", "duration_s"])
 
 
@@ -5392,7 +5402,7 @@ def q_embedding_neardup(sf_dir: str):
 
     aug = emb.map_batches(augment, batch_format="pyarrow")
     return embedding_neardup(aug, dim=dim, threshold=0.95, bits=14, tables=2,
-                             concurrency=2)
+                             concurrency=_pool())
 
 
 def q_pq_ann(sf_dir: str):
@@ -5461,7 +5471,7 @@ def q_ivf_ann(sf_dir: str):
     corpus = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])
     cents = train_ivf_centroids(corpus, dim=qm.shape[1], nlist=8, iters=2)
-    return ivf_ann_topk(corpus, qm, qids, cents, k=5, nprobe=3, concurrency=2)
+    return ivf_ann_topk(corpus, qm, qids, cents, k=5, nprobe=3, concurrency=_pool())
 
 
 def q_ann_recall(sf_dir: str):
@@ -5486,12 +5496,12 @@ def q_ann_recall(sf_dir: str):
     corpus = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     k = 5
-    exact = ann_topk(corpus, qm, qids, k=k, concurrency=2) \
+    exact = ann_topk(corpus, qm, qids, k=k, concurrency=_pool()) \
         .select_columns(["query_id", "vec_id"])
     cents = train_ivf_centroids(corpus, dim=qm.shape[1], nlist=8,
                                 iters=2)
     approx = ivf_ann_topk(corpus, qm, qids, cents, k=k, nprobe=3,
-                          concurrency=2) \
+                          concurrency=_pool()) \
         .select_columns(["query_id", "vec_id"])
 
     def tag(side):
@@ -5534,7 +5544,7 @@ def q_langid_docs(sf_dir: str):
 
     return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(LangId, fn_constructor_kwargs={"text_col": "text"},
-                     batch_format="pandas", concurrency=2) \
+                     batch_format="pandas", concurrency=_pool()) \
         .select_columns(["doc_id", "lang_pred"])
 
 
@@ -5549,19 +5559,22 @@ def q_langid_confusion(sf_dir: str):
 
     pred = _docs(sf_dir, ["doc_id", "text", "lang"]) \
         .map_batches(LangId, fn_constructor_kwargs={"text_col": "text"},
-                     batch_format="pandas", concurrency=2)
+                     batch_format="pandas", concurrency=_pool())
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = np.asarray(batch["lang"].to_pylist(), dtype=object) \
-            .astype(str)
-        p = np.asarray(batch["lang_pred"].to_pylist(), dtype=object) \
-            .astype(str)
-        key = np.char.add(np.char.add(t, "|"), p)
-        uk, cnt = np.unique(key, return_counts=True)
-        sp = np.char.partition(uk, "|")
-        return pa.table({"lang": pa.array(sp[:, 0].tolist(),
+        # U-dtype lexsort + run-length pair count — no np.char string
+        # concatenation (object-array ops are ~10x the sort cost)
+        t = batch["lang"].to_numpy(zero_copy_only=False).astype(str)
+        p = batch["lang_pred"].to_numpy(zero_copy_only=False).astype(str)
+        o = np.lexsort((p, t))
+        ts, ps = t[o], p[o]
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (ts[1:] != ts[:-1]) | (ps[1:] != ps[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(ts)))
+        return pa.table({"lang": pa.array(ts[starts].tolist(),
                                           type=pa.string()),
-                         "lang_pred": pa.array(sp[:, 2].tolist(),
+                         "lang_pred": pa.array(ps[starts].tolist(),
                                                type=pa.string()),
                          "n": pa.array(cnt.astype(np.int64))})
 
@@ -5575,7 +5588,7 @@ def q_simhash_docs(sf_dir: str):
 
     return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(SimHash, fn_constructor_kwargs={"text_col": "text"},
-                     batch_format="pandas", concurrency=2) \
+                     batch_format="pandas", concurrency=_pool()) \
         .select_columns(["doc_id", "simhash"])
 
 
@@ -5583,7 +5596,7 @@ def q_minhash_dup_pairs(sf_dir: str):
     from osmium_tool_ray.stages.dedup import minhash_dedup
 
     return minhash_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.6,
-                         concurrency=2)
+                         concurrency=_pool())
 
 
 def q_ngram_dup_pairs(sf_dir: str):
@@ -5592,7 +5605,7 @@ def q_ngram_dup_pairs(sf_dir: str):
     from osmium_tool_ray.stages.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), n=3,
-                               threshold=0.35, concurrency=2)
+                               threshold=0.35, concurrency=_pool())
 
 
 def q_jaccard_join(sf_dir: str):
@@ -5702,7 +5715,7 @@ def q_ann_embeddings(sf_dir: str):
     qids = qsel["vec_id"].to_numpy(zero_copy_only=False)
     corpus = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])
-    out = ann_topk(corpus, qm, qids, k=5, concurrency=2)
+    out = ann_topk(corpus, qm, qids, k=5, concurrency=_pool())
 
     def add_rank(batch: pa.Table) -> pa.Table:
         qid = batch["query_id"].to_numpy(zero_copy_only=False)
@@ -5736,7 +5749,7 @@ def q_frame_sample(sf_dir: str):
     videos = ev.map_batches(as_videos, batch_format="pyarrow")
     out = videos.map_batches(FrameSample, fn_constructor_kwargs={"stride": 2},
                              batch_format="pyarrow", batch_size=64,
-                             concurrency=2)
+                             concurrency=_pool())
     return out.select_columns(["video_id", "frame_no", "w", "h"])
 
 
@@ -5762,7 +5775,7 @@ def q_psnr_verify(sf_dir: str):
 
     ds = images_dataset(sf_dir, with_bytes=True)
     out = ds.map_batches(DecodeVerify, batch_format="pyarrow", batch_size=256,
-                         concurrency=2)
+                         concurrency=_pool())
     return out.select_columns(["image_id", "fmt", "pix_ok"])
 
 
@@ -5783,9 +5796,9 @@ def entry() -> Any:
     ]})
     ds = images_dataset(sf_dir, with_bytes=True)
     ds = ds.map_batches(DecodeVerify, batch_format="pyarrow", batch_size=256,
-                        concurrency=2)
+                        concurrency=_pool())
     matched = ds.map_batches(RegionMatcher, fn_constructor_args=(ray.put(regions),),
-                             batch_format="pyarrow", concurrency=2)
+                             batch_format="pyarrow", concurrency=_pool())
     return matched.select_columns(["extract_id", "image_id", "lon", "lat",
                                    "caption", "pix_ok"])
 
@@ -5885,7 +5898,7 @@ def q_scene_cuts(sf_dir: str):
     videos = ev.map_batches(as_videos, batch_format="pyarrow")
     return videos.map_batches(SceneCut, fn_constructor_kwargs={
         "threshold": 16.0}, batch_format="pyarrow", batch_size=64,
-        concurrency=2)
+        concurrency=_pool())
 
 
 def q_audio_segments(sf_dir: str):
@@ -5910,7 +5923,7 @@ def q_audio_segments(sf_dir: str):
     audio = ev.map_batches(as_audio, batch_format="pyarrow")
     return audio.map_batches(AudioSegments, fn_constructor_kwargs={
         "frame": 500, "threshold": 1000.0}, batch_format="pyarrow",
-        batch_size=128, concurrency=2)
+        batch_size=128, concurrency=_pool())
 
 
 def q_asof_join_forward(sf_dir: str):

@@ -14,6 +14,18 @@ import ray as _ray
 _remote_num_rows = _ray.remote(num_cpus=0)(lambda t: t.num_rows)
 
 
+def pool_size(concurrency=None, frac: int = 8, floor: int = 2) -> int:
+    """Cluster-derived actor-pool size: CPUs // frac, floored for tiny
+    sessions. Fixed-size pools RESERVE their CPUs for the whole stage
+    (CLAUDE.md pool-reservation landmine), so pools are sized as a
+    FRACTION of the cluster, never a constant — a hardcoded 2-actor
+    pool would cap a 100-node cluster's whole pipeline (VERDICT r04
+    item #4). Pass an explicit `concurrency` to pin."""
+    if concurrency is not None:
+        return concurrency
+    return max(floor, int(_ray.cluster_resources().get("CPU", 8)) // frac)
+
+
 def hash_distinct(ds, cols, coarse: int | None = None):
     """Exact distinct over (possibly string) key columns via a COARSE
     int32 hash-bucket shuffle + per-bucket Arrow C++ distinct — Ray's

@@ -323,7 +323,7 @@ def _parent_closure(rel_edges_child: np.ndarray, rel_edges_parent: np.ndarray,
 
 def run_extract(images, regions: list[Region], groups=None, members=None,
                 strategy: str = "complete_ways", options: dict | None = None,
-                level: int = 8, concurrency=4):
+                level: int = 8, concurrency=None):
     """Run an extract strategy. Returns dict with:
        images_out: Dataset of matched image rows + extract_id (fan-out)
        group_rows: pa.Table (group_id, kind, extract_id)
@@ -409,7 +409,7 @@ def run_extract(images, regions: list[Region], groups=None, members=None,
 
 
 def run_extract_cw_dataset(images, regions: list[Region], groups, members,
-                           level: int = 8, concurrency=4,
+                           level: int = 8, concurrency=None,
                            num_partitions: int | None = None,
                            do_relations: bool = True,
                            assume_unique_ids: bool = True):

@@ -143,7 +143,7 @@ def _is_multipolygon(tags_list) -> np.ndarray:
 def run_tags_filter(images, expressions: list[str], groups=None, members=None,
                     invert: bool = False, add_referenced: bool = True,
                     remove_tags: bool = False, tags_col: str = "tags",
-                    concurrency=4):
+                    concurrency=None):
     """Returns {"images_out": Dataset (+`referenced_only` bool col),
     "group_rows": pa.Table (group_id, kind, referenced_only)}."""
     import ray

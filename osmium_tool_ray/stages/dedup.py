@@ -630,7 +630,7 @@ def _decode_packed_u64(pcol):
 
 def minhash_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
                   num_perm: int = 64, bands: int = 16, k: int = 5,
-                  threshold: float = 0.7, concurrency=4):
+                  threshold: float = 0.7, concurrency=None):
     """Full MinHash-LSH dedup: returns a pa.Table of (doc_id, dup_of) pairs
     where dup_of is the smallest doc id of the near-dup cluster.
 
@@ -1021,7 +1021,7 @@ class WordNgramBands:
 
 
 def ngram_jaccard_pairs(docs, text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 3, threshold: float = 0.5, concurrency=4):
+                        n: int = 3, threshold: float = 0.5, concurrency=None):
     """Word n-gram Jaccard near-dup: the distributed MinHash-LSH pipeline
     (pair emission in map_groups, join-attached texts, vectorized verify,
     union-find on verified pairs) with TRUE token-level n-gram shingles
@@ -1799,7 +1799,7 @@ class HyperplaneSig:
 def embedding_neardup(embeddings, dim: int, threshold: float = 0.95,
                       bits: int = 16, tables: int = 2,
                       vec_col: str = "embedding", id_col: str = "vec_id",
-                      concurrency=4) -> pa.Table:
+                      concurrency=None) -> pa.Table:
     """Embedding-cosine near-dup, distributed end-to-end: multi-table
     hyperplane-LSH bucketing on the narrow (id, table, sig) projection,
     candidate pairs emitted inside groupby(table, sig).map_groups,

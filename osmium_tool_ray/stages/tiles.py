@@ -157,12 +157,20 @@ def assign_tiles_salted(ds, level: int, agg_fn, hot_threshold: int = 100_000,
     one reducer.
 
     agg_fn: pandas per-group function returning ONE partial-aggregate row
-    per (possibly salted) group; partials for the same cell are merged by
-    `merge_fn` columns — agg_fn output must therefore be mergeable rows
-    (counts/sums/min/max columns). Returns the per-cell merged Dataset.
-    """
+    per (possibly salted) group; partials for the same cell are summed
+    column-wise — agg_fn output must therefore be mergeable rows
+    (counts/sums columns). Returns the per-cell merged Dataset.
+
+    Shape: both stages run through group_by_key_bucket (blocks.py) —
+    hash-bucket shuffles whose per-call Python cost is O(buckets), not
+    O(cells): stage 1 buckets by (cell, salt) and runs agg_fn via an
+    in-bucket pandas groupby (the user fn is a black box, so the
+    per-group call survives, but without Ray's ~5 ms per-group
+    map_groups overhead); stage 2 merges the tiny partials with a fully
+    vectorized per-bucket groupby-sum."""
     import ray
-    from ray.data.aggregate import Sum
+
+    from ..blocks import group_by_key_bucket
 
     hot = cell_counts(ds, level, lon_col, lat_col)
     hot_rows = hot.filter(expr=f"n_images > {hot_threshold}").take_all()
@@ -187,15 +195,27 @@ def assign_tiles_salted(ds, level: int, agg_fn, hot_threshold: int = 100_000,
         return batch.append_column("salt", pa.array(salt))
 
     keyed = ds.map_batches(add_key, batch_format="pyarrow")
-    partials = keyed.groupby(["cell", "salt"]).map_groups(agg_fn, batch_format="pandas")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        num = g.select_dtypes("number").drop(columns=["salt"], errors="ignore")
-        out = num.sum(numeric_only=True).to_frame().T
-        out["cell"] = g["cell"].iloc[0]
-        return out
+    def fold_partials(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame()
+        outs = [agg_fn(sub)
+                for _, sub in g.groupby(["cell", "salt"], sort=False)]
+        return pd.concat(outs, ignore_index=True)
 
-    return partials.groupby("cell").map_groups(merge, batch_format="pandas")
+    partials = group_by_key_bucket(keyed, ["cell", "salt"], fold_partials,
+                                   batch_format="pandas")
+
+    def merge_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame()
+        num = g.select_dtypes("number").drop(columns=["salt"],
+                                             errors="ignore")
+        cols = [c for c in num.columns if c != "cell"]
+        return num.groupby("cell", as_index=False, sort=False)[cols].sum()
+
+    return group_by_key_bucket(partials, "cell", merge_fold,
+                               batch_format="pandas")
 
 
 def tile_pyramid(points, max_level: int, lon_col: str = "lon",
