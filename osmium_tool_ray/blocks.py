@@ -14,6 +14,22 @@ import ray as _ray
 _remote_num_rows = _ray.remote(num_cpus=0)(lambda t: t.num_rows)
 
 
+def bounded_rows(ds, cap: int, what: str):
+    """take_all for DRIVER-SIDE PARTIAL FOLDS with a hard row bound:
+    every driver fold in this repo is supposed to be constant-bounded
+    (per-block stats tuples, grid rasters, <=cap sketches). If a fold
+    unexpectedly explodes, this raises an informative error instead of
+    OOMing the driver. Returns the row list, like take_all()."""
+    try:
+        return ds.take_all(limit=cap)
+    except ValueError as e:
+        raise ValueError(
+            f"driver fold '{what}' exceeded its {cap}-row bound — the "
+            "partial unexpectedly exploded; route it through its "
+            "bucketed / dataset-resident twin instead of the driver"
+        ) from e
+
+
 def pool_size(concurrency=None, frac: int = 8, floor: int = 2) -> int:
     """Cluster-derived actor-pool size: CPUs // frac, floored for tiny
     sessions. Fixed-size pools RESERVE their CPUs for the whole stage

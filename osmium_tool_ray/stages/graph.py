@@ -288,7 +288,8 @@ def _canon_deg_oriented(edges, a_col: str, b_col: str, buckets: int,
                          "_sb": pa.array(sb)})
 
     if deg_ds.count() <= deg_cap:
-        deg_rows = deg_ds.take_all()
+        from ..blocks import bounded_rows
+        deg_rows = bounded_rows(deg_ds, deg_cap, "degree broadcast fold")
         dnodes = np.asarray([r["node"] for r in deg_rows],
                             dtype=np.int64)
         dvals = np.asarray([r["d"] for r in deg_rows], dtype=np.int64)

@@ -349,7 +349,9 @@ def approx_quantiles(ds, value_col: str, qs, k_per_block: int = 256):
 
         parts = parts.map_batches(bucket, batch_format="pyarrow") \
             .groupby("_b").map_groups(compact, batch_format="pyarrow")
-    rows = parts.take_all()
+    from ..blocks import bounded_rows
+    rows = bounded_rows(parts, 4 * merge_threshold,
+                        "weighted-quantile sketch fold")
     if not rows:
         return pa.table({"q": pa.array([], type=pa.float64()),
                          "value": pa.array([], type=pa.float64())})

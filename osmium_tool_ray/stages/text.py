@@ -299,7 +299,8 @@ def tfidf_top_terms(docs, text_col: str = "text", id_col: str = "doc_id",
         # as a doc-hash bucketed segmented head-k (VERDICT r02 item #5)
         return _tfidf_topk_bucketed(docs, dfd, _words_of, text_col, id_col,
                                     k, n_docs)
-    rows = dfd.take_all()
+    from ..blocks import bounded_rows
+    rows = bounded_rows(dfd, broadcast_cap, "tfidf df map")
     dwords = np.asarray([r["word"] for r in rows], dtype=str)
     dfs = np.asarray([r["df"] for r in rows], dtype=np.int64)
     order = np.argsort(dwords)
