@@ -5375,6 +5375,193 @@ def q_rasterize_coverage(sf_dir: str):
     return rasterize_region(reg, level=7)
 
 
+def q_raster_slope_cells(sf_dir: str):
+    """Central-difference gradient of the density raster (stages/raster
+    .slope_cells): per occupied cell ddx/ddy/grad2 in exact int64 —
+    x5 channel explode in the map task, ONE packed-key multi-Sum
+    groupby (the slope/aspect focal operator of raster GIS)."""
+    from osmium_tool_ray.stages.raster import slope_cells
+
+    return slope_cells(images_dataset(sf_dir, columns=["lon", "lat"]),
+                       level=TILE_LEVEL)
+
+
+def q_coverage_morphology(sf_dir: str):
+    """Binary dilate/erode over the occupancy raster (stages/raster
+    .coverage_morphology): the 8-neighborhood dilation of the occupied
+    set with covered/eroded flags — two grid-bounded shuffles, no
+    dense raster."""
+    from osmium_tool_ray.stages.raster import coverage_morphology
+
+    return coverage_morphology(
+        images_dataset(sf_dir, columns=["lon", "lat"]), level=TILE_LEVEL)
+
+
+_HLAYOUT_CACHE: dict = {}
+
+
+def q_hilbert_pruned_bbox(sf_dir: str):
+    """Same bbox extract as extract_bbox, served off a HILBERT-curve
+    layout (stages/layout.hilbert_layout): one-time Hilbert sort,
+    per-block spatial bbox manifest (block_bbox_manifest — the
+    min/max-stats pruning shape that works for any clustering sort),
+    then the query prunes whole blocks against the rectangle before
+    the exact filter. The Morton twin is zorder_pruned_bbox; Hilbert's
+    unit-step adjacency gives tighter block bboxes (no z-seam jumps)."""
+    from osmium_tool_ray.stages.layout import (
+        bbox_manifest_scan, block_bbox_manifest, hilbert_layout,
+    )
+    level = 10
+    key = (sf_dir, level)
+    if key not in _HLAYOUT_CACHE:
+        ds = hilbert_layout(
+            images_dataset(sf_dir,
+                           columns=["image_id", "lon", "lat", "caption"]),
+            level=level).materialize()
+        _HLAYOUT_CACHE[key] = block_bbox_manifest(ds)
+    refs, lo_lon, hi_lon, lo_lat, hi_lat = _HLAYOUT_CACHE[key]
+    out, _stats = bbox_manifest_scan(refs, lo_lon, hi_lon, lo_lat, hi_lat,
+                                     BBOX)
+    if out is None:
+        return pa.table({"image_id": pa.array([], type=pa.string()),
+                         "lon": pa.array([], type=pa.float64()),
+                         "lat": pa.array([], type=pa.float64()),
+                         "caption": pa.array([], type=pa.string())})
+    return out.select_columns(["image_id", "lon", "lat", "caption"])
+
+
+def q_idw_knn(sf_dir: str):
+    """Inverse-distance-weighted interpolation over the exact 3-NN
+    table (knn_points, session-memoized): pred = (v1/d1 + v2/d2 +
+    v3/d3) / (1/d1 + 1/d2 + 1/d3) with 1/d2 weights, evaluated in ONE
+    FIXED operation order in both engines (left-assoc sums over the
+    rank-pivoted neighbors), so the float result is bit-identical to
+    the SQL twin — the classic IDW geostatistical interpolator,
+    knn_regression's distance-weighted cousin."""
+    from osmium_tool_ray.blocks import (attach_lookup_bucketed,
+                                        group_by_key_bucket)
+
+    knn = q_knn_points(sf_dir)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        nid = pc.cast(pc.utf8_slice_codeunits(
+            batch["neighbor_id"].cast(pa.string()), 3, 32), pa.int64())
+        return pa.table({"query_id": batch["query_id"],
+                         "rank": batch["rank"],
+                         "neid": nid,
+                         "dist2": batch["dist2"]})
+
+    probes = knn.map_batches(probe, batch_format="pyarrow")
+
+    def vals(batch: pa.Table) -> pa.Table:
+        vc = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"event_id": batch["event_id"],
+                         "vc": pa.array(vc)})
+
+    ev = _events(sf_dir, ["event_id", "value"]) \
+        .map_batches(vals, batch_format="pyarrow")
+    attached = attach_lookup_bucketed(probes, ev, "neid", "vc", "nvc",
+                                      lookup_key="event_id")
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "idw_value": pa.array([], type=pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        q = g["query_id"].to_numpy(zero_copy_only=False)
+        r = g["rank"].to_numpy(zero_copy_only=False)
+        d2 = g["dist2"].to_numpy(zero_copy_only=False)
+        v = g["nvc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((r, q))
+        q, r, d2, v = q[o], r[o], d2[o], v[o]
+        new = np.concatenate([[True], q[1:] != q[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(q)))
+        full = starts[lens == 3]            # IDW defined over exactly 3 NN
+        v1, v2, v3 = v[full], v[full + 1], v[full + 2]
+        d1, dd2, d3 = d2[full], d2[full + 1], d2[full + 2]
+        num = (v1 / d1 + v2 / dd2) + v3 / d3
+        den = (1.0 / d1 + 1.0 / dd2) + 1.0 / d3
+        return pa.table({"query_id": pa.array(q[full].astype(np.int64)),
+                         "idw_value": pa.array(num / den)})
+
+    return group_by_key_bucket(attached, "query_id", fold)
+
+
+def q_cell_value_quantiles(sf_dir: str):
+    """Per-cell EXACT quartiles of the event value (cents) over the
+    level-6 grid: ONE cell-hash bucket shuffle, in-bucket lexsort +
+    segmented index picks (0-based index (n-1)//4, (n-1)//2,
+    3(n-1)//4 of the sorted run — the explicit discrete-quantile
+    convention the SQL twin reproduces with ROW_NUMBER arithmetic).
+    The spatial member of the exact-quantile family
+    (order_price_quartiles / fulfillment_lag_quartiles)."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    n6 = np.int64(1) << np.int64(TILE_LEVEL)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = ((eid * 7919) % 36000) / 100.0 - 180.0
+        lat = ((eid * 104729) % 17000) / 100.0 - 85.0
+        x = np.clip(np.floor((lon + 180.0) / 360.0 * n6)
+                    .astype(np.int64), 0, n6 - 1)
+        y = np.clip(np.floor((lat + 90.0) / 180.0 * n6)
+                    .astype(np.int64), 0, n6 - 1)
+        vc = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"_k": pa.array((x << np.int64(32)) | y),
+                         "vc": pa.array(vc)})
+
+    rows = _events(sf_dir, ["event_id", "value"]) \
+        .map_batches(keyed, batch_format="pyarrow")
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({"cell_x": pa.array([], type=pa.int64()),
+                          "cell_y": pa.array([], type=pa.int64()),
+                          "n_events": pa.array([], type=pa.int64()),
+                          "q1": pa.array([], type=pa.int64()),
+                          "med": pa.array([], type=pa.int64()),
+                          "q3": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        k = g["_k"].to_numpy(zero_copy_only=False)
+        vc = g["vc"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((vc, k))
+        ks, vs = k[o], vc[o]
+        new = np.concatenate([[True], ks[1:] != ks[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(ks)))
+        uk = ks[starts]
+        return pa.table({
+            "cell_x": pa.array(uk >> np.int64(32)),
+            "cell_y": pa.array(uk & np.int64(0xFFFFFFFF)),
+            "n_events": pa.array(lens.astype(np.int64)),
+            "q1": pa.array(vs[starts + (lens - 1) // 4]),
+            "med": pa.array(vs[starts + (lens - 1) // 2]),
+            "q3": pa.array(vs[starts + (3 * (lens - 1)) // 4])})
+
+    return group_by_key_bucket(rows, "_k", fold)
+
+
+def q_sobel_edges_images(sf_dir: str):
+    """Edge-density curation signals (stages/media.SobelEdges): mean
+    and max L1 Sobel gradient magnitude per decoded image — eight
+    shifted adds on the luminance grid, fused stateless task form.
+    Rows-only (pixel op); pytest pins a pure-numpy reference."""
+    from osmium_tool_ray.sources.corpus import images_dataset
+    from osmium_tool_ray.stages.media import SobelEdges
+
+    ds = images_dataset(sf_dir, with_bytes=True,
+                        columns=["image_id", "bytes"])
+
+    def f(batch: pa.Table) -> pa.Table:  # fused stateless task form
+        return SobelEdges()(batch)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_geojson_roundtrip(sf_dir: str):
     """Export -> read-back round trip (sources/geojson.read_geojsonseq,
     RFC 8142): the GeoJSONSeq lines q_export_geojsonseq emits re-enter
@@ -6142,6 +6329,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_quadtree": q_adaptive_quadtree,
         "cell_change_detection": q_cell_change_detection,
         "gaussian_smooth_cells": q_gaussian_smooth_cells,
+        "raster_slope_cells": q_raster_slope_cells,
+        "coverage_morphology": q_coverage_morphology,
+        "hilbert_pruned_bbox": q_hilbert_pruned_bbox,
+        "idw_knn": q_idw_knn,
+        "cell_value_quantiles": q_cell_value_quantiles,
+        "sobel_edges_images": q_sobel_edges_images,
         "cell_diversity": q_cell_diversity,
         "coverage_gaps": q_coverage_gaps,
         "cell_distinct_users": q_cell_distinct_users,
@@ -6402,6 +6595,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, lon, lat, caption FROM images
             WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]}
               AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}""",
+        "hilbert_pruned_bbox": f"""{cte}
+            SELECT image_id, lon, lat, caption FROM images
+            WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]}
+              AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}""",
         "extract_polygon": f"""{cte}
             SELECT image_id, lon, lat FROM images WHERE {poly_pred}""",
         "outside_regions": f"""{cte}
@@ -6582,6 +6779,105 @@ def oracle_sql() -> dict[str, str]:
             WHERE cell_x BETWEEN 0 AND 63
               AND cell_y BETWEEN 0 AND 63
             GROUP BY cell_x, cell_y""",
+        "raster_slope_cells": f"""{cte}
+            , c AS (SELECT cell_x, cell_y, COUNT(*) AS n
+                    FROM (SELECT {cells6} FROM images)
+                    GROUP BY cell_x, cell_y)
+            SELECT c.cell_x, c.cell_y, CAST(c.n AS BIGINT) AS n,
+                   CAST(COALESCE(xp.n, 0) - COALESCE(xm.n, 0)
+                        AS BIGINT) AS ddx,
+                   CAST(COALESCE(yp.n, 0) - COALESCE(ym.n, 0)
+                        AS BIGINT) AS ddy,
+                   CAST((COALESCE(xp.n, 0) - COALESCE(xm.n, 0))
+                        * (COALESCE(xp.n, 0) - COALESCE(xm.n, 0))
+                        + (COALESCE(yp.n, 0) - COALESCE(ym.n, 0))
+                        * (COALESCE(yp.n, 0) - COALESCE(ym.n, 0))
+                        AS BIGINT) AS grad2
+            FROM c
+            LEFT JOIN c xp ON xp.cell_x = c.cell_x + 1
+                          AND xp.cell_y = c.cell_y
+            LEFT JOIN c xm ON xm.cell_x = c.cell_x - 1
+                          AND xm.cell_y = c.cell_y
+            LEFT JOIN c yp ON yp.cell_x = c.cell_x
+                          AND yp.cell_y = c.cell_y + 1
+            LEFT JOIN c ym ON ym.cell_x = c.cell_x
+                          AND ym.cell_y = c.cell_y - 1""",
+        "coverage_morphology": f"""{cte}
+            , c AS (SELECT DISTINCT cell_x, cell_y
+                    FROM (SELECT {cells6} FROM images)),
+            nb AS (SELECT c.cell_x + dx.i AS cell_x,
+                          c.cell_y + dy.j AS cell_y,
+                          CASE WHEN dx.i = 0 AND dy.j = 0
+                               THEN 1 ELSE 0 END AS occ
+                   FROM c, unnest(generate_series(-1, 1)) AS dx(i),
+                        unnest(generate_series(-1, 1)) AS dy(j))
+            SELECT cell_x, cell_y,
+                   CAST(MAX(occ) AS BIGINT) AS covered,
+                   CAST(CASE WHEN COUNT(*) = 9 THEN 1 ELSE 0 END
+                        AS BIGINT) AS eroded
+            FROM nb
+            WHERE cell_x BETWEEN 0 AND {n6 - 1}
+              AND cell_y BETWEEN 0 AND {n6 - 1}
+            GROUP BY cell_x, cell_y""",
+        "idw_knn": f"""{cte},
+            q AS (SELECT event_id AS query_id,
+                         ((event_id * 7919) % 36000) / 100.0 - 180.0 AS qlon,
+                         ((event_id * 104729) % 17000) / 100.0 - 85.0 AS qlat
+                  FROM events WHERE event_id % 997 = 0),
+            knn AS (SELECT query_id, neighbor_id, dist2, rank FROM (
+                SELECT q.query_id, i.image_id AS neighbor_id,
+                       (q.qlon - i.lon) * (q.qlon - i.lon)
+                         + (q.qlat - i.lat) * (q.qlat - i.lat) AS dist2,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY (q.qlon - i.lon) * (q.qlon - i.lon)
+                                  + (q.qlat - i.lat) * (q.qlat - i.lat),
+                                    i.image_id) AS rank
+                FROM q CROSS JOIN images i
+                WHERE i.image_id <> 'img'
+                    || lpad(CAST(q.query_id AS VARCHAR), 10, '0'))
+                WHERE rank <= 3),
+            e AS (SELECT event_id,
+                    CAST(round(value * 100) AS BIGINT) AS vc
+                  FROM events),
+            p AS (SELECT k.query_id,
+                    MAX(CASE WHEN k.rank = 1 THEN e.vc END) AS v1,
+                    MAX(CASE WHEN k.rank = 2 THEN e.vc END) AS v2,
+                    MAX(CASE WHEN k.rank = 3 THEN e.vc END) AS v3,
+                    MAX(CASE WHEN k.rank = 1 THEN k.dist2 END) AS d1,
+                    MAX(CASE WHEN k.rank = 2 THEN k.dist2 END) AS d2,
+                    MAX(CASE WHEN k.rank = 3 THEN k.dist2 END) AS d3
+                  FROM knn k
+                  JOIN e ON e.event_id = CAST(
+                      substr(k.neighbor_id, 4) AS BIGINT)
+                  GROUP BY k.query_id
+                  HAVING COUNT(*) = 3)
+            SELECT query_id,
+                   ((CAST(v1 AS DOUBLE) / d1 + CAST(v2 AS DOUBLE) / d2)
+                      + CAST(v3 AS DOUBLE) / d3)
+                   / ((1.0e0 / d1 + 1.0e0 / d2) + 1.0e0 / d3)
+                     AS idw_value
+            FROM p""",
+        "cell_value_quantiles": f"""
+            WITH pts AS (SELECT
+                   CAST(round(value * 100) AS BIGINT) AS vc,
+                   ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+                   ((event_id * 104729) % 17000) / 100.0 - 85.0 AS lat
+                 FROM events),
+            c AS (SELECT vc, {cells6} FROM pts),
+            r AS (SELECT cell_x, cell_y, vc,
+                    ROW_NUMBER() OVER (PARTITION BY cell_x, cell_y
+                                       ORDER BY vc) - 1 AS rn,
+                    COUNT(*) OVER (PARTITION BY cell_x, cell_y) AS n
+                  FROM c)
+            SELECT cell_x, cell_y,
+                   CAST(MAX(n) AS BIGINT) AS n_events,
+                   CAST(MAX(CASE WHEN rn = (n - 1) // 4 THEN vc END)
+                        AS BIGINT) AS q1,
+                   CAST(MAX(CASE WHEN rn = (n - 1) // 2 THEN vc END)
+                        AS BIGINT) AS med,
+                   CAST(MAX(CASE WHEN rn = (3 * (n - 1)) // 4 THEN vc END)
+                        AS BIGINT) AS q3
+            FROM r GROUP BY cell_x, cell_y""",
         "cell_change_detection": f"""
             WITH pts AS (SELECT
                    ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,

@@ -167,3 +167,98 @@ def zregion_scan(refs, mins: np.ndarray, maxs: np.ndarray, region,
 
     return zrange_scan(refs, mins, maxs, zranges_for_region(region, level),
                        predicate=predicate)
+
+
+def hilbert_key(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
+    """Hilbert-curve key at `level` (int64), vectorized over the whole
+    batch — `level` iterations of pure-numpy quadrant rotation (the
+    classic xy->d walk; public algorithm, e.g. Hamilton's compact
+    Hilbert indices / the Wikipedia reference form). Unlike Morton,
+    consecutive keys are always 4-neighbors on the grid, so block key
+    ranges have strictly better spatial locality (no z-curve seam
+    jumps) — the alternative linearization lakehouse layouts offer."""
+    x, y = lonlat_to_xy(lon, lat, level)
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros(len(x), dtype=np.int64)
+    s = np.int64(1) << np.int64(max(level - 1, 0))
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate the quadrant so the sub-curve orientation is canonical
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        x, y = (np.where(swap, y_f, x_f).astype(np.int64),
+                np.where(swap, x_f, y_f).astype(np.int64))
+        s >>= np.int64(1)
+    return d
+
+
+def hilbert_layout(ds, level: int = 12, lon_col: str = "lon",
+                   lat_col: str = "lat", hkey_col: str = "hkey"):
+    """Append the Hilbert key and globally sort by it — the Hilbert
+    twin of zorder_layout (one all-to-all, amortized over every later
+    range query)."""
+    def tag(batch: pa.Table) -> pa.Table:
+        h = hilbert_key(batch[lon_col].to_numpy(zero_copy_only=False),
+                        batch[lat_col].to_numpy(zero_copy_only=False),
+                        level)
+        return batch.append_column(hkey_col, pa.array(h))
+
+    return ds.map_batches(tag, batch_format="pyarrow").sort(hkey_col)
+
+
+def block_bbox_manifest(sorted_ds, lon_col: str = "lon",
+                        lat_col: str = "lat"):
+    """Per-block spatial bounding-box manifest (min/max lon/lat) of a
+    spatially-sorted Dataset — works for ANY clustering sort (Hilbert,
+    Morton, geohash): 32 bytes/block of driver metadata, the same shape
+    as Parquet column min/max statistics. Returns
+    (refs, lo_lon, hi_lon, lo_lat, hi_lat)."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    def mm(tbl: pa.Table):
+        if tbl.num_rows == 0 or lon_col not in tbl.schema.names:
+            return (1.0, -1.0, 1.0, -1.0)          # empty: lo > hi
+        lon = tbl[lon_col].to_numpy(zero_copy_only=False)
+        lat = tbl[lat_col].to_numpy(zero_copy_only=False)
+        return (float(lon.min()), float(lon.max()),
+                float(lat.min()), float(lat.max()))
+
+    refs = sorted_ds.to_arrow_refs()
+    vals = ray.get([mm.remote(r) for r in refs])
+    a = np.asarray(vals, dtype=np.float64)
+    return refs, a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+
+
+def bbox_manifest_scan(refs, lo_lon, hi_lon, lo_lat, hi_lat,
+                       bbox: tuple, predicate=None,
+                       lon_col: str = "lon", lat_col: str = "lat"):
+    """Partition-pruned bbox scan over a block-bbox manifest: drop every
+    block whose bounding box misses the query rectangle (pure manifest
+    arithmetic), run the exact filter inside the survivors. Returns
+    (dataset, stats) like zrange_scan; (None, stats) when all pruned."""
+    import ray.data as rd
+
+    x0, y0, x1, y1 = bbox
+    hit = (lo_lon <= x1) & (hi_lon >= x0) & (lo_lat <= y1) & (hi_lat >= y0)
+    stats = {"blocks_total": int(len(refs)),
+             "blocks_scanned": int(hit.sum())}
+    kept = [r for r, h in zip(refs, hit) if h]
+    if not kept:
+        return None, stats
+
+    def f(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+        if predicate is not None:
+            m &= predicate(batch)
+        return batch.filter(pa.array(m))
+
+    return (rd.from_arrow_refs(kept).map_batches(f, batch_format="pyarrow"),
+            stats)

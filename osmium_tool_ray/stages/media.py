@@ -1060,3 +1060,50 @@ class SsimVerify:
         return batch.append_column("ssim", pa.array(ssim)) \
                     .append_column("ssim_ok",
                                    pa.array(ssim >= self.min_ssim))
+
+
+class SobelEdges:
+    """Per-image edge-density signals over decoded pixels — the
+    structure/texture curation twin of Sharpness (a near-constant or
+    heavily smoothed image scores near 0; busy texture scores high):
+
+    - `edge_mean`: mean L1 Sobel gradient magnitude (|Gx| + |Gy|) of
+      the summed-channel luminance over interior pixels (the classic
+      3x3 Sobel operator).
+    - `edge_max`: the maximum L1 magnitude (int64) — a single strong
+      edge detector even in mostly-flat frames.
+
+    Fully vectorized: Gx / Gy are eight shifted adds on the (n, H, W)
+    int32 luminance grid, no per-image Python. Stateless-safe (codec
+    module import is the only state)."""
+
+    def __init__(self, bytes_col: str = "bytes",
+                 id_col: str = "image_id"):
+        self.codec = _load_codec()
+        self.bytes_col, self.id_col = bytes_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({self.id_col: batch[self.id_col],
+                             "edge_mean": pa.array([], type=pa.float64()),
+                             "edge_max": pa.array([], type=pa.int64())})
+        pix, w, h = self.codec.decode_batch(batch[self.bytes_col])
+        n = len(w)
+        W, H = int(w[0]), int(h[0])
+        lum = pix.reshape(n, H, W, 3).astype(np.int32).sum(axis=3)
+        # Sobel Gx = [[-1,0,1],[-2,0,2],[-1,0,1]], Gy = Gx.T
+        tl = lum[:, :-2, :-2]
+        tc = lum[:, :-2, 1:-1]
+        tr = lum[:, :-2, 2:]
+        ml = lum[:, 1:-1, :-2]
+        mr = lum[:, 1:-1, 2:]
+        bl = lum[:, 2:, :-2]
+        bc = lum[:, 2:, 1:-1]
+        br = lum[:, 2:, 2:]
+        gx = (tr + 2 * mr + br) - (tl + 2 * ml + bl)
+        gy = (bl + 2 * bc + br) - (tl + 2 * tc + tr)
+        mag = (np.abs(gx) + np.abs(gy)).reshape(n, -1)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "edge_mean": pa.array(mag.mean(axis=1).astype(np.float64)),
+            "edge_max": pa.array(mag.max(axis=1).astype(np.int64))})

@@ -683,3 +683,155 @@ def gaussian_smooth_cells(points, level: int, lon_col: str = "lon",
                          "smoothed": batch["smoothed"].cast(pa.int64())})
 
     return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def slope_cells(points, level: int, lon_col: str = "lon",
+                lat_col: str = "lat"):
+    """Central-difference gradient (slope/aspect components) of the
+    sparse point-density raster — the focal terrain operator of raster
+    GIS (slope from a DEM) applied to the density surface: for every
+    OCCUPIED cell, ddx = n(x+1,y) - n(x-1,y), ddy = n(x,y+1) - n(x,y-1)
+    (missing / out-of-grid neighbors count 0) and the squared gradient
+    magnitude — exact int64 end to end. Reference relative: export's
+    per-tile layer derivations (man/osmium-export.md) over extract's
+    grid.
+
+    Scale shape (the gaussian_smooth_cells discipline): per-batch
+    np.unique pre-agg, x5 channel explode IN the same map task (own
+    cell carries the occupancy count; +-x / +-y neighbors carry signed
+    difference contributions), ONE packed-key multi-Sum groupby — never
+    a dense raster, never a neighbor join. Returns
+    (cell_x, cell_y, n:int64, ddx:int64, ddy:int64, grad2:int64)."""
+    from ray.data.aggregate import Sum
+
+    n = np.int64(1) << np.int64(level)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+        y = np.floor((lat + 90.0) / 180.0 * n).astype(np.int64)
+        np.clip(x, 0, n - 1, out=x)
+        np.clip(y, 0, n - 1, out=y)
+        key = (x << np.int64(32)) | y
+        uk, cnt = np.unique(key, return_counts=True)
+        ux, uy = uk >> np.int64(32), uk & np.int64(0xFFFFFFFF)
+        c = cnt.astype(np.int64)
+        z = np.zeros_like(c)
+        # channels: (dx, dy, occ, ddx, ddy) — a cell's count feeds the
+        # ddx of its x-1 / x+1 neighbors with sign, ddy likewise
+        parts = [
+            (ux, uy, c, z, z),            # own cell: occupancy
+            (ux - 1, uy, z, c, z),        # n(x+1) term of ddx at x-1... 
+            (ux + 1, uy, z, -c, z),
+            (ux, uy - 1, z, z, c),
+            (ux, uy + 1, z, z, -c),
+        ]
+        ax = np.concatenate([p[0] for p in parts])
+        ay = np.concatenate([p[1] for p in parts])
+        ao = np.concatenate([p[2] for p in parts])
+        adx = np.concatenate([p[3] for p in parts])
+        ady = np.concatenate([p[4] for p in parts])
+        ok = (ax >= 0) & (ax < n) & (ay >= 0) & (ay < n)
+        nkey = (ax[ok] << np.int64(32)) | ay[ok]
+        fk, inv = np.unique(nkey, return_inverse=True)
+        return pa.table({
+            "_k": pa.array(fk),
+            "occ": pa.array(np.bincount(inv, weights=ao[ok])
+                            .astype(np.int64)),
+            "ddx": pa.array(np.bincount(inv, weights=adx[ok])
+                            .astype(np.int64)),
+            "ddy": pa.array(np.bincount(inv, weights=ady[ok])
+                            .astype(np.int64))})
+
+    agg = points.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_k").aggregate(Sum("occ", alias_name="n"),
+                                 Sum("ddx", alias_name="ddx"),
+                                 Sum("ddy", alias_name="ddy"))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        k = batch["_k"].to_numpy(zero_copy_only=False)
+        occ = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dx = batch["ddx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dy = batch["ddy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = occ > 0                      # gradient only at occupied cells
+        return pa.table({
+            "cell_x": pa.array((k >> np.int64(32))[keep]),
+            "cell_y": pa.array((k & np.int64(0xFFFFFFFF))[keep]),
+            "n": pa.array(occ[keep]),
+            "ddx": pa.array(dx[keep]),
+            "ddy": pa.array(dy[keep]),
+            "grad2": pa.array(dx[keep] * dx[keep] + dy[keep] * dy[keep])})
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def coverage_morphology(points, level: int, lon_col: str = "lon",
+                        lat_col: str = "lat"):
+    """Binary morphology over the occupancy raster: the DILATION
+    (8-neighborhood) of the occupied-cell set with per-cell flags
+    covered (cell itself occupied) and eroded (cell AND all 8
+    neighbors occupied — the morphological EROSION; border cells are
+    never eroded since off-grid neighbors are unoccupied). The
+    dilate/erode pair is the standard raster cleanup step (gap
+    bridging / speckle removal) downstream of rasterize_region.
+
+    Scale shape: ONE count fold collapses points to the sparse
+    occupied-cell set (grid-bounded), then a x9 explode + ONE Sum fold
+    counts each cell's occupied neighborhood — two grid-bounded
+    shuffles, no dense raster, no self-join. Returns
+    (cell_x, cell_y, covered:int64, eroded:int64) over the dilated
+    set clipped to the grid."""
+    from ray.data.aggregate import Sum
+
+    n = np.int64(1) << np.int64(level)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+        y = np.floor((lat + 90.0) / 180.0 * n).astype(np.int64)
+        np.clip(x, 0, n - 1, out=x)
+        np.clip(y, 0, n - 1, out=y)
+        key = (x << np.int64(32)) | y
+        uk = np.unique(key)
+        return pa.table({"_k": pa.array(uk),
+                         "one": pa.array(np.ones(len(uk), np.int64))})
+
+    occupied = points.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("_k").aggregate(Sum("one", alias_name="nb"))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        k = batch["_k"].to_numpy(zero_copy_only=False)
+        ux, uy = k >> np.int64(32), k & np.int64(0xFFFFFFFF)
+        off = np.arange(-1, 2, dtype=np.int64)
+        u = len(k)
+        nx = np.broadcast_to(ux[:, None, None] + off[None, :, None],
+                             (u, 3, 3)).reshape(-1)
+        ny = np.broadcast_to(uy[:, None, None] + off[None, None, :],
+                             (u, 3, 3)).reshape(-1)
+        occ = np.zeros((u, 3, 3), dtype=np.int64)
+        occ[:, 1, 1] = 1                      # offset (0,0): the cell itself
+        occ = occ.reshape(-1)
+        ok = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+        return pa.table({"_k": pa.array((nx[ok] << np.int64(32)) | ny[ok]),
+                         "one": pa.array(np.ones(int(ok.sum()), np.int64)),
+                         "occ": pa.array(occ[ok])})
+
+    folded = occupied.map_batches(explode, batch_format="pyarrow") \
+        .groupby("_k").aggregate(Sum("one", alias_name="nocc"),
+                                 Sum("occ", alias_name="covered"))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        k = batch["_k"].to_numpy(zero_copy_only=False)
+        nocc = batch["nocc"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cov = batch["covered"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "cell_x": pa.array(k >> np.int64(32)),
+            "cell_y": pa.array(k & np.int64(0xFFFFFFFF)),
+            "covered": pa.array(cov),
+            "eroded": pa.array((nocc == 9).astype(np.int64))})
+
+    return folded.map_batches(unpack, batch_format="pyarrow")
