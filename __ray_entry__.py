@@ -3519,6 +3519,145 @@ def q_dtw_tracks(sf_dir: str):
                       ref_xy)
 
 
+def q_frechet_tracks(sf_dir: str):
+    """Discrete Frechet distance of every user's track to user 7's
+    (stages/spatial.frechet_to_ref): the bottleneck (max-leash)
+    trajectory metric alongside DTW (sum) and Hausdorff (unordered) —
+    exact int64, rank-stepped DP across all keys per bucket. Rows-only:
+    sequential DP isn't SQL-expressible; pytest pins a scalar
+    reference (test_r5_wave2.py)."""
+    from osmium_tool_ray.stages.spatial import frechet_to_ref
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def coords(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        xq = (eid * 7919) % 36000 - 18000
+        yq = (eid * 104729) % 17000 - 8500
+        return batch.append_column("xq", pa.array(xq)) \
+                    .append_column("yq", pa.array(yq))
+
+    pts = ev.map_batches(coords, batch_format="pyarrow")
+    ref_rows = pts.filter(expr="user_id == 7") \
+        .select_columns(["ts", "event_id", "xq", "yq"]).take_all()
+    ref_rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+    ref_xy = np.array([[r["xq"], r["yq"]] for r in ref_rows],
+                      dtype=np.int64).reshape(-1, 2)
+    return frechet_to_ref(pts, "user_id", "ts", "event_id", "xq", "yq",
+                          ref_xy)
+
+
+def q_space_time_anomalies(sf_dir: str):
+    """Space-time anomaly detection: (cell, hour-of-day) slots whose
+    event count exceeds mean + 2*sd of that CELL's own 24-slot hourly
+    profile — hotspot_tiles' integer-exact z-score rule applied along
+    the time axis of the space-time cube (empty hours count as 0 via
+    the constant 24-slot frame, so no dense cube is ever built):
+    keep iff n*24 - S > 0 and (n*24 - S)^2 > 4*(24*Q - S^2) with
+    S/Q the cell's hourly sum / sum of squares."""
+    from ray.data.aggregate import Sum
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    n6 = np.int64(1) << np.int64(TILE_LEVEL)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = ((eid * 7919) % 36000) / 100.0 - 180.0
+        lat = ((eid * 104729) % 17000) / 100.0 - 85.0
+        x = np.clip(np.floor((lon + 180.0) / 360.0 * n6)
+                    .astype(np.int64), 0, n6 - 1)
+        y = np.clip(np.floor((lat + 90.0) / 180.0 * n6)
+                    .astype(np.int64), 0, n6 - 1)
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        hour = (us // 3_600_000_000) % 24
+        key = (x << np.int64(37)) | (y << np.int64(5)) | hour
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"_k": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = _events(sf_dir, ["event_id", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("_k").aggregate(Sum("n", alias_name="n"))
+
+    def cellkey(batch: pa.Table) -> pa.Table:
+        k = batch["_k"].to_numpy(zero_copy_only=False)
+        return pa.table({"_c": pa.array(k >> np.int64(5)),
+                         "hour": pa.array(k & np.int64(31)),
+                         "n": batch["n"].cast(pa.int64())})
+
+    rows = counts.map_batches(cellkey, batch_format="pyarrow")
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({"cell_x": pa.array([], type=pa.int64()),
+                          "cell_y": pa.array([], type=pa.int64()),
+                          "hour": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        c = g["_c"].to_numpy(zero_copy_only=False)
+        h = g["hour"].to_numpy(zero_copy_only=False)
+        nn = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(c, kind="stable")
+        c, h, nn = c[o], h[o], nn[o]
+        new = np.concatenate([[True], c[1:] != c[:-1]])
+        starts = np.flatnonzero(new)
+        S = np.add.reduceat(nn, starts)
+        Q = np.add.reduceat(nn * nn, starts)
+        seg = np.repeat(np.arange(len(starts)),
+                        np.diff(np.append(starts, len(c))))
+        d = nn * 24 - S[seg]
+        keep = (d > 0) & (d * d > 4 * (24 * Q[seg] - S[seg] * S[seg]))
+        return pa.table({
+            "cell_x": pa.array((c[keep] >> np.int64(32))),
+            "cell_y": pa.array(c[keep] & np.int64(0xFFFFFFFF)),
+            "hour": pa.array(h[keep].astype(np.int64)),
+            "n": pa.array(nn[keep])})
+
+    return group_by_key_bucket(rows, "_c", fold)
+
+
+def q_cell_value_trend(sf_dir: str):
+    """Per-CELL least-squares value trend (pipelines/analytics
+    .trend_per_key keyed by the packed grid cell): slope of value cents
+    over hours-since-2024-01-01 as an exact integer rational — the
+    spatial member of the grouped-regression family (trend_per_user)."""
+    from osmium_tool_ray.pipelines.analytics import trend_per_key
+
+    n6 = np.int64(1) << np.int64(TILE_LEVEL)
+
+    def xy(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = ((eid * 7919) % 36000) / 100.0 - 180.0
+        lat = ((eid * 104729) % 17000) / 100.0 - 85.0
+        cx = np.clip(np.floor((lon + 180.0) / 360.0 * n6)
+                     .astype(np.int64), 0, n6 - 1)
+        cy = np.clip(np.floor((lat + 90.0) / 180.0 * n6)
+                     .astype(np.int64), 0, n6 - 1)
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        vc = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"_c": pa.array((cx << np.int64(32)) | cy),
+                         "x": pa.array(us // 3_600_000_000 - 473_352),
+                         "y": pa.array(vc)})
+
+    keyed = _events(sf_dir, ["event_id", "ts", "value"]) \
+        .map_batches(xy, batch_format="pyarrow")
+    out = trend_per_key(keyed, "_c", "x", "y")
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        c = batch["_c"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cell_x": pa.array(c >> np.int64(32)),
+            "cell_y": pa.array(c & np.int64(0xFFFFFFFF)),
+            "n": batch["n"].cast(pa.int64()),
+            "slope_num": batch["slope_num"].cast(pa.int64()),
+            "slope_den": batch["slope_den"].cast(pa.int64())})
+
+    return out.map_batches(unpack, batch_format="pyarrow")
+
+
 def q_hausdorff_tracks(sf_dir: str):
     """Trajectory similarity (stages/spatial.hausdorff_to_ref): directed
     + symmetric squared Hausdorff distance of every user's point set to
@@ -6335,6 +6474,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_knn": q_idw_knn,
         "cell_value_quantiles": q_cell_value_quantiles,
         "sobel_edges_images": q_sobel_edges_images,
+        "frechet_tracks": q_frechet_tracks,
+        "space_time_anomalies": q_space_time_anomalies,
+        "cell_value_trend": q_cell_value_trend,
         "cell_diversity": q_cell_diversity,
         "coverage_gaps": q_coverage_gaps,
         "cell_distinct_users": q_cell_distinct_users,
@@ -6857,6 +6999,42 @@ def oracle_sql() -> dict[str, str]:
                    / ((1.0e0 / d1 + 1.0e0 / d2) + 1.0e0 / d3)
                      AS idw_value
             FROM p""",
+        "space_time_anomalies": f"""
+            WITH pts AS (SELECT
+                   ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+                   ((event_id * 104729) % 17000) / 100.0 - 85.0 AS lat,
+                   epoch_us(ts) // 3600000000 % 24 AS hour
+                 FROM events),
+            c AS (SELECT cell_x, cell_y, hour, COUNT(*) AS n
+                  FROM (SELECT hour, {cells6} FROM pts)
+                  GROUP BY 1, 2, 3),
+            m AS (SELECT cell_x, cell_y,
+                         CAST(SUM(n) AS BIGINT) AS s,
+                         CAST(SUM(n * n) AS BIGINT) AS q
+                  FROM c GROUP BY 1, 2)
+            SELECT c.cell_x, c.cell_y, CAST(c.hour AS BIGINT) AS hour,
+                   CAST(c.n AS BIGINT) AS n
+            FROM c JOIN m ON m.cell_x = c.cell_x
+                         AND m.cell_y = c.cell_y
+            WHERE c.n * 24 - m.s > 0
+              AND (c.n * 24 - m.s) * (c.n * 24 - m.s)
+                  > 4 * (24 * m.q - m.s * m.s)""",
+        "cell_value_trend": f"""
+            WITH pts AS (SELECT
+                   ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+                   ((event_id * 104729) % 17000) / 100.0 - 85.0 AS lat,
+                   epoch_us(ts) // 3600000000 - 473352 AS x,
+                   CAST(round(value * 100) AS BIGINT) AS y
+                 FROM events),
+            c AS (SELECT x, y, {cells6} FROM pts),
+            a AS (SELECT cell_x, cell_y, count(*) AS n,
+                         SUM(x) AS sx, SUM(y) AS sy,
+                         SUM(x * y) AS sxy, SUM(x * x) AS sx2
+                  FROM c GROUP BY 1, 2)
+            SELECT cell_x, cell_y, CAST(n AS BIGINT) AS n,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+                   CAST(n * sx2 - sx * sx AS BIGINT) AS slope_den
+            FROM a""",
         "cell_value_quantiles": f"""
             WITH pts AS (SELECT
                    CAST(round(value * 100) AS BIGINT) AS vc,

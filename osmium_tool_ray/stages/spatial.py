@@ -1341,3 +1341,97 @@ def dtw_to_ref(ds, key_col: str, ts_col: str, tie_col: str,
         list(dict.fromkeys([key_col, ts_col, tie_col, x_col, y_col]))) \
         .map_batches(pre, batch_format="pyarrow")
     return group_by_key_bucket(narrow, key_col, fold, buckets=buckets)
+
+
+def frechet_to_ref(ds, key_col: str, ts_col: str, tie_col: str,
+                   x_col: str, y_col: str, ref_xy: np.ndarray,
+                   buckets: int | None = None):
+    """Discrete Frechet distance of every key's (ts, tie)-ordered track
+    to a broadcast reference track (Eiter & Mannila 1994) — the
+    bottleneck companion of dtw_to_ref: DTW sums alignment costs,
+    Frechet takes the MAXIMUM leash length over the optimal monotone
+    coupling (F(i,j) = max(d(i,j), min(F(i-1,j), F(i-1,j-1),
+    F(i,j-1)))). Exact int64 squared distances, so results are
+    bit-stable.
+
+    Same scale shape as dtw_to_ref: reference broadcast ONCE, points
+    take ONE group_by_key_bucket shuffle, rank-stepped DP vectorized
+    ACROSS every key of a bucket. Sequential DP is not SQL-expressible
+    (rows-only; pytest pins a scalar reference implementation).
+
+    Returns one row per key: (key, frechet_d2:int64, n_points)."""
+    import ray
+
+    from ..blocks import group_by_key_bucket
+
+    rx = np.ascontiguousarray(ref_xy[:, 0], dtype=np.int64)
+    ry = np.ascontiguousarray(ref_xy[:, 1], dtype=np.int64)
+    ref = ray.put((rx, ry))
+    m = len(rx)
+    BIG = np.int64(1) << 60
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return pa.table({key_col: batch[key_col],
+                         "ts": batch[ts_col].cast(pa.timestamp("us"))
+                         .cast(pa.int64()),
+                         "t": batch[tie_col],
+                         "x": batch[x_col], "y": batch[y_col]})
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], type=pa.int64()),
+                          "frechet_d2": pa.array([], type=pa.int64()),
+                          "n_points": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or m == 0:
+            return empty
+        rxa, rya = ray.get(ref)
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        x = g["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = g["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((t, ts, k))
+        k, x, y = k[o], x[o], y[o]
+        n = len(k)
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        nseg = np.diff(np.r_[starts, n])
+        nk = len(starts)
+        r = np.arange(n) - np.repeat(starts, nseg)
+        state = np.full((nk, m), BIG)
+        out = np.full(nk, BIG)
+        maxr = int(nseg.max())
+        seg_of = np.repeat(np.arange(nk), nseg)
+        for step in range(maxr):
+            idx = np.flatnonzero(r == step)
+            if not len(idx):
+                break
+            ks = seg_of[idx]
+            dx = x[idx, None] - rxa[None, :]
+            dy = y[idx, None] - rya[None, :]
+            d2 = dx * dx + dy * dy
+            prev = state[ks]
+            cur = np.empty_like(prev)
+            if step == 0:
+                # F(0, j) = max(F(0, j-1), d(0, j)) — running max
+                cur[:, :] = np.maximum.accumulate(d2, axis=1)
+            else:
+                diag = np.empty_like(prev)
+                diag[:, 0] = BIG
+                diag[:, 1:] = prev[:, :-1]
+                best = np.minimum(prev, diag)
+                cur[:, 0] = np.maximum(prev[:, 0], d2[:, 0])
+                for j in range(1, m):
+                    b = np.minimum(best[:, j], cur[:, j - 1])
+                    cur[:, j] = np.maximum(b, d2[:, j])
+            np.minimum(cur, BIG, out=cur)
+            state[ks] = cur
+            ends = nseg[ks] - 1 == step
+            if ends.any():
+                out[ks[ends]] = cur[ends, m - 1]
+        return pa.table({key_col: pa.array(k[starts]),
+                         "frechet_d2": pa.array(out),
+                         "n_points": pa.array(nseg.astype(np.int64))})
+
+    narrow = ds.select_columns(
+        list(dict.fromkeys([key_col, ts_col, tie_col, x_col, y_col]))) \
+        .map_batches(pre, batch_format="pyarrow")
+    return group_by_key_bucket(narrow, key_col, fold, buckets=buckets)

@@ -1,0 +1,79 @@
+"""Round-5 wave 2: discrete Frechet DP vs a scalar reference, plus the
+space-time anomaly rule on a constructed profile."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _frechet_scalar(track, ref):
+    n, m = len(track), len(ref)
+    F = np.full((n, m), -1.0)
+
+    def d2(i, j):
+        dx = track[i][0] - ref[j][0]
+        dy = track[i][1] - ref[j][1]
+        return dx * dx + dy * dy
+
+    for i in range(n):
+        for j in range(m):
+            dij = d2(i, j)
+            if i == 0 and j == 0:
+                F[i, j] = dij
+            elif i == 0:
+                F[i, j] = max(F[0, j - 1], dij)
+            elif j == 0:
+                F[i, j] = max(F[i - 1, 0], dij)
+            else:
+                F[i, j] = max(min(F[i - 1, j], F[i - 1, j - 1],
+                                  F[i, j - 1]), dij)
+    return int(F[n - 1, m - 1])
+
+
+def test_frechet_to_ref_matches_scalar(ray_session):
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.spatial import frechet_to_ref
+
+    rng = np.random.default_rng(17)
+    ref = rng.integers(-100, 100, (7, 2)).astype(np.int64)
+    rows = []
+    tracks = {}
+    for uid in range(6):
+        ln = int(rng.integers(1, 12))
+        pts = rng.integers(-100, 100, (ln, 2)).astype(np.int64)
+        tracks[uid] = pts
+        for i, (x, y) in enumerate(pts):
+            rows.append({"user_id": uid, "ts": 1_700_000_000_000_000
+                         + i * 1_000_000, "tie": i,
+                         "x": int(x), "y": int(y)})
+    ds = rd.from_items(rows).map_batches(
+        lambda b: pa.table({"user_id": b["user_id"],
+                            "ts": b["ts"].cast(pa.timestamp("us")),
+                            "tie": b["tie"], "x": b["x"], "y": b["y"]}),
+        batch_format="pyarrow").repartition(3)
+    out = {r["user_id"]: (r["frechet_d2"], r["n_points"])
+           for r in frechet_to_ref(ds, "user_id", "ts", "tie",
+                                   "x", "y", ref).take_all()}
+    assert set(out) == set(tracks)
+    for uid, pts in tracks.items():
+        assert out[uid] == (_frechet_scalar(pts, ref), len(pts)), uid
+    # frechet >= max(first, last) pointwise distances (coupling anchors)
+    for uid, pts in tracks.items():
+        d0 = int(((pts[0] - ref[0]) ** 2).sum())
+        dn = int(((pts[-1] - ref[-1]) ** 2).sum())
+        assert out[uid][0] >= max(d0, dn)
+
+
+def test_space_time_anomaly_rule(ray_session):
+    # a hand-built hourly profile: 23 quiet hours (n=2) + one spike
+    from __ray_entry__ import q_space_time_anomalies  # noqa: F401 (import check)
+
+    n = np.array([2] * 23 + [40], dtype=np.int64)
+    S, Q = n.sum(), (n * n).sum()
+    d = n * 24 - S
+    keep = (d > 0) & (d * d > 4 * (24 * Q - S * S))
+    assert keep.sum() == 1 and keep[-1]          # only the spike
+    flat = np.full(24, 5, dtype=np.int64)        # flat profile: nothing
+    S, Q = flat.sum(), (flat * flat).sum()
+    d = flat * 24 - S
+    assert ((d > 0) & (d * d > 4 * (24 * Q - S * S))).sum() == 0
