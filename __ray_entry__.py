@@ -3658,6 +3658,156 @@ def q_cell_value_trend(sf_dir: str):
     return out.map_batches(unpack, batch_format="pyarrow")
 
 
+def q_quantile_normalize_value(sf_dir: str):
+    """Per-user percent-rank normalization of the event value — the
+    quantile-normalization step a training pipeline applies before
+    mixing heterogeneous sources (rank-based, so outliers can't skew
+    the scale): pr = (RANK_with_ties - 1) / (n_partition - 1), 0 for
+    singleton partitions — the exact SQL PERCENT_RANK() window
+    convention, reproduced with one user-bucket lexsort (ties share
+    the rank of their first equal value)."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    def pre(batch: pa.Table) -> pa.Table:
+        vc = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "vc": pa.array(vc)})
+
+    rows = _events(sf_dir, ["event_id", "user_id", "value"]) \
+        .map_batches(pre, batch_format="pyarrow")
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], type=pa.int64()),
+                          "pr": pa.array([], type=pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        vc = g["vc"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((vc, u))
+        us, vs = u[o], vc[o]
+        idx = np.arange(len(o))
+        newu = np.concatenate([[True], us[1:] != us[:-1]])
+        starts = np.flatnonzero(newu)
+        lens = np.diff(np.append(starts, len(us)))
+        seg = np.repeat(np.arange(len(starts)), lens)
+        seg_start = starts[seg]
+        # RANK() with ties: first index of the equal-value run
+        newv = newu | np.concatenate([[True], vs[1:] != vs[:-1]])
+        first = np.maximum.accumulate(np.where(newv, idx, -1))
+        rank0 = (first - seg_start).astype(np.float64)
+        denom = (lens[seg] - 1).astype(np.float64)
+        pr = np.where(denom > 0, rank0 / np.maximum(denom, 1.0), 0.0)
+        return pa.table({"event_id": pa.array(eid[o]),
+                         "pr": pa.array(pr)})
+
+    return group_by_key_bucket(rows, "user_id", fold)
+
+
+def q_neighbor_cell_jaccard(sf_dir: str):
+    """User-set Jaccard between ADJACENT grid cells (east and north
+    pairs): how much two neighboring tiles share their visitor
+    populations — the spatial-homogeneity edge weight of a
+    cell-adjacency graph (visited_cells_jaccard's user-pair cousin,
+    projected onto the grid). Exact integers: inter/union from ONE
+    distinct-(cell,user) fold + ONE pair-bucket fold where each
+    distinct row probes its east/north pair slots; a pair appears iff
+    both cells are occupied."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+    from ray.data.aggregate import Count
+
+    n6 = np.int64(1) << np.int64(TILE_LEVEL)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        lon = ((eid * 7919) % 36000) / 100.0 - 180.0
+        lat = ((eid * 104729) % 17000) / 100.0 - 85.0
+        x = np.clip(np.floor((lon + 180.0) / 360.0 * n6)
+                    .astype(np.int64), 0, n6 - 1)
+        y = np.clip(np.floor((lat + 90.0) / 180.0 * n6)
+                    .astype(np.int64), 0, n6 - 1)
+        key = (x << np.int64(44)) | (y << np.int64(32)) | uid
+        uk = np.unique(key)
+        return pa.table({"_k": pa.array(uk)})
+
+    distinct = _events(sf_dir, ["event_id", "user_id"]) \
+        .map_batches(keyed, batch_format="pyarrow") \
+        .groupby("_k").aggregate(Count(alias_name="_c"))
+
+    def probes(batch: pa.Table) -> pa.Table:
+        k = batch["_k"].to_numpy(zero_copy_only=False)
+        x = k >> np.int64(44)
+        y = (k >> np.int64(32)) & np.int64(0xFFF)
+        uid = k & np.int64(0xFFFFFFFF)
+        # pair key: left cell packed with direction bit (0=E, 1=N)
+        pk, side, us = [], [], []
+        for dbit, dx, dy in ((0, 1, 0), (1, 0, 1)):
+            # as LEFT cell of the pair (right side must exist in-grid)
+            okl = (x + dx < n6) & (y + dy < n6)
+            pk.append(((x[okl] << np.int64(14)) | (y[okl] << np.int64(2))
+                       | np.int64(dbit)))
+            side.append(np.zeros(int(okl.sum()), dtype=np.int8))
+            us.append(uid[okl])
+            # as RIGHT cell of the pair rooted at (x-dx, y-dy)
+            okr = (x - dx >= 0) & (y - dy >= 0)
+            pk.append((((x[okr] - dx) << np.int64(14))
+                       | ((y[okr] - dy) << np.int64(2))
+                       | np.int64(dbit)))
+            side.append(np.ones(int(okr.sum()), dtype=np.int8))
+            us.append(uid[okr])
+        return pa.table({"_p": pa.array(np.concatenate(pk)),
+                         "_s": pa.array(np.concatenate(side)),
+                         "_u": pa.array(np.concatenate(us))})
+
+    pr = distinct.map_batches(probes, batch_format="pyarrow")
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({"cell_x": pa.array([], type=pa.int64()),
+                          "cell_y": pa.array([], type=pa.int64()),
+                          "dir": pa.array([], type=pa.string()),
+                          "inter": pa.array([], type=pa.int64()),
+                          "uni": pa.array([], type=pa.int64()),
+                          "jacc": pa.array([], type=pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        p = g["_p"].to_numpy(zero_copy_only=False)
+        s = g["_s"].to_numpy(zero_copy_only=False)
+        u = g["_u"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((s, u, p))
+        p, s, u = p[o], s[o], u[o]
+        newp = np.concatenate([[True], p[1:] != p[:-1]])
+        starts = np.flatnonzero(newp)
+        lens = np.diff(np.append(starts, len(p)))
+        seg = np.repeat(np.arange(len(starts)), lens)
+        na = np.zeros(len(starts), dtype=np.int64)
+        nb = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(na, seg[s == 0], 1)
+        np.add.at(nb, seg[s == 1], 1)
+        # a user on both sides = consecutive rows (same p, same u)
+        both = (~newp[1:]) & (u[1:] == u[:-1]) & (s[:-1] == 0) \
+            & (s[1:] == 1)
+        inter = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(inter, seg[1:][both], 1)
+        keep = (na > 0) & (nb > 0)       # both cells occupied
+        pv = p[starts][keep]
+        inter, uni = inter[keep], (na + nb - inter)[keep]
+        dbit = pv & np.int64(3)
+        return pa.table({
+            "cell_x": pa.array(pv >> np.int64(14)),
+            "cell_y": pa.array((pv >> np.int64(2)) & np.int64(0xFFF)),
+            "dir": pa.array(np.where(dbit == 0, "E", "N").tolist(),
+                            type=pa.string()),
+            "inter": pa.array(inter),
+            "uni": pa.array(uni),
+            "jacc": pa.array(inter.astype(np.float64)
+                             / uni.astype(np.float64))})
+
+    return group_by_key_bucket(pr, "_p", fold)
+
+
 def q_hausdorff_tracks(sf_dir: str):
     """Trajectory similarity (stages/spatial.hausdorff_to_ref): directed
     + symmetric squared Hausdorff distance of every user's point set to
@@ -6477,6 +6627,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frechet_tracks": q_frechet_tracks,
         "space_time_anomalies": q_space_time_anomalies,
         "cell_value_trend": q_cell_value_trend,
+        "quantile_normalize_value": q_quantile_normalize_value,
+        "neighbor_cell_jaccard": q_neighbor_cell_jaccard,
         "cell_diversity": q_cell_diversity,
         "coverage_gaps": q_coverage_gaps,
         "cell_distinct_users": q_cell_distinct_users,
@@ -6999,6 +7151,49 @@ def oracle_sql() -> dict[str, str]:
                    / ((1.0e0 / d1 + 1.0e0 / d2) + 1.0e0 / d3)
                      AS idw_value
             FROM p""",
+        "quantile_normalize_value": """
+            SELECT event_id,
+                   CASE WHEN cnt = 1 THEN 0.0e0
+                        ELSE CAST(rnk - 1 AS DOUBLE)
+                             / CAST(cnt - 1 AS DOUBLE) END AS pr
+            FROM (SELECT event_id,
+                    RANK() OVER (PARTITION BY user_id
+                        ORDER BY CAST(round(value * 100) AS BIGINT))
+                        AS rnk,
+                    COUNT(*) OVER (PARTITION BY user_id) AS cnt
+                  FROM events)""",
+        "neighbor_cell_jaccard": f"""
+            WITH pts AS (SELECT user_id,
+                   ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+                   ((event_id * 104729) % 17000) / 100.0 - 85.0 AS lat
+                 FROM events),
+            cu AS (SELECT DISTINCT user_id, cell_x, cell_y
+                   FROM (SELECT user_id, {cells6} FROM pts)),
+            s AS (SELECT cell_x, cell_y, COUNT(*) AS n
+                  FROM cu GROUP BY 1, 2),
+            dirs AS (SELECT * FROM (VALUES ('E', 1, 0), ('N', 0, 1))
+                     d(dir, dx, dy)),
+            p AS (SELECT a.cell_x, a.cell_y, d.dir,
+                         a.n AS na, b.n AS nb
+                  FROM s a CROSS JOIN dirs d
+                  JOIN s b ON b.cell_x = a.cell_x + d.dx
+                          AND b.cell_y = a.cell_y + d.dy),
+            i AS (SELECT a.cell_x, a.cell_y, d.dir, COUNT(*) AS inter
+                  FROM cu a CROSS JOIN dirs d
+                  JOIN cu b ON b.cell_x = a.cell_x + d.dx
+                           AND b.cell_y = a.cell_y + d.dy
+                           AND b.user_id = a.user_id
+                  GROUP BY 1, 2, 3)
+            SELECT p.cell_x, p.cell_y, p.dir,
+                   CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+                   CAST(p.na + p.nb - COALESCE(i.inter, 0) AS BIGINT)
+                     AS uni,
+                   CAST(COALESCE(i.inter, 0) AS DOUBLE)
+                     / CAST(p.na + p.nb - COALESCE(i.inter, 0)
+                            AS DOUBLE) AS jacc
+            FROM p LEFT JOIN i ON i.cell_x = p.cell_x
+                              AND i.cell_y = p.cell_y
+                              AND i.dir = p.dir""",
         "space_time_anomalies": f"""
             WITH pts AS (SELECT
                    ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,

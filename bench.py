@@ -100,6 +100,12 @@ QUERY_NAMES = [
     "gaussian_smooth_cells", "home_cells_user", "trailing_window_user",
     "quadkey_counts", "contrastive_negatives", "ann_recall",
     "trip_stats_user", "region_density", "coverage_gaps", "langid_confusion", "extract_bounds", "decayed_value_user", "cell_distinct_users", "novelty_docs", "source_drift", "copresence_pairs", "burst_windows", "activity_span_user", "seasonality_dow", "order_price_quartiles", "mutual_nn_pairs", "fulfillment_lag_quartiles", "knn_regression", "dwell_time_user", "fence_crossings_user", "autocorr_user", "cell_diversity",
+    # r05 wave: Hilbert layout, raster slope/morphology, IDW, per-cell
+    # quantiles/trend, Sobel edges, Frechet, space-time anomalies
+    "hilbert_pruned_bbox", "raster_slope_cells", "coverage_morphology",
+    "idw_knn", "cell_value_quantiles", "sobel_edges_images",
+    "frechet_tracks", "space_time_anomalies", "cell_value_trend",
+    "quantile_normalize_value", "neighbor_cell_jaccard",
 ]
 
 

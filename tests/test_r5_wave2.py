@@ -77,3 +77,52 @@ def test_space_time_anomaly_rule(ray_session):
     S, Q = flat.sum(), (flat * flat).sum()
     d = flat * 24 - S
     assert ((d > 0) & (d * d > 4 * (24 * Q - S * S))).sum() == 0
+
+
+def test_quantile_normalize_matches_pandas(ray_session):
+    from __ray_entry__ import q_quantile_normalize_value
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["event_id"]: r["pr"]
+           for r in q_quantile_normalize_value(sf).take_all()}
+    import pandas as pd
+    import pyarrow.parquet as pq
+    df = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_id", "user_id", "value"]).to_pandas()
+    df["vc"] = (df["value"] * 100).round().astype("int64")
+    rnk = df.groupby("user_id")["vc"].rank(method="min")
+    cnt = df.groupby("user_id")["vc"].transform("size")
+    pr = ((rnk - 1) / (cnt - 1).clip(lower=1)).where(cnt > 1, 0.0)
+    want = dict(zip(df["event_id"], pr))
+    assert set(out) == set(want)
+    for k in want:
+        assert out[k] == want[k], k
+
+
+def test_neighbor_cell_jaccard_brute(ray_session):
+    from __ray_entry__ import q_neighbor_cell_jaccard
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r["cell_x"], r["cell_y"], r["dir"]): (r["inter"], r["uni"])
+           for r in q_neighbor_cell_jaccard(sf).take_all()}
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf}/events.parquet",
+                      columns=["event_id", "user_id"])
+    eid = t["event_id"].to_numpy()
+    uid = t["user_id"].to_numpy()
+    n6 = 64
+    lon = ((eid * 7919) % 36000) / 100.0 - 180.0
+    lat = ((eid * 104729) % 17000) / 100.0 - 85.0
+    cx = np.clip(np.floor((lon + 180) / 360 * n6).astype(int), 0, 63)
+    cy = np.clip(np.floor((lat + 90) / 180 * n6).astype(int), 0, 63)
+    users = {}
+    for a, b, u in zip(cx, cy, uid):
+        users.setdefault((a, b), set()).add(int(u))
+    want = {}
+    for (a, b), ua in users.items():
+        for d, dx, dy in (("E", 1, 0), ("N", 0, 1)):
+            ub = users.get((a + dx, b + dy))
+            if ub is None:
+                continue
+            want[(a, b, d)] = (len(ua & ub), len(ua | ub))
+    assert got == want
