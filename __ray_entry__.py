@@ -3658,6 +3658,99 @@ def q_cell_value_trend(sf_dir: str):
     return out.map_batches(unpack, batch_format="pyarrow")
 
 
+def q_char_block_dedup(sf_dir: str):
+    """Block-level exact dedup — the paragraph-dedup shape on the
+    synthetic corpus (whose text has no sentence punctuation): docs
+    split into non-overlapping 64-char blocks; each distinct block
+    keeps its FIRST occurrence (min (doc_id, blk)) with its global
+    copy count. A downstream pass can drop rows whose (doc, blk) isn't
+    a keeper — the dedup_exact discipline at sub-document granularity.
+
+    Scale shape: per-block-index vectorized utf8_slice (bounded by
+    max doc length / 64 slice calls per batch, each whole-column), ONE
+    block-hash bucket shuffle, per-bucket sort + reduceat min/count —
+    grouping is by the block STRING (exact at any scale; no u64-hash
+    collision exposure)."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    W = 64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        txt = batch["text"].cast(pa.string())
+        lens = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        parts = []
+        nblocks = int(((np.maximum(lens, 1) - 1) // W).max()) + 1 \
+            if len(lens) else 0
+        for i in range(nblocks):
+            has = lens > i * W
+            if not has.any():
+                break
+            sl = pc.utf8_slice_codeunits(txt.combine_chunks()
+                                         if isinstance(txt, pa.ChunkedArray)
+                                         else txt, i * W, (i + 1) * W)
+            sel = pa.array(has)
+            parts.append(pa.table({
+                "block": sl.filter(sel) if not isinstance(sl, pa.ChunkedArray)
+                else sl.combine_chunks().filter(sel),
+                "_key": pa.array((did[has] << np.int64(32))
+                                 | np.int64(i))}))
+        if not parts:
+            return pa.table({"block": pa.array([], type=pa.string()),
+                             "_key": pa.array([], type=pa.int64())})
+        return pa.concat_tables(parts)
+
+    rows = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(explode, batch_format="pyarrow")
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "blk": pa.array([], type=pa.int64()),
+                          "n_copies": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        b = np.asarray(g["block"].to_pylist(), dtype=str)
+        k = g["_key"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((k, b))
+        bs, ks = b[o], k[o]
+        new = np.concatenate([[True], bs[1:] != bs[:-1]])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(bs)))
+        first = ks[starts]                    # min key: k sorted within block
+        return pa.table({
+            "doc_id": pa.array(first >> np.int64(32)),
+            "blk": pa.array(first & np.int64(0xFFFFFFFF)),
+            "n_copies": pa.array(lens.astype(np.int64))})
+
+    return group_by_key_bucket(rows, "block", fold)
+
+
+def q_compression_ratio_docs(sf_dir: str):
+    """Compression-ratio quality signal: zlib-compressed size / raw
+    size per doc — the classic repetition/boilerplate detector of
+    LLM-corpus curation (highly repetitive text compresses far below
+    natural prose). Rows-only: DEFLATE isn't SQL-expressible; pytest
+    pins the exact zlib result per doc. The per-row loop calls C zlib
+    (the codec-stage precedent — the loop body is native compression,
+    not Python work)."""
+    import zlib
+
+    def score(batch: pa.Table) -> pa.Table:
+        txts = batch["text"].to_pylist()
+        raw = np.asarray([len(t.encode("utf-8")) for t in txts],
+                         dtype=np.int64)
+        comp = np.asarray([len(zlib.compress(t.encode("utf-8"), 6))
+                           for t in txts], dtype=np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "raw_len": pa.array(raw),
+            "comp_len": pa.array(comp),
+            "ratio": pa.array(comp / np.maximum(raw, 1))})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow")
+
+
 def q_quantile_normalize_value(sf_dir: str):
     """Per-user percent-rank normalization of the event value — the
     quantile-normalization step a training pipeline applies before
@@ -6629,6 +6722,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_value_trend": q_cell_value_trend,
         "quantile_normalize_value": q_quantile_normalize_value,
         "neighbor_cell_jaccard": q_neighbor_cell_jaccard,
+        "char_block_dedup": q_char_block_dedup,
+        "compression_ratio_docs": q_compression_ratio_docs,
         "cell_diversity": q_cell_diversity,
         "coverage_gaps": q_coverage_gaps,
         "cell_distinct_users": q_cell_distinct_users,
@@ -7151,6 +7246,26 @@ def oracle_sql() -> dict[str, str]:
                    / ((1.0e0 / d1 + 1.0e0 / d2) + 1.0e0 / d3)
                      AS idw_value
             FROM p""",
+        "char_block_dedup": """
+            WITH d AS (SELECT doc_id, text,
+                              (greatest(length(text), 1) - 1) // 64
+                                  AS last
+                       FROM documents),
+            b AS (SELECT doc_id, CAST(i AS BIGINT) AS blk,
+                         substring(text, CAST(i * 64 + 1 AS INTEGER), 64)
+                             AS block
+                  FROM (SELECT doc_id, text,
+                               unnest(generate_series(0, last)) AS i
+                        FROM d)),
+            nb AS (SELECT * FROM b WHERE length(block) > 0),
+            g AS (SELECT block,
+                         MIN(doc_id * 4294967296 + blk) AS firstkey,
+                         COUNT(*) AS n
+                  FROM nb GROUP BY block)
+            SELECT CAST(firstkey // 4294967296 AS BIGINT) AS doc_id,
+                   CAST(firstkey % 4294967296 AS BIGINT) AS blk,
+                   CAST(n AS BIGINT) AS n_copies
+            FROM g""",
         "quantile_normalize_value": """
             SELECT event_id,
                    CASE WHEN cnt = 1 THEN 0.0e0

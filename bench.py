@@ -106,6 +106,7 @@ QUERY_NAMES = [
     "idw_knn", "cell_value_quantiles", "sobel_edges_images",
     "frechet_tracks", "space_time_anomalies", "cell_value_trend",
     "quantile_normalize_value", "neighbor_cell_jaccard",
+    "char_block_dedup", "compression_ratio_docs",
 ]
 
 

@@ -126,3 +126,50 @@ def test_neighbor_cell_jaccard_brute(ray_session):
                 continue
             want[(a, b, d)] = (len(ua & ub), len(ua | ub))
     assert got == want
+
+
+def test_compression_ratio_matches_zlib(ray_session):
+    import zlib
+
+    from __ray_entry__ import q_compression_ratio_docs
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["doc_id"]: (r["raw_len"], r["comp_len"], r["ratio"])
+           for r in q_compression_ratio_docs(sf).take_all()}
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"])
+    assert len(out) == t.num_rows
+    for did, txt in zip(t["doc_id"].to_pylist()[:100],
+                        t["text"].to_pylist()[:100]):
+        raw = len(txt.encode())
+        comp = len(zlib.compress(txt.encode(), 6))
+        assert out[did] == (raw, comp, comp / max(raw, 1)), did
+    # repetitive text compresses below ~0.5 on this corpus
+    ratios = [v[2] for v in out.values() if v[0] > 100]
+    assert ratios and max(ratios) < 1.0
+
+
+def test_char_block_dedup_first_occurrence(ray_session):
+    from __ray_entry__ import q_char_block_dedup
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_char_block_dedup(sf).take_all()
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"])
+    blocks = {}
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for i in range(0, max(len(txt), 1), 64):
+            b = txt[i:i + 64]
+            if not b:
+                continue
+            key = (did, i // 64)
+            cur = blocks.get(b)
+            if cur is None or key < cur[0]:
+                blocks[b] = (key, (cur[1] if cur else 0) + 1)
+            else:
+                blocks[b] = (cur[0], cur[1] + 1)
+    want = {v[0]: v[1] for v in blocks.values()}
+    got = {(r["doc_id"], r["blk"]): r["n_copies"] for r in rows}
+    assert got == want
