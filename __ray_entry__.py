@@ -3658,6 +3658,89 @@ def q_cell_value_trend(sf_dir: str):
     return out.map_batches(unpack, batch_format="pyarrow")
 
 
+def q_returned_revenue(sf_dir: str):
+    """TPC-H-Q10-shaped top-k (pipelines/analytics.returned_revenue):
+    the 20 customers losing the most revenue to returned items
+    (l_returnflag = 'R', orders in 1996-H1) — date-pruned orders side
+    broadcast under the cap (zero joins; hash-partitioned join past
+    it), exact 1e-4-unit revenue, deterministic (revenue DESC,
+    custkey) top-20 with names attached from driver-resident dims."""
+    import pyarrow.parquet as pq
+    from osmium_tool_ray.pipelines.analytics import returned_revenue
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    customer = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_name",
+                                      "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    return returned_revenue(lineitem, orders, customer, nation,
+                            np.datetime64("1996-01-01"),
+                            np.datetime64("1996-07-01"), k=20)
+
+
+def q_knn_label_noise(sf_dir: str):
+    """Label-noise audit by neighborhood disagreement: for each
+    knn_points query point, how many of its 3 nearest corpus points
+    carry a DIFFERENT event_type than the query's own — the classic
+    kNN label-consistency screen a training-data pipeline runs before
+    trusting labels. Composes the memoized 3-NN table with one
+    bucketed type attach; the query-side type map is Q rows (every
+    997th event) and broadcasts."""
+    import ray
+    from osmium_tool_ray.blocks import (attach_lookup_bucketed,
+                                        group_by_key_bucket)
+
+    knn = q_knn_points(sf_dir)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        nid = pc.cast(pc.utf8_slice_codeunits(
+            batch["neighbor_id"].cast(pa.string()), 3, 32), pa.int64())
+        return pa.table({"query_id": batch["query_id"], "neid": nid})
+
+    probes = knn.map_batches(probe, batch_format="pyarrow")
+    types = _events(sf_dir, ["event_id", "event_type"])
+    attached = attach_lookup_bucketed(probes, types, "neid",
+                                      "event_type", "ntype",
+                                      lookup_key="event_id")
+
+    qt_rows = types.map_batches(
+        lambda b: b.filter(pa.array(
+            b["event_id"].to_numpy(zero_copy_only=False) % 997 == 0)),
+        batch_format="pyarrow").take_all()
+    qmap_ids = np.asarray([r["event_id"] for r in qt_rows],
+                          dtype=np.int64)
+    qmap_types = np.asarray([r["event_type"] for r in qt_rows],
+                            dtype=str)
+    o = np.argsort(qmap_ids)
+    qref = ray.put((qmap_ids[o], qmap_types[o]))
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "n_diff": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        qids, qtypes = ray.get(qref)
+        q = g["query_id"].to_numpy(zero_copy_only=False)
+        nt = np.asarray(g["ntype"].to_pylist(), dtype=str)
+        pos = np.minimum(np.searchsorted(qids, q), len(qids) - 1)
+        own = qtypes[pos]
+        diff = (nt != own).astype(np.int64)
+        uq, inv = np.unique(q, return_inverse=True)
+        nd = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(nd, inv, diff)
+        return pa.table({"query_id": pa.array(uq.astype(np.int64)),
+                         "n_diff": pa.array(nd)})
+
+    return group_by_key_bucket(attached, "query_id", fold)
+
+
 def q_char_block_dedup(sf_dir: str):
     """Block-level exact dedup — the paragraph-dedup shape on the
     synthetic corpus (whose text has no sentence punctuation): docs
@@ -6724,6 +6807,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_cell_jaccard": q_neighbor_cell_jaccard,
         "char_block_dedup": q_char_block_dedup,
         "compression_ratio_docs": q_compression_ratio_docs,
+        "returned_revenue": q_returned_revenue,
+        "knn_label_noise": q_knn_label_noise,
         "cell_diversity": q_cell_diversity,
         "coverage_gaps": q_coverage_gaps,
         "cell_distinct_users": q_cell_distinct_users,
@@ -7246,6 +7331,46 @@ def oracle_sql() -> dict[str, str]:
                    / ((1.0e0 / d1 + 1.0e0 / d2) + 1.0e0 / d3)
                      AS idw_value
             FROM p""",
+        "returned_revenue": """
+            SELECT c_custkey, c_name, n_name, revenue_c4 FROM (
+                SELECT c.c_custkey, c.c_name, n.n_name,
+                       CAST(SUM(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100)
+                                         AS BIGINT))) AS BIGINT)
+                           AS revenue_c4
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                WHERE l.l_returnflag = 'R'
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+                GROUP BY 1, 2, 3)
+            ORDER BY revenue_c4 DESC, c_custkey LIMIT 20""",
+        "knn_label_noise": f"""{cte},
+            q AS (SELECT event_id AS query_id,
+                         ((event_id * 7919) % 36000) / 100.0 - 180.0 AS qlon,
+                         ((event_id * 104729) % 17000) / 100.0 - 85.0 AS qlat
+                  FROM events WHERE event_id % 997 = 0),
+            knn AS (SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, i.image_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                           ORDER BY (q.qlon - i.lon) * (q.qlon - i.lon)
+                                  + (q.qlat - i.lat) * (q.qlat - i.lat),
+                                    i.image_id) AS rank
+                FROM q CROSS JOIN images i
+                WHERE i.image_id <> 'img'
+                    || lpad(CAST(q.query_id AS VARCHAR), 10, '0'))
+                WHERE rank <= 3)
+            SELECT k.query_id,
+                   CAST(SUM(CASE WHEN ne.event_type <> qe.event_type
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_diff
+            FROM knn k
+            JOIN events ne ON ne.event_id
+                 = CAST(substr(k.neighbor_id, 4) AS BIGINT)
+            JOIN events qe ON qe.event_id = k.query_id
+            GROUP BY k.query_id""",
         "char_block_dedup": """
             WITH d AS (SELECT doc_id, text,
                               (greatest(length(text), 1) - 1) // 64

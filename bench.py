@@ -107,6 +107,7 @@ QUERY_NAMES = [
     "frechet_tracks", "space_time_anomalies", "cell_value_trend",
     "quantile_normalize_value", "neighbor_cell_jaccard",
     "char_block_dedup", "compression_ratio_docs",
+    "returned_revenue", "knn_label_noise",
 ]
 
 

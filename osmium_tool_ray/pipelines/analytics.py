@@ -575,3 +575,132 @@ def shipping_priority(lineitem, orders, customer: pa.Table,
     agg = joined.groupby(["l_orderkey", "odate_us", "o_orderpriority"]) \
         .aggregate(Sum("rev_c4", alias_name="revenue_c4"))
     return finish_sorted(agg)
+
+
+def returned_revenue(lineitem, orders, customer: pa.Table,
+                     nation: pa.Table, date_lo: np.datetime64,
+                     date_hi: np.datetime64, k: int = 20,
+                     num_partitions: int = 8,
+                     broadcast_cap: int = 2_000_000):
+    """TPC-H Q10 semantics: the k customers who lost the most revenue to
+    RETURNED items (l_returnflag = 'R') on orders placed in
+    [date_lo, date_hi) — GROUP BY customer, ORDER BY revenue DESC,
+    c_custkey LIMIT k, revenue in exact integer 1e-4 units (the
+    region_revenue convention; c_name / n_name attached from the
+    driver-resident dimension tables).
+
+    Scale shape mirrors region_revenue / shipping_priority: the
+    date-pruned orders side broadcasts as sorted (orderkey, custkey)
+    arrays under `broadcast_cap` and the returned-lineitem fact folds in
+    ONE pass with per-batch per-custkey pre-agg (zero joins); past the
+    cap the hash-partitioned Dataset.join takes over. The final sort +
+    limit runs on the per-customer aggregate (bounded by |customers|)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo_us = np.int64(date_lo.astype("datetime64[us]").astype(np.int64))
+    hi_us = np.int64(date_hi.astype("datetime64[us]").astype(np.int64))
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ts >= lo_us) & (ts < hi_us)
+        return pa.table({
+            "o_orderkey": pa.array(
+                batch["o_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+            "o_custkey": pa.array(
+                batch["o_custkey"].to_numpy(zero_copy_only=False)[keep])})
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        flag = batch["l_returnflag"].to_numpy(zero_copy_only=False) \
+            .astype(str)
+        ok = flag == "R"
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[ok]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[ok]
+        rev = (np.rint(price * 100.0).astype(np.int64)
+               * (100 - np.rint(disc * 100.0).astype(np.int64)))
+        return pa.table({
+            "l_orderkey": pa.array(
+                batch["l_orderkey"].to_numpy(zero_copy_only=False)[ok]),
+            "rev_c4": pa.array(rev)})
+
+    empty = pa.table({"c_custkey": pa.array([], type=pa.int64()),
+                      "c_name": pa.array([], type=pa.string()),
+                      "n_name": pa.array([], type=pa.string()),
+                      "revenue_c4": pa.array([], type=pa.int64())})
+
+    o_proj = orders.map_batches(orders_side,
+                                batch_format="pyarrow").materialize()
+    n_orders = o_proj.count()
+    if n_orders == 0:
+        return rd.from_arrow(empty)
+
+    if n_orders <= broadcast_cap:
+        rows = o_proj.take_all()
+        ok_arr = np.asarray([r["o_orderkey"] for r in rows],
+                            dtype=np.int64)
+        ck_arr = np.asarray([r["o_custkey"] for r in rows],
+                            dtype=np.int64)
+        order = np.argsort(ok_arr, kind="stable")
+        omap_ref = ray.put((ok_arr[order], ck_arr[order]))
+
+        def fold(batch: pa.Table) -> pa.Table:
+            okeys, custs = ray.get(omap_ref)
+            t = lineitem_side(batch)
+            lk = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(okeys, lk)
+            pos_c = np.minimum(pos, len(okeys) - 1)
+            hit = (pos < len(okeys)) & (okeys[pos_c] == lk)
+            ck = custs[pos_c][hit]
+            rev = t["rev_c4"].to_numpy(zero_copy_only=False)[hit]
+            un, inv = np.unique(ck, return_inverse=True)
+            return pa.table({
+                "c_custkey": pa.array(un.astype(np.int64)),
+                "rev_c4": pa.array(np.bincount(inv, weights=rev)
+                                   .astype(np.int64))})
+
+        agg = lineitem.map_batches(fold, batch_format="pyarrow") \
+            .groupby("c_custkey").aggregate(
+                Sum("rev_c4", alias_name="revenue_c4"))
+    else:
+        l_proj = lineitem.map_batches(lineitem_side,
+                                      batch_format="pyarrow") \
+            .materialize()
+        if l_proj.count() == 0:
+            return rd.from_arrow(empty)
+        joined = l_proj.join(o_proj, join_type="inner",
+                             num_partitions=num_partitions,
+                             on=("l_orderkey",),
+                             right_on=("o_orderkey",))
+        agg = joined.map_batches(
+            lambda b: pa.table({"c_custkey": b["o_custkey"]
+                                .cast(pa.int64()),
+                                "rev_c4": b["rev_c4"].cast(pa.int64())}),
+            batch_format="pyarrow") \
+            .groupby("c_custkey").aggregate(
+                Sum("rev_c4", alias_name="revenue_c4"))
+
+    cname = dict(zip(customer["c_custkey"].to_pylist(),
+                     customer["c_name"].to_pylist()))
+    cnat = dict(zip(customer["c_custkey"].to_pylist(),
+                    customer["c_nationkey"].to_pylist()))
+    nname = dict(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_name"].to_pylist()))
+    names_ref = ray.put((cname, cnat, nname))
+
+    top = agg.sort(["revenue_c4", "c_custkey"],
+                   descending=[True, False]).limit(k)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cn, cnk, nn = ray.get(names_ref)
+        ck = batch["c_custkey"].to_pylist()
+        return pa.table({
+            "c_custkey": batch["c_custkey"].cast(pa.int64()),
+            "c_name": pa.array([cn[int(c)] for c in ck],
+                               type=pa.string()),
+            "n_name": pa.array([nn[int(cnk[int(c)])] for c in ck],
+                               type=pa.string()),
+            "revenue_c4": batch["revenue_c4"].cast(pa.int64())})
+
+    return top.map_batches(finish, batch_format="pyarrow")
