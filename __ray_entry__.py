@@ -3685,6 +3685,98 @@ def q_returned_revenue(sf_dir: str):
                             np.datetime64("1996-07-01"), k=20)
 
 
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H-Q6-shaped revenue-change forecast: SUM(extendedprice *
+    discount) over a one-year window for discounts in [0.05, 0.07] and
+    quantity < 24 — exact integer 1e-4 units, pure map-side filter +
+    ONE scalar Sum fold (no shuffle beyond the constant-size partial
+    reduce; the fileinfo single-row precedent)."""
+    from ray.data.aggregate import Sum
+
+    lo = np.int64(np.datetime64("1996-01-01", "us").astype(np.int64))
+    hi = np.int64(np.datetime64("1997-01-01", "us").astype(np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["l_shipdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        disc = np.rint(batch["l_discount"]
+                       .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        price = np.rint(batch["l_extendedprice"]
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        keep = (ts >= lo) & (ts < hi) & (disc >= 5) & (disc <= 7) \
+            & (qty < 24)
+        rev = np.int64((price[keep] * disc[keep]).sum())
+        return pa.table({"_k": pa.array([0], type=pa.int64()),
+                         "rev": pa.array([rev], type=pa.int64())})
+
+    agg = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_discount",
+                 "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("_k").aggregate(Sum("rev", alias_name="revenue_c4"))
+    return agg.map_batches(
+        lambda b: pa.table({"revenue_c4": b["revenue_c4"]
+                            .cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_tile_contrast(sf_dir: str):
+    """Local density contrast: every occupied level-6 cell's count vs
+    its level-4 PARENT tile's count — the multi-resolution anomaly
+    ratio a tile renderer uses to pick drill-down targets
+    (tile_pyramid's two levels joined). Parent counts are bounded by
+    the 16x16 coarse grid (a constant), so they broadcast; ONE Sum
+    groupby at the fine level, ratio in one fixed-order division."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    n6 = np.int64(1) << np.int64(TILE_LEVEL)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        x = np.clip(np.floor((lon + 180.0) / 360.0 * n6)
+                    .astype(np.int64), 0, n6 - 1)
+        y = np.clip(np.floor((lat + 90.0) / 180.0 * n6)
+                    .astype(np.int64), 0, n6 - 1)
+        key = (x << np.int64(32)) | y
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"_k": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    fine = images_dataset(sf_dir, columns=["lon", "lat"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("_k").aggregate(Sum("n", alias_name="n")) \
+        .materialize()
+
+    # parent counts: grid-bounded (<= 256 rows) — constant driver fold
+    from osmium_tool_ray.blocks import bounded_rows
+    parents = np.zeros((16, 16), dtype=np.int64)
+    for r in bounded_rows(fine, 4096 + 16 * 16, "tile_contrast parents"):
+        k = int(r["_k"])
+        parents[(k >> 32) >> 2, (k & 0xFFFFFFFF) >> 2] += int(r["n"])
+    pref = ray.put(parents)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        par = ray.get(pref)
+        k = batch["_k"].to_numpy(zero_copy_only=False)
+        x = k >> np.int64(32)
+        y = k & np.int64(0xFFFFFFFF)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pn = par[x >> 2, y >> 2]
+        return pa.table({
+            "cell_x": pa.array(x), "cell_y": pa.array(y),
+            "n": pa.array(n), "parent_n": pa.array(pn),
+            "ratio": pa.array(n.astype(np.float64)
+                              / pn.astype(np.float64))})
+
+    return fine.map_batches(attach, batch_format="pyarrow")
+
+
 def q_knn_label_noise(sf_dir: str):
     """Label-noise audit by neighborhood disagreement: for each
     knn_points query point, how many of its 3 nearest corpus points
@@ -6809,6 +6901,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio_docs": q_compression_ratio_docs,
         "returned_revenue": q_returned_revenue,
         "knn_label_noise": q_knn_label_noise,
+        "forecast_revenue": q_forecast_revenue,
+        "tile_contrast": q_tile_contrast,
         "cell_diversity": q_cell_diversity,
         "coverage_gaps": q_coverage_gaps,
         "cell_distinct_users": q_cell_distinct_users,
@@ -7331,6 +7425,27 @@ def oracle_sql() -> dict[str, str]:
                    / ((1.0e0 / d1 + 1.0e0 / d2) + 1.0e0 / d3)
                      AS idw_value
             FROM p""",
+        "forecast_revenue": """
+            SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_c4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND round(l_discount * 100) BETWEEN 5 AND 7
+              AND l_quantity < 24""",
+        "tile_contrast": f"""{cte}
+            , c AS (SELECT cell_x, cell_y, COUNT(*) AS n
+                    FROM (SELECT {cells6} FROM images)
+                    GROUP BY cell_x, cell_y),
+            p AS (SELECT cell_x // 4 AS px, cell_y // 4 AS py,
+                         SUM(n) AS pn
+                  FROM c GROUP BY 1, 2)
+            SELECT c.cell_x, c.cell_y, CAST(c.n AS BIGINT) AS n,
+                   CAST(p.pn AS BIGINT) AS parent_n,
+                   CAST(c.n AS DOUBLE) / CAST(p.pn AS DOUBLE) AS ratio
+            FROM c JOIN p ON p.px = c.cell_x // 4
+                         AND p.py = c.cell_y // 4""",
         "returned_revenue": """
             SELECT c_custkey, c_name, n_name, revenue_c4 FROM (
                 SELECT c.c_custkey, c.c_name, n.n_name,

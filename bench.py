@@ -108,6 +108,7 @@ QUERY_NAMES = [
     "quantile_normalize_value", "neighbor_cell_jaccard",
     "char_block_dedup", "compression_ratio_docs",
     "returned_revenue", "knn_label_noise",
+    "forecast_revenue", "tile_contrast",
 ]
 
 
