@@ -173,3 +173,40 @@ def test_char_block_dedup_first_occurrence(ray_session):
     want = {v[0]: v[1] for v in blocks.values()}
     got = {(r["doc_id"], r["blk"]): r["n_copies"] for r in rows}
     assert got == want
+
+
+def test_returned_revenue_join_path_parity(ray_session):
+    """broadcast path vs the forced hash-join path (broadcast_cap=0)
+    on sf0.001 — identical top-20 rows."""
+    import pyarrow.parquet as pq
+
+    from osmium_tool_ray.pipelines.analytics import returned_revenue
+    from osmium_tool_ray.sources.readers import read_parquet_clean
+
+    sf = "/root/testdata/sf0.001"
+    lineitem = read_parquet_clean(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+    orders = read_parquet_clean(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    customer = pq.read_table(f"{sf}/customer.parquet",
+                             columns=["c_custkey", "c_name",
+                                      "c_nationkey"])
+    nation = pq.read_table(f"{sf}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    args = (lineitem, orders, customer, nation,
+            np.datetime64("1996-01-01"), np.datetime64("1996-07-01"))
+
+    def rows(ds):
+        return [(r["c_custkey"], r["c_name"], r["n_name"],
+                 r["revenue_c4"]) for r in ds.take_all()]
+
+    broad = rows(returned_revenue(*args, k=20))
+    joined = rows(returned_revenue(*args, k=20, broadcast_cap=0))
+    assert len(broad) == 20
+    assert broad == joined
+    # revenue strictly ordered desc with custkey tiebreak
+    revs = [(-r[3], r[0]) for r in broad]
+    assert revs == sorted(revs)
