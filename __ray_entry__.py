@@ -3724,6 +3724,107 @@ def q_forecast_revenue(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_late_order_priority(sf_dir: str):
+    """TPC-H-Q4-shaped EXISTS semi-join (pipelines/analytics
+    .late_order_priority): per order priority, orders placed in
+    1996-Q3 with at least one line shipped >60 days after the order
+    date — the lineitem side pre-aggregates to ONE max-ship row per
+    in-batch orderkey, the date-pruned orders side broadcasts under
+    the cap (hash join past it)."""
+    from osmium_tool_ray.pipelines.analytics import late_order_priority
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"])
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    return late_order_priority(lineitem, orders,
+                               np.datetime64("1996-07-01"),
+                               np.datetime64("1996-10-01"),
+                               late_days=60)
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H-Q14-shaped promo revenue share (pipelines/analytics
+    .promo_revenue): revenue fraction from PROMO-type parts among
+    lines shipped in 1996-01 — part dim broadcast as a dense bitmap,
+    singleton map-side partials, ONE constant-size Sum reduce; the
+    one float division evaluates in a fixed order both engines."""
+    import pyarrow.parquet as pq
+    from osmium_tool_ray.pipelines.analytics import promo_revenue
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    return promo_revenue(lineitem, part, np.datetime64("1996-01-01"),
+                         np.datetime64("1996-02-01"))
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H-Q18-shaped large-volume orders (pipelines/analytics
+    .large_orders): top-100 orders with total line quantity > 150 —
+    HAVING on a per-order Sum, survivors broadcast back over the
+    orders fact under the cap (hash join past it), customer names
+    from the driver-resident dim."""
+    import pyarrow.parquet as pq
+    from osmium_tool_ray.pipelines.analytics import large_orders
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"])
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"])
+    customer = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_name"])
+    return large_orders(lineitem, orders, customer,
+                        qty_threshold=150, k=100)
+
+
+def q_dormant_customers(sf_dir: str):
+    """TPC-H-Q22-shaped anti-join + global scalar (pipelines/analytics
+    .dormant_customers): per nation, count and total balance of
+    customers above the global positive-balance average with no order
+    since 2000-01-01 — integer cross-multiplied threshold, distinct
+    active keys broadcast under the cap (left-outer hash join past
+    it)."""
+    from osmium_tool_ray.pipelines.analytics import dormant_customers
+
+    customer = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"])
+    return dormant_customers(customer, orders,
+                             np.datetime64("2000-01-01"))
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H-Q15-shaped global-max view (pipelines/analytics
+    .top_supplier): the supplier(s) with maximum revenue over lines
+    shipped in 1996-Q1 — per-batch bincount partials, ONE groupby
+    bounded by |suppliers|, scalar max broadcast into a map-side
+    filter (ties kept)."""
+    import pyarrow.parquet as pq
+    from osmium_tool_ray.pipelines.analytics import top_supplier
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+    supplier = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_name"])
+    return top_supplier(lineitem, supplier,
+                        np.datetime64("1996-01-01"),
+                        np.datetime64("1996-04-01"))
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -6902,6 +7003,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_revenue": q_returned_revenue,
         "knn_label_noise": q_knn_label_noise,
         "forecast_revenue": q_forecast_revenue,
+        "late_order_priority": q_late_order_priority,
+        "promo_revenue": q_promo_revenue,
+        "large_orders": q_large_orders,
+        "dormant_customers": q_dormant_customers,
+        "top_supplier": q_top_supplier,
         "tile_contrast": q_tile_contrast,
         "cell_diversity": q_cell_diversity,
         "coverage_gaps": q_coverage_gaps,
@@ -7446,6 +7552,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.n AS DOUBLE) / CAST(p.pn AS DOUBLE) AS ratio
             FROM c JOIN p ON p.px = c.cell_x // 4
                          AND p.py = c.cell_y // 4""",
+        "late_order_priority": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate <  TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate
+                                               + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority""",
+        "promo_revenue": """
+            WITH f AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           AS rev,
+                       p_type
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-02-01')
+            SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                                 ELSE 0 END) AS BIGINT) AS promo_c4,
+                   CAST(SUM(rev) AS BIGINT) AS total_c4,
+                   100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                                         ELSE 0 END) AS DOUBLE)
+                         / CAST(SUM(rev) AS DOUBLE) AS promo_pct
+            FROM f""",
+        "large_orders": """
+            WITH q AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(round(l_quantity) AS BIGINT))
+                            AS BIGINT) AS sum_qty
+                FROM lineitem GROUP BY 1
+                HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 150)
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       AS total_price_c,
+                   q.sum_qty
+            FROM q
+            JOIN orders o ON o.o_orderkey = q.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY q.sum_qty DESC, o.o_orderkey LIMIT 100""",
+        "dormant_customers": """
+            WITH s AS (
+                SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                            AS BIGINT) AS tot,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM customer WHERE round(c_acctbal * 100) > 0),
+            a AS (SELECT DISTINCT o_custkey FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+                   CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS total_acctbal_c
+            FROM customer, s
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) * s.n > s.tot
+              AND c_custkey NOT IN (SELECT o_custkey FROM a)
+            GROUP BY c_nationkey""",
+        "top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100)
+                                         AS BIGINT))) AS BIGINT)
+                           AS total_revenue_c4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue_c4
+            FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_revenue_c4
+                  = (SELECT MAX(total_revenue_c4) FROM r)""",
         "returned_revenue": """
             SELECT c_custkey, c_name, n_name, revenue_c4 FROM (
                 SELECT c.c_custkey, c.c_name, n.n_name,

@@ -704,3 +704,506 @@ def returned_revenue(lineitem, orders, customer: pa.Table,
             "revenue_c4": batch["revenue_c4"].cast(pa.int64())})
 
     return top.map_batches(finish, batch_format="pyarrow")
+
+
+def late_order_priority(lineitem, orders, date_lo: np.datetime64,
+                        date_hi: np.datetime64, late_days: int = 60,
+                        num_partitions: int = 8,
+                        broadcast_cap: int = 2_000_000):
+    """TPC-H Q4 shape (adapted to the sandbox schema, which has no
+    l_commitdate/l_receiptdate): per order priority, how many orders
+    placed in [date_lo, date_hi) have at least ONE line shipped more
+    than `late_days` days after the order date — the EXISTS semi-join
+    shape (reference analogue: getid's existence semantics over refs,
+    /root/reference/src/command_getid.cpp:250-285).
+
+    Scale shape: the lineitem fact is pre-aggregated map-side to ONE row
+    per (orderkey-in-batch): its max ship timestamp — EXISTS(any line
+    late) ≡ max(l_shipdate) late, so the semi-join never carries
+    per-line rows. Under `broadcast_cap` the date-pruned orders side
+    broadcasts as sorted (orderkey, odate, priority-code) arrays and
+    lateness folds per batch with zero joins; past the cap the
+    per-order max-ship aggregate hash-joins the orders projection.
+    Both paths end in a ≤|priorities| native groupby."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max
+
+    lo_us = np.int64(date_lo.astype("datetime64[us]").astype(np.int64))
+    hi_us = np.int64(date_hi.astype("datetime64[us]").astype(np.int64))
+    late_us = np.int64(late_days) * np.int64(86_400_000_000)
+
+    empty = pa.table({"o_orderpriority": pa.array([], type=pa.string()),
+                      "order_count": pa.array([], type=pa.int64())})
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ts >= lo_us) & (ts < hi_us)
+        return pa.table({
+            "o_orderkey": pa.array(
+                batch["o_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+            "odate_us": pa.array(ts[keep]),
+            "o_orderpriority": pa.array(
+                np.asarray(batch["o_orderpriority"].to_pylist(),
+                           dtype=object)[keep].tolist(),
+                type=pa.string())})
+
+    def line_maxship(batch: pa.Table) -> pa.Table:
+        ts = batch["l_shipdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        un, inv = np.unique(lk, return_inverse=True)
+        mx = np.full(len(un), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, ts)
+        return pa.table({"l_orderkey": pa.array(un.astype(np.int64)),
+                         "ship_us": pa.array(mx)})
+
+    def count_prios(tagged):
+        agg = tagged.groupby("o_orderpriority") \
+            .aggregate(Count(alias_name="order_count"))
+        return agg.map_batches(
+            lambda b: pa.table({
+                "o_orderpriority": b["o_orderpriority"].cast(pa.string()),
+                "order_count": b["order_count"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    o_proj = orders.map_batches(orders_side,
+                                batch_format="pyarrow").materialize()
+    n_orders = o_proj.count()
+    if n_orders == 0:
+        return rd.from_arrow(empty)
+
+    if n_orders <= broadcast_cap:
+        rows = o_proj.take_all()
+        ok_arr = np.asarray([r["o_orderkey"] for r in rows],
+                            dtype=np.int64)
+        od_arr = np.asarray([r["odate_us"] for r in rows], dtype=np.int64)
+        pr_arr = np.asarray([r["o_orderpriority"] for r in rows],
+                            dtype=object)
+        order = np.argsort(ok_arr, kind="stable")
+        omap_ref = ray.put((ok_arr[order], od_arr[order], pr_arr[order]))
+
+        def fold(batch: pa.Table) -> pa.Table:
+            okeys, odates, oprios = ray.get(omap_ref)
+            t = line_maxship(batch)
+            lk = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            sh = t["ship_us"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(okeys, lk)
+            pos_c = np.minimum(pos, max(len(okeys) - 1, 0))
+            hit = (pos < len(okeys)) & (okeys[pos_c] == lk) \
+                & (sh > odates[pos_c] + late_us)
+            return pa.table({
+                "o_orderkey": pa.array(lk[hit]),
+                "ship_us": pa.array(sh[hit]),
+                "o_orderpriority": pa.array(
+                    oprios[pos_c[hit]].tolist(), type=pa.string())})
+
+        # dedup late orders across batches (an order's lines span blocks)
+        late = lineitem.map_batches(fold, batch_format="pyarrow") \
+            .groupby("o_orderkey") \
+            .aggregate(Max("o_orderpriority", alias_name="o_orderpriority"))
+        return count_prios(late)
+
+    l_agg = lineitem.map_batches(line_maxship, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Max("ship_us",
+                                             alias_name="ship_us"))
+    joined = l_agg.join(o_proj, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def late_filter(batch: pa.Table) -> pa.Table:
+        sh = batch["ship_us"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        od = batch["odate_us"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = sh > od + late_us
+        return pa.table({
+            "o_orderpriority": pa.array(
+                np.asarray(batch["o_orderpriority"].to_pylist(),
+                           dtype=object)[keep].tolist(),
+                type=pa.string())})
+
+    return count_prios(joined.map_batches(late_filter,
+                                          batch_format="pyarrow"))
+
+
+def promo_revenue(lineitem, part: pa.Table, date_lo: np.datetime64,
+                  date_hi: np.datetime64, promo_type: str = "PROMO"):
+    """TPC-H Q14 semantics: the share of revenue from promo-type parts
+    among lines shipped in [date_lo, date_hi) — promo_pct =
+    100 * promo_revenue / total_revenue (revenue in exact integer 1e-4
+    units; the single float division is evaluated in ONE fixed order so
+    it bit-matches the oracle's `100.0 * p / t`).
+
+    Scale shape: the part dimension broadcasts ONCE as a dense promo
+    bitmap keyed by partkey (bytes per part); the lineitem fact folds
+    map-side to a singleton (promo_c4, total_c4) partial per batch and
+    ONE constant-size Sum reduce finishes — no shuffle wider than the
+    partial rows (the forecast_revenue / fileinfo single-row shape)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo_us = np.int64(date_lo.astype("datetime64[us]").astype(np.int64))
+    hi_us = np.int64(date_hi.astype("datetime64[us]").astype(np.int64))
+    pk = part["p_partkey"].to_numpy()
+    is_promo = (np.asarray(part["p_type"].to_pylist(), dtype=object)
+                == promo_type).astype(np.int64)
+    promo_ref = ray.put(_dense_map(pk, is_promo, fill=0))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        promo = ray.get(promo_ref)
+        ts = batch["l_shipdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ts >= lo_us) & (ts < hi_us)
+        price = batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        pkey = batch["l_partkey"].to_numpy(zero_copy_only=False)[keep]
+        rev = (np.rint(price * 100.0).astype(np.int64)
+               * (100 - np.rint(disc * 100.0).astype(np.int64)))
+        flag = _lookup(promo, pkey)
+        return pa.table({
+            "_k": pa.array([0], type=pa.int64()),
+            "promo_c4": pa.array([np.int64((rev * flag).sum())]),
+            "total_c4": pa.array([np.int64(rev.sum())])})
+
+    agg = lineitem.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_k").aggregate(Sum("promo_c4", alias_name="promo_c4"),
+                                 Sum("total_c4", alias_name="total_c4"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        p = batch["promo_c4"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = batch["total_c4"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pct = 100.0 * p.astype(np.float64) / t.astype(np.float64)
+        return pa.table({"promo_c4": pa.array(p), "total_c4": pa.array(t),
+                         "promo_pct": pa.array(pct)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def large_orders(lineitem, orders, customer: pa.Table,
+                 qty_threshold: int = 150, k: int = 100,
+                 num_partitions: int = 8,
+                 survivor_cap: int = 2_000_000):
+    """TPC-H Q18 semantics: the k largest orders by total line quantity
+    above `qty_threshold` — GROUP BY order HAVING SUM(qty) > T, join
+    back to orders for the customer/date/price, ORDER BY sum_qty DESC,
+    o_orderkey LIMIT k (deterministic tiebreak; quantities are whole
+    numbers so the sum is exact int64).
+
+    Scale shape: lineitem pre-aggregates per batch (unique orderkeys x
+    bincount) then ONE native groupby Sum; the HAVING filter runs
+    map-side on the aggregate, so only survivor orders (output-bounded
+    by the threshold's selectivity) move further. Under `survivor_cap`
+    the survivors broadcast as sorted (orderkey, qty) arrays and the
+    orders fact folds with zero joins; past it a hash-partitioned
+    Dataset.join takes over. Names attach from the driver-resident
+    customer dim after the limit(k)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"c_custkey": pa.array([], type=pa.int64()),
+                      "c_name": pa.array([], type=pa.string()),
+                      "o_orderkey": pa.array([], type=pa.int64()),
+                      "o_orderdate": pa.array([], type=pa.timestamp("us")),
+                      "total_price_c": pa.array([], type=pa.int64()),
+                      "sum_qty": pa.array([], type=pa.int64())})
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        q = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        un, inv = np.unique(lk, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(un.astype(np.int64)),
+            "qty": pa.array(np.bincount(inv, weights=q)
+                            .astype(np.int64))})
+
+    thresh = np.int64(qty_threshold)
+
+    def having(batch: pa.Table) -> pa.Table:
+        q = batch["sum_qty"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = q > thresh
+        return pa.table({
+            "l_orderkey": pa.array(batch["l_orderkey"].cast(pa.int64())
+                                   .to_numpy(zero_copy_only=False)[keep]),
+            "sum_qty": pa.array(q[keep])})
+
+    survivors = lineitem.map_batches(qty_partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("qty", alias_name="sum_qty")) \
+        .map_batches(having, batch_format="pyarrow").materialize()
+    n_surv = survivors.count()
+    if n_surv == 0:
+        return rd.from_arrow(empty)
+
+    def orders_cols(batch: pa.Table):
+        ts = batch["o_orderdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        price = np.rint(batch["o_totalprice"]
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        return ts, price
+
+    if n_surv <= survivor_cap:
+        rows = survivors.take_all()
+        sk = np.asarray([r["l_orderkey"] for r in rows], dtype=np.int64)
+        sq = np.asarray([r["sum_qty"] for r in rows], dtype=np.int64)
+        order = np.argsort(sk, kind="stable")
+        surv_ref = ray.put((sk[order], sq[order]))
+
+        def fold(batch: pa.Table) -> pa.Table:
+            skeys, sqty = ray.get(surv_ref)
+            ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(skeys, ok)
+            pos_c = np.minimum(pos, max(len(skeys) - 1, 0))
+            hit = (pos < len(skeys)) & (skeys[pos_c] == ok)
+            ts, price = orders_cols(batch)
+            return pa.table({
+                "o_orderkey": pa.array(ok[hit]),
+                "o_custkey": pa.array(
+                    batch["o_custkey"].to_numpy(zero_copy_only=False)[hit]),
+                "odate_us": pa.array(ts[hit]),
+                "total_price_c": pa.array(price[hit]),
+                "sum_qty": pa.array(sqty[pos_c[hit]])})
+
+        tagged = orders.map_batches(fold, batch_format="pyarrow")
+    else:
+        def orders_proj(batch: pa.Table) -> pa.Table:
+            ts, price = orders_cols(batch)
+            return pa.table({
+                "o_orderkey": pa.array(
+                    batch["o_orderkey"].to_numpy(zero_copy_only=False)),
+                "o_custkey": pa.array(
+                    batch["o_custkey"].to_numpy(zero_copy_only=False)),
+                "odate_us": pa.array(ts),
+                "total_price_c": pa.array(price)})
+
+        o_proj = orders.map_batches(orders_proj,
+                                    batch_format="pyarrow").materialize()
+        tagged = survivors.join(o_proj, join_type="inner",
+                                num_partitions=num_partitions,
+                                on=("l_orderkey",),
+                                right_on=("o_orderkey",)) \
+            .map_batches(
+                lambda b: pa.table({
+                    "o_orderkey": b["l_orderkey"].cast(pa.int64()),
+                    "o_custkey": b["o_custkey"].cast(pa.int64()),
+                    "odate_us": b["odate_us"].cast(pa.int64()),
+                    "total_price_c": b["total_price_c"].cast(pa.int64()),
+                    "sum_qty": b["sum_qty"].cast(pa.int64())}),
+                batch_format="pyarrow")
+
+    cname = dict(zip(customer["c_custkey"].to_pylist(),
+                     customer["c_name"].to_pylist()))
+    names_ref = ray.put(cname)
+
+    top = tagged.sort(["sum_qty", "o_orderkey"],
+                      descending=[True, False]).limit(k)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cn = ray.get(names_ref)
+        ck = batch["o_custkey"].to_pylist()
+        return pa.table({
+            "c_custkey": batch["o_custkey"].cast(pa.int64()),
+            "c_name": pa.array([cn[int(c)] for c in ck],
+                               type=pa.string()),
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "o_orderdate": batch["odate_us"].cast(pa.int64())
+                .cast(pa.timestamp("us")),
+            "total_price_c": batch["total_price_c"].cast(pa.int64()),
+            "sum_qty": batch["sum_qty"].cast(pa.int64())})
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+def dormant_customers(customer, orders, cutoff: np.datetime64,
+                      num_partitions: int = 8,
+                      broadcast_cap: int = 4_000_000):
+    """TPC-H Q22 shape (adapted: every sandbox customer has orders, so
+    "never ordered" becomes "no order since `cutoff`"): per nation, the
+    count and total balance of customers whose account balance is above
+    the global positive-balance average AND who placed no order on/after
+    the cutoff — the anti-join + broadcast-global-scalar shape
+    (reference analogue: removeid's anti-join,
+    /root/reference/src/command_removeid.cpp:143-177).
+
+    Scale shape: the global average is a constant-size (sum, count)
+    Sum fold; the above-average test cross-multiplies integers
+    (bal_c * n > total_c) so no float threshold leaks in. Active
+    custkeys since the cutoff come from a per-batch-unique +
+    native-groupby distinct; under `broadcast_cap` they broadcast
+    sorted and the customer fact anti-folds per batch with zero
+    joins, ending in a ≤|nation| groupby; past the cap a
+    hash-partitioned left-outer Dataset.join marks membership."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    cut_us = np.int64(cutoff.astype("datetime64[us]").astype(np.int64))
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bal = np.rint(batch["c_acctbal"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        pos = bal > 0
+        return pa.table({"_k": pa.array([0], type=pa.int64()),
+                         "tot": pa.array([np.int64(bal[pos].sum())]),
+                         "n": pa.array([np.int64(pos.sum())])})
+
+    stats = customer.map_batches(bal_partial, batch_format="pyarrow") \
+        .groupby("_k").aggregate(Sum("tot", alias_name="tot"),
+                                 Sum("n", alias_name="n")).take_all()
+    tot_c = np.int64(stats[0]["tot"]) if stats else np.int64(0)
+    n_pos = np.int64(stats[0]["n"]) if stats else np.int64(0)
+
+    def active_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_custkey": pa.array(
+            np.unique(ck[ts >= cut_us]).astype(np.int64))})
+
+    active = orders.map_batches(active_partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Count(alias_name="_n")) \
+        .materialize()
+    n_active = active.count()
+
+    def rich_mask(batch: pa.Table):
+        bal = np.rint(batch["c_acctbal"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        return bal, bal * n_pos > tot_c
+
+    def nation_partial(nk: np.ndarray, bal: np.ndarray) -> pa.Table:
+        un, inv = np.unique(nk, return_inverse=True)
+        return pa.table({
+            "c_nationkey": pa.array(un.astype(np.int64)),
+            "n_cust": pa.array(np.bincount(inv).astype(np.int64)),
+            "total_acctbal_c": pa.array(
+                np.bincount(inv, weights=bal).astype(np.int64))})
+
+    if n_active <= broadcast_cap:
+        act = np.sort(np.asarray(
+            [r["o_custkey"] for r in active.take_all()], dtype=np.int64))
+        act_ref = ray.put(act)
+
+        def fold(batch: pa.Table) -> pa.Table:
+            akeys = ray.get(act_ref)
+            ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+            bal, rich = rich_mask(batch)
+            pos = np.searchsorted(akeys, ck)
+            pos_c = np.minimum(pos, max(len(akeys) - 1, 0))
+            is_active = (pos < len(akeys)) & (akeys[pos_c] == ck) \
+                if len(akeys) else np.zeros(len(ck), dtype=bool)
+            keep = rich & ~is_active
+            nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)[keep]
+            return nation_partial(nk, bal[keep])
+
+        parts = customer.map_batches(fold, batch_format="pyarrow")
+    else:
+        def cust_proj(batch: pa.Table) -> pa.Table:
+            bal, rich = rich_mask(batch)
+            return pa.table({
+                "c_custkey": pa.array(
+                    batch["c_custkey"].to_numpy(zero_copy_only=False)[rich]),
+                "c_nationkey": pa.array(
+                    batch["c_nationkey"].to_numpy(
+                        zero_copy_only=False)[rich]),
+                "bal_c": pa.array(bal[rich])})
+
+        rich_ds = customer.map_batches(cust_proj,
+                                       batch_format="pyarrow") \
+            .materialize()
+        joined = rich_ds.join(active, join_type="left_outer",
+                              num_partitions=num_partitions,
+                              on=("c_custkey",), right_on=("o_custkey",))
+
+        def anti(batch: pa.Table) -> pa.Table:
+            miss = np.asarray(
+                [v is None for v in batch["_n"].to_pylist()], dtype=bool)
+            nk = batch["c_nationkey"].cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)[miss]
+            bal = batch["bal_c"].cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)[miss]
+            return nation_partial(nk, bal)
+
+        parts = joined.map_batches(anti, batch_format="pyarrow")
+
+    agg = parts.groupby("c_nationkey") \
+        .aggregate(Sum("n_cust", alias_name="n_cust"),
+                   Sum("total_acctbal_c", alias_name="total_acctbal_c"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "c_nationkey": b["c_nationkey"].cast(pa.int64()),
+            "n_cust": b["n_cust"].cast(pa.int64()),
+            "total_acctbal_c": b["total_acctbal_c"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def top_supplier(lineitem, supplier: pa.Table, date_lo: np.datetime64,
+                 date_hi: np.datetime64):
+    """TPC-H Q15 semantics: the supplier(s) achieving the maximum
+    revenue over lines shipped in [date_lo, date_hi) — the
+    revenue-view + global-max-broadcast shape (all max-achievers
+    returned, ties included, revenue in exact integer 1e-4 units).
+
+    Scale shape: per-batch per-suppkey bincount partials feed ONE
+    native groupby Sum bounded by |suppliers|; the global max is a
+    constant-size aggregate fold whose scalar broadcasts back into a
+    map-side filter (no second shuffle). Names attach from the
+    driver-resident supplier dim."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo_us = np.int64(date_lo.astype("datetime64[us]").astype(np.int64))
+    hi_us = np.int64(date_hi.astype("datetime64[us]").astype(np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["l_shipdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ts >= lo_us) & (ts < hi_us)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)[keep]
+        price = batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        rev = (np.rint(price * 100.0).astype(np.int64)
+               * (100 - np.rint(disc * 100.0).astype(np.int64)))
+        un, inv = np.unique(sk, return_inverse=True)
+        return pa.table({
+            "l_suppkey": pa.array(un.astype(np.int64)),
+            "rev_c4": pa.array(np.bincount(inv, weights=rev)
+                               .astype(np.int64))})
+
+    empty = pa.table({"s_suppkey": pa.array([], type=pa.int64()),
+                      "s_name": pa.array([], type=pa.string()),
+                      "total_revenue_c4": pa.array([], type=pa.int64())})
+
+    agg = lineitem.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_suppkey") \
+        .aggregate(Sum("rev_c4", alias_name="total_revenue_c4")) \
+        .materialize()
+    if agg.count() == 0:
+        return rd.from_arrow(empty)
+    best = np.int64(agg.max("total_revenue_c4"))
+
+    sname = dict(zip(supplier["s_suppkey"].to_pylist(),
+                     supplier["s_name"].to_pylist()))
+    names_ref = ray.put(sname)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sn = ray.get(names_ref)
+        rev = batch["total_revenue_c4"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = rev == best
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "s_suppkey": pa.array(sk.astype(np.int64)),
+            "s_name": pa.array([sn[int(s)] for s in sk],
+                               type=pa.string()),
+            "total_revenue_c4": pa.array(rev[keep])})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
