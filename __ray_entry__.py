@@ -3825,6 +3825,165 @@ def q_top_supplier(sf_dir: str):
                         np.datetime64("1996-04-01"))
 
 
+def q_nation_trade_volume(sf_dir: str):
+    """TPC-H-Q7-shaped cross-nation trade volume (pipelines/analytics
+    .nation_trade_volume): revenue shipped in 1996 grouped by
+    (supplier nation, customer nation), cross-nation pairs only —
+    dense dim maps broadcast once, orders broadcast under the cap /
+    ONE hash join past it, packed-pair partials into a ≤|nation|²
+    groupby."""
+    import pyarrow.parquet as pq
+    from osmium_tool_ray.pipelines.analytics import nation_trade_volume
+
+    lineitem = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"])
+    customer = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+    supplier = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    return nation_trade_volume(lineitem, orders, customer, supplier,
+                               nation, np.datetime64("1996-01-01"),
+                               np.datetime64("1997-01-01"))
+
+
+def q_benford_value(sf_dir: str):
+    """Benford first-digit audit of the event value column
+    (pipelines/analytics.benford_digits): exact counts of the first
+    significant digit of positive value-cents — integer repeated
+    division (no float log10), 9-bin partials, ONE constant-size Sum
+    fold."""
+    from osmium_tool_ray.pipelines.analytics import benford_digits
+
+    return benford_digits(_events(sf_dir, ["value"]), "value")
+
+
+def q_runs_per_user(sf_dir: str):
+    """Run-length encoding of each user's event-type stream
+    (pipelines/windows.keyed_run_lengths): per (user, type), the
+    number of maximal same-type runs in (ts, event_id) order and the
+    longest run — ONE key-bucket shuffle, lexsort + shifted-compare
+    fold, no per-key Python."""
+    from osmium_tool_ray.pipelines.windows import keyed_run_lengths
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+    return keyed_run_lengths(ev, "user_id", "ts", "event_type",
+                             tie_col="event_id")
+
+
+def q_gap_digit_hist(sf_dir: str):
+    """Inter-event cadence fingerprint (pipelines/windows
+    .keyed_gap_digit_hist): per event type, a histogram of the
+    decimal-digit count of the whole-second gap to the user's previous
+    event — integer-exact log-scale buckets (length(CAST(gap AS
+    VARCHAR)) in the oracle), ONE key-bucket shuffle + a tiny
+    (type x digits) Sum fold."""
+    from osmium_tool_ray.pipelines.windows import keyed_gap_digit_hist
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+    return keyed_gap_digit_hist(ev, "user_id", "ts", "event_type",
+                                tie_col="event_id")
+
+
+def q_ttr_docs(sf_dir: str):
+    """Per-document type-token ratio: whitespace tokens of the
+    lowercased text (the vocab_top tokenizer convention), distinct
+    words / total tokens — the lexical-diversity quality signal.
+    Doc-local (zero shuffle): Arrow split_pattern_regex + list
+    offsets, one U-dtype lexsort per batch for the distinct count;
+    the single float division is fixed-order both engines."""
+
+    def fold(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"].cast(pa.string())), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        words = np.asarray(flat.to_pylist(), dtype=object).astype("U")
+        keep = words != ""
+        parent, words = parent[keep], words[keep]
+        n_docs = batch.num_rows
+        if len(parent) == 0:
+            return pa.table({
+                "doc_id": batch["doc_id"].slice(0, 0),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "n_distinct": pa.array([], type=pa.int64()),
+                "ttr": pa.array([], type=pa.float64())})
+        n_tok = np.bincount(parent, minlength=n_docs)
+        order = np.lexsort((words, parent))
+        p_s, w_s = parent[order], words[order]
+        new = np.ones(len(p_s), dtype=bool)
+        new[1:] = (p_s[1:] != p_s[:-1]) | (w_s[1:] != w_s[:-1])
+        n_dis = np.bincount(p_s[new], minlength=n_docs)
+        has = np.flatnonzero(n_tok > 0)
+        return pa.table({
+            "doc_id": pc.take(batch["doc_id"], pa.array(has)),
+            "n_tokens": pa.array(n_tok[has].astype(np.int64)),
+            "n_distinct": pa.array(n_dis[has].astype(np.int64)),
+            "ttr": pa.array(n_dis[has].astype(np.float64)
+                            / n_tok[has].astype(np.float64))})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(fold, batch_format="pyarrow")
+
+
+def q_top_type_user(sf_dir: str):
+    """Per-user modal event type with deterministic tiebreak (count
+    DESC, type ASC) — the per-key argmax shape (cell_top_key's
+    discipline on a user key): in-batch partial (user, type) counts
+    collapse each block to distinct pairs, ONE native groupby Sum,
+    then a user-bucket lexsort fold picks each user's first max."""
+    from ray.data.aggregate import Sum
+
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        typ = np.asarray(batch["event_type"].to_pylist(), dtype="U")
+        ut, tinv = np.unique(typ, return_inverse=True)
+        uu, uinv = np.unique(uid, return_inverse=True)
+        code = uinv.astype(np.int64) * len(ut) + tinv
+        uc, cnt = np.unique(code, return_counts=True)
+        return pa.table({
+            "user_id": pa.array(uu[uc // len(ut)].astype(np.int64)),
+            "event_type": pa.array(ut[uc % len(ut)].tolist(),
+                                   type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    pairs = _events(sf_dir, ["user_id", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]) \
+        .aggregate(Sum("n", alias_name="n"))
+
+    def argmax(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", pa.int64()),
+                            ("event_type", pa.string()),
+                            ("n", pa.int64())])
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return schema.empty_table()
+        uid = g["user_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        typ = np.asarray(g["event_type"].to_pylist(), dtype="U")
+        n = g["n"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((typ, -n, uid))
+        u_s = uid[order]
+        first = np.ones(len(u_s), dtype=bool)
+        first[1:] = u_s[1:] != u_s[:-1]
+        sel = order[first]
+        return pa.table({"user_id": pa.array(uid[sel]),
+                         "event_type": pa.array(typ[sel].tolist(),
+                                                type=pa.string()),
+                         "n": pa.array(n[sel])})
+
+    return group_by_key_bucket(pairs, "user_id", argmax)
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -7008,6 +7167,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": q_large_orders,
         "dormant_customers": q_dormant_customers,
         "top_supplier": q_top_supplier,
+        "nation_trade_volume": q_nation_trade_volume,
+        "benford_value": q_benford_value,
+        "runs_per_user": q_runs_per_user,
+        "gap_digit_hist": q_gap_digit_hist,
+        "ttr_docs": q_ttr_docs,
+        "top_type_user": q_top_type_user,
         "tile_contrast": q_tile_contrast,
         "cell_diversity": q_cell_diversity,
         "coverage_gaps": q_coverage_gaps,
@@ -7552,6 +7717,90 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.n AS DOUBLE) / CAST(p.pn AS DOUBLE) AS ratio
             FROM c JOIN p ON p.px = c.cell_x // 4
                          AND p.py = c.cell_y // 4""",
+        "nation_trade_volume": """
+            WITH f AS (
+                SELECT s.s_nationkey AS sn, c.c_nationkey AS cn,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           AS rev
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+                  AND s.s_nationkey <> c.c_nationkey)
+            SELECT sn2.n_name AS supp_nation, cn2.n_name AS cust_nation,
+                   CAST(SUM(rev) AS BIGINT) AS revenue_c4
+            FROM f
+            JOIN nation sn2 ON f.sn = sn2.n_nationkey
+            JOIN nation cn2 ON f.cn = cn2.n_nationkey
+            GROUP BY 1, 2""",
+        "benford_value": """
+            WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS vc
+                       FROM events WHERE round(value * 100) > 0)
+            SELECT CAST(substr(CAST(vc AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM v GROUP BY 1""",
+        "runs_per_user": """
+            WITH o AS (SELECT user_id, event_type, ts, event_id,
+                              LAG(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+                       FROM events),
+            r AS (SELECT user_id, event_type,
+                         SUM(CASE WHEN prev IS NULL
+                                    OR prev <> event_type
+                                  THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS rid
+                  FROM o),
+            g AS (SELECT user_id, event_type, rid, COUNT(*) AS len
+                  FROM r GROUP BY 1, 2, 3)
+            SELECT user_id, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_runs,
+                   CAST(MAX(len) AS BIGINT) AS max_run
+            FROM g GROUP BY 1, 2""",
+        "gap_digit_hist": """
+            WITH o AS (SELECT user_id, event_type, ts,
+                              LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                                  AS pts
+                       FROM events),
+            g AS (SELECT event_type,
+                         (epoch_us(ts) - epoch_us(pts)) // 1000000
+                             AS gap
+                  FROM o WHERE pts IS NOT NULL)
+            SELECT event_type,
+                   CAST(length(CAST(gap AS VARCHAR)) AS BIGINT)
+                       AS gap_digits,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM g GROUP BY 1, 2""",
+        "ttr_docs": r"""
+            WITH w AS (SELECT doc_id, t.w AS word
+                       FROM documents,
+                            unnest(string_split_regex(lower(text),
+                                                      '\s+')) AS t(w)
+                       WHERE t.w <> ''),
+            a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                         CAST(COUNT(DISTINCT word) AS BIGINT)
+                             AS n_distinct
+                  FROM w GROUP BY 1)
+            SELECT doc_id, n_tokens, n_distinct,
+                   CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                       AS ttr
+            FROM a""",
+        "top_type_user": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT user_id, event_type, cnt,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY cnt DESC, event_type) AS rk
+                  FROM c)
+            SELECT user_id, event_type, CAST(cnt AS BIGINT) AS n
+            FROM r WHERE rk = 1""",
         "late_order_priority": """
             SELECT o_orderpriority,
                    CAST(COUNT(*) AS BIGINT) AS order_count

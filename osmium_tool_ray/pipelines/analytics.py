@@ -1207,3 +1207,184 @@ def top_supplier(lineitem, supplier: pa.Table, date_lo: np.datetime64,
             "total_revenue_c4": pa.array(rev[keep])})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def nation_trade_volume(lineitem, orders, customer: pa.Table,
+                        supplier: pa.Table, nation: pa.Table,
+                        date_lo: np.datetime64, date_hi: np.datetime64,
+                        num_partitions: int = 8,
+                        broadcast_cap: int = 2_000_000):
+    """TPC-H Q7 shape: revenue shipped in [date_lo, date_hi) grouped by
+    (supplier nation, customer nation) for cross-nation pairs — the
+    two-fact join with BOTH dimension attaches (revenue in exact integer
+    1e-4 units).
+
+    Scale shape: suppkey→nationkey and custkey→nationkey broadcast ONCE
+    as dense int arrays (region_revenue's dim discipline); under
+    `broadcast_cap` the orders fact broadcasts as sorted (orderkey,
+    custkey) arrays and the lineitem fact folds per batch to packed
+    (snat, cnat) pair partials — zero joins, final groupby ≤|nation|²;
+    past the cap the two facts meet in ONE hash-partitioned
+    Dataset.join on the orderkey. Names attach from the driver-resident
+    nation dim at the end."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo_us = np.int64(date_lo.astype("datetime64[us]").astype(np.int64))
+    hi_us = np.int64(date_hi.astype("datetime64[us]").astype(np.int64))
+
+    snat = _dense_map(supplier["s_suppkey"].to_numpy(),
+                      supplier["s_nationkey"].to_numpy().astype(np.int64),
+                      fill=-1)
+    cnat = _dense_map(customer["c_custkey"].to_numpy(),
+                      customer["c_nationkey"].to_numpy().astype(np.int64),
+                      fill=-1)
+    dims_ref = ray.put((snat, cnat))
+    nname = np.full(int(nation["n_nationkey"].to_numpy().max()) + 1, "",
+                    dtype=object)
+    nname[nation["n_nationkey"].to_numpy()] = \
+        np.asarray(nation["n_name"].to_pylist(), dtype=object)
+
+    empty = pa.table({"supp_nation": pa.array([], type=pa.string()),
+                      "cust_nation": pa.array([], type=pa.string()),
+                      "revenue_c4": pa.array([], type=pa.int64())})
+
+    def line_proj(batch: pa.Table):
+        ts = batch["l_shipdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ts >= lo_us) & (ts < hi_us)
+        price = batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        rev = (np.rint(price * 100.0).astype(np.int64)
+               * (100 - np.rint(disc * 100.0).astype(np.int64)))
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)[keep]
+        return lk, sk, rev
+
+    def pair_partial(sn: np.ndarray, cn: np.ndarray,
+                     rev: np.ndarray) -> pa.Table:
+        keep = sn != cn
+        code = sn[keep].astype(np.int64) * 4096 + cn[keep]
+        un, inv = np.unique(code, return_inverse=True)
+        return pa.table({
+            "pair": pa.array(un),
+            "rev_c4": pa.array(np.bincount(inv, weights=rev[keep])
+                               .astype(np.int64))})
+
+    def finish(agg):
+        def fin(batch: pa.Table) -> pa.Table:
+            pair = batch["pair"].cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            return pa.table({
+                "supp_nation": pa.array(nname[pair // 4096].tolist(),
+                                        type=pa.string()),
+                "cust_nation": pa.array(nname[pair % 4096].tolist(),
+                                        type=pa.string()),
+                "revenue_c4": batch["revenue_c4"].cast(pa.int64())})
+
+        return agg.map_batches(fin, batch_format="pyarrow")
+
+    o_proj = orders.map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+            "o_custkey": b["o_custkey"].cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    n_orders = o_proj.count()
+    if n_orders == 0:
+        return rd.from_arrow(empty)
+
+    if n_orders <= broadcast_cap:
+        rows = o_proj.take_all()
+        ok_arr = np.asarray([r["o_orderkey"] for r in rows],
+                            dtype=np.int64)
+        ck_arr = np.asarray([r["o_custkey"] for r in rows],
+                            dtype=np.int64)
+        order = np.argsort(ok_arr, kind="stable")
+        omap_ref = ray.put((ok_arr[order], ck_arr[order]))
+
+        def fold(batch: pa.Table) -> pa.Table:
+            okeys, custs = ray.get(omap_ref)
+            sn_map, cn_map = ray.get(dims_ref)
+            lk, sk, rev = line_proj(batch)
+            pos = np.searchsorted(okeys, lk)
+            pos_c = np.minimum(pos, max(len(okeys) - 1, 0))
+            hit = (pos < len(okeys)) & (okeys[pos_c] == lk)
+            sn = _lookup(sn_map, sk[hit])
+            cn = _lookup(cn_map, custs[pos_c[hit]])
+            return pair_partial(sn, cn, rev[hit])
+
+        parts = lineitem.map_batches(fold, batch_format="pyarrow")
+    else:
+        def lproj(batch: pa.Table) -> pa.Table:
+            lk, sk, rev = line_proj(batch)
+            return pa.table({"l_orderkey": pa.array(lk),
+                             "l_suppkey": pa.array(sk),
+                             "rev_c4": pa.array(rev)})
+
+        l_proj = lineitem.map_batches(lproj,
+                                      batch_format="pyarrow") \
+            .materialize()
+        if l_proj.count() == 0:
+            return rd.from_arrow(empty)
+        joined = l_proj.join(o_proj, join_type="inner",
+                             num_partitions=num_partitions,
+                             on=("l_orderkey",),
+                             right_on=("o_orderkey",))
+
+        def post(batch: pa.Table) -> pa.Table:
+            sn_map, cn_map = ray.get(dims_ref)
+            sn = _lookup(sn_map, batch["l_suppkey"].cast(pa.int64())
+                         .to_numpy(zero_copy_only=False))
+            cn = _lookup(cn_map, batch["o_custkey"].cast(pa.int64())
+                         .to_numpy(zero_copy_only=False))
+            rev = batch["rev_c4"].cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            return pair_partial(sn, cn, rev)
+
+        parts = joined.map_batches(post, batch_format="pyarrow")
+
+    agg = parts.groupby("pair") \
+        .aggregate(Sum("rev_c4", alias_name="revenue_c4"))
+    return finish(agg)
+
+
+def benford_digits(ds, value_col: str = "value"):
+    """First-significant-digit distribution of a positive integer-cents
+    value column — the Benford's-law audit signal for synthetic or
+    manipulated numeric data (Benford 1938; Nigrini's forensic
+    accounting use). Exact integer counts: digit extraction is
+    repeated integer division (≤19 vectorized passes), no float log10
+    edge cases at powers of ten.
+
+    Scale shape: per-batch 9-bin bincount partials, ONE constant-size
+    groupby Sum. Returns (digit, n) for digits 1-9."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = np.rint(batch[value_col].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        vc = vc[vc > 0]
+        x = vc.copy()
+        big = x >= 10
+        while big.any():
+            x[big] //= 10
+            big = x >= 10
+        cnt = np.bincount(x, minlength=10)[1:10]
+        return pa.table({"digit": pa.array(np.arange(1, 10,
+                                                     dtype=np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("digit").aggregate(Sum("n", alias_name="n"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        n = batch["n"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = n > 0
+        return pa.table({
+            "digit": pa.array(batch["digit"].cast(pa.int64())
+                              .to_numpy(zero_copy_only=False)[keep]),
+            "n": pa.array(n[keep])})
+
+    return agg.map_batches(fin, batch_format="pyarrow")

@@ -1710,3 +1710,144 @@ def trailing_window(ds, key_col: str, ts_col: str, val_col: str,
         list(dict.fromkeys([key_col, ts_col, val_col, id_col]))) \
         .map_batches(pre, batch_format="pyarrow")
     return group_by_key_bucket(narrow, key_col, fold, buckets=buckets)
+
+
+def keyed_run_lengths(ds, key_col: str, ts_col: str, state_col: str,
+                      tie_col: str | None = None):
+    """Per-(key, state) run-length statistics: order each key's events
+    by (ts, tie) and count its maximal same-state runs plus the longest
+    run — the run-length encoding of an event stream (the LAG() <>
+    compare + conditional-sum window chain in SQL; the burst/repetition
+    signal session analytics layers on a clickstream).
+
+    Scale shape: the keyed_transition_counts discipline — ONE
+    hash(key)%4*CPU bucket shuffle of the narrow (key, ts, tie, state)
+    projection; inside a bucket one lexsort + shifted compare marks run
+    starts and one composite-code np.unique counts runs and their
+    lengths — no per-key Python, no second shuffle. Returns (key,
+    state, n_runs, max_run)."""
+    from ..blocks import group_by_key_bucket
+
+    cols = [key_col, ts_col, state_col] + ([tie_col] if tie_col else [])
+    key_type = dict(zip(ds.schema().names, ds.schema().types))[key_col]
+    int_key = pa.types.is_integer(key_type)
+
+    def per_group(g: pa.Table) -> pa.Table:
+        schema = pa.schema([(key_col, key_type),
+                            (state_col, pa.string()),
+                            ("n_runs", pa.int64()),
+                            ("max_run", pa.int64())])
+        if g.num_rows == 0 or key_col not in g.schema.names:
+            return schema.empty_table()
+        if int_key:
+            keys = g[key_col].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+        else:
+            keys = np.asarray(g[key_col].to_pylist(), dtype=object) \
+                .astype(str)
+        ts = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        st = np.asarray(g[state_col].to_pylist(), dtype=object) \
+            .astype(str)
+        if tie_col:
+            tie = g[tie_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tie, ts, keys))
+        else:
+            order = np.lexsort((ts, keys))
+        ks, sts = keys[order], st[order]
+        n = len(ks)
+        start = np.ones(n, dtype=bool)
+        start[1:] = (ks[1:] != ks[:-1]) | (sts[1:] != sts[:-1])
+        run_id = np.cumsum(start) - 1                 # 0..R-1
+        run_len = np.bincount(run_id)                 # length per run
+        first = np.flatnonzero(start)                 # row of each run start
+        rk, rs = ks[first], sts[first]
+        us, sinv = np.unique(rs, return_inverse=True)
+        uk, kinv = np.unique(rk, return_inverse=True)
+        nst = np.int64(len(us))
+        code = kinv.astype(np.int64) * nst + sinv
+        uc, cinv = np.unique(code, return_inverse=True)
+        n_runs = np.bincount(cinv)
+        mx = np.zeros(len(uc), dtype=np.int64)
+        np.maximum.at(mx, cinv, run_len)
+        return pa.table({
+            key_col: pa.array(uk[uc // nst]).cast(key_type),
+            state_col: pa.array(us[uc % nst].tolist(), type=pa.string()),
+            "n_runs": pa.array(n_runs.astype(np.int64)),
+            "max_run": pa.array(mx)})
+
+    return group_by_key_bucket(ds.select_columns(cols), key_col,
+                               per_group)
+
+
+def keyed_gap_digit_hist(ds, key_col: str, ts_col: str, state_col: str,
+                         tie_col: str | None = None):
+    """Inter-event-gap histogram per state: for each key's (ts, tie)-
+    ordered stream, the gap in whole seconds to the PREVIOUS event is
+    attributed to the later event's state and bucketed by its decimal
+    digit count (an integer-exact log-scale histogram — no float log2,
+    so the oracle's length(CAST(gap AS VARCHAR)) reproduces it
+    bit-for-bit). The cadence fingerprint of an event stream.
+
+    Scale shape: ONE key-bucket shuffle + segmented lexsort diff;
+    per-bucket (state, digits) partial counts feed one tiny
+    ≤|states|x20 native groupby Sum. Returns (state, gap_digits, n)."""
+    from ray.data.aggregate import Sum
+
+    from ..blocks import group_by_key_bucket
+
+    cols = [key_col, ts_col, state_col] + ([tie_col] if tie_col else [])
+    key_type = dict(zip(ds.schema().names, ds.schema().types))[key_col]
+    int_key = pa.types.is_integer(key_type)
+
+    def per_group(g: pa.Table) -> pa.Table:
+        schema = pa.schema([(state_col, pa.string()),
+                            ("gap_digits", pa.int64()),
+                            ("n", pa.int64())])
+        if g.num_rows < 2 or key_col not in g.schema.names:
+            return schema.empty_table()
+        if int_key:
+            keys = g[key_col].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+        else:
+            keys = np.asarray(g[key_col].to_pylist(), dtype=object) \
+                .astype(str)
+        ts = g[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        st = np.asarray(g[state_col].to_pylist(), dtype=object) \
+            .astype(str)
+        if tie_col:
+            tie = g[tie_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tie, ts, keys))
+        else:
+            order = np.lexsort((ts, keys))
+        ks, tss, sts = keys[order], ts[order], st[order]
+        same = ks[1:] == ks[:-1]
+        if not same.any():
+            return schema.empty_table()
+        gap = ((tss[1:] - tss[:-1]) // 1_000_000)[same]  # whole seconds
+        state = sts[1:][same]
+        # decimal digit count, integer-exact (0 -> 1 digit)
+        digits = np.ones(len(gap), dtype=np.int64)
+        x = gap // 10
+        while (x > 0).any():
+            digits += (x > 0)
+            x //= 10
+        us, sinv = np.unique(state, return_inverse=True)
+        code = sinv.astype(np.int64) * 32 + digits
+        uc, cnt = np.unique(code, return_counts=True)
+        return pa.table({
+            state_col: pa.array(us[uc // 32].tolist(),
+                                type=pa.string()),
+            "gap_digits": pa.array((uc % 32).astype(np.int64)),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    parts = group_by_key_bucket(ds.select_columns(cols), key_col,
+                                per_group)
+    agg = parts.groupby([state_col, "gap_digits"]) \
+        .aggregate(Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda b: pa.table({state_col: b[state_col].cast(pa.string()),
+                            "gap_digits": b["gap_digits"].cast(pa.int64()),
+                            "n": b["n"].cast(pa.int64())}),
+        batch_format="pyarrow")
