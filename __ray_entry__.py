@@ -3984,6 +3984,257 @@ def q_top_type_user(sf_dir: str):
     return group_by_key_bucket(pairs, "user_id", argmax)
 
 
+OVERLAP_BOXES = [(-60.0, -40.0, 20.0, 30.0), (-30.0, -20.0, 60.0, 40.0),
+                 (-10.0, -35.0, 40.0, 10.0), (-45.0, -10.0, 5.0, 38.0)]
+
+
+def q_region_overlap_counts(sf_dir: str):
+    """Pairwise region-overlap matrix over ≤64 extract regions: for
+    every region pair (i < j), how many images fall in BOTH — the
+    multi-extract planning statistic (which extracts share data; the
+    extract_multi_fanout membership bitmask reused as a pair counter).
+    Per batch: one uint64 membership bitmask per row, pair counts via
+    in-batch unique(bitmask) pre-collapse, ONE tiny ≤C(64,2) Sum
+    groupby. Only observed pairs are emitted."""
+    from ray.data.aggregate import Sum
+
+    regs = [Region(name=f"r{i}", kind="bbox", bbox=b)
+            for i, b in enumerate(OVERLAP_BOXES)]
+    nreg = len(regs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(lon), dtype=np.uint64)
+        for i, reg in enumerate(regs):
+            m = reg.contains(lon, lat)
+            mask |= m.astype(np.uint64) << np.uint64(i)
+        un, cnt = np.unique(mask, return_counts=True)
+        pairs, ns = [], []
+        for i in range(nreg):
+            for j in range(i + 1, nreg):
+                both = (un >> np.uint64(i)) & (un >> np.uint64(j)) \
+                    & np.uint64(1)
+                n = int(cnt[both == 1].sum())
+                if n:
+                    pairs.append(i * 64 + j)
+                    ns.append(n)
+        return pa.table({"pair": pa.array(pairs, type=pa.int64()),
+                         "n_both": pa.array(ns, type=pa.int64())})
+
+    agg = images_dataset(sf_dir, columns=["lon", "lat"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("pair").aggregate(Sum("n_both", alias_name="n_both"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        pair = batch["pair"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "region_a": pa.array([f"r{p // 64}" for p in pair],
+                                 type=pa.string()),
+            "region_b": pa.array([f"r{p % 64}" for p in pair],
+                                 type=pa.string()),
+            "n_both": batch["n_both"].cast(pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q_late_data_windows(sf_dir: str):
+    """Streaming watermark semantics over 1-hour tumbling windows: each
+    event's arrival is its timestamp plus a deterministic per-event
+    delay (0..2 h); per window, events split into on-time (arrived
+    before window close), late-accepted (within the 600 s watermark)
+    and dropped (after it) — the late-data accounting a streaming
+    engine keeps per window (exact integer arithmetic end to end).
+    Map-side partials into ONE ≤|windows| Sum groupby."""
+    from ray.data.aggregate import Sum
+
+    HOUR = np.int64(3_600_000_000)
+    WM = np.int64(600) * np.int64(1_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        delay = (eid * 2654435761) % 7200 * 1_000_000
+        arrival = ts + delay
+        win = ts // HOUR
+        close = (win + 1) * HOUR
+        on_time = (arrival < close).astype(np.int64)
+        late_ok = ((arrival >= close)
+                   & (arrival < close + WM)).astype(np.int64)
+        dropped = (arrival >= close + WM).astype(np.int64)
+        uw, inv = np.unique(win, return_inverse=True)
+        return pa.table({
+            "window_start_us": pa.array(uw * HOUR),
+            "n_on_time": pa.array(np.bincount(inv, weights=on_time)
+                                  .astype(np.int64)),
+            "n_late_accepted": pa.array(np.bincount(inv, weights=late_ok)
+                                        .astype(np.int64)),
+            "n_dropped": pa.array(np.bincount(inv, weights=dropped)
+                                  .astype(np.int64))})
+
+    agg = _events(sf_dir, ["event_id", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("window_start_us") \
+        .aggregate(Sum("n_on_time", alias_name="n_on_time"),
+                   Sum("n_late_accepted", alias_name="n_late_accepted"),
+                   Sum("n_dropped", alias_name="n_dropped"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "window_start_us": b["window_start_us"].cast(pa.int64()),
+            "n_on_time": b["n_on_time"].cast(pa.int64()),
+            "n_late_accepted": b["n_late_accepted"].cast(pa.int64()),
+            "n_dropped": b["n_dropped"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_promo_trend_monthly(sf_dir: str):
+    """Monthly promo-revenue trend (the Q14 ratio as a reporting time
+    series): per ship month of 1996, promo vs total revenue and the
+    share — dense promo bitmap broadcast, per-batch (month, promo,
+    total) partials, ONE ≤12-row Sum groupby, fixed-order division."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from osmium_tool_ray.pipelines.analytics import _dense_map, _lookup
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy()
+    is_promo = (np.asarray(part["p_type"].to_pylist(), dtype=object)
+                == "PROMO").astype(np.int64)
+    promo_ref = ray.put(_dense_map(pk, is_promo, fill=0))
+    lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01", "us").astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        promo = ray.get(promo_ref)
+        ts = batch["l_shipdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ts >= lo) & (ts < hi)
+        ts = ts[keep]
+        months = ts.astype("datetime64[us]").astype("datetime64[M]")
+        ym = (months.astype(np.int64) + 1970 * 12)  # months since year 0
+        price = batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        pkey = batch["l_partkey"].to_numpy(zero_copy_only=False)[keep]
+        rev = (np.rint(price * 100.0).astype(np.int64)
+               * (100 - np.rint(disc * 100.0).astype(np.int64)))
+        flag = _lookup(promo, pkey)
+        um, inv = np.unique(ym, return_inverse=True)
+        return pa.table({
+            "month": pa.array(um // 12 * 100 + um % 12 + 1),
+            "promo_c4": pa.array(np.bincount(inv, weights=rev * flag)
+                                 .astype(np.int64)),
+            "total_c4": pa.array(np.bincount(inv, weights=rev)
+                                 .astype(np.int64))})
+
+    agg = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("month").aggregate(Sum("promo_c4", alias_name="promo_c4"),
+                                    Sum("total_c4", alias_name="total_c4"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        p = batch["promo_c4"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = batch["total_c4"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "month": batch["month"].cast(pa.int64()),
+            "promo_c4": pa.array(p), "total_c4": pa.array(t),
+            "promo_pct": pa.array(100.0 * p.astype(np.float64)
+                                  / t.astype(np.float64))})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q_supplier_share_of_nation(sf_dir: str):
+    """Each supplier's share of its nation's total revenue — the
+    two-level aggregate a SUM() OVER (PARTITION BY nation) window
+    expresses in SQL: ONE groupby bounded by |suppliers|, nation
+    totals folded from it through a second ≤|nation| aggregate and
+    broadcast back as a dict; the share division is fixed-order."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from osmium_tool_ray.pipelines.analytics import _dense_map, _lookup
+
+    supplier = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    snat = _dense_map(supplier["s_suppkey"].to_numpy(),
+                      supplier["s_nationkey"].to_numpy()
+                      .astype(np.int64), fill=-1)
+    snat_ref = ray.put(snat)
+    nname = dict(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_name"].to_pylist()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = (np.rint(price * 100.0).astype(np.int64)
+               * (100 - np.rint(disc * 100.0).astype(np.int64)))
+        un, inv = np.unique(sk, return_inverse=True)
+        return pa.table({
+            "s_suppkey": pa.array(un.astype(np.int64)),
+            "rev_c4": pa.array(np.bincount(inv, weights=rev)
+                               .astype(np.int64))})
+
+    agg = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("s_suppkey") \
+        .aggregate(Sum("rev_c4", alias_name="revenue_c4")).materialize()
+
+    def nat_partial(batch: pa.Table) -> pa.Table:
+        sn = ray.get(snat_ref)
+        nk = _lookup(sn, batch["s_suppkey"].cast(pa.int64())
+                     .to_numpy(zero_copy_only=False))
+        rev = batch["revenue_c4"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        un, inv = np.unique(nk, return_inverse=True)
+        return pa.table({
+            "nk": pa.array(un.astype(np.int64)),
+            "nat_c4": pa.array(np.bincount(inv, weights=rev)
+                               .astype(np.int64))})
+
+    nat_rows = agg.map_batches(nat_partial, batch_format="pyarrow") \
+        .groupby("nk").aggregate(Sum("nat_c4", alias_name="nat_c4")) \
+        .take_all()
+    nat_tot = {int(r["nk"]): np.int64(r["nat_c4"]) for r in nat_rows}
+    nat_ref = ray.put(nat_tot)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        sn = ray.get(snat_ref)
+        nats = ray.get(nat_ref)
+        sk = batch["s_suppkey"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        rev = batch["revenue_c4"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        nk = _lookup(sn, sk)
+        nat = np.asarray([nats[int(k)] for k in nk], dtype=np.int64)
+        return pa.table({
+            "s_suppkey": pa.array(sk),
+            "n_name": pa.array([nname[int(k)] for k in nk],
+                               type=pa.string()),
+            "revenue_c4": pa.array(rev),
+            "nation_revenue_c4": pa.array(nat),
+            "share": pa.array(rev.astype(np.float64)
+                              / nat.astype(np.float64))})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -7173,6 +7424,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_digit_hist": q_gap_digit_hist,
         "ttr_docs": q_ttr_docs,
         "top_type_user": q_top_type_user,
+        "region_overlap_counts": q_region_overlap_counts,
+        "late_data_windows": q_late_data_windows,
+        "promo_trend_monthly": q_promo_trend_monthly,
+        "supplier_share_of_nation": q_supplier_share_of_nation,
         "tile_contrast": q_tile_contrast,
         "cell_diversity": q_cell_diversity,
         "coverage_gaps": q_coverage_gaps,
@@ -7425,6 +7680,18 @@ def oracle_sql() -> dict[str, str]:
     for (x1, y1), (x2, y2) in zip(POLY[:-1], POLY[1:]):
         edges.append(f"(({x2} - {x1}) * (lat - {y1}) - (lon - {x1}) * ({y2} - {y1})) >= 0")
     poly_pred = " AND ".join(edges)
+    ov = []
+    for i in range(len(OVERLAP_BOXES)):
+        for j in range(i + 1, len(OVERLAP_BOXES)):
+            a, b = OVERLAP_BOXES[i], OVERLAP_BOXES[j]
+            pred = (f"lon >= {a[0]} AND lon <= {a[2]} "
+                    f"AND lat >= {a[1]} AND lat <= {a[3]} "
+                    f"AND lon >= {b[0]} AND lon <= {b[2]} "
+                    f"AND lat >= {b[1]} AND lat <= {b[3]}")
+            ov.append(f"SELECT 'r{i}' AS region_a, 'r{j}' AS region_b, "
+                      f"CAST(COUNT(*) AS BIGINT) AS n_both "
+                      f"FROM images WHERE {pred}")
+    overlap_sql = " UNION ALL ".join(ov)
     out = {
         "extract_bbox": f"""{cte}
             SELECT image_id, lon, lat, caption FROM images
@@ -7717,6 +7984,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.n AS DOUBLE) / CAST(p.pn AS DOUBLE) AS ratio
             FROM c JOIN p ON p.px = c.cell_x // 4
                          AND p.py = c.cell_y // 4""",
+        "region_overlap_counts": f"""{cte}
+            SELECT * FROM ({overlap_sql}) WHERE n_both > 0""",
+        "late_data_windows": """
+            WITH e AS (SELECT
+                    epoch_us(ts)
+                    + (event_id * 2654435761) % 7200 * 1000000
+                        AS arrival,
+                    (epoch_us(ts) // 3600000000) * 3600000000
+                        AS window_start_us
+                FROM events)
+            SELECT window_start_us,
+                   CAST(SUM(CASE WHEN arrival
+                                      < window_start_us + 3600000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_on_time,
+                   CAST(SUM(CASE WHEN arrival
+                                      >= window_start_us + 3600000000
+                                  AND arrival
+                                      < window_start_us + 4200000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_late_accepted,
+                   CAST(SUM(CASE WHEN arrival
+                                      >= window_start_us + 4200000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dropped
+            FROM e GROUP BY 1""",
+        "promo_trend_monthly": """
+            WITH f AS (
+                SELECT year(l_shipdate) * 100 + month(l_shipdate)
+                           AS month,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           AS rev,
+                       p_type
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01')
+            SELECT month,
+                   CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                                 ELSE 0 END) AS BIGINT) AS promo_c4,
+                   CAST(SUM(rev) AS BIGINT) AS total_c4,
+                   100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                                         ELSE 0 END) AS DOUBLE)
+                         / CAST(SUM(rev) AS DOUBLE) AS promo_pct
+            FROM f GROUP BY 1""",
+        "supplier_share_of_nation": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100)
+                                         AS BIGINT))) AS BIGINT)
+                           AS revenue_c4
+                FROM lineitem GROUP BY 1),
+            j AS (SELECT s.s_suppkey, s.s_nationkey, r.revenue_c4
+                  FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey),
+            t AS (SELECT s_nationkey,
+                         CAST(SUM(revenue_c4) AS BIGINT)
+                             AS nation_revenue_c4
+                  FROM j GROUP BY 1)
+            SELECT j.s_suppkey, n.n_name, j.revenue_c4,
+                   t.nation_revenue_c4,
+                   CAST(j.revenue_c4 AS DOUBLE)
+                   / CAST(t.nation_revenue_c4 AS DOUBLE) AS share
+            FROM j
+            JOIN t ON j.s_nationkey = t.s_nationkey
+            JOIN nation n ON n.n_nationkey = j.s_nationkey""",
         "nation_trade_volume": """
             WITH f AS (
                 SELECT s.s_nationkey AS sn, c.c_nationkey AS cn,
