@@ -4235,6 +4235,178 @@ def q_supplier_share_of_nation(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def q_containment_docs(sf_dir: str):
+    """EXACT asymmetric containment self-join over word-3-gram shingles
+    (stages/dedup.containment_join): every directed pair where >=60% of
+    a's shingles appear in b — the quote/superset screen Jaccard misses
+    when the containing doc is much larger; a-side prefix x b-side full
+    postings under a rarest-first token order, one directed-pair
+    distinct, fused exact verify."""
+    from osmium_tool_ray.stages.dedup import containment_join
+
+    return containment_join(_docs(sf_dir, ["doc_id", "text"]),
+                            threshold=0.6, n=3)
+
+
+def q_basket_brand_pairs(sf_dir: str):
+    """Market-basket brand co-occurrence (the association-rule support
+    count): for every brand pair, in how many orders both brands
+    appear — per-order distinct brands via ONE orderkey-bucket fold
+    (order lines span blocks), in-bucket pair emission bounded by
+    C(|brands|,2) ≈ 300, one tiny pair Sum groupby. Brand lookup is a
+    dense partkey→brand-code broadcast."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from osmium_tool_ray.blocks import group_by_key_bucket
+    from osmium_tool_ray.pipelines.analytics import _dense_map, _lookup
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    brands = np.asarray(part["p_brand"].to_pylist(), dtype=object)
+    ub, binv = np.unique(brands.astype("U"), return_inverse=True)
+    bmap_ref = ray.put(_dense_map(part["p_partkey"].to_numpy(),
+                                  binv.astype(np.int64), fill=-1))
+    nb = len(ub)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bmap_ref)
+        bc = _lookup(bm, batch["l_partkey"].to_numpy(
+            zero_copy_only=False))
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        code = lk * np.int64(64) + bc
+        un = np.unique(code)
+        return pa.table({"l_orderkey": pa.array(un // 64),
+                         "bc": pa.array(un % 64)})
+
+    pairs_schema = pa.schema([("pair", pa.int64()),
+                              ("support", pa.int64())])
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "l_orderkey" not in g.schema.names:
+            return pairs_schema.empty_table()
+        lk = g["l_orderkey"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        bc = g["bc"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        code = np.unique(lk * np.int64(64) + bc)
+        ok, obc = code // 64, code % 64
+        # one uint64 brand bitmask per order (bitwise_or.reduceat over
+        # the sorted runs), then collapse to DISTINCT masks and count
+        # every bit pair with ONE 64x|masks| boolean matmul — zero
+        # per-order Python
+        new = np.ones(len(ok), dtype=bool)
+        new[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(new)
+        masks = np.bitwise_or.reduceat(
+            (np.uint64(1) << obc.astype(np.uint64)).astype(np.uint64),
+            starts)
+        um, ucnt = np.unique(masks, return_counts=True)
+        bits = ((um[None, :] >> np.arange(64, dtype=np.uint64)[:, None])
+                & np.uint64(1)).astype(np.int64)      # 64 x |um|
+        support = bits @ (bits * ucnt).T              # 64 x 64
+        ii, jj = np.triu_indices(64, k=1)
+        s = support[ii, jj]
+        nz = s > 0
+        return pa.table({
+            "pair": pa.array((ii[nz] * 64 + jj[nz]).astype(np.int64)),
+            "support": pa.array(s[nz].astype(np.int64))})
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"]) \
+        .map_batches(proj, batch_format="pyarrow")
+    agg = group_by_key_bucket(li, "l_orderkey", fold) \
+        .groupby("pair").aggregate(Sum("support", alias_name="support"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        pr = batch["pair"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "brand_a": pa.array(ub[pr // 64].tolist(),
+                                type=pa.string()),
+            "brand_b": pa.array(ub[pr % 64].tolist(),
+                                type=pa.string()),
+            "support": batch["support"].cast(pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q_order_linecount_dist(sf_dir: str):
+    """Order-size distribution: how many orders have k lineitems — the
+    degree-distribution shape on a fact table (per-batch per-order
+    partial counts, ONE groupby Sum bounded by |orders|, then a
+    constant ≤|max lines| histogram fold)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        un, cnt = np.unique(lk, return_counts=True)
+        return pa.table({"l_orderkey": pa.array(un.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    per_order = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                                   columns=["l_orderkey"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("n", alias_name="n"))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        n = batch["n"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        un, cnt = np.unique(n, return_counts=True)
+        return pa.table({"n_lines": pa.array(un),
+                         "n_orders": pa.array(cnt.astype(np.int64))})
+
+    agg = per_order.map_batches(hist, batch_format="pyarrow") \
+        .groupby("n_lines").aggregate(Sum("n_orders",
+                                          alias_name="n_orders"))
+    return agg.map_batches(
+        lambda b: pa.table({"n_lines": b["n_lines"].cast(pa.int64()),
+                            "n_orders": b["n_orders"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_repeat_purchase_interval(sf_dir: str):
+    """Repeat-purchase cadence per customer: number of order gaps, the
+    exact total and maximum gap in whole days between consecutive
+    orders in (date, orderkey) order — ONE custkey-bucket shuffle +
+    segmented lexsort diff (customers with ≥2 orders only)."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    def fold(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("o_custkey", pa.int64()),
+                            ("n_gaps", pa.int64()),
+                            ("sum_gap_days", pa.int64()),
+                            ("max_gap_days", pa.int64())])
+        if g.num_rows < 2 or "o_custkey" not in g.schema.names:
+            return schema.empty_table()
+        ck = g["o_custkey"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = g["o_orderdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ok = g["o_orderkey"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((ok, ts, ck))
+        ck, ts = ck[order], ts[order]
+        same = ck[1:] == ck[:-1]
+        if not same.any():
+            return schema.empty_table()
+        gap = ((ts[1:] - ts[:-1]) // 86_400_000_000)[same]
+        key = ck[1:][same]
+        un, inv = np.unique(key, return_inverse=True)
+        mx = np.zeros(len(un), dtype=np.int64)
+        np.maximum.at(mx, inv, gap)
+        return pa.table({
+            "o_custkey": pa.array(un),
+            "n_gaps": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_gap_days": pa.array(np.bincount(inv, weights=gap)
+                                     .astype(np.int64)),
+            "max_gap_days": pa.array(mx)})
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    return group_by_key_bucket(orders, "o_custkey", fold)
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -7428,6 +7600,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_data_windows": q_late_data_windows,
         "promo_trend_monthly": q_promo_trend_monthly,
         "supplier_share_of_nation": q_supplier_share_of_nation,
+        "containment_docs": q_containment_docs,
+        "basket_brand_pairs": q_basket_brand_pairs,
+        "order_linecount_dist": q_order_linecount_dist,
+        "repeat_purchase_interval": q_repeat_purchase_interval,
         "tile_contrast": q_tile_contrast,
         "cell_diversity": q_cell_diversity,
         "coverage_gaps": q_coverage_gaps,
@@ -7984,6 +8160,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.n AS DOUBLE) / CAST(p.pn AS DOUBLE) AS ratio
             FROM c JOIN p ON p.px = c.cell_x // 4
                          AND p.py = c.cell_y // 4""",
+        "basket_brand_pairs": """
+            WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+                        FROM lineitem
+                        JOIN part ON l_partkey = p_partkey)
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   CAST(COUNT(*) AS BIGINT) AS support
+            FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+                               AND a.p_brand < b.p_brand
+            GROUP BY 1, 2""",
+        "order_linecount_dist": """
+            WITH c AS (SELECT l_orderkey, COUNT(*) AS n
+                       FROM lineitem GROUP BY 1)
+            SELECT n AS n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM c GROUP BY 1""",
+        "repeat_purchase_interval": """
+            WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey,
+                              LAG(o_orderdate) OVER (
+                                  PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+                                  AS prev
+                       FROM orders),
+            g AS (SELECT o_custkey,
+                         (epoch_us(o_orderdate) - epoch_us(prev))
+                         // 86400000000 AS gap
+                  FROM o WHERE prev IS NOT NULL)
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(SUM(gap) AS BIGINT) AS sum_gap_days,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_days
+            FROM g GROUP BY 1""",
         "region_overlap_counts": f"""{cte}
             SELECT * FROM ({overlap_sql}) WHERE n_both > 0""",
         "late_data_windows": """
@@ -10756,7 +10961,8 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE lag >= 1 GROUP BY lag ORDER BY lag""",
     }
     from osmium_tool_ray.oracles import (
-        char_shingle_pairs_sql, fuzzy_contamination_sql, jaccard_join_sql,
+        char_shingle_pairs_sql, containment_join_sql,
+        fuzzy_contamination_sql, jaccard_join_sql,
         langid_sql, rasterize_convex_sql, simhash_sql, word_ngram_pairs_sql,
     )
 
@@ -10787,6 +10993,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN pairs p USING (doc_id)"""
     out["ngram_dup_pairs"] = word_ngram_pairs_sql(threshold=0.35, n=3)
     out["jaccard_join_docs"] = jaccard_join_sql(threshold=0.35, n=3)
+    out["containment_docs"] = containment_join_sql(threshold=0.6, n=3)
     out["fuzzy_contamination_docs"] = fuzzy_contamination_sql(
         threshold=0.3, n=3, bench_pred="id % 101 = 0")
     # the planted near-dups (q_embedding_neardup augment) are the provable

@@ -322,3 +322,38 @@ def word_ngram_pairs_sql(threshold: float, n: int = 3,
     )
     SELECT src AS {id_col}, MIN(dst) AS dup_of
     FROM reach GROUP BY src HAVING MIN(dst) <> src"""
+
+
+def containment_join_sql(threshold: float, n: int = 3,
+                         table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    """Ground-truth EXACT word-n-gram DIRECTED containment join — the
+    definitional twin of stages/dedup.containment_join (same
+    tokenization and short-doc whole-text shingle as jaccard_join_sql,
+    but asymmetric: |Sa ∩ Sb| / |Sa| >= t over ordered pairs a != b)."""
+    return f"""
+    WITH tok AS (
+        SELECT {id_col} AS id,
+               list_filter(string_split_regex(lower({text_col}), '[^a-z0-9_]+'),
+                           _t -> _t <> '') AS ts,
+               lower({text_col}) AS lt
+        FROM {table}
+    ),
+    grams AS (
+        SELECT DISTINCT id,
+               list_aggregate(ts[i : i + {n - 1}], 'string_agg', ' ') AS sh
+        FROM tok, unnest(range(1, len(ts) - {n - 1} + 1)) AS u(i)
+        WHERE len(ts) >= {n}
+        UNION
+        SELECT DISTINCT id, lt AS sh FROM tok WHERE len(ts) < {n}
+    ),
+    sizes AS (SELECT id, COUNT(*) AS ns FROM grams GROUP BY id),
+    inter AS (
+        SELECT a.id AS a, b.id AS b, COUNT(*) AS i
+        FROM grams a JOIN grams b ON a.sh = b.sh AND a.id <> b.id
+        GROUP BY 1, 2
+    )
+    SELECT i.a AS a, i.b AS b, i.i AS inter_sz, sa.ns AS a_sz,
+           CAST(i.i AS DOUBLE) / sa.ns AS containment
+    FROM inter i JOIN sizes sa ON sa.id = i.a
+    WHERE CAST(i.i AS DOUBLE) / sa.ns >= {threshold}"""

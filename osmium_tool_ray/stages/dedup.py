@@ -1418,6 +1418,268 @@ def jaccard_join(docs, text_col: str = "text", id_col: str = "doc_id",
                                 decode_payload=_decode_packed_u64)
 
 
+def containment_join(docs, text_col: str = "text", id_col: str = "doc_id",
+                     threshold: float = 0.6, n: int = 3,
+                     coarse: int | None = None,
+                     df_broadcast_cap: int = 4_000_000, sets_fn=None):
+    """EXACT asymmetric containment self-join over word-n-gram shingle
+    sets: every DIRECTED pair (a, b) with |Sa ∩ Sb| / |Sa| >= threshold
+    — "a is (near-)contained in b", the quote/superset/decontamination
+    screen where Jaccard fails because |Sb| may be unboundedly larger
+    (the asymmetric variant of SSJoin prefix filtering, Chaudhuri et
+    al. 2006 §4; reference analogy: tags-filter's subset semantics,
+    /root/reference/src/command_tags_filter.cpp).
+
+    Prefix rule: under ANY global token order, C(a→b) >= t forces a's
+    first p = s - ceil(t*s) + 1 ordered tokens to intersect b's FULL
+    set — so a-side emits only prefixes while the b-side emits its
+    whole set (the inverted-postings shape postings_docs already
+    builds). Tokens order rarest-first by a mergeable (df, hash) fold
+    (hash order past `df_broadcast_cap` — order affects only pruning,
+    never correctness). Per-token emission is probe x postings with the
+    size filter sb >= t*sa and the positional filter sa - pos >= t*sa;
+    ONE directed-pair-hash distinct, then the exact verify runs fused
+    inside the payload attach (packed uint64 sets, never text).
+
+    Returns (a, b, inter_sz, a_sz, containment); containment is the
+    single IEEE division inter/a_sz (bit-identical to the SQL twin)."""
+    import ray
+
+    if coarse is None:
+        coarse = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    if sets_fn is None:
+        sets_fn = lambda texts: _word_ngram_sets(texts, n)  # noqa: E731
+
+    s = docs.schema()
+    id_type = dict(zip(s.names, s.types))[id_col]
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        sets = sets_fn(batch[text_col].to_pylist())
+        flat = np.sort(np.concatenate(sets)) if sets \
+            else np.empty(0, np.uint64)
+        neww = np.ones(len(flat), dtype=bool)
+        neww[1:] = flat[1:] != flat[:-1]
+        vals = flat[neww]
+        cnt = np.diff(np.append(np.flatnonzero(neww), len(flat)))
+        return pa.table({
+            "sh": pa.array(vals.view(np.int64)),
+            "df": pa.array(cnt.astype(np.int64)),
+            "_b": pa.array((vals % np.uint64(32)).astype(np.int32))})
+
+    def df_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "sh" not in g.schema.names:
+            return pa.table({"sh": pa.array([], type=pa.int64()),
+                             "df": pa.array([], type=pa.int64())})
+        agg = g.select(["sh", "df"]).group_by("sh") \
+            .aggregate([("df", "sum")])
+        return pa.table({"sh": agg["sh"].cast(pa.int64()),
+                         "df": agg["df_sum"].cast(pa.int64())})
+
+    dfd = docs.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(df_fold, batch_format="pyarrow") \
+        .materialize()
+    rank_ref = None
+    if dfd.count() <= df_broadcast_cap:
+        tbls = [r for r in dfd.iter_batches(batch_size=None,
+                                            batch_format="pyarrow")]
+        dft = pa.concat_tables(tbls) if tbls else None
+        if dft is not None and dft.num_rows:
+            sh = dft["sh"].to_numpy(zero_copy_only=False).view(np.uint64)
+            dfv = dft["df"].to_numpy(zero_copy_only=False)
+            by_hash = np.argsort(sh)
+            sh_sorted = sh[by_hash]
+            by_rare = np.lexsort((sh_sorted, dfv[by_hash]))
+            rank = np.empty(len(sh), dtype=np.int64)
+            rank[by_rare] = np.arange(len(sh))
+            rank_ref = ray.put((sh_sorted, rank))
+
+    # probe (prefix, side=0) + postings (full, side=1) rows per doc
+    def emit_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = np.asarray(batch[id_col].to_pylist())
+        sets = sets_fn(texts)
+        sizes = np.asarray([len(st) for st in sets], dtype=np.int64)
+        if len(sets) == 0 or sizes.sum() == 0:
+            return pa.table({
+                "tok": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=id_type),
+                "sz": pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "side": pa.array([], type=pa.int8()),
+                "_cb": pa.array([], type=pa.int32())})
+        flat = np.concatenate(sets)
+        doc_idx = np.repeat(np.arange(len(sets)), sizes)
+        if rank_ref is not None:
+            sh_sorted, rank = ray.get(rank_ref)
+            keyv = rank[np.searchsorted(sh_sorted, flat)]
+        else:
+            keyv = flat
+        o = np.lexsort((keyv, doc_idx))
+        flat, doc_idx = flat[o], doc_idx[o]
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        pos = np.arange(len(flat)) - starts[doc_idx]
+        p = sizes - np.ceil(threshold * sizes - 1e-9).astype(np.int64) + 1
+        probe = pos < p[doc_idx]
+        tok = np.concatenate([flat[probe], flat])
+        didx = np.concatenate([doc_idx[probe], doc_idx])
+        posv = np.concatenate([pos[probe], pos])
+        side = np.concatenate([
+            np.zeros(int(probe.sum()), dtype=np.int8),
+            np.ones(len(flat), dtype=np.int8)])
+        return pa.table({
+            "tok": pa.array(tok.view(np.int64)),
+            id_col: pa.array(ids[didx].tolist(), type=id_type),
+            "sz": pa.array(sizes[didx]),
+            "pos": pa.array(posv),
+            "side": pa.array(side),
+            "_cb": pa.array((splitmix64(tok) % np.uint64(coarse))
+                            .astype(np.int32))})
+
+    pair_schema = pa.schema([("a", id_type), ("b", id_type)])
+
+    def emit(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "tok" not in g.schema.names:
+            return pair_schema.empty_table()
+        tok = g["tok"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(g[id_col].to_pylist())
+        szs = g["sz"].to_numpy(zero_copy_only=False)
+        pss = g["pos"].to_numpy(zero_copy_only=False)
+        sd = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sd, tok))
+        tok, ids, szs, pss, sd = (tok[order], ids[order], szs[order],
+                                  pss[order], sd[order])
+        new = np.ones(len(tok), dtype=bool)
+        new[1:] = tok[1:] != tok[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(tok))
+        outa, outb = [], []
+        for st, en in zip(starts, ends):
+            seg_sd = sd[st:en]
+            nprobe = int((seg_sd == 0).sum())
+            npost = (en - st) - nprobe
+            if nprobe == 0 or npost == 0:
+                continue
+            # side-sorted: probes first, postings after
+            pa_ids, pa_sz, pa_pos = (ids[st:st + nprobe],
+                                     szs[st:st + nprobe],
+                                     pss[st:st + nprobe])
+            pb_ids = ids[st + nprobe:en]
+            pb_sz = szs[st + nprobe:en]
+            ai = np.repeat(np.arange(nprobe), npost)
+            bi = np.tile(np.arange(npost), nprobe)
+            keep = (pb_sz[bi] >= threshold * pa_sz[ai] - 1e-9) \
+                & (pa_sz[ai] - pa_pos[ai]
+                   >= threshold * pa_sz[ai] - 1e-9) \
+                & (pa_ids[ai] != pb_ids[bi])
+            if keep.any():
+                outa.append(pa_ids[ai[keep]])
+                outb.append(pb_ids[bi[keep]])
+        if not outa:
+            return pair_schema.empty_table()
+        a_, b_ = np.concatenate(outa), np.concatenate(outb)
+        o = np.lexsort((b_, a_))
+        a_, b_ = a_[o], b_[o]
+        first = np.ones(len(a_), dtype=bool)
+        first[1:] = (a_[1:] != a_[:-1]) | (b_[1:] != b_[:-1])
+        return pa.table({"a": pa.array(a_[first].tolist(), type=id_type),
+                         "b": pa.array(b_[first].tolist(),
+                                       type=id_type)})
+
+    def add_pb(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pair_schema.empty_table() \
+                .append_column("_pb", pa.array([], type=pa.int32()))
+        ha = hash_str_u64(batch["a"].cast(pa.string()))
+        hb = hash_str_u64(batch["b"].cast(pa.string()))
+        with np.errstate(over="ignore"):
+            h = splitmix64(ha ^ splitmix64(splitmix64(hb)))
+        return batch.append_column(
+            "_pb", pa.array((h % np.uint64(coarse)).astype(np.int32)))
+
+    def pair_distinct(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "a" not in g.schema.names:
+            return pair_schema.empty_table()
+        a_ = np.asarray(g["a"].to_pylist())
+        b_ = np.asarray(g["b"].to_pylist())
+        o = np.lexsort((b_, a_))
+        a_, b_ = a_[o], b_[o]
+        first = np.ones(len(a_), dtype=bool)
+        first[1:] = (a_[1:] != a_[:-1]) | (b_[1:] != b_[:-1])
+        return pa.table({"a": pa.array(a_[first].tolist(), type=id_type),
+                         "b": pa.array(b_[first].tolist(),
+                                       type=id_type)})
+
+    rows = docs.map_batches(emit_rows, batch_format="pyarrow")
+    raw_pairs = rows.groupby("_cb").map_groups(emit,
+                                               batch_format="pyarrow")
+    pruned = _drop_empty_blocks(raw_pairs)
+    pairs = None if pruned is None else _drop_empty_blocks(
+        pruned.map_batches(add_pb, batch_format="pyarrow")
+        .groupby("_pb").map_groups(pair_distinct,
+                                   batch_format="pyarrow"))
+    if pairs is not None:
+        pairs = pairs.materialize()
+    empty = pa.table({"a": pa.array([], type=id_type),
+                      "b": pa.array([], type=id_type),
+                      "inter_sz": pa.array([], type=pa.int64()),
+                      "a_sz": pa.array([], type=pa.int64()),
+                      "containment": pa.array([], type=pa.float64())})
+    if pairs is None or pairs.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def pack_sets(batch: pa.Table) -> pa.Table:
+        sets = sets_fn(batch[text_col].to_pylist())
+        return pa.table({
+            id_col: batch[id_col],
+            "packed": pa.array([st.tobytes() for st in sets],
+                               type=pa.binary())})
+
+    packed = docs.map_batches(pack_sets, batch_format="pyarrow")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids_a = batch["a"].to_pylist()
+        ids_b = batch["b"].to_pylist()
+        set_of: dict = {}
+        for i, buf in zip(ids_a, batch["packed_a"].to_pylist()):
+            if i not in set_of:
+                set_of[i] = np.frombuffer(buf, dtype=np.uint64)
+        for i, buf in zip(ids_b, batch["packed_b"].to_pylist()):
+            if i not in set_of:
+                set_of[i] = np.frombuffer(buf, dtype=np.uint64)
+        na, nb, inter = _pair_set_inters(ids_a, ids_b, set_of)
+        cont = inter / np.maximum(na, 1)
+        cont[na == 0] = 1.0
+        keep = pa.array(cont >= threshold)
+        return pa.table({
+            "a": batch["a"], "b": batch["b"],
+            "inter_sz": pa.array(inter), "a_sz": pa.array(na),
+            "containment": pa.array(cont)}).filter(keep)
+
+    def verify_indexed(sub: pa.Table, pos_a, pos_b, state) -> pa.Table:
+        if sub.num_rows == 0 or state is None:
+            return pa.table({
+                "a": sub["a"], "b": sub["b"],
+                "inter_sz": pa.array([], type=pa.int64()),
+                "a_sz": pa.array([], type=pa.int64()),
+                "containment": pa.array([], type=pa.float64())})
+        sz = state[2]
+        inter = _pair_set_inters_idx(pos_a, pos_b, state)
+        na = sz[pos_a]
+        cont = inter / np.maximum(na, 1)
+        cont[na == 0] = 1.0
+        keep = pa.array(cont >= threshold)
+        return pa.table({
+            "a": sub["a"], "b": sub["b"],
+            "inter_sz": pa.array(inter),
+            "a_sz": pa.array(na.astype(np.int64)),
+            "containment": pa.array(cont)}).filter(keep)
+
+    return _attach_pair_payload(pairs, packed, id_col, "packed",
+                                consume=verify,
+                                consume_indexed=verify_indexed,
+                                decode_payload=_decode_packed_u64)
+
+
 def cosine_tf_join(docs, threshold: float = 0.6, df_cap: int = 200,
                    text_col: str = "text", id_col: str = "doc_id",
                    coarse: int | None = None,
