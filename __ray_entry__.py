@@ -4407,6 +4407,122 @@ def q_repeat_purchase_interval(sf_dir: str):
     return group_by_key_bucket(orders, "o_custkey", fold)
 
 
+def q_ks_value_by_type(sf_dir: str):
+    """Exact two-sample KS drift test of each event type's value
+    distribution vs the rest (pipelines/stats.ks_two_sample): tie-
+    correct integer D numerator via the distributed-rank cumulative
+    scan (per-block cumsums + driver-scanned block totals), one final
+    fixed-order division. Valid while n_g * n_rest < 2^63."""
+    from osmium_tool_ray.pipelines.stats import ks_two_sample
+
+    return ks_two_sample(_events(sf_dir, ["event_type", "value"]),
+                         "event_type", "value")
+
+
+def q_first3_path_counts(sf_dir: str):
+    """Onboarding-path analysis: each user's first three event types in
+    (ts, event_id) order joined as 'a>b>c', counted across users with
+    ≥3 events — ONE user-bucket lexsort fold (position-masked take,
+    three vectorized U-dtype concats), then a tiny per-path Sum."""
+    from ray.data.aggregate import Sum
+
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    def fold(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("path", pa.string()),
+                            ("n_users", pa.int64())])
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return schema.empty_table()
+        uid = g["user_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        typ = np.asarray(g["event_type"].to_pylist(), dtype="U")
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s = uid[order], typ[order]
+        start = np.ones(len(u_s), dtype=bool)
+        start[1:] = u_s[1:] != u_s[:-1]
+        seg = np.cumsum(start) - 1
+        n_per = np.bincount(seg)
+        firsts = np.flatnonzero(start)
+        f = firsts[n_per >= 3]               # users with >=3 events:
+        if len(f) == 0:                      # rows are contiguous, so
+            return schema.empty_table()      # f, f+1, f+2 are theirs
+        t1, t2, t3 = t_s[f], t_s[f + 1], t_s[f + 2]
+        path = np.char.add(np.char.add(np.char.add(np.char.add(
+            t1, ">"), t2), ">"), t3)
+        up, cnt = np.unique(path, return_counts=True)
+        return pa.table({"path": pa.array(up.tolist(),
+                                          type=pa.string()),
+                         "n_users": pa.array(cnt.astype(np.int64))})
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+    agg = group_by_key_bucket(ev, "user_id", fold) \
+        .groupby("path").aggregate(Sum("n_users", alias_name="n_users"))
+    return agg.map_batches(
+        lambda b: pa.table({"path": b["path"].cast(pa.string()),
+                            "n_users": b["n_users"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_brightness_by_cell(sf_dir: str):
+    """Mean decoded-pixel brightness per level-6 map cell — raster
+    statistics computed FROM the image payload (the axes-A+B fusion:
+    pixels decode in fused stateless tasks with the module codec
+    cache, exact int64 brightness sums ride a narrow (cell, sum, n)
+    partial into ONE Sum groupby, one fixed-order division at the
+    end). Rows-only (pixel op); pytest pins a numpy reference."""
+    from ray.data.aggregate import Sum
+
+    from osmium_tool_ray.stages.media import _load_codec
+
+    n6 = np.int64(1) << np.int64(TILE_LEVEL)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        codec = _load_codec()
+        pix, w, h = codec.decode_batch(batch["bytes"])
+        bsum = pix.astype(np.int64).sum(axis=1) if pix.size \
+            else np.zeros(batch.num_rows, dtype=np.int64)
+        npx = np.full(batch.num_rows, pix.shape[1] if pix.size else 0,
+                      dtype=np.int64)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        x = np.floor((lon + 180.0) / 360.0 * n6).astype(np.int64)
+        y = np.floor((lat + 90.0) / 180.0 * n6).astype(np.int64)
+        np.clip(x, 0, n6 - 1, out=x)
+        np.clip(y, 0, n6 - 1, out=y)
+        cell = x * n6 + y
+        un, inv = np.unique(cell, return_inverse=True)
+        return pa.table({
+            "cell": pa.array(un),
+            "sum_b": pa.array(np.bincount(inv, weights=bsum)
+                              .astype(np.int64)),
+            "n_px": pa.array(np.bincount(inv, weights=npx)
+                             .astype(np.int64))})
+
+    agg = images_dataset(sf_dir, with_bytes=True,
+                         columns=["image_id", "bytes", "lon", "lat"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096) \
+        .groupby("cell").aggregate(Sum("sum_b", alias_name="sum_b"),
+                                   Sum("n_px", alias_name="n_px"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sb = batch["sum_b"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        npx = batch["n_px"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cell_x": pa.array(cell // n6), "cell_y": pa.array(cell % n6),
+            "sum_brightness": pa.array(sb), "n_pixels": pa.array(npx),
+            "mean_brightness": pa.array(sb.astype(np.float64)
+                                        / npx.astype(np.float64))})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -7604,6 +7720,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_brand_pairs": q_basket_brand_pairs,
         "order_linecount_dist": q_order_linecount_dist,
         "repeat_purchase_interval": q_repeat_purchase_interval,
+        "ks_value_by_type": q_ks_value_by_type,
+        "first3_path_counts": q_first3_path_counts,
+        "brightness_by_cell": q_brightness_by_cell,
         "tile_contrast": q_tile_contrast,
         "cell_diversity": q_cell_diversity,
         "coverage_gaps": q_coverage_gaps,
@@ -8160,6 +8279,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.n AS DOUBLE) / CAST(p.pn AS DOUBLE) AS ratio
             FROM c JOIN p ON p.px = c.cell_x // 4
                          AND p.py = c.cell_y // 4""",
+        "ks_value_by_type": """
+            WITH v AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS vc
+                       FROM events),
+            tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nt
+                    FROM v GROUP BY 1),
+            na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+            g AS (SELECT event_type, vc, COUNT(*) AS c
+                  FROM v GROUP BY 1, 2),
+            dv AS (SELECT DISTINCT vc FROM v),
+            grid AS (SELECT t.event_type, dv.vc
+                     FROM tot t CROSS JOIN dv),
+            j AS (SELECT grid.event_type, grid.vc,
+                         COALESCE(g.c, 0) AS c
+                  FROM grid LEFT JOIN g
+                      ON g.event_type = grid.event_type
+                     AND g.vc = grid.vc),
+            cum AS (SELECT event_type, vc,
+                           CAST(SUM(c) OVER (PARTITION BY event_type
+                                             ORDER BY vc
+                                             ROWS UNBOUNDED PRECEDING)
+                                AS BIGINT) AS cum_t
+                    FROM j),
+            alls AS (SELECT vc, CAST(SUM(cum_t) AS BIGINT) AS cum_all
+                     FROM cum GROUP BY vc),
+            d AS (SELECT c.event_type,
+                         CAST(MAX(abs(c.cum_t * (na.n - t.nt)
+                                      - (a.cum_all - c.cum_t) * t.nt))
+                              AS BIGINT) AS d_num
+                  FROM cum c
+                  JOIN alls a USING (vc)
+                  JOIN tot t USING (event_type)
+                  CROSS JOIN na
+                  GROUP BY 1)
+            SELECT d.event_type, t.nt AS n_group,
+                   na.n - t.nt AS n_rest, d.d_num,
+                   CAST(d.d_num AS DOUBLE)
+                   / (CAST(t.nt AS DOUBLE) * (na.n - t.nt)) AS ks
+            FROM d JOIN tot t USING (event_type) CROSS JOIN na""",
+        "first3_path_counts": """
+            WITH o AS (SELECT user_id, event_type,
+                              ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+                       FROM events),
+            p AS (SELECT user_id,
+                         MAX(CASE WHEN rn = 1 THEN event_type END)
+                         || '>' ||
+                         MAX(CASE WHEN rn = 2 THEN event_type END)
+                         || '>' ||
+                         MAX(CASE WHEN rn = 3 THEN event_type END)
+                             AS path
+                  FROM o WHERE rn <= 3 GROUP BY 1
+                  HAVING COUNT(*) = 3)
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM p GROUP BY 1""",
         "basket_brand_pairs": """
             WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
                         FROM lineitem

@@ -1185,3 +1185,106 @@ def theil_sen_per_key(ds, key_col: str, ts_col: str, val_col: str,
     narrow = ds.select_columns([key_col, ts_col, val_col]) \
         .map_batches(pre, batch_format="pyarrow")
     return group_by_key_bucket(narrow, key_col, fold, buckets=buckets)
+
+
+def ks_two_sample(ds, group_col: str, value_col: str,
+                  scale: float = 100.0):
+    """Exact two-sample Kolmogorov-Smirnov statistic of EVERY group vs
+    the rest of the population: D = max over distinct values of
+    |F_g - F_rest|, computed tie-correctly on the integer-scaled value
+    (round(value*scale)) with the float deferred to ONE final division
+    — d_num = max |cum_g * n_rest - cum_rest * n_g| is an exact int64,
+    ks = d_num / (n_g * n_rest). The distribution-drift test a data
+    pipeline runs per source/class (Massey 1951, public method).
+
+    Scale shape: per-batch (value, group) partial counts collapse each
+    block before ONE pivoted groupby Sum over distinct values; the
+    cumulative scan is the global_rank discipline — sort by value,
+    per-block local cumsums, per-block TOTALS (|groups| scalars per
+    block) exclusive-scanned on the driver, stamped back; per-block D
+    partials end in a ≤|groups| Max fold. No row set ever materializes
+    on the driver."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from ..blocks import _remote_num_rows  # noqa: F401 (same module deps)
+    from .analytics import pivot_counts
+
+    # distinct groups (bounded: event classes / sources)
+    groups = sorted(
+        r[group_col]
+        for r in ds.groupby(group_col).count().take_all())
+    gcols = [f"n_{g}" for g in groups]
+
+    def to_vc(batch: pa.Table) -> pa.Table:
+        vc = np.rint(batch[value_col].to_numpy(zero_copy_only=False)
+                     * scale).astype(np.int64)
+        return pa.table({"vc": pa.array(vc),
+                         group_col: batch[group_col]})
+
+    counts = pivot_counts(ds.map_batches(to_vc, batch_format="pyarrow"),
+                          "vc", group_col, groups)
+    sorted_ds = counts.sort("vc").materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def block_totals(tbl: pa.Table):
+        return np.asarray([tbl[c].to_numpy(zero_copy_only=False).sum()
+                           for c in gcols], dtype=np.int64)
+
+    totals = ray.get([block_totals.remote(r) for r in refs])
+    if not totals:
+        return rd.from_arrow(pa.table({
+            group_col: pa.array([], type=pa.string()),
+            "n_group": pa.array([], type=pa.int64()),
+            "n_rest": pa.array([], type=pa.int64()),
+            "d_num": pa.array([], type=pa.int64()),
+            "ks": pa.array([], type=pa.float64())}))
+    tot = np.vstack(totals)                      # blocks x groups
+    offsets = np.vstack([np.zeros(tot.shape[1], dtype=np.int64),
+                         np.cumsum(tot, axis=0)[:-1]])
+    n_g = tot.sum(axis=0)                        # per-group totals
+    n_all = int(n_g.sum())
+
+    @ray.remote(num_cpus=0)
+    def block_d(tbl: pa.Table, off: np.ndarray):
+        if tbl.num_rows == 0:
+            return pa.table({group_col: pa.array([], type=pa.string()),
+                             "d_num": pa.array([], type=pa.int64())})
+        cums = np.empty((tbl.num_rows, len(gcols)), dtype=np.int64)
+        for k, c in enumerate(gcols):
+            cums[:, k] = off[k] + np.cumsum(
+                tbl[c].to_numpy(zero_copy_only=False))
+        cum_all = cums.sum(axis=1)
+        d = np.empty(len(gcols), dtype=np.int64)
+        for k in range(len(gcols)):
+            nrest = n_all - n_g[k]
+            cum_rest = cum_all - cums[:, k]
+            d[k] = np.abs(cums[:, k] * nrest
+                          - cum_rest * n_g[k]).max()
+        return pa.table({group_col: pa.array(list(map(str, groups)),
+                                             type=pa.string()),
+                         "d_num": pa.array(d)})
+
+    parts = [block_d.remote(r, offsets[i]) for i, r in enumerate(refs)]
+    agg = rd.from_arrow_refs(parts).groupby(group_col) \
+        .aggregate(Max("d_num", alias_name="d_num"))
+    ng_map = {str(g): int(n) for g, n in zip(groups, n_g)}
+
+    def fin(batch: pa.Table) -> pa.Table:
+        gs = batch[group_col].to_pylist()
+        d = batch["d_num"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ngv = np.asarray([ng_map[g] for g in gs], dtype=np.int64)
+        nrv = n_all - ngv
+        return pa.table({
+            group_col: pa.array(gs, type=pa.string()),
+            "n_group": pa.array(ngv),
+            "n_rest": pa.array(nrv),
+            "d_num": pa.array(d),
+            "ks": pa.array(d.astype(np.float64)
+                           / (ngv.astype(np.float64)
+                              * nrv.astype(np.float64)))})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
