@@ -4523,6 +4523,208 @@ def q_brightness_by_cell(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def q_gini_revenue(sf_dir: str):
+    """Gini coefficient of customer revenue concentration — the
+    inequality audit over per-customer order totals: G = (2*Σ i*x_i -
+    (n+1)*Σx) / (n*Σx) under the (revenue, custkey) total order.
+    Distributed ROW_NUMBER (pipelines/stats.global_rank) stamps i;
+    per-batch integer partials (Σ i*x, Σx, n) end in one singleton Sum
+    fold — the numerator is exact int64, ONE final fixed-order
+    division."""
+    from ray.data.aggregate import Sum
+
+    from osmium_tool_ray.pipelines.stats import global_rank
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        price = np.rint(batch["o_totalprice"]
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        un, inv = np.unique(ck, return_inverse=True)
+        return pa.table({"o_custkey": pa.array(un.astype(np.int64)),
+                         "rev": pa.array(np.bincount(inv, weights=price)
+                                         .astype(np.int64))})
+
+    rev = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(rev_partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("rev", alias_name="rev"))
+    ranked = global_rank(
+        rev.map_batches(lambda b: pa.table({
+            "o_custkey": b["o_custkey"].cast(pa.int64()),
+            "rev": b["rev"].cast(pa.int64())}),
+            batch_format="pyarrow"),
+        ["rev", "o_custkey"], descending=[False, False], out_col="i")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["rev"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        i = batch["i"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"_k": pa.array([0], type=pa.int64()),
+                         "wsum": pa.array([np.int64((i * x).sum())]),
+                         "tot": pa.array([np.int64(x.sum())]),
+                         "n": pa.array([np.int64(len(x))])})
+
+    agg = ranked.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_k").aggregate(Sum("wsum", alias_name="wsum"),
+                                 Sum("tot", alias_name="tot"),
+                                 Sum("n", alias_name="n"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        w = batch["wsum"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t = batch["tot"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = batch["n"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        num = 2 * w - (n + 1) * t
+        return pa.table({
+            "n": pa.array(n), "total_c": pa.array(t),
+            "gini_num": pa.array(num),
+            "gini": pa.array(num.astype(np.float64)
+                             / (n.astype(np.float64)
+                                * t.astype(np.float64)))})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q_abc_parts(sf_dir: str):
+    """ABC / Pareto classification of parts by revenue: class A holds
+    the parts covering the top 80% of cumulative revenue (descending),
+    B the next 15%, C the tail — integer cross-multiplied thresholds
+    (cum*5 <= tot*4, cum*20 <= tot*19) on the distributed prefix scan
+    (pipelines/windows.running_total global path), aggregated to three
+    rows."""
+    from ray.data.aggregate import Count, Sum
+
+    from osmium_tool_ray.pipelines.windows import running_total
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = (np.rint(price * 100.0).astype(np.int64)
+               * (100 - np.rint(disc * 100.0).astype(np.int64)))
+        un, inv = np.unique(pk, return_inverse=True)
+        return pa.table({"l_partkey": pa.array(un.astype(np.int64)),
+                         "rev": pa.array(np.bincount(inv, weights=rev)
+                                         .astype(np.int64))})
+
+    rev = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(rev_partial, batch_format="pyarrow") \
+        .groupby("l_partkey").aggregate(Sum("rev", alias_name="rev")) \
+        .map_batches(lambda b: pa.table({
+            "l_partkey": b["l_partkey"].cast(pa.int64()),
+            "rev": b["rev"].cast(pa.int64()),
+            "neg": pc.negate(b["rev"].cast(pa.int64()))}),
+            batch_format="pyarrow")
+    scanned = running_total(rev, ["neg", "l_partkey"], "rev",
+                            out_col="cum")
+    from ray.data.aggregate import Sum as _Sum
+    tot = int(rev.map_batches(
+        lambda b: pa.table({"_k": pa.array([0], type=pa.int64()),
+                            "t": pa.array([b["rev"].cast(pa.int64())
+                                           .to_numpy(zero_copy_only=False)
+                                           .sum()], type=pa.int64())}),
+        batch_format="pyarrow").groupby("_k")
+        .aggregate(_Sum("t", alias_name="t")).take_all()[0]["t"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        cum = batch["cum"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        rv = batch["rev"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cls = np.where(cum * 5 <= tot * 4, "A",
+                       np.where(cum * 20 <= tot * 19, "B", "C"))
+        return pa.table({"class": pa.array(cls.tolist(),
+                                           type=pa.string()),
+                         "rev": pa.array(rv)})
+
+    agg = scanned.map_batches(classify, batch_format="pyarrow") \
+        .groupby("class").aggregate(Count(alias_name="n_parts"),
+                                    Sum("rev", alias_name="revenue_c4"))
+    return agg.map_batches(
+        lambda b: pa.table({"class": b["class"].cast(pa.string()),
+                            "n_parts": b["n_parts"].cast(pa.int64()),
+                            "revenue_c4": b["revenue_c4"]
+                            .cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_weighted_median_price(sf_dir: str):
+    """Exact quantity-weighted median of the lineitem price: the first
+    price (ascending) whose cumulative integer weight reaches half the
+    total — per-price weight sums, the distributed prefix scan, and a
+    2*cum >= tot selection (lower-median convention); all integer until
+    the selected row."""
+    from ray.data.aggregate import Sum
+
+    from osmium_tool_ray.pipelines.windows import running_total
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = np.rint(batch["l_extendedprice"]
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        wt = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        un, inv = np.unique(price, return_inverse=True)
+        return pa.table({"price_c": pa.array(un),
+                         "w": pa.array(np.bincount(inv, weights=wt)
+                                       .astype(np.int64))})
+
+    g = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_extendedprice", "l_quantity"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("price_c").aggregate(Sum("w", alias_name="w")) \
+        .map_batches(lambda b: pa.table({
+            "price_c": b["price_c"].cast(pa.int64()),
+            "w": b["w"].cast(pa.int64())}), batch_format="pyarrow") \
+        .materialize()
+    tot = int(g.map_batches(
+        lambda b: pa.table({"_k": pa.array([0], type=pa.int64()),
+                            "t": pa.array([b["w"].cast(pa.int64())
+                                           .to_numpy(zero_copy_only=False)
+                                           .sum()], type=pa.int64())}),
+        batch_format="pyarrow").groupby("_k")
+        .aggregate(Sum("t", alias_name="t")).take_all()[0]["t"])
+    scanned = running_total(g, ["price_c"], "w", out_col="cum")
+
+    def pick(batch: pa.Table) -> pa.Table:
+        cum = batch["cum"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = 2 * cum >= tot
+        return pa.table({
+            "weighted_median_c": pa.array(
+                batch["price_c"].cast(pa.int64())
+                .to_numpy(zero_copy_only=False)[keep]),
+            "cum": pa.array(cum[keep]),
+            "tot": pa.array(np.full(int(keep.sum()), tot,
+                                    dtype=np.int64))})
+
+    return scanned.map_batches(pick, batch_format="pyarrow") \
+        .sort("weighted_median_c").limit(1)
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink + source round-trip (the cat/export analogue on the
+    line-delimited JSON container): project documents to (doc_id,
+    n_chars), write JSONL to scratch with Ray's native writer, read it
+    back with read_json and return the columns — identity-preserving
+    through the text container (the geojson_roundtrip discipline)."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    out_dir = "/tmp/graft_jsonl_" + hashlib.sha1(
+        sf_dir.encode()).hexdigest()[:10]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    _docs(sf_dir, ["doc_id", "n_chars"]) \
+        .write_json(out_dir)
+    return rd.read_json(out_dir).map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"].cast(pa.int64()),
+                            "n_chars": b["n_chars"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -7723,6 +7925,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_value_by_type": q_ks_value_by_type,
         "first3_path_counts": q_first3_path_counts,
         "brightness_by_cell": q_brightness_by_cell,
+        "gini_revenue": q_gini_revenue,
+        "abc_parts": q_abc_parts,
+        "weighted_median_price": q_weighted_median_price,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "tile_contrast": q_tile_contrast,
         "cell_diversity": q_cell_diversity,
         "coverage_gaps": q_coverage_gaps,
@@ -8279,6 +8485,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.n AS DOUBLE) / CAST(p.pn AS DOUBLE) AS ratio
             FROM c JOIN p ON p.px = c.cell_x // 4
                          AND p.py = c.cell_y // 4""",
+        "gini_revenue": """
+            WITH r AS (SELECT o_custkey,
+                              CAST(SUM(CAST(round(o_totalprice * 100)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS rev
+                       FROM orders GROUP BY 1),
+            rk AS (SELECT rev, ROW_NUMBER() OVER
+                       (ORDER BY rev, o_custkey) AS i FROM r),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(rev) AS BIGINT) AS total_c,
+                         CAST(SUM(i * rev) AS BIGINT) AS wsum
+                  FROM rk)
+            SELECT n, total_c,
+                   CAST(2 * wsum - (n + 1) * total_c AS BIGINT)
+                       AS gini_num,
+                   CAST(2 * wsum - (n + 1) * total_c AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * total_c) AS gini
+            FROM s""",
+        "abc_parts": """
+            WITH r AS (SELECT l_partkey,
+                              CAST(SUM(CAST(round(l_extendedprice * 100)
+                                            AS BIGINT)
+                                  * (100 - CAST(round(l_discount * 100)
+                                                AS BIGINT))) AS BIGINT)
+                                  AS rev
+                       FROM lineitem GROUP BY 1),
+            w AS (SELECT rev, CAST(SUM(rev) OVER
+                       (ORDER BY rev DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                  FROM r),
+            t AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot FROM r)
+            SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                        WHEN cum * 20 <= tot * 19 THEN 'B'
+                        ELSE 'C' END AS class,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(rev) AS BIGINT) AS revenue_c4
+            FROM w CROSS JOIN t GROUP BY 1""",
+        "weighted_median_price": """
+            WITH w AS (SELECT CAST(round(l_extendedprice * 100)
+                                   AS BIGINT) AS price_c,
+                              CAST(round(l_quantity) AS BIGINT) AS wt
+                       FROM lineitem),
+            g AS (SELECT price_c, CAST(SUM(wt) AS BIGINT) AS w
+                  FROM w GROUP BY 1),
+            c AS (SELECT price_c, w,
+                         CAST(SUM(w) OVER (ORDER BY price_c
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum
+                  FROM g),
+            t AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM g)
+            SELECT price_c AS weighted_median_c, cum, tot
+            FROM c CROSS JOIN t
+            WHERE 2 * cum >= tot ORDER BY price_c LIMIT 1""",
+        "jsonl_roundtrip": """
+            SELECT doc_id, n_chars FROM documents""",
         "ks_value_by_type": """
             WITH v AS (SELECT event_type,
                               CAST(round(value * 100) AS BIGINT) AS vc

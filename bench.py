@@ -109,6 +109,16 @@ QUERY_NAMES = [
     "char_block_dedup", "compression_ratio_docs",
     "returned_revenue", "knn_label_noise",
     "forecast_revenue", "tile_contrast",
+    # r05 session-2 wave: TPC-H Q4/Q7/Q14/Q15/Q18/Q22 shapes, sequence
+    # folds, containment join, KS drift, basket pairs, payload fusion
+    "late_order_priority", "promo_revenue", "large_orders",
+    "dormant_customers", "top_supplier", "nation_trade_volume",
+    "benford_value", "runs_per_user", "gap_digit_hist", "ttr_docs",
+    "top_type_user", "region_overlap_counts", "late_data_windows",
+    "promo_trend_monthly", "supplier_share_of_nation",
+    "containment_docs", "basket_brand_pairs", "order_linecount_dist",
+    "repeat_purchase_interval", "ks_value_by_type",
+    "first3_path_counts", "brightness_by_cell",
 ]
 
 
