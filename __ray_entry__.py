@@ -4545,10 +4545,13 @@ def q_gini_revenue(sf_dir: str):
                          "rev": pa.array(np.bincount(inv, weights=price)
                                          .astype(np.int64))})
 
-    rev = read_parquet_clean(f"{sf_dir}/orders.parquet",
-                             columns=["o_custkey", "o_totalprice"]) \
-        .map_batches(rev_partial, batch_format="pyarrow") \
-        .groupby("o_custkey").aggregate(Sum("rev", alias_name="rev"))
+    from osmium_tool_ray.blocks import sum_by_key_bucket
+
+    rev = sum_by_key_bucket(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"])
+        .map_batches(rev_partial, batch_format="pyarrow"),
+        "o_custkey", ["rev"])
     ranked = global_rank(
         rev.map_batches(lambda b: pa.table({
             "o_custkey": b["o_custkey"].cast(pa.int64()),
@@ -4607,16 +4610,19 @@ def q_abc_parts(sf_dir: str):
                          "rev": pa.array(np.bincount(inv, weights=rev)
                                          .astype(np.int64))})
 
-    rev = read_parquet_clean(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_partkey", "l_extendedprice", "l_discount"]) \
-        .map_batches(rev_partial, batch_format="pyarrow") \
-        .groupby("l_partkey").aggregate(Sum("rev", alias_name="rev")) \
+    from osmium_tool_ray.blocks import sum_by_key_bucket
+
+    rev = sum_by_key_bucket(
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(rev_partial, batch_format="pyarrow"),
+        "l_partkey", ["rev"]) \
         .map_batches(lambda b: pa.table({
             "l_partkey": b["l_partkey"].cast(pa.int64()),
             "rev": b["rev"].cast(pa.int64()),
             "neg": pc.negate(b["rev"].cast(pa.int64()))}),
-            batch_format="pyarrow")
+            batch_format="pyarrow").materialize()
     scanned = running_total(rev, ["neg", "l_partkey"], "rev",
                             out_col="cum")
     from ray.data.aggregate import Sum as _Sum
@@ -4670,14 +4676,13 @@ def q_weighted_median_price(sf_dir: str):
                          "w": pa.array(np.bincount(inv, weights=wt)
                                        .astype(np.int64))})
 
-    g = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
-                           columns=["l_extendedprice", "l_quantity"]) \
-        .map_batches(partial, batch_format="pyarrow") \
-        .groupby("price_c").aggregate(Sum("w", alias_name="w")) \
-        .map_batches(lambda b: pa.table({
-            "price_c": b["price_c"].cast(pa.int64()),
-            "w": b["w"].cast(pa.int64())}), batch_format="pyarrow") \
-        .materialize()
+    from osmium_tool_ray.blocks import sum_by_key_bucket
+
+    g = sum_by_key_bucket(
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_extendedprice", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow"),
+        "price_c", ["w"]).materialize()
     tot = int(g.map_batches(
         lambda b: pa.table({"_k": pa.array([0], type=pa.int64()),
                             "t": pa.array([b["w"].cast(pa.int64())
@@ -4722,6 +4727,155 @@ def q_jsonl_roundtrip(sf_dir: str):
     return rd.read_json(out_dir).map_batches(
         lambda b: pa.table({"doc_id": b["doc_id"].cast(pa.int64()),
                             "n_chars": b["n_chars"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_dbscan_points(sf_dir: str):
+    """DBSCAN over the event lattice (stages/spatial.dbscan_labels,
+    Ester et al. 1996): eps-neighborhoods from the memoized
+    within-radius pair table, cores by degree, clusters via connected
+    components over core-core edges, borders by MIN neighboring-core
+    label (deterministic), noise -1. min_pts=2 here (the lattice is
+    sparse: clusters = radius-graph components, isolated points =
+    noise); the synthetic-fixture test exercises min_pts>=3 with real
+    border/noise splits. Rows-only (iterative components); pytest pins
+    a brute-force BFS reference."""
+    from osmium_tool_ray.stages.spatial import dbscan_labels
+
+    return dbscan_labels(_event_radius_pairs(sf_dir),
+                         _events(sf_dir, ["event_id"]),
+                         id_col="event_id", min_pts=2)
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV sink + source round-trip (the text-container matrix's third
+    leg beside OPL and JSONL): project events to (event_id, user_id,
+    value-cents), write with Ray's native CSV writer, read back and
+    return the columns — identity-preserving integers only (CSV floats
+    would not round-trip bit-exactly, so the projection quantizes
+    first; the OPL byte-exactness discipline)."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    out_dir = "/tmp/graft_csv_" + hashlib.sha1(
+        sf_dir.encode()).hexdigest()[:10]
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        vc = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "value_c": pa.array(vc)})
+
+    _events(sf_dir, ["event_id", "user_id", "value"]) \
+        .map_batches(proj, batch_format="pyarrow").write_csv(out_dir)
+    return rd.read_csv(out_dir).map_batches(
+        lambda b: pa.table({"event_id": b["event_id"].cast(pa.int64()),
+                            "user_id": b["user_id"].cast(pa.int64()),
+                            "value_c": b["value_c"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_partitioned_write_prune(sf_dir: str):
+    """Hive-partitioned parquet write + partition-pruned read — the
+    resumable-output discipline made testable: events write partitioned
+    by event_type (one directory per partition, the per-shard layout a
+    restart can skip), then ONE partition directory is read back alone
+    and aggregated; the read never touches the other partitions'
+    files."""
+    import hashlib
+    import os
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    out_dir = "/tmp/graft_part_" + hashlib.sha1(
+        sf_dir.encode()).hexdigest()[:10]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    _events(sf_dir, ["event_id", "event_type", "value"]) \
+        .map_batches(lambda b: pa.table({
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "vc": pa.array(np.rint(b["value"].to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64))}),
+            batch_format="pyarrow") \
+        .write_parquet(out_dir, partition_cols=["event_type"])
+    parts = sorted(d for d in os.listdir(out_dir)
+                   if d.startswith("event_type="))
+    target = parts[0]                       # deterministic: first type
+    one = rd.read_parquet(f"{out_dir}/{target}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch["vc"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"_k": pa.array([0], type=pa.int64()),
+                         "n": pa.array([np.int64(len(vc))]),
+                         "sum_vc": pa.array([np.int64(vc.sum())])})
+
+    agg = one.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_k").aggregate(Sum("n", alias_name="n"),
+                                 Sum("sum_vc", alias_name="sum_vc"))
+    etype = target.split("=", 1)[1]
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": pa.array([etype] * b.num_rows,
+                                   type=pa.string()),
+            "n": b["n"].cast(pa.int64()),
+            "sum_vc": b["sum_vc"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_k_anonymity_docs(sf_dir: str):
+    """k-anonymity audit over the documents' quasi-identifier tuple
+    (lang, source, n_chars//100): how many equivalence classes and how
+    many documents sit below k=5 — the privacy-risk companion of
+    pii_redact (Sweeney 2002). Per-batch distinct-tuple partials, ONE
+    groupby Sum bounded by |classes|, constant-size histogram fold."""
+    from ray.data.aggregate import Sum
+
+    K = 5
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = np.asarray(batch["lang"].to_pylist(), dtype="U")
+        src = np.asarray(batch["source"].to_pylist(), dtype="U")
+        nb = (batch["n_chars"].to_numpy(zero_copy_only=False)
+              // 100).astype(np.int64)
+        qi = np.char.add(np.char.add(np.char.add(lang, "|"), src),
+                         nb.astype("U"))
+        un, cnt = np.unique(qi, return_counts=True)
+        return pa.table({"qi": pa.array(un.tolist(), type=pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    classes = _docs(sf_dir, ["lang", "source", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("qi").aggregate(Sum("n", alias_name="n"))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        n = batch["n"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        risky = n < K
+        return pa.table({
+            "_k": pa.array([0], type=pa.int64()),
+            "n_classes": pa.array([np.int64(len(n))]),
+            "n_risky_classes": pa.array([np.int64(risky.sum())]),
+            "n_risky_docs": pa.array([np.int64(n[risky].sum())]),
+            "n_docs": pa.array([np.int64(n.sum())])})
+
+    agg = classes.map_batches(hist, batch_format="pyarrow") \
+        .groupby("_k").aggregate(
+            Sum("n_classes", alias_name="n_classes"),
+            Sum("n_risky_classes", alias_name="n_risky_classes"),
+            Sum("n_risky_docs", alias_name="n_risky_docs"),
+            Sum("n_docs", alias_name="n_docs"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "n_classes": b["n_classes"].cast(pa.int64()),
+            "n_risky_classes": b["n_risky_classes"].cast(pa.int64()),
+            "n_risky_docs": b["n_risky_docs"].cast(pa.int64()),
+            "n_docs": b["n_docs"].cast(pa.int64())}),
         batch_format="pyarrow")
 
 
@@ -7929,6 +8083,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "abc_parts": q_abc_parts,
         "weighted_median_price": q_weighted_median_price,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "dbscan_points": q_dbscan_points,
+        "csv_roundtrip": q_csv_roundtrip,
+        "partitioned_write_prune": q_partitioned_write_prune,
+        "k_anonymity_docs": q_k_anonymity_docs,
         "tile_contrast": q_tile_contrast,
         "cell_diversity": q_cell_diversity,
         "coverage_gaps": q_coverage_gaps,
@@ -8540,6 +8698,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE 2 * cum >= tot ORDER BY price_c LIMIT 1""",
         "jsonl_roundtrip": """
             SELECT doc_id, n_chars FROM documents""",
+        "csv_roundtrip": """
+            SELECT event_id, user_id,
+                   CAST(round(value * 100) AS BIGINT) AS value_c
+            FROM events""",
+        "partitioned_write_prune": """
+            WITH t AS (SELECT min(event_type) AS et FROM events)
+            SELECT t.et AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_vc
+            FROM events, t WHERE event_type = t.et GROUP BY 1""",
+        "k_anonymity_docs": """
+            WITH c AS (SELECT lang, source, n_chars // 100 AS nb,
+                              COUNT(*) AS n
+                       FROM documents GROUP BY 1, 2, 3)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_risky_classes,
+                   CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END)
+                        AS BIGINT) AS n_risky_docs,
+                   CAST(SUM(n) AS BIGINT) AS n_docs
+            FROM c""",
         "ks_value_by_type": """
             WITH v AS (SELECT event_type,
                               CAST(round(value * 100) AS BIGINT) AS vc

@@ -119,6 +119,8 @@ QUERY_NAMES = [
     "containment_docs", "basket_brand_pairs", "order_linecount_dist",
     "repeat_purchase_interval", "ks_value_by_type",
     "first3_path_counts", "brightness_by_cell",
+    "gini_revenue", "abc_parts", "weighted_median_price",
+    "jsonl_roundtrip",
 ]
 
 

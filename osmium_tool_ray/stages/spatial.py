@@ -1435,3 +1435,192 @@ def frechet_to_ref(ds, key_col: str, ts_col: str, tie_col: str,
         list(dict.fromkeys([key_col, ts_col, tie_col, x_col, y_col]))) \
         .map_batches(pre, batch_format="pyarrow")
     return group_by_key_bucket(narrow, key_col, fold, buckets=buckets)
+
+
+def dbscan_labels(pairs, points, id_col: str = "event_id",
+                  min_pts: int = 4):
+    """DBSCAN (Ester et al. 1996, public algorithm) composed from the
+    engine's scale primitives, given a precomputed within-radius pair
+    table `pairs(a, b, ...)` (radius_join output — the eps-neighborhood
+    graph) and the full point id set `points(id_col)`:
+
+      * degree >= min_pts - 1 (neighbor count excluding self) marks
+        CORE points;
+      * connected components over core-core edges
+        (stages/dedup.connected_components) label clusters, remapped to
+        the NUMERIC component-min id;
+      * BORDER points (non-core within radius of a core) take the MIN
+        label among neighboring cores — a deterministic resolution of
+        DBSCAN's order-dependent border tie;
+      * everything else is NOISE (label -1).
+
+    Scale shape: degree fold + two bucketed flag attaches on the pair
+    table + components + three bucketed label attaches — every step a
+    narrow bucketed shuffle; no driver-side graph beyond the declared
+    connected_components driver_cap path. Degenerate inputs (no cores)
+    short-circuit to all-noise without touching the empty-Dataset
+    schema loss. Returns (id_col, label:int64, kind:string)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from ..blocks import attach_lookup_bucketed
+    from .dedup import connected_components
+
+    def all_noise():
+        def noise(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                id_col: batch[id_col].cast(pa.int64()),
+                "label": pa.array(np.full(n, -1, dtype=np.int64)),
+                "kind": pa.array(["noise"] * n, type=pa.string())})
+
+        return points.map_batches(noise, batch_format="pyarrow")
+
+    if pairs.count() == 0:
+        return all_noise()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        un, inv = np.unique(np.concatenate([a, b]),
+                            return_inverse=True)
+        return pa.table({id_col: pa.array(un.astype(np.int64)),
+                         "deg": pa.array(np.bincount(inv)
+                                         .astype(np.int64))})
+
+    deg = pairs.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby(id_col).aggregate(Sum("deg", alias_name="deg"))
+    core = deg.map_batches(
+        lambda b: pa.table({
+            id_col: b[id_col].cast(pa.int64()),
+            "is_core": pa.array(
+                (b["deg"].cast(pa.int64())
+                 .to_numpy(zero_copy_only=False)
+                 >= min_pts - 1).astype(np.int64))}),
+        batch_format="pyarrow").materialize()
+
+    flagged = attach_lookup_bucketed(
+        attach_lookup_bucketed(pairs.select_columns(["a", "b"]), core,
+                               "a", "is_core", "core_a",
+                               lookup_key=id_col),
+        core, "b", "is_core", "core_b",
+        lookup_key=id_col).materialize()
+
+    def core_edges(batch: pa.Table) -> pa.Table:
+        ca = batch["core_a"].to_numpy(zero_copy_only=False)
+        cb = batch["core_b"].to_numpy(zero_copy_only=False)
+        keep = (ca == 1) & (cb == 1)
+        return pa.table({
+            "a": batch["a"].cast(pa.int64())
+            .to_numpy(zero_copy_only=False)[keep],
+            "b": batch["b"].cast(pa.int64())
+            .to_numpy(zero_copy_only=False)[keep]})
+
+    ce = flagged.map_batches(core_edges,
+                             batch_format="pyarrow").materialize()
+    if ce.count() == 0:
+        # cores may still exist as singleton clusters only when they
+        # have >= min_pts-1 non-core neighbors; with no core-core edge
+        # a core is its own cluster labeled by itself
+        cc_rows = None
+    else:
+        cc_rows = connected_components(ce, a_col="a", b_col="b")
+
+    # label table for CORES: component numeric-min, or self for
+    # isolated cores (cores absent from any core-core edge)
+    if cc_rows is not None:
+        def to_int(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: pa.array(
+                    [int(v) for v in batch["image_id"].to_pylist()],
+                    type=pa.int64()),
+                "rep_s": batch["rep"].cast(pa.string())})
+
+        cci = cc_rows.map_batches(to_int,
+                                  batch_format="pyarrow").materialize()
+        repmin = cci.groupby("rep_s").aggregate(
+            Min(id_col, alias_name="label"))
+        in_cc = attach_lookup_bucketed(cci, repmin, "rep_s", "label",
+                                       "label") \
+            .select_columns([id_col, "label"])
+    else:
+        in_cc = None
+
+    import pyarrow.compute as _pc
+    core_only = core.map_batches(
+        lambda b: b.filter(_pc.equal(b["is_core"], 1))
+        .select([id_col]), batch_format="pyarrow")
+    if in_cc is not None:
+        lab = attach_lookup_bucketed(core_only, in_cc, id_col, "label",
+                                     "label")
+        core_lab = lab.map_batches(
+            lambda b: pa.table({
+                id_col: b[id_col].cast(pa.int64()),
+                "label": pa.array(np.asarray(
+                    [int(v) if v is not None else int(e)
+                     for v, e in zip(b["label"].to_pylist(),
+                                     b[id_col].to_pylist())],
+                    dtype=np.int64))}),
+            batch_format="pyarrow").materialize()
+    else:
+        core_lab = core_only.map_batches(
+            lambda b: pa.table({
+                id_col: b[id_col].cast(pa.int64()),
+                "label": b[id_col].cast(pa.int64())}),
+            batch_format="pyarrow").materialize()
+    if core_lab.count() == 0:
+        return all_noise()
+
+    def border_cand(batch: pa.Table) -> pa.Table:
+        a = batch["a"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = batch["b"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ca = batch["core_a"].to_numpy(zero_copy_only=False)
+        cb = batch["core_b"].to_numpy(zero_copy_only=False)
+        m1 = (ca != 1) & (cb == 1)
+        m2 = (cb != 1) & (ca == 1)
+        return pa.table({
+            "pt": pa.array(np.concatenate([a[m1], b[m2]])),
+            "core_nb": pa.array(np.concatenate([b[m1], a[m2]]))})
+
+    border = attach_lookup_bucketed(
+        flagged.map_batches(border_cand, batch_format="pyarrow"),
+        core_lab, "core_nb", "label", "label",
+        lookup_key=id_col) \
+        .groupby("pt").aggregate(Min("label", alias_name="label")) \
+        .materialize()
+
+    lab1 = attach_lookup_bucketed(points, core_lab, id_col, "label",
+                                  "core_label")
+    if border.count() > 0:
+        lab2 = attach_lookup_bucketed(lab1, border, id_col, "label",
+                                      "border_label", lookup_key="pt")
+    else:
+        lab2 = lab1.map_batches(
+            lambda b: b.append_column(
+                "border_label",
+                pa.array([None] * b.num_rows, type=pa.int64())),
+            batch_format="pyarrow")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        eid = batch[id_col].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cl = batch["core_label"].to_pylist()
+        bl = batch["border_label"].to_pylist()
+        is_core = np.asarray([v is not None for v in cl])
+        is_border = np.asarray([v is not None for v in bl]) & ~is_core
+        label = np.full(len(eid), -1, dtype=np.int64)
+        if is_core.any():
+            label[is_core] = np.asarray(
+                [int(v) for v in cl if v is not None], dtype=np.int64)
+        if is_border.any():
+            label[is_border] = np.asarray(
+                [int(b) for b, c in zip(bl, cl)
+                 if b is not None and c is None], dtype=np.int64)
+        kind = np.where(is_core, "core",
+                        np.where(is_border, "border", "noise"))
+        return pa.table({id_col: pa.array(eid),
+                         "label": pa.array(label),
+                         "kind": pa.array(kind.tolist(),
+                                          type=pa.string())})
+
+    return lab2.map_batches(fin, batch_format="pyarrow")
