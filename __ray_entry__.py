@@ -4879,6 +4879,186 @@ def q_k_anonymity_docs(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_fk_integrity_audit(sf_dir: str):
+    """Referential-integrity audit of every foreign-key edge in the
+    star schema (the relational check-refs: /root/reference/src/
+    command_check_refs.cpp semantics on the TPC-H graph): per edge,
+    total rows and orphan rows whose key misses the referenced table.
+    Dimension key sets broadcast ONCE as sorted arrays (searchsorted
+    membership, the getid discipline; at open-web scale the fact-side
+    edges route through semi_join_bucketed — caps documented); one
+    7-row result."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    def keyset(table: str, col: str) -> np.ndarray:
+        return np.sort(pq.read_table(f"{sf_dir}/{table}.parquet",
+                                     columns=[col])[col].to_numpy())
+
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    refs = {}
+    for _, _, rt, rc in edges:
+        if (rt, rc) not in refs:
+            refs[(rt, rc)] = ray.put(keyset(rt, rc))
+
+    outs = []
+    for ft, fc, rt, rc in edges:
+        ref = refs[(rt, rc)]
+
+        def partial(batch: pa.Table, _fc=fc, _ref=ref,
+                    _name=f"{ft}.{fc}") -> pa.Table:
+            keys = ray.get(_ref)
+            v = batch[_fc].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, v)
+            pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+            hit = (pos < len(keys)) & (keys[pos_c] == v) \
+                if len(keys) else np.zeros(len(v), dtype=bool)
+            return pa.table({
+                "edge": pa.array([_name], type=pa.string()),
+                "n_rows": pa.array([np.int64(len(v))]),
+                "n_orphans": pa.array([np.int64((~hit).sum())])})
+
+        outs.append(
+            read_parquet_clean(f"{sf_dir}/{ft}.parquet", columns=[fc])
+            .map_batches(partial, batch_format="pyarrow"))
+
+    allparts = outs[0]
+    for o in outs[1:]:
+        allparts = allparts.union(o)
+    agg = allparts.groupby("edge").aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("n_orphans", alias_name="n_orphans"))
+    return agg.map_batches(
+        lambda b: pa.table({"edge": b["edge"].cast(pa.string()),
+                            "n_rows": b["n_rows"].cast(pa.int64()),
+                            "n_orphans": b["n_orphans"]
+                            .cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_assortativity_moments(sf_dir: str):
+    """Degree-assortativity moments of the event-derived graph (the
+    common_neighbors edge convention): over distinct undirected edges,
+    the exact integer sums Pearson's degree correlation is built from —
+    Σ da*db, Σ(da+db), Σ(da²+db²), |E| (Newman 2002; the float r is
+    left to the caller so the distributed result stays exact). Degree
+    fold + two bucketed attaches + one singleton Sum."""
+    from ray.data.aggregate import Sum
+
+    from osmium_tool_ray.blocks import attach_lookup_bucketed
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        a = (eid * 7919) % 200
+        b = (eid * 104729) % 200
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        code = np.unique(lo[keep] * np.int64(1000) + hi[keep])
+        return pa.table({"a": pa.array(code // 1000),
+                         "b": pa.array(code % 1000)})
+
+    from ray.data.aggregate import Count
+    dedup = ev.map_batches(edges, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda t: t.select(["a", "b"]),
+                     batch_format="pyarrow").materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        a = batch["a"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = batch["b"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        un, inv = np.unique(np.concatenate([a, b]),
+                            return_inverse=True)
+        return pa.table({"node": pa.array(un),
+                         "deg": pa.array(np.bincount(inv)
+                                         .astype(np.int64))})
+
+    deg = dedup.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("deg", alias_name="deg")) \
+        .materialize()
+
+    flagged = attach_lookup_bucketed(
+        attach_lookup_bucketed(dedup, deg, "a", "deg", "da",
+                               lookup_key="node"),
+        deg, "b", "deg", "db", lookup_key="node")
+
+    def moments(batch: pa.Table) -> pa.Table:
+        da = batch["da"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        db = batch["db"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "_k": pa.array([0], type=pa.int64()),
+            "n_edges": pa.array([np.int64(len(da))]),
+            "sum_dadb": pa.array([np.int64((da * db).sum())]),
+            "sum_d": pa.array([np.int64((da + db).sum())]),
+            "sum_d2": pa.array([np.int64((da * da + db * db).sum())])})
+
+    agg = flagged.map_batches(moments, batch_format="pyarrow") \
+        .groupby("_k").aggregate(
+            Sum("n_edges", alias_name="n_edges"),
+            Sum("sum_dadb", alias_name="sum_dadb"),
+            Sum("sum_d", alias_name="sum_d"),
+            Sum("sum_d2", alias_name="sum_d2"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "n_edges": b["n_edges"].cast(pa.int64()),
+            "sum_dadb": b["sum_dadb"].cast(pa.int64()),
+            "sum_d": b["sum_d"].cast(pa.int64()),
+            "sum_d2": b["sum_d2"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_lag_features_user(sf_dir: str):
+    """Per-event lag features for model training: each event's
+    value-cents, its user's previous value (LAG 1) and the delta, for
+    events that HAVE a predecessor — the feature-engineering window
+    shape (ONE user-bucket lexsort fold, the keyed_gap discipline;
+    first-in-stream rows are dropped so no NULL crosses the engine/SQL
+    canon)."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    def fold(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("event_id", pa.int64()),
+                            ("vc", pa.int64()),
+                            ("vc_lag1", pa.int64()),
+                            ("delta", pa.int64())])
+        if g.num_rows < 2 or "user_id" not in g.schema.names:
+            return schema.empty_table()
+        uid = g["user_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        vc = np.rint(g["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u_s, e_s, v_s = uid[order], eid[order], vc[order]
+        same = u_s[1:] == u_s[:-1]
+        if not same.any():
+            return schema.empty_table()
+        cur = v_s[1:][same]
+        prev = v_s[:-1][same]
+        return pa.table({
+            "event_id": pa.array(e_s[1:][same].astype(np.int64)),
+            "vc": pa.array(cur),
+            "vc_lag1": pa.array(prev),
+            "delta": pa.array(cur - prev)})
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    return group_by_key_bucket(ev, "user_id", fold)
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -8084,6 +8264,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_price": q_weighted_median_price,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "dbscan_points": q_dbscan_points,
+        "fk_integrity_audit": q_fk_integrity_audit,
+        "assortativity_moments": q_assortativity_moments,
+        "lag_features_user": q_lag_features_user,
         "csv_roundtrip": q_csv_roundtrip,
         "partitioned_write_prune": q_partitioned_write_prune,
         "k_anonymity_docs": q_k_anonymity_docs,
@@ -8696,6 +8879,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT price_c AS weighted_median_c, cum, tot
             FROM c CROSS JOIN t
             WHERE 2 * cum >= tot ORDER BY price_c LIMIT 1""",
+        "fk_integrity_audit": """
+            SELECT 'lineitem.l_orderkey' AS edge,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_orphans
+            FROM lineitem l LEFT JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+            UNION ALL
+            SELECT 'lineitem.l_partkey',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT)
+            FROM lineitem l LEFT JOIN part p
+                ON l.l_partkey = p.p_partkey
+            UNION ALL
+            SELECT 'lineitem.l_suppkey',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT)
+            FROM lineitem l LEFT JOIN supplier s
+                ON l.l_suppkey = s.s_suppkey
+            UNION ALL
+            SELECT 'orders.o_custkey',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT)
+            FROM orders o LEFT JOIN customer c
+                ON o.o_custkey = c.c_custkey
+            UNION ALL
+            SELECT 'customer.c_nationkey',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT)
+            FROM customer c LEFT JOIN nation n
+                ON c.c_nationkey = n.n_nationkey
+            UNION ALL
+            SELECT 'supplier.s_nationkey',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT)
+            FROM supplier s LEFT JOIN nation n
+                ON s.s_nationkey = n.n_nationkey
+            UNION ALL
+            SELECT 'nation.n_regionkey',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1
+                            ELSE 0 END) AS BIGINT)
+            FROM nation n LEFT JOIN region r
+                ON n.n_regionkey = r.r_regionkey""",
+        "assortativity_moments": """
+            WITH e AS (SELECT DISTINCT
+                    least((event_id * 7919) % 200,
+                          (event_id * 104729) % 200) AS a,
+                    greatest((event_id * 7919) % 200,
+                             (event_id * 104729) % 200) AS b
+                FROM events
+                WHERE (event_id * 7919) % 200
+                      <> (event_id * 104729) % 200),
+            d AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+                  (SELECT a AS node FROM e
+                   UNION ALL SELECT b FROM e) GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+                   CAST(SUM(da.deg * db.deg) AS BIGINT) AS sum_dadb,
+                   CAST(SUM(da.deg + db.deg) AS BIGINT) AS sum_d,
+                   CAST(SUM(da.deg * da.deg + db.deg * db.deg)
+                        AS BIGINT) AS sum_d2
+            FROM e
+            JOIN d da ON da.node = e.a
+            JOIN d db ON db.node = e.b""",
+        "lag_features_user": """
+            WITH o AS (SELECT event_id,
+                              CAST(round(value * 100) AS BIGINT) AS vc,
+                              LAG(CAST(round(value * 100) AS BIGINT))
+                                  OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+                       FROM events)
+            SELECT event_id, vc, prev AS vc_lag1,
+                   vc - prev AS delta
+            FROM o WHERE prev IS NOT NULL""",
         "jsonl_roundtrip": """
             SELECT doc_id, n_chars FROM documents""",
         "csv_roundtrip": """

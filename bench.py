@@ -120,7 +120,8 @@ QUERY_NAMES = [
     "repeat_purchase_interval", "ks_value_by_type",
     "first3_path_counts", "brightness_by_cell",
     "gini_revenue", "abc_parts", "weighted_median_price",
-    "jsonl_roundtrip",
+    "jsonl_roundtrip", "dbscan_points", "csv_roundtrip",
+    "partitioned_write_prune", "k_anonymity_docs",
 ]
 
 
