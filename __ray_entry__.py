@@ -5059,6 +5059,99 @@ def q_lag_features_user(sf_dir: str):
     return group_by_key_bucket(ev, "user_id", fold)
 
 
+def q_flow_direction_cells(sf_dir: str):
+    """D8 flow direction of the image-density raster (stages/raster
+    .flow_direction_cells): every occupied level-6 cell points at its
+    strictly-lowest 8-neighbor (smallest-direction tiebreak, -1 for
+    pits) — x9 channel explode + ONE packed-key multi-Sum groupby, the
+    hydrology focal operator on the density surface."""
+    from osmium_tool_ray.stages.raster import flow_direction_cells
+
+    return flow_direction_cells(
+        images_dataset(sf_dir, columns=["lon", "lat"]),
+        level=TILE_LEVEL)
+
+
+def q_median_cont_by_type(sf_dir: str):
+    """Per-type interpolated median (PERCENTILE_CONT 0.5 parity): the
+    lower/upper middle values come from one type-bucket lexsort fold in
+    exact int64; the single interpolation expression
+    lo + (hi - lo) * 0.5 is evaluated identically in both engines."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    def fold(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("event_type", pa.string()),
+                            ("n", pa.int64()),
+                            ("median_vc", pa.float64())])
+        if g.num_rows == 0 or "event_type" not in g.schema.names:
+            return schema.empty_table()
+        typ = np.asarray(g["event_type"].to_pylist(), dtype="U")
+        vc = np.rint(g["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        order = np.lexsort((vc, typ))
+        t_s, v_s = typ[order], vc[order]
+        new = np.ones(len(t_s), dtype=bool)
+        new[1:] = t_s[1:] != t_s[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(t_s)))
+        pos = (lens - 1) // 2                       # lower middle
+        lo = v_s[starts + pos].astype(np.float64)
+        hi = v_s[starts + pos + (lens - 1) % 2].astype(np.float64)
+        med = lo + (hi - lo) * 0.5
+        return pa.table({
+            "event_type": pa.array(t_s[starts].tolist(),
+                                   type=pa.string()),
+            "n": pa.array(lens.astype(np.int64)),
+            "median_vc": pa.array(med)})
+
+    ev = _events(sf_dir, ["event_type", "value"])
+    return group_by_key_bucket(ev, "event_type", fold)
+
+
+def q_teleport_jumps_user(sf_dir: str):
+    """Implausible-speed screen (the GPS teleport detector): per user,
+    how many consecutive moves exceed 0.01 degrees/second — integer
+    cross-multiplied speed test (dist2_deg * 10000 > dt_s^2 with
+    coordinates floored to whole degrees), ONE user-bucket lexsort
+    fold. The track-cleaning companion of gap_outliers."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    def fold(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", pa.int64()),
+                            ("n_moves", pa.int64()),
+                            ("n_jumps", pa.int64())])
+        if g.num_rows < 2 or "user_id" not in g.schema.names:
+            return schema.empty_table()
+        uid = g["user_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        x = ((eid * 7919) % 36000) // 100 - 180       # whole degrees
+        y = ((eid * 104729) % 17000) // 100 - 85
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s = uid[order], ts[order]
+        x_s, y_s = x[order], y[order]
+        same = u_s[1:] == u_s[:-1]
+        if not same.any():
+            return schema.empty_table()
+        dx = (x_s[1:] - x_s[:-1])[same]
+        dy = (y_s[1:] - y_s[:-1])[same]
+        dt_s = ((t_s[1:] - t_s[:-1]) // 1_000_000)[same]
+        jump = (dx * dx + dy * dy) * 10_000 > dt_s * dt_s
+        key = u_s[1:][same]
+        un, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "user_id": pa.array(un),
+            "n_moves": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_jumps": pa.array(
+                np.bincount(inv, weights=jump.astype(np.int64))
+                .astype(np.int64))})
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+    return group_by_key_bucket(ev, "user_id", fold)
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -8265,6 +8358,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "dbscan_points": q_dbscan_points,
         "fk_integrity_audit": q_fk_integrity_audit,
+        "flow_direction_cells": q_flow_direction_cells,
+        "median_cont_by_type": q_median_cont_by_type,
+        "teleport_jumps_user": q_teleport_jumps_user,
         "assortativity_moments": q_assortativity_moments,
         "lag_features_user": q_lag_features_user,
         "csv_roundtrip": q_csv_roundtrip,
@@ -8879,6 +8975,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT price_c AS weighted_median_c, cum, tot
             FROM c CROSS JOIN t
             WHERE 2 * cum >= tot ORDER BY price_c LIMIT 1""",
+        "flow_direction_cells": f"""{cte}
+            , c AS (SELECT cell_x, cell_y, COUNT(*) AS n
+                    FROM (SELECT {cells6} FROM images)
+                    GROUP BY 1, 2),
+            nb AS (SELECT c0.cell_x, c0.cell_y, c0.n,
+                          (dy.j + 1) * 3 + (dx.i + 1) AS dir,
+                          COALESCE(cn.n, 0) AS nn
+                   FROM c c0
+                   CROSS JOIN unnest(generate_series(-1, 1)) AS dx(i)
+                   CROSS JOIN unnest(generate_series(-1, 1)) AS dy(j)
+                   LEFT JOIN c cn ON cn.cell_x = c0.cell_x + dx.i
+                                 AND cn.cell_y = c0.cell_y + dy.j
+                   WHERE NOT (dx.i = 0 AND dy.j = 0)),
+            sel AS (SELECT cell_x, cell_y, n, nn, dir,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY cell_x, cell_y
+                               ORDER BY nn, dir) AS rk
+                    FROM nb)
+            SELECT cell_x, cell_y, CAST(n AS BIGINT) AS n,
+                   CAST(CASE WHEN nn < n THEN dir ELSE -1 END
+                        AS BIGINT) AS flow_dir,
+                   CAST(nn AS BIGINT) AS min_neighbor_n
+            FROM sel WHERE rk = 1""",
+        "median_cont_by_type": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   quantile_cont(CAST(round(value * 100) AS BIGINT),
+                                 0.5) AS median_vc
+            FROM events GROUP BY 1""",
+        "teleport_jumps_user": """
+            WITH o AS (SELECT user_id, ts, event_id,
+                              ((event_id * 7919) % 36000) // 100 - 180
+                                  AS x,
+                              ((event_id * 104729) % 17000) // 100 - 85
+                                  AS y,
+                              LAG(((event_id * 7919) % 36000) // 100
+                                  - 180) OVER w AS px,
+                              LAG(((event_id * 104729) % 17000) // 100
+                                  - 85) OVER w AS py,
+                              LAG(ts) OVER w AS pts
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+            m AS (SELECT user_id, x - px AS dx, y - py AS dy,
+                         (epoch_us(ts) - epoch_us(pts)) // 1000000
+                             AS dt_s
+                  FROM o WHERE pts IS NOT NULL)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_moves,
+                   CAST(SUM(CASE WHEN (dx * dx + dy * dy) * 10000
+                                      > dt_s * dt_s
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_jumps
+            FROM m GROUP BY 1""",
         "fk_integrity_audit": """
             SELECT 'lineitem.l_orderkey' AS edge,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,

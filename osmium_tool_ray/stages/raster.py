@@ -835,3 +835,94 @@ def coverage_morphology(points, level: int, lon_col: str = "lon",
             "eroded": pa.array((nocc == 9).astype(np.int64))})
 
     return folded.map_batches(unpack, batch_format="pyarrow")
+
+
+def flow_direction_cells(points, level: int, lon_col: str = "lon",
+                         lat_col: str = "lat"):
+    """D8 flow direction over the point-density raster — the hydrology
+    focal operator (O'Callaghan & Mark 1984) on the density surface:
+    every OCCUPIED cell points at its strictly-lowest 8-neighbor
+    (missing / out-of-grid neighbors count 0; ties break to the
+    smallest direction index dir = (dj+1)*3 + (di+1), center 4
+    excluded; no strictly lower neighbor -> -1, a pit/flat).
+
+    Scale shape (the slope_cells discipline): per-batch np.unique
+    pre-agg, x9 channel explode IN the map task (own count + each
+    neighbor's count routed to the center's direction channel), ONE
+    packed-key multi-Sum groupby, vectorized argmin at the end — never
+    a dense raster, never a neighbor join. Returns (cell_x, cell_y,
+    n:int64, flow_dir:int64, min_neighbor_n:int64)."""
+    from ray.data.aggregate import Sum
+
+    n = np.int64(1) << np.int64(level)
+    offs = [(di, dj) for dj in (-1, 0, 1) for di in (-1, 0, 1)
+            if not (di == 0 and dj == 0)]
+    chans = [f"c{(dj + 1) * 3 + (di + 1)}" for di, dj in offs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+        y = np.floor((lat + 90.0) / 180.0 * n).astype(np.int64)
+        np.clip(x, 0, n - 1, out=x)
+        np.clip(y, 0, n - 1, out=y)
+        key = (x << np.int64(32)) | y
+        uk, cnt = np.unique(key, return_counts=True)
+        ux, uy = uk >> np.int64(32), uk & np.int64(0xFFFFFFFF)
+        c = cnt.astype(np.int64)
+        z = np.zeros_like(c)
+        ax, ay = [ux], [uy]
+        cols = {"own": [c]}
+        for ch in chans:
+            cols[ch] = [z]
+        # a cell with count c is the (di, dj) neighbor of center
+        # (x - di, y - dj): route c into that center's channel
+        for (di, dj), ch in zip(offs, chans):
+            ax.append(ux - di)
+            ay.append(uy - dj)
+            for ch2 in chans:
+                cols[ch2].append(c if ch2 == ch else z)
+            cols["own"].append(z)
+        AX = np.concatenate(ax)
+        AY = np.concatenate(ay)
+        ok = (AX >= 0) & (AX < n) & (AY >= 0) & (AY < n)
+        nkey = (AX[ok] << np.int64(32)) | AY[ok]
+        fk, inv = np.unique(nkey, return_inverse=True)
+        out = {"cell": pa.array(fk)}
+        for name, parts in cols.items():
+            v = np.concatenate(parts)[ok]
+            out[name] = pa.array(np.bincount(inv, weights=v,
+                                             minlength=len(fk))
+                                 .astype(np.int64))
+        return pa.table(out)
+
+    agg = points.map_batches(partial, batch_format="pyarrow") \
+        .groupby("cell").aggregate(
+            Sum("own", alias_name="own"),
+            *[Sum(ch, alias_name=ch) for ch in chans])
+
+    dir_ids = np.asarray([(dj + 1) * 3 + (di + 1) for di, dj in offs],
+                         dtype=np.int64)
+    order = np.argsort(dir_ids)          # evaluate in ascending dir id
+
+    def fin(batch: pa.Table) -> pa.Table:
+        own = batch["own"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = own > 0                   # only occupied centers
+        cell = batch["cell"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[keep]
+        nb = np.stack([batch[chans[i]].cast(pa.int64())
+                       .to_numpy(zero_copy_only=False)[keep]
+                       for i in order], axis=1)
+        own = own[keep]
+        amin = nb.argmin(axis=1)         # first (smallest dir id) min
+        mn = nb[np.arange(len(nb)), amin]
+        flow = np.where(mn < own, dir_ids[order][amin], -1)
+        return pa.table({
+            "cell_x": pa.array(cell >> np.int64(32)),
+            "cell_y": pa.array(cell & np.int64(0xFFFFFFFF)),
+            "n": pa.array(own),
+            "flow_dir": pa.array(flow.astype(np.int64)),
+            "min_neighbor_n": pa.array(mn)})
+
+    return agg.map_batches(fin, batch_format="pyarrow")

@@ -1,0 +1,93 @@
+"""Round-5 wave 10: D8 flow direction vs a dense-raster reference,
+interpolated median parity, teleport-jump detector."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_flow_direction_matches_dense(ray_session):
+    import ray.data as rd
+
+    from osmium_tool_ray.stages.raster import flow_direction_cells
+
+    rng = np.random.default_rng(9)
+    level, n = 4, 16
+    lon = rng.uniform(-179, 179, 800)
+    lat = rng.uniform(-89, 89, 800)
+    ds = rd.from_items([{"lon": float(a), "lat": float(b)}
+                        for a, b in zip(lon, lat)]).repartition(3)
+    out = {(r["cell_x"], r["cell_y"]): (r["n"], r["flow_dir"],
+                                        r["min_neighbor_n"])
+           for r in flow_direction_cells(ds, level=level).take_all()}
+
+    # dense reference
+    x = np.clip(np.floor((lon + 180) / 360 * n), 0, n - 1).astype(int)
+    y = np.clip(np.floor((lat + 90) / 180 * n), 0, n - 1).astype(int)
+    grid = np.zeros((n, n), dtype=np.int64)
+    np.add.at(grid, (x, y), 1)
+    want = {}
+    for cx in range(n):
+        for cy in range(n):
+            if grid[cx, cy] == 0:
+                continue
+            best_dir, best_n = -1, None
+            for dj in (-1, 0, 1):
+                for di in (-1, 0, 1):
+                    if di == 0 and dj == 0:
+                        continue
+                    nx, ny = cx + di, cy + dj
+                    nn = grid[nx, ny] if 0 <= nx < n and 0 <= ny < n \
+                        else 0
+                    d = (dj + 1) * 3 + (di + 1)
+                    if best_n is None or nn < best_n \
+                            or (nn == best_n and d < best_dir):
+                        best_n, best_dir = nn, d
+            flow = best_dir if best_n < grid[cx, cy] else -1
+            want[(cx, cy)] = (int(grid[cx, cy]), flow, int(best_n))
+    assert out == want
+    kinds = {v[1] for v in want.values()}
+    assert -1 in kinds and any(v >= 0 for v in kinds)  # pits AND flows
+
+
+def test_median_cont_matches_numpy(ray_session):
+    from __ray_entry__ import q_median_cont_by_type
+
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    df["vc"] = (df["value"] * 100).round().astype("int64")
+    out = {r["event_type"]: (r["n"], r["median_vc"])
+           for r in q_median_cont_by_type(SF).take_all()}
+    for t, g in df.groupby("event_type"):
+        v = np.sort(g["vc"].to_numpy())
+        k = (len(v) - 1) // 2
+        lo = float(v[k])
+        hi = float(v[k + (len(v) - 1) % 2])
+        assert out[t] == (len(v), lo + (hi - lo) * 0.5), t
+
+
+def test_teleport_jumps_match_pandas(ray_session):
+    from __ray_entry__ import q_teleport_jumps_user
+
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id",
+                                "ts"]).to_pandas()
+    df["x"] = ((df["event_id"] * 7919) % 36000) // 100 - 180
+    df["y"] = ((df["event_id"] * 104729) % 17000) // 100 - 85
+    df["us"] = df["ts"].astype("int64")
+    df = df.sort_values(["user_id", "us", "event_id"])
+    want = {}
+    for uid, g in df.groupby("user_id"):
+        if len(g) < 2:
+            continue
+        dx = np.diff(g["x"].to_numpy())
+        dy = np.diff(g["y"].to_numpy())
+        dt = np.diff(g["us"].to_numpy()) // 1_000_000
+        jumps = int(((dx * dx + dy * dy) * 10_000 > dt * dt).sum())
+        want[uid] = (len(dx), jumps)
+    out = {r["user_id"]: (r["n_moves"], r["n_jumps"])
+           for r in q_teleport_jumps_user(SF).take_all()}
+    assert out == want and len(out) > 0
+    assert any(v[1] > 0 for v in out.values())   # the lattice teleports
