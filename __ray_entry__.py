@@ -5152,6 +5152,199 @@ def q_teleport_jumps_user(sf_dir: str):
     return group_by_key_bucket(ev, "user_id", fold)
 
 
+def _ntile(rank: np.ndarray, n: int, k: int = 5) -> np.ndarray:
+    """SQL NTILE(k) parity from a 1-based dense total-order rank: the
+    first n%k buckets take n//k + 1 rows (DuckDB/ANSI remainder rule)."""
+    q, m = n // k, n % k
+    boundary = m * (q + 1)
+    lo = rank <= boundary
+    out = np.empty(len(rank), dtype=np.int64)
+    out[lo] = (rank[lo] - 1) // max(q + 1, 1) + 1
+    out[~lo] = m + (rank[~lo] - 1 - boundary) // max(q, 1) + 1
+    return out
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation — the classic marketing quantizer:
+    recency (days since the customer's last order, vs the global max
+    date), frequency (orders), monetary (cents), each cut into NTILE(5)
+    quintiles under a deterministic (metric, custkey) total order —
+    three distributed ROW_NUMBERs (pipelines/stats.global_rank) + the
+    ANSI remainder rule in _ntile, all integer."""
+    from ray.data.aggregate import Max, Sum
+
+    from osmium_tool_ray.pipelines.stats import global_rank
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        ts = batch["o_orderdate"].cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        price = np.rint(batch["o_totalprice"]
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        un, inv = np.unique(ck, return_inverse=True)
+        last = np.full(len(un), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(last, inv, ts)
+        return pa.table({
+            "c_custkey": pa.array(un.astype(np.int64)),
+            "last_us": pa.array(last),
+            "freq": pa.array(np.bincount(inv).astype(np.int64)),
+            "mon": pa.array(np.bincount(inv, weights=price)
+                            .astype(np.int64))})
+
+    per_cust = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_custkey").aggregate(
+            Max("last_us", alias_name="last_us"),
+            Sum("freq", alias_name="freq"),
+            Sum("mon", alias_name="mon")).materialize()
+    gmax = np.int64(per_cust.max("last_us"))
+    n = per_cust.count()
+
+    base = per_cust.map_batches(
+        lambda b: pa.table({
+            "c_custkey": b["c_custkey"].cast(pa.int64()),
+            "recency_days": pa.array(
+                (gmax - b["last_us"].cast(pa.int64())
+                 .to_numpy(zero_copy_only=False)) // 86_400_000_000),
+            "frequency": b["freq"].cast(pa.int64()),
+            "monetary_c": b["mon"].cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    ranked = global_rank(base, ["recency_days", "c_custkey"],
+                         descending=[False, False], out_col="_rr")
+    ranked = global_rank(ranked, ["frequency", "c_custkey"],
+                         descending=[True, False], out_col="_rf")
+    ranked = global_rank(ranked, ["monetary_c", "c_custkey"],
+                         descending=[True, False], out_col="_rm")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["c_custkey"].cast(pa.int64()),
+            "recency_days": batch["recency_days"].cast(pa.int64()),
+            "frequency": batch["frequency"].cast(pa.int64()),
+            "monetary_c": batch["monetary_c"].cast(pa.int64()),
+            "r_q": pa.array(_ntile(batch["_rr"].cast(pa.int64())
+                                   .to_numpy(zero_copy_only=False), n)),
+            "f_q": pa.array(_ntile(batch["_rf"].cast(pa.int64())
+                                   .to_numpy(zero_copy_only=False), n)),
+            "m_q": pa.array(_ntile(batch["_rm"].cast(pa.int64())
+                                   .to_numpy(zero_copy_only=False), n))})
+
+    return ranked.map_batches(fin, batch_format="pyarrow")
+
+
+def q_user_growth_daily(sf_dir: str):
+    """Cumulative-distinct-user growth curve: per day, how many users
+    appeared for the FIRST time and the running total of users seen so
+    far — first-seen fold (groupby Min) + per-day counts + the
+    distributed prefix scan (running_total); the window-cumsum growth
+    chart every analytics stack draws."""
+    from ray.data.aggregate import Min, Sum
+
+    from osmium_tool_ray.pipelines.windows import running_total
+
+    DAY = np.int64(86_400_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        un, inv = np.unique(uid, return_inverse=True)
+        first = np.full(len(un), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first, inv, ts // DAY)
+        return pa.table({"user_id": pa.array(un.astype(np.int64)),
+                         "day": pa.array(first)})
+
+    first_day = _events(sf_dir, ["user_id", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Min("day", alias_name="day"))
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        d = batch["day"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        un, cnt = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(un),
+                         "new_users": pa.array(cnt.astype(np.int64))})
+
+    per_day = first_day.map_batches(day_counts,
+                                    batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("new_users",
+                                      alias_name="new_users")) \
+        .map_batches(lambda b: pa.table({
+            "day": b["day"].cast(pa.int64()),
+            "new_users": b["new_users"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    return running_total(per_day, ["day"], "new_users",
+                         out_col="total_users")
+
+
+def q_pca_top_embeddings(sf_dir: str):
+    """Top principal component of the embedding table: the covariance
+    (Gram) matrix accumulates as EXACT int64 partials (embeddings
+    quantized to 1e-6 units map-side, X^T X per batch, one d x d
+    singleton Sum fold — order-free and bit-deterministic), then ONE
+    driver-side eigh on the constant-size d x d Gram yields the
+    direction. Rows-only (iterative); pytest
+    pins sign-aligned agreement with numpy.linalg.eigh. Valid while
+    n * (1e6)^2 < 2^63 per Gram entry (~9e6 rows at unit scale; scale
+    the quantum down past that)."""
+    from ray.data.aggregate import Sum
+
+    SCALE = 1_000_000
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        d = len(flat) // max(batch.num_rows, 1)
+        X = np.rint(flat.reshape(batch.num_rows, d)
+                    * SCALE).astype(np.int64)
+        G = X.T @ X                          # d x d exact int64
+        return pa.table({"_k": pa.array([0], type=pa.int64()),
+                         "n": pa.array([np.int64(batch.num_rows)]),
+                         "gram": pa.array([G.tobytes()],
+                                          type=pa.binary()),
+                         "d": pa.array([np.int64(d)])})
+
+    def gram_merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g
+        d = int(g["d"][0].as_py())
+        G = np.zeros((d, d), dtype=np.int64)
+        for buf in g["gram"].to_pylist():
+            G += np.frombuffer(buf, dtype=np.int64).reshape(d, d)
+        return pa.table({
+            "_k": pa.array([0], type=pa.int64()),
+            "n": pa.array([np.int64(sum(g["n"].to_pylist()))]),
+            "gram": pa.array([G.tobytes()], type=pa.binary()),
+            "d": pa.array([np.int64(d)])})
+
+    rows = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                              columns=["embedding"]) \
+        .map_batches(gram_partial, batch_format="pyarrow") \
+        .groupby("_k").map_groups(gram_merge, batch_format="pyarrow") \
+        .take_all()
+    d = int(rows[0]["d"])
+    G = np.frombuffer(rows[0]["gram"], dtype=np.int64).reshape(d, d) \
+        .astype(np.float64)
+    w, V = np.linalg.eigh(G)                 # d x d, constant-size
+    v = V[:, -1]
+    if v[np.argmax(np.abs(v))] < 0:          # deterministic sign
+        v = -v
+    eig = float(w[-1]) / (SCALE * SCALE)
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "dim": pa.array(np.arange(d, dtype=np.int64)),
+        "component": pa.array(v),
+        "eigenvalue": pa.array([eig] * d, type=pa.float64()),
+        "n_rows": pa.array([int(rows[0]["n"])] * d,
+                           type=pa.int64())}))
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -8359,6 +8552,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_points": q_dbscan_points,
         "fk_integrity_audit": q_fk_integrity_audit,
         "flow_direction_cells": q_flow_direction_cells,
+        "rfm_segments": q_rfm_segments,
+        "user_growth_daily": q_user_growth_daily,
+        "pca_top_embeddings": q_pca_top_embeddings,
         "median_cont_by_type": q_median_cont_by_type,
         "teleport_jumps_user": q_teleport_jumps_user,
         "assortativity_moments": q_assortativity_moments,
@@ -8975,6 +9171,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT price_c AS weighted_median_c, cum, tot
             FROM c CROSS JOIN t
             WHERE 2 * cum >= tot ORDER BY price_c LIMIT 1""",
+        "rfm_segments": """
+            WITH pc AS (SELECT o_custkey AS c_custkey,
+                               MAX(o_orderdate) AS last_d,
+                               CAST(COUNT(*) AS BIGINT) AS frequency,
+                               CAST(SUM(CAST(round(o_totalprice * 100)
+                                             AS BIGINT)) AS BIGINT)
+                                   AS monetary_c
+                        FROM orders GROUP BY 1),
+            g AS (SELECT MAX(last_d) AS gmax FROM pc),
+            b AS (SELECT c_custkey,
+                         (epoch_us(g.gmax) - epoch_us(last_d))
+                         // 86400000000 AS recency_days,
+                         frequency, monetary_c
+                  FROM pc CROSS JOIN g)
+            SELECT c_custkey, recency_days, frequency, monetary_c,
+                   CAST(NTILE(5) OVER (ORDER BY recency_days,
+                                       c_custkey) AS BIGINT) AS r_q,
+                   CAST(NTILE(5) OVER (ORDER BY frequency DESC,
+                                       c_custkey) AS BIGINT) AS f_q,
+                   CAST(NTILE(5) OVER (ORDER BY monetary_c DESC,
+                                       c_custkey) AS BIGINT) AS m_q
+            FROM b""",
+        "user_growth_daily": """
+            WITH f AS (SELECT user_id,
+                              MIN(epoch_us(ts) // 86400000000) AS day
+                       FROM events GROUP BY 1),
+            d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+                  FROM f GROUP BY 1)
+            SELECT day, new_users,
+                   CAST(SUM(new_users) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS total_users
+            FROM d""",
         "flow_direction_cells": f"""{cte}
             , c AS (SELECT cell_x, cell_y, COUNT(*) AS n
                     FROM (SELECT {cells6} FROM images)

@@ -122,6 +122,9 @@ QUERY_NAMES = [
     "gini_revenue", "abc_parts", "weighted_median_price",
     "jsonl_roundtrip", "dbscan_points", "csv_roundtrip",
     "partitioned_write_prune", "k_anonymity_docs",
+    "fk_integrity_audit", "assortativity_moments", "lag_features_user",
+    "flow_direction_cells", "median_cont_by_type",
+    "teleport_jumps_user",
 ]
 
 
