@@ -5345,6 +5345,216 @@ def q_pca_top_embeddings(sf_dir: str):
                            type=pa.int64())}))
 
 
+def q_interval_overlap_pairs(sf_dir: str):
+    """Interval self-join: user pairs whose per-(user, day) activity
+    intervals [first_ts, last_ts] overlap, with the count and exact
+    total overlap microseconds — the temporal co-activity operator
+    (radius_join's blocking discipline in 1-D: a day bounds its own
+    intervals, so the day IS the block key; pairs emit inside ONE
+    day-bucket fold with a vectorized per-day triu, then a pair-key
+    Sum). Touching intervals count with 0-length overlap."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    DAY = np.int64(86_400_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        day = ts // DAY
+        code, inv = np.unique(uid * np.int64(100_000) + day,
+                              return_inverse=True)
+        lo = np.full(len(code), np.iinfo(np.int64).max, dtype=np.int64)
+        hi = np.full(len(code), np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(lo, inv, ts)
+        np.maximum.at(hi, inv, ts)
+        return pa.table({"user_id": pa.array(code // 100_000),
+                         "day": pa.array(code % 100_000),
+                         "s": pa.array(lo), "e": pa.array(hi)})
+
+    intervals = _events(sf_dir, ["user_id", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]) \
+        .aggregate(Min("s", alias_name="s"), Max("e", alias_name="e"))
+
+    pair_schema = pa.schema([("pair", pa.int64()),
+                             ("n_overlaps", pa.int64()),
+                             ("overlap_us", pa.int64())])
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "day" not in g.schema.names:
+            return pair_schema.empty_table()
+        day = g["day"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = g["user_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        s = g["s"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = g["e"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, day))
+        day, uid, s, e = day[order], uid[order], s[order], e[order]
+        new = np.ones(len(day), dtype=bool)
+        new[1:] = day[1:] != day[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(day))
+        outp, outn, outo = [], [], []
+        for st, en in zip(starts, ends):
+            m = en - st
+            if m < 2:
+                continue
+            ai, bi = np.triu_indices(m, k=1)
+            ua, ub = uid[st:en][ai], uid[st:en][bi]
+            ov = np.minimum(e[st:en][ai], e[st:en][bi]) \
+                - np.maximum(s[st:en][ai], s[st:en][bi])
+            keep = ov >= 0
+            if keep.any():
+                outp.append(ua[keep] * np.int64(1_000_000) + ub[keep])
+                outo.append(ov[keep])
+        if not outp:
+            return pair_schema.empty_table()
+        pairs = np.concatenate(outp)
+        ovs = np.concatenate(outo)
+        un, inv = np.unique(pairs, return_inverse=True)
+        return pa.table({
+            "pair": pa.array(un),
+            "n_overlaps": pa.array(np.bincount(inv).astype(np.int64)),
+            "overlap_us": pa.array(np.bincount(inv, weights=ovs)
+                                   .astype(np.int64))})
+
+    agg = group_by_key_bucket(intervals, "day", fold) \
+        .groupby("pair").aggregate(
+            Sum("n_overlaps", alias_name="n_overlaps"),
+            Sum("overlap_us", alias_name="total_overlap_us"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        pr = batch["pair"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_a": pa.array(pr // 1_000_000),
+            "user_b": pa.array(pr % 1_000_000),
+            "n_overlaps": batch["n_overlaps"].cast(pa.int64()),
+            "total_overlap_us": batch["total_overlap_us"]
+            .cast(pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q_contingency_dow_type(sf_dir: str):
+    """Chi-square contingency decomposition of (day-of-week x event
+    type): per cell the observed count with row/column/grand totals
+    attached as exact integers — the moment table a chi² or Cramér's V
+    is built from, floats deferred to the caller (the assortativity
+    discipline). One tiny 7 x |types| groupby, totals broadcast from
+    the constant-size aggregate."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dow = ((ts // 86_400_000_000) + 4) % 7       # 1970-01-01 = Thu
+        typ = np.asarray(batch["event_type"].to_pylist(), dtype="U")
+        ut, tinv = np.unique(typ, return_inverse=True)
+        code = dow * len(ut) + tinv
+        uc, cnt = np.unique(code, return_counts=True)
+        return pa.table({
+            "dow": pa.array((uc // len(ut)).astype(np.int64)),
+            "event_type": pa.array(ut[uc % len(ut)].tolist(),
+                                   type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    cells = _events(sf_dir, ["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["dow", "event_type"]) \
+        .aggregate(Sum("n", alias_name="n")).materialize()
+
+    rows = cells.take_all()                  # 7 x |types| — constant
+    row_tot: dict = {}
+    col_tot: dict = {}
+    grand = 0
+    for r in rows:
+        row_tot[r["dow"]] = row_tot.get(r["dow"], 0) + r["n"]
+        col_tot[r["event_type"]] = col_tot.get(r["event_type"], 0) \
+            + r["n"]
+        grand += r["n"]
+    return rd_from_rows([
+        {"dow": r["dow"], "event_type": r["event_type"], "n": r["n"],
+         "row_total": row_tot[r["dow"]],
+         "col_total": col_tot[r["event_type"]], "grand_total": grand}
+        for r in rows])
+
+
+def rd_from_rows(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def q_lorenz_deciles(sf_dir: str):
+    """Lorenz curve of customer revenue at decile resolution: for each
+    decile boundary k/10 of customers (poorest first), the exact
+    cumulative revenue share numerator — the curve behind gini_revenue
+    (same distributed ROW_NUMBER; the boundary row per decile selects
+    map-side, shares stay integer cross-products until one final
+    division)."""
+    from ray.data.aggregate import Sum
+
+    from osmium_tool_ray.blocks import sum_by_key_bucket
+    from osmium_tool_ray.pipelines.stats import global_rank
+    from osmium_tool_ray.pipelines.windows import running_total
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        price = np.rint(batch["o_totalprice"]
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        un, inv = np.unique(ck, return_inverse=True)
+        return pa.table({"o_custkey": pa.array(un.astype(np.int64)),
+                         "rev": pa.array(np.bincount(inv, weights=price)
+                                         .astype(np.int64))})
+
+    rev = sum_by_key_bucket(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"])
+        .map_batches(rev_partial, batch_format="pyarrow"),
+        "o_custkey", ["rev"]).materialize()
+    n = rev.count()
+    tot = int(rev.map_batches(
+        lambda b: pa.table({"_k": pa.array([0], type=pa.int64()),
+                            "t": pa.array([b["rev"].cast(pa.int64())
+                                           .to_numpy(zero_copy_only=False)
+                                           .sum()], type=pa.int64())}),
+        batch_format="pyarrow").groupby("_k")
+        .aggregate(Sum("t", alias_name="t")).take_all()[0]["t"])
+
+    ranked = global_rank(rev, ["rev", "o_custkey"],
+                         descending=[False, False], out_col="i")
+    scanned = running_total(
+        ranked.map_batches(lambda b: pa.table({
+            "i": b["i"].cast(pa.int64()),
+            "o_custkey": b["o_custkey"].cast(pa.int64()),
+            "rev": b["rev"].cast(pa.int64())}),
+            batch_format="pyarrow"),
+        ["i"], "rev", out_col="cum")
+
+    bounds = np.asarray([n * k // 10 for k in range(1, 11)],
+                        dtype=np.int64)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        i = batch["i"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cum = batch["cum"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sel = np.isin(i, bounds)
+        ii, cc = i[sel], cum[sel]
+        dec = np.searchsorted(bounds, ii) + 1
+        return pa.table({
+            "decile": pa.array(dec.astype(np.int64)),
+            "n_customers": pa.array(ii),
+            "cum_revenue_c": pa.array(cc),
+            "share": pa.array(cc.astype(np.float64) / float(tot))})
+
+    return scanned.map_batches(pick, batch_format="pyarrow")
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -8553,6 +8763,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_integrity_audit": q_fk_integrity_audit,
         "flow_direction_cells": q_flow_direction_cells,
         "rfm_segments": q_rfm_segments,
+        "interval_overlap_pairs": q_interval_overlap_pairs,
+        "contingency_dow_type": q_contingency_dow_type,
+        "lorenz_deciles": q_lorenz_deciles,
         "user_growth_daily": q_user_growth_daily,
         "pca_top_embeddings": q_pca_top_embeddings,
         "median_cont_by_type": q_median_cont_by_type,
@@ -9171,6 +9384,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT price_c AS weighted_median_c, cum, tot
             FROM c CROSS JOIN t
             WHERE 2 * cum >= tot ORDER BY price_c LIMIT 1""",
+        "interval_overlap_pairs": """
+            WITH i AS (SELECT user_id,
+                              epoch_us(ts) // 86400000000 AS day,
+                              MIN(epoch_us(ts)) AS s,
+                              MAX(epoch_us(ts)) AS e
+                       FROM events GROUP BY 1, 2)
+            SELECT a.user_id AS user_a, b.user_id AS user_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+                   CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s))
+                        AS BIGINT) AS total_overlap_us
+            FROM i a JOIN i b ON a.day = b.day
+                             AND a.user_id < b.user_id
+                             AND a.s <= b.e AND b.s <= a.e
+            GROUP BY 1, 2""",
+        "contingency_dow_type": """
+            WITH c AS (SELECT dayofweek(ts) AS dow, event_type,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS row_total
+                  FROM c GROUP BY 1),
+            col AS (SELECT event_type,
+                           CAST(SUM(n) AS BIGINT) AS col_total
+                    FROM c GROUP BY 1),
+            g AS (SELECT CAST(SUM(n) AS BIGINT) AS grand_total FROM c)
+            SELECT c.dow, c.event_type, c.n, r.row_total,
+                   col.col_total, g.grand_total
+            FROM c JOIN r USING (dow) JOIN col USING (event_type)
+            CROSS JOIN g""",
+        "lorenz_deciles": """
+            WITH r AS (SELECT o_custkey,
+                              CAST(SUM(CAST(round(o_totalprice * 100)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS rev
+                       FROM orders GROUP BY 1),
+            t AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot,
+                         CAST(COUNT(*) AS BIGINT) AS n FROM r),
+            rk AS (SELECT rev, ROW_NUMBER() OVER
+                       (ORDER BY rev, o_custkey) AS i FROM r),
+            c AS (SELECT i, CAST(SUM(rev) OVER (ORDER BY i
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                  FROM rk)
+            SELECT d.k AS decile, c.i AS n_customers,
+                   c.cum AS cum_revenue_c,
+                   CAST(c.cum AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                       AS share
+            FROM c, t, unnest(generate_series(1, 10)) AS d(k)
+            WHERE c.i = t.n * d.k // 10""",
         "rfm_segments": """
             WITH pc AS (SELECT o_custkey AS c_custkey,
                                MAX(o_orderdate) AS last_d,
