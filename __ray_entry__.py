@@ -5555,6 +5555,176 @@ def q_lorenz_deciles(sf_dir: str):
     return scanned.map_batches(pick, batch_format="pyarrow")
 
 
+def q_peak_concurrency(sf_dir: str):
+    """Sweep-line maximum concurrency: the peak number of
+    simultaneously-active per-(user, day) activity intervals and the
+    first timestamp attaining it — interval starts emit +1, ends emit
+    -1 AFTER the touching instant (start-before-end tie order), ONE
+    distributed prefix scan (running_total over (ts, kind)), then a
+    deterministic (count DESC, ts ASC) top-1. The classic
+    max-overlapping-meetings operator."""
+    from ray.data.aggregate import Max, Min
+
+    from osmium_tool_ray.pipelines.windows import running_total
+
+    DAY = np.int64(86_400_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        code, inv = np.unique(uid * np.int64(100_000) + ts // DAY,
+                              return_inverse=True)
+        lo = np.full(len(code), np.iinfo(np.int64).max, dtype=np.int64)
+        hi = np.full(len(code), np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(lo, inv, ts)
+        np.maximum.at(hi, inv, ts)
+        return pa.table({"user_id": pa.array(code // 100_000),
+                         "day": pa.array(code % 100_000),
+                         "s": pa.array(lo), "e": pa.array(hi)})
+
+    iv = _events(sf_dir, ["user_id", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]) \
+        .aggregate(Min("s", alias_name="s"), Max("e", alias_name="e"))
+
+    def boundaries(batch: pa.Table) -> pa.Table:
+        s = batch["s"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = batch["e"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "us": pa.array(np.concatenate([s, e])),
+            # starts sort BEFORE ends at the same instant (kind 0 < 1)
+            "kind": pa.array(np.concatenate([
+                np.zeros(len(s), dtype=np.int64),
+                np.ones(len(e), dtype=np.int64)])),
+            "delta": pa.array(np.concatenate([
+                np.ones(len(s), dtype=np.int64),
+                -np.ones(len(e), dtype=np.int64)]))})
+
+    scanned = running_total(
+        iv.map_batches(boundaries, batch_format="pyarrow"),
+        ["us", "kind"], "delta", out_col="active")
+    top = scanned.sort(["active", "us"],
+                       descending=[True, False]).limit(1)
+    return top.map_batches(
+        lambda b: pa.table({
+            "peak_concurrency": b["active"].cast(pa.int64()),
+            "at_us": b["us"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_wow_change_type(sf_dir: str):
+    """Week-over-week change per event type: weekly counts plus the
+    previous week's count and the percent change — per-batch (week,
+    type) partials into ONE small groupby, the LAG attached by a
+    shifted-key union (week+1 self-attach, no window shuffle), pct in
+    one fixed-order expression. Weeks with no predecessor are
+    dropped (no NULL crosses the canon)."""
+    from ray.data.aggregate import Sum
+
+    WEEK = np.int64(604_800_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        wk = ts // WEEK
+        typ = np.asarray(batch["event_type"].to_pylist(), dtype="U")
+        ut, tinv = np.unique(typ, return_inverse=True)
+        code = wk * len(ut) + tinv
+        uc, cnt = np.unique(code, return_counts=True)
+        return pa.table({
+            "week": pa.array((uc // len(ut)).astype(np.int64)),
+            "event_type": pa.array(ut[uc % len(ut)].tolist(),
+                                   type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    weekly = _events(sf_dir, ["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["week", "event_type"]) \
+        .aggregate(Sum("n", alias_name="n")).materialize()
+
+    # LAG by self-union: previous week's row re-keyed to week+1
+    cur = weekly.map_batches(
+        lambda b: pa.table({
+            "week": b["week"].cast(pa.int64()),
+            "event_type": b["event_type"].cast(pa.string()),
+            "n": b["n"].cast(pa.int64()),
+            "prev": pa.array(np.zeros(b.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow")
+    shifted = weekly.map_batches(
+        lambda b: pa.table({
+            "week": pc.add(b["week"].cast(pa.int64()), 1),
+            "event_type": b["event_type"].cast(pa.string()),
+            "n": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "prev": b["n"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    merged = cur.union(shifted).groupby(["week", "event_type"]) \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("prev", alias_name="prev"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        n = batch["n"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        p = batch["prev"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = (p > 0) & (n > 0)       # both weeks present
+        return pa.table({
+            "week": pa.array(batch["week"].cast(pa.int64())
+                             .to_numpy(zero_copy_only=False)[keep]),
+            "event_type": pa.array(
+                np.asarray(batch["event_type"].to_pylist(),
+                           dtype=object)[keep].tolist(),
+                type=pa.string()),
+            "n": pa.array(n[keep]), "prev_n": pa.array(p[keep]),
+            "pct_change": pa.array(
+                100.0 * (n[keep] - p[keep]).astype(np.float64)
+                / p[keep].astype(np.float64))})
+
+    return merged.map_batches(fin, batch_format="pyarrow")
+
+
+def q_funnel_latency_quartiles(sf_dir: str):
+    """View-to-click conversion latency quartiles: per user, the time
+    from the FIRST view to the first click strictly after it (the
+    (ts, event_id) total order), then exact global order statistics
+    over the latencies (stats.exact_quantiles — quantile_disc
+    semantics). ONE user-bucket fold + one single-column sort."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+    from osmium_tool_ray.pipelines.stats import exact_quantiles
+
+    def fold(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("latency_us", pa.int64())])
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return schema.empty_table()
+        uid = g["user_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        typ = np.asarray(g["event_type"].to_pylist(), dtype="U")
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s, ty = uid[order], ts[order], typ[order]
+        start = np.ones(len(u_s), dtype=bool)
+        start[1:] = u_s[1:] != u_s[:-1]
+        seg = np.cumsum(start) - 1
+        nseg = int(seg[-1]) + 1
+        idx = np.arange(len(u_s))
+        BIG = np.int64(1 << 62)
+        vfirst = np.full(nseg, BIG, dtype=np.int64)
+        isv = ty == "view"
+        np.minimum.at(vfirst, seg[isv], idx[isv])
+        cfirst = np.full(nseg, BIG, dtype=np.int64)
+        isc = ty == "click"
+        after = isc & (idx > vfirst[seg])
+        np.minimum.at(cfirst, seg[after], idx[after])
+        ok = (vfirst < BIG) & (cfirst < BIG)
+        return pa.table({"latency_us": pa.array(
+            t_s[cfirst[ok]] - t_s[vfirst[ok]])})
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+    lat = group_by_key_bucket(ev, "user_id", fold)
+    return exact_quantiles(lat, "latency_us", [0.25, 0.5, 0.75])
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -8764,6 +8934,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flow_direction_cells": q_flow_direction_cells,
         "rfm_segments": q_rfm_segments,
         "interval_overlap_pairs": q_interval_overlap_pairs,
+        "peak_concurrency": q_peak_concurrency,
+        "wow_change_type": q_wow_change_type,
+        "funnel_latency_quartiles": q_funnel_latency_quartiles,
         "contingency_dow_type": q_contingency_dow_type,
         "lorenz_deciles": q_lorenz_deciles,
         "user_growth_daily": q_user_growth_daily,
@@ -9384,6 +9557,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT price_c AS weighted_median_c, cum, tot
             FROM c CROSS JOIN t
             WHERE 2 * cum >= tot ORDER BY price_c LIMIT 1""",
+        "peak_concurrency": """
+            WITH i AS (SELECT user_id,
+                              epoch_us(ts) // 86400000000 AS day,
+                              MIN(epoch_us(ts)) AS s,
+                              MAX(epoch_us(ts)) AS e
+                       FROM events GROUP BY 1, 2),
+            b AS (SELECT s AS us, 0 AS kind, 1 AS delta FROM i
+                  UNION ALL SELECT e, 1, -1 FROM i),
+            c AS (SELECT us, kind,
+                         CAST(SUM(delta) OVER (ORDER BY us, kind
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS active
+                  FROM b)
+            SELECT active AS peak_concurrency, us AS at_us
+            FROM c ORDER BY active DESC, us LIMIT 1""",
+        "wow_change_type": """
+            WITH w AS (SELECT epoch_us(ts) // 604800000000 AS week,
+                              event_type,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT a.week, a.event_type, a.n, b.n AS prev_n,
+                   100.0 * CAST(a.n - b.n AS DOUBLE)
+                         / CAST(b.n AS DOUBLE) AS pct_change
+            FROM w a JOIN w b ON b.week = a.week - 1
+                             AND b.event_type = a.event_type
+            WHERE b.n > 0 AND a.n > 0""",
+        "funnel_latency_quartiles": """
+            WITH v AS (SELECT user_id, ts AS vts, event_id AS veid
+                       FROM (SELECT user_id, ts, event_id,
+                                    ROW_NUMBER() OVER (
+                                        PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+                             FROM events
+                             WHERE event_type = 'view')
+                       WHERE rn = 1),
+            c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS cts
+                  FROM events e JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click'
+                    AND (e.ts > v.vts
+                         OR (e.ts = v.vts AND e.event_id > v.veid))
+                  GROUP BY 1),
+            l AS (SELECT c.cts - epoch_us(v.vts) AS latency_us
+                  FROM c JOIN v USING (user_id))
+            SELECT 0.25 AS q,
+                   CAST(quantile_disc(latency_us, 0.25) AS BIGINT)
+                       AS value
+            FROM l
+            UNION ALL
+            SELECT 0.5,
+                   CAST(quantile_disc(latency_us, 0.5) AS BIGINT)
+            FROM l
+            UNION ALL
+            SELECT 0.75,
+                   CAST(quantile_disc(latency_us, 0.75) AS BIGINT)
+            FROM l""",
         "interval_overlap_pairs": """
             WITH i AS (SELECT user_id,
                               epoch_us(ts) // 86400000000 AS day,
