@@ -5725,6 +5725,98 @@ def q_funnel_latency_quartiles(sf_dir: str):
     return exact_quantiles(lat, "latency_us", [0.25, 0.5, 0.75])
 
 
+def q_catalog_tables(sf_dir: str):
+    """Catalog sweep over every table in the warehouse (the fileinfo
+    discipline generalized): per table, row and column counts from
+    parquet FOOTER metadata only — no data pages are read (the
+    prune-at-the-read principle taken to its limit; per-table work is
+    one metadata fetch, parallelizable across tables at scale)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    tables = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"]
+    rows = []
+    for t in tables:
+        f = pq.ParquetFile(f"{sf_dir}/{t}.parquet")
+        rows.append({"table_name": t,
+                     "n_rows": int(f.metadata.num_rows),
+                     "n_cols": int(f.metadata.num_columns)})
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def q_type_histogram_overlap(sf_dir: str):
+    """Pairwise histogram-intersection similarity between the event
+    types' value distributions: values bucket to 100-cent bins, per
+    (type, bin) counts feed one small groupby, and every type pair's
+    Σ min(h_a, h_b) is computed from the grid-bounded pivot (exact
+    ints; the KS test's blunt, binned companion — robust to tails).
+    Output: (type_a, type_b, inter, n_a, n_b) for a < b."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        bin_ = vc // 100
+        typ = np.asarray(batch["event_type"].to_pylist(), dtype="U")
+        ut, tinv = np.unique(typ, return_inverse=True)
+        code = bin_ * len(ut) + tinv
+        uc, cnt = np.unique(code, return_counts=True)
+        return pa.table({
+            "bin": pa.array(np.where(uc >= 0, uc // len(ut),
+                                     -((-uc - 1) // len(ut)) - 1)
+                            .astype(np.int64)),
+            "event_type": pa.array(
+                ut[np.mod(uc, len(ut))].tolist(), type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    cells = _events(sf_dir, ["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["bin", "event_type"]) \
+        .aggregate(Sum("n", alias_name="n"))
+    rows = cells.take_all()                  # |bins| x |types| bounded
+    types = sorted({r["event_type"] for r in rows})
+    hist = {t: {} for t in types}
+    tot = {t: 0 for t in types}
+    for r in rows:
+        hist[r["event_type"]][r["bin"]] = r["n"]
+        tot[r["event_type"]] += r["n"]
+    out = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            inter = sum(min(v, hist[b].get(k, 0))
+                        for k, v in hist[a].items())
+            out.append({"type_a": a, "type_b": b, "inter": inter,
+                        "n_a": tot[a], "n_b": tot[b]})
+    return rd_from_rows(out)
+
+
+def q_freshness_by_type(sf_dir: str):
+    """Data-freshness audit: per event type, the newest timestamp and
+    its staleness versus the global newest — the ops dashboard's
+    "is this feed lagging" check (per-batch Max partials, one tiny
+    groupby, scalar global max broadcast)."""
+    from ray.data.aggregate import Max
+
+    agg = _events(sf_dir, ["event_type", "ts"]) \
+        .map_batches(lambda b: pa.table({
+            "event_type": b["event_type"],
+            "us": b["ts"].cast(pa.timestamp("us")).cast(pa.int64())}),
+            batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Max("us", alias_name="last_us")) \
+        .materialize()
+    gmax = np.int64(agg.max("last_us"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"].cast(pa.string()),
+            "last_us": b["last_us"].cast(pa.int64()),
+            "staleness_s": pa.array(
+                (gmax - b["last_us"].cast(pa.int64())
+                 .to_numpy(zero_copy_only=False)) // 1_000_000)}),
+        batch_format="pyarrow")
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -8935,6 +9027,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": q_rfm_segments,
         "interval_overlap_pairs": q_interval_overlap_pairs,
         "peak_concurrency": q_peak_concurrency,
+        "catalog_tables": q_catalog_tables,
+        "type_histogram_overlap": q_type_histogram_overlap,
+        "freshness_by_type": q_freshness_by_type,
         "wow_change_type": q_wow_change_type,
         "funnel_latency_quartiles": q_funnel_latency_quartiles,
         "contingency_dow_type": q_contingency_dow_type,
@@ -9557,6 +9652,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT price_c AS weighted_median_c, cum, tot
             FROM c CROSS JOIN t
             WHERE 2 * cum >= tot ORDER BY price_c LIMIT 1""",
+        "catalog_tables": """
+            SELECT 'region' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(2 AS BIGINT) AS n_cols FROM region
+            UNION ALL SELECT 'nation', CAST(COUNT(*) AS BIGINT), 3 FROM nation
+            UNION ALL SELECT 'customer', CAST(COUNT(*) AS BIGINT), 5 FROM customer
+            UNION ALL SELECT 'supplier', CAST(COUNT(*) AS BIGINT), 4 FROM supplier
+            UNION ALL SELECT 'part', CAST(COUNT(*) AS BIGINT), 6 FROM part
+            UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT), 6 FROM orders
+            UNION ALL SELECT 'lineitem', CAST(COUNT(*) AS BIGINT), 11 FROM lineitem
+            UNION ALL SELECT 'events', CAST(COUNT(*) AS BIGINT), 6 FROM events
+            UNION ALL SELECT 'documents', CAST(COUNT(*) AS BIGINT), 5 FROM documents
+            UNION ALL SELECT 'embeddings', CAST(COUNT(*) AS BIGINT), 3 FROM embeddings""",
+        "type_histogram_overlap": """
+            WITH h AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT)
+                              // 100 AS bin,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT event_type,
+                         CAST(SUM(n) AS BIGINT) AS tot
+                  FROM h GROUP BY 1),
+            p AS (SELECT a.event_type AS type_a,
+                         b.event_type AS type_b,
+                         CAST(SUM(least(a.n, b.n)) AS BIGINT) AS inter
+                  FROM h a JOIN h b ON a.bin = b.bin
+                                   AND a.event_type < b.event_type
+                  GROUP BY 1, 2)
+            SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+                   CAST(COALESCE(p.inter, 0) AS BIGINT) AS inter,
+                   ta.tot AS n_a, tb.tot AS n_b
+            FROM t ta JOIN t tb ON ta.event_type < tb.event_type
+            LEFT JOIN p ON p.type_a = ta.event_type
+                       AND p.type_b = tb.event_type""",
+        "freshness_by_type": """
+            WITH m AS (SELECT event_type, MAX(epoch_us(ts)) AS last_us
+                       FROM events GROUP BY 1),
+            g AS (SELECT MAX(last_us) AS gmax FROM m)
+            SELECT event_type, CAST(last_us AS BIGINT) AS last_us,
+                   CAST((g.gmax - last_us) // 1000000 AS BIGINT)
+                       AS staleness_s
+            FROM m CROSS JOIN g""",
         "peak_concurrency": """
             WITH i AS (SELECT user_id,
                               epoch_us(ts) // 86400000000 AS day,
