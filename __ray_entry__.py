@@ -5817,6 +5817,142 @@ def q_freshness_by_type(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_clean_funnel_counts(sf_dir: str):
+    """Exclusion funnel: users whose first view converts to a click
+    with NO 'error' event between the two (the product-analytics
+    "clean conversion" — an ordered funnel with a negative step).
+    ONE user-bucket lexsort fold computes first-view, first-later-click
+    and any-error-between positions vectorized; output is the single
+    (n_converted, n_clean) row."""
+    from ray.data.aggregate import Sum
+
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    def fold(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("_k", pa.int64()),
+                            ("n_converted", pa.int64()),
+                            ("n_clean", pa.int64())])
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return schema.empty_table()
+        uid = g["user_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        typ = np.asarray(g["event_type"].to_pylist(), dtype="U")
+        order = np.lexsort((eid, ts, uid))
+        u_s, ty = uid[order], typ[order]
+        start = np.ones(len(u_s), dtype=bool)
+        start[1:] = u_s[1:] != u_s[:-1]
+        seg = np.cumsum(start) - 1
+        nseg = int(seg[-1]) + 1
+        idx = np.arange(len(u_s))
+        BIG = np.int64(1 << 62)
+        vfirst = np.full(nseg, BIG, dtype=np.int64)
+        m = ty == "view"
+        np.minimum.at(vfirst, seg[m], idx[m])
+        cfirst = np.full(nseg, BIG, dtype=np.int64)
+        m = (ty == "click") & (idx > vfirst[seg])
+        np.minimum.at(cfirst, seg[m], idx[m])
+        conv = (vfirst < BIG) & (cfirst < BIG)
+        # any error strictly between the two positions?
+        err = np.zeros(nseg, dtype=np.int64)
+        m = (ty == "error") & (idx > vfirst[seg]) & (idx < cfirst[seg])
+        np.add.at(err, seg[m], 1)
+        clean = conv & (err == 0)
+        return pa.table({"_k": pa.array([0], type=pa.int64()),
+                         "n_converted": pa.array(
+                             [np.int64(conv.sum())]),
+                         "n_clean": pa.array([np.int64(clean.sum())])})
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+    agg = group_by_key_bucket(ev, "user_id", fold) \
+        .groupby("_k").aggregate(
+            Sum("n_converted", alias_name="n_converted"),
+            Sum("n_clean", alias_name="n_clean"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "n_converted": b["n_converted"].cast(pa.int64()),
+            "n_clean": b["n_clean"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_running_max_user(sf_dir: str):
+    """Per-user running maximum of value-cents in (ts, event_id) order
+    — the MAX() OVER (PARTITION BY ... ROWS UNBOUNDED PRECEDING) scan:
+    associative like the sum scan but NOT invertible, so the segmented
+    fold uses np.maximum.accumulate with segment-base resets inside ONE
+    user-bucket shuffle (the running_total keyed discipline for a
+    non-sum monoid)."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    def fold(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("event_id", pa.int64()),
+                            ("vc", pa.int64()),
+                            ("running_max", pa.int64())])
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return schema.empty_table()
+        uid = g["user_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        vc = np.rint(g["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u_s, e_s, v_s = uid[order], eid[order], vc[order]
+        start = np.ones(len(u_s), dtype=bool)
+        start[1:] = u_s[1:] != u_s[:-1]
+        seg = np.cumsum(start) - 1
+        # segmented cummax: offset each segment by a huge monotone
+        # step so cross-segment carryover never wins (|vc| << 2^39)
+        STEP = np.int64(1) << np.int64(40)
+        offset = seg * STEP
+        rm = np.maximum.accumulate(v_s + offset) - offset
+        return pa.table({"event_id": pa.array(e_s.astype(np.int64)),
+                         "vc": pa.array(v_s),
+                         "running_max": pa.array(rm)})
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    return group_by_key_bucket(ev, "user_id", fold)
+
+
+def q_dense_rank_value(sf_dir: str):
+    """Global DENSE_RANK of every event's value-cents — the rank
+    family's third member beside ROW_NUMBER (global_rank) and
+    PERCENT_RANK: distinct values fold to one small table, the
+    distributed ROW_NUMBER ranks THEM, and the rank attaches back by a
+    bucketed equality join (dense rank of a row == row number of its
+    distinct value)."""
+    from ray.data.aggregate import Count
+
+    from osmium_tool_ray.blocks import attach_lookup_bucketed
+    from osmium_tool_ray.pipelines.stats import global_rank
+
+    def to_vc(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "vc": pa.array(np.rint(batch["value"]
+                                   .to_numpy(zero_copy_only=False)
+                                   * 100.0).astype(np.int64))})
+
+    ev = _events(sf_dir, ["event_id", "value"]) \
+        .map_batches(to_vc, batch_format="pyarrow").materialize()
+    distinct = ev.groupby("vc").aggregate(Count(alias_name="_n")) \
+        .map_batches(lambda b: pa.table({
+            "vc": b["vc"].cast(pa.int64())}), batch_format="pyarrow")
+    ranked = global_rank(distinct, ["vc"], descending=[False],
+                         out_col="dense_rank")
+    out = attach_lookup_bucketed(ev, ranked, "vc", "dense_rank",
+                                 "dense_rank")
+    return out.map_batches(
+        lambda b: pa.table({
+            "event_id": b["event_id"].cast(pa.int64()),
+            "vc": b["vc"].cast(pa.int64()),
+            "dense_rank": b["dense_rank"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -9028,6 +9164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_overlap_pairs": q_interval_overlap_pairs,
         "peak_concurrency": q_peak_concurrency,
         "catalog_tables": q_catalog_tables,
+        "clean_funnel_counts": q_clean_funnel_counts,
+        "running_max_user": q_running_max_user,
+        "dense_rank_value": q_dense_rank_value,
         "type_histogram_overlap": q_type_histogram_overlap,
         "freshness_by_type": q_freshness_by_type,
         "wow_change_type": q_wow_change_type,
@@ -9652,6 +9791,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT price_c AS weighted_median_c, cum, tot
             FROM c CROSS JOIN t
             WHERE 2 * cum >= tot ORDER BY price_c LIMIT 1""",
+        "clean_funnel_counts": """
+            WITH o AS (SELECT user_id, ts, event_id, event_type,
+                              ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+                       FROM events),
+            v AS (SELECT user_id, MIN(rn) AS vrn FROM o
+                  WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT o.user_id, MIN(o.rn) AS crn
+                  FROM o JOIN v ON o.user_id = v.user_id
+                  WHERE o.event_type = 'click' AND o.rn > v.vrn
+                  GROUP BY 1),
+            conv AS (SELECT v.user_id, v.vrn, c.crn
+                     FROM v JOIN c ON v.user_id = c.user_id),
+            dirty AS (SELECT DISTINCT conv.user_id
+                      FROM conv JOIN o ON o.user_id = conv.user_id
+                      WHERE o.event_type = 'error'
+                        AND o.rn > conv.vrn AND o.rn < conv.crn)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+                   CAST(COUNT(*) - (SELECT COUNT(*) FROM dirty)
+                        AS BIGINT) AS n_clean
+            FROM conv""",
+        "running_max_user": """
+            SELECT event_id,
+                   CAST(round(value * 100) AS BIGINT) AS vc,
+                   CAST(MAX(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS running_max
+            FROM events""",
+        "dense_rank_value": """
+            SELECT event_id,
+                   CAST(round(value * 100) AS BIGINT) AS vc,
+                   CAST(DENSE_RANK() OVER (
+                        ORDER BY CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS dense_rank
+            FROM events""",
         "catalog_tables": """
             SELECT 'region' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(2 AS BIGINT) AS n_cols FROM region
             UNION ALL SELECT 'nation', CAST(COUNT(*) AS BIGINT), 3 FROM nation

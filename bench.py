@@ -124,7 +124,11 @@ QUERY_NAMES = [
     "partitioned_write_prune", "k_anonymity_docs",
     "fk_integrity_audit", "assortativity_moments", "lag_features_user",
     "flow_direction_cells", "median_cont_by_type",
-    "teleport_jumps_user",
+    "teleport_jumps_user", "rfm_segments", "user_growth_daily",
+    "pca_top_embeddings", "interval_overlap_pairs",
+    "contingency_dow_type", "lorenz_deciles", "peak_concurrency",
+    "wow_change_type", "funnel_latency_quartiles", "catalog_tables",
+    "type_histogram_overlap", "freshness_by_type",
 ]
 
 
