@@ -5953,6 +5953,103 @@ def q_dense_rank_value(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_greedy_cell_cover(sf_dir: str):
+    """Greedy maximum coverage (the 1-1/e submodular greedy, Nemhauser
+    et al. 1978): pick k=5 level-6 cells covering the most distinct
+    users — each round counts UNCOVERED users per cell (distinct
+    (cell, user) partials + one groupby), takes the deterministic
+    argmax (count DESC, cell ASC), and broadcasts the newly covered
+    user set; k rounds = k bounded shuffles, the covered set rides the
+    object store (bucketed anti-join past a cap would swap in at
+    open-web user counts — the semi_join discipline). Rows-only
+    (iterative greedy); pytest pins a brute-force reference."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from osmium_tool_ray.blocks import bounded_rows
+
+    K = 5
+    n6 = np.int64(1) << np.int64(TILE_LEVEL)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        xf = ((eid * 7919) % 36000) * 100000 - 1800000000
+        yf = ((eid * 104729) % 17000) * 100000 - 850000000
+        x = np.clip((xf + 1800000000) * n6 // 3600000000, 0, n6 - 1)
+        y = np.clip((yf + 850000000) * n6 // 1700000000, 0, n6 - 1)
+        cell = x * n6 + y
+        code = np.unique(cell * np.int64(1_000_000) + uid)
+        return pa.table({"cell": pa.array(code // 1_000_000),
+                         "user_id": pa.array(code % 1_000_000)})
+
+    cu = _events(sf_dir, ["event_id", "user_id"]) \
+        .map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["cell", "user_id"]).count().materialize()
+
+    covered = np.empty(0, dtype=np.int64)
+    picks = []
+    for _ in range(K):
+        cov_ref = ray.put(np.sort(covered))
+
+        def gain(batch: pa.Table) -> pa.Table:
+            cov = ray.get(cov_ref)
+            c = batch["cell"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            u = batch["user_id"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            pos = np.searchsorted(cov, u)
+            pos_c = np.minimum(pos, max(len(cov) - 1, 0))
+            unc = ~((pos < len(cov)) & (cov[pos_c] == u)) \
+                if len(cov) else np.ones(len(u), dtype=bool)
+            un, inv = np.unique(c[unc], return_inverse=True)
+            return pa.table({"cell": pa.array(un),
+                             "g": pa.array(np.bincount(inv)
+                                           .astype(np.int64))})
+
+        gains = cu.map_batches(gain, batch_format="pyarrow") \
+            .groupby("cell").aggregate(Sum("g", alias_name="g"))
+        top = gains.sort(["g", "cell"],
+                         descending=[True, False]).limit(1).take_all()
+        if not top or top[0]["g"] == 0:
+            break
+        best = int(top[0]["cell"])
+        picks.append({"round": len(picks) + 1, "cell_x": best // int(n6),
+                      "cell_y": best % int(n6),
+                      "gain": int(top[0]["g"])})
+        # users of the picked cell join the covered set (output-bounded)
+        new_rows = bounded_rows(
+            cu.filter(expr=f"cell == {best}"), 2_000_000,
+            "greedy cover picked-cell users")
+        newu = np.asarray([r["user_id"] for r in new_rows],
+                          dtype=np.int64)
+        covered = np.union1d(covered, newu)
+        picks[-1]["covered_total"] = int(len(covered))
+    return rd_from_rows(picks)
+
+
+def q_global_mad_value(sf_dir: str):
+    """Global median absolute deviation of value-cents: two exact
+    selection passes (stats.exact_quantiles) — the median, then the
+    median of |x - median| — the robust global dispersion the per-user
+    mad_value_user localizes. All integer until the output."""
+    from osmium_tool_ray.pipelines.stats import exact_quantiles
+
+    ds = _events(sf_dir, ["value"]).map_batches(
+        lambda b: pa.table({"vc": pa.array(
+            np.rint(b["value"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64))}),
+        batch_format="pyarrow").materialize()
+    med = int(exact_quantiles(ds, "vc", [0.5])["value"][0].as_py())
+    dev = ds.map_batches(
+        lambda b: pa.table({"dev": pa.array(
+            np.abs(b["vc"].cast(pa.int64())
+                   .to_numpy(zero_copy_only=False) - med))}),
+        batch_format="pyarrow")
+    mad = int(exact_quantiles(dev, "dev", [0.5])["value"][0].as_py())
+    return rd_from_rows([{"median_vc": med, "mad_vc": mad}])
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -9165,6 +9262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency": q_peak_concurrency,
         "catalog_tables": q_catalog_tables,
         "clean_funnel_counts": q_clean_funnel_counts,
+        "greedy_cell_cover": q_greedy_cell_cover,
+        "global_mad_value": q_global_mad_value,
         "running_max_user": q_running_max_user,
         "dense_rank_value": q_dense_rank_value,
         "type_histogram_overlap": q_type_histogram_overlap,
@@ -9791,6 +9890,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT price_c AS weighted_median_c, cum, tot
             FROM c CROSS JOIN t
             WHERE 2 * cum >= tot ORDER BY price_c LIMIT 1""",
+        "global_mad_value": """
+            WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS vc
+                       FROM events),
+            m AS (SELECT CAST(quantile_disc(vc, 0.5) AS BIGINT) AS med
+                  FROM v)
+            SELECT m.med AS median_vc,
+                   CAST(quantile_disc(abs(v.vc - m.med), 0.5)
+                        AS BIGINT) AS mad_vc
+            FROM v CROSS JOIN m GROUP BY m.med""",
         "clean_funnel_counts": """
             WITH o AS (SELECT user_id, ts, event_id, event_type,
                               ROW_NUMBER() OVER (PARTITION BY user_id
