@@ -6050,6 +6050,134 @@ def q_global_mad_value(sf_dir: str):
     return rd_from_rows([{"median_vc": med, "mad_vc": mad}])
 
 
+def q_regression_moments(sf_dir: str):
+    """OLS sufficient statistics for value ~ (lon_deg, lat_deg, hour):
+    every X^T X and X^T y entry as an EXACT int64 sum over
+    integer-scaled features (the pca_top_embeddings Gram discipline on
+    named features, intercept included) — the normal-equation inputs a
+    trainer solves in milliseconds once the 10-entry moment matrix is
+    exact; floats never enter the distributed pass. One singleton Sum
+    fold."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        vc = np.rint(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        x1 = ((eid * 7919) % 36000) // 100 - 180      # lon degrees
+        x2 = ((eid * 104729) % 17000) // 100 - 85     # lat degrees
+        x3 = (ts // 3_600_000_000) % 24               # hour of day
+        cols = {"_k": pa.array([0], type=pa.int64()),
+                "n": pa.array([np.int64(len(vc))])}
+        feats = {"x1": x1, "x2": x2, "x3": x3}
+        for a in ("x1", "x2", "x3"):
+            cols[f"s_{a}"] = pa.array([np.int64(feats[a].sum())])
+            cols[f"s_{a}{a}"] = pa.array(
+                [np.int64((feats[a] * feats[a]).sum())])
+            cols[f"s_{a}y"] = pa.array(
+                [np.int64((feats[a] * vc).sum())])
+        for a, b in (("x1", "x2"), ("x1", "x3"), ("x2", "x3")):
+            cols[f"s_{a}{b}"] = pa.array(
+                [np.int64((feats[a] * feats[b]).sum())])
+        cols["s_y"] = pa.array([np.int64(vc.sum())])
+        return pa.table(cols)
+
+    ev = _events(sf_dir, ["event_id", "ts", "value"])
+    first = ev.map_batches(partial, batch_format="pyarrow")
+    names = [nm for nm in first.schema().names if nm != "_k"]
+    agg = first.groupby("_k").aggregate(
+        *[Sum(nm, alias_name=nm) for nm in names])
+    return agg.map_batches(
+        lambda b: pa.table({nm: b[nm].cast(pa.int64())
+                            for nm in names}),
+        batch_format="pyarrow")
+
+
+def q_dq_expectations(sf_dir: str):
+    """Declarative data-quality expectations over lineitem (the
+    Great-Expectations shape): a rule list (not-null, value range,
+    set membership) evaluates in ONE map pass emitting per-rule
+    violation partials into a ≤|rules| groupby — the audit a pipeline
+    gates a load on."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        flag = np.asarray(batch["l_returnflag"].to_pylist(),
+                          dtype="U")
+        n = len(qty)
+        rules = [
+            ("quantity_between_1_50", int(((qty < 1)
+                                           | (qty > 50)).sum())),
+            ("price_positive", int((price <= 0).sum())),
+            ("discount_between_0_0.1", int(((disc < 0)
+                                            | (disc > 0.1)).sum())),
+            ("returnflag_in_set",
+             int((~np.isin(flag, np.asarray(["A", "N", "R"],
+                                            dtype="U"))).sum())),
+        ]
+        return pa.table({
+            "rule": pa.array([r[0] for r in rules], type=pa.string()),
+            "n_rows": pa.array([n] * len(rules), type=pa.int64()),
+            "n_violations": pa.array([r[1] for r in rules],
+                                     type=pa.int64())})
+
+    agg = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount",
+                 "l_returnflag"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("rule").aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_violations", alias_name="n_violations"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "rule": b["rule"].cast(pa.string()),
+            "n_rows": b["n_rows"].cast(pa.int64()),
+            "n_violations": b["n_violations"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_markov_stationary_types(sf_dir: str):
+    """Stationary distribution of the per-user event-type Markov chain:
+    the EXACT integer transition counts (keyed_transition_counts summed
+    over users) build a |types|x|types| row-stochastic matrix on the
+    driver (constant-size), and 64 fixed squarings of P^T give the
+    stationary vector deterministically. Rows-only (iterative power);
+    pytest pins a numpy eigenvector reference."""
+    from ray.data.aggregate import Sum
+
+    from osmium_tool_ray.pipelines.windows import keyed_transition_counts
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+    tc = keyed_transition_counts(ev, "user_id", "ts", "event_type",
+                                 tie_col="event_id") \
+        .groupby(["from_state", "to_state"]) \
+        .aggregate(Sum("n", alias_name="n")).take_all()
+    states = sorted({r["from_state"] for r in tc}
+                    | {r["to_state"] for r in tc})
+    k = len(states)
+    idx = {s: i for i, s in enumerate(states)}
+    C = np.zeros((k, k), dtype=np.int64)
+    for r in tc:
+        C[idx[r["from_state"]], idx[r["to_state"]]] = r["n"]
+    row = C.sum(axis=1, keepdims=True)
+    P = np.where(row > 0, C / np.maximum(row, 1),
+                 np.ones((k, k)) / k)       # dangling rows -> uniform
+    M = P.T.copy()
+    for _ in range(64):                     # fixed deterministic power
+        M = M @ M
+        M /= M.sum(axis=0, keepdims=True)   # renormalize columns
+    pi = M[:, 0] / M[:, 0].sum()
+    return rd_from_rows([
+        {"state": s, "stationary_p": float(pi[idx[s]]),
+         "n_out": int(C[idx[s]].sum())} for s in states])
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -9263,6 +9391,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catalog_tables": q_catalog_tables,
         "clean_funnel_counts": q_clean_funnel_counts,
         "greedy_cell_cover": q_greedy_cell_cover,
+        "regression_moments": q_regression_moments,
+        "dq_expectations": q_dq_expectations,
+        "markov_stationary_types": q_markov_stationary_types,
         "global_mad_value": q_global_mad_value,
         "running_max_user": q_running_max_user,
         "dense_rank_value": q_dense_rank_value,
@@ -9890,6 +10021,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT price_c AS weighted_median_c, cum, tot
             FROM c CROSS JOIN t
             WHERE 2 * cum >= tot ORDER BY price_c LIMIT 1""",
+        "regression_moments": """
+            WITH f AS (SELECT
+                    ((event_id * 7919) % 36000) // 100 - 180 AS x1,
+                    ((event_id * 104729) % 17000) // 100 - 85 AS x2,
+                    (epoch_us(ts) // 3600000000) % 24 AS x3,
+                    CAST(round(value * 100) AS BIGINT) AS y
+                FROM events)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x1) AS BIGINT) AS s_x1,
+                   CAST(SUM(x1 * x1) AS BIGINT) AS s_x1x1,
+                   CAST(SUM(x1 * y) AS BIGINT) AS s_x1y,
+                   CAST(SUM(x2) AS BIGINT) AS s_x2,
+                   CAST(SUM(x2 * x2) AS BIGINT) AS s_x2x2,
+                   CAST(SUM(x2 * y) AS BIGINT) AS s_x2y,
+                   CAST(SUM(x3) AS BIGINT) AS s_x3,
+                   CAST(SUM(x3 * x3) AS BIGINT) AS s_x3x3,
+                   CAST(SUM(x3 * y) AS BIGINT) AS s_x3y,
+                   CAST(SUM(x1 * x2) AS BIGINT) AS s_x1x2,
+                   CAST(SUM(x1 * x3) AS BIGINT) AS s_x1x3,
+                   CAST(SUM(x2 * x3) AS BIGINT) AS s_x2x3,
+                   CAST(SUM(y) AS BIGINT) AS s_y
+            FROM f""",
+        "dq_expectations": """
+            SELECT 'quantity_between_1_50' AS rule,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN l_quantity < 1
+                                   OR l_quantity > 50
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violations
+            FROM lineitem
+            UNION ALL
+            SELECT 'price_positive', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN l_extendedprice <= 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'discount_between_0_0.1', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN l_discount < 0
+                                   OR l_discount > 0.1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'returnflag_in_set', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN l_returnflag NOT IN
+                                      ('A', 'N', 'R')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem""",
         "global_mad_value": """
             WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS vc
                        FROM events),
