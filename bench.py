@@ -130,7 +130,8 @@ QUERY_NAMES = [
     "wow_change_type", "funnel_latency_quartiles", "catalog_tables",
     "type_histogram_overlap", "freshness_by_type",
     "clean_funnel_counts", "running_max_user", "dense_rank_value",
-    "greedy_cell_cover", "global_mad_value",
+    "greedy_cell_cover", "global_mad_value", "regression_moments",
+    "dq_expectations", "markov_stationary_types",
 ]
 
 
