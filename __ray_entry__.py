@@ -4910,25 +4910,35 @@ def q_fk_integrity_audit(sf_dir: str):
         if (rt, rc) not in refs:
             refs[(rt, rc)] = ray.put(keyset(rt, rc))
 
-    outs = []
-    for ft, fc, rt, rc in edges:
-        ref = refs[(rt, rc)]
+    from collections import defaultdict
 
-        def partial(batch: pa.Table, _fc=fc, _ref=ref,
-                    _name=f"{ft}.{fc}") -> pa.Table:
-            keys = ray.get(_ref)
-            v = batch[_fc].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(keys, v)
-            pos_c = np.minimum(pos, max(len(keys) - 1, 0))
-            hit = (pos < len(keys)) & (keys[pos_c] == v) \
-                if len(keys) else np.zeros(len(v), dtype=bool)
+    by_table = defaultdict(list)
+    for ft, fc, rt, rc in edges:
+        by_table[ft].append((fc, refs[(rt, rc)]))
+
+    outs = []
+    for ft, cols in by_table.items():     # ONE pass per fact table
+
+        def partial(batch: pa.Table, _ft=ft, _cols=cols) -> pa.Table:
+            names, nrows, orph = [], [], []
+            for fc, ref in _cols:
+                keys = ray.get(ref)
+                v = batch[fc].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(keys, v)
+                pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+                hit = (pos < len(keys)) & (keys[pos_c] == v) \
+                    if len(keys) else np.zeros(len(v), dtype=bool)
+                names.append(f"{_ft}.{fc}")
+                nrows.append(np.int64(len(v)))
+                orph.append(np.int64((~hit).sum()))
             return pa.table({
-                "edge": pa.array([_name], type=pa.string()),
-                "n_rows": pa.array([np.int64(len(v))]),
-                "n_orphans": pa.array([np.int64((~hit).sum())])})
+                "edge": pa.array(names, type=pa.string()),
+                "n_rows": pa.array(nrows, type=pa.int64()),
+                "n_orphans": pa.array(orph, type=pa.int64())})
 
         outs.append(
-            read_parquet_clean(f"{sf_dir}/{ft}.parquet", columns=[fc])
+            read_parquet_clean(f"{sf_dir}/{ft}.parquet",
+                               columns=[fc for fc, _ in cols])
             .map_batches(partial, batch_format="pyarrow"))
 
     allparts = outs[0]
@@ -5421,10 +5431,15 @@ def q_interval_overlap_pairs(sf_dir: str):
             "overlap_us": pa.array(np.bincount(inv, weights=ovs)
                                    .astype(np.int64))})
 
-    agg = group_by_key_bucket(intervals, "day", fold) \
-        .groupby("pair").aggregate(
-            Sum("n_overlaps", alias_name="n_overlaps"),
-            Sum("overlap_us", alias_name="total_overlap_us"))
+    from osmium_tool_ray.blocks import sum_by_key_bucket
+
+    agg = sum_by_key_bucket(group_by_key_bucket(intervals, "day", fold),
+                            "pair", ["n_overlaps", "overlap_us"]) \
+        .map_batches(lambda b: pa.table({
+            "pair": b["pair"].cast(pa.int64()),
+            "n_overlaps": b["n_overlaps"].cast(pa.int64()),
+            "total_overlap_us": b["overlap_us"].cast(pa.int64())}),
+            batch_format="pyarrow")
 
     def fin(batch: pa.Table) -> pa.Table:
         pr = batch["pair"].cast(pa.int64()) \
@@ -6176,6 +6191,137 @@ def q_markov_stationary_types(sf_dir: str):
     return rd_from_rows([
         {"state": s, "stationary_p": float(pi[idx[s]]),
          "n_out": int(C[idx[s]].sum())} for s in states])
+
+
+def q_order_reconciliation(sf_dir: str):
+    """Ledger reconciliation: every order's header total vs the sum of
+    its line extended prices — the cross-table consistency audit a
+    warehouse runs nightly (per-order line sums via one bucketed fold,
+    header totals broadcast under the cap as sorted arrays / joined
+    past it — here the per-order aggregate is output-bounded so ONE
+    groupby + searchsorted attach suffices). Output: orders checked,
+    mismatches at exact-cents tolerance, and the largest absolute
+    gap."""
+    from ray.data.aggregate import Max, Sum
+
+    from osmium_tool_ray.blocks import attach_lookup_bucketed
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        price = np.rint(batch["l_extendedprice"]
+                        .to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        un, inv = np.unique(lk, return_inverse=True)
+        return pa.table({"o_orderkey": pa.array(un.astype(np.int64)),
+                         "line_sum_c": pa.array(
+                             np.bincount(inv, weights=price)
+                             .astype(np.int64))})
+
+    lines = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice"]) \
+        .map_batches(line_partial, batch_format="pyarrow") \
+        .groupby("o_orderkey") \
+        .aggregate(Sum("line_sum_c", alias_name="line_sum_c"))
+
+    headers = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"]) \
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+            "total_c": pa.array(np.rint(
+                b["o_totalprice"].to_numpy(zero_copy_only=False)
+                * 100.0).astype(np.int64))}),
+            batch_format="pyarrow")
+
+    joined = attach_lookup_bucketed(headers, lines, "o_orderkey",
+                                    "line_sum_c", "line_sum_c")
+
+    def audit(batch: pa.Table) -> pa.Table:
+        tot = batch["total_c"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ls = batch["line_sum_c"].to_pylist()
+        lsv = np.asarray([v if v is not None else 0 for v in ls],
+                         dtype=np.int64)
+        diff = np.abs(tot - lsv)
+        return pa.table({
+            "_k": pa.array([0], type=pa.int64()),
+            "n_orders": pa.array([np.int64(len(tot))]),
+            "n_mismatched": pa.array([np.int64((diff != 0).sum())]),
+            "max_abs_diff_c": pa.array(
+                [np.int64(diff.max() if len(diff) else 0)])})
+
+    agg = joined.map_batches(audit, batch_format="pyarrow") \
+        .groupby("_k").aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("n_mismatched", alias_name="n_mismatched"),
+            Max("max_abs_diff_c", alias_name="max_abs_diff_c"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "n_orders": b["n_orders"].cast(pa.int64()),
+            "n_mismatched": b["n_mismatched"].cast(pa.int64()),
+            "max_abs_diff_c": b["max_abs_diff_c"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_sentence_stats_docs(sf_dir: str):
+    """Per-document sentence statistics: sentence count (runs split on
+    [.!?]+ with a trailing-fragment rule) and characters per sentence
+    — the readability signal beside ttr_docs; doc-local (zero
+    shuffle), ONE vectorized Arrow regex count per batch."""
+
+    def fold(batch: pa.Table) -> pa.Table:
+        txt = batch["text"].cast(pa.string())
+        # terminator runs; a doc with trailing text after the last
+        # terminator has one extra fragment
+        terms = pc.count_substring_regex(txt, r"[.!?]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        has_trail = pc.match_substring_regex(
+            txt, r"[.!?]+[^.!?]*[^.!?\s][^.!?]*$") \
+            .to_numpy(zero_copy_only=False)
+        no_term = terms == 0
+        nchars = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nsent = np.where(no_term, np.int64(1),
+                         terms + has_trail.astype(np.int64))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_sentences": pa.array(nsent),
+            "n_chars": pa.array(nchars),
+            "chars_per_sentence": pa.array(
+                nchars.astype(np.float64) / nsent.astype(np.float64))})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(fold, batch_format="pyarrow")
+
+
+def q_churn_labels(sf_dir: str):
+    """Churn labeling for model training: per user, days since their
+    last event relative to the dataset's newest timestamp and the
+    churned flag (>= 14 idle days) — per-batch Max partials, one
+    groupby bounded by |users|, global max broadcast (the
+    freshness_by_type discipline on the user axis)."""
+    from ray.data.aggregate import Max
+
+    agg = _events(sf_dir, ["user_id", "ts"]) \
+        .map_batches(lambda b: pa.table({
+            "user_id": b["user_id"],
+            "us": b["ts"].cast(pa.timestamp("us")).cast(pa.int64())}),
+            batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Max("us", alias_name="last_us")) \
+        .materialize()
+    gmax = np.int64(agg.max("last_us"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        last = batch["last_us"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        idle = (gmax - last) // 86_400_000_000
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "days_inactive": pa.array(idle),
+            "churned": pa.array((idle >= 14).astype(np.int64))})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
 
 
 def q_tile_contrast(sf_dir: str):
@@ -9392,6 +9538,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_funnel_counts": q_clean_funnel_counts,
         "greedy_cell_cover": q_greedy_cell_cover,
         "regression_moments": q_regression_moments,
+        "order_reconciliation": q_order_reconciliation,
+        "sentence_stats_docs": q_sentence_stats_docs,
+        "churn_labels": q_churn_labels,
         "dq_expectations": q_dq_expectations,
         "markov_stationary_types": q_markov_stationary_types,
         "global_mad_value": q_global_mad_value,
@@ -10021,6 +10170,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT price_c AS weighted_median_c, cum, tot
             FROM c CROSS JOIN t
             WHERE 2 * cum >= tot ORDER BY price_c LIMIT 1""",
+        "order_reconciliation": """
+            WITH ls AS (SELECT l_orderkey,
+                               CAST(SUM(CAST(round(l_extendedprice
+                                                   * 100) AS BIGINT))
+                                    AS BIGINT) AS line_sum_c
+                        FROM lineitem GROUP BY 1),
+            j AS (SELECT CAST(round(o.o_totalprice * 100) AS BIGINT)
+                             AS total_c,
+                         COALESCE(ls.line_sum_c, 0) AS line_sum_c
+                  FROM orders o
+                  LEFT JOIN ls ON ls.l_orderkey = o.o_orderkey)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CASE WHEN total_c <> line_sum_c
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_mismatched,
+                   CAST(MAX(abs(total_c - line_sum_c)) AS BIGINT)
+                       AS max_abs_diff_c
+            FROM j""",
+        "sentence_stats_docs": """
+            WITH t AS (SELECT doc_id, text,
+                              CAST(len(regexp_extract_all(text,
+                                   '[.!?]+')) AS BIGINT) AS terms,
+                              CASE WHEN regexp_matches(text,
+                                   '[.!?]+[^.!?]*[^.!?[:space:]][^.!?]*$')
+                                   THEN 1 ELSE 0 END AS has_trail,
+                              CAST(length(text) AS BIGINT) AS n_chars
+                       FROM documents),
+            s AS (SELECT doc_id, n_chars,
+                         CASE WHEN terms = 0 THEN 1
+                              ELSE terms + has_trail END AS n_sentences
+                  FROM t)
+            SELECT doc_id, n_sentences, n_chars,
+                   CAST(n_chars AS DOUBLE) / n_sentences
+                       AS chars_per_sentence
+            FROM s""",
+        "churn_labels": """
+            WITH m AS (SELECT user_id, MAX(epoch_us(ts)) AS last_us
+                       FROM events GROUP BY 1),
+            g AS (SELECT MAX(last_us) AS gmax FROM m)
+            SELECT user_id,
+                   CAST((g.gmax - last_us) // 86400000000 AS BIGINT)
+                       AS days_inactive,
+                   CAST(CASE WHEN (g.gmax - last_us) // 86400000000
+                                  >= 14
+                             THEN 1 ELSE 0 END AS BIGINT) AS churned
+            FROM m CROSS JOIN g""",
         "regression_moments": """
             WITH f AS (SELECT
                     ((event_id * 7919) % 36000) // 100 - 180 AS x1,
