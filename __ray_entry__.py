@@ -6324,6 +6324,112 @@ def q_churn_labels(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-class embedding prototypes with Fisher-ready moments: for
+    every (label, dim), the EXACT integer sum and sum-of-squares of the
+    1e-6-quantized embedding coordinate plus the class count — the
+    sufficient statistics for class centroids, within-class scatter and
+    the Fisher separation ratio (the pca/regression Gram discipline on
+    a labeled table). One dim-explode partial, ONE groupby bounded by
+    |labels| x dims."""
+    from ray.data.aggregate import Sum
+
+    SCALE = 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        d = len(flat) // max(n, 1)
+        xs = flat.reshape(n, d).astype(np.float64) * SCALE
+        # DuckDB round() is half-AWAY-from-zero; np.rint is half-even
+        X = np.trunc(xs + np.copysign(0.5, xs)).astype(np.int64)
+        lab = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        k = len(ul)
+        sums = np.zeros((k, d), dtype=np.int64)
+        sqs = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, inv, X)
+        np.add.at(sqs, inv, X * X)
+        cnt = np.bincount(inv).astype(np.int64)
+        lab_col = np.repeat(ul, d)
+        dim_col = np.tile(np.arange(d, dtype=np.int64), k)
+        return pa.table({
+            "label": pa.array(lab_col),
+            "dim": pa.array(dim_col),
+            "s_q": pa.array(sums.ravel()),
+            "s_qq": pa.array(sqs.ravel()),
+            "n": pa.array(np.repeat(cnt, d))})
+
+    agg = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding", "label"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["label", "dim"]) \
+        .aggregate(Sum("s_q", alias_name="s_q"),
+                   Sum("s_qq", alias_name="s_qq"),
+                   Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "label": b["label"].cast(pa.int64()),
+            "dim": b["dim"].cast(pa.int64()),
+            "s_q": b["s_q"].cast(pa.int64()),
+            "s_qq": b["s_qq"].cast(pa.int64()),
+            "n": b["n"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_column_cardinality_profile(sf_dir: str):
+    """Storage-advisor cardinality profile of lineitem: exact distinct
+    counts for the dictionary-encoding candidates — per column, a
+    per-batch distinct partial collapses each block before ONE
+    hash-bucket distinct fold (never a global sort); the |values|/
+    |rows| ratio decides dictionary vs plain encoding."""
+    from ray.data.aggregate import Count
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_suppkey",
+            "l_partkey"]
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=cols).materialize()
+    n_rows = ds.count()
+
+    outs = []
+    for c in cols:
+        def partial(batch: pa.Table, _c=c) -> pa.Table:
+            col = batch[_c]
+            if pa.types.is_floating(col.type):
+                v = np.unique(np.rint(
+                    col.to_numpy(zero_copy_only=False) * 100.0)
+                    .astype(np.int64)).astype("U")
+            elif pa.types.is_integer(col.type):
+                v = np.unique(col.to_numpy(zero_copy_only=False)) \
+                    .astype("U")
+            else:
+                v = np.unique(np.asarray(col.to_pylist(), dtype="U"))
+            return pa.table({
+                "column_name": pa.array([_c] * len(v),
+                                        type=pa.string()),
+                "val": pa.array(v.tolist(), type=pa.string())})
+
+        outs.append(ds.map_batches(partial, batch_format="pyarrow"))
+    allv = outs[0]
+    for o in outs[1:]:
+        allv = allv.union(o)
+    distinct = allv.groupby(["column_name", "val"]) \
+        .count()
+    agg = distinct.groupby("column_name") \
+        .aggregate(Count(alias_name="n_distinct"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "column_name": b["column_name"].cast(pa.string()),
+            "n_distinct": b["n_distinct"].cast(pa.int64()),
+            "n_rows": pa.array(np.full(b.num_rows, n_rows,
+                                       dtype=np.int64))}),
+        batch_format="pyarrow")
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -9539,6 +9645,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "greedy_cell_cover": q_greedy_cell_cover,
         "regression_moments": q_regression_moments,
         "order_reconciliation": q_order_reconciliation,
+        "label_centroids": q_label_centroids,
+        "column_cardinality_profile": q_column_cardinality_profile,
         "sentence_stats_docs": q_sentence_stats_docs,
         "churn_labels": q_churn_labels,
         "dq_expectations": q_dq_expectations,
@@ -10170,6 +10278,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT price_c AS weighted_median_c, cum, tot
             FROM c CROSS JOIN t
             WHERE 2 * cum >= tot ORDER BY price_c LIMIT 1""",
+        "label_centroids": """
+            WITH e AS (SELECT label, d.i - 1 AS dim,
+                              CAST(round(CAST(embedding[d.i] AS DOUBLE)
+                                        * 1000000)
+                                   AS BIGINT) AS q
+                       FROM embeddings,
+                            unnest(generate_series(1,
+                                len(embedding))) AS d(i))
+            SELECT CAST(label AS BIGINT) AS label, dim,
+                   CAST(SUM(q) AS BIGINT) AS s_q,
+                   CAST(SUM(q * q) AS BIGINT) AS s_qq,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM e GROUP BY 1, 2""",
+        "column_cardinality_profile": """
+            WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+                       FROM lineitem)
+            SELECT 'l_returnflag' AS column_name,
+                   CAST(COUNT(DISTINCT l_returnflag) AS BIGINT)
+                       AS n_distinct, n.n_rows
+            FROM lineitem CROSS JOIN n GROUP BY n.n_rows
+            UNION ALL
+            SELECT 'l_linestatus',
+                   CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+                   n.n_rows
+            FROM lineitem CROSS JOIN n GROUP BY n.n_rows
+            UNION ALL
+            SELECT 'l_quantity',
+                   CAST(COUNT(DISTINCT CAST(round(l_quantity * 100)
+                                            AS BIGINT)) AS BIGINT),
+                   n.n_rows
+            FROM lineitem CROSS JOIN n GROUP BY n.n_rows
+            UNION ALL
+            SELECT 'l_suppkey',
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT), n.n_rows
+            FROM lineitem CROSS JOIN n GROUP BY n.n_rows
+            UNION ALL
+            SELECT 'l_partkey',
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT), n.n_rows
+            FROM lineitem CROSS JOIN n GROUP BY n.n_rows""",
         "order_reconciliation": """
             WITH ls AS (SELECT l_orderkey,
                                CAST(SUM(CAST(round(l_extendedprice

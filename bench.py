@@ -132,6 +132,7 @@ QUERY_NAMES = [
     "clean_funnel_counts", "running_max_user", "dense_rank_value",
     "greedy_cell_cover", "global_mad_value", "regression_moments",
     "dq_expectations", "markov_stationary_types",
+    "order_reconciliation", "sentence_stats_docs", "churn_labels",
 ]
 
 
