@@ -6430,6 +6430,112 @@ def q_column_cardinality_profile(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_alert_episodes_user(sf_dir: str):
+    """Two-threshold alert episodes with hysteresis (the monitoring
+    state machine): per user, an episode opens when value-cents rises
+    to >= 8000 and cannot re-open until it has dropped to <= 2000 —
+    vectorized by filtering each stream to its threshold-relevant
+    rows and counting hi rows whose previous relevant row is lo (or
+    none); ONE user-bucket lexsort fold, no per-row state loop."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    HI, LO = np.int64(8000), np.int64(2000)
+
+    def fold(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", pa.int64()),
+                            ("n_episodes", pa.int64())])
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return schema.empty_table()
+        uid = g["user_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        vc = np.rint(g["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u_s, v_s = uid[order], vc[order]
+        rel = (v_s >= HI) | (v_s <= LO)
+        u_r, v_r = u_s[rel], v_s[rel]
+        if len(u_r) == 0:
+            return schema.empty_table()
+        is_hi = v_r >= HI
+        first = np.ones(len(u_r), dtype=bool)
+        first[1:] = u_r[1:] != u_r[:-1]
+        prev_hi = np.empty(len(u_r), dtype=bool)
+        prev_hi[0] = False
+        prev_hi[1:] = is_hi[:-1]
+        opens = is_hi & (first | ~prev_hi)
+        un, inv = np.unique(u_r[opens], return_inverse=True)
+        return pa.table({"user_id": pa.array(un.astype(np.int64)),
+                         "n_episodes": pa.array(
+                             np.bincount(inv).astype(np.int64))})
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    return group_by_key_bucket(ev, "user_id", fold)
+
+
+def q_graph_community_moments(sf_dir: str):
+    """Modularity moments of a given graph partition (Newman 2006):
+    per community, node count, INTERNAL edge count and total degree —
+    the exact integers Q = Σ_c (e_c/m - (K_c/2m)²) is assembled from
+    (floats deferred; the assortativity discipline). Demo partition:
+    node // 20 over the event-derived 200-node graph; the operator is
+    partition-agnostic. Degree fold + map-side community tagging, two
+    tiny groupbys."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        a = (eid * 7919) % 200
+        b = (eid * 104729) % 200
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        code = np.unique(lo[keep] * np.int64(1000) + hi[keep])
+        return pa.table({"a": pa.array(code // 1000),
+                         "b": pa.array(code % 1000)})
+
+    dedup = ev.map_batches(edges, batch_format="pyarrow") \
+        .groupby(["a", "b"]).count() \
+        .map_batches(lambda t: t.select(["a", "b"]),
+                     batch_format="pyarrow").materialize()
+    m = dedup.count()
+
+    def parts(batch: pa.Table) -> pa.Table:
+        a = batch["a"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = batch["b"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ca, cb = a // 20, b // 20
+        # internal edges per community
+        internal = ca == cb
+        ic, icnt = np.unique(ca[internal], return_counts=True)
+        # degree contribution per community (each endpoint adds 1)
+        dc, dcnt = np.unique(np.concatenate([ca, cb]),
+                             return_counts=True)
+        comm = np.concatenate([ic, dc])
+        e_in = np.concatenate([icnt.astype(np.int64),
+                               np.zeros(len(dc), dtype=np.int64)])
+        deg = np.concatenate([np.zeros(len(ic), dtype=np.int64),
+                              dcnt.astype(np.int64)])
+        return pa.table({"community": pa.array(comm.astype(np.int64)),
+                         "internal_edges": pa.array(e_in),
+                         "degree_sum": pa.array(deg)})
+
+    agg = dedup.map_batches(parts, batch_format="pyarrow") \
+        .groupby("community").aggregate(
+            Sum("internal_edges", alias_name="internal_edges"),
+            Sum("degree_sum", alias_name="degree_sum"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "community": b["community"].cast(pa.int64()),
+            "internal_edges": b["internal_edges"].cast(pa.int64()),
+            "degree_sum": b["degree_sum"].cast(pa.int64()),
+            "m_edges": pa.array(np.full(b.num_rows, m,
+                                        dtype=np.int64))}),
+        batch_format="pyarrow")
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -9646,6 +9752,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regression_moments": q_regression_moments,
         "order_reconciliation": q_order_reconciliation,
         "label_centroids": q_label_centroids,
+        "alert_episodes_user": q_alert_episodes_user,
+        "graph_community_moments": q_graph_community_moments,
         "column_cardinality_profile": q_column_cardinality_profile,
         "sentence_stats_docs": q_sentence_stats_docs,
         "churn_labels": q_churn_labels,
@@ -10278,6 +10386,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT price_c AS weighted_median_c, cum, tot
             FROM c CROSS JOIN t
             WHERE 2 * cum >= tot ORDER BY price_c LIMIT 1""",
+        "alert_episodes_user": """
+            WITH v AS (SELECT user_id, ts, event_id,
+                              CAST(round(value * 100) AS BIGINT) AS vc
+                       FROM events),
+            rel AS (SELECT user_id, ts, event_id,
+                           CASE WHEN vc >= 8000 THEN 1 ELSE 0 END
+                               AS is_hi,
+                           LAG(CASE WHEN vc >= 8000 THEN 1 ELSE 0 END)
+                               OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_hi
+                    FROM v WHERE vc >= 8000 OR vc <= 2000)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_episodes
+            FROM rel
+            WHERE is_hi = 1 AND (prev_hi IS NULL OR prev_hi = 0)
+            GROUP BY 1""",
+        "graph_community_moments": """
+            WITH e AS (SELECT DISTINCT
+                    least((event_id * 7919) % 200,
+                          (event_id * 104729) % 200) AS a,
+                    greatest((event_id * 7919) % 200,
+                             (event_id * 104729) % 200) AS b
+                FROM events
+                WHERE (event_id * 7919) % 200
+                      <> (event_id * 104729) % 200),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM e),
+            i AS (SELECT a // 20 AS community,
+                         CAST(COUNT(*) AS BIGINT) AS internal_edges
+                  FROM e WHERE a // 20 = b // 20 GROUP BY 1),
+            d AS (SELECT node // 20 AS community,
+                         CAST(COUNT(*) AS BIGINT) AS degree_sum
+                  FROM (SELECT a AS node FROM e
+                        UNION ALL SELECT b FROM e) GROUP BY 1)
+            SELECT d.community,
+                   CAST(COALESCE(i.internal_edges, 0) AS BIGINT)
+                       AS internal_edges,
+                   d.degree_sum, m.m_edges
+            FROM d LEFT JOIN i USING (community) CROSS JOIN m""",
         "label_centroids": """
             WITH e AS (SELECT label, d.i - 1 AS dim,
                               CAST(round(CAST(embedding[d.i] AS DOUBLE)
