@@ -6536,6 +6536,48 @@ def q_graph_community_moments(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_rate_limit_audit(sf_dir: str):
+    """Sliding-window rate-limit audit: each user's maximum number of
+    events inside ANY 6-hour window ending at one of their events
+    (inclusive [t-W, t]) — the burst-abuser screen a rate limiter
+    needs. Vectorized two-pointer: inside a user bucket, segments get
+    a monotone offset larger than the global time span so ONE
+    searchsorted over the augmented timeline answers every window
+    start; max per user via one bincount-max. No per-event Python."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    W = np.int64(6) * np.int64(3_600_000_000)
+
+    def fold(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", pa.int64()),
+                            ("max_in_window", pa.int64())])
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return schema.empty_table()
+        uid = g["user_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        u_s, t_s = uid[order], ts[order]
+        start = np.ones(len(u_s), dtype=bool)
+        start[1:] = u_s[1:] != u_s[:-1]
+        seg = np.cumsum(start) - 1
+        span = np.int64(t_s.max() - t_s.min() + W + 2)
+        aug = (t_s - t_s.min()) + seg * span
+        j = np.searchsorted(aug, aug - W, side="left")
+        cnt = np.arange(len(t_s)) - j + 1
+        nseg = int(seg[-1]) + 1
+        mx = np.zeros(nseg, dtype=np.int64)
+        np.maximum.at(mx, seg, cnt)
+        firsts = np.flatnonzero(start)
+        return pa.table({
+            "user_id": pa.array(u_s[firsts].astype(np.int64)),
+            "max_in_window": pa.array(mx)})
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+    return group_by_key_bucket(ev, "user_id", fold)
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -9753,6 +9795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_reconciliation": q_order_reconciliation,
         "label_centroids": q_label_centroids,
         "alert_episodes_user": q_alert_episodes_user,
+        "rate_limit_audit": q_rate_limit_audit,
         "graph_community_moments": q_graph_community_moments,
         "column_cardinality_profile": q_column_cardinality_profile,
         "sentence_stats_docs": q_sentence_stats_docs,
@@ -10386,6 +10429,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT price_c AS weighted_median_c, cum, tot
             FROM c CROSS JOIN t
             WHERE 2 * cum >= tot ORDER BY price_c LIMIT 1""",
+        "rate_limit_audit": """
+            WITH c AS (SELECT a.user_id, a.event_id,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events a JOIN events b
+                           ON b.user_id = a.user_id
+                          AND b.ts BETWEEN a.ts - INTERVAL 6 HOUR
+                                       AND a.ts
+                       GROUP BY 1, 2)
+            SELECT user_id, CAST(MAX(n) AS BIGINT) AS max_in_window
+            FROM c GROUP BY 1""",
         "alert_episodes_user": """
             WITH v AS (SELECT user_id, ts, event_id,
                               CAST(round(value * 100) AS BIGINT) AS vc

@@ -133,6 +133,9 @@ QUERY_NAMES = [
     "greedy_cell_cover", "global_mad_value", "regression_moments",
     "dq_expectations", "markov_stationary_types",
     "order_reconciliation", "sentence_stats_docs", "churn_labels",
+    "label_centroids", "column_cardinality_profile",
+    "alert_episodes_user", "graph_community_moments",
+    "rate_limit_audit",
 ]
 
 

@@ -51,3 +51,23 @@ def test_community_moments_identities(ray_session):
     q = sum(r["internal_edges"] / m - (r["degree_sum"] / (2 * m)) ** 2
             for r in rows)
     assert -1.0 <= q <= 1.0
+
+
+def test_rate_limit_audit_matches_brute(ray_session):
+    from __ray_entry__ import q_rate_limit_audit
+
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    df["us"] = df["ts"].astype("int64")
+    W = 6 * 3_600_000_000
+    want = {}
+    for uid, g in df.groupby("user_id"):
+        t = np.sort(g["us"].to_numpy())
+        best = 0
+        for i, ti in enumerate(t):
+            best = max(best, int(((t >= ti - W) & (t <= ti)).sum()))
+        want[uid] = best
+    out = {r["user_id"]: r["max_in_window"]
+           for r in q_rate_limit_audit(SF).take_all()}
+    assert out == want and len(out) > 0
+    assert max(out.values()) >= 2          # bursts exist in the data
