@@ -6578,6 +6578,131 @@ def q_rate_limit_audit(sf_dir: str):
     return group_by_key_bucket(ev, "user_id", fold)
 
 
+def q_type_trigram_counts(sf_dir: str):
+    """Sequence-motif mining: counts of every consecutive event-type
+    trigram across user streams (the n-gram generalization of
+    transition_counts; funnel discovery's raw material). ONE
+    user-bucket lexsort fold emits in-bucket (t1>t2>t3) partial counts
+    via composite-code unique; a tiny per-motif Sum finishes."""
+    from ray.data.aggregate import Sum
+
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    def fold(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("motif", pa.string()),
+                            ("n", pa.int64())])
+        if g.num_rows < 3 or "user_id" not in g.schema.names:
+            return schema.empty_table()
+        uid = g["user_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        typ = np.asarray(g["event_type"].to_pylist(), dtype="U")
+        order = np.lexsort((eid, ts, uid))
+        u_s, ty = uid[order], typ[order]
+        same2 = u_s[2:] == u_s[:-2]
+        if not same2.any():
+            return schema.empty_table()
+        ut, tinv = np.unique(ty, return_inverse=True)
+        k = np.int64(len(ut))
+        code = (tinv[:-2].astype(np.int64) * k
+                + tinv[1:-1]) * k + tinv[2:]
+        code = code[same2]
+        uc, cnt = np.unique(code, return_counts=True)
+        t1 = ut[uc // (k * k)]
+        t2 = ut[(uc // k) % k]
+        t3 = ut[uc % k]
+        motif = np.char.add(np.char.add(np.char.add(np.char.add(
+            t1, ">"), t2), ">"), t3)
+        return pa.table({"motif": pa.array(motif.tolist(),
+                                           type=pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+    agg = group_by_key_bucket(ev, "user_id", fold) \
+        .groupby("motif").aggregate(Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda b: pa.table({"motif": b["motif"].cast(pa.string()),
+                            "n": b["n"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_attribution_7d(sf_dir: str):
+    """Last-touch attribution with a 7-day lookback: every purchase is
+    credited to the user's latest click at most 7 days earlier (strict
+    (ts, event_id) order); per user, attributed purchases and the
+    credited value-cents — the marketing-attribution window join (the
+    asof join with a tolerance bound). ONE user-bucket fold: a
+    segment-offset searchsorted finds each purchase's latest prior
+    click, the tolerance filters it."""
+    from ray.data.aggregate import Sum
+
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    WIN = np.int64(7) * np.int64(86_400_000_000)
+
+    def fold(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", pa.int64()),
+                            ("n_attributed", pa.int64()),
+                            ("credited_value_c", pa.int64())])
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return schema.empty_table()
+        uid = g["user_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        typ = np.asarray(g["event_type"].to_pylist(), dtype="U")
+        vc = np.rint(g["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s, ty, v_s = uid[order], ts[order], typ[order], vc[order]
+        start = np.ones(len(u_s), dtype=bool)
+        start[1:] = u_s[1:] != u_s[:-1]
+        seg = np.cumsum(start) - 1
+        span = np.int64(t_s.max() - t_s.min() + WIN + 2)
+        aug = (t_s - t_s.min()) + seg * span
+        is_click = ty == "click"
+        is_buy = ty == "purchase"
+        if not (is_click.any() and is_buy.any()):
+            return schema.empty_table()
+        click_aug = aug[is_click]
+        # latest click strictly before each purchase (same augmented
+        # timeline keeps the search inside the segment)
+        j = np.searchsorted(click_aug, aug[is_buy], side="left") - 1
+        ok = j >= 0
+        jc = np.maximum(j, 0)
+        same_seg = seg[is_click][jc] == seg[is_buy]
+        within = aug[is_buy] - click_aug[jc] <= WIN
+        hit = ok & same_seg & within
+        bu = u_s[is_buy][hit]
+        bv = v_s[is_buy][hit]
+        if len(bu) == 0:
+            return schema.empty_table()
+        un, inv = np.unique(bu, return_inverse=True)
+        return pa.table({
+            "user_id": pa.array(un.astype(np.int64)),
+            "n_attributed": pa.array(np.bincount(inv)
+                                     .astype(np.int64)),
+            "credited_value_c": pa.array(
+                np.bincount(inv, weights=bv).astype(np.int64))})
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "event_type",
+                          "value"])
+    agg = group_by_key_bucket(ev, "user_id", fold) \
+        .groupby("user_id").aggregate(
+            Sum("n_attributed", alias_name="n_attributed"),
+            Sum("credited_value_c", alias_name="credited_value_c"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"].cast(pa.int64()),
+            "n_attributed": b["n_attributed"].cast(pa.int64()),
+            "credited_value_c": b["credited_value_c"]
+            .cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -9796,6 +9921,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,
         "alert_episodes_user": q_alert_episodes_user,
         "rate_limit_audit": q_rate_limit_audit,
+        "type_trigram_counts": q_type_trigram_counts,
+        "attribution_7d": q_attribution_7d,
         "graph_community_moments": q_graph_community_moments,
         "column_cardinality_profile": q_column_cardinality_profile,
         "sentence_stats_docs": q_sentence_stats_docs,
@@ -10429,6 +10556,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT price_c AS weighted_median_c, cum, tot
             FROM c CROSS JOIN t
             WHERE 2 * cum >= tot ORDER BY price_c LIMIT 1""",
+        "type_trigram_counts": """
+            WITH o AS (SELECT user_id, event_type,
+                              LEAD(event_type, 1) OVER w AS t2,
+                              LEAD(event_type, 2) OVER w AS t3
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id))
+            SELECT event_type || '>' || t2 || '>' || t3 AS motif,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM o WHERE t3 IS NOT NULL GROUP BY 1""",
+        "attribution_7d": """
+            WITH o AS (SELECT user_id, ts, event_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS vc
+                       FROM events),
+            buys AS (SELECT b.user_id, b.ts AS bts, b.event_id, b.vc,
+                            (SELECT MAX(c.ts) FROM o c
+                             WHERE c.user_id = b.user_id
+                               AND c.event_type = 'click'
+                               AND (c.ts < b.ts
+                                    OR (c.ts = b.ts
+                                        AND c.event_id < b.event_id)))
+                                AS last_click
+                     FROM o b WHERE b.event_type = 'purchase')
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_attributed,
+                   CAST(SUM(vc) AS BIGINT) AS credited_value_c
+            FROM buys
+            WHERE last_click IS NOT NULL
+              AND epoch_us(bts) - epoch_us(last_click)
+                  <= 7 * 86400000000
+            GROUP BY 1""",
         "rate_limit_audit": """
             WITH c AS (SELECT a.user_id, a.event_id,
                               CAST(COUNT(*) AS BIGINT) AS n
