@@ -6703,6 +6703,44 @@ def q_attribution_7d(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_interleave_sources(sf_dir: str):
+    """Fair round-robin interleave of document sources — the
+    training-data mixing order (one doc per source in rotation, gaps
+    skipped deterministically): rank-within-source via ONE
+    source-bucket fold ((doc_id) order inside a source), then the mix
+    key (rank, source) IS the global order — a sort any consumer can
+    stream in. Output: doc_id, source, rank_in_source, mix_order
+    (dense 1-based)."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+    from osmium_tool_ray.pipelines.stats import global_rank
+
+    def fold(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("doc_id", pa.int64()),
+                            ("source", pa.string()),
+                            ("rank_in_source", pa.int64())])
+        if g.num_rows == 0 or "source" not in g.schema.names:
+            return schema.empty_table()
+        src_ = np.asarray(g["source"].to_pylist(), dtype="U")
+        did = g["doc_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((did, src_))
+        s_s, d_s = src_[order], did[order]
+        start = np.ones(len(s_s), dtype=bool)
+        start[1:] = s_s[1:] != s_s[:-1]
+        seg = np.cumsum(start) - 1
+        pos = np.arange(len(s_s)) - np.flatnonzero(start)[seg] + 1
+        return pa.table({
+            "doc_id": pa.array(d_s),
+            "source": pa.array(s_s.tolist(), type=pa.string()),
+            "rank_in_source": pa.array(pos.astype(np.int64))})
+
+    ranked = group_by_key_bucket(
+        _docs(sf_dir, ["doc_id", "source"]), "source", fold)
+    return global_rank(ranked, ["rank_in_source", "source", "doc_id"],
+                       descending=[False, False, False],
+                       out_col="mix_order")
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -9922,6 +9960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alert_episodes_user": q_alert_episodes_user,
         "rate_limit_audit": q_rate_limit_audit,
         "type_trigram_counts": q_type_trigram_counts,
+        "interleave_sources": q_interleave_sources,
         "attribution_7d": q_attribution_7d,
         "graph_community_moments": q_graph_community_moments,
         "column_cardinality_profile": q_column_cardinality_profile,
@@ -10556,6 +10595,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT price_c AS weighted_median_c, cum, tot
             FROM c CROSS JOIN t
             WHERE 2 * cum >= tot ORDER BY price_c LIMIT 1""",
+        "interleave_sources": """
+            WITH r AS (SELECT doc_id, source,
+                              ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY doc_id) AS rank_in_source
+                       FROM documents)
+            SELECT doc_id, source, rank_in_source,
+                   ROW_NUMBER() OVER (ORDER BY rank_in_source, source,
+                                      doc_id) AS mix_order
+            FROM r""",
         "type_trigram_counts": """
             WITH o AS (SELECT user_id, event_type,
                               LEAD(event_type, 1) OVER w AS t2,

@@ -135,7 +135,8 @@ QUERY_NAMES = [
     "order_reconciliation", "sentence_stats_docs", "churn_labels",
     "label_centroids", "column_cardinality_profile",
     "alert_episodes_user", "graph_community_moments",
-    "rate_limit_audit",
+    "rate_limit_audit", "type_trigram_counts", "attribution_7d",
+    "interleave_sources",
 ]
 
 

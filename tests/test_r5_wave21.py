@@ -54,3 +54,28 @@ def test_attribution_matches_pandas(ray_session):
     out = {r["user_id"]: (r["n_attributed"], r["credited_value_c"])
            for r in q_attribution_7d(SF).take_all()}
     assert out == want and len(out) > 0
+
+
+def test_interleave_sources_fairness(ray_session):
+    from __ray_entry__ import q_interleave_sources
+
+    rows = sorted(q_interleave_sources(SF).take_all(),
+                  key=lambda r: r["mix_order"])
+    assert [r["mix_order"] for r in rows] == list(range(1, len(rows) + 1))
+    # within any prefix the per-source counts differ by at most 1
+    # while every source still has documents left
+    df = pq.read_table(f"{SF}/documents.parquet",
+                       columns=["source"]).to_pandas()
+    totals = df["source"].value_counts().to_dict()
+    from collections import Counter
+    seen = Counter()
+    for r in rows:
+        seen[r["source"]] += 1
+        live = [s for s in totals if seen[s] < totals[s]]
+        if live:
+            mx = max(seen[s] for s in seen)
+            mn = min(seen.get(s, 0) for s in totals
+                     if totals[s] >= mx or s in live)
+            # round-robin invariant: ranks in flight differ by <= 1
+            assert r["rank_in_source"] >= mx - 1
+    assert seen == totals
