@@ -6741,6 +6741,80 @@ def q_interleave_sources(sf_dir: str):
                        out_col="mix_order")
 
 
+def q_trailing_24h_sum_user(sf_dir: str):
+    """Time-RANGE window frame: per event, the sum of the user's
+    value-cents over [t - 24h, t] INCLUDING same-timestamp peers (SQL
+    RANGE BETWEEN INTERVAL frame semantics — the ROWS-frame
+    trailing_window_user's calendar-bounded sibling). ONE user-bucket
+    fold: segment-offset prefix sums + two searchsorteds give every
+    frame sum with no per-row loop."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    W = np.int64(24) * np.int64(3_600_000_000)
+
+    def fold(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("event_id", pa.int64()),
+                            ("vc", pa.int64()),
+                            ("sum_24h", pa.int64())])
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return schema.empty_table()
+        uid = g["user_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        vc = np.rint(g["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s, e_s, v_s = uid[order], ts[order], eid[order], vc[order]
+        start = np.ones(len(u_s), dtype=bool)
+        start[1:] = u_s[1:] != u_s[:-1]
+        seg = np.cumsum(start) - 1
+        span = np.int64(t_s.max() - t_s.min() + W + 2)
+        aug = (t_s - t_s.min()) + seg * span
+        cs = np.concatenate([[0], np.cumsum(v_s)])
+        lo = np.searchsorted(aug, aug - W, side="left")
+        hi = np.searchsorted(aug, aug, side="right")   # ts peers in
+        return pa.table({"event_id": pa.array(e_s.astype(np.int64)),
+                         "vc": pa.array(v_s),
+                         "sum_24h": pa.array(cs[hi] - cs[lo])})
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    return group_by_key_bucket(ev, "user_id", fold)
+
+
+def q_unpivot_type_counts(sf_dir: str):
+    """UNPIVOT round-trip: the wide per-user event-type count matrix
+    (pipelines/analytics.pivot_counts — the PIVOT side) melts back to
+    long (user_id, event_type, n) rows with zero cells dropped —
+    proving the wide and long aggregate forms are inverse views of the
+    same groupby (one map-side melt, no extra shuffle)."""
+    from osmium_tool_ray.pipelines.analytics import pivot_counts
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = pivot_counts(_events(sf_dir, ["user_id", "event_type"]),
+                        "user_id", "event_type", types)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        outs_u, outs_t, outs_n = [], [], []
+        for t in types:
+            n = batch[f"n_{t}"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            keep = n > 0
+            outs_u.append(uid[keep])
+            outs_t.append(np.full(int(keep.sum()), t, dtype=object))
+            outs_n.append(n[keep])
+        return pa.table({
+            "user_id": pa.array(np.concatenate(outs_u)),
+            "event_type": pa.array(
+                np.concatenate(outs_t).tolist(), type=pa.string()),
+            "n": pa.array(np.concatenate(outs_n))})
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -9961,6 +10035,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_limit_audit": q_rate_limit_audit,
         "type_trigram_counts": q_type_trigram_counts,
         "interleave_sources": q_interleave_sources,
+        "trailing_24h_sum_user": q_trailing_24h_sum_user,
+        "unpivot_type_counts": q_unpivot_type_counts,
         "attribution_7d": q_attribution_7d,
         "graph_community_moments": q_graph_community_moments,
         "column_cardinality_profile": q_column_cardinality_profile,
@@ -10595,6 +10671,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT price_c AS weighted_median_c, cum, tot
             FROM c CROSS JOIN t
             WHERE 2 * cum >= tot ORDER BY price_c LIMIT 1""",
+        "trailing_24h_sum_user": """
+            SELECT event_id,
+                   CAST(round(value * 100) AS BIGINT) AS vc,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 24 HOURS
+                                  PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS sum_24h
+            FROM events""",
+        "unpivot_type_counts": """
+            SELECT user_id, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2""",
         "interleave_sources": """
             WITH r AS (SELECT doc_id, source,
                               ROW_NUMBER() OVER (PARTITION BY source

@@ -136,7 +136,8 @@ QUERY_NAMES = [
     "label_centroids", "column_cardinality_profile",
     "alert_episodes_user", "graph_community_moments",
     "rate_limit_audit", "type_trigram_counts", "attribution_7d",
-    "interleave_sources",
+    "interleave_sources", "trailing_24h_sum_user",
+    "unpivot_type_counts",
 ]
 
 

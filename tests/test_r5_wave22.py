@@ -1,0 +1,42 @@
+"""Round-5 wave 22: RANGE-frame trailing sum, unpivot round-trip."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_trailing_24h_matches_pandas(ray_session):
+    from __ray_entry__ import q_trailing_24h_sum_user
+
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts",
+                                "value"]).to_pandas()
+    df["vc"] = (df["value"] * 100).round().astype("int64")
+    df["us"] = df["ts"].astype("int64")
+    W = 24 * 3_600_000_000
+    want = {}
+    for uid, g in df.sort_values(["us", "event_id"]).groupby("user_id"):
+        us = g["us"].to_numpy()
+        vc = g["vc"].to_numpy()
+        for i, (t, e) in enumerate(zip(us, g["event_id"])):
+            m = (us >= t - W) & (us <= t)     # RANGE incl. ts peers
+            want[e] = int(vc[m].sum())
+    out = {r["event_id"]: r["sum_24h"]
+           for r in q_trailing_24h_sum_user(SF).take_all()}
+    assert out == want
+    # frames really span multiple events somewhere
+    single = {e: v for e, v in out.items()}
+    df2 = dict(zip(df["event_id"], df["vc"]))
+    assert any(single[e] != df2[e] for e in single)
+
+
+def test_unpivot_roundtrip_identity(ray_session):
+    from __ray_entry__ import q_unpivot_type_counts
+
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    want = df.groupby(["user_id", "event_type"]).size().to_dict()
+    out = {(r["user_id"], r["event_type"]): r["n"]
+           for r in q_unpivot_type_counts(SF).take_all()}
+    assert out == want and len(out) > 0
