@@ -6815,6 +6815,103 @@ def q_unpivot_type_counts(sf_dir: str):
     return wide.map_batches(melt, batch_format="pyarrow")
 
 
+def q_reorder_buffer_depth(sf_dir: str):
+    """Out-of-orderness audit for a streaming ingester: per user, the
+    maximum event-time lateness behind the running watermark when
+    events are consumed in ARRIVAL order (event_id) — i.e. the reorder
+    buffer depth, in seconds, a stream processor would need for
+    in-order delivery. Arrival order is the deterministic hashed
+    event id ((event_id * 2654435761) % 2^31 — the late_data_windows
+    delay convention: the synthetic ids are chronological, so raw id
+    order would be trivially in-order). Segmented cummax of event time
+    in arrival order, max(watermark - ts) per user."""
+    from osmium_tool_ray.blocks import group_by_key_bucket
+
+    def fold(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", pa.int64()),
+                            ("max_lateness_s", pa.int64())])
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return schema.empty_table()
+        uid = g["user_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = g["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        arr = (eid * 2654435761) % 2147483648
+        order = np.lexsort((eid, arr, uid))     # ARRIVAL order
+        u_s, t_s = uid[order], ts[order]
+        start = np.ones(len(u_s), dtype=bool)
+        start[1:] = u_s[1:] != u_s[:-1]
+        seg = np.cumsum(start) - 1
+        STEP = np.int64(1) << np.int64(62 - 20)
+        base = np.int64(t_s.min())
+        offset = seg * STEP
+        wm = np.maximum.accumulate((t_s - base) + offset) - offset \
+            + base
+        late = (wm - t_s) // 1_000_000
+        nseg = int(seg[-1]) + 1
+        mx = np.zeros(nseg, dtype=np.int64)
+        np.maximum.at(mx, seg, late)
+        firsts = np.flatnonzero(start)
+        return pa.table({
+            "user_id": pa.array(u_s[firsts].astype(np.int64)),
+            "max_lateness_s": pa.array(mx)})
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+    return group_by_key_bucket(ev, "user_id", fold)
+
+
+def q_hll_error_audit(sf_dir: str):
+    """Sketch-quality audit: the HLL per-user distinct-type estimate
+    (stages/sketches.hll_distinct_per_key) joined against the exact
+    distinct count, reporting each user's absolute error — the
+    ann_recall discipline applied to cardinality sketches (rows-only:
+    the estimator is the engine's own; pytest pins the error bound and
+    the exact side)."""
+    from ray.data.aggregate import Sum
+
+    from osmium_tool_ray.blocks import attach_lookup_bucketed
+    from osmium_tool_ray.stages.sketches import hll_distinct_per_key
+
+    ev = _events(sf_dir, ["user_id", "event_type"]).materialize()
+    est = hll_distinct_per_key(ev, "user_id", "event_type", p=12)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        typ = np.asarray(batch["event_type"].to_pylist(), dtype="U")
+        ut, tinv = np.unique(typ, return_inverse=True)
+        code = np.unique(uid * np.int64(64) + tinv)
+        return pa.table({"user_id": pa.array(code // 64),
+                         "t": pa.array(code % 64)})
+
+    exact = ev.map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["user_id", "t"]).count() \
+        .map_batches(lambda b: pa.table({
+            "user_id": b["user_id"].cast(pa.int64()),
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("one", alias_name="n_exact"))
+
+    est_names = est.schema().names
+    est_col = [c for c in est_names if c != "user_id"][0]
+    joined = attach_lookup_bucketed(exact, est, "user_id", est_col,
+                                    "n_est")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        ex = batch["n_exact"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        es = np.asarray([v if v is not None else 0
+                         for v in batch["n_est"].to_pylist()],
+                        dtype=np.int64)
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "n_exact": pa.array(ex),
+            "n_est": pa.array(es),
+            "abs_err": pa.array(np.abs(ex - es))})
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -10036,6 +10133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_trigram_counts": q_type_trigram_counts,
         "interleave_sources": q_interleave_sources,
         "trailing_24h_sum_user": q_trailing_24h_sum_user,
+        "reorder_buffer_depth": q_reorder_buffer_depth,
+        "hll_error_audit": q_hll_error_audit,
         "unpivot_type_counts": q_unpivot_type_counts,
         "attribution_7d": q_attribution_7d,
         "graph_community_moments": q_graph_community_moments,
@@ -10671,6 +10770,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT price_c AS weighted_median_c, cum, tot
             FROM c CROSS JOIN t
             WHERE 2 * cum >= tot ORDER BY price_c LIMIT 1""",
+        "reorder_buffer_depth": """
+            WITH o AS (SELECT user_id, ts,
+                              MAX(ts) OVER (PARTITION BY user_id
+                                  ORDER BY (event_id * 2654435761)
+                                           % 2147483648, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS wm
+                       FROM events)
+            SELECT user_id,
+                   CAST(MAX((epoch_us(wm) - epoch_us(ts)) // 1000000)
+                        AS BIGINT) AS max_lateness_s
+            FROM o GROUP BY 1""",
         "trailing_24h_sum_user": """
             SELECT event_id,
                    CAST(round(value * 100) AS BIGINT) AS vc,

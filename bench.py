@@ -137,7 +137,7 @@ QUERY_NAMES = [
     "alert_episodes_user", "graph_community_moments",
     "rate_limit_audit", "type_trigram_counts", "attribution_7d",
     "interleave_sources", "trailing_24h_sum_user",
-    "unpivot_type_counts",
+    "unpivot_type_counts", "reorder_buffer_depth", "hll_error_audit",
 ]
 
 

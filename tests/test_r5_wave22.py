@@ -40,3 +40,37 @@ def test_unpivot_roundtrip_identity(ray_session):
     out = {(r["user_id"], r["event_type"]): r["n"]
            for r in q_unpivot_type_counts(SF).take_all()}
     assert out == want and len(out) > 0
+
+
+def test_reorder_buffer_matches_pandas(ray_session):
+    from __ray_entry__ import q_reorder_buffer_depth
+
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts"]) \
+        .to_pandas()
+    df["us"] = df["ts"].astype("int64")
+    df["arr"] = (df["event_id"] * 2654435761) % 2147483648
+    df = df.sort_values(["user_id", "arr", "event_id"])
+    want = {}
+    for uid, g in df.groupby("user_id"):
+        wm = g["us"].cummax()
+        want[uid] = int(((wm - g["us"]) // 1_000_000).max())
+    out = {r["user_id"]: r["max_lateness_s"]
+           for r in q_reorder_buffer_depth(SF).take_all()}
+    assert out == want and len(out) > 0
+    assert max(out.values()) > 0      # arrival order IS out of order
+
+
+def test_hll_error_audit_bound(ray_session):
+    from __ray_entry__ import q_hll_error_audit
+
+    rows = q_hll_error_audit(SF).take_all()
+    assert len(rows) > 0
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    want = df.groupby("user_id")["event_type"].nunique().to_dict()
+    for r in rows:
+        assert r["n_exact"] == want[r["user_id"]]
+        assert r["abs_err"] == abs(r["n_exact"] - r["n_est"])
+        # p=12 HLL on tiny cardinalities is near-exact
+        assert r["abs_err"] <= max(1, r["n_exact"] // 5)
