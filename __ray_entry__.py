@@ -6912,6 +6912,68 @@ def q_hll_error_audit(sf_dir: str):
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+def q_flow_accumulation_cells(sf_dir: str):
+    """D8 flow accumulation — the hydrology pair of
+    flow_direction_cells: each occupied cell's upstream drainage count
+    (cells whose flow path reaches it, itself included). The flow
+    graph is a forest (one out-edge per cell, pits are roots), so
+    accumulation is a topological fold over the GRID-BOUNDED direction
+    raster: the distributed x9-channel groupby builds the raster, the
+    ≤4^level vertex forest accumulates on the driver in reverse
+    topological order (bounded_rows-guarded; rows-only — iterative
+    propagation; pytest pins a dense reference)."""
+    from osmium_tool_ray.blocks import bounded_rows
+    from osmium_tool_ray.stages.raster import flow_direction_cells
+
+    n6 = np.int64(1) << np.int64(TILE_LEVEL)
+    rows = bounded_rows(
+        flow_direction_cells(images_dataset(sf_dir,
+                                            columns=["lon", "lat"]),
+                             level=TILE_LEVEL),
+        2_000_000, "flow-direction raster (grid-bounded)")
+    cx = np.asarray([r["cell_x"] for r in rows], dtype=np.int64)
+    cy = np.asarray([r["cell_y"] for r in rows], dtype=np.int64)
+    fd = np.asarray([r["flow_dir"] for r in rows], dtype=np.int64)
+    key = cx * n6 + cy
+    order = np.argsort(key)
+    key, cx, cy, fd = key[order], cx[order], cy[order], fd[order]
+    # dir code -> (di, dj): dir = (dj+1)*3 + (di+1)
+    di = fd % 3 - 1
+    dj = fd // 3 - 1
+    tx, ty = cx + di, cy + dj
+    valid = (fd >= 0) & (tx >= 0) & (tx < n6) & (ty >= 0) & (ty < n6)
+    tkey = tx * n6 + ty
+    pos = np.searchsorted(key, tkey)
+    pos_c = np.minimum(pos, len(key) - 1)
+    # flow into unoccupied cells drains off-raster (no accumulation)
+    valid &= key[pos_c] == tkey
+    target = np.where(valid, pos_c, -1)
+    acc = np.ones(len(key), dtype=np.int64)
+    # forest accumulation: repeatedly push leaves toward roots —
+    # O(depth) vectorized passes over the bounded grid
+    indeg = np.zeros(len(key), dtype=np.int64)
+    np.add.at(indeg, target[target >= 0], 1)
+    frontier = np.flatnonzero(indeg == 0)
+    remaining_in = indeg.copy()
+    pending = acc.copy()
+    while len(frontier):
+        t = target[frontier]
+        ok = t >= 0
+        contrib = np.zeros(len(key), dtype=np.int64)
+        np.add.at(contrib, t[ok], pending[frontier][ok])
+        acc += contrib
+        dec = np.zeros(len(key), dtype=np.int64)
+        np.add.at(dec, t[ok], 1)
+        remaining_in -= dec
+        newly = np.flatnonzero((remaining_in == 0) & (dec > 0))
+        pending = acc.copy()
+        frontier = newly
+    return rd_from_rows([
+        {"cell_x": int(cx[i]), "cell_y": int(cy[i]),
+         "flow_dir": int(fd[i]), "accumulation": int(acc[i])}
+        for i in range(len(key))])
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -10119,6 +10181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_points": q_dbscan_points,
         "fk_integrity_audit": q_fk_integrity_audit,
         "flow_direction_cells": q_flow_direction_cells,
+        "flow_accumulation_cells": q_flow_accumulation_cells,
         "rfm_segments": q_rfm_segments,
         "interval_overlap_pairs": q_interval_overlap_pairs,
         "peak_concurrency": q_peak_concurrency,

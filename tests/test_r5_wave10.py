@@ -91,3 +91,38 @@ def test_teleport_jumps_match_pandas(ray_session):
            for r in q_teleport_jumps_user(SF).take_all()}
     assert out == want and len(out) > 0
     assert any(v[1] > 0 for v in out.values())   # the lattice teleports
+
+
+def test_flow_accumulation_matches_dense(ray_session):
+    from __ray_entry__ import TILE_LEVEL, q_flow_accumulation_cells
+    from osmium_tool_ray.stages.raster import flow_direction_cells
+    from osmium_tool_ray.sources.corpus import images_dataset
+
+    n6 = 1 << TILE_LEVEL
+    rows = q_flow_accumulation_cells(SF).take_all()
+    fd = {(r["cell_x"], r["cell_y"]): r["flow_dir"] for r in rows}
+    acc = {(r["cell_x"], r["cell_y"]): r["accumulation"]
+           for r in rows}
+    # dense reference: follow every cell's path, counting visits
+    want = {k: 1 for k in fd}
+    for k in fd:
+        cur = k
+        seen = set()
+        while True:
+            d = fd[cur]
+            if d < 0:
+                break
+            di, dj = d % 3 - 1, d // 3 - 1
+            nxt = (cur[0] + di, cur[1] + dj)
+            if nxt not in fd or nxt in seen:
+                break
+            seen.add(cur)
+            want[nxt] = want.get(nxt, 0) + 1
+            cur = nxt
+    assert acc == want
+    # sf0.001's sparse raster drains off-grid everywhere; the denser
+    # sf0.01 raster has real chains
+    rows01 = q_flow_accumulation_cells("/root/testdata/sf0.01") \
+        .take_all()
+    assert max(r["accumulation"] for r in rows01) > 1
+    assert sum(acc.values()) >= len(fd)
