@@ -6974,6 +6974,40 @@ def q_flow_accumulation_cells(sf_dir: str):
         for i in range(len(key))])
 
 
+def q_conformal_interval_knn(sf_dir: str):
+    """Split-conformal calibration of the kNN regressor (Vovk et al.;
+    the distribution-free prediction-interval radius): the p50/p90
+    quantiles of |true value - kNN prediction| over the query set —
+    compose the oracled knn_regression with a bucketed truth attach
+    and exact order statistics; the residual expression evaluates
+    identically in both engines, so even the float quantiles
+    hash-match."""
+    from osmium_tool_ray.blocks import attach_lookup_bucketed
+    from osmium_tool_ray.pipelines.stats import exact_quantiles
+
+    preds = q_knn_regression(sf_dir).materialize()
+    truth = _events(sf_dir, ["event_id", "value"]).map_batches(
+        lambda b: pa.table({
+            "event_id": b["event_id"].cast(pa.int64()),
+            "vc": pa.array(np.rint(b["value"]
+                                   .to_numpy(zero_copy_only=False)
+                                   * 100.0).astype(np.int64))}),
+        batch_format="pyarrow")
+    joined = attach_lookup_bucketed(preds, truth, "query_id", "vc",
+                                    "vc", lookup_key="event_id")
+
+    def residual(batch: pa.Table) -> pa.Table:
+        vc = np.asarray([v for v in batch["vc"].to_pylist()],
+                        dtype=np.float64)
+        pred = batch["pred_c"].cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"residual": pa.array(np.abs(vc - pred))})
+
+    res = joined.map_batches(residual, batch_format="pyarrow")
+    out = exact_quantiles(res, "residual", [0.5, 0.9])
+    return out.rename_columns(["q", "radius"])
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -10434,6 +10468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": q_quality_docs,
         "knn_points": q_knn_points,
         "knn_regression": q_knn_regression,
+        "conformal_interval_knn": q_conformal_interval_knn,
         "langid_docs": q_langid_docs,
         "langid_confusion": q_langid_confusion,
         "simhash_docs": q_simhash_docs,
@@ -14431,5 +14466,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
         FROM scored WHERE rank <= 5"""
     # the Dataset-id-set scale path computes the identical extract
+    out["conformal_interval_knn"] = f"""
+        WITH r AS ({out["knn_regression"]}),
+        e2 AS (SELECT event_id,
+                      CAST(round(value * 100) AS BIGINT) AS vc
+               FROM events),
+        res AS (SELECT abs(CAST(e2.vc AS DOUBLE) - r.pred_c)
+                    AS residual
+                FROM r JOIN e2 ON e2.event_id = r.query_id)
+        SELECT 0.5 AS q, quantile_disc(residual, 0.5) AS radius
+        FROM res
+        UNION ALL
+        SELECT 0.9, quantile_disc(residual, 0.9) FROM res"""
     out["extract_cw_dataset"] = out["extract_cw_nodes"]
     return out

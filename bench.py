@@ -138,6 +138,7 @@ QUERY_NAMES = [
     "rate_limit_audit", "type_trigram_counts", "attribution_7d",
     "interleave_sources", "trailing_24h_sum_user",
     "unpivot_type_counts", "reorder_buffer_depth", "hll_error_audit",
+    "flow_accumulation_cells", "conformal_interval_knn",
 ]
 
 

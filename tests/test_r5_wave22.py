@@ -74,3 +74,25 @@ def test_hll_error_audit_bound(ray_session):
         assert r["abs_err"] == abs(r["n_exact"] - r["n_est"])
         # p=12 HLL on tiny cardinalities is near-exact
         assert r["abs_err"] <= max(1, r["n_exact"] // 5)
+
+
+def test_conformal_interval_covers(ray_session):
+    import math
+
+    from __ray_entry__ import (q_conformal_interval_knn,
+                               q_knn_regression)
+
+    preds = {r["query_id"]: r["pred_c"]
+             for r in q_knn_regression(SF).take_all()}
+    vals = pq.read_table(f"{SF}/events.parquet",
+                         columns=["event_id", "value"]).to_pandas()
+    vc = dict(zip(vals["event_id"],
+                  (vals["value"] * 100).round().astype("int64")))
+    res = np.sort(np.asarray([abs(float(vc[q]) - p)
+                              for q, p in preds.items()]))
+    out = {r["q"]: r["radius"]
+           for r in q_conformal_interval_knn(SF).to_pylist()}
+    for q in (0.5, 0.9):
+        assert out[q] == res[max(math.ceil(q * len(res)) - 1, 0)]
+    # conformal coverage: >= 90% of calibration residuals fall inside
+    assert (res <= out[0.9]).mean() >= 0.9
