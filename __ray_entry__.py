@@ -4879,18 +4879,24 @@ def q_k_anonymity_docs(sf_dir: str):
         batch_format="pyarrow")
 
 
-def q_fk_integrity_audit(sf_dir: str):
+def q_fk_integrity_audit(sf_dir: str, broadcast_cap: int = 4_000_000):
     """Referential-integrity audit of every foreign-key edge in the
     star schema (the relational check-refs: /root/reference/src/
     command_check_refs.cpp semantics on the TPC-H graph): per edge,
     total rows and orphan rows whose key misses the referenced table.
-    Dimension key sets broadcast ONCE as sorted arrays (searchsorted
-    membership, the getid discipline; at open-web scale the fact-side
-    edges route through semi_join_bucketed — caps documented); one
+    Referenced key sets under `broadcast_cap` rows broadcast ONCE as
+    sorted arrays (searchsorted membership, the getid discipline);
+    edges whose referenced table exceeds the cap route through the
+    bucketed anti-join (pipelines/idops.semi_join_bucketed — no driver
+    materialization of either side; forced-path parity test). One
     7-row result."""
     import pyarrow.parquet as pq
     import ray
     from ray.data.aggregate import Sum
+
+    def ref_nrows(table: str) -> int:
+        return pq.ParquetFile(
+            f"{sf_dir}/{table}.parquet").metadata.num_rows
 
     def keyset(table: str, col: str) -> np.ndarray:
         return np.sort(pq.read_table(f"{sf_dir}/{table}.parquet",
@@ -4905,15 +4911,17 @@ def q_fk_integrity_audit(sf_dir: str):
         ("supplier", "s_nationkey", "nation", "n_nationkey"),
         ("nation", "n_regionkey", "region", "r_regionkey"),
     ]
+    small = [e for e in edges if ref_nrows(e[2]) <= broadcast_cap]
+    big = [e for e in edges if ref_nrows(e[2]) > broadcast_cap]
     refs = {}
-    for _, _, rt, rc in edges:
+    for _, _, rt, rc in small:
         if (rt, rc) not in refs:
             refs[(rt, rc)] = ray.put(keyset(rt, rc))
 
     from collections import defaultdict
 
     by_table = defaultdict(list)
-    for ft, fc, rt, rc in edges:
+    for ft, fc, rt, rc in small:
         by_table[ft].append((fc, refs[(rt, rc)]))
 
     outs = []
@@ -4940,6 +4948,35 @@ def q_fk_integrity_audit(sf_dir: str):
             read_parquet_clean(f"{sf_dir}/{ft}.parquet",
                                columns=[fc for fc, _ in cols])
             .map_batches(partial, batch_format="pyarrow"))
+
+    # big referenced tables: bucketed anti-join, no broadcast
+    from osmium_tool_ray.pipelines.idops import semi_join_bucketed
+
+    for ft, fc, rt, rc in big:
+        orphans = semi_join_bucketed(
+            read_parquet_clean(f"{sf_dir}/{ft}.parquet", columns=[fc]),
+            fc,
+            read_parquet_clean(f"{sf_dir}/{rt}.parquet", columns=[rc]),
+            ids_col=rc, invert=True)
+
+        def count_edge(batch: pa.Table, _name=f"{ft}.{fc}") -> pa.Table:
+            return pa.table({
+                "edge": pa.array([_name], type=pa.string()),
+                "n_rows": pa.array([np.int64(0)]),
+                "n_orphans": pa.array([np.int64(batch.num_rows)])})
+
+        def count_rows(batch: pa.Table, _fc=fc,
+                       _name=f"{ft}.{fc}") -> pa.Table:
+            return pa.table({
+                "edge": pa.array([_name], type=pa.string()),
+                "n_rows": pa.array([np.int64(batch.num_rows)]),
+                "n_orphans": pa.array([np.int64(0)])})
+
+        outs.append(orphans.map_batches(count_edge,
+                                        batch_format="pyarrow"))
+        outs.append(
+            read_parquet_clean(f"{sf_dir}/{ft}.parquet", columns=[fc])
+            .map_batches(count_rows, batch_format="pyarrow"))
 
     allparts = outs[0]
     for o in outs[1:]:

@@ -87,3 +87,16 @@ def test_lag_features_match_pandas(ray_session):
     out = {r["event_id"]: (r["vc"], r["vc_lag1"], r["delta"])
            for r in q_lag_features_user(SF).take_all()}
     assert out == want and len(out) > 0
+
+
+def test_fk_audit_forced_bucketed_path(ray_session):
+    """broadcast_cap=0 forces every edge through semi_join_bucketed —
+    results must match the broadcast path exactly."""
+    from __ray_entry__ import q_fk_integrity_audit
+
+    broad = {r["edge"]: (r["n_rows"], r["n_orphans"])
+             for r in q_fk_integrity_audit(SF).take_all()}
+    bucketed = {r["edge"]: (r["n_rows"], r["n_orphans"])
+                for r in q_fk_integrity_audit(
+                    SF, broadcast_cap=0).take_all()}
+    assert broad == bucketed and len(bucketed) == 7
