@@ -5823,11 +5823,14 @@ def q_type_histogram_overlap(sf_dir: str):
                 ut[np.mod(uc, len(ut))].tolist(), type=pa.string()),
             "n": pa.array(cnt.astype(np.int64))})
 
+    from osmium_tool_ray.blocks import bounded_rows
+
     cells = _events(sf_dir, ["event_type", "value"]) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby(["bin", "event_type"]) \
         .aggregate(Sum("n", alias_name="n"))
-    rows = cells.take_all()                  # |bins| x |types| bounded
+    rows = bounded_rows(cells, 2_000_000,
+                        "histogram-overlap (bins x types) fold")
     types = sorted({r["event_type"] for r in rows})
     hist = {t: {} for t in types}
     tot = {t: 0 for t in types}
