@@ -5034,10 +5034,34 @@ def q_assortativity_moments(sf_dir: str):
         .groupby("node").aggregate(Sum("deg", alias_name="deg")) \
         .materialize()
 
-    flagged = attach_lookup_bucketed(
-        attach_lookup_bucketed(dedup, deg, "a", "deg", "da",
-                               lookup_key="node"),
-        deg, "b", "deg", "db", lookup_key="node")
+    # degree side is bounded by |nodes|: broadcast sorted arrays under
+    # the cap (one object-store copy), bucketed attaches past it
+    if deg.count() <= 4_000_000:
+        import ray as _ray
+
+        rows = deg.take_all()
+        nodes = np.asarray([r["node"] for r in rows], dtype=np.int64)
+        degs = np.asarray([r["deg"] for r in rows], dtype=np.int64)
+        o = np.argsort(nodes)
+        dmap_ref = _ray.put((nodes[o], degs[o]))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            nk, dv = _ray.get(dmap_ref)
+            a = batch["a"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            b = batch["b"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            da = dv[np.searchsorted(nk, a)]
+            db = dv[np.searchsorted(nk, b)]
+            return pa.table({"a": pa.array(a), "b": pa.array(b),
+                             "da": pa.array(da), "db": pa.array(db)})
+
+        flagged = dedup.map_batches(attach, batch_format="pyarrow")
+    else:
+        flagged = attach_lookup_bucketed(
+            attach_lookup_bucketed(dedup, deg, "a", "deg", "da",
+                                   lookup_key="node"),
+            deg, "b", "deg", "db", lookup_key="node")
 
     def moments(batch: pa.Table) -> pa.Table:
         da = batch["da"].cast(pa.int64()).to_numpy(

@@ -100,3 +100,41 @@ def test_fk_audit_forced_bucketed_path(ray_session):
                 for r in q_fk_integrity_audit(
                     SF, broadcast_cap=0).take_all()}
     assert broad == bucketed and len(bucketed) == 7
+
+
+def test_assortativity_forced_bucketed_path(ray_session):
+    """Both degree-attach paths must agree; the brute test already
+    pins the broadcast path, so force the bucketed one by patching
+    the cap through a direct call path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmium_tool_ray.blocks import attach_lookup_bucketed
+    from ray.data.aggregate import Sum
+
+    # tiny 4-node graph, checked by hand
+    edges = [(0, 1), (1, 2), (2, 3), (0, 2)]
+    dedup = rd.from_items([{"a": a, "b": b} for a, b in edges]) \
+        .map_batches(lambda t: pa.table({
+            "a": t["a"].cast(pa.int64()),
+            "b": t["b"].cast(pa.int64())}), batch_format="pyarrow") \
+        .materialize()
+    deg = dedup.map_batches(
+        lambda t: pa.table({
+            "node": pa.array(np.concatenate([
+                t["a"].to_numpy(zero_copy_only=False),
+                t["b"].to_numpy(zero_copy_only=False)])),
+            "deg": pa.array(np.ones(2 * t.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("deg", alias_name="deg")) \
+        .materialize()
+    flagged = attach_lookup_bucketed(
+        attach_lookup_bucketed(dedup, deg, "a", "deg", "da",
+                               lookup_key="node"),
+        deg, "b", "deg", "db", lookup_key="node")
+    got = {(r["a"], r["b"]): (r["da"], r["db"])
+           for r in flagged.take_all()}
+    want_deg = {0: 2, 1: 2, 2: 3, 3: 1}
+    assert got == {(a, b): (want_deg[a], want_deg[b])
+                   for a, b in edges}
