@@ -7072,6 +7072,78 @@ def q_conformal_interval_knn(sf_dir: str):
     return out.rename_columns(["q", "radius"])
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Near-dup survivorship beyond keep-first: within every
+    cross-modal duplicate cluster (q_dup_clusters' components), keep
+    the HIGHEST-QUALITY member — quality = decoded-image sharpness
+    proxy (width*height, then smallest id as the deterministic tie) —
+    the curation policy that keeps the best copy, not the first seen.
+    Cluster labels attach by ONE bucketed lookup; the per-cluster
+    argmax is a rep-bucket lexsort fold. Rows-only (components);
+    pytest pins the per-cluster winner rule."""
+    from osmium_tool_ray.blocks import (attach_lookup_bucketed,
+                                        group_by_key_bucket)
+    from osmium_tool_ray.stages.dedup import (connected_components,
+                                              crossmodal_neardup)
+
+    imgs = images_dataset(sf_dir, columns=["image_id", "phash", "lon",
+                                           "lat", "w", "h"]) \
+        .materialize()
+    pairs = crossmodal_neardup(
+        imgs.select_columns(["image_id", "phash", "lon", "lat"]),
+        t=12, cap=500, level=6)
+    cc = connected_components(pairs)
+
+    labeled = attach_lookup_bucketed(
+        imgs.map_batches(lambda b: pa.table({
+            "image_id": b["image_id"].cast(pa.string()),
+            "quality": pc.multiply(b["w"].cast(pa.int64()),
+                                   b["h"].cast(pa.int64()))}),
+            batch_format="pyarrow"),
+        cc, "image_id", "rep", "rep", lookup_key="image_id")
+
+    def pick(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("rep", pa.string()),
+                            ("keep_id", pa.string()),
+                            ("n_members", pa.int64()),
+                            ("best_quality", pa.int64())])
+        if g.num_rows == 0 or "rep" not in g.schema.names:
+            return schema.empty_table()
+        rep = np.asarray(
+            [v if v is not None else i
+             for v, i in zip(g["rep"].to_pylist(),
+                             g["image_id"].to_pylist())], dtype="U")
+        iid = np.asarray(g["image_id"].to_pylist(), dtype="U")
+        q = g["quality"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((iid, -q, rep))
+        r_s = rep[order]
+        first = np.ones(len(r_s), dtype=bool)
+        first[1:] = r_s[1:] != r_s[:-1]
+        cnt = np.diff(np.append(np.flatnonzero(first), len(r_s)))
+        sel = order[first]
+        return pa.table({"rep": pa.array(rep[sel].tolist(),
+                                         type=pa.string()),
+                         "keep_id": pa.array(iid[sel].tolist(),
+                                             type=pa.string()),
+                         "n_members": pa.array(cnt.astype(np.int64)),
+                         "best_quality": pa.array(q[sel])})
+
+    def tag_rep(batch: pa.Table) -> pa.Table:
+        rep = pa.array(
+            [v if v is not None else i
+             for v, i in zip(batch["rep"].to_pylist(),
+                             batch["image_id"].to_pylist())],
+            type=pa.string())
+        return pa.table({"image_id": batch["image_id"],
+                         "quality": batch["quality"],
+                         "rep": rep})
+
+    return group_by_key_bucket(
+        labeled.map_batches(tag_rep, batch_format="pyarrow"),
+        "rep", pick)
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -10516,6 +10588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_quality": q_image_quality,
         "sniff_image_meta": q_sniff_image_meta,
         "dup_clusters": q_dup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "audio_features": q_audio_features,
         "tile_mosaic": q_tile_mosaic,
         "rasterize_coverage": q_rasterize_coverage,

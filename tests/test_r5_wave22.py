@@ -96,3 +96,31 @@ def test_conformal_interval_covers(ray_session):
         assert out[q] == res[max(math.ceil(q * len(res)) - 1, 0)]
     # conformal coverage: >= 90% of calibration residuals fall inside
     assert (res <= out[0.9]).mean() >= 0.9
+
+
+def test_dedup_keep_best_winner_rule(ray_session):
+    from __ray_entry__ import q_dedup_keep_best, q_dup_clusters
+    from osmium_tool_ray.sources.corpus import images_dataset
+
+    SF1 = SF
+    cc = {r["image_id"]: r["rep"]
+          for r in q_dup_clusters(SF1).take_all()}
+    imgs = images_dataset(SF1, columns=["image_id", "w", "h"]) \
+        .take_all()
+    quality = {r["image_id"]: r["w"] * r["h"] for r in imgs}
+    from collections import defaultdict
+    members = defaultdict(list)
+    for r in imgs:
+        rep = cc.get(r["image_id"], r["image_id"])
+        members[rep].append(r["image_id"])
+    out = {r["rep"]: (r["keep_id"], r["n_members"], r["best_quality"])
+           for r in q_dedup_keep_best(SF1).take_all()}
+    assert set(out) == set(members)
+    total = 0
+    for rep, (keep, n, bq) in out.items():
+        ms = members[rep]
+        total += n
+        assert n == len(ms)
+        best = sorted(ms, key=lambda i: (-quality[i], i))[0]
+        assert keep == best and bq == quality[best], rep
+    assert total == len(imgs)          # clusters partition the corpus
