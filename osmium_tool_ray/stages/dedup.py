@@ -3287,7 +3287,7 @@ def key_token_sets(rows, key_col: str, token_col: str,
                    buckets: int | None = None, packed_col: str = "_packed"):
     """Collapse flat (key, token) rows into one row per key carrying the
     key's SORTED UNIQUE uint64 token set packed as binary (Acero rejects
-    list<T> payloads in joins — CLAUDE rule — and binary survives every
+    list<T> payloads in joins — project hard rule — and binary survives every
     shuffle). One hash(key)%buckets shuffle; inside a bucket one lexsort
     + run-length slice per key (memcpy-only Python)."""
     import ray
