@@ -7144,6 +7144,107 @@ def q_dedup_keep_best(sf_dir: str):
         "rep", pick)
 
 
+def q_event_image_radius_join(sf_dir: str,
+                              probe_broadcast_cap: int = 2_000_000):
+    """Bipartite cross-DATASET spatial join: every (probe event, image)
+    pair within 3 degrees — the enrichment join between two
+    different tables. The probe side (event_id % 13 == 0) broadcasts
+    under `probe_broadcast_cap` as sorted fixed-unit arrays and the
+    image fact scans map-side (per-batch vectorized window over the
+    x-sorted probes — zero shuffle, the ann-query discipline); past
+    the cap it composes the self radius_join over a side-encoded union
+    (forced-path parity test). Exact integer distances."""
+    import ray
+
+    OFF = np.int64(1) << np.int64(40)
+    R = np.int64(300_000_000)
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def ev_pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        keep = eid % 13 == 0
+        eid = eid[keep]
+        xf = ((eid * 7919) % 36000) * 100000 - 1800000000
+        yf = ((eid * 104729) % 17000) * 100000 - 850000000
+        return pa.table({"pid": pa.array(eid + OFF),
+                         "xf": pa.array(xf), "yf": pa.array(yf)})
+
+    probes = ev.map_batches(ev_pts, batch_format="pyarrow") \
+        .materialize()
+    n_probes = probes.count()
+
+    def img_pts(batch: pa.Table) -> pa.Table:
+        iid = np.asarray([int(s[3:]) for s in
+                          batch["image_id"].to_pylist()],
+                         dtype=np.int64)
+        xf = np.rint(batch["lon"].to_numpy(zero_copy_only=False)
+                     * 100000.0).astype(np.int64)
+        yf = np.rint(batch["lat"].to_numpy(zero_copy_only=False)
+                     * 100000.0).astype(np.int64)
+        return pa.table({"pid": pa.array(iid),
+                         "xf": pa.array(xf), "yf": pa.array(yf)})
+
+    imgs = images_dataset(sf_dir, columns=["image_id", "lon", "lat"])
+
+    if n_probes <= probe_broadcast_cap:
+        rows = probes.take_all()
+        pe = np.asarray([r["pid"] for r in rows],
+                        dtype=np.int64) - OFF
+        px = np.asarray([r["xf"] for r in rows], dtype=np.int64)
+        py = np.asarray([r["yf"] for r in rows], dtype=np.int64)
+        o = np.argsort(px, kind="stable")
+        pref = ray.put((pe[o], px[o], py[o]))
+
+        def scan(batch: pa.Table) -> pa.Table:
+            e, x, y = ray.get(pref)
+            t = img_pts(batch)
+            ix = t["xf"].to_numpy(zero_copy_only=False)
+            iy = t["yf"].to_numpy(zero_copy_only=False)
+            iid = t["pid"].to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(x, ix - R, side="left")
+            hi = np.searchsorted(x, ix + R, side="right")
+            cnt = hi - lo
+            rep = np.repeat(np.arange(len(ix)), cnt)
+            # flat candidate index per (image, probe-in-window) pair
+            flat = np.concatenate(
+                [np.arange(l, h) for l, h in zip(lo, hi)]) \
+                if cnt.sum() else np.empty(0, np.int64)
+            dx = ix[rep] - x[flat]
+            dy = iy[rep] - y[flat]
+            d2 = dx * dx + dy * dy
+            keep = d2 <= R * R
+            return pa.table({
+                "event_id": pa.array(e[flat[keep]]),
+                "image_id": pa.array(
+                    ["img%010d" % i for i in iid[rep[keep]]],
+                    type=pa.string()),
+                "d2": pa.array(d2[keep])})
+
+        return imgs.map_batches(scan, batch_format="pyarrow")
+
+    from osmium_tool_ray.stages.spatial import radius_join
+
+    pts = probes.union(imgs.map_batches(img_pts,
+                                        batch_format="pyarrow"))
+    pairs = radius_join(pts, "pid", "xf", "yf", radius=int(R))
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        a = batch["a"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = batch["b"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d2 = batch["d2"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = (a < OFF) & (b >= OFF)
+        img, evt = a[keep], b[keep] - OFF
+        return pa.table({
+            "event_id": pa.array(evt),
+            "image_id": pa.array(
+                ["img%010d" % i for i in img], type=pa.string()),
+            "d2": pa.array(d2[keep])})
+
+    return pairs.map_batches(cross_only, batch_format="pyarrow")
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -10613,6 +10714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dup_pairs": q_ngram_dup_pairs,
         "jaccard_join_docs": q_jaccard_join,
         "radius_join_events": q_radius_join,
+        "event_image_radius_join": q_event_image_radius_join,
         "colocation_pairs": q_colocation_pairs,
         "mutual_nn_pairs": q_mutual_nn_pairs,
         "copresence_pairs": q_copresence_pairs,
@@ -11709,6 +11811,25 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY 1""",
         "region_overlap_counts": f"""{cte}
             SELECT * FROM ({overlap_sql}) WHERE n_both > 0""",
+        "event_image_radius_join": f"""{cte},
+            q AS (SELECT event_id,
+                         ((event_id * 7919) % 36000) * 100000
+                             - 1800000000 AS xf,
+                         ((event_id * 104729) % 17000) * 100000
+                             - 850000000 AS yf
+                  FROM events WHERE event_id % 13 = 0)
+            SELECT q.event_id, i.image_id,
+                   (q.xf - CAST(round(i.lon * 100000) AS BIGINT))
+                   * (q.xf - CAST(round(i.lon * 100000) AS BIGINT))
+                   + (q.yf - CAST(round(i.lat * 100000) AS BIGINT))
+                   * (q.yf - CAST(round(i.lat * 100000) AS BIGINT))
+                       AS d2
+            FROM q CROSS JOIN images i
+            WHERE (q.xf - CAST(round(i.lon * 100000) AS BIGINT))
+                  * (q.xf - CAST(round(i.lon * 100000) AS BIGINT))
+                  + (q.yf - CAST(round(i.lat * 100000) AS BIGINT))
+                  * (q.yf - CAST(round(i.lat * 100000) AS BIGINT))
+                  <= CAST(300000000 AS BIGINT) * 300000000""",
         "late_data_windows": """
             WITH e AS (SELECT
                     epoch_us(ts)

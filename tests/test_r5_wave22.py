@@ -124,3 +124,17 @@ def test_dedup_keep_best_winner_rule(ray_session):
         best = sorted(ms, key=lambda i: (-quality[i], i))[0]
         assert keep == best and bq == quality[best], rep
     assert total == len(imgs)          # clusters partition the corpus
+
+
+def test_bipartite_radius_join_paths_agree(ray_session):
+    from __ray_entry__ import q_event_image_radius_join
+
+    broad = sorted((r["event_id"], r["image_id"], r["d2"])
+                   for r in q_event_image_radius_join(SF).take_all())
+    joined = sorted((r["event_id"], r["image_id"], r["d2"])
+                    for r in q_event_image_radius_join(
+                        SF, probe_broadcast_cap=0).take_all())
+    assert broad == joined and len(broad) > 0
+    # pairs really cross datasets and respect the radius
+    for e, i, d2 in broad:
+        assert i.startswith("img") and d2 <= 300_000_000 ** 2
