@@ -7245,6 +7245,71 @@ def q_event_image_radius_join(sf_dir: str,
     return pairs.map_batches(cross_only, batch_format="pyarrow")
 
 
+def q_learned_index_audit(sf_dir: str):
+    """Learned-index error audit (the RMI/PGM bound, Kraska et al.
+    2018): fit rank ~ a + b*key over the sorted order-key universe and
+    report the maximum absolute rank error — the page-search window a
+    single-segment learned index would need. Slope/intercept derive
+    from EXACT integer moments (per-batch int64 partials, big-int
+    assembly on the driver — no 128-bit overflow), become doubles via
+    the same exact-int -> nearest-double cast in both engines, and the
+    residual expression is fixed-order, so even the float max
+    hash-matches. Distributed ROW_NUMBER + one Max fold."""
+    from ray.data.aggregate import Max, Sum
+
+    from osmium_tool_ray.pipelines.stats import global_rank
+
+    keys = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey"]) \
+        .map_batches(lambda b: pa.table({
+            "k": b["o_orderkey"].cast(pa.int64())}),
+            batch_format="pyarrow")
+    ranked = global_rank(keys, ["k"], descending=[False],
+                         out_col="r").materialize()
+
+    def moments(batch: pa.Table) -> pa.Table:
+        k = batch["k"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        r = batch["r"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_k": pa.array([0], type=pa.int64()),
+            "n": pa.array([np.int64(len(k))]),
+            "s_k": pa.array([np.int64(k.sum())]),
+            "s_r": pa.array([np.int64(r.sum())]),
+            "s_kr": pa.array([np.int64((k * r).sum())]),
+            "s_kk": pa.array([np.int64((k * k).sum())])})
+
+    m = ranked.map_batches(moments, batch_format="pyarrow") \
+        .groupby("_k").aggregate(
+            Sum("n", alias_name="n"), Sum("s_k", alias_name="s_k"),
+            Sum("s_r", alias_name="s_r"),
+            Sum("s_kr", alias_name="s_kr"),
+            Sum("s_kk", alias_name="s_kk")).take_all()[0]
+    n, s_k, s_r = int(m["n"]), int(m["s_k"]), int(m["s_r"])
+    s_kr, s_kk = int(m["s_kr"]), int(m["s_kk"])
+    # python big-int numerators; ONE cast to double each (both engines
+    # round the same exact integer to the same nearest double)
+    b = float(n * s_kr - s_k * s_r) / float(n * s_kk - s_k * s_k)
+    a = (float(s_r) - b * float(s_k)) / float(n)
+
+    def resid(batch: pa.Table) -> pa.Table:
+        k = batch["k"].cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        r = batch["r"].cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        e = np.abs(r - (a + b * k))
+        return pa.table({"_k": pa.array([0], type=pa.int64()),
+                         "mx": pa.array([float(e.max())
+                                         if len(e) else 0.0],
+                                        type=pa.float64())})
+
+    agg = ranked.map_batches(resid, batch_format="pyarrow") \
+        .groupby("_k").aggregate(Max("mx", alias_name="mx")) \
+        .take_all()[0]
+    return rd_from_rows([{
+        "n": n, "slope": b, "intercept": a,
+        "max_abs_err": float(agg["mx"])}])
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -10410,6 +10475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_slope_cells": q_raster_slope_cells,
         "coverage_morphology": q_coverage_morphology,
         "hilbert_pruned_bbox": q_hilbert_pruned_bbox,
+        "learned_index_audit": q_learned_index_audit,
         "idw_knn": q_idw_knn,
         "cell_value_quantiles": q_cell_value_quantiles,
         "sobel_edges_images": q_sobel_edges_images,
@@ -10771,6 +10837,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, lon, lat, caption FROM images
             WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]}
               AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}""",
+        "learned_index_audit": """
+            WITH rk AS (SELECT o_orderkey AS k,
+                               ROW_NUMBER() OVER (ORDER BY o_orderkey)
+                                   AS r
+                        FROM orders),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         SUM(k) AS s_k, SUM(r) AS s_r,
+                         SUM(k * r) AS s_kr, SUM(k * k) AS s_kk
+                  FROM rk),
+            c AS (SELECT n,
+                         CAST(n * s_kr - s_k * s_r AS DOUBLE)
+                         / CAST(n * s_kk - s_k * s_k AS DOUBLE) AS b,
+                         s_r, s_k
+                  FROM m),
+            c2 AS (SELECT n, b,
+                          (CAST(s_r AS DOUBLE) - b
+                           * CAST(s_k AS DOUBLE))
+                          / CAST(n AS DOUBLE) AS a
+                   FROM c)
+            SELECT c2.n, c2.b AS slope, c2.a AS intercept,
+                   MAX(abs(CAST(rk.r AS DOUBLE)
+                           - (c2.a + c2.b
+                              * CAST(rk.k AS DOUBLE))))
+                       AS max_abs_err
+            FROM rk CROSS JOIN c2 GROUP BY 1, 2, 3""",
         "hilbert_pruned_bbox": f"""{cte}
             SELECT image_id, lon, lat, caption FROM images
             WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]}

@@ -138,3 +138,24 @@ def test_bipartite_radius_join_paths_agree(ray_session):
     # pairs really cross datasets and respect the radius
     for e, i, d2 in broad:
         assert i.startswith("img") and d2 <= 300_000_000 ** 2
+
+
+def test_learned_index_audit_matches_reference(ray_session):
+    from __ray_entry__ import q_learned_index_audit
+
+    k = np.sort(pq.read_table(f"{SF}/orders.parquet",
+                              columns=["o_orderkey"])["o_orderkey"]
+                .to_numpy())
+    r = np.arange(1, len(k) + 1, dtype=np.int64)
+    n = len(k)
+    s_k, s_r = int(k.sum()), int(r.sum())
+    s_kr, s_kk = int((k * r).sum()), int((k * k).sum())
+    b = float(n * s_kr - s_k * s_r) / float(n * s_kk - s_k * s_k)
+    a = (float(s_r) - b * float(s_k)) / float(n)
+    err = np.abs(r.astype(float) - (a + b * k.astype(float))).max()
+    out = q_learned_index_audit(SF).take_all()[0]
+    assert out["n"] == n
+    assert out["slope"] == b and out["intercept"] == a
+    assert out["max_abs_err"] == err
+    # the fit is useful: error window is a small fraction of the table
+    assert err < n / 4
