@@ -7310,6 +7310,54 @@ def q_learned_index_audit(sf_dir: str):
         "max_abs_err": float(agg["mx"])}])
 
 
+def q_choropleth_classes(sf_dir: str):
+    """Choropleth classing: every occupied level-6 cell assigned to a
+    count-quintile class (equal-count map classing, ties by cell) —
+    the cartographic NTILE over the density raster (cell counts via
+    one packed-key groupby, the distributed ROW_NUMBER, the ANSI
+    remainder rule in _ntile)."""
+    from ray.data.aggregate import Sum
+
+    from osmium_tool_ray.pipelines.stats import global_rank
+
+    n6 = np.int64(1) << np.int64(TILE_LEVEL)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        x = np.clip(np.floor((lon + 180.0) / 360.0 * n6), 0,
+                    n6 - 1).astype(np.int64)
+        y = np.clip(np.floor((lat + 90.0) / 180.0 * n6), 0,
+                    n6 - 1).astype(np.int64)
+        un, cnt = np.unique(x * n6 + y, return_counts=True)
+        return pa.table({"cell": pa.array(un),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    cells = images_dataset(sf_dir, columns=["lon", "lat"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("cell").aggregate(Sum("n", alias_name="n")) \
+        .map_batches(lambda b: pa.table({
+            "cell": b["cell"].cast(pa.int64()),
+            "n": b["n"].cast(pa.int64())}),
+            batch_format="pyarrow").materialize()
+    total = cells.count()
+    ranked = global_rank(cells, ["n", "cell"],
+                         descending=[False, False], out_col="_r")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "cell_x": pa.array(cell // n6),
+            "cell_y": pa.array(cell % n6),
+            "n": batch["n"].cast(pa.int64()),
+            "class": pa.array(_ntile(
+                batch["_r"].cast(pa.int64())
+                .to_numpy(zero_copy_only=False), total))})
+
+    return ranked.map_batches(fin, batch_format="pyarrow")
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -10476,6 +10524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_morphology": q_coverage_morphology,
         "hilbert_pruned_bbox": q_hilbert_pruned_bbox,
         "learned_index_audit": q_learned_index_audit,
+        "choropleth_classes": q_choropleth_classes,
         "idw_knn": q_idw_knn,
         "cell_value_quantiles": q_cell_value_quantiles,
         "sobel_edges_images": q_sobel_edges_images,
@@ -10837,6 +10886,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, lon, lat, caption FROM images
             WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]}
               AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}""",
+        "choropleth_classes": f"""{cte}
+            , c AS (SELECT cell_x, cell_y, COUNT(*) AS n
+                    FROM (SELECT {cells6} FROM images)
+                    GROUP BY 1, 2)
+            SELECT cell_x, cell_y, CAST(n AS BIGINT) AS n,
+                   CAST(NTILE(5) OVER (
+                        ORDER BY n, cell_x * {n6} + cell_y)
+                        AS BIGINT) AS class
+            FROM c""",
         "learned_index_audit": """
             WITH rk AS (SELECT o_orderkey AS k,
                                ROW_NUMBER() OVER (ORDER BY o_orderkey)

@@ -140,7 +140,7 @@ QUERY_NAMES = [
     "unpivot_type_counts", "reorder_buffer_depth", "hll_error_audit",
     "flow_accumulation_cells", "conformal_interval_knn",
     "dedup_keep_best", "event_image_radius_join",
-    "learned_index_audit",
+    "learned_index_audit", "choropleth_classes",
 ]
 
 

@@ -159,3 +159,20 @@ def test_learned_index_audit_matches_reference(ray_session):
     assert out["max_abs_err"] == err
     # the fit is useful: error window is a small fraction of the table
     assert err < n / 4
+
+
+def test_choropleth_classes_balanced(ray_session):
+    from collections import Counter
+
+    from __ray_entry__ import q_choropleth_classes
+
+    rows = q_choropleth_classes(SF).take_all()
+    assert len(rows) > 0
+    c = Counter(r["class"] for r in rows)
+    assert set(c) == {1, 2, 3, 4, 5}
+    assert max(c.values()) - min(c.values()) <= 1   # equal-count
+    # classes are monotone in count: every class-5 cell >= class-1 cell
+    by_class = {}
+    for r in rows:
+        by_class.setdefault(r["class"], []).append(r["n"])
+    assert min(by_class[5]) >= max(by_class[1])
