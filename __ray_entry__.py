@@ -7358,6 +7358,115 @@ def q_choropleth_classes(sf_dir: str):
     return ranked.map_batches(fin, batch_format="pyarrow")
 
 
+def q_brightness_trend_by_cell(sf_dir: str):
+    """Payload x space x time fusion: per level-4 cell, the OLS slope
+    of MONTHLY decoded-pixel brightness totals (is this place getting
+    brighter?) — pixels decode in fused stateless tasks, (cell, month)
+    int64 brightness sums ride one packed-key groupby, and
+    pipelines/analytics.trend_per_key emits the slope as an exact
+    integer rational. Rows-only (pixel payload); numpy-pinned."""
+    from ray.data.aggregate import Sum
+
+    from osmium_tool_ray.pipelines.analytics import trend_per_key
+    from osmium_tool_ray.stages.media import _load_codec
+
+    n4 = np.int64(16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        codec = _load_codec()
+        pix, w, h = codec.decode_batch(batch["bytes"])
+        bsum = pix.astype(np.int64).sum(axis=1) if pix.size \
+            else np.zeros(batch.num_rows, dtype=np.int64)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        x = np.clip(np.floor((lon + 180.0) / 360.0 * n4), 0,
+                    n4 - 1).astype(np.int64)
+        y = np.clip(np.floor((lat + 90.0) / 180.0 * n4), 0,
+                    n4 - 1).astype(np.int64)
+        # month from the image's source event timestamp
+        eid = np.asarray([int(s[3:]) for s in
+                          batch["image_id"].to_pylist()],
+                         dtype=np.int64)
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        month = (ts // 86_400_000_000) // 30          # 30-day bins
+        code = ((x * n4 + y) << np.int64(20)) | month
+        un, inv = np.unique(code, return_inverse=True)
+        return pa.table({
+            "_ck": pa.array(un),
+            "sum_b": pa.array(np.bincount(inv, weights=bsum)
+                              .astype(np.int64))})
+
+    from osmium_tool_ray.sources.corpus import images_from_events_batch
+
+    def derive(batch: pa.Table) -> pa.Table:
+        img = images_from_events_batch(
+            batch, True, ["image_id", "bytes", "lon", "lat"])
+        return img.append_column("ts", batch["ts"])
+
+    monthly = _events(sf_dir, ["event_id", "ts"]) \
+        .map_batches(derive, batch_format="pyarrow",
+                     batch_size=4096) \
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=4096) \
+        .groupby("_ck").aggregate(Sum("sum_b", alias_name="sum_b"))
+
+    keyed = monthly.map_batches(
+        lambda b: pa.table({
+            "cell": pc.shift_right(b["_ck"].cast(pa.int64()), 20),
+            "x": pc.bit_wise_and(b["_ck"].cast(pa.int64()),
+                                 (1 << 20) - 1),
+            "y": b["sum_b"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    out = trend_per_key(keyed, "cell", "x", "y")
+    return out.map_batches(
+        lambda b: pa.table({
+            "cell_x": pc.divide(b["cell"].cast(pa.int64()), 16),
+            "cell_y": pc.subtract(
+                b["cell"].cast(pa.int64()),
+                pc.multiply(pc.divide(b["cell"].cast(pa.int64()), 16),
+                            16)),
+            "n_months": b["n"].cast(pa.int64()),
+            "slope_num": b["slope_num"].cast(pa.int64()),
+            "slope_den": b["slope_den"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_caption_pixel_corr_moments(sf_dir: str):
+    """Cross-modal correlation sufficient statistics: caption token
+    count (x) vs image pixel area w*h (y) — the exact integer moment
+    pack (n, Σx, Σy, Σxy, Σx², Σy²) Pearson's r assembles from,
+    computed in ONE singleton fold over the corpus; the text-vs-image
+    consistency screen of a multimodal pipeline (floats deferred)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cap = batch["caption"].cast(pa.string())
+        x = pc.count_substring_regex(cap, r"[^ ]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        y = (batch["w"].cast(pa.int64())
+             .to_numpy(zero_copy_only=False)
+             * batch["h"].cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        return pa.table({
+            "_k": pa.array([0], type=pa.int64()),
+            "n": pa.array([np.int64(len(x))]),
+            "s_x": pa.array([np.int64(x.sum())]),
+            "s_y": pa.array([np.int64(y.sum())]),
+            "s_xy": pa.array([np.int64((x * y).sum())]),
+            "s_xx": pa.array([np.int64((x * x).sum())]),
+            "s_yy": pa.array([np.int64((y * y).sum())])})
+
+    cols = ["n", "s_x", "s_y", "s_xy", "s_xx", "s_yy"]
+    agg = images_dataset(sf_dir, columns=["caption", "w", "h"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("_k").aggregate(
+            *[Sum(c, alias_name=c) for c in cols])
+    return agg.map_batches(
+        lambda b: pa.table({c: b[c].cast(pa.int64()) for c in cols}),
+        batch_format="pyarrow")
+
+
 def q_tile_contrast(sf_dir: str):
     """Local density contrast: every occupied level-6 cell's count vs
     its level-4 PARENT tile's count — the multi-resolution anomaly
@@ -10560,6 +10669,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_value_by_type": q_ks_value_by_type,
         "first3_path_counts": q_first3_path_counts,
         "brightness_by_cell": q_brightness_by_cell,
+        "brightness_trend_by_cell": q_brightness_trend_by_cell,
+        "caption_pixel_corr_moments": q_caption_pixel_corr_moments,
         "gini_revenue": q_gini_revenue,
         "abc_parts": q_abc_parts,
         "weighted_median_price": q_weighted_median_price,
@@ -10886,6 +10997,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, lon, lat, caption FROM images
             WHERE lon >= {BBOX[0]} AND lon <= {BBOX[2]}
               AND lat >= {BBOX[1]} AND lat <= {BBOX[3]}""",
+        "caption_pixel_corr_moments": f"""{cte}
+            , f AS (SELECT len(string_split(caption, ' ')) AS x,
+                           w * h AS y
+                    FROM images)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s_x,
+                   CAST(SUM(y) AS BIGINT) AS s_y,
+                   CAST(SUM(x * y) AS BIGINT) AS s_xy,
+                   CAST(SUM(x * x) AS BIGINT) AS s_xx,
+                   CAST(SUM(y * y) AS BIGINT) AS s_yy
+            FROM f""",
         "choropleth_classes": f"""{cte}
             , c AS (SELECT cell_x, cell_y, COUNT(*) AS n
                     FROM (SELECT {cells6} FROM images)

@@ -141,6 +141,7 @@ QUERY_NAMES = [
     "flow_accumulation_cells", "conformal_interval_knn",
     "dedup_keep_best", "event_image_radius_join",
     "learned_index_audit", "choropleth_classes",
+    "brightness_trend_by_cell", "caption_pixel_corr_moments",
 ]
 
 

@@ -176,3 +176,59 @@ def test_choropleth_classes_balanced(ray_session):
     for r in rows:
         by_class.setdefault(r["class"], []).append(r["n"])
     assert min(by_class[5]) >= max(by_class[1])
+
+
+def test_brightness_trend_matches_numpy(ray_session):
+    from __ray_entry__ import q_brightness_trend_by_cell
+    from osmium_tool_ray.functions.imagecodec import decode_batch
+    import pyarrow as pa
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts"]).to_pandas()
+    eid = ev["event_id"].to_numpy()
+    lon = ((eid * 7919) % 36000) / 100.0 - 180.0
+    lat = ((eid * 104729) % 17000) / 100.0 - 85.0
+    x = np.clip(np.floor((lon + 180.0) / 360.0 * 16), 0, 15) \
+        .astype(np.int64)
+    y = np.clip(np.floor((lat + 90.0) / 180.0 * 16), 0, 15) \
+        .astype(np.int64)
+    month = (ev["ts"].astype("int64").to_numpy()
+             // 86_400_000_000) // 30
+    from osmium_tool_ray.sources.corpus import images_from_events_batch
+    img = images_from_events_batch(
+        pa.table({"event_id": pa.array(eid)}), True,
+        ["image_id", "bytes"])
+    pix, w, h = decode_batch(img["bytes"])
+    bsum = pix.astype(np.int64).sum(axis=1)
+    from collections import defaultdict
+    monthly = defaultdict(int)
+    for c, m, b in zip(x * 16 + y, month, bsum):
+        monthly[(int(c), int(m))] += int(b)
+    series = defaultdict(list)
+    for (c, m), s in sorted(monthly.items()):
+        series[c].append((m, s))
+    want = {}
+    for c, pts in series.items():
+        xs = np.array([p[0] for p in pts], dtype=np.int64)
+        ys = np.array([p[1] for p in pts], dtype=np.int64)
+        n = len(xs)
+        num = int(n * (xs * ys).sum() - xs.sum() * ys.sum())
+        den = int(n * (xs * xs).sum() - xs.sum() ** 2)
+        want[c] = (n, num, den)
+    out = {r["cell_x"] * 16 + r["cell_y"]:
+           (r["n_months"], r["slope_num"], r["slope_den"])
+           for r in q_brightness_trend_by_cell(SF).take_all()}
+    assert out == want and len(out) > 0
+
+
+def test_caption_pixel_corr_moments_match(ray_session):
+    from __ray_entry__ import q_caption_pixel_corr_moments
+
+    r = q_caption_pixel_corr_moments(SF).take_all()[0]
+    n_ev = pq.read_table(f"{SF}/events.parquet",
+                         columns=["event_id"]).num_rows
+    assert r["n"] == n_ev
+    # captions are 'caption <id> <type>' = 3 tokens; pixels 16*16=256
+    assert r["s_x"] == 3 * n_ev and r["s_y"] == 256 * n_ev
+    assert r["s_xy"] == 3 * 256 * n_ev
+    assert r["s_xx"] == 9 * n_ev and r["s_yy"] == 256 * 256 * n_ev
