@@ -139,7 +139,7 @@ QUERY_NAMES = [
     "interleave_sources", "trailing_24h_sum_user",
     "unpivot_type_counts", "reorder_buffer_depth", "hll_error_audit",
     "flow_accumulation_cells", "conformal_interval_knn",
-    "dedup_keep_best", "event_image_radius_join",
+    "dup_clusters", "dedup_keep_best", "event_image_radius_join",
     "learned_index_audit", "choropleth_classes",
     "brightness_trend_by_cell", "caption_pixel_corr_moments",
 ]
